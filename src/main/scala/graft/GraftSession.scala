@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table access for the graft engine.
+  *
+  * Tuned for the harness's `local[32]` single-JVM mode but written for a
+  * real cluster: AQE on (runtime re-plan, skew-join splitting, partition
+  * coalescing), shuffle partitions sized to the local core count (on a
+  * 1000-executor cluster this would be ~2-3x total cores, set per-job).
+  */
+object GraftSession {
+
+  def build(appName: String = "graft",
+            master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+            shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Read one of the harness parquet tables under `sfDir`.
+    * Plain `spark.read.parquet` so Catalyst keeps filter pushdown /
+    * column pruning / partition-size splitting for free.
+    */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+}

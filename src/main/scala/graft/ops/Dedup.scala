@@ -1,0 +1,191 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GraftSession.table
+import graft.functions.OracleHash._
+
+/** Deduplication operators for LLM training data, at the four standard
+  * rungs of the exact->fuzzy ladder:
+  *
+  *   1. exact        — hash the normalized content, keep one doc per hash
+  *   2. MinHash+LSH  — shingle -> minhash signature -> banded buckets ->
+  *                     candidate pairs (the MapReduce-friendly classic)
+  *   3. SimHash      — 32-bit sign-of-weighted-bits sketch, hamming<=d pairs
+  *   4. n-gram Jaccard — exact set overlap on candidate pairs
+  *
+  * Scale design (100 TB):
+  *  - everything is shuffle-on-key; no pairwise O(n^2) stage ever runs on
+  *    the full corpus — pairs only materialize inside an LSH/simhash
+  *    bucket or a shared-rare-shingle group.
+  *  - hot shingles (document-frequency > maxDf) are dropped from
+  *    CANDIDATE GENERATION (not from verification) — the classic
+  *    stop-shingle guard that kills the quadratic blowup a frequent
+  *    shingle would cause. Verification recomputes exact Jaccard on the
+  *    full shingle sets of each candidate pair.
+  *  - hashes are md5-derived for oracle parity (see OracleHash); swap to
+  *    xxhash64 in production for ~10x hash throughput.
+  */
+object Dedup {
+
+  /** Word shingles of size n over single-space-tokenized text.
+    * Output: (doc_id, shingle) distinct.
+    */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    docs.select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("toks")) - n),
+          i => concat_ws(" ", slice(col("toks"), i + 1, n)))).as("shingle"))
+      .distinct()
+  }
+
+  /** 1. Exact dedup: group by md5 of normalized text, keep the smallest
+    * doc_id as canonical. One shuffle on the 128-bit key; group sizes are
+    * duplicate-cluster sizes (tiny), so no skew risk.
+    */
+  def exact(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"), md5(norm).as("content_key"))
+      .groupBy("content_key")
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("keep_doc_id")
+  }
+
+  /** MinHash signatures: for hash index i in [0, k), sig_i(doc) =
+    * min over shingles of h60("i:" + shingle). Computed by exploding
+    * (doc, shingle) x k and min-aggregating — partial aggregation makes
+    * the shuffle ~|docs| x k rows regardless of shingle count.
+    * Output: (doc_id, i, mh).
+    */
+  def minHashSignatures(sh: DataFrame, k: Int = 16): DataFrame =
+    sh.withColumn("i", explode(array((0 until k).map(lit(_)): _*)))
+      .groupBy("doc_id", "i")
+      .agg(min(h60i(col("i"), col("shingle"))).as("mh"))
+
+  /** 2. MinHash + LSH banding: k signatures in b bands of r rows
+    * (k = b*r). Docs sharing a full band signature become candidates;
+    * candidates are scored by signature agreement (the unbiased Jaccard
+    * estimate). Emits pairs with est >= minEst.
+    *
+    * Only bucket-mates are ever paired — the corpus-wide cross join never
+    * exists. Band signature is the concatenated minhash run: exact, no
+    * truncation collisions.
+    */
+  def minHashLsh(spark: SparkSession, sfDir: String,
+                 shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                 minEst: Double = 0.5): DataFrame = {
+    val r = k / bands
+    val sig = minHashSignatures(shingles(table(spark, sfDir, "documents"), shingleN), k)
+    // band signature: minhashes of the band in i-order, joined into one key
+    val bandSig = sig
+      .withColumn("band", (col("i") / r).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+        s => s.getField("mh").cast("string")), ",").as("sig"))
+    val a = bandSig.as("a")
+    val b = bandSig.as("b")
+    val cand = a.join(b,
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // score candidates: fraction of the k signatures that agree
+    val sa = sig.select(col("doc_id").as("doc_a"), col("i"), col("mh").as("mh_a"))
+    val sb = sig.select(col("doc_id").as("doc_b"), col("i"), col("mh").as("mh_b"))
+    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b", "i"))
+      .groupBy("doc_a", "doc_b")
+      .agg((sum(when(col("mh_a") === col("mh_b"), 1).otherwise(0)) / lit(k))
+        .as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 3. SimHash (32-bit): per bit j, sum +-1 weighted by shingle-hash bit
+    * j over the doc's shingles; simhash bit j = (weight > 0). Bit math is
+    * spelled as BIGINT arithmetic ((h / 2^j) % 2) so the DuckDB oracle
+    * reproduces it exactly.
+    */
+  def simHashes(docs: DataFrame, shingleN: Int = 3): DataFrame = {
+    val sh = shingles(docs, shingleN)
+    sh.select(col("doc_id"), h32(col("shingle")).as("h"))
+      .withColumn("j", explode(array((0 until 32).map(lit(_)): _*)))
+      .select(col("doc_id"), col("j"),
+        (((col("h") / pow(lit(2), col("j")).cast("long")).cast("long") % 2) * 2 - 1).as("w"))
+      .groupBy("doc_id", "j")
+      .agg(sum(col("w")).as("wsum"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("wsum") > 0, pow(lit(2), col("j")).cast("long")).otherwise(0L))
+        .cast("long").as("simhash"))
+  }
+
+  /** SimHash near-dup pairs at hamming distance <= maxHamming via
+    * pigeonhole chunk bucketing (no cross join).
+    */
+  def simHashPairs(spark: SparkSession, sfDir: String,
+                   shingleN: Int = 3, maxHamming: Int = 3): DataFrame = {
+    val hs = simHashes(table(spark, sfDir, "documents"), shingleN)
+    val nChunks = maxHamming + 1
+    val chunkBits = 32 / nChunks // 8 bits per chunk for d=3
+    val chunked = hs.withColumn("c", explode(array((0 until nChunks).map(lit(_)): _*)))
+      .withColumn("chunk",
+        (col("simhash") / pow(lit(2), col("c") * chunkBits).cast("long")).cast("long")
+          % (1L << chunkBits))
+    val a = chunked.as("a")
+    val b = chunked.as("b")
+    a.join(b, col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming").cast("long").as("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 4. Exact n-gram Jaccard: candidates = pairs sharing at least one
+    * rare shingle (df <= maxDf — the stop-shingle guard), verified with
+    * exact |A ∩ B| / |A ∪ B| over the FULL shingle sets. Emits pairs with
+    * jaccard >= minJaccard; the score is surfaced in exact thousandths
+    * (integer) to stay float-drift-free.
+    */
+  def ngramJaccardPairs(spark: SparkSession, sfDir: String,
+                        shingleN: Int = 3, maxDf: Int = 50,
+                        minJaccardMilli: Long = 300): DataFrame = {
+    val sh = shingles(table(spark, sfDir, "documents"), shingleN).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val rare = sh.join(df.filter(col("df") <= maxDf), Seq("shingle"))
+    val cand = rare.as("a").join(rare.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // exact intersection size over full sets
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val sza = sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+    val szb = sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+    cand.join(inter, Seq("doc_a", "doc_b"))
+      .join(sza, Seq("doc_a")).join(szb, Seq("doc_b"))
+      .withColumn("jaccard_milli",
+        (col("inter") * 1000 / (col("sz_a") + col("sz_b") - col("inter"))).cast("long"))
+      .filter(col("jaccard_milli") >= minJaccardMilli)
+      .select("doc_a", "doc_b", "jaccard_milli")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding near-dup: pairs of vectors with cosine >= minCos. Delegates
+    * to Similarity.cosine; bucketed by LSH there — this exact variant is
+    * the verification stage.
+    */
+  def embeddingNearDups(spark: SparkSession, sfDir: String,
+                        minCosMilli: Long = 990): DataFrame =
+    Similarity.allPairsCosine(spark, sfDir)
+      .filter(col("cos_milli") >= minCosMilli)
+      .orderBy("vec_a", "vec_b")
+}

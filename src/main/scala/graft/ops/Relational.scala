@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.GraftSession.table
+
+/** Relational/analytic operator suite over the TPC-H-ish star schema.
+  *
+  * The reference has no joins or non-count aggregates (SURVEY.md §2,
+  * "categories with NO implementation"), but a complete engine needs
+  * them; these exercise Catalyst's join strategies the way a 100 TB
+  * deployment would:
+  *  - dimension tables (region/nation/supplier/customer) are broadcast —
+  *    no shuffle of the fact table for those joins;
+  *  - fact-fact joins (orders x lineitem) shuffle on the join key once
+  *    and AQE handles skew;
+  *  - money math is done in DECIMAL(18,2) then cast to DOUBLE: exact,
+  *    associative, and therefore deterministic under any partitioning
+  *    (a raw DOUBLE sum's value depends on partition order — both a
+  *    correctness-oracle problem and a reproducibility bug at scale).
+  */
+object Relational {
+
+  /** Exact money sum: decimal-accumulate, surface as double. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  /** TPC-H Q1-style pricing summary: scan-heavy, group-by on two
+    * low-cardinality keys. Partial aggregation collapses 600k rows to a
+    * handful before the exchange; at 100 TB this stays a single shuffle
+    * of ~|groups| x |partitions| rows.
+    */
+  def pricingSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = table(spark, sfDir, "lineitem")
+    li.filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q3-style: customer segment x orders x lineitem, top-10 revenue.
+    * customer is a dimension -> broadcast; orders-lineitem shuffles on
+    * orderkey. Filters are pushed to the parquet scans by Catalyst.
+    */
+  def topRevenueOrders(spark: SparkSession, sfDir: String, segment: String = "BUILDING"): DataFrame = {
+    val cust = table(spark, sfDir, "customer").filter(col("c_mktsegment") === segment)
+    val ord = table(spark, sfDir, "orders")
+    val li = table(spark, sfDir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: revenue by nation through a 5-way join. All four
+    * dimension tables broadcast; the only shuffle is the final group-by.
+    */
+  def revenueByNation(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = table(spark, sfDir, "lineitem")
+    val ord = table(spark, sfDir, "orders")
+    val cust = table(spark, sfDir, "customer")
+    val nat = table(spark, sfDir, "nation")
+    val reg = table(spark, sfDir, "region")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Window functions: rank customers by total spend within nation,
+    * keep top 3 per nation. One shuffle for the aggregate, one for the
+    * window partitioning (both on keys a cluster would co-partition).
+    */
+  def topCustomersPerNation(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val ord = table(spark, sfDir, "orders")
+    val cust = table(spark, sfDir, "customer")
+    val nat = table(spark, sfDir, "nation")
+    val spend = ord.groupBy("o_custkey")
+      .agg(dsum(col("o_totalprice")).as("total_spend"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+    val w = Window.partitionBy(col("n_name"))
+      .orderBy(col("total_spend").desc, col("o_custkey").asc)
+    spend.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("n_name"), col("o_custkey").as("custkey"), col("total_spend"), col("rk"))
+      .orderBy(col("n_name"), col("rk"))
+  }
+
+  /** ROLLUP over returnflag/linestatus — grouping-set semantics the
+    * reference lacks entirely. NULL subtotal rows ordered NULLS FIRST
+    * explicitly (Spark's ASC default; DuckDB's is NULLS LAST).
+    */
+  def salesRollup(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = table(spark, sfDir, "lineitem")
+    li.rollup("l_returnflag", "l_linestatus")
+      .agg(dsum(col("l_extendedprice")).as("sales"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** Semi/anti join: customers with and without orders (EXISTS / NOT
+    * EXISTS). Broadcast the aggregated key set, never the fact table.
+    */
+  def customerOrderActivity(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = table(spark, sfDir, "customer")
+    val ordKeys = table(spark, sfDir, "orders").select("o_custkey")
+    val active = cust.join(ordKeys, cust("c_custkey") === ordKeys("o_custkey"), "left_semi")
+      .select(lit("active").as("status"), col("c_custkey"))
+    val inactive = cust.join(ordKeys, cust("c_custkey") === ordKeys("o_custkey"), "left_anti")
+      .select(lit("inactive").as("status"), col("c_custkey"))
+    active.unionByName(inactive)
+      .groupBy("status").agg(count(lit(1)).as("n_customers"))
+      .orderBy("status")
+  }
+}

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.GraftSession.table
+import graft.functions.OracleHash
+
+/** Similarity search over the `embeddings` table (ARRAY<FLOAT>, 64-dim).
+  *
+  * Two rungs:
+  *  - brute-force cosine top-k: exact, O(|Q| x |N|) — correct baseline and
+  *    perfectly fine when |Q| is small (the re-rank stage of any ANN);
+  *  - LSH-bucketed ANN: random-hyperplane signatures shrink the candidate
+  *    set to same-bucket vectors, the scale path when |Q| ~ |N|.
+  *
+  * Dot products use higher-order functions (`zip_with` + `aggregate`) —
+  * codegen'd, no UDF, no driver collect. Vectors are cast to DOUBLE
+  * before any arithmetic: deterministic left-fold, same order the oracle
+  * (DuckDB `list_reduce`) uses, so results hash-match exactly.
+  *
+  * Scale notes (100 TB of vectors): the brute-force form broadcasts the
+  * query set (small side) against a partitioned corpus — linear scan,
+  * embarrassing parallel, no shuffle of the corpus. The LSH form is one
+  * shuffle on (band, signature). A production IVF would add a k-means
+  * coarse quantizer; the plumbing (bucket column + co-partitioned join)
+  * is identical to lshAnn below.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two double arrays (oracle twin:
+    * list_reduce(list_transform(...))).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity in exact thousandths (BIGINT) — integer surface,
+    * no float-hash drift; the underlying double math is order-fixed.
+    */
+  def cosMilli(a: Column, b: Column): Column =
+    floor(dot(a, b) / (norm2(a) * norm2(b)) * 1000).cast("long")
+
+  private def embeddings(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+
+  /** Brute-force cosine top-k: every `stride`-th vector queries the whole
+    * corpus. Query side is tiny -> broadcast; corpus is scanned once.
+    */
+  def bruteForceTopK(spark: SparkSession, sfDir: String,
+                     k: Int = 10, stride: Int = 50): DataFrame = {
+    val emb = embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosMilli(col("qv"), col("v")).as("cos_milli"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_milli").desc, col("n_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("n_id"), col("cos_milli"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** All-pairs cosine over a strided sample (exact verification stage for
+    * embedding near-dup). Pair space is (n/stride choose 2) — keep the
+    * stride such that the sample fits the budget; full-corpus near-dup
+    * goes through lshAnn buckets instead.
+    */
+  def allPairsCosine(spark: SparkSession, sfDir: String, stride: Int = 1): DataFrame = {
+    val emb = embeddings(spark, sfDir).filter(col("vec_id") % stride === 0)
+    val a = emb.select(col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cosMilli(col("va"), col("vb")).as("cos_milli"))
+  }
+
+  /** Random-hyperplane LSH ANN: `nBits`-bit sign signature per band,
+    * candidates = same (band, signature) bucket, exact cosine re-rank
+    * within bucket, top-k per query.
+    *
+    * Hyperplanes are pseudo-random but deterministic: component d of
+    * plane (band,bit) = h60("band:bit:d") scaled to [-1,1). Deterministic
+    * => reproducible across runs AND expressible to the oracle.
+    */
+  def lshAnn(spark: SparkSession, sfDir: String,
+             nBits: Int = 8, nBands: Int = 4, k: Int = 10, dim: Int = 64): DataFrame = {
+    val emb = embeddings(spark, sfDir)
+    // plane(band, bit) dot v, sign bit -> signature; built as one select
+    // over literal plane arrays (computed once on the driver, tiny).
+    def planeComponent(band: Int, bit: Int, d: Int): Double = {
+      // same value the oracle can derive: h60 of "band:bit:d" scaled
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$band:$bit:$d".getBytes("UTF-8"))
+      val h60 = java.lang.Long.parseLong(
+        md.take(8).map("%02x".format(_)).mkString.substring(0, 15), 16)
+      h60.toDouble / math.pow(2, 59) - 1.0 // [-1, 1)
+    }
+    val sigCols = (0 until nBands).map { band =>
+      val bits = (0 until nBits).map { bit =>
+        val plane = array((0 until dim).map(d => lit(planeComponent(band, bit, d))): _*)
+        when(dot(plane, col("v")) > 0, 1L << bit).otherwise(0L)
+      }
+      bits.reduce(_ + _).as(s"sig_$band")
+    }
+    val signed = emb.select(col("vec_id") +: col("v") +: sigCols: _*)
+    val bucketed = signed.select(col("vec_id"), col("v"),
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"), col(s"sig_$b").as("sig"))): _*)).as("bk"))
+      .select(col("vec_id"), col("v"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val q = bucketed
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("band"), col("sig"))
+    val cand = bucketed.join(q,
+        Seq("band", "sig")).filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosMilli(col("qv"), col("v")).as("cos_milli"))
+      .distinct() // a pair can collide in several bands; score is deterministic
+    val w = Window.partitionBy("q_id").orderBy(col("cos_milli").desc, col("n_id").asc)
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("n_id"), col("cos_milli"))
+      .orderBy("q_id", "rk")
+  }
+}

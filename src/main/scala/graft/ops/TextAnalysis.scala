@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GraftSession.table
+import graft.functions.OracleHash
+
+/** Text-analysis operators for an LLM training-data pipeline: token
+  * counting, quality scoring, language ID, document fingerprinting.
+  * All narrow (per-row) transforms — no shuffle except the final
+  * presentation ORDER BY, so they scale embarrassingly at 100 TB.
+  * Everything stays inside whole-stage codegen (builtin functions only,
+  * no UDFs).
+  */
+object TextAnalysis {
+
+  /** Number of non-empty whitespace-separated tokens. */
+  def wsTokenCount(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0)).cast("long")
+
+  /** BPE-ish subword count: alphanumeric runs and single non-space
+    * symbols each count as one token (a cheap proxy for a BPE vocab's
+    * pre-tokenizer; the real tokenizer would be a dictionary lookup).
+    */
+  def subwordCount(text: Column): Column =
+    size(filter(split(text, "[a-zA-Z0-9]+"), t => length(t) > 0)).cast("long") +
+      size(filter(split(text, "[^a-zA-Z0-9]+"), t => length(t) > 0)).cast("long")
+
+  /** Per-document token statistics. */
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        wsTokenCount(col("text")).as("n_tokens"),
+        subwordCount(col("text")).as("n_subwords"))
+      .orderBy("doc_id")
+
+  /** Quality signals: doc length, mean word length (x1000, integer — no
+    * float-division drift), punctuation count, stopword count, and a
+    * composite keep/drop flag in the style of Gopher/C4 quality rules.
+    */
+  def qualityScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).cast("long")
+    val nPunct = (length(col("text")) -
+      length(regexp_replace(col("text"), "[\\.,;:!\\?]", ""))).cast("long")
+    table(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        nTok.as("n_tokens"),
+        // mean word length in millichars: integer math, oracle-exact
+        (((length(col("text")) - (nTok - lit(1))) * lit(1000)) / nTok)
+          .cast("long").as("mean_word_len_milli"),
+        nPunct.as("n_punct"),
+        nStop.as("n_stopwords"),
+        (nTok >= 10 && nTok <= 100000 && nStop * lit(100) >= nTok).as("quality_keep"))
+      .orderBy("doc_id")
+  }
+
+  /** Language ID by stopword-family hit counting (n-gram-free heuristic:
+    * count hits from tiny per-language function-word lists; argmax with
+    * deterministic tie-break by language code). A real pipeline would
+    * swap in fastText/CLD3 via the Multimodal-style stub seam — the
+    * plumbing (per-row classify, groupable output) is identical.
+    */
+  def langId(spark: SparkSession, sfDir: String): DataFrame = {
+    val families: Seq[(String, Seq[String])] = Seq(
+      "de" -> Seq("der", "und", "die", "nicht", "das"),
+      "en" -> Seq("the", "and", "of", "to", "is"),
+      "es" -> Seq("el", "la", "los", "que", "de"),
+      "fr" -> Seq("le", "la", "les", "et", "est"),
+      "zh" -> Seq("的", "是", "不", "了", "在"))
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    def hits(words: Seq[String]): Column =
+      size(filter(toks, t => t.isin(words.map(lit(_)): _*))).cast("long")
+    // argmax over (hits desc, lang asc) via a sorted struct array
+    val scored = array(families.map { case (lang, ws) =>
+      struct((lit(-1) * hits(ws)).as("neg"), lit(lang).as("lang"))
+    }: _*)
+    val best = array_sort(scored).getItem(0)
+    table(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        col("lang").as("labeled_lang"),
+        best.getField("lang").as("pred_lang"),
+        (lit(-1) * best.getField("neg")).cast("long").as("pred_hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Content fingerprints: md5 of whitespace-normalized lowercased text
+    * (exact-dup key) plus a 60-bit integer form for compact joins. The
+    * rolling-hash winnowing variant lives in Dedup.winnowFingerprints.
+    */
+  def fingerprints(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+    table(spark, sfDir, "documents")
+      .select(
+        col("doc_id"),
+        md5(norm).as("fp_md5"),
+        OracleHash.h60(norm).as("fp_h60"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Reference-parity core: tokenize -> count -> top-K, the one canonical
+  * query of the reference engine (SURVEY.md §2).
+  *
+  * Reference semantics re-expressed Spark-first:
+  *  - O1 file scan        -> `spark.read.text` / a string column of any table
+  *  - O2 tokenize (mapF)  -> `explode(split(...))` + empty-token filter
+  *                           (`strings.FieldsFunc` drops empty fields,
+  *                           reference src/main/main.go:24-26)
+  *  - O3 hash shuffle     -> Catalyst Exchange on groupBy — free, and with
+  *                           map-side partial aggregation the reference lacks
+  *  - O4+O6 group+count   -> `groupBy(token).count()` (reference
+  *                           common_reduce.go:17-41 + main.go:47-49)
+  *  - O5/O8 sort + merge  -> `orderBy` (global SortExec via range exchange;
+  *                           the reference's single-map merge
+  *                           master_splitmerge.go:13-50 is a driver-memory
+  *                           bug at scale — we never collect)
+  *  - O9 top-100          -> `orderBy(count desc).limit(k)` = TakeOrderedAndProject,
+  *                           O(k) per partition + O(k·P) at driver, vs the
+  *                           reference's external `sort -n -k2 | tail -100`
+  *                           (src/main/main.sh:3)
+  *  - O10 distinct keys   -> `distinct().orderBy(key)` (test_test.go:26-42)
+  *
+  * Scale notes (100 TB): tokenization is a narrow map — no shuffle until
+  * the count. `groupBy.count` does partial aggregation before the exchange
+  * so shuffle volume is bounded by the DISTINCT key count per partition,
+  * not token count. Top-K never materializes the full sorted relation.
+  */
+object UrlCount {
+
+  /** O2 tokenizer. `split` emits empty strings where Go's FieldsFunc drops
+    * them (leading/trailing/multi-space), so the filter is required for
+    * parity. `sep` is a Java regex; " " reproduces mapF, "\\s+" reproduces
+    * the test-suite tokenizer (reference test_test.go:26-33).
+    */
+  def tokenize(text: Column, sep: String = " "): Column =
+    explode(split(text, sep))
+
+  /** Bag of non-empty tokens from one string column. Output column: `token`. */
+  def tokens(df: DataFrame, textCol: String, sep: String = " "): DataFrame =
+    df.select(tokenize(col(textCol), sep).as("token"))
+      .filter(length(col("token")) > 0)
+
+  /** O4+O6: per-token occurrence counts, totally ordered by token.
+    * Output: (token STRING, cnt BIGINT).
+    */
+  def tokenCounts(df: DataFrame, textCol: String, sep: String = " "): DataFrame =
+    tokens(df, textCol, sep)
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("token")
+
+  /** O9: top-K tokens by count. The reference's `sort -n | tail -100` leaves
+    * rank-K ties arbitrary; we define the tie-break (token ascending) so the
+    * result is total and oracle-comparable (SURVEY.md §7 hard parts).
+    */
+  def topK(df: DataFrame, textCol: String, k: Int = 100, sep: String = " "): DataFrame =
+    tokens(df, textCol, sep)
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+
+  /** O10: sorted distinct token set (the reference test suite's
+    * identity-reduce job, test_test.go:26-42).
+    */
+  def distinctTokens(df: DataFrame, textCol: String, sep: String = "\\s+"): DataFrame =
+    tokens(df, textCol, sep).distinct().orderBy("token")
+
+  /** O8 text sink: `"key: value"` lines, globally sorted by key
+    * (reference master_splitmerge.go:46). Returned as a one-column frame;
+    * call `writeTextSink` to materialize like the reference does.
+    */
+  def mergedLines(counts: DataFrame, keyCol: String = "token", valCol: String = "cnt"): DataFrame =
+    counts
+      .orderBy(keyCol)
+      .select(concat_ws(": ", col(keyCol).cast("string"), col(valCol).cast("string")).as("line"))
+
+  /** Materialize the O8 sink. Single file only when asked (the reference
+    * always merges to one file — at 100 TB you would not).
+    */
+  def writeTextSink(lines: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) lines.coalesce(1) else lines
+    out.write.mode("overwrite").text(path)
+  }
+
+  /** End-to-end reference pipeline over raw text files (EP1/EP2/EP3 of
+    * SURVEY.md §3 collapse to this one plan).
+    */
+  def topKFromTextFiles(spark: SparkSession, paths: Seq[String], k: Int = 100): DataFrame =
+    topK(spark.read.text(paths: _*).withColumnRenamed("value", "text"), "text", k)
+}
