@@ -37,7 +37,7 @@ object Dedup {
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), size(col("toks")) - n),
-          i => concat_ws(" ", slice(col("toks"), i + 1, n)))).as("shingle"))
+          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))).as("shingle"))
       .distinct()
   }
 
@@ -163,10 +163,13 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact intersection size over full sets
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // exact intersection size, CANDIDATE-SCOPED: join the candidate pairs
+    // to each side's full shingle set and count matches — never a shingle
+    // self-join over the full corpus, so a hot shingle (df > maxDf) can't
+    // blow up a df^2 pair space here. Cost: |cand| x avg-shingles-per-doc.
+    val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = cand.join(shA, Seq("doc_a")).join(shB, Seq("doc_b", "shingle"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
     val sza = sizes.select(col("doc_id").as("doc_a"), col("sz").as("sz_a"))
     val szb = sizes.select(col("doc_id").as("doc_b"), col("sz").as("sz_b"))
@@ -179,13 +182,12 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Embedding near-dup: pairs of vectors with cosine >= minCos. Delegates
-    * to Similarity.cosine; bucketed by LSH there — this exact variant is
-    * the verification stage.
+  /** Embedding near-dup: pairs of vectors with cosine >= minCos.
+    * Candidates come from random-hyperplane LSH buckets
+    * (Similarity.lshNearDupPairs) — exact cosine runs only within
+    * buckets, never as an all-pairs join over the corpus.
     */
   def embeddingNearDups(spark: SparkSession, sfDir: String,
                         minCosMilli: Long = 990): DataFrame =
-    Similarity.allPairsCosine(spark, sfDir)
-      .filter(col("cos_milli") >= minCosMilli)
-      .orderBy("vec_a", "vec_b")
+    Similarity.lshNearDupPairs(spark, sfDir, minCosMilli)
 }

@@ -78,6 +78,58 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), cosMilli(col("va"), col("vb")).as("cos_milli"))
   }
 
+  /** LSH-bucketed candidate PAIRS (for embedding near-dup): vectors
+    * sharing any (band, signature) bucket are paired once, verified with
+    * exact cosine. The corpus-wide cross join never exists — pair space
+    * is bounded by bucket sizes, and near-identical vectors (the near-dup
+    * target, cos >= ~0.99) almost surely agree on all sign bits of some
+    * band. Same shuffle shape as lshAnn: one exchange on (band, sig).
+    */
+  def lshNearDupPairs(spark: SparkSession, sfDir: String,
+                      minCosMilli: Long = 990,
+                      nBits: Int = 8, nBands: Int = 4, dim: Int = 64): DataFrame = {
+    val bucketed = lshBuckets(spark, sfDir, nBits, nBands, dim)
+    val a = bucketed.select(col("band"), col("sig"), col("vec_id").as("vec_a"), col("v").as("va"))
+    val b = bucketed.select(col("band"), col("sig"), col("vec_id").as("vec_b"), col("v").as("vb"))
+    a.join(b, Seq("band", "sig")).filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("va"), col("vb"))
+      .dropDuplicates("vec_a", "vec_b") // multi-band collisions pair once
+      .select(col("vec_a"), col("vec_b"), cosMilli(col("va"), col("vb")).as("cos_milli"))
+      .filter(col("cos_milli") >= minCosMilli)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Deterministic random-hyperplane component: h60("band:bit:d") scaled
+    * to [-1, 1). Derivable by the oracle (md5-based, see OracleHash).
+    */
+  private[ops] def planeComponent(band: Int, bit: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$band:$bit:$d".getBytes("UTF-8"))
+    val h60 = java.lang.Long.parseLong(
+      md.take(8).map("%02x".format(_)).mkString.substring(0, 15), 16)
+    h60.toDouble / math.pow(2, 59) - 1.0 // [-1, 1)
+  }
+
+  /** (vec_id, v, band, sig) — each vector exploded to its nBands sign
+    * signatures. Shared by lshAnn (query top-k) and lshNearDupPairs.
+    */
+  private[ops] def lshBuckets(spark: SparkSession, sfDir: String,
+                              nBits: Int, nBands: Int, dim: Int): DataFrame = {
+    val emb = embeddings(spark, sfDir)
+    val sigCols = (0 until nBands).map { band =>
+      val bits = (0 until nBits).map { bit =>
+        val plane = array((0 until dim).map(d => lit(planeComponent(band, bit, d))): _*)
+        when(dot(plane, col("v")) > 0, 1L << bit).otherwise(0L)
+      }
+      bits.reduce(_ + _).as(s"sig_$band")
+    }
+    emb.select(col("vec_id") +: col("v") +: sigCols: _*)
+      .select(col("vec_id"), col("v"),
+        explode(array((0 until nBands).map(b =>
+          struct(lit(b).as("band"), col(s"sig_$b").as("sig"))): _*)).as("bk"))
+      .select(col("vec_id"), col("v"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+  }
+
   /** Random-hyperplane LSH ANN: `nBits`-bit sign signature per band,
     * candidates = same (band, signature) bucket, exact cosine re-rank
     * within bucket, top-k per query.
@@ -88,29 +140,7 @@ object Similarity {
     */
   def lshAnn(spark: SparkSession, sfDir: String,
              nBits: Int = 8, nBands: Int = 4, k: Int = 10, dim: Int = 64): DataFrame = {
-    val emb = embeddings(spark, sfDir)
-    // plane(band, bit) dot v, sign bit -> signature; built as one select
-    // over literal plane arrays (computed once on the driver, tiny).
-    def planeComponent(band: Int, bit: Int, d: Int): Double = {
-      // same value the oracle can derive: h60 of "band:bit:d" scaled
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$band:$bit:$d".getBytes("UTF-8"))
-      val h60 = java.lang.Long.parseLong(
-        md.take(8).map("%02x".format(_)).mkString.substring(0, 15), 16)
-      h60.toDouble / math.pow(2, 59) - 1.0 // [-1, 1)
-    }
-    val sigCols = (0 until nBands).map { band =>
-      val bits = (0 until nBits).map { bit =>
-        val plane = array((0 until dim).map(d => lit(planeComponent(band, bit, d))): _*)
-        when(dot(plane, col("v")) > 0, 1L << bit).otherwise(0L)
-      }
-      bits.reduce(_ + _).as(s"sig_$band")
-    }
-    val signed = emb.select(col("vec_id") +: col("v") +: sigCols: _*)
-    val bucketed = signed.select(col("vec_id"), col("v"),
-      explode(array((0 until nBands).map(b =>
-        struct(lit(b).as("band"), col(s"sig_$b").as("sig"))): _*)).as("bk"))
-      .select(col("vec_id"), col("v"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+    val bucketed = lshBuckets(spark, sfDir, nBits, nBands, dim)
     val q = bucketed
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("band"), col("sig"))
     val cand = bucketed.join(q,

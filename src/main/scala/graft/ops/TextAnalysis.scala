@@ -21,10 +21,12 @@ object TextAnalysis {
   /** BPE-ish subword count: alphanumeric runs and single non-space
     * symbols each count as one token (a cheap proxy for a BPE vocab's
     * pre-tokenizer; the real tokenizer would be a dictionary lookup).
+    * The symbol term counts CHARACTERS that are neither alphanumeric nor
+    * whitespace — strip both classes and take the remaining length.
     */
   def subwordCount(text: Column): Column =
-    size(filter(split(text, "[a-zA-Z0-9]+"), t => length(t) > 0)).cast("long") +
-      size(filter(split(text, "[^a-zA-Z0-9]+"), t => length(t) > 0)).cast("long")
+    size(filter(split(text, "[^a-zA-Z0-9]+"), t => length(t) > 0)).cast("long") +
+      length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("long")
 
   /** Per-document token statistics. */
   def tokenStats(spark: SparkSession, sfDir: String): DataFrame =
