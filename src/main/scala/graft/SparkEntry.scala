@@ -1,13 +1,468 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.GraftSession.table
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator of the library is registered here twice:
+  *  - `queries`:   name -> (spark, sfDir) -> DataFrame  (the Spark plan)
+  *  - `oracleSql`: name -> ANSI SQL DuckDB runs on the SAME parquet tables
+  *
+  * Cross-engine determinism rules baked into both sides (SURVEY.md §7
+  * "what's hard"):
+  *  - every query is totally ordered (ORDER BY on a key suffix);
+  *  - counts/ranks are BIGINT on both sides (DuckDB sum() -> HUGEINT is
+  *    always cast; Spark row_number() -> INT is always cast);
+  *  - double->integer narrowing uses floor() in DuckDB (its CAST rounds,
+  *    Spark's truncates; all narrowed values here are non-negative so
+  *    floor == truncate);
+  *  - money sums accumulate in DECIMAL and surface as DOUBLE (exact,
+  *    partition-order independent);
+  *  - hashes are md5-derived on both sides (graft.functions.OracleHash);
+  *  - unix seconds are epoch_us(ts) // 1000000 in DuckDB (its epoch()
+  *    returns fractional seconds; Spark unix_timestamp truncates);
+  *  - array dot products are sequential left folds on both sides
+  *    (Spark `aggregate`, DuckDB `list_dot_product` — verified identical
+  *    on the test corpus).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query — the reference's one canonical pipeline
+    * (tokenize -> count -> top-100, /root/reference/src/main/main.sh:3)
+    * over the sf0.001 documents table. Driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    UrlCount.topK(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"), "text", 100)
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ the
+    * LLM-pipeline extensions). Keys group by module:
+    * urlcount_* rel_* ev_* text_* dedup_* sim_* mm_*.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // —— reference parity: O1-O10 (SURVEY.md §2) ——
+    "urlcount_topk" -> ((s, dir) =>
+      UrlCount.topK(table(s, dir, "documents"), "text", 100)),
+    "urlcount_counts" -> ((s, dir) =>
+      UrlCount.tokenCounts(table(s, dir, "documents"), "text")),
+    "urlcount_distinct" -> ((s, dir) =>
+      UrlCount.distinctTokens(table(s, dir, "documents"), "text")),
+    // —— relational / analytic suite ——
+    "rel_pricing" -> ((s, dir) => Relational.pricingSummary(s, dir)),
+    "rel_top_orders" -> ((s, dir) => Relational.topRevenueOrders(s, dir)),
+    "rel_revenue_nation" -> ((s, dir) => Relational.revenueByNation(s, dir)),
+    "rel_top_customers" -> ((s, dir) => Relational.topCustomersPerNation(s, dir)),
+    "rel_rollup" -> ((s, dir) => Relational.salesRollup(s, dir)),
+    "rel_part_type_revenue" -> ((s, dir) => Relational.partTypeRevenue(s, dir)),
+    "rel_supplier_revenue" -> ((s, dir) => Relational.supplierRevenue(s, dir)),
+    "rel_activity" -> ((s, dir) => Relational.customerOrderActivity(s, dir)),
+    // —— event-time windows (batch analog of graft.streaming) ——
+    "ev_tumbling" -> ((s, dir) => EventWindows.tumbling(s, dir)),
+    "ev_sliding" -> ((s, dir) => EventWindows.sliding(s, dir)),
+    "ev_sessions" -> ((s, dir) => EventWindows.sessionize(s, dir)),
+    "ev_daily_top" -> ((s, dir) => EventWindows.dailyTopTypes(s, dir)),
+    // —— text analysis ——
+    "text_stats" -> ((s, dir) => TextAnalysis.tokenStats(s, dir)),
+    "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
+    "text_langid" -> ((s, dir) => TextAnalysis.langId(s, dir)),
+    "text_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
+    // —— deduplication ladder ——
+    "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
+    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minHashLsh(s, dir)),
+    "dedup_simhash" -> ((s, dir) => Dedup.simHashPairs(s, dir)),
+    "dedup_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(s, dir)),
+    "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDups(s, dir)),
+    // —— similarity search ——
+    "sim_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
+    "sim_lsh_ann" -> ((s, dir) => Similarity.lshAnn(s, dir)),
+    "sim_allpairs" -> ((s, dir) =>
+      Similarity.allPairsCosine(s, dir, stride = 10)
+        .orderBy("vec_a", "vec_b")),
+    // —— multimodal columns ——
+    "mm_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
+    "mm_frames" -> ((s, dir) => Multimodal.sampleFrames(s, dir)),
+    "mm_features" -> ((s, dir) => Multimodal.featureSummary(s, dir))
+  )
+
+  // Shared oracle fragments -------------------------------------------------
+
+  /** Non-empty space-separated tokens of documents.text. */
+  private val docToks =
+    """SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+      |FROM documents""".stripMargin
+
+  /** Distinct 3-word shingles per doc (mirror of Dedup.shingles(n=3)). */
+  private val docShingles =
+    s"""toks AS ($docToks),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS shingle
+       |  FROM toks, UNNEST(range(0, len(toks) - 2)) AS u(i)
+       |  WHERE len(toks) >= 3)""".stripMargin
+
+  /** 60-bit md5-derived integer hash (mirror of OracleHash.h60). */
+  private def h60(expr: String): String =
+    s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
+
+  /** Exact-thousandths cosine similarity (mirror of Similarity.cosMilli). */
+  private def cosMilli(a: String, b: String): String =
+    s"floor(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))) * 1000)::BIGINT"
+
+  /** Random-hyperplane LSH buckets (mirror of Similarity.lshBuckets with
+    * nBits=8, nBands=4, dim=64): CTEs `emb` (vec_id, v) and `bucketed`
+    * (vec_id, band, sig, v).
+    */
+  private val lshBucketsCte =
+    s"""planes AS (
+       |  SELECT band, bit, d,
+       |         (${h60("band || ':' || bit || ':' || d")})::DOUBLE / power(2, 59) - 1.0 AS comp
+       |  FROM range(0, 4) tb(band), range(0, 8) ti(bit), range(0, 64) td(d)),
+       |plane AS (
+       |  SELECT band, bit, list(comp ORDER BY d) AS pl
+       |  FROM planes GROUP BY band, bit),
+       |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sigs AS (
+       |  SELECT e.vec_id, p.band,
+       |         sum(CASE WHEN list_dot_product(p.pl, e.v) > 0
+       |             THEN (1::BIGINT << p.bit) ELSE 0::BIGINT END)::BIGINT AS sig
+       |  FROM emb e CROSS JOIN plane p
+       |  GROUP BY e.vec_id, p.band),
+       |bucketed AS (
+       |  SELECT s.vec_id, s.band, s.sig, e.v
+       |  FROM sigs s JOIN emb e USING (vec_id))""".stripMargin
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "urlcount_topk" ->
+      """SELECT token, count(*)::BIGINT AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE length(token) > 0
+        |GROUP BY token
+        |ORDER BY cnt DESC, token ASC
+        |LIMIT 100""".stripMargin,
+    "urlcount_counts" ->
+      """SELECT token, count(*)::BIGINT AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE length(token) > 0
+        |GROUP BY token
+        |ORDER BY token""".stripMargin,
+    "urlcount_distinct" ->
+      """SELECT DISTINCT token
+        |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents)
+        |WHERE length(token) > 0
+        |ORDER BY token""".stripMargin,
+    "rel_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS sum_base_price,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)))::DOUBLE AS sum_disc_price,
+        |  count(*)::BIGINT AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "rel_top_orders" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)))::DOUBLE AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    "rel_revenue_nation" ->
+      """SELECT r_name, n_name,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)))::DOUBLE AS revenue,
+        |  count(*)::BIGINT AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+    "rel_top_customers" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS total_spend
+        |  FROM orders GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT n_name, o_custkey AS custkey, total_spend,
+        |    row_number() OVER (PARTITION BY n_name ORDER BY total_spend DESC, o_custkey ASC) AS rk
+        |  FROM spend
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey)
+        |SELECT n_name, custkey, total_spend, rk
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY n_name, rk""".stripMargin,
+    "rel_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS sales,
+        |  count(*)::BIGINT AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "rel_part_type_revenue" ->
+      """SELECT p_type,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2)))::DOUBLE AS revenue,
+        |  count(*)::BIGINT AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_type
+        |ORDER BY p_type""".stripMargin,
+    "rel_supplier_revenue" ->
+      """SELECT n_name,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS supplier_revenue,
+        |  count(DISTINCT s_suppkey)::BIGINT AS n_suppliers
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "rel_activity" ->
+      """WITH a AS (
+        |  SELECT c_custkey,
+        |    EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS has_orders
+        |  FROM customer)
+        |SELECT CASE WHEN has_orders THEN 'active' ELSE 'inactive' END AS status,
+        |  count(*)::BIGINT AS n_customers
+        |FROM a GROUP BY status ORDER BY status""".stripMargin,
+    "ev_tumbling" ->
+      """SELECT ((epoch_us(ts) // 1000000) // 3600) * 3600 AS win_start, event_type,
+        |  count(*)::BIGINT AS n,
+        |  sum(CAST(value AS DECIMAL(18,6)))::DOUBLE AS sum_value
+        |FROM events
+        |GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
+    "ev_sliding" ->
+      """WITH base AS (
+        |  SELECT ((epoch_us(ts) // 1000000) // 1800) * 1800 AS base, event_type FROM events),
+        |ex AS (SELECT base - off AS win_start, event_type FROM base, UNNEST([0, 1800]) AS t(off))
+        |SELECT win_start, event_type, count(*)::BIGINT AS n
+        |FROM ex GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
+    "ev_sessions" ->
+      """WITH ev AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 AS tsec, ts, event_id FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(tsec) OVER w IS NULL OR tsec - lag(tsec) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |numbered AS (
+        |  SELECT user_id,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM flagged),
+        |per_sess AS (
+        |  SELECT user_id, sess_id, count(*)::BIGINT AS sess_events
+        |  FROM numbered GROUP BY user_id, sess_id)
+        |SELECT user_id, count(*)::BIGINT AS n_sessions,
+        |  max(sess_events)::BIGINT AS max_session_events
+        |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ev_daily_top" ->
+      """WITH day AS (
+        |  SELECT ((epoch_us(ts) // 1000000) // 86400) * 86400 AS day, event_type,
+        |    count(*)::BIGINT AS n
+        |  FROM events GROUP BY day, event_type),
+        |ranked AS (
+        |  SELECT day, event_type, n,
+        |    row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type ASC) AS rk
+        |  FROM day)
+        |SELECT day, event_type, n, rk FROM ranked WHERE rk <= 3
+        |ORDER BY day, rk""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id,
+        |  length(text)::BIGINT AS n_chars,
+        |  len(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0))::BIGINT AS n_tokens,
+        |  (len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), t -> length(t) > 0))
+        |    + length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')))::BIGINT AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  length(text)::BIGINT AS n_chars,
+        |  len(toks)::BIGINT AS n_tokens,
+        |  floor((length(text) - (len(toks) - 1)) * 1000.0 / len(toks))::BIGINT AS mean_word_len_milli,
+        |  (length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')))::BIGINT AS n_punct,
+        |  len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','on')))::BIGINT AS n_stopwords,
+        |  (len(toks) >= 10 AND len(toks) <= 100000
+        |    AND len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','on'))) * 100 >= len(toks)) AS quality_keep
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "text_langid" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    list_sort([
+        |      {'neg': -len(list_filter(toks, t -> t IN ('der','und','die','nicht','das'))), 'lang': 'de'},
+        |      {'neg': -len(list_filter(toks, t -> t IN ('the','and','of','to','is'))), 'lang': 'en'},
+        |      {'neg': -len(list_filter(toks, t -> t IN ('el','la','los','que','de'))), 'lang': 'es'},
+        |      {'neg': -len(list_filter(toks, t -> t IN ('le','la','les','et','est'))), 'lang': 'fr'},
+        |      {'neg': -len(list_filter(toks, t -> t IN ('的','是','不','了','在'))), 'lang': 'zh'}
+        |    ])[1] AS best
+        |  FROM d)
+        |SELECT doc_id, labeled_lang, best.lang AS pred_lang, (-best.neg)::BIGINT AS pred_hits
+        |FROM scored ORDER BY doc_id""".stripMargin,
+    "text_fingerprints" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+         |  FROM documents)
+         |SELECT doc_id, md5(norm) AS fp_md5, ${h60("norm")} AS fp_h60
+         |FROM d ORDER BY doc_id""".stripMargin,
+    "dedup_exact" ->
+      """WITH d AS (
+        |  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_key
+        |  FROM documents)
+        |SELECT content_key, min(doc_id)::BIGINT AS keep_doc_id, count(*)::BIGINT AS n_copies
+        |FROM d GROUP BY content_key ORDER BY keep_doc_id""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $docShingles,
+         |sig AS (
+         |  SELECT doc_id, i, min(${h60("i || ':' || shingle")}) AS mh
+         |  FROM sh, UNNEST(range(0, 16)) AS u(i)
+         |  GROUP BY doc_id, i),
+         |band AS (
+         |  SELECT doc_id, (i // 4) AS band, string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
+         |  FROM sig GROUP BY doc_id, (i // 4)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)::DOUBLE / 16 AS est_jaccard
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.doc_a
+         |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT doc_a, doc_b, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" ->
+      s"""WITH $docShingles,
+         |hv AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+         |ws AS (
+         |  SELECT doc_id, j, sum(((h // CAST(power(2, j) AS BIGINT)) % 2) * 2 - 1)::BIGINT AS wsum
+         |  FROM hv, UNNEST(range(0, 32)) AS u(j)
+         |  GROUP BY doc_id, j),
+         |sh64 AS (
+         |  SELECT doc_id,
+         |    sum(CASE WHEN wsum > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)::BIGINT AS simhash
+         |  FROM ws GROUP BY doc_id),
+         |chunked AS (
+         |  SELECT doc_id, simhash, c,
+         |    (simhash // CAST(power(2, c * 8) AS BIGINT)) % 256 AS chunk
+         |  FROM sh64, UNNEST(range(0, 4)) AS u(c)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.simhash AS sh_a, b.simhash AS sh_b
+         |  FROM chunked a JOIN chunked b
+         |    ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::BIGINT AS hamming
+         |FROM pairs
+         |WHERE bit_count(xor(sh_a, sh_b)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_jaccard" ->
+      s"""WITH $docShingles,
+         |sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+         |dfreq AS (SELECT shingle, count(*)::BIGINT AS df FROM sh GROUP BY shingle),
+         |rare AS (
+         |  SELECT s.doc_id, s.shingle
+         |  FROM sh s JOIN dfreq d ON s.shingle = d.shingle
+         |  WHERE d.df <= 50),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS n_inter
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT i.doc_a, i.doc_b,
+         |  floor(i.n_inter * 1000.0 / (za.sz + zb.sz - i.n_inter))::BIGINT AS jaccard_milli
+         |FROM inter i
+         |JOIN sizes za ON za.doc_id = i.doc_a
+         |JOIN sizes zb ON zb.doc_id = i.doc_b
+         |WHERE floor(i.n_inter * 1000.0 / (za.sz + zb.sz - i.n_inter)) >= 300
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_embedding" ->
+      s"""WITH $lshBucketsCte,
+         |pr AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bucketed a JOIN bucketed b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
+         |scored AS (
+         |  SELECT p.vec_a, p.vec_b, ${cosMilli("ea.v", "eb.v")} AS cos_milli
+         |  FROM pr p
+         |  JOIN emb ea ON ea.vec_id = p.vec_a
+         |  JOIN emb eb ON eb.vec_id = p.vec_b)
+         |SELECT vec_a, vec_b, cos_milli FROM scored
+         |WHERE cos_milli >= 990
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "sim_bruteforce" ->
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id AS n_id, ${cosMilli("q.qv", "e.v")} AS cos_milli
+         |  FROM emb e CROSS JOIN q
+         |  WHERE e.vec_id != q.q_id),
+         |ranked AS (
+         |  SELECT q_id, n_id, cos_milli,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos_milli DESC, n_id ASC) AS rk
+         |  FROM scored)
+         |SELECT q_id, rk, n_id, cos_milli FROM ranked WHERE rk <= 10
+         |ORDER BY q_id, rk""".stripMargin,
+    "sim_lsh_ann" ->
+      s"""WITH $lshBucketsCte,
+         |q AS (SELECT vec_id AS q_id, v AS qv, band, sig FROM bucketed),
+         |cand AS (
+         |  SELECT DISTINCT q.q_id, b.vec_id AS n_id, ${cosMilli("q.qv", "b.v")} AS cos_milli
+         |  FROM bucketed b JOIN q ON b.band = q.band AND b.sig = q.sig
+         |  WHERE b.vec_id != q.q_id),
+         |ranked AS (
+         |  SELECT q_id, n_id, cos_milli,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos_milli DESC, n_id ASC) AS rk
+         |  FROM cand)
+         |SELECT q_id, rk, n_id, cos_milli FROM ranked WHERE rk <= 10
+         |ORDER BY q_id, rk""".stripMargin,
+    "sim_allpairs" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 10 = 0)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosMilli("a.v", "b.v")} AS cos_milli
+         |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "mm_meta" ->
+      """SELECT doc_id AS id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+        |  octet_length(encode(text))::BIGINT AS byte_len,
+        |  sha256(text) AS sha
+        |FROM documents ORDER BY id""".stripMargin,
+    "mm_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id, octet_length(encode(text))::BIGINT AS total_frames
+        |  FROM documents WHERE doc_id % 2 = 0)
+        |SELECT id, k, floor(k * total_frames / 4)::BIGINT AS frame_idx
+        |FROM m, UNNEST(range(0, 4)) AS u(k)
+        |ORDER BY id, k""".stripMargin,
+    "mm_features" ->
+      """WITH m AS (
+        |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+        |    octet_length(encode(text))::BIGINT AS len
+        |  FROM documents)
+        |SELECT modality, count(*)::BIGINT AS n,
+        |  sum(len)::BIGINT AS total_bytes,
+        |  sum(len % 640 + 1)::BIGINT AS sum_width,
+        |  sum(len % 480 + 1)::BIGINT AS sum_height
+        |FROM m GROUP BY modality ORDER BY modality""".stripMargin
+  )
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GraftSession.table
@@ -9,16 +9,28 @@ import graft.GraftSession.table
   * analog of the streaming module (graft.streaming.StreamingOps runs the
   * same shapes under Structured Streaming with watermarks).
   *
-  * Determinism: window boundaries are emitted as epoch seconds (BIGINT),
-  * not timestamps — the events table carries nanosecond timestamps and
-  * Spark/DuckDB truncate them differently at the type edge, while
-  * floor-to-bucket arithmetic agrees exactly. Money-style DOUBLE sums go
-  * through DECIMAL(18,6) for partition-order-independent results.
+  * The events table carries NANOSECOND timestamps, which Spark's parquet
+  * reader can't represent as TimestampType; the session reads them as
+  * BIGINT nanos (spark.sql.legacy.parquet.nanosAsLong) and all bucket
+  * math here is exact integral `div` arithmetic — a double round-trip at
+  * 1e18 nanos would silently lose sub-microsecond bits and break oracle
+  * parity.
+  *
+  * Determinism: window boundaries are emitted as epoch seconds (BIGINT).
+  * Money-style DOUBLE sums go through DECIMAL(18,6) for
+  * partition-order-independent results.
   */
 object EventWindows {
 
-  private def dsum6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private def dsum6(c: Column): Column =
     sum(c.cast("decimal(18,6)")).cast("double")
+
+  /** Epoch seconds (BIGINT, floor) from the nanos column. */
+  private val tsec: Column = expr("ts div 1000000000")
+
+  /** Floor `ts` to a `widthSec`-wide bucket, as epoch seconds. */
+  private def bucket(widthSec: Long): Column =
+    expr(s"((ts div 1000000000) div $widthSec) * $widthSec")
 
   /** Tumbling 1-hour windows per event_type: count + value sum.
     * Equivalent to `groupBy(window($"ts","1 hour"), ...)`; expressed as
@@ -27,8 +39,7 @@ object EventWindows {
     */
   def tumbling(spark: SparkSession, sfDir: String, widthSec: Long = 3600): DataFrame =
     table(spark, sfDir, "events")
-      .withColumn("win_start",
-        (floor(unix_timestamp(col("ts")) / widthSec) * widthSec).cast("long"))
+      .withColumn("win_start", bucket(widthSec))
       .groupBy("win_start", "event_type")
       .agg(count(lit(1)).as("n"), dsum6(col("value")).as("sum_value"))
       .orderBy("win_start", "event_type")
@@ -44,8 +55,7 @@ object EventWindows {
     val nBuckets = (widthSec / slideSec).toInt
     val offsets = (0 until nBuckets).map(i => i * slideSec)
     table(spark, sfDir, "events")
-      .withColumn("base",
-        (floor(unix_timestamp(col("ts")) / slideSec) * slideSec).cast("long"))
+      .withColumn("base", bucket(slideSec))
       .withColumn("off", explode(array(offsets.map(lit(_)): _*)))
       .withColumn("win_start", col("base") - col("off"))
       .groupBy("win_start", "event_type")
@@ -65,13 +75,13 @@ object EventWindows {
     */
   def sessionize(spark: SparkSession, sfDir: String, gapSec: Long = 1800): DataFrame = {
     val ev = table(spark, sfDir, "events")
-      .select(col("user_id"), unix_timestamp(col("ts")).as("tsec"),
-              col("ts"), col("event_id"))
+      .select(col("user_id"), tsec.as("t"), col("ts"), col("event_id"))
+    // ts is BIGINT nanos: ordering by it equals event-time ordering, exactly
     val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
     val sessions = ev
-      .withColumn("prev", lag(col("tsec"), 1).over(byUser))
+      .withColumn("prev", lag(col("t"), 1).over(byUser))
       .withColumn("new_sess",
-        when(col("prev").isNull || col("tsec") - col("prev") > gapSec, 1).otherwise(0))
+        when(col("prev").isNull || col("t") - col("prev") > gapSec, 1).otherwise(0))
       .withColumn("sess_id", sum(col("new_sess")).over(
         byUser.rowsBetween(Window.unboundedPreceding, 0)))
     sessions.groupBy("user_id", "sess_id")
@@ -84,12 +94,14 @@ object EventWindows {
   /** Daily top event types: window rank over tumbling day buckets. */
   def dailyTopTypes(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     val day = table(spark, sfDir, "events")
-      .withColumn("day", (floor(unix_timestamp(col("ts")) / 86400L) * 86400L).cast("long"))
+      .withColumn("day", bucket(86400L))
       .groupBy("day", "event_type")
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy("day").orderBy(col("n").desc, col("event_type").asc)
     day.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
+      .select(col("day"), col("event_type"), col("n"),
+        col("rk").cast("long").as("rk")) // BIGINT: DuckDB row_number() is BIGINT
       .orderBy("day", "rk")
   }
 }

@@ -25,6 +25,18 @@ object Relational {
   /** Exact money sum: decimal-accumulate, surface as double. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
 
+  /** Exact revenue sum: price x (1 - discount) with BOTH factors cast to
+    * DECIMAL(18,2) before multiplying. The double product of two 2-dp
+    * values is an exact 4-dp number (e.g. 58644.2655) whose binary
+    * representation sits ON the half-cent boundary — casting the product
+    * to decimal rounds it differently in Spark (exact-expansion HALF_UP)
+    * vs DuckDB. Decimal x decimal is exact on both, so the sum is
+    * bit-identical across engines and partitionings.
+    */
+  private def drevenue(price: Column, discount: Column): Column =
+    sum(price.cast("decimal(18,2)") *
+        (lit(1) - discount).cast("decimal(18,2)")).cast("double")
+
   /** TPC-H Q1-style pricing summary: scan-heavy, group-by on two
     * low-cardinality keys. Partial aggregation collapses 600k rows to a
     * handful before the exchange; at 100 TB this stays a single shuffle
@@ -37,7 +49,7 @@ object Relational {
       .agg(
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
-        dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        drevenue(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -53,7 +65,7 @@ object Relational {
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .agg(drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey").asc)
       .limit(10)
   }
@@ -72,7 +84,7 @@ object Relational {
       .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
-      .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+      .agg(drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
            count(lit(1)).as("n_items"))
       .orderBy("r_name", "n_name")
   }
@@ -93,7 +105,8 @@ object Relational {
       .orderBy(col("total_spend").desc, col("o_custkey").asc)
     spend.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
-      .select(col("n_name"), col("o_custkey").as("custkey"), col("total_spend"), col("rk"))
+      .select(col("n_name"), col("o_custkey").as("custkey"), col("total_spend"),
+        col("rk").cast("long").as("rk")) // BIGINT: DuckDB row_number() is BIGINT
       .orderBy(col("n_name"), col("rk"))
   }
 
@@ -106,6 +119,34 @@ object Relational {
     li.rollup("l_returnflag", "l_linestatus")
       .agg(dsum(col("l_extendedprice")).as("sales"), count(lit(1)).as("n"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** Revenue by part type: fact x part dimension (broadcast), one
+    * group-by shuffle on a low-cardinality key.
+    */
+  def partTypeRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = table(spark, sfDir, "lineitem")
+    val part = table(spark, sfDir, "part")
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_type")
+      .agg(drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+           count(lit(1)).as("n_items"))
+      .orderBy("p_type")
+  }
+
+  /** Supplier revenue by nation: lineitem x supplier x nation, both
+    * dimensions broadcast; single agg shuffle.
+    */
+  def supplierRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = table(spark, sfDir, "lineitem")
+    val sup = table(spark, sfDir, "supplier")
+    val nat = table(spark, sfDir, "nation")
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("l_extendedprice")).as("supplier_revenue"),
+           countDistinct(col("s_suppkey")).as("n_suppliers"))
+      .orderBy("n_name")
   }
 
   /** Semi/anti join: customers with and without orders (EXISTS / NOT
