@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.Dedup
+
+/** Dedup ladder over a constructed corpus with known duplicate structure:
+  * docs 1/2 are byte-identical after normalization, doc 3 is a near-dup
+  * of 1 (one word changed), doc 4 shares nothing.
+  */
+class DedupSpec extends SparkSpec {
+
+  private lazy val sfDir: String = {
+    import spark.implicits._
+    val dir = tempSfDir()
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    val near = (1 to 30).map(i => if (i == 15) "CHANGED" else s"w$i").mkString(" ")
+    val other = (1 to 30).map(i => s"z$i").mkString(" ")
+    writeTable(dir, "documents", Seq(
+      (1L, base, "en", "s", base.length.toLong),
+      (2L, "  " + base.toUpperCase + "  ", "en", "s", base.length.toLong + 4), // normalizes to base
+      (3L, near, "en", "s", near.length.toLong),
+      (4L, other, "en", "s", other.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    dir
+  }
+
+  test("exact dedup: normalized duplicates collapse, min doc_id kept") {
+    val rows = Dedup.exact(spark, sfDir).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap // keep_doc_id -> n_copies
+    assert(rows === Map(1L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("minhash LSH: normalized duplicates pair with est_jaccard 1.0; near-dup found") {
+    val pairs = Dedup.minHashLsh(spark, sfDir, minEst = 0.3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) === 1.0) // identical shingle sets -> all 16 sigs agree
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      s"near-dup pair missing: $pairs")
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical docs at hamming 0; unrelated doc absent") {
+    val pairs = Dedup.simHashPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) === 0L)
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("ngram jaccard: identical docs score 1000 milli; near-dup scored exactly") {
+    val pairs = Dedup.ngramJaccardPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) === 1000L)
+    // doc3 differs from doc1 in one word of 30 -> 3-shingles: 28 per doc,
+    // 3 shingles touched by the change -> |inter| = 25, |union| = 31
+    assert(pairs((1L, 3L)) === 25L * 1000L / 31L)
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+}

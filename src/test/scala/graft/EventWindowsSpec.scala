@@ -1,0 +1,58 @@
+package graft
+
+import graft.ops.EventWindows
+
+/** Window/session semantics over constructed events with hand-computed
+  * expected buckets. ts is BIGINT nanos, exactly as the harness events
+  * table reads under spark.sql.legacy.parquet.nanosAsLong.
+  */
+class EventWindowsSpec extends SparkSpec {
+
+  private def ns(sec: Long): Long = sec * 1000000000L
+
+  private lazy val sfDir: String = {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "events", Seq(
+      // user 1: events at t=0s, 10s (session A), t=4000s (session B: gap>1800)
+      (1L, ns(0), 1L, "click", 1.5, "p"),
+      (2L, ns(10), 1L, "click", 2.5, "p"),
+      (3L, ns(4000), 1L, "view", 1.0, "p"),
+      // user 2: single event in hour bucket 1 (t=3600..7200)
+      (4L, ns(3700), 2L, "click", 4.0, "p")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    dir
+  }
+
+  test("tumbling 1h windows: counts and exact decimal sums per bucket") {
+    val rows = EventWindows.tumbling(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows === Seq(
+      (0L, "click", 2L, 4.0),
+      (3600L, "click", 1L, 4.0),
+      (3600L, "view", 1L, 1.0)))
+  }
+
+  test("sliding 1h/30m windows: each event lands in exactly 2 buckets") {
+    val rows = EventWindows.sliding(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // event at 0s,10s -> buckets -1800 and 0; 4000s -> 1800, 3600; 3700 -> 1800, 3600
+    assert(rows === Seq(
+      (-1800L, "click", 2L),
+      (0L, "click", 2L),
+      (1800L, "click", 1L), (1800L, "view", 1L),
+      (3600L, "click", 1L), (3600L, "view", 1L)))
+  }
+
+  test("sessionize: 30-min gap splits sessions; longest session sized") {
+    val rows = EventWindows.sessionize(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows === Seq((1L, 2L, 2L), (2L, 1L, 1L)))
+  }
+
+  test("daily top event types: rank within day, deterministic tie-break") {
+    val rows = EventWindows.dailyTopTypes(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows === Seq((0L, "click", 3L, 1L), (0L, "view", 1L, 2L)))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.Relational
+
+/** Semantics checks the DuckDB oracle can't see: join activity split and
+  * rollup subtotal structure on constructed inputs.
+  */
+class RelationalSpec extends SparkSpec {
+
+  private lazy val sfDir: String = {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "customer", Seq(
+      (1L, "c1", 0, 10.0, "BUILDING"),
+      (2L, "c2", 0, 20.0, "AUTO"),
+      (3L, "c3", 1, 30.0, "BUILDING")
+    ).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+    writeTable(dir, "orders", Seq(
+      (100L, 1L, "O", 50.0, new java.sql.Timestamp(0L), "1-URGENT"),
+      (101L, 1L, "O", 70.0, new java.sql.Timestamp(0L), "1-URGENT")
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority"))
+    writeTable(dir, "lineitem", Seq(
+      (100L, 1L, 1L, 1, 2.0, 100.0, 0.1, 0.0, "N", "O",
+        new java.sql.Timestamp(0L)),
+      (100L, 1L, 1L, 2, 3.0, 200.0, 0.0, 0.0, "R", "F",
+        new java.sql.Timestamp(0L))
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate"))
+    dir
+  }
+
+  test("semi/anti activity split: counts of customers with and without orders") {
+    val rows = Relational.customerOrderActivity(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows === Map("active" -> 1L, "inactive" -> 2L))
+  }
+
+  test("rollup: per-group rows plus subtotal and grand-total rows") {
+    val rows = Relational.salesRollup(spark, sfDir).collect()
+    // 2 leaf groups + 2 flag subtotals + 1 grand total
+    assert(rows.length === 5)
+    val grand = rows.head // NULLS FIRST puts the grand total first
+    assert(grand.isNullAt(0) && grand.isNullAt(1))
+    assert(grand.getDouble(2) === 300.0 && grand.getLong(3) === 2L)
+  }
+
+  test("revenue math is exact decimal: 100*0.9 + 200*1.0 = 290.00") {
+    val rev = Relational.topRevenueOrders(spark, sfDir, "BUILDING").collect()
+    assert(rev.length === 1)
+    assert(rev.head.getLong(0) === 100L)
+    assert(rev.head.getDouble(3) === 290.0)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.ops.Similarity
+
+/** Similarity search over constructed 64-dim vectors with known geometry:
+  * vec 0 and vec 100 identical (cos=1), vec 50 orthogonal to both.
+  * IDs are multiples of 50 so the default stride picks them as queries.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private def vec(axis: Int): Seq[Float] =
+    (0 until 64).map(d => if (d == axis) 1.0f else 0.0f)
+
+  private def mix(a: Int, b: Int, wa: Float, wb: Float): Seq[Float] =
+    (0 until 64).map(d =>
+      (if (d == a) wa else 0.0f) + (if (d == b) wb else 0.0f))
+
+  private lazy val sfDir: String = {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "embeddings", Seq(
+      (0L, vec(0), 0),
+      (50L, vec(1), 1),
+      (100L, vec(0), 0),          // duplicate of 0
+      (150L, mix(0, 1, 3f, 1f), 0) // mostly axis-0: cos with vec0 = 3/sqrt(10)
+    ).toDF("vec_id", "embedding", "label"))
+    dir
+  }
+
+  test("brute-force top-k: exact neighbors in cosine order with defined ties") {
+    val rows = Similarity.bruteForceTopK(spark, sfDir, k = 3, stride = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val q0 = rows.filter(_._1 == 0L).map(t => (t._3, t._4)).toSeq
+    // for query 0: dup 100 at cos 1000, then 150 at floor(3/sqrt(10)*1000)=948, then 50 at 0
+    assert(q0 === Seq((100L, 1000L), (150L, 948L), (50L, 0L)))
+  }
+
+  test("LSH near-dup pairs: identical vectors always share every band bucket") {
+    val pairs = Similarity.lshNearDupPairs(spark, sfDir, minCosMilli = 990L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pairs === Seq((0L, 100L, 1000L)))
+  }
+
+  test("LSH ANN: duplicate is rank-1 neighbor of its twin") {
+    val rows = Similarity.lshAnn(spark, sfDir, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val q0r1 = rows.find(r => r._1 == 0L && r._2 == 1L)
+    assert(q0r1.exists(r => r._3 == 100L && r._4 == 1000L), s"got: ${rows.toSeq}")
+  }
+
+  test("dot/cosine algebra: cosMilli is floor(cos * 1000)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((Seq(1.0, 2.0, 2.0), Seq(2.0, 1.0, 2.0))).toDF("a", "b")
+    val got = df.select(Similarity.cosMilli(col("a"), col("b"))).as[Long].head()
+    assert(got === 888L) // cos = 8/9 = 0.888..
+  }
+}

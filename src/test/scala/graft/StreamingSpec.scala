@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+
+import graft.streaming.StreamingOps
+
+/** Drives the Structured Streaming twins end-to-end with file sources and
+  * a memory sink (AvailableNow + processAllAvailable), asserting the
+  * incremental results equal the batch semantics.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(sec: Long): Timestamp = new Timestamp(sec * 1000L)
+
+  private def eventsDir: String = {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-ev").toString
+    Seq(
+      (1L, ts(0), 1L, "click", 1.5),
+      (2L, ts(10), 1L, "click", 2.5),
+      (3L, ts(4000), 1L, "view", 1.0),
+      (4L, ts(3700), 2L, "click", 4.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def streamEvents(dir: String): DataFrame =
+    spark.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType))))
+      .parquet(dir)
+
+  test("streaming token count equals the batch count (reference pipeline, incremental)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-stream-txt").toString
+    Files.writeString(java.nio.file.Paths.get(dir, "a.txt"), "x y x\nz x\n")
+    Files.writeString(java.nio.file.Paths.get(dir, "b.txt"), "y  z\n")
+    val q = StreamingOps.runToMemory(
+      StreamingOps.tokenCountStream(spark, dir), "tok_counts")
+    try {
+      val got = spark.sql("SELECT token, cnt FROM tok_counts ORDER BY token")
+        .as[(String, Long)].collect().toSeq
+      assert(got === Seq(("x", 3L), ("y", 2L), ("z", 2L)))
+    } finally q.stop()
+  }
+
+  test("windowed event counts with watermark: tumbling hour buckets") {
+    import spark.implicits._
+    val q = StreamingOps.runToMemory(
+      StreamingOps.windowedEventCounts(streamEvents(eventsDir)), "win_counts")
+    try {
+      val got = spark.sql(
+        "SELECT cast(win_start AS LONG), event_type, n FROM win_counts ORDER BY 1, 2")
+        .as[(Long, String, Long)].collect().toSeq
+      assert(got === Seq((0L, "click", 2L), (3600L, "click", 1L), (3600L, "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("streaming session windows: 30-min gap splits a user's sessions") {
+    import spark.implicits._
+    val q = StreamingOps.runToMemory(
+      StreamingOps.sessionizedEvents(streamEvents(eventsDir)), "sess")
+    try {
+      val got = spark.sql(
+        "SELECT user_id, count(*) FROM sess GROUP BY user_id ORDER BY user_id")
+        .as[(Long, Long)].collect().toSeq
+      assert(got === Seq((1L, 2L), (2L, 1L))) // user 1: two sessions
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState running totals (custom state machine)") {
+    import spark.implicits._
+    val q = StreamingOps.runToMemory(
+      StreamingOps.runningUserTotals(spark, streamEvents(eventsDir)),
+      "running", OutputMode.Update())
+    try {
+      val got = spark.sql(
+        "SELECT user_id, n_events, total_value FROM running ORDER BY user_id")
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(got === Seq((1L, 3L, 5.0), (2L, 1L, 4.0)))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.ops.TextAnalysis
+
+/** Text-analysis signals on strings with hand-computed statistics. */
+class TextAnalysisSpec extends SparkSpec {
+
+  private lazy val sfDir: String = {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", Seq(
+      (1L, "the cat, and the hat! of", "en", "s", 24L),
+      (2L, "der und die nicht das der und", "de", "s", 29L),
+      // 12 tokens incl stopwords so quality_keep can pass
+      (3L, "the a of and to in is on the a of and", "en", "s", 37L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    dir
+  }
+
+  test("token stats: whitespace tokens and subword proxy counts") {
+    val rows = TextAnalysis.tokenStats(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // doc1: "the cat, and the hat! of" = 24 chars, 6 ws-tokens,
+    // subwords = 6 alnum runs + 2 symbols (, !) = 8
+    assert(rows.head === (1L, 24L, 6L, 8L))
+  }
+
+  test("quality score: exact integer formula and keep flag") {
+    val rows = TextAnalysis.qualityScore(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getBoolean(6))).toMap2
+    val (nTok, mwl, nPunct, nStop, keep) = rows(3L)
+    assert(nTok === 12L)
+    // 37 chars, 12 tokens: (37 - 11) * 1000 / 12 = 2166
+    assert(mwl === 2166L)
+    assert(nPunct === 0L)
+    assert(nStop === 12L)
+    assert(keep === true)
+    val (_, _, punct1, stop1, keep1) = rows(1L)
+    assert(punct1 === 2L) // ',' and '!'
+    assert(stop1 === 4L)  // the, and, the, of
+    assert(keep1 === false) // only 6 tokens < 10
+  }
+
+  test("language ID: stopword families pick the labeled language") {
+    val rows = TextAnalysis.langId(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSeq
+    assert(rows.find(_._1 == 2L).map(_._2) === Some("de"))
+    assert(rows.find(_._1 == 2L).map(_._3) === Some(7L)) // der x2, und x2, die, nicht, das
+    assert(rows.find(_._1 == 1L).map(_._2) === Some("en"))
+  }
+
+  test("fingerprints: md5 of normalized text plus h60 integer form") {
+    val rows = TextAnalysis.fingerprints(spark, sfDir).collect()
+    val r1 = rows.find(_.getLong(0) == 1L).get
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest("the cat, and the hat! of".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(r1.getString(1) === md)
+    assert(r1.getLong(2) === java.lang.Long.parseLong(md.take(15), 16))
+  }
+
+  private implicit class MapOps(
+      rows: Array[(Long, Long, Long, Long, Long, Boolean)]) {
+    def toMap2: Map[Long, (Long, Long, Long, Long, Boolean)] =
+      rows.map(t => t._1 -> ((t._2, t._3, t._4, t._5, t._6))).toMap
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.ops.UrlCount
+
+/** Reference-parity tests in the style of the reference's golden-oracle
+  * suite (/root/reference/src/mapreduce/test_test.go:46-86): deterministic
+  * synthetic input, expected output computed independently in plain Scala,
+  * engine output compared exactly.
+  */
+class UrlCountSpec extends SparkSpec {
+
+  /** Go strings.FieldsFunc(s, r == ' ') reimplemented independently —
+    * the tokenizer contract of the reference mapF
+    * (/root/reference/src/main/main.go:24-26): split on spaces, DROP
+    * empty fields.
+    */
+  private def goFieldsSpace(s: String): Seq[String] =
+    s.split(" ", -1).toSeq.filter(_.nonEmpty)
+
+  test("golden oracle: token counts match an independently computed Map") {
+    import spark.implicits._
+    // deterministic corpus like the reference's makeInputs (numbers,
+    // repeated with varying frequency), one "file" per row
+    val lines = (0 until 200).map { i =>
+      (0 to i % 7).map(j => s"tok${(i + j) % 23}").mkString(" ")
+    }
+    val expected: Map[String, Long] = lines
+      .flatMap(goFieldsSpace)
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = UrlCount
+      .tokenCounts(lines.toDF("text"), "text")
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(got.toMap === expected)
+    // and the presentation order is total: sorted by token
+    assert(got.map(_._1).toSeq === got.map(_._1).toSeq.sorted)
+  }
+
+  test("tokenizer parity: Spark tokens == Go FieldsFunc semantics (generated lines)") {
+    import spark.implicits._
+    // generated strings over a hostile alphabet: multi-space runs,
+    // leading/trailing separators, empty strings (ScalaCheck Gen with
+    // fixed seeds so the corpus is deterministic)
+    val genLine: Gen[String] =
+      Gen.listOf(Gen.oneOf("a", "bb", "ccc", " ", "  ", "")).map(_.mkString)
+    val generated = (0 until 300).flatMap { i =>
+      genLine.apply(Gen.Parameters.default, Seed(i.toLong))
+    }
+    val lines = generated ++ Seq("", " ", "  ", "a", " a", "a ", " a  b ")
+    val expected = lines.flatMap(goFieldsSpace)
+    // single-partition frame: collect order == row order == intra-row order
+    val got = UrlCount.tokens(
+      spark.createDataset(lines).repartition(1).toDF("text"), "text")
+      .as[String].collect().toSeq
+    assert(got.sorted === expected.sorted)
+    assert(got.groupBy(identity).view.mapValues(_.size).toMap ===
+      expected.groupBy(identity).view.mapValues(_.size).toMap)
+  }
+
+  test("top-K tie-break is deterministic: count desc, then token asc") {
+    import spark.implicits._
+    // b and c tie at 2; a has 3
+    val df = Seq("a a a b b c c").toDF("text")
+    val top = UrlCount.topK(df, "text", 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top === Seq(("a", 3L), ("b", 2L)))
+    val top3 = UrlCount.topK(df, "text", 3).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(top3 === Seq(("a", 3L), ("b", 2L), ("c", 2L)))
+  }
+
+  test("distinct tokens (reference test job O10): whitespace split, sorted set") {
+    import spark.implicits._
+    val df = Seq("z  a\tb", "b a", "").toDF("text")
+    val got = UrlCount.distinctTokens(df, "text").as[String].collect().toSeq
+    assert(got === Seq("a", "b", "z"))
+  }
+
+  test("merged text sink emits 'key: value' lines globally sorted by key (O8)") {
+    import spark.implicits._
+    val counts = Seq(("b", 2L), ("a", 1L)).toDF("token", "cnt")
+    val lines = UrlCount.mergedLines(counts).as[String].collect().toSeq
+    assert(lines === Seq("a: 1", "b: 2"))
+  }
+}
