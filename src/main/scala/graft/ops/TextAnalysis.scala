@@ -54,9 +54,12 @@ object TextAnalysis {
         col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
         nTok.as("n_tokens"),
-        // mean word length in millichars: integer math, oracle-exact
-        (((length(col("text")) - (nTok - lit(1))) * lit(1000)) / nTok)
-          .cast("long").as("mean_word_len_milli"),
+        // mean word length in millichars: integer math, oracle-exact;
+        // NULL for token-free docs (guard both engines — Spark's /0 is
+        // NULL but DuckDB's floor(x/0) is inf, a cross-engine divergence)
+        when(nTok > 0,
+          (((length(col("text")) - (nTok - lit(1))) * lit(1000)) / nTok).cast("long"))
+          .otherwise(lit(null).cast("long")).as("mean_word_len_milli"),
         nPunct.as("n_punct"),
         nStop.as("n_stopwords"),
         (nTok >= 10 && nTok <= 100000 && nStop * lit(100) >= nTok).as("quality_keep"))
