@@ -31,4 +31,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // default 240m code cache can fill over a 30-query session and degrade
   // the JIT (observed as transient 10-100s whole-JVM slowdowns).
   "-XX:ReservedCodeCacheSize=512m",
+  // The dynamic compiler-thread heuristic (default on) kills and respawns
+  // C1/C2 threads under bursty load — a multi-query session surges new
+  // generated classes per query, the pool thrashes, the compile queue
+  // backs up, and whole stages run interpreted for 30-100s (thread dumps
+  // showed compiler threads with elapsed=1-10s while hot generated
+  // iterators sat uncompiled). A fixed pool removes the pathology.
+  "-XX:-UseDynamicNumberOfCompilerThreads",
+  // Bound time-to-safepoint: generated loops with heavy per-row bodies
+  // (md5, regex) at the default 1000-iteration strip length held off
+  // safepoint polls for up to 2s, serializing GC across all 32 workers.
+  "-XX:LoopStripMiningIter=100",
 )

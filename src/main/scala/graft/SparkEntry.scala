@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.GraftSession.table
 import graft.ops._
+import graft.streaming.StreamingOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -87,7 +88,15 @@ object SparkEntry {
     // —— multimodal columns ——
     "mm_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
     "mm_frames" -> ((s, dir) => Multimodal.sampleFrames(s, dir)),
-    "mm_features" -> ((s, dir) => Multimodal.featureSummary(s, dir))
+    "mm_features" -> ((s, dir) => Multimodal.featureSummary(s, dir)),
+    // —— document fingerprinting (winnowing) ——
+    "text_winnow" -> ((s, dir) => Dedup.winnowFingerprints(s, dir)),
+    // —— Structured Streaming twins, run to completion (AvailableNow) and
+    //    hash-compared against the same batch-SQL oracles ——
+    "stream_tumbling" -> ((s, dir) => StreamingOps.streamTumbling(s, dir)),
+    "stream_sessions" -> ((s, dir) => StreamingOps.streamSessions(s, dir)),
+    "stream_tokens" -> ((s, dir) => StreamingOps.streamTokenCounts(s, dir)),
+    "stream_running" -> ((s, dir) => StreamingOps.streamRunningTotals(s, dir))
   )
 
   // Shared oracle fragments -------------------------------------------------
@@ -470,6 +479,64 @@ object SparkEntry {
         |  sum(len)::BIGINT AS total_bytes,
         |  sum(len % 640 + 1)::BIGINT AS sum_width,
         |  sum(len % 480 + 1)::BIGINT AS sum_height
-        |FROM m GROUP BY modality ORDER BY modality""".stripMargin
+        |FROM m GROUP BY modality ORDER BY modality""".stripMargin,
+    // winnowing (k=8, w=4): gram hashes over the normalized text, then
+    // per-position window minima, restricted to FULL windows
+    // (i <= n_grams - (w-1)), distinct per doc
+    "text_winnow" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, i, ${h60("substr(norm, i::INT, 8)")} AS h,
+         |         length(norm) - 7 AS n_grams
+         |  FROM d, UNNEST(range(1, length(norm) - 6)) AS u(i)
+         |  WHERE length(norm) >= 11),
+         |w AS (
+         |  SELECT doc_id, i, n_grams,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         |  FROM g)
+         |SELECT DISTINCT doc_id, fp FROM w
+         |WHERE i <= n_grams - 3
+         |ORDER BY doc_id, fp""".stripMargin,
+    // streaming twins: same relational semantics as their batch analogs,
+    // so the oracles are plain batch SQL over the same tables
+    "stream_tumbling" ->
+      """SELECT ((epoch_us(ts) // 1000000) // 3600) * 3600 AS win_start, event_type,
+        |  count(*)::BIGINT AS n,
+        |  sum(CAST(value AS DECIMAL(18,6)))::DOUBLE AS sum_value
+        |FROM events
+        |GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
+    // session_window merges an event only while it falls strictly inside
+    // [start, last+gap), so the boundary split is diff >= gap (the batch
+    // ev_sessions variant uses > gap — deliberate, documented difference)
+    "stream_sessions" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        |flagged AS (
+        |  SELECT user_id, tus,
+        |    CASE WHEN lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus ASC)),
+        |numbered AS (
+        |  SELECT user_id, tus,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus ASC
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(tus)::BIGINT AS sess_start_us, count(*)::BIGINT AS n_events
+        |FROM numbered GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start_us""".stripMargin,
+    "stream_tokens" ->
+      """SELECT token, count(*)::BIGINT AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE length(token) > 0
+        |GROUP BY token
+        |ORDER BY token""".stripMargin,
+    "stream_running" ->
+      """SELECT user_id, count(*)::BIGINT AS n_events,
+        |  sum(floor(value * 1000000)::BIGINT)::BIGINT AS total_value_micros
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -232,6 +232,40 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Winnowing document fingerprints (the MOSS scheme: Schleimer,
+    * Wilkerson, Aiken — "Winnowing: Local Algorithms for Document
+    * Fingerprinting"): hash every k-char gram of the normalized text,
+    * slide a w-wide window over the gram-hash sequence, keep each
+    * window's minimum, emit the distinct minima. Guarantees every match
+    * of length >= k+w-1 shares a fingerprint, while storing only
+    * ~2/(w+1) of the gram hashes.
+    *
+    * All narrow per-row array math (no shuffle until the final distinct)
+    * — the fingerprint table is what a 100 TB plagiarism/near-dup index
+    * would be built on (group by fp -> posting lists).
+    *
+    * Output: (doc_id, fp) distinct, ordered. Docs shorter than k+w-1
+    * normalized chars emit nothing (no full window exists).
+    */
+  def winnowFingerprints(spark: SparkSession, sfDir: String,
+                         k: Int = 8, w: Int = 4): DataFrame = {
+    val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+    val docs = table(spark, sfDir, "documents")
+      .select(col("doc_id"), norm.as("norm"))
+      .filter(length(col("norm")) >= k + w - 1)
+    // gram hashes g_i = h60(norm[i .. i+k-1]), i in [1, len-k+1]
+    val grams = transform(
+      sequence(lit(1), length(col("norm")) - (k - 1)),
+      i => h60(col("norm").substr(i, lit(k))))
+    // window minima: fp_j = min(g_j .. g_{j+w-1}), j in [1, n_grams-w+1]
+    docs.select(col("doc_id"), grams.as("g"))
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("g")) - (w - 1)),
+          j => array_min(slice(col("g"), j, lit(w))))).as("fp"))
+      .distinct()
+      .orderBy("doc_id", "fp")
+  }
+
   /** Embedding near-dup: pairs of vectors with cosine >= minCos.
     * Candidates come from random-hyperplane LSH buckets
     * (Similarity.lshNearDupPairs) — exact cosine runs only within

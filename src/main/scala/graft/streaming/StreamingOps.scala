@@ -30,12 +30,15 @@ object StreamingOps {
 
   /** Windowed event aggregation with a watermark: tumbling 1h windows on
     * event time, late data beyond 2h dropped, append-mode-capable.
+    * The value sum accumulates in DECIMAL so the result is independent of
+    * partition/batch arrival order (double addition is not associative).
     */
   def windowedEventCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
@@ -50,21 +53,26 @@ object StreamingOps {
       .select(col("session_window.start").as("sess_start"),
         col("user_id"), col("n_events"))
 
-  case class UserEvent(user_id: Long, event_type: String, value: Double)
-  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+  case class UserEvent(user_id: Long, event_type: String, value_micros: Long)
+  case class UserRunning(user_id: Long, n_events: Long, total_value_micros: Long)
 
   /** Custom state: running per-user totals via mapGroupsWithState — the
     * escape hatch for state machines the built-in windows can't express.
+    * Values accumulate as integral micros (floor(value*1e6)) so the state
+    * fold is exact and commutative — the result is identical no matter how
+    * events are batched or ordered, which keeps it oracle-comparable.
     */
   def runningUserTotals(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
-    events.select(col("user_id"), col("event_type"), col("value")).as[UserEvent]
+    events.select(col("user_id"), col("event_type"),
+        floor(col("value") * lit(1000000L)).cast("long").as("value_micros"))
+      .as[UserEvent]
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
         (uid: Long, evs: Iterator[UserEvent], state: GroupState[UserRunning]) =>
-          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
-          val (n, v) = evs.foldLeft((prev.n_events, prev.total_value)) {
-            case ((cn, cv), e) => (cn + 1, cv + e.value)
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0L))
+          val (n, v) = evs.foldLeft((prev.n_events, prev.total_value_micros)) {
+            case ((cn, cv), e) => (cn + 1, cv + e.value_micros)
           }
           val next = UserRunning(uid, n, v)
           state.update(next)
@@ -86,4 +94,101 @@ object StreamingOps {
     q.processAllAvailable()
     q
   }
+
+  // —— harness integration: the streaming twins over the sfDir tables ——
+  //
+  // Each runs a Structured Streaming query to completion (AvailableNow)
+  // into a memory sink and returns the result as a batch DataFrame, so
+  // the driver's DuckDB oracle can hash-compare streaming output against
+  // plain SQL. The memory sink collects results to the driver — fine for
+  // the verification corpus; a production deployment writes the same
+  // frame to a file/Kafka sink instead (only the sink line changes).
+
+  private val counter = new java.util.concurrent.atomic.AtomicLong(0)
+  private def freshName(prefix: String): String =
+    s"${prefix}_${counter.incrementAndGet()}"
+
+  import org.apache.spark.sql.types._
+
+  /** events.parquet as a file stream. File streams need an explicit
+    * schema; ts arrives as BIGINT nanos (nanosAsLong) and is converted
+    * to a proper event-time TIMESTAMP (micros, floor) for watermarking.
+    */
+  def harnessEventStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType))))
+      // brace-glob: the file stream source needs a directory-rooted glob
+      // (a bare file path fails the basePath-must-be-a-directory check)
+      .parquet(s"$sfDir/{events.parquet}")
+      .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000L")))
+
+  /** documents.parquet as a file stream. */
+  def harnessDocStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType))))
+      .parquet(s"$sfDir/{documents.parquet}")
+
+  private def runToBatch(spark: SparkSession, df: DataFrame, prefix: String,
+                         mode: OutputMode): DataFrame = {
+    val name = freshName(prefix)
+    val q = runToMemory(df, name, mode)
+    q.stop()
+    spark.table(name)
+  }
+
+  /** Streaming tumbling-window twin of EventWindows.tumbling, surfaced
+    * with epoch-second window starts for the oracle.
+    */
+  def streamTumbling(spark: SparkSession, sfDir: String): DataFrame =
+    runToBatch(spark, windowedEventCounts(harnessEventStream(spark, sfDir)),
+        "stream_tumbling", OutputMode.Complete())
+      .select(unix_timestamp(col("win_start")).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
+  /** Streaming session windows (native session_window) per user. Session
+    * boundary is event-time gap >= 30 min — session_window merges an
+    * event only while it lands strictly inside [start, last+gap), which
+    * differs from the batch sessionize's `> gap` boundary by exactly the
+    * equality case. Output: one row per session with its start (micros).
+    */
+  def streamSessions(spark: SparkSession, sfDir: String): DataFrame =
+    runToBatch(spark, sessionizedEvents(harnessEventStream(spark, sfDir)),
+        "stream_sessions", OutputMode.Complete())
+      .select(col("user_id"), unix_micros(col("sess_start")).as("sess_start_us"),
+        col("n_events"))
+      .orderBy("user_id", "sess_start_us")
+
+  /** Streaming twin of urlcount_counts over documents.text (space
+    * tokenizer + empty-token filter, identical semantics).
+    */
+  def streamTokenCounts(spark: SparkSession, sfDir: String): DataFrame =
+    runToBatch(spark,
+        harnessDocStream(spark, sfDir)
+          .select(explode(split(col("text"), " ")).as("token"))
+          .filter(length(col("token")) > 0)
+          .groupBy("token")
+          .agg(count(lit(1)).as("cnt")),
+        "stream_tokens", OutputMode.Complete())
+      .orderBy("token")
+
+  /** Final per-user state of the mapGroupsWithState running totals. The
+    * memory sink sees one Update row per (user, micro-batch); the final
+    * state per user is the row with the highest event count (monotone).
+    */
+  def streamRunningTotals(spark: SparkSession, sfDir: String): DataFrame =
+    runToBatch(spark,
+        runningUserTotals(spark, harnessEventStream(spark, sfDir)),
+        "stream_running", OutputMode.Update())
+      .groupBy("user_id")
+      .agg(max(struct(col("n_events"), col("total_value_micros"))).as("f"))
+      .select(col("user_id"), col("f.n_events").as("n_events"),
+        col("f.total_value_micros").as("total_value_micros"))
+      .orderBy("user_id")
 }

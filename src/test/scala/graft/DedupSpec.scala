@@ -45,6 +45,15 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("winnowing: case-variant duplicates share the exact fingerprint set") {
+    val fps = Dedup.winnowFingerprints(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(fps(1L) === fps(2L)) // doc 2 normalizes to doc 1's text
+    assert((fps(1L) & fps(3L)).nonEmpty) // long shared substrings survive
+    assert((fps(1L) & fps(4L)).isEmpty) // no common 8-gram with the w-corpus
+  }
+
   test("ngram jaccard: identical docs score 1000 milli; near-dup scored exactly") {
     val pairs = Dedup.ngramJaccardPairs(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap

@@ -83,9 +83,9 @@ class StreamingSpec extends SparkSpec {
       "running", OutputMode.Update())
     try {
       val got = spark.sql(
-        "SELECT user_id, n_events, total_value FROM running ORDER BY user_id")
-        .as[(Long, Long, Double)].collect().toSeq
-      assert(got === Seq((1L, 3L, 5.0), (2L, 1L, 4.0)))
+        "SELECT user_id, n_events, total_value_micros FROM running ORDER BY user_id")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got === Seq((1L, 3L, 5000000L), (2L, 1L, 4000000L)))
     } finally q.stop()
   }
 }
