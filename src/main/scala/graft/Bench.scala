@@ -31,6 +31,11 @@ object Bench {
     // optional arg: comma-separated query-name filter (local iteration)
     val only: Option[Set[String]] =
       if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+    // untimed warmup: run the flagship smoke query once so session/codegen
+    // infra init (parquet reader, Janino, first-stage JIT) is not billed
+    // to whichever query happens to sort first — timings then reflect
+    // steady-state operator cost
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.toSeq.sortBy(_._1)

@@ -50,6 +50,10 @@ object SparkEntry {
       UrlCount.tokenCounts(table(s, dir, "documents"), "text")),
     "urlcount_distinct" -> ((s, dir) =>
       UrlCount.distinctTokens(table(s, dir, "documents"), "text")),
+    // O8 merge sink parity: the reference's final "key: value" text lines
+    // (master_splitmerge.go:46), globally sorted by key
+    "urlcount_merged" -> ((s, dir) =>
+      UrlCount.mergedLines(UrlCount.tokenCounts(table(s, dir, "documents"), "text"))),
     // —— relational / analytic suite ——
     "rel_pricing" -> ((s, dir) => Relational.pricingSummary(s, dir)),
     "rel_top_orders" -> ((s, dir) => Relational.topRevenueOrders(s, dir)),
@@ -168,6 +172,13 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents)
         |WHERE length(token) > 0
         |ORDER BY token""".stripMargin,
+    "urlcount_merged" ->
+      """WITH c AS (
+        |  SELECT token, count(*)::BIGINT AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE length(token) > 0
+        |  GROUP BY token)
+        |SELECT token || ': ' || cnt AS line FROM c ORDER BY token""".stripMargin,
     "rel_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty,

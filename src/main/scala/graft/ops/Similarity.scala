@@ -29,10 +29,19 @@ import graft.functions.OracleHash
 object Similarity {
 
   /** Sequential-fold dot product of two double arrays (oracle twin:
-    * list_reduce(list_transform(...))).
+    * list_dot_product / list_reduce(list_transform(...))).
+    *
+    * Backed by the native codegen'd expression graft.functions.DotProduct
+    * — Spark's higher-order `aggregate(zip_with(...))` formulation is
+    * CodegenFallback (interpreted per-element lambda dispatch) and was
+    * the hot path of the similarity suite. Identical fold order, so
+    * results are bit-identical to the previous formulation.
     */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftExpressionBridge
+    GraftExpressionBridge.column(graft.functions.DotProduct(
+      GraftExpressionBridge.expression(a), GraftExpressionBridge.expression(b)))
+  }
 
   def norm2(a: Column): Column = sqrt(dot(a, a))
 

@@ -55,4 +55,21 @@ class SimilaritySpec extends SparkSpec {
     val got = df.select(Similarity.cosMilli(col("a"), col("b"))).as[Long].head()
     assert(got === 888L) // cos = 8/9 = 0.888..
   }
+
+  test("native DotProduct expression: bit-identical to the higher-order fold, null-safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // irrational components: any re-association of the fold changes the
+    // double result, so equality here proves identical fold order
+    val df = Seq.tabulate(32) { i =>
+      ((0 until 64).map(d => math.sqrt(d + i + 2)), (0 until 64).map(d => 1.0 / (d + i + 1)))
+    }.toDF("a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val mismatches = df.select(Similarity.dot(col("a"), col("b")).as("native"), hof.as("ref"))
+      .filter(col("native") =!= col("ref")).count()
+    assert(mismatches === 0L)
+    val withNull = Seq((Some(Seq(1.0, 2.0)), None: Option[Seq[Double]])).toDF("a", "b")
+    assert(withNull.select(Similarity.dot(col("a"), col("b"))).head().isNullAt(0))
+  }
 }
