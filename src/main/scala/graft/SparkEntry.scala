@@ -60,6 +60,7 @@ object SparkEntry {
     "rel_revenue_nation" -> ((s, dir) => Relational.revenueByNation(s, dir)),
     "rel_top_customers" -> ((s, dir) => Relational.topCustomersPerNation(s, dir)),
     "rel_rollup" -> ((s, dir) => Relational.salesRollup(s, dir)),
+    "rel_cube" -> ((s, dir) => Relational.salesCube(s, dir)),
     "rel_part_type_revenue" -> ((s, dir) => Relational.partTypeRevenue(s, dir)),
     "rel_supplier_revenue" -> ((s, dir) => Relational.supplierRevenue(s, dir)),
     "rel_activity" -> ((s, dir) => Relational.customerOrderActivity(s, dir)),
@@ -76,6 +77,11 @@ object SparkEntry {
     // —— deduplication ladder ——
     "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minHashLsh(s, dir)),
+    // production-path hash family (xxhash64) — not DuckDB-reproducible,
+    // so no oracleSql entry: the driver records the weaker rows-only
+    // check, and DedupSpec pins its semantics against the oracle variant
+    "dedup_minhash_fast" -> ((s, dir) =>
+      Dedup.minHashLsh(s, dir, hasher = Dedup.fastHasher)),
     "dedup_simhash" -> ((s, dir) => Dedup.simHashPairs(s, dir)),
     "dedup_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(s, dir)),
     // threshold 400 (not the production 990): the synthetic corpus has no
@@ -229,6 +235,13 @@ object SparkEntry {
         |  count(*)::BIGINT AS n
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "rel_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS sales,
+        |  count(*)::BIGINT AS n
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "rel_part_type_revenue" ->
       """SELECT p_type,

@@ -67,15 +67,25 @@ object Dedup {
   }
 
   /** MinHash signatures: for hash index i in [0, k), sig_i(doc) =
-    * min over shingles of h60("i:" + shingle). Computed by exploding
+    * min over shingles of hash_i(shingle). Computed by exploding
     * (doc, shingle) x k and min-aggregating — partial aggregation makes
     * the shuffle ~|docs| x k rows regardless of shingle count.
     * Output: (doc_id, i, mh).
+    *
+    * `hasher(i, shingle)` is the hash family: the default md5-derived
+    * h60i is DuckDB-reproducible (the correctness gate); `fastHasher`
+    * (xxhash64, codegen'd, ~10x cheaper) is the production path — the
+    * sketch math is identical, only the oracle can't follow it.
     */
-  def minHashSignatures(sh: DataFrame, k: Int = 16): DataFrame =
+  def minHashSignatures(sh: DataFrame, k: Int = 16,
+                        hasher: (Column, Column) => Column = h60i): DataFrame =
     sh.withColumn("i", explode(array((0 until k).map(lit(_)): _*)))
       .groupBy("doc_id", "i")
-      .agg(min(h60i(col("i"), col("shingle"))).as("mh"))
+      .agg(min(hasher(col("i"), col("shingle"))).as("mh"))
+
+  /** xxhash64-based member of the minhash family (production path). */
+  val fastHasher: (Column, Column) => Column =
+    (i, s) => xxhash64(i, s)
 
   /** 2. MinHash + LSH banding: k signatures in b bands of r rows
     * (k = b*r). Docs sharing a full band signature become candidates;
@@ -88,11 +98,12 @@ object Dedup {
     */
   def minHashLsh(spark: SparkSession, sfDir: String,
                  shingleN: Int = 3, k: Int = 16, bands: Int = 4,
-                 minEst: Double = 0.5): DataFrame = {
+                 minEst: Double = 0.5,
+                 hasher: (Column, Column) => Column = h60i): DataFrame = {
     val r = k / bands
     // materialized once: referenced by the band self-join AND both sides
     // of the signature-agreement scoring join (4 consumers total)
-    val sig = minHashSignatures(shingles(table(spark, sfDir, "documents"), shingleN), k)
+    val sig = minHashSignatures(shingles(table(spark, sfDir, "documents"), shingleN), k, hasher)
       .localCheckpoint()
     // band signature: minhashes of the band in i-order, joined into one key
     val bandSig = sig

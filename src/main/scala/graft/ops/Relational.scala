@@ -121,6 +121,16 @@ object Relational {
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
   }
 
+  /** CUBE over the same keys: all 2^2 grouping sets in one pass (Spark
+    * expands grouping sets before the single aggregation exchange).
+    */
+  def salesCube(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = table(spark, sfDir, "lineitem")
+    li.cube("l_returnflag", "l_linestatus")
+      .agg(dsum(col("l_extendedprice")).as("sales"), count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
   /** Revenue by part type: fact x part dimension (broadcast), one
     * group-by shuffle on a low-cardinality key.
     */

@@ -45,6 +45,13 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("minhash fast path (xxhash64): identical shingle sets still pair at est 1.0") {
+    val pairs = Dedup.minHashLsh(spark, sfDir, minEst = 0.3, hasher = Dedup.fastHasher)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) === 1.0) // family-independent: identical sets
+    assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   test("winnowing: case-variant duplicates share the exact fingerprint set") {
     val fps = Dedup.winnowFingerprints(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
