@@ -99,6 +99,7 @@ object SparkEntry {
     "mm_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
     "mm_frames" -> ((s, dir) => Multimodal.sampleFrames(s, dir)),
     "mm_features" -> ((s, dir) => Multimodal.featureSummary(s, dir)),
+    "mm_resize" -> ((s, dir) => Multimodal.resizePlan(s, dir)),
     // —— document fingerprinting (winnowing) ——
     "text_winnow" -> ((s, dir) => Dedup.winnowFingerprints(s, dir)),
     // —— Structured Streaming twins, run to completion (AvailableNow) and
@@ -504,6 +505,19 @@ object SparkEntry {
         |  sum(len % 640 + 1)::BIGINT AS sum_width,
         |  sum(len % 480 + 1)::BIGINT AS sum_height
         |FROM m GROUP BY modality ORDER BY modality""".stripMargin,
+    // mirror of Multimodal.resizePlan: stub dims (len-derived, same
+    // formulas as mm_features) + aspect-preserving fit into 224
+    "mm_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id, octet_length(encode(text))::BIGINT AS len
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |d AS (
+        |  SELECT id, (len % 640 + 1)::BIGINT AS width, (len % 480 + 1)::BIGINT AS height
+        |  FROM m)
+        |SELECT id, width, height,
+        |  CASE WHEN width >= height THEN 224 ELSE (width * 224) // height END::BIGINT AS out_w,
+        |  CASE WHEN width >= height THEN (height * 224) // width ELSE 224 END::BIGINT AS out_h
+        |FROM d ORDER BY id""".stripMargin,
     // winnowing (k=8, w=4): gram hashes over the normalized text, then
     // per-position window minima, restricted to FULL windows
     // (i <= n_grams - (w-1)), distinct per doc

@@ -89,6 +89,26 @@ object Multimodal {
       .orderBy("modality")
   }
 
+  /** Resize planning: aspect-preserving fit of each decoded image into a
+    * target box (the standard pre-train normalization step). Runs the
+    * real mapPartitions decode seam for source dimensions, then pure
+    * integer arithmetic (BIGINT floor division — oracle-exact) for the
+    * output dims. The pixel resample itself belongs inside the decode
+    * stub's codec; the plan (who, from what dims, to what dims) is the
+    * Spark-side contract and is fully real.
+    */
+  def resizePlan(spark: SparkSession, sfDir: String, target: Int = 224): DataFrame =
+    decodeFeatures(spark, mediaTable(spark, sfDir)).toDF()
+      .filter(col("modality") === "image")
+      .select(col("id"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+      .withColumn("out_w",
+        expr(s"CASE WHEN width >= height THEN ${target}L ELSE (width * $target) div height END"))
+      .withColumn("out_h",
+        expr(s"CASE WHEN width >= height THEN (height * $target) div width ELSE ${target}L END"))
+      .orderBy("id")
+
   /** Frame-sampling shape for video: explode N evenly-spaced frame
     * indices per media row — the fan-out stage before a per-frame decode.
     * Deterministic arithmetic only.
