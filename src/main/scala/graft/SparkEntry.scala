@@ -81,7 +81,7 @@ object SparkEntry {
     // so no oracleSql entry: the driver records the weaker rows-only
     // check, and DedupSpec pins its semantics against the oracle variant
     "dedup_minhash_fast" -> ((s, dir) =>
-      Dedup.minHashLsh(s, dir, hasher = Dedup.fastHasher)),
+      Dedup.minHashLsh(s, dir, family = "xxh64")),
     "dedup_simhash" -> ((s, dir) => Dedup.simHashPairs(s, dir)),
     "dedup_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(s, dir)),
     // threshold 400 (not the production 990): the synthetic corpus has no

@@ -95,23 +95,34 @@ object Dedup {
     * Only bucket-mates are ever paired — the corpus-wide cross join never
     * exists. Band signature is the concatenated minhash run: exact, no
     * truncation collisions.
+    *
+    * Plan shape (the §7 custom-aggregate upgrade): ONE aggregation
+    * computes each doc's whole k-sketch via MinHashSketchAgg (a
+    * TypedImperativeAggregate over a long[k] buffer), bands are narrow
+    * array slices of the sketch, and candidate scoring compares the two
+    * sketch arrays with zip_with — two shuffles total (the sketch
+    * groupBy and the band-bucket self-join) versus five in the
+    * explode-by-k formulation (whose signatures DedupSpec proves
+    * identical). `family` = "md5" (oracle-reproducible h60i, the
+    * correctness gate) or "xxh64" (production path).
     */
   def minHashLsh(spark: SparkSession, sfDir: String,
                  shingleN: Int = 3, k: Int = 16, bands: Int = 4,
                  minEst: Double = 0.5,
-                 hasher: (Column, Column) => Column = h60i): DataFrame = {
+                 family: String = "md5"): DataFrame = {
     val r = k / bands
-    // materialized once: referenced by the band self-join AND both sides
-    // of the signature-agreement scoring join (4 consumers total)
-    val sig = minHashSignatures(shingles(table(spark, sfDir, "documents"), shingleN), k, hasher)
+    val sh = shingles(table(spark, sfDir, "documents"), shingleN)
+    // materialized once: referenced by both sides of the band self-join
+    // and both sides of the scoring join
+    val sig = sh.groupBy("doc_id")
+      .agg(graft.functions.MinHashSketch.sketch(col("shingle"), k, family).as("sigs"))
       .localCheckpoint()
-    // band signature: minhashes of the band in i-order, joined into one key
+    // band key: the r consecutive minhashes of the band, joined exact
     val bandSig = sig
-      .withColumn("band", (col("i") / r).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
-        s => s.getField("mh").cast("string")), ",").as("sig"))
-      .localCheckpoint()
+      .withColumn("band", explode(array((0 until bands).map(lit(_)): _*)))
+      .withColumn("sig", array_join(
+        transform(slice(col("sigs"), col("band") * r + 1, lit(r)), _.cast("string")), ","))
+      .select("doc_id", "band", "sig")
     val a = bandSig.as("a")
     val b = bandSig.as("b")
     val cand = a.join(b,
@@ -119,14 +130,16 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // score candidates: fraction of the k signatures that agree
-    val sa = sig.select(col("doc_id").as("doc_a"), col("i"), col("mh").as("mh_a"))
-    val sb = sig.select(col("doc_id").as("doc_b"), col("i"), col("mh").as("mh_b"))
-    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b", "i"))
-      .groupBy("doc_a", "doc_b")
-      .agg((sum(when(col("mh_a") === col("mh_b"), 1).otherwise(0)) / lit(k))
-        .as("est_jaccard"))
+    // score candidates: fraction of the k sketch slots that agree,
+    // computed directly on the two arrays — no (doc, i) re-join
+    val sa = sig.select(col("doc_id").as("doc_a"), col("sigs").as("sigs_a"))
+    val sb = sig.select(col("doc_id").as("doc_b"), col("sigs").as("sigs_b"))
+    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sigs_a"), col("sigs_b"), (x, y) => x === y),
+          agree => agree)) / lit(k))
       .filter(col("est_jaccard") >= minEst)
+      .select("doc_a", "doc_b", "est_jaccard")
       .orderBy("doc_a", "doc_b")
   }
 

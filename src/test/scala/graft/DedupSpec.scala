@@ -46,10 +46,23 @@ class DedupSpec extends SparkSpec {
   }
 
   test("minhash fast path (xxhash64): identical shingle sets still pair at est 1.0") {
-    val pairs = Dedup.minHashLsh(spark, sfDir, minEst = 0.3, hasher = Dedup.fastHasher)
+    val pairs = Dedup.minHashLsh(spark, sfDir, minEst = 0.3, family = "xxh64")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(pairs((1L, 2L)) === 1.0) // family-independent: identical sets
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("MinHashSketchAgg equals the explode-by-k formulation signature-for-signature") {
+    import org.apache.spark.sql.functions._
+    val sh = Dedup.shingles(
+      graft.GraftSession.table(spark, sfDir, "documents"))
+    val viaAgg = sh.groupBy("doc_id")
+      .agg(graft.functions.MinHashSketch.sketch(col("shingle"), 16).as("sigs"))
+      .select(col("doc_id"), posexplode(col("sigs")).as(Seq("i", "mh")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val viaExplode = Dedup.minHashSignatures(sh, 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(viaAgg === viaExplode)
   }
 
   test("winnowing: case-variant duplicates share the exact fingerprint set") {
