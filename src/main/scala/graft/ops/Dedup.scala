@@ -144,22 +144,17 @@ object Dedup {
   }
 
   /** 3. SimHash (32-bit): per bit j, sum +-1 weighted by shingle-hash bit
-    * j over the doc's shingles; simhash bit j = (weight > 0). Bit math is
-    * spelled as BIGINT arithmetic ((h / 2^j) % 2) so the DuckDB oracle
-    * reproduces it exactly.
+    * j over the doc's shingles; simhash bit j = (weight > 0). Computed in
+    * ONE aggregation by SimHashSketchAgg (a TypedImperativeAggregate over
+    * the 32 weight sums) instead of the explode-by-32 + double-groupBy
+    * formulation; the hash is the same md5-derived h32, so the DuckDB
+    * oracle (which spells the bit math as BIGINT arithmetic) reproduces
+    * every sketch exactly — DedupSpec pins an equivalence case.
     */
-  def simHashes(docs: DataFrame, shingleN: Int = 3): DataFrame = {
-    val sh = shingles(docs, shingleN)
-    sh.select(col("doc_id"), h32(col("shingle")).as("h"))
-      .withColumn("j", explode(array((0 until 32).map(lit(_)): _*)))
-      .select(col("doc_id"), col("j"),
-        (((col("h") / pow(lit(2), col("j")).cast("long")).cast("long") % 2) * 2 - 1).as("w"))
-      .groupBy("doc_id", "j")
-      .agg(sum(col("w")).as("wsum"))
+  def simHashes(docs: DataFrame, shingleN: Int = 3): DataFrame =
+    shingles(docs, shingleN)
       .groupBy("doc_id")
-      .agg(sum(when(col("wsum") > 0, pow(lit(2), col("j")).cast("long")).otherwise(0L))
-        .cast("long").as("simhash"))
-  }
+      .agg(graft.functions.SimHashSketch.sketch(col("shingle")).as("simhash"))
 
   /** SimHash near-dup pairs at hamming distance <= maxHamming via
     * pigeonhole chunk bucketing (no cross join).

@@ -65,6 +65,31 @@ class DedupSpec extends SparkSpec {
     assert(viaAgg === viaExplode)
   }
 
+  test("SimHashSketchAgg equals an independent plain-Scala simhash") {
+    import org.apache.spark.sql.functions._
+    def h32(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      (0 until 4).foldLeft(0L)((acc, j) => (acc << 8) | (d(j) & 0xffL))
+    }
+    def simhash(shingles: Set[String]): Long = {
+      val w = new Array[Long](32)
+      shingles.foreach { s =>
+        val h = h32(s)
+        (0 until 32).foreach(j => w(j) += (if (((h >>> j) & 1L) == 1L) 1L else -1L))
+      }
+      (0 until 32).foldLeft(0L)((acc, j) => if (w(j) > 0) acc | (1L << j) else acc)
+    }
+    val docs = graft.GraftSession.table(spark, sfDir, "documents")
+    val expected = docs.select(col("doc_id"), col("text")).collect().flatMap { r =>
+      val toks = r.getString(1).toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+      if (toks.size < 3) None // shingles(n=3) emits nothing for short docs
+      else Some(r.getLong(0) -> simhash(toks.sliding(3).map(_.mkString(" ")).toSet))
+    }.toMap
+    val got = Dedup.simHashes(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.nonEmpty && got === expected)
+  }
+
   test("winnowing: case-variant duplicates share the exact fingerprint set") {
     val fps = Dedup.winnowFingerprints(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1))
