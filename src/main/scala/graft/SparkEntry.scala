@@ -107,7 +107,8 @@ object SparkEntry {
     "stream_tumbling" -> ((s, dir) => StreamingOps.streamTumbling(s, dir)),
     "stream_sessions" -> ((s, dir) => StreamingOps.streamSessions(s, dir)),
     "stream_tokens" -> ((s, dir) => StreamingOps.streamTokenCounts(s, dir)),
-    "stream_running" -> ((s, dir) => StreamingOps.streamRunningTotals(s, dir))
+    "stream_running" -> ((s, dir) => StreamingOps.streamRunningTotals(s, dir)),
+    "stream_dedup" -> ((s, dir) => StreamingOps.streamExactDedup(s, dir))
   )
 
   // Shared oracle fragments -------------------------------------------------
@@ -575,6 +576,9 @@ object SparkEntry {
     "stream_running" ->
       """SELECT user_id, count(*)::BIGINT AS n_events,
         |  sum(floor(value * 1000000)::BIGINT)::BIGINT AS total_value_micros
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "stream_dedup" ->
+      """SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_key
+        |FROM documents ORDER BY content_key""".stripMargin
   )
 }

@@ -178,6 +178,23 @@ object StreamingOps {
         "stream_tokens", OutputMode.Complete())
       .orderBy("token")
 
+  /** Streaming exact dedup: the stateful ingest-time variant of
+    * Dedup.exact — dropDuplicates over the normalized-content key keeps
+    * the FIRST arrival per key in the state store and suppresses the
+    * rest. Emits the distinct content keys (which doc wins per key is
+    * arrival-order-dependent, so only the key — deterministic — is
+    * surfaced). Production: add a watermark on ingest time to bound
+    * state; the harness corpus is a single finite batch.
+    */
+  def streamExactDedup(spark: SparkSession, sfDir: String): DataFrame =
+    runToBatch(spark,
+        harnessDocStream(spark, sfDir)
+          .select(md5(lower(regexp_replace(trim(col("text")), "\\s+", " ")))
+            .as("content_key"))
+          .dropDuplicates("content_key"),
+        "stream_dedup", OutputMode.Append())
+      .orderBy("content_key")
+
   /** Final per-user state of the mapGroupsWithState running totals. The
     * memory sink sees one Update row per (user, micro-batch); the final
     * state per user is the row with the highest event count (monotone).
