@@ -35,7 +35,9 @@ object OracleHash {
     h60(concat(i.cast("string"), lit(":"), c))
 
   /** Production-path hash: Spark-native xxhash64 (codegen'd, no md5 cost).
-    * Not oracle-comparable; used by the `fast*` operator variants.
+    * Not oracle-comparable. The sketch aggregates carry their own xxh64
+    * family (MinHashSketchAgg family="xxh64", the dedup_minhash_fast
+    * query); this Column form is for expression-level uses.
     */
   def fastHash64(c: Column, seed: Int = 42): Column = xxhash64(lit(seed), c)
 }

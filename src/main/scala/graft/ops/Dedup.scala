@@ -83,10 +83,6 @@ object Dedup {
       .groupBy("doc_id", "i")
       .agg(min(hasher(col("i"), col("shingle"))).as("mh"))
 
-  /** xxhash64-based member of the minhash family (production path). */
-  val fastHasher: (Column, Column) => Column =
-    (i, s) => xxhash64(i, s)
-
   /** 2. MinHash + LSH banding: k signatures in b bands of r rows
     * (k = b*r). Docs sharing a full band signature become candidates;
     * candidates are scored by signature agreement (the unbiased Jaccard
