@@ -1,0 +1,144 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftExpressionBridge
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text-sharding expressions for the dedup/fingerprint suite.
+  *
+  * Both replace higher-order-function formulations
+  * (`transform(sequence(...), i => ...)` chains) that Spark evaluates as
+  * interpreted per-element lambdas — per gram that meant substr + md5 +
+  * hex-string + conv-parse allocations. These run the same math in one
+  * tight JVM loop per row and are wired into whole-stage codegen via a
+  * static call (the StaticInvoke pattern), so the surrounding stage
+  * keeps its codegen span.
+  *
+  * Semantics are bit-identical to the SQL formulations (and therefore
+  * to the DuckDB oracles) — string positions are CODE POINTS (what both
+  * engines' length()/substr() count), hashes are the md5-derived
+  * h60/h32 of OracleHash.
+  */
+object TextShingles {
+
+  /** Word shingles: lowercase, split on the single space character, drop
+    * empty tokens, emit all n-token shingles joined by one space.
+    * Returns an empty array when fewer than n tokens exist (the SQL
+    * filter(size >= n) equivalent: explode emits nothing).
+    */
+  def computeShingles(text: UTF8String, n: Int): GenericArrayData = {
+    val s = text.toLowerCase.toString
+    val toks = new java.util.ArrayList[String]()
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        if (i > start) toks.add(s.substring(start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+    val m = toks.size
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - n + 1)
+    var j = 0
+    while (j <= m - n) {
+      val sb = new java.lang.StringBuilder()
+      var t = 0
+      while (t < n) {
+        if (t > 0) sb.append(' ')
+        sb.append(toks.get(j + t))
+        t += 1
+      }
+      out(j) = UTF8String.fromString(sb.toString)
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val md5Local: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** Winnowing fingerprints of an (already normalized) string: h60 of
+    * every k-code-point gram, then the minimum of each w-wide window of
+    * gram hashes, in window order (duplicates included — the caller
+    * applies DISTINCT). Empty array when no full window exists.
+    */
+  def computeWinnow(norm: UTF8String, k: Int, w: Int): GenericArrayData = {
+    val cps = norm.toString.codePoints().toArray
+    val nGrams = cps.length - k + 1
+    val nWin = nGrams - w + 1
+    if (nWin < 1) return new GenericArrayData(Array.empty[Any])
+    val d = md5Local.get()
+    val hashes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      val gram = new String(cps, i, k)
+      d.reset()
+      val digest = d.digest(gram.getBytes("UTF-8"))
+      var be = 0L
+      var j = 0
+      while (j < 8) { be = (be << 8) | (digest(j) & 0xffL); j += 1 }
+      hashes(i) = be >>> 4 // h60: first 15 hex chars == top 60 bits
+      i += 1
+    }
+    val out = new Array[Any](nWin)
+    var p = 0
+    while (p < nWin) {
+      var mn = hashes(p)
+      var q = 1
+      while (q < w) { if (hashes(p + q) < mn) mn = hashes(p + q); q += 1 }
+      out(p) = mn
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `word_shingles(text, n)` — see TextShingles.computeShingles. */
+case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n > 0)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING")
+  override protected def nullSafeEval(v: Any): Any =
+    TextShingles.computeShingles(v.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextShingles.computeShingles($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
+    copy(child = newChild)
+}
+
+/** `winnow_fps(norm, k, w)` — see TextShingles.computeWinnow. */
+case class WinnowFpsExpr(child: Expression, k: Int, w: Int) extends UnaryExpression {
+  require(k > 0 && w > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING")
+  override protected def nullSafeEval(v: Any): Any =
+    TextShingles.computeWinnow(v.asInstanceOf[UTF8String], k, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextShingles.computeWinnow($c, $k, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFpsExpr =
+    copy(child = newChild)
+}
+
+object ShingleColumns {
+  def wordShingles(text: Column, n: Int): Column =
+    GraftExpressionBridge.column(
+      WordShinglesExpr(GraftExpressionBridge.expression(text), n))
+  def winnowFps(norm: Column, k: Int, w: Int): Column =
+    GraftExpressionBridge.column(
+      WinnowFpsExpr(GraftExpressionBridge.expression(norm), k, w))
+}

@@ -42,16 +42,16 @@ object Dedup {
     * text (case-normalized so the fuzzy ladder catches the same
     * duplicates `exact` catches; whitespace runs collapse via the
     * empty-token filter). Output: (doc_id, shingle) distinct.
+    *
+    * Backed by the native WordShinglesExpr (one JVM loop per row,
+    * codegen'd via static call) — the transform/sequence/slice
+    * formulation it replaces is interpreted per element; semantics are
+    * identical (DedupSpec + every dedup oracle pins them).
     */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
-    val toks = filter(split(lower(col("text")), " "), t => length(t) > 0)
-    docs.select(col("doc_id"), toks.as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"),
-        explode(transform(sequence(lit(0), size(col("toks")) - n),
-          i => concat_ws(" ", slice(col("toks"), i + 1, lit(n))))).as("shingle"))
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"),
+        explode(graft.functions.ShingleColumns.wordShingles(col("text"), n)).as("shingle"))
       .distinct()
-  }
 
   /** 1. Exact dedup: group by md5 of normalized text, keep the smallest
     * doc_id as canonical. One shuffle on the 128-bit key; group sizes are
@@ -265,18 +265,13 @@ object Dedup {
   def winnowFingerprints(spark: SparkSession, sfDir: String,
                          k: Int = 8, w: Int = 4): DataFrame = {
     val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
-    val docs = table(spark, sfDir, "documents")
-      .select(col("doc_id"), norm.as("norm"))
-      .filter(length(col("norm")) >= k + w - 1)
-    // gram hashes g_i = h60(norm[i .. i+k-1]), i in [1, len-k+1]
-    val grams = transform(
-      sequence(lit(1), length(col("norm")) - (k - 1)),
-      i => h60(col("norm").substr(i, lit(k))))
-    // window minima: fp_j = min(g_j .. g_{j+w-1}), j in [1, n_grams-w+1]
-    docs.select(col("doc_id"), grams.as("g"))
+    // gram hashing + window minima in one native expression
+    // (WinnowFpsExpr): h60 per k-code-point gram, min per w-window —
+    // the HOF formulation it replaces paid substr+md5-hex+conv
+    // interpretation per gram
+    table(spark, sfDir, "documents")
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), size(col("g")) - (w - 1)),
-          j => array_min(slice(col("g"), j, lit(w))))).as("fp"))
+        explode(graft.functions.ShingleColumns.winnowFps(norm, k, w)).as("fp"))
       .distinct()
       .orderBy("doc_id", "fp")
   }
