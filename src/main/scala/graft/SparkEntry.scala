@@ -548,14 +548,15 @@ object SparkEntry {
         |FROM events
         |GROUP BY win_start, event_type
         |ORDER BY win_start, event_type""".stripMargin,
-    // session_window merges an event only while it falls strictly inside
-    // [start, last+gap), so the boundary split is diff >= gap (the batch
-    // ev_sessions variant uses > gap — deliberate, documented difference)
+    // session_window MERGES an event landing exactly at the window end
+    // (gap-touching), so a new session starts only when diff > gap —
+    // same boundary as the batch ev_sessions; pinned by StreamingSpec's
+    // boundary test
     "stream_sessions" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
         |flagged AS (
         |  SELECT user_id, tus,
-        |    CASE WHEN lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w >= 1800000000
+        |    CASE WHEN lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w > 1800000000
         |         THEN 1 ELSE 0 END AS new_sess
         |  FROM ev
         |  WINDOW w AS (PARTITION BY user_id ORDER BY tus ASC)),

@@ -152,11 +152,12 @@ object StreamingOps {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("win_start", "event_type")
 
-  /** Streaming session windows (native session_window) per user. Session
-    * boundary is event-time gap >= 30 min — session_window merges an
-    * event only while it lands strictly inside [start, last+gap), which
-    * differs from the batch sessionize's `> gap` boundary by exactly the
-    * equality case. Output: one row per session with its start (micros).
+  /** Streaming session windows (native session_window) per user.
+    * session_window merges an event landing exactly at the current
+    * window end (gap-touching), so a new session starts only when the
+    * event-time gap EXCEEDS 30 min — the same boundary as the batch
+    * sessionize (StreamingSpec pins it). Output: one row per session
+    * with its start (micros).
     */
   def streamSessions(spark: SparkSession, sfDir: String): DataFrame =
     runToBatch(spark, sessionizedEvents(harnessEventStream(spark, sfDir)),

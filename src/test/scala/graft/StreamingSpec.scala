@@ -64,6 +64,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window boundary: exactly 30 min MERGES; beyond it splits") {
+    import spark.implicits._
+    // pins the boundary the stream_sessions oracle must reproduce:
+    // session_window merges an event landing exactly at the window end
+    // (gap-touching), so a new session starts only when diff > gap
+    val dir = Files.createTempDirectory("graft-stream-gap").toString
+    Seq(
+      (1L, ts(0), 9L, "click", 1.0),
+      (2L, ts(1800), 9L, "click", 1.0), // exactly gap after -> still merged
+      (3L, ts(3601), 9L, "click", 1.0)  // 1801s after #2 -> new session
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(dir)
+    val q = StreamingOps.runToMemory(
+      StreamingOps.sessionizedEvents(streamEvents(dir)), "gap_sess")
+    try {
+      val got = spark.sql(
+        "SELECT cast(sess_start AS LONG), n_events FROM gap_sess ORDER BY 1")
+        .as[(Long, Long)].collect().toSeq
+      assert(got === Seq((0L, 2L), (3601L, 1L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("streaming session windows: 30-min gap splits a user's sessions") {
     import spark.implicits._
     val q = StreamingOps.runToMemory(
