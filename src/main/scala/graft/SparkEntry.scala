@@ -89,6 +89,8 @@ object SparkEntry {
     // oracle compare empty-vs-empty — vacuously green. 400 keeps the
     // LSH-bucket + exact-cosine path exercised on non-empty output.
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDups(s, dir, minCosMilli = 400L)),
+    // composed cleaning pipeline: quality gate -> exact dedup survivors
+    "pipeline_clean" -> ((s, dir) => Dedup.cleanCorpus(s, dir)),
     // —— similarity search ——
     "sim_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "sim_lsh_ann" -> ((s, dir) => Similarity.lshAnn(s, dir)),
@@ -580,6 +582,20 @@ object SparkEntry {
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "stream_dedup" ->
       """SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_key
-        |FROM documents ORDER BY content_key""".stripMargin
+        |FROM documents ORDER BY content_key""".stripMargin,
+    "pipeline_clean" ->
+      """WITH q AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |kept AS (
+        |  SELECT doc_id, text FROM q
+        |  WHERE len(toks) >= 10 AND len(toks) <= 100000
+        |    AND len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','on'))) * 100 >= len(toks)),
+        |keyed AS (
+        |  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_key
+        |  FROM kept)
+        |SELECT min(doc_id)::BIGINT AS doc_id, content_key
+        |FROM keyed GROUP BY content_key ORDER BY doc_id""".stripMargin
   )
 }

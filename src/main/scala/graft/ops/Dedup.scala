@@ -276,6 +276,28 @@ object Dedup {
       .orderBy("doc_id", "fp")
   }
 
+  /** End-to-end corpus cleaning — the composition an LLM data pipeline
+    * actually runs over raw documents:
+    *   1. quality gate (TextAnalysis.qualityScore's keep rule),
+    *   2. exact dedup over the survivors (normalized-content md5,
+    *      keep the smallest surviving doc_id per key).
+    * Output: the cleaned corpus as (doc_id, content_key), ordered.
+    * Both stages are narrow + one shuffle on the content key — at
+    * 100 TB the quality filter prunes before any shuffle happens.
+    */
+  def cleanCorpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val quality = TextAnalysis.qualityScore(spark, sfDir)
+      .filter(col("quality_keep")).select("doc_id")
+    val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+    table(spark, sfDir, "documents")
+      .join(quality, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), md5(norm).as("content_key"))
+      .groupBy("content_key")
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"), col("content_key"))
+      .orderBy("doc_id")
+  }
+
   /** Embedding near-dup: pairs of vectors with cosine >= minCos.
     * Candidates come from random-hyperplane LSH buckets
     * (Similarity.lshNearDupPairs) — exact cosine runs only within
