@@ -94,6 +94,7 @@ object SparkEntry {
     // —— similarity search ——
     "sim_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "sim_lsh_ann" -> ((s, dir) => Similarity.lshAnn(s, dir)),
+    "sim_ivf" -> ((s, dir) => Similarity.ivfAnn(s, dir)),
     "sim_allpairs" -> ((s, dir) =>
       Similarity.allPairsCosine(s, dir, stride = 10)
         .orderBy("vec_a", "vec_b")),
@@ -485,6 +486,36 @@ object SparkEntry {
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosMilli("a.v", "b.v")} AS cos_milli
          |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
          |ORDER BY vec_a, vec_b""".stripMargin,
+    // IVF mirror: strided centroids, argmax-cosine cell assignment,
+    // nprobe=2 probing, exact re-rank — orderings made total by the
+    // (cos desc, id asc) tie-break everywhere
+    "sim_ivf" ->
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT e.vec_id, e.v, c.c_id, ${cosMilli("e.v", "c.cv")} AS cs
+         |  FROM emb e CROSS JOIN cent c),
+         |assigned AS (
+         |  SELECT vec_id, v, c_id AS cell FROM (
+         |    SELECT vec_id, v, c_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id ASC) AS ark
+         |    FROM scored) WHERE ark = 1),
+         |probes AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT vec_id AS q_id, c_id AS cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id ASC) AS prk
+         |    FROM scored WHERE vec_id % 50 = 0) WHERE prk <= 2),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
+         |cand AS (
+         |  SELECT DISTINCT p.q_id, a.vec_id AS n_id, ${cosMilli("q.qv", "a.v")} AS cos_milli
+         |  FROM probes p JOIN q USING (q_id) JOIN assigned a ON a.cell = p.cell
+         |  WHERE a.vec_id != p.q_id),
+         |ranked AS (
+         |  SELECT q_id, n_id, cos_milli,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos_milli DESC, n_id ASC) AS rk
+         |  FROM cand)
+         |SELECT q_id, rk, n_id, cos_milli FROM ranked WHERE rk <= 10
+         |ORDER BY q_id, rk""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id AS id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,

@@ -147,6 +147,61 @@ object Similarity {
       .localCheckpoint()
   }
 
+  /** IVF-style ANN: a coarse quantizer partitions the corpus into cells,
+    * each query probes its `nprobe` nearest cells, exact cosine re-ranks
+    * inside the probed cells. The classic inverted-file trade: recall is
+    * bounded by the probed fraction, and the per-query candidate set
+    * shrinks by ~|cells|/nprobe versus a full scan.
+    *
+    * The quantizer here is deterministic (centroids = every
+    * `centroidMod`-th vector, no Lloyd iterations) so the oracle can
+    * replay it; a production build would run a few k-means rounds and
+    * broadcast the learned centroids — the plan shape (tiny broadcast
+    * cross-score -> argmax cell -> co-grouped probe join) is identical.
+    *
+    * Scale notes: assignment is one broadcast pass over the corpus (no
+    * shuffle of the vectors); the probe join shuffles on the cell id —
+    * the IVF posting-list access pattern.
+    */
+  def ivfAnn(spark: SparkSession, sfDir: String,
+             centroidMod: Int = 50, nprobe: Int = 2, k: Int = 10): DataFrame = {
+    val emb = embeddings(spark, sfDir)
+    val cent = emb.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    // score every vector against every centroid (broadcast: |cells| is
+    // tiny); integer cosine + id tie-break keeps everything total
+    val scored = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("c_id"),
+        cosMilli(col("v"), col("cv")).as("cs"))
+      .localCheckpoint()
+    // cell assignment: argmax cosine, ties to the smallest centroid id
+    val assigned = scored
+      .groupBy("vec_id")
+      .agg(max(struct(col("cs"), (-col("c_id")).as("neg_c"))).as("best"))
+      .select(col("vec_id"), (-col("best.neg_c")).as("cell"))
+      .join(emb, Seq("vec_id"))
+      .localCheckpoint()
+    // each strided query probes its nprobe best cells
+    val w = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("c_id").asc)
+    val probes = scored.filter(col("vec_id") % centroidMod === 0)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= nprobe)
+      .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
+    val queries = emb.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val cand = probes.join(queries, Seq("q_id"))
+      .join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosMilli(col("qv"), col("v")).as("cos_milli"))
+      .distinct()
+    val wr = Window.partitionBy("q_id").orderBy(col("cos_milli").desc, col("n_id").asc)
+    cand.withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("n_id"), col("cos_milli"))
+      .orderBy("q_id", "rk")
+  }
+
   /** Random-hyperplane LSH ANN: `nBits`-bit sign signature per band,
     * candidates = same (band, signature) bucket, exact cosine re-rank
     * within bucket, top-k per query.
