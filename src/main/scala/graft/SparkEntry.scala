@@ -95,8 +95,15 @@ object SparkEntry {
     "sim_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "sim_lsh_ann" -> ((s, dir) => Similarity.lshAnn(s, dir)),
     "sim_ivf" -> ((s, dir) => Similarity.ivfAnn(s, dir)),
+    // trained-quantizer IVF (2 Lloyd rounds over the strided seeds) — the
+    // learned centroids are not oracle-replayable, so rows-only here;
+    // SimilaritySpec pins recall@10 against brute-force ground truth
+    "sim_ivf_kmeans" -> ((s, dir) => Similarity.ivfAnnKMeans(s, dir)),
+    // exact ground-truth verifier, quadratic BY DESIGN: the sample is a
+    // FIXED absolute size (500 smallest vec_ids -> <=124,750 pairs), so
+    // 100x the corpus cannot re-quadratize it
     "sim_allpairs" -> ((s, dir) =>
-      Similarity.allPairsCosine(s, dir, stride = 10)
+      Similarity.allPairsCosine(s, dir, maxSample = 500)
         .orderBy("vec_a", "vec_b")),
     // —— multimodal columns ——
     "mm_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
@@ -482,7 +489,8 @@ object SparkEntry {
          |ORDER BY q_id, rk""".stripMargin,
     "sim_allpairs" ->
       s"""WITH emb AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 10 = 0)
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |  ORDER BY vec_id LIMIT 500)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosMilli("a.v", "b.v")} AS cos_milli
          |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
          |ORDER BY vec_a, vec_b""".stripMargin,

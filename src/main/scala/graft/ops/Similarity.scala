@@ -74,14 +74,24 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
-  /** All-pairs cosine over a strided sample (exact verification stage for
-    * embedding near-dup). Pair space is (n/stride choose 2) — keep the
-    * stride such that the sample fits the budget; full-corpus near-dup
-    * goes through lshAnn buckets instead.
+  /** All-pairs cosine over a FIXED-SIZE sample (exact verification stage
+    * for embedding near-dup). Quadratic BY DESIGN — it exists to verify
+    * the ANN/LSH rungs against ground truth — so the sample must be an
+    * absolute size, not a fraction: the `maxSample` smallest vec_ids give
+    * at most maxSample*(maxSample-1)/2 pairs (~125k at the default 500)
+    * NO MATTER how large the corpus grows. A strided sample would
+    * re-quadratize at 100x data; this cannot.
+    *
+    * The sample is materialized once (localCheckpoint) so the self-join
+    * doesn't run the TakeOrdered twice, and re-spread over the default
+    * shuffle partitions so the pair scoring parallelizes.
     */
-  def allPairsCosine(spark: SparkSession, sfDir: String, stride: Int = 1): DataFrame = {
-    val emb = embeddings(spark, sfDir).filter(col("vec_id") % stride === 0)
+  def allPairsCosine(spark: SparkSession, sfDir: String, maxSample: Int = 500): DataFrame = {
+    val emb = embeddings(spark, sfDir)
+      .orderBy("vec_id").limit(maxSample) // TakeOrdered: O(maxSample) per partition
+      .localCheckpoint()
     val a = emb.select(col("vec_id").as("vec_a"), col("v").as("va"))
+      .repartition(col("vec_a"))
     val b = emb.select(col("vec_id").as("vec_b"), col("v").as("vb"))
     a.join(b, col("vec_a") < col("vec_b"))
       .select(col("vec_a"), col("vec_b"), cosMilli(col("va"), col("vb")).as("cos_milli"))
@@ -155,51 +165,116 @@ object Similarity {
     *
     * The quantizer here is deterministic (centroids = every
     * `centroidMod`-th vector, no Lloyd iterations) so the oracle can
-    * replay it; a production build would run a few k-means rounds and
-    * broadcast the learned centroids — the plan shape (tiny broadcast
+    * replay it; `ivfAnnKMeans` below refines these same seeds with
+    * broadcast Lloyd rounds — the plan shape (tiny broadcast
     * cross-score -> argmax cell -> co-grouped probe join) is identical.
     *
-    * Scale notes: assignment is one broadcast pass over the corpus (no
-    * shuffle of the vectors); the probe join shuffles on the cell id —
-    * the IVF posting-list access pattern.
+    * Scale notes: cell assignment costs ONE exchange keyed on vec_id —
+    * the vector rides inside the max(struct) aggregation buffer, and
+    * map-side partial aggregation collapses the x|cells| scoring fan-out
+    * back to one row per vector before the shuffle, so no scored
+    * (vector x centroid) relation is ever materialized or shuffled. The
+    * probe join then exchanges the assigned vectors once on the cell id —
+    * the IVF posting-list access pattern. Total: the corpus crosses the
+    * network twice (vec_id, then cell), both on unique skew-free keys.
     */
   def ivfAnn(spark: SparkSession, sfDir: String,
              centroidMod: Int = 50, nprobe: Int = 2, k: Int = 10): DataFrame = {
     val emb = embeddings(spark, sfDir)
     val cent = emb.filter(col("vec_id") % centroidMod === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
-    // score every vector against every centroid (broadcast: |cells| is
-    // tiny); integer cosine + id tie-break keeps everything total
-    val scored = emb.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("v"), col("c_id"),
-        cosMilli(col("v"), col("cv")).as("cs"))
-      .localCheckpoint()
-    // cell assignment: argmax cosine, ties to the smallest centroid id
-    val assigned = scored
+    ivfTopK(emb, broadcast(cent), col("vec_id") % centroidMod === 0, nprobe, k)
+  }
+
+  /** Shared IVF core: assign each vector to its argmax-cosine cell, probe
+    * each query's nprobe best cells, exact re-rank inside probed cells.
+    * `cent` must be tiny (it is cross-joined broadcast); `isQuery`
+    * selects the query rows of `emb`.
+    */
+  private[ops] def ivfTopK(emb: DataFrame, cent: DataFrame, isQuery: Column,
+                           nprobe: Int, k: Int): DataFrame = {
+    // cell assignment: argmax cosine, ties to the smallest centroid id.
+    // (cs, neg_c) is unique per (vector, centroid), so the trailing v
+    // never participates in the max comparison — it just rides along,
+    // avoiding any re-join of the corpus vectors.
+    val assigned = emb.crossJoin(cent)
+      .select(col("vec_id"),
+        struct(cosMilli(col("v"), col("cv")).as("cs"),
+          (-col("c_id")).as("neg_c"), col("v").as("v")).as("sc"))
       .groupBy("vec_id")
-      .agg(max(struct(col("cs"), (-col("c_id")).as("neg_c"))).as("best"))
-      .select(col("vec_id"), (-col("best.neg_c")).as("cell"))
-      .join(emb, Seq("vec_id"))
-      .localCheckpoint()
-    // each strided query probes its nprobe best cells
-    val w = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("c_id").asc)
-    val probes = scored.filter(col("vec_id") % centroidMod === 0)
+      .agg(max(col("sc")).as("best"))
+      .select(col("vec_id"), (-col("best.neg_c")).as("cell"), col("best.v").as("v"))
+    // each query probes its nprobe best cells; queries are filtered
+    // BEFORE the scoring cross join, and the query vector rides along so
+    // no separate query-side join is needed
+    val w = Window.partitionBy("q_id").orderBy(col("cs").desc, col("c_id").asc)
+    val probes = emb.filter(isQuery)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .crossJoin(cent)
+      .select(col("q_id"), col("qv"), col("c_id"),
+        cosMilli(col("qv"), col("cv")).as("cs"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= nprobe)
-      .select(col("vec_id").as("q_id"), col("c_id").as("cell"))
-    val queries = emb.filter(col("vec_id") % centroidMod === 0)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val cand = probes.join(queries, Seq("q_id"))
-      .join(assigned, Seq("cell"))
+      .select(col("q_id"), col("qv"), col("c_id").as("cell"))
+    // probe cells are distinct per query and each vector lives in exactly
+    // one cell, so (q_id, n_id) candidates are already unique — no
+    // distinct pass needed
+    val cand = probes.join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
         cosMilli(col("qv"), col("v")).as("cos_milli"))
-      .distinct()
     val wr = Window.partitionBy("q_id").orderBy(col("cos_milli").desc, col("n_id").asc)
     cand.withColumn("rk", row_number().over(wr))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk").cast("long").as("rk"), col("n_id"), col("cos_milli"))
       .orderBy("q_id", "rk")
+  }
+
+  /** IVF with a TRAINED coarse quantizer: the strided seeds of `ivfAnn`
+    * refined by `rounds` Lloyd iterations, then the identical
+    * assign/probe/re-rank plan (ivfTopK). Each round is one broadcast
+    * argmax-assignment pass over the corpus followed by a per-cell
+    * elementwise mean; the new |cells| x dim centroid table (tiny,
+    * corpus-size-independent) is materialized with localCheckpoint and
+    * re-broadcast into the next round — the standard distributed k-means
+    * cycle, with no driver-side collect at all.
+    *
+    * Determinism: cell assignment uses the integer cosMilli with id
+    * tie-break (total), and the centroid means accumulate in DECIMAL
+    * (associative, partition-order independent) before narrowing to
+    * DOUBLE — so the learned centroids, and therefore the results, are
+    * identical run to run. Registered rows-only (a DuckDB oracle would
+    * have to replay every Lloyd round; SimilaritySpec instead pins
+    * recall@10 against bruteForceTopK ground truth).
+    */
+  def ivfAnnKMeans(spark: SparkSession, sfDir: String,
+                   centroidMod: Int = 50, rounds: Int = 2,
+                   nprobe: Int = 2, k: Int = 10): DataFrame = {
+    val emb = embeddings(spark, sfDir).localCheckpoint() // read once, used every round
+    var cent = emb.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      .localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val assigned = emb.crossJoin(broadcast(cent))
+        .select(col("vec_id"),
+          struct(cosMilli(col("v"), col("cv")).as("cs"),
+            (-col("c_id")).as("neg_c"), col("v").as("v")).as("sc"))
+        .groupBy("vec_id")
+        .agg(max(col("sc")).as("best"))
+        .select((-col("best.neg_c")).as("cell"), col("best.v").as("v"))
+      // per-cell elementwise mean; empty cells drop out naturally
+      cent = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg((sum(col("x").cast("decimal(30,15)")) / count(lit(1))).cast("double").as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell").as("c_id"), transform(col("pm"), p => p.getField("m")).as("cv"))
+        .localCheckpoint()
+      r += 1
+    }
+    ivfTopK(emb, broadcast(cent), col("vec_id") % centroidMod === 0, nprobe, k)
   }
 
   /** Random-hyperplane LSH ANN: `nBits`-bit sign signature per band,
