@@ -89,8 +89,14 @@ object SparkEntry {
     // oracle compare empty-vs-empty — vacuously green. 400 keeps the
     // LSH-bucket + exact-cosine path exercised on non-empty output.
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDups(s, dir, minCosMilli = 400L)),
+    // fuzzy cluster resolution: union of the three fuzzy rungs' pairs ->
+    // connected components (min-label propagation) -> (doc, cluster)
+    "dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(s, dir)),
     // composed cleaning pipeline: quality gate -> exact dedup survivors
     "pipeline_clean" -> ((s, dir) => Dedup.cleanCorpus(s, dir)),
+    // full ladder: quality gate -> exact dedup -> fuzzy-cluster dedup
+    // (keep the smallest surviving doc per near-dup component)
+    "pipeline_fuzzy" -> ((s, dir) => Dedup.cleanCorpusFuzzy(s, dir)),
     // —— similarity search ——
     "sim_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "sim_lsh_ann" -> ((s, dir) => Similarity.lshAnn(s, dir)),
@@ -167,6 +173,94 @@ object SparkEntry {
        |bucketed AS (
        |  SELECT s.vec_id, s.band, s.sig, e.v
        |  FROM sigs s JOIN emb e USING (vec_id))""".stripMargin
+
+  /** Fuzzy near-dup pair graph (mirror of Dedup.nearDupClusters' edge
+    * union): CTE chain ending in `fedges(src, dst)` — the bidirectional
+    * union of the minhash-LSH (est>=0.5), simhash (hamming<=3) and
+    * n-gram-Jaccard (>=0.3) pair sets. Requires the `sh` CTE from
+    * docShingles; prefixed names (mh_/sh_/jc_) keep the three rungs'
+    * CTEs from colliding when composed into one query.
+    */
+  private val fuzzyEdgesCte =
+    s"""mh_sig AS (
+       |  SELECT doc_id, i, min(${h60("i || ':' || shingle")}) AS mh
+       |  FROM sh, UNNEST(range(0, 16)) AS u(i)
+       |  GROUP BY doc_id, i),
+       |mh_band AS (
+       |  SELECT doc_id, (i // 4) AS band, string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
+       |  FROM mh_sig GROUP BY doc_id, (i // 4)),
+       |mh_cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM mh_band a JOIN mh_band b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |mh_pairs AS (
+       |  SELECT c.doc_a, c.doc_b
+       |  FROM mh_cand c
+       |  JOIN mh_sig sa ON sa.doc_id = c.doc_a
+       |  JOIN mh_sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+       |  GROUP BY c.doc_a, c.doc_b
+       |  HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)::DOUBLE / 16 >= 0.5),
+       |sh_hv AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
+       |sh_ws AS (
+       |  SELECT doc_id, j, sum(((h // CAST(power(2, j) AS BIGINT)) % 2) * 2 - 1)::BIGINT AS wsum
+       |  FROM sh_hv, UNNEST(range(0, 32)) AS u(j)
+       |  GROUP BY doc_id, j),
+       |sh_64 AS (
+       |  SELECT doc_id,
+       |    sum(CASE WHEN wsum > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END)::BIGINT AS simhash
+       |  FROM sh_ws GROUP BY doc_id),
+       |sh_chunked AS (
+       |  SELECT doc_id, simhash, c,
+       |    (simhash // CAST(power(2, c * 8) AS BIGINT)) % 256 AS chunk
+       |  FROM sh_64, UNNEST(range(0, 4)) AS u(c)),
+       |sh_pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sh_chunked a JOIN sh_chunked b
+       |    ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+       |jc_sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+       |jc_dfreq AS (SELECT shingle, count(*)::BIGINT AS df FROM sh GROUP BY shingle),
+       |jc_rare AS (
+       |  SELECT s.doc_id, s.shingle
+       |  FROM sh s JOIN jc_dfreq d ON s.shingle = d.shingle
+       |  WHERE d.df <= 50),
+       |jc_cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM jc_rare a JOIN jc_rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       |jc_inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS n_inter
+       |  FROM jc_cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY c.doc_a, c.doc_b),
+       |jc_pairs AS (
+       |  SELECT i.doc_a, i.doc_b
+       |  FROM jc_inter i
+       |  JOIN jc_sizes za ON za.doc_id = i.doc_a
+       |  JOIN jc_sizes zb ON zb.doc_id = i.doc_b
+       |  WHERE floor(i.n_inter * 1000.0 / (za.sz + zb.sz - i.n_inter)) >= 300),
+       |fpairs AS (
+       |  SELECT doc_a, doc_b FROM mh_pairs
+       |  UNION SELECT doc_a, doc_b FROM sh_pairs
+       |  UNION SELECT doc_a, doc_b FROM jc_pairs),
+       |fedges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM fpairs
+       |  UNION SELECT doc_b AS src, doc_a AS dst FROM fpairs)""".stripMargin
+
+  /** Transitive closure over fedges + min-reachable-id per node: CTE
+    * `clusters(doc_id, cluster_id)` — the oracle twin of
+    * Dedup.connectedComponents (component = min reachable id; the
+    * recursive closure is fine at oracle scale, the Spark side uses
+    * label propagation instead).
+    */
+  private val clustersCte =
+    """clreach(src, dst) AS (
+      |  SELECT src, dst FROM fedges
+      |  UNION
+      |  SELECT r.src, e.dst FROM clreach r JOIN fedges e ON r.dst = e.src),
+      |clusters AS (
+      |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      |  FROM clreach GROUP BY src)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -622,6 +716,42 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_key
         |FROM documents ORDER BY content_key""".stripMargin,
+    // connected components: DuckDB replays the pair graph as a recursive
+    // transitive closure (tiny at oracle scale); Spark's min-label
+    // propagation converges to the same (doc, min-reachable-id) relation
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $docShingles,
+         |$fuzzyEdgesCte,
+         |$clustersCte
+         |SELECT doc_id::BIGINT AS doc_id, cluster_id::BIGINT AS cluster_id
+         |FROM clusters ORDER BY doc_id""".stripMargin,
+    "pipeline_fuzzy" ->
+      s"""WITH RECURSIVE $docShingles,
+         |$fuzzyEdgesCte,
+         |$clustersCte,
+         |pq AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk
+         |  FROM documents),
+         |pkept AS (
+         |  SELECT doc_id, text FROM pq
+         |  WHERE len(tk) >= 10 AND len(tk) <= 100000
+         |    AND len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is','on'))) * 100 >= len(tk)),
+         |pkeyed AS (
+         |  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_key
+         |  FROM pkept),
+         |surv AS (
+         |  SELECT min(doc_id) AS doc_id, content_key
+         |  FROM pkeyed GROUP BY content_key),
+         |lab AS (
+         |  SELECT s.doc_id, s.content_key, coalesce(c.cluster_id, s.doc_id) AS cid
+         |  FROM surv s LEFT JOIN clusters c ON s.doc_id = c.doc_id),
+         |win AS (
+         |  SELECT doc_id, content_key,
+         |    min(doc_id) OVER (PARTITION BY cid) AS keep_id
+         |  FROM lab)
+         |SELECT doc_id::BIGINT AS doc_id, content_key
+         |FROM win WHERE doc_id = keep_id ORDER BY doc_id""".stripMargin,
     "pipeline_clean" ->
       """WITH q AS (
         |  SELECT doc_id, text,

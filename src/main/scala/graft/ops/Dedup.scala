@@ -298,6 +298,86 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Connected components over an undirected pair graph via iterative
+    * min-label propagation: every node starts labeled with its own id;
+    * each round replaces a node's label by the min of its own and its
+    * neighbors' labels; at fixpoint, label = the component's minimum id.
+    *
+    * This is the MapReduce-classic CC — each round is one equi-join of
+    * the (static, checkpointed) edge list with the current label table
+    * plus a min-aggregation, i.e. two shuffles on node ids, and the
+    * round count is the graph diameter. Near-dup graphs are unions of
+    * small dense clusters (diameter ~ a few hops), so convergence is
+    * fast; `maxIters` bounds the loop defensively. The driver-side loop
+    * carries only a converged-yet flag — no data ever collects.
+    *
+    * Input: (doc_a, doc_b) pairs. Output: (doc_id, cluster_id) for every
+    * node that appears in some pair, cluster_id = min id of its component.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint() // static across rounds; computed once
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("label", col("doc_id"))
+      .localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label").as("dst_label")),
+          Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("dst_label")).as("nbr_label"))
+      // every node has at least one edge (pairs are bidirectional), but
+      // keep the left join + coalesce defensive
+      val upd = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("label"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"))
+        .localCheckpoint() // truncate lineage: next round starts flat
+      changed = upd.filter(col("new_label") < col("label")).count()
+      labels = upd.select(col("doc_id"), col("new_label").as("label"))
+      it += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Fuzzy-dedup cluster resolution: the three fuzzy rungs emit PAIRS;
+    * this resolves them into components so a pipeline can make the
+    * keep/drop decision. Edges = union of minhash-LSH, simhash and
+    * n-gram-Jaccard near-dup pairs; components via min-label
+    * propagation; canonical doc = the component's minimum doc_id.
+    * Output: (doc_id, cluster_id) for every doc in some near-dup pair,
+    * ordered by doc_id.
+    */
+  def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val pairs = minHashLsh(spark, sfDir).select("doc_a", "doc_b")
+      .union(simHashPairs(spark, sfDir).select("doc_a", "doc_b"))
+      .union(ngramJaccardPairs(spark, sfDir).select("doc_a", "doc_b"))
+      .distinct()
+      .localCheckpoint()
+    connectedComponents(pairs).orderBy("doc_id")
+  }
+
+  /** The full corpus-cleaning ladder: quality gate -> exact dedup
+    * (cleanCorpus) -> FUZZY dedup: among the surviving docs, keep one
+    * doc per near-dup cluster (the smallest surviving doc_id; docs in no
+    * cluster are their own singleton). Output: (doc_id, content_key),
+    * ordered — the corpus an LLM pretraining run would actually ingest.
+    */
+  def cleanCorpusFuzzy(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val survivors = cleanCorpus(spark, sfDir)
+    val clusters = nearDupClusters(spark, sfDir)
+    survivors.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cid", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("keep_id", min(col("doc_id")).over(Window.partitionBy("cid")))
+      .filter(col("doc_id") === col("keep_id"))
+      .select("doc_id", "content_key")
+      .orderBy("doc_id")
+  }
+
   /** Embedding near-dup: pairs of vectors with cosine >= minCos.
     * Candidates come from random-hyperplane LSH buckets
     * (Similarity.lshNearDupPairs) — exact cosine runs only within

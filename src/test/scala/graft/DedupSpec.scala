@@ -99,6 +99,24 @@ class DedupSpec extends SparkSpec {
     assert((fps(1L) & fps(4L)).isEmpty) // no common 8-gram with the w-corpus
   }
 
+  test("connected components: chain merges to min label; disjoint pair stays separate") {
+    import spark.implicits._
+    // 1-2-3-9 is a 3-hop chain (propagation needs multiple rounds); 7-8
+    // is a separate component; ids absent from pairs don't appear
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 9L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("near-dup clusters: exact dups + near-dup resolve to one component") {
+    // 1~2 pair in every rung; 3 pairs with 1 (jaccard 806 >= 300), so
+    // {1,2,3} is one component with canonical id 1; doc 4 pairs nowhere
+    val got = Dedup.nearDupClusters(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("ngram jaccard: identical docs score 1000 milli; near-dup scored exactly") {
     val pairs = Dedup.ngramJaccardPairs(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
