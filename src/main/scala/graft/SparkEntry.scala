@@ -54,6 +54,10 @@ object SparkEntry {
     // (master_splitmerge.go:46), globally sorted by key
     "urlcount_merged" -> ((s, dir) =>
       UrlCount.mergedLines(UrlCount.tokenCounts(table(s, dir, "documents"), "text"))),
+    // HLL++ sketch counting — the distinct-count scale path; the 5%
+    // tolerance check is computed IN the plan so the oracle verifies it
+    "urlcount_approx_distinct" -> ((s, dir) =>
+      UrlCount.approxDistinctTokens(table(s, dir, "documents"), "text")),
     // —— relational / analytic suite ——
     "rel_pricing" -> ((s, dir) => Relational.pricingSummary(s, dir)),
     "rel_top_orders" -> ((s, dir) => Relational.topRevenueOrders(s, dir)),
@@ -121,6 +125,9 @@ object SparkEntry {
     // —— Structured Streaming twins, run to completion (AvailableNow) and
     //    hash-compared against the same batch-SQL oracles ——
     "stream_tumbling" -> ((s, dir) => StreamingOps.streamTumbling(s, dir)),
+    // Append-mode twin: watermark-evicting, state-bounded — emits only
+    // windows the final watermark (max event time - 2h) finalized
+    "stream_tumbling_append" -> ((s, dir) => StreamingOps.streamTumblingAppend(s, dir)),
     "stream_sessions" -> ((s, dir) => StreamingOps.streamSessions(s, dir)),
     "stream_tokens" -> ((s, dir) => StreamingOps.streamTokenCounts(s, dir)),
     "stream_running" -> ((s, dir) => StreamingOps.streamRunningTotals(s, dir)),
@@ -284,6 +291,13 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents)
         |WHERE length(token) > 0
         |ORDER BY token""".stripMargin,
+    // the oracle recomputes the exact count and asserts the tolerance
+    // flag is true — i.e. the gate verifies Spark's HLL++ estimate
+    // landed within 5% of ground truth, not a vacuous constant
+    "urlcount_approx_distinct" ->
+      """SELECT count(DISTINCT token)::BIGINT AS n_exact, TRUE AS within_tolerance
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE length(token) > 0""".stripMargin,
     "urlcount_merged" ->
       """WITH c AS (
         |  SELECT token, count(*)::BIGINT AS cnt
@@ -681,6 +695,20 @@ object SparkEntry {
         |  count(*)::BIGINT AS n,
         |  sum(CAST(value AS DECIMAL(18,6)))::DOUBLE AS sum_value
         |FROM events
+        |GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
+    // Append-mode emission = windows FINALIZED by the last watermark:
+    // wm_ms = floor(max event-time micros / 1000) - 2h (Spark tracks the
+    // watermark in ms), emitted iff window end <= wm. Events arrive as
+    // TIMESTAMP_NS; both engines floor ns -> us identically.
+    "stream_tumbling_append" ->
+      """WITH wm AS (
+        |  SELECT (max(epoch_us(ts)) // 1000 - 7200000) AS wm_ms FROM events)
+        |SELECT ((epoch_us(ts) // 1000000) // 3600) * 3600 AS win_start, event_type,
+        |  count(*)::BIGINT AS n,
+        |  sum(CAST(value AS DECIMAL(18,6)))::DOUBLE AS sum_value
+        |FROM events, wm
+        |WHERE (((epoch_us(ts) // 1000000) // 3600) * 3600 + 3600) * 1000 <= wm_ms
         |GROUP BY win_start, event_type
         |ORDER BY win_start, event_type""".stripMargin,
     // session_window MERGES an event landing exactly at the window end

@@ -88,6 +88,34 @@ object UrlCount {
     out.write.mode("overwrite").text(path)
   }
 
+  /** O7 JSON sink: the reference's reduce-output format — one JSON
+    * object per row (common_reduce.go:43-54 writes `{"Key":k,"Value":v}`
+    * lines via json.Encoder). `df.write.json` is the distributed twin:
+    * each task writes its partition as JSON lines; `singleFile` merges
+    * to one file like the reference's per-reducer file (at 100 TB you
+    * would keep one file per partition).
+    */
+  def writeJsonSink(counts: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) counts.coalesce(1) else counts
+    out.write.mode("overwrite").json(path)
+  }
+
+  /** Approximate distinct-token count (HLL++): the 100 TB path for
+    * distinct-key counting (SURVEY §7) — a fixed-size mergeable sketch
+    * per partition, no shuffle of the keys themselves, vs the full
+    * exchange `distinct` needs. Surfaced as (n_exact, within_tolerance):
+    * the exact count plus an in-plan check that the rsd=2% sketch landed
+    * within 5% of it, so the oracle gate hash-verifies the tolerance
+    * claim; a production run at scale reads the approx value alone.
+    */
+  def approxDistinctTokens(df: DataFrame, textCol: String, sep: String = " "): DataFrame =
+    tokens(df, textCol, sep)
+      .agg(countDistinct(col("token")).as("n_exact"),
+        approx_count_distinct(col("token"), 0.02).as("n_approx"))
+      .select(col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")) <= col("n_exact") * lit(0.05))
+          .as("within_tolerance"))
+
   /** End-to-end reference pipeline over raw text files (EP1/EP2/EP3 of
     * SURVEY.md §3 collapse to this one plan).
     */

@@ -64,6 +64,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("append mode: watermark evicts finalized windows, holds open ones") {
+    import spark.implicits._
+    // max event time = 40000s -> watermark 40000 - 7200 = 32800s:
+    // window [0,3600) and [3600,7200) are finalized (end <= wm) and
+    // emitted exactly once; window [39600,43200) is still open when
+    // input ends and must NOT appear
+    val dir = Files.createTempDirectory("graft-stream-app").toString
+    Seq(
+      (1L, ts(0), 1L, "click", 1.0),
+      (2L, ts(3700), 1L, "click", 2.0),
+      (3L, ts(40000), 1L, "view", 3.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(dir)
+    val q = StreamingOps.runToMemory(
+      StreamingOps.windowedEventCounts(streamEvents(dir)), "app_win",
+      OutputMode.Append())
+    try {
+      val got = spark.sql(
+        "SELECT cast(win_start AS LONG), event_type, n FROM app_win ORDER BY 1")
+        .as[(Long, String, Long)].collect().toSeq
+      assert(got === Seq((0L, "click", 1L), (3600L, "click", 1L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("session_window boundary: exactly 30 min MERGES; beyond it splits") {
     import spark.implicits._
     // pins the boundary the stream_sessions oracle must reproduce:

@@ -85,4 +85,23 @@ class UrlCountSpec extends SparkSpec {
     val lines = UrlCount.mergedLines(counts).as[String].collect().toSeq
     assert(lines === Seq("a: 1", "b: 2"))
   }
+
+  test("JSON sink round-trips the reduce output (O7, common_reduce.go:43-54)") {
+    import spark.implicits._
+    val counts = UrlCount.tokenCounts(Seq("a b a", "b a").toDF("text"), "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-json-sink").toString
+    UrlCount.writeJsonSink(counts, dir, singleFile = true)
+    val back = spark.read.json(dir).select("token", "cnt")
+      .as[(String, Long)].collect().toMap
+    assert(back === Map("a" -> 3L, "b" -> 2L))
+  }
+
+  test("approx distinct (HLL++) lands within tolerance of the exact count") {
+    import spark.implicits._
+    val lines = (0 until 500).map(i => s"u${i % 137} u${i % 71}")
+    val got = UrlCount.approxDistinctTokens(lines.toDF("text"), "text").collect()
+    assert(got.length === 1)
+    assert(got(0).getLong(0) === 137L) // exact distinct: u0..u136
+    assert(got(0).getBoolean(1), "HLL++ estimate outside 5% of exact")
+  }
 }
