@@ -64,6 +64,12 @@ case class MinHashSketchAgg(
   @transient private lazy val md5Local: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
+  // the "i:" prefixes are constant per hash index — precomputed once so
+  // the hot update() loop allocates only the concatenated buffer
+  // (ADVICE r3: was 2 allocations per row per hash index)
+  @transient private lazy val md5Prefixes: Array[Array[Byte]] =
+    Array.tabulate(k)(i => (i.toString + ":").getBytes("UTF-8"))
+
   private def h60md5(prefixed: Array[Byte]): Long = {
     val d = md5Local.get()
     d.reset()
@@ -83,7 +89,7 @@ case class MinHashSketchAgg(
         var i = 0
         while (i < k) {
           // "i:" + v, matching OracleHash.h60i's concat exactly
-          val prefix = UTF8String.fromString(i.toString + ":").getBytes
+          val prefix = md5Prefixes(i)
           val prefixed = new Array[Byte](prefix.length + bytes.length)
           System.arraycopy(prefix, 0, prefixed, 0, prefix.length)
           System.arraycopy(bytes, 0, prefixed, prefix.length, bytes.length)

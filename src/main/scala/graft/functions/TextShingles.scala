@@ -34,7 +34,11 @@ object TextShingles {
     * filter(size >= n) equivalent: explode emits nothing).
     */
   def computeShingles(text: UTF8String, n: Int): GenericArrayData = {
-    val s = text.toLowerCase.toString
+    // Locale.ROOT: locale-independent Unicode folding, matching DuckDB's
+    // lower(). UTF8String.toLowerCase would fall back to the DEFAULT JVM
+    // locale for non-ASCII input (a Turkish-locale JVM folds I -> ı and
+    // breaks oracle parity) — ADVICE r3.
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
     val toks = new java.util.ArrayList[String]()
     var start = 0
     var i = 0

@@ -19,7 +19,26 @@ object FaultToleranceSpec {
   val failedOnce = new AtomicBoolean(false)
 }
 
-class FaultToleranceSpec extends SparkSpec {
+class FaultToleranceSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
+
+  // Task retry needs maxFailures >= 2, which the shared local[4] test
+  // session deliberately lacks (retry there would mask real flakes —
+  // ADVICE r3). Suites run sequentially in the forked test JVM, so this
+  // suite stops whatever session is active, runs on its own local[4, 2],
+  // and stops it afterwards; the next suite's getOrCreate then rebuilds
+  // the shared local[4] session.
+  override lazy val spark: org.apache.spark.sql.SparkSession = {
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .foreach(_.stop())
+    GraftSession.build("graft-test-ft", "local[4, 2]", shufflePartitions = 4)
+  }
+
+  override def afterAll(): Unit = {
+    spark.stop()
+    super.afterAll()
+  }
 
   test("task failure is retried and the job still yields the golden counts") {
     import spark.implicits._

@@ -48,6 +48,47 @@ class SimilaritySpec extends SparkSpec {
     assert(q0r1.exists(r => r._3 == 100L && r._4 == 1000L), s"got: ${rows.toSeq}")
   }
 
+  /** Deterministic pseudo-random noise in [-0.5, 0.5) — fixed by (i, d),
+    * so the corpus (and every recall number below) is reproducible. */
+  private def prand(i: Int, d: Int): Float = {
+    val x = i * 1315423911L + d * 2654435761L + 97531L
+    val h = (x ^ (x >>> 13)) * 1099511628211L
+    (((h >>> 20) & 0xffff).toFloat / 65536f) - 0.5f
+  }
+
+  /** 240 vectors in 6 tight clusters (center = spike on axis cluster*10
+    * plus noise); cluster membership i % 6 is DECORRELATED from the
+    * strided centroid seeds (ids 0,50,100,150,200), which cover only
+    * clusters {0,2,4} — the geometry Lloyd iterations are supposed to
+    * fix by moving seeds onto the true cluster means.
+    */
+  private lazy val clusteredDir: String = {
+    import spark.implicits._
+    val dir = tempSfDir()
+    val rows = (0 until 240).map { i =>
+      val c = i % 6
+      val v = (0 until 64).map(d => (if (d == c * 10) 4.0f else 0.0f) + prand(i, d))
+      (i.toLong, v, c)
+    }
+    writeTable(dir, "embeddings", rows.toDF("vec_id", "embedding", "label"))
+    dir
+  }
+
+  test("k-means IVF: Lloyd rounds improve recall@10 over strided seeds") {
+    def topSets(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+      rows.map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val truth = topSets(Similarity.bruteForceTopK(spark, clusteredDir, k = 10, stride = 50).collect())
+    def recall(got: Map[Long, Set[Long]]): Double =
+      truth.map { case (q, t) => (got.getOrElse(q, Set.empty) & t).size.toDouble / t.size }
+        .sum / truth.size
+    val rStrided = recall(topSets(Similarity.ivfAnn(spark, clusteredDir).collect()))
+    val rKMeans = recall(topSets(Similarity.ivfAnnKMeans(spark, clusteredDir).collect()))
+    assert(rKMeans >= rStrided,
+      s"Lloyd rounds regressed recall: kmeans=$rKMeans strided=$rStrided")
+    assert(rKMeans >= 0.9, s"kmeans recall@10 too low: $rKMeans (strided: $rStrided)")
+  }
+
   test("dot/cosine algebra: cosMilli is floor(cos * 1000)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -12,11 +12,12 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 abstract class SparkSpec extends AnyFunSuite {
 
-  // local[4, 2]: 4 threads, maxFailures=2 — task retry enabled so the
-  // fault-tolerance suite can exercise the re-queue-on-failure path the
-  // reference tests via worker kills (test_test.go:193-227)
+  // local[4] WITHOUT task retry: a genuinely flaky task in any ordinary
+  // suite must fail the test, not be silently re-run and masked. The
+  // fault-tolerance suite overrides this with a dedicated local[4, 2]
+  // session (maxFailures=2) for the injected-failure path only.
   lazy val spark: SparkSession =
-    GraftSession.build("graft-test", "local[4, 2]", shufflePartitions = 4)
+    GraftSession.build("graft-test", "local[4]", shufflePartitions = 4)
 
   /** A fresh sfDir-shaped temp dir; write tables into it with writeTable. */
   def tempSfDir(): String =
