@@ -131,7 +131,10 @@ object SparkEntry {
     "stream_sessions" -> ((s, dir) => StreamingOps.streamSessions(s, dir)),
     "stream_tokens" -> ((s, dir) => StreamingOps.streamTokenCounts(s, dir)),
     "stream_running" -> ((s, dir) => StreamingOps.streamRunningTotals(s, dir)),
-    "stream_dedup" -> ((s, dir) => StreamingOps.streamExactDedup(s, dir))
+    "stream_dedup" -> ((s, dir) => StreamingOps.streamExactDedup(s, dir)),
+    // ingest-time FUZZY dedup: per-row minhash sketch, stateful
+    // suppression of sketch-identical docs (the strictest LSH rung)
+    "stream_dedup_fuzzy" -> ((s, dir) => StreamingOps.streamMinhashDedup(s, dir))
   )
 
   // Shared oracle fragments -------------------------------------------------
@@ -744,6 +747,16 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_key
         |FROM documents ORDER BY content_key""".stripMargin,
+    "stream_dedup_fuzzy" ->
+      s"""WITH $docShingles,
+         |sig AS (
+         |  SELECT doc_id, i, min(${h60("i || ':' || shingle")}) AS mh
+         |  FROM sh, UNNEST(range(0, 16)) AS u(i)
+         |  GROUP BY doc_id, i),
+         |sigs AS (
+         |  SELECT doc_id, string_agg(mh::VARCHAR, ',' ORDER BY i) AS sketch_sig
+         |  FROM sig GROUP BY doc_id)
+         |SELECT DISTINCT sketch_sig FROM sigs ORDER BY sketch_sig""".stripMargin,
     // connected components: DuckDB replays the pair graph as a recursive
     // transitive closure (tiny at oracle scale); Spark's min-label
     // propagation converges to the same (doc, min-reachable-id) relation
