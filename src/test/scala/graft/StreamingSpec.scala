@@ -122,6 +122,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash dedup suppresses sketch-identical docs") {
+    import spark.implicits._
+    // doc 2 normalizes DIFFERENTLY from doc 1 (leading spaces survive the
+    // raw text) but tokenizes to the same shingle set -> same sketch ->
+    // suppressed; doc 3 is disjoint -> second signature; doc 4 has < 3
+    // tokens -> no shingles -> no sketch row
+    val dir = Files.createTempDirectory("graft-stream-fz").toString
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    Seq(
+      (1L, base, "en", "s", base.length.toLong),
+      (2L, "  " + base, "en", "s", base.length.toLong + 2),
+      (3L, (1 to 20).map(i => s"z$i").mkString(" "), "en", "s", 100L),
+      (4L, "one two", "en", "s", 7L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir)
+    // streamMinhashDedup reads $sfDir/documents.parquet — rebuild layout
+    val sfDir = Files.createTempDirectory("graft-stream-fzsf").toString
+    spark.read.parquet(dir).write.mode("overwrite").parquet(s"$sfDir/documents.parquet")
+    val sigs = StreamingOps.streamMinhashDedup(spark, sfDir)
+      .as[String].collect().toSeq
+    assert(sigs.length === 2, s"expected 2 distinct sketches, got $sigs")
+  }
+
   test("mapGroupsWithState running totals (custom state machine)") {
     import spark.implicits._
     val q = StreamingOps.runToMemory(
