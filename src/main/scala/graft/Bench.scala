@@ -36,6 +36,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       // keep generated methods JIT-compilable (see GraftSession)
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      // keep every warmup-compiled generated class resident through the
+      // timed region (default cache: 100 entries — the suite evicts it)
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -29,6 +29,13 @@ object GraftSession {
       // non-wholestage path for oversized stages: full bench went
       // 109s -> 38s at sf0.1. (Same value Spark's own docs recommend.)
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      // default generated-class cache holds 100 entries; a multi-query
+      // session churns past that, evicting warm classes so later (or
+      // re-run) queries re-Janino-compile and re-JIT them — one source
+      // of the multi-second per-query run-to-run swings. 1000 entries
+      // keeps every plan of the suite resident (entries are source-text
+      // keyed; memory cost is the generated classes themselves).
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
       // reader rejects; read it as BIGINT nanos (EventWindows does exact
