@@ -317,6 +317,11 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      // hash-partitioned on the per-round join key BEFORE the checkpoint:
+      // the checkpointed relation keeps that outputPartitioning, so the
+      // (big, static) edge side is exchanged ONCE total instead of once
+      // per propagation round — only the (small) label table moves
+      .repartition(col("dst"))
       .localCheckpoint() // static across rounds; computed once
     var labels = edges.select(col("src").as("doc_id"))
       .distinct()
