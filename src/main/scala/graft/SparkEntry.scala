@@ -78,6 +78,14 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "text_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
+    // intra-doc repeated-n-gram ratio (boilerplate/spam quality signal)
+    "text_repetition" -> ((s, dir) => TextAnalysis.repetitionScore(s, dir)),
+    // deterministic hash-bucket train/val/test split, per-source report
+    "sample_split" -> ((s, dir) => TextAnalysis.stratifiedSplit(s, dir)),
+    // eval-set (benchmark) leakage check: train docs sharing >= 3
+    // distinct 3-grams with the held-out set (threshold chosen so the
+    // check is NON-VACUOUS on the synthetic corpus: overlaps reach 4)
+    "pipeline_decontaminate" -> ((s, dir) => Dedup.decontaminate(s, dir)),
     // —— deduplication ladder ——
     "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minHashLsh(s, dir)),
@@ -475,6 +483,34 @@ object SparkEntry {
         |  FROM d)
         |SELECT doc_id, labeled_lang, best.lang AS pred_lang, (-best.neg)::BIGINT AS pred_hits
         |FROM scored ORDER BY doc_id""".stripMargin,
+    "text_repetition" ->
+      s"""WITH toks AS ($docToks),
+         |g AS (
+         |  SELECT doc_id, array_to_string(toks[i+1:i+3], ' ') AS shingle
+         |  FROM toks, UNNEST(range(0, len(toks) - 2)) AS u(i)
+         |  WHERE len(toks) >= 3)
+         |SELECT doc_id, count(*)::BIGINT AS n_shingles,
+         |  count(DISTINCT shingle)::BIGINT AS n_distinct,
+         |  floor((count(*) - count(DISTINCT shingle)) * 1000.0 / count(*))::BIGINT AS rep_milli
+         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "sample_split" ->
+      s"""WITH b AS (
+         |  SELECT source, ${h60("doc_id::VARCHAR")} % 100 AS bucket
+         |  FROM documents)
+         |SELECT source,
+         |  CASE WHEN bucket <= 97 THEN 'train'
+         |       WHEN bucket = 98 THEN 'val' ELSE 'test' END AS split,
+         |  count(*)::BIGINT AS n_docs
+         |FROM b GROUP BY source, split ORDER BY source, split""".stripMargin,
+    "pipeline_decontaminate" ->
+      s"""WITH $docShingles,
+         |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+         |SELECT s.doc_id, count(*)::BIGINT AS n_overlap
+         |FROM sh s JOIN ev ON s.shingle = ev.shingle
+         |WHERE s.doc_id % 97 != 0
+         |GROUP BY s.doc_id
+         |HAVING count(*) >= 3
+         |ORDER BY doc_id""".stripMargin,
     "text_fingerprints" ->
       s"""WITH d AS (
          |  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm

@@ -383,6 +383,31 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Eval-set decontamination — the check every pre-training pipeline
+    * must run: find training docs that share >= minOverlap distinct
+    * n-grams with ANY document of the held-out eval set (benchmark
+    * leakage). Here the eval set is the deterministic stand-in
+    * doc_id % evalMod == 0; in production it's the actual benchmark
+    * suite, which is SMALL by nature — hence the broadcast: the eval
+    * n-gram set ships to every executor and the 100 TB train side is
+    * scanned once with a map-side semi-join + aggregation, no shuffle
+    * of the train shingles. Output: (doc_id, n_overlap) for flagged
+    * train docs — the drop list plus the evidence.
+    */
+  def decontaminate(spark: SparkSession, sfDir: String,
+                    evalMod: Int = 97, minOverlap: Int = 3,
+                    shingleN: Int = 3): DataFrame = {
+    val sh = shingles(table(spark, sfDir, "documents"), shingleN)
+    val evalShingles = sh.filter(col("doc_id") % evalMod === 0)
+      .select("shingle").distinct()
+    sh.filter(col("doc_id") % evalMod =!= 0)
+      .join(broadcast(evalShingles), Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap")) // sh is distinct per doc
+      .filter(col("n_overlap") >= minOverlap)
+      .orderBy("doc_id")
+  }
+
   /** Embedding near-dup: pairs of vectors with cosine >= minCos.
     * Candidates come from random-hyperplane LSH buckets
     * (Similarity.lshNearDupPairs) — exact cosine runs only within

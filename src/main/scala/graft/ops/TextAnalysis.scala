@@ -96,6 +96,48 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Intra-document repetition (a Gopher/C4-family quality signal): the
+    * fraction of n-gram OCCURRENCES that repeat an earlier occurrence in
+    * the same doc, in exact thousandths — rep_milli = floor((total -
+    * distinct) * 1000 / total). High repetition marks boilerplate, SEO
+    * spam and template text, the classic pre-training drop rule that
+    * pure length/stopword gates miss. Narrow per-row array math (native
+    * shingle expression + array_distinct); docs with no full n-gram are
+    * excluded (no denominator). No shuffle except the presentation sort.
+    */
+  def repetitionScore(spark: SparkSession, sfDir: String, n: Int = 3): DataFrame =
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.functions.ShingleColumns.wordShingles(col("text"), n).as("sh"))
+      .select(col("doc_id"),
+        size(col("sh")).cast("long").as("n_shingles"),
+        size(array_distinct(col("sh"))).cast("long").as("n_distinct"))
+      .filter(col("n_shingles") > 0)
+      .select(col("doc_id"), col("n_shingles"), col("n_distinct"),
+        floor((col("n_shingles") - col("n_distinct")) * lit(1000) / col("n_shingles"))
+          .cast("long").as("rep_milli"))
+      .orderBy("doc_id")
+
+  /** Deterministic stratified train/val/test split: bucket = h60 of the
+    * doc id mod 100 -> train (0-97) / val (98) / test (99). Hash-based
+    * membership is the only split that survives a growing, re-ordered,
+    * re-partitioned corpus (row-number splits reshuffle membership on
+    * every ingest) and it needs no shuffle at all — each row decides
+    * locally. Emits the per-(source, split) counts: the stratification
+    * report a pipeline logs; the split column itself is the same
+    * expression applied at write time.
+    */
+  def stratifiedSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = OracleHash.h60(col("doc_id").cast("string")) % 100
+    table(spark, sfDir, "documents")
+      .select(col("source"),
+        when(bucket <= 97, "train").when(bucket === 98, "val")
+          .otherwise("test").as("split"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "split")
+  }
+
   /** Content fingerprints: md5 of whitespace-normalized lowercased text
     * (exact-dup key) plus a 60-bit integer form for compact joins. The
     * rolling-hash winnowing variant lives in Dedup.winnowFingerprints.

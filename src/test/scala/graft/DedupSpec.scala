@@ -99,6 +99,23 @@ class DedupSpec extends SparkSpec {
     assert((fps(1L) & fps(4L)).isEmpty) // no common 8-gram with the w-corpus
   }
 
+  test("decontaminate: train docs sharing >= minOverlap shingles with eval are flagged") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // doc 0 (0 % 97 == 0) is the eval stand-in; doc 5 repeats 4 of its
+    // 3-gram shingles; doc 7 shares none
+    writeTable(dir, "documents", Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", "en", "s", 35L),
+      (5L, "alpha beta gamma delta epsilon END", "en", "s", 34L),
+      (7L, "uno dos tres cuatro cinco seis", "en", "s", 30L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = Dedup.decontaminate(spark, dir, minOverlap = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // doc 5 shares shingles (alpha beta gamma), (beta gamma delta),
+    // (gamma delta epsilon) = 3 of doc 0's 4
+    assert(got === Seq((5L, 3L)))
+  }
+
   test("connected components: chain merges to min label; disjoint pair stays separate") {
     import spark.implicits._
     // 1-2-3-9 is a 3-hop chain (propagation needs multiple rounds); 7-8

@@ -60,6 +60,40 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r1.getLong(2) === java.lang.Long.parseLong(md.take(15), 16))
   }
 
+  test("repetition score: exact repeated-shingle ratio in thousandths") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // "a b c" x3: 9 tokens -> 7 shingles, 3 distinct -> rep = 4000/7 = 571
+    writeTable(dir, "documents", Seq(
+      (1L, "a b c a b c a b c", "en", "s", 17L),
+      (2L, "x y z w", "en", "s", 7L), // 2 shingles, both distinct -> 0
+      (3L, "one two", "en", "s", 7L)  // < 3 tokens -> excluded
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = TextAnalysis.repetitionScore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows === Seq((1L, 7L, 3L, 571L), (2L, 2L, 2L, 0L)))
+  }
+
+  test("stratified split: hash buckets are exhaustive and match plain-Scala md5") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    val docs = (0L until 200L).map(i => (i, s"doc $i", "en", s"s${i % 3}", 6L))
+    writeTable(dir, "documents", docs.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16) % 100
+    }
+    val expected = docs.map { case (id, _, _, src, _) =>
+      val b = bucket(id)
+      (src, if (b <= 97) "train" else if (b == 98) "val" else "test")
+    }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = TextAnalysis.stratifiedSplit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got === expected)
+    assert(got.values.sum === 200L)
+  }
+
   private implicit class MapOps(
       rows: Array[(Long, Long, Long, Long, Long, Boolean)]) {
     def toMap2: Map[Long, (Long, Long, Long, Long, Boolean)] =
