@@ -105,9 +105,19 @@ object Dedup {
   def minHashLsh(spark: SparkSession, sfDir: String,
                  shingleN: Int = 3, k: Int = 16, bands: Int = 4,
                  minEst: Double = 0.5,
-                 family: String = "md5"): DataFrame = {
+                 family: String = "md5"): DataFrame =
+    minHashLshFromShingles(
+      shingles(table(spark, sfDir, "documents"), shingleN), k, bands, minEst, family)
+
+  /** minHashLsh over a PRE-COMPUTED (doc_id, shingle) frame — lets a
+    * composed query (nearDupClusters, cleanCorpusFuzzy) share ONE corpus
+    * scan + shingle pass across all three fuzzy rungs instead of
+    * re-deriving it per rung.
+    */
+  def minHashLshFromShingles(sh: DataFrame, k: Int = 16, bands: Int = 4,
+                             minEst: Double = 0.5,
+                             family: String = "md5"): DataFrame = {
     val r = k / bands
-    val sh = shingles(table(spark, sfDir, "documents"), shingleN)
     // materialized once: referenced by both sides of the band self-join
     // and both sides of the scoring join
     val sig = sh.groupBy("doc_id")
@@ -156,10 +166,19 @@ object Dedup {
     * pigeonhole chunk bucketing (no cross join).
     */
   def simHashPairs(spark: SparkSession, sfDir: String,
-                   shingleN: Int = 3, maxHamming: Int = 3): DataFrame = {
+                   shingleN: Int = 3, maxHamming: Int = 3): DataFrame =
+    simHashPairsFromShingles(
+      shingles(table(spark, sfDir, "documents"), shingleN), maxHamming)
+
+  /** simHashPairs over a pre-computed (doc_id, shingle) frame — shares
+    * the corpus scan in composed queries (see minHashLshFromShingles).
+    */
+  def simHashPairsFromShingles(sh: DataFrame, maxHamming: Int = 3): DataFrame = {
     // materialized once: the chunk self-join below would otherwise
     // recompute the whole shingle->sketch pipeline for each side
-    val hs = simHashes(table(spark, sfDir, "documents"), shingleN).localCheckpoint()
+    val hs = sh.groupBy("doc_id")
+      .agg(graft.functions.SimHashSketch.sketch(col("shingle")).as("simhash"))
+      .localCheckpoint()
     val nChunks = maxHamming + 1
     val chunkBits = 32 / nChunks // 8 bits per chunk for d=3
     val chunked = hs.withColumn("c", explode(array((0 until nChunks).map(lit(_)): _*)))
@@ -203,8 +222,17 @@ object Dedup {
     */
   def ngramJaccardPairs(spark: SparkSession, sfDir: String,
                         shingleN: Int = 3, maxDf: Int = 50,
-                        minJaccardMilli: Long = 300): DataFrame = {
-    val sh = shingles(table(spark, sfDir, "documents"), shingleN).localCheckpoint()
+                        minJaccardMilli: Long = 300): DataFrame =
+    ngramJaccardPairsFromShingles(
+      shingles(table(spark, sfDir, "documents"), shingleN).localCheckpoint(),
+      maxDf, minJaccardMilli)
+
+  /** ngramJaccardPairs over a pre-computed, ALREADY-MATERIALIZED
+    * (doc_id, shingle) frame (pass a checkpointed frame: it is
+    * referenced by five sub-plans here).
+    */
+  def ngramJaccardPairsFromShingles(sh: DataFrame, maxDf: Int = 50,
+                                    minJaccardMilli: Long = 300): DataFrame = {
     val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df")).localCheckpoint()
     val rare = sh.join(dfreq.filter(col("df") <= maxDf), Seq("shingle"))
       .select("doc_id", "shingle").localCheckpoint()
@@ -357,9 +385,12 @@ object Dedup {
     * ordered by doc_id.
     */
   def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val pairs = minHashLsh(spark, sfDir).select("doc_a", "doc_b")
-      .union(simHashPairs(spark, sfDir).select("doc_a", "doc_b"))
-      .union(ngramJaccardPairs(spark, sfDir).select("doc_a", "doc_b"))
+    // ONE corpus scan + shingle pass feeds all three rungs (each rung
+    // standalone re-derives it; composed, that would be 3 scans)
+    val sh = shingles(table(spark, sfDir, "documents")).localCheckpoint()
+    val pairs = minHashLshFromShingles(sh).select("doc_a", "doc_b")
+      .union(simHashPairsFromShingles(sh).select("doc_a", "doc_b"))
+      .union(ngramJaccardPairsFromShingles(sh).select("doc_a", "doc_b"))
       .distinct()
       .localCheckpoint()
     connectedComponents(pairs).orderBy("doc_id")
