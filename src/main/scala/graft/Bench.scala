@@ -39,6 +39,12 @@ object Bench {
       // keep every warmup-compiled generated class resident through the
       // timed region (default cache: 100 entries — the suite evicts it)
       .config("spark.sql.codegen.cache.maxEntries", "1000")
+      // localCheckpoint blocks are freed by the ContextCleaner only after
+      // a JVM GC notices the dropped plan references; with a large heap,
+      // GC can lag many queries behind, so checkpointed intermediates
+      // accumulate and executions get slower over a session (measured).
+      // A short periodic-GC interval bounds that drift.
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

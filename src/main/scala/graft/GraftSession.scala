@@ -36,6 +36,12 @@ object GraftSession {
       // keeps every plan of the suite resident (entries are source-text
       // keyed; memory cost is the generated classes themselves).
       .config("spark.sql.codegen.cache.maxEntries", "1000")
+      // localCheckpoint blocks are freed by the ContextCleaner only after
+      // a JVM GC notices the dropped plan references; with a large heap,
+      // GC can lag many queries behind, so checkpointed intermediates
+      // accumulate and executions get slower over a session (measured).
+      // A short periodic-GC interval bounds that drift.
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .config("spark.sql.session.timeZone", "UTC")
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
       // reader rejects; read it as BIGINT nanos (EventWindows does exact

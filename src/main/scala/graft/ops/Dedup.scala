@@ -351,10 +351,19 @@ object Dedup {
       // per propagation round — only the (small) label table moves
       .repartition(col("dst"))
       .localCheckpoint() // static across rounds; computed once
+    // The loop uses persist/unpersist, NOT localCheckpoint: checkpoint
+    // blocks are only freed when the ContextCleaner notices the plan got
+    // GC'd, so a per-round checkpoint leaks one materialized label table
+    // per round per execution — measured as queries getting slower the
+    // longer the JVM runs. persist + explicit unpersist of the previous
+    // round keeps resident state bounded at ~2 label tables regardless
+    // of round count. (Lineage grows one join per round — shallow, since
+    // `edges` is checkpointed flat above; correctness never depends on
+    // the cache, it only avoids recompute.)
     var labels = edges.select(col("src").as("doc_id"))
       .distinct()
       .withColumn("label", col("doc_id"))
-      .localCheckpoint()
+      .persist()
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
@@ -368,8 +377,9 @@ object Dedup {
       val upd = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"), col("label"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"))
-        .localCheckpoint() // truncate lineage: next round starts flat
-      changed = upd.filter(col("new_label") < col("label")).count()
+        .persist()
+      changed = upd.filter(col("new_label") < col("label")).count() // materializes upd
+      labels.unpersist()
       labels = upd.select(col("doc_id"), col("new_label").as("label"))
       it += 1
     }
