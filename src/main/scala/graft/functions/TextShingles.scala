@@ -70,6 +70,44 @@ object TextShingles {
   private val md5Local: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
+  /** Per-row k-minima minhash sketch of a string array: slot i = min
+    * over elements e of h60(md5("i:" + e)) — BIT-IDENTICAL to the md5
+    * family of MinHashSketchAgg (and so to the DuckDB oracle), but
+    * computed in one tight loop per row for the streaming ingest path,
+    * where a per-doc aggregation doesn't exist and the HOF formulation
+    * (transform/sequence/array_min) pays interpreted lambda dispatch
+    * per (element, slot). Empty input -> empty array (no sketch).
+    */
+  def computeMinhashArray(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                          k: Int): GenericArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val mins = Array.fill(k)(Long.MaxValue)
+    val prefixes = Array.tabulate(k)(i => (i.toString + ":").getBytes("UTF-8"))
+    val d = md5Local.get()
+    var j = 0
+    while (j < n) {
+      val bytes = arr.getUTF8String(j).getBytes
+      var i = 0
+      while (i < k) {
+        val p = prefixes(i)
+        val buf = new Array[Byte](p.length + bytes.length)
+        System.arraycopy(p, 0, buf, 0, p.length)
+        System.arraycopy(bytes, 0, buf, p.length, bytes.length)
+        d.reset()
+        val digest = d.digest(buf)
+        var be = 0L
+        var b = 0
+        while (b < 8) { be = (be << 8) | (digest(b) & 0xffL); b += 1 }
+        val h = be >>> 4 // h60: first 15 hex chars == top 60 bits
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins.map(v => v: Any))
+  }
+
   /** Winnowing fingerprints of an (already normalized) string: h60 of
     * every k-code-point gram, then the minimum of each w-wide window of
     * gram hashes, in window order (duplicates included — the caller
@@ -138,6 +176,24 @@ case class WinnowFpsExpr(child: Expression, k: Int, w: Int) extends UnaryExpress
     copy(child = newChild)
 }
 
+/** `minhash_array(shingles, k)` — see TextShingles.computeMinhashArray. */
+case class MinHashArrayExpr(child: Expression, k: Int) extends UnaryExpression {
+  require(k > 0)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_array"
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires ARRAY<STRING>")
+  }
+  override protected def nullSafeEval(v: Any): Any =
+    TextShingles.computeMinhashArray(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextShingles.computeMinhashArray($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashArrayExpr =
+    copy(child = newChild)
+}
+
 object ShingleColumns {
   def wordShingles(text: Column, n: Int): Column =
     GraftExpressionBridge.column(
@@ -145,4 +201,7 @@ object ShingleColumns {
   def winnowFps(norm: Column, k: Int, w: Int): Column =
     GraftExpressionBridge.column(
       WinnowFpsExpr(GraftExpressionBridge.expression(norm), k, w))
+  def minhashArray(shingles: Column, k: Int): Column =
+    GraftExpressionBridge.column(
+      MinHashArrayExpr(GraftExpressionBridge.expression(shingles), k))
 }

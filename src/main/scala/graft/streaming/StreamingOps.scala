@@ -224,15 +224,14 @@ object StreamingOps {
     * filter: it kills exact dups AND boilerplate re-crawls without a
     * shuffle-heavy band join in the hot path. Emits the distinct sketch
     * signatures (which doc wins per sketch is arrival-order-dependent,
-    * so only the deterministic signature is surfaced). Per-row HOF
-    * evaluation is interpreted — fine at ingest rates; the batch path
-    * uses the codegen'd TypedImperativeAggregate instead. Production:
-    * watermark on ingest time bounds the sketch state.
+    * so only the deterministic signature is surfaced). The per-row
+    * sketch is the native MinHashArrayExpr (codegen'd tight loop, same
+    * md5 family); the batch path uses the TypedImperativeAggregate
+    * instead. Production: watermark on ingest time bounds the sketch
+    * state.
     */
   def streamMinhashDedup(spark: SparkSession, sfDir: String, k: Int = 16): DataFrame = {
-    val sketch = transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(col("shingles"),
-        s => graft.functions.OracleHash.h60i(i, s))))
+    val sketch = graft.functions.ShingleColumns.minhashArray(col("shingles"), k)
     runToBatch(spark,
         harnessDocStream(spark, sfDir)
           .select(graft.functions.ShingleColumns.wordShingles(col("text"), 3).as("shingles"))

@@ -65,6 +65,22 @@ class DedupSpec extends SparkSpec {
     assert(viaAgg === viaExplode)
   }
 
+  test("MinHashArrayExpr (per-row streaming sketch) equals MinHashSketchAgg per doc") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.GraftSession.table(spark, sfDir, "documents")
+    // the per-row expression sees raw (duplicated) shingles, the agg
+    // sees the distinct set — min is idempotent, so sketches must match
+    val viaExpr = docs.select(col("doc_id"),
+        graft.functions.ShingleColumns.minhashArray(
+          graft.functions.ShingleColumns.wordShingles(col("text"), 3), 16).as("sk"))
+      .filter(size(col("sk")) > 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaAgg = graft.ops.Dedup.shingles(docs).groupBy("doc_id")
+      .agg(graft.functions.MinHashSketch.sketch(col("shingle"), 16).as("sk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaExpr.nonEmpty && viaExpr === viaAgg)
+  }
+
   test("SimHashSketchAgg equals an independent plain-Scala simhash") {
     import org.apache.spark.sql.functions._
     def h32(s: String): Long = {
