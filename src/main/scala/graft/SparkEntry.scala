@@ -137,6 +137,9 @@ object SparkEntry {
     // windows the final watermark (max event time - 2h) finalized
     "stream_tumbling_append" -> ((s, dir) => StreamingOps.streamTumblingAppend(s, dir)),
     "stream_sessions" -> ((s, dir) => StreamingOps.streamSessions(s, dir)),
+    // Append-mode sessionization: watermark-evicting, emits only
+    // sessions whose end (last event + gap) the final watermark passed
+    "stream_sessions_append" -> ((s, dir) => StreamingOps.streamSessionsAppend(s, dir)),
     "stream_tokens" -> ((s, dir) => StreamingOps.streamTokenCounts(s, dir)),
     "stream_running" -> ((s, dir) => StreamingOps.streamRunningTotals(s, dir)),
     "stream_dedup" -> ((s, dir) => StreamingOps.streamExactDedup(s, dir)),
@@ -769,6 +772,32 @@ object SparkEntry {
         |  FROM flagged)
         |SELECT user_id, min(tus)::BIGINT AS sess_start_us, count(*)::BIGINT AS n_events
         |FROM numbered GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start_us""".stripMargin,
+    // Append-mode sessions: same session construction as stream_sessions,
+    // emitted iff the session end (last event + 30min gap) is at or
+    // before the final watermark (ms-floored max event time - 2h)
+    "stream_sessions_append" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        |wm AS (SELECT (max(tus) // 1000 - 7200000) * 1000 AS wm_us FROM ev),
+        |flagged AS (
+        |  SELECT user_id, tus,
+        |    CASE WHEN lag(tus) OVER w IS NULL OR tus - lag(tus) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus ASC)),
+        |numbered AS (
+        |  SELECT user_id, tus,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY tus ASC
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged),
+        |sess AS (
+        |  SELECT user_id, min(tus)::BIGINT AS sess_start_us,
+        |    count(*)::BIGINT AS n_events,
+        |    max(tus) + 1800000000 AS sess_end_us
+        |  FROM numbered GROUP BY user_id, sid)
+        |SELECT user_id, sess_start_us, n_events
+        |FROM sess, wm
+        |WHERE sess_end_us <= wm_us
         |ORDER BY user_id, sess_start_us""".stripMargin,
     "stream_tokens" ->
       """SELECT token, count(*)::BIGINT AS cnt

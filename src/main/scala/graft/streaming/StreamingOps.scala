@@ -184,6 +184,20 @@ object StreamingOps {
         col("n_events"))
       .orderBy("user_id", "sess_start_us")
 
+  /** Append-mode streaming sessions — the state-bounded sessionization
+    * path: a session is emitted exactly once, when the watermark (max
+    * event time - 2h) passes its end (last event + gap), and its state
+    * is dropped; sessions still open at end of input are never emitted.
+    * Complete-mode twin: streamSessions. State is bounded by the
+    * watermark delay per user, not by stream length.
+    */
+  def streamSessionsAppend(spark: SparkSession, sfDir: String): DataFrame =
+    runToBatch(spark, sessionizedEvents(harnessEventStream(spark, sfDir)),
+        "stream_sessions_append", OutputMode.Append())
+      .select(col("user_id"), unix_micros(col("sess_start")).as("sess_start_us"),
+        col("n_events"))
+      .orderBy("user_id", "sess_start_us")
+
   /** Streaming twin of urlcount_counts over documents.text (space
     * tokenizer + empty-token filter, identical semantics).
     */

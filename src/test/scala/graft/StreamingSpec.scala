@@ -88,6 +88,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("append sessions: watermark-equal session end IS emitted, open session held") {
+    import spark.implicits._
+    // events at 0s and 9000s: session {0} ends at 1800s (0 + 30min gap),
+    // final watermark = 9000 - 7200 = 1800s — exactly the session end,
+    // which pins the emission boundary at end <= wm (the oracle's
+    // condition); session {9000} is still open and must not appear
+    val dir = Files.createTempDirectory("graft-stream-sapp").toString
+    Seq(
+      (1L, ts(0), 1L, "click", 1.0),
+      (2L, ts(9000), 1L, "click", 1.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(dir)
+    val q = StreamingOps.runToMemory(
+      StreamingOps.sessionizedEvents(streamEvents(dir)), "sapp",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+    try {
+      val got = spark.sql(
+        "SELECT cast(sess_start AS LONG), n_events FROM sapp ORDER BY 1")
+        .as[(Long, Long)].collect().toSeq
+      assert(got === Seq((0L, 1L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("session_window boundary: exactly 30 min MERGES; beyond it splits") {
     import spark.implicits._
     // pins the boundary the stream_sessions oracle must reproduce:
