@@ -86,6 +86,9 @@ object SparkEntry {
     // distinct 3-grams with the held-out set (threshold chosen so the
     // check is NON-VACUOUS on the synthetic corpus: overlaps reach 4)
     "pipeline_decontaminate" -> ((s, dir) => Dedup.decontaminate(s, dir)),
+    // context-window chunking (64-token windows, 8-token overlap);
+    // chunk content is proven by md5, not shipped
+    "text_chunks" -> ((s, dir) => TextAnalysis.chunkDocs(s, dir)),
     // —— deduplication ladder ——
     "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minHashLsh(s, dir)),
@@ -496,6 +499,21 @@ object SparkEntry {
          |  count(DISTINCT shingle)::BIGINT AS n_distinct,
          |  floor((count(*) - count(DISTINCT shingle)) * 1000.0 / count(*))::BIGINT AS rep_milli
          |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // chunking mirror: stride 56 = 64 - 8; DuckDB list slices are
+    // 1-based inclusive, toks[s+1 : s+64] = 64 tokens from 0-based s
+    "text_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |ch AS (
+        |  SELECT doc_id, i AS chunk_idx,
+        |    toks[(i * 56 + 1)::INT : (i * 56 + 64)::INT] AS chunk
+        |  FROM toks, UNNEST(range(0, (len(toks) - 1) // 56 + 1)) AS u(i)
+        |  WHERE len(toks) > 0)
+        |SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+        |  len(chunk)::BIGINT AS n_chunk_tokens,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
     "sample_split" ->
       s"""WITH b AS (
          |  SELECT source, ${h60("doc_id::VARCHAR")} % 100 AS bucket

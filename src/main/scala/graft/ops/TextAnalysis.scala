@@ -138,6 +138,34 @@ object TextAnalysis {
       .orderBy("source", "split")
   }
 
+  /** Context-window chunking — the step between corpus cleaning and
+    * tokenization in a training pipeline: split each doc's token stream
+    * into windows of `maxTokens` tokens advancing by a stride of
+    * (maxTokens - overlap), so consecutive chunks share `overlap`
+    * tokens. Chunk starts at 0, stride, 2*stride, ... while < n_tokens;
+    * the last chunk may be short. Surfaced compactly as (doc_id,
+    * chunk_idx, n_chunk_tokens, chunk_md5) — the hash proves the chunk
+    * CONTENT cross-engine without shipping the text itself. Narrow
+    * per-row explode, no shuffle except the presentation sort.
+    */
+  def chunkDocs(spark: SparkSession, sfDir: String,
+                maxTokens: Int = 64, overlap: Int = 8): DataFrame = {
+    require(overlap < maxTokens, "overlap must be smaller than maxTokens")
+    val stride = maxTokens - overlap
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), floor((col("n") - 1) / stride).cast("int"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("toks"), col("chunk_idx") * stride + 1, lit(maxTokens)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Content fingerprints: md5 of whitespace-normalized lowercased text
     * (exact-dup key) plus a 60-bit integer form for compact joins. The
     * rolling-hash winnowing variant lives in Dedup.winnowFingerprints.
