@@ -70,6 +70,17 @@ object TextShingles {
   private val md5Local: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
+  // "i:" slot prefixes, memoized per k: computeMinhashArray runs per ROW
+  // on the streaming ingest hot path, so rebuilding the k byte arrays
+  // every call is k allocations/row for constants (ADVICE r4 — the same
+  // pattern MinHashSketchAgg.md5Prefixes already hoists). Keyed map (not
+  // an expression field) because codegen calls the static method.
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private def md5Prefixes(k: Int): Array[Array[Byte]] =
+    prefixCache.computeIfAbsent(k,
+      kk => Array.tabulate(kk)(i => (i.toString + ":").getBytes("UTF-8")))
+
   /** Per-row k-minima minhash sketch of a string array: slot i = min
     * over elements e of h60(md5("i:" + e)) — BIT-IDENTICAL to the md5
     * family of MinHashSketchAgg (and so to the DuckDB oracle), but
@@ -83,19 +94,18 @@ object TextShingles {
     val n = arr.numElements()
     if (n == 0) return new GenericArrayData(Array.empty[Any])
     val mins = Array.fill(k)(Long.MaxValue)
-    val prefixes = Array.tabulate(k)(i => (i.toString + ":").getBytes("UTF-8"))
+    val prefixes = md5Prefixes(k)
     val d = md5Local.get()
     var j = 0
     while (j < n) {
       val bytes = arr.getUTF8String(j).getBytes
       var i = 0
       while (i < k) {
-        val p = prefixes(i)
-        val buf = new Array[Byte](p.length + bytes.length)
-        System.arraycopy(p, 0, buf, 0, p.length)
-        System.arraycopy(bytes, 0, buf, p.length, bytes.length)
+        // two-step update — md5(prefix || bytes) without a concat buffer
         d.reset()
-        val digest = d.digest(buf)
+        d.update(prefixes(i))
+        d.update(bytes)
+        val digest = d.digest()
         var be = 0L
         var b = 0
         while (b < 8) { be = (be << 8) | (digest(b) & 0xffL); b += 1 }

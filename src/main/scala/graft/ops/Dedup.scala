@@ -364,6 +364,11 @@ object Dedup {
       .distinct()
       .withColumn("label", col("doc_id"))
       .persist()
+    // `pinned` tracks the PERSISTED dataset handle: unpersist is
+    // non-cascading and matches by plan, so calling it on a Project OVER
+    // the persisted plan (as `labels` becomes after round 1) would be a
+    // no-op and leak one cached label table per round (ADVICE r4).
+    var pinned = labels
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
@@ -379,11 +384,23 @@ object Dedup {
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"))
         .persist()
       changed = upd.filter(col("new_label") < col("label")).count() // materializes upd
-      labels.unpersist()
+      pinned.unpersist()
+      pinned = upd
       labels = upd.select(col("doc_id"), col("new_label").as("label"))
       it += 1
     }
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds " +
+          s"($changed labels still changing) — partially-propagated cluster " +
+          "ids would be silently wrong; raise maxIters for graphs with " +
+          s"diameter > $maxIters")
+    // flatten the result so the last persisted table can be released now
+    // rather than held for the caller's (lazy) lifetime
+    val out = labels.select(col("doc_id"), col("label").as("cluster_id"))
+      .localCheckpoint()
+    pinned.unpersist()
+    out
   }
 
   /** Fuzzy-dedup cluster resolution: the three fuzzy rungs emit PAIRS;
