@@ -104,8 +104,9 @@ object SparkEntry {
     // oracle compare empty-vs-empty — vacuously green. 400 keeps the
     // LSH-bucket + exact-cosine path exercised on non-empty output.
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDups(s, dir, minCosMilli = 400L)),
-    // fuzzy cluster resolution: union of the three fuzzy rungs' pairs ->
-    // connected components (min-label propagation) -> (doc, cluster)
+    // fuzzy cluster resolution: union of the three fuzzy rungs' pairs
+    // over exact-content representatives -> connected components
+    // (min-label propagation) -> membership expanded back to every copy
     "dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(s, dir)),
     // composed cleaning pipeline: quality gate -> exact dedup survivors
     "pipeline_clean" -> ((s, dir) => Dedup.cleanCorpus(s, dir)),
@@ -162,6 +163,33 @@ object SparkEntry {
   /** Distinct 3-word shingles per doc (mirror of Dedup.shingles(n=3)). */
   private val docShingles =
     s"""toks AS ($docToks),
+       |sh AS (
+       |  SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS shingle
+       |  FROM toks, UNNEST(range(0, len(toks) - 2)) AS u(i)
+       |  WHERE len(toks) >= 3)""".stripMargin
+
+  /** Exact-content representative collapse (mirror of Dedup.exactDupMap /
+    * representatives — the identical-content hot-bucket guard): CTEs
+    * `repmap` (doc_id, content_key) and `reps` (content_key, rep_id,
+    * n_copies).
+    */
+  private val repMapCte =
+    """repmap AS (
+      |  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_key
+      |  FROM documents),
+      |reps AS (
+      |  SELECT content_key, min(doc_id) AS rep_id, count(*)::BIGINT AS n_copies
+      |  FROM repmap GROUP BY content_key)""".stripMargin
+
+  /** docShingles restricted to exact-content representatives — what the
+    * fuzzy rungs band over (mirror of shingles(representatives(docs))).
+    */
+  private val repDocShingles =
+    s"""$repMapCte,
+       |toks AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+       |  FROM documents
+       |  WHERE doc_id IN (SELECT rep_id FROM reps)),
        |sh AS (
        |  SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS shingle
        |  FROM toks, UNNEST(range(0, len(toks) - 2)) AS u(i)
@@ -285,6 +313,21 @@ object SparkEntry {
       |clusters AS (
       |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
       |  FROM clreach GROUP BY src)""".stripMargin
+
+  /** Membership expansion from representative clusters back to every
+    * copy (mirror of nearDupClusters' dupMap re-join): CTE `expanded`
+    * (doc_id, cluster_id) — a doc inherits its rep's component; an
+    * exact-dup group (>= 2 copies) with an unclustered rep is its own
+    * component keyed by the rep. Requires `repmap`/`reps` (repMapCte)
+    * and `clusters` (clustersCte).
+    */
+  private val expandClustersCte =
+    """expanded AS (
+      |  SELECT m.doc_id, coalesce(c.cluster_id, r.rep_id) AS cluster_id
+      |  FROM repmap m
+      |  JOIN reps r USING (content_key)
+      |  LEFT JOIN clusters c ON c.doc_id = r.rep_id
+      |  WHERE c.cluster_id IS NOT NULL OR r.n_copies >= 2)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -545,7 +588,7 @@ object SparkEntry {
         |SELECT content_key, min(doc_id)::BIGINT AS keep_doc_id, count(*)::BIGINT AS n_copies
         |FROM d GROUP BY content_key ORDER BY keep_doc_id""".stripMargin,
     "dedup_minhash_lsh" ->
-      s"""WITH $docShingles,
+      s"""WITH $repDocShingles,
          |sig AS (
          |  SELECT doc_id, i, min(${h60("i || ':' || shingle")}) AS mh
          |  FROM sh, UNNEST(range(0, 16)) AS u(i)
@@ -568,7 +611,7 @@ object SparkEntry {
          |WHERE est_jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash" ->
-      s"""WITH $docShingles,
+      s"""WITH $repDocShingles,
          |hv AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
          |ws AS (
          |  SELECT doc_id, j, sum(((h // CAST(power(2, j) AS BIGINT)) % 2) * 2 - 1)::BIGINT AS wsum
@@ -844,15 +887,17 @@ object SparkEntry {
     // transitive closure (tiny at oracle scale); Spark's min-label
     // propagation converges to the same (doc, min-reachable-id) relation
     "dedup_clusters" ->
-      s"""WITH RECURSIVE $docShingles,
-         |$fuzzyEdgesCte,
-         |$clustersCte
-         |SELECT doc_id::BIGINT AS doc_id, cluster_id::BIGINT AS cluster_id
-         |FROM clusters ORDER BY doc_id""".stripMargin,
-    "pipeline_fuzzy" ->
-      s"""WITH RECURSIVE $docShingles,
+      s"""WITH RECURSIVE $repDocShingles,
          |$fuzzyEdgesCte,
          |$clustersCte,
+         |$expandClustersCte
+         |SELECT doc_id::BIGINT AS doc_id, cluster_id::BIGINT AS cluster_id
+         |FROM expanded ORDER BY doc_id""".stripMargin,
+    "pipeline_fuzzy" ->
+      s"""WITH RECURSIVE $repDocShingles,
+         |$fuzzyEdgesCte,
+         |$clustersCte,
+         |$expandClustersCte,
          |pq AS (
          |  SELECT doc_id, text,
          |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk
@@ -869,7 +914,7 @@ object SparkEntry {
          |  FROM pkeyed GROUP BY content_key),
          |lab AS (
          |  SELECT s.doc_id, s.content_key, coalesce(c.cluster_id, s.doc_id) AS cid
-         |  FROM surv s LEFT JOIN clusters c ON s.doc_id = c.doc_id),
+         |  FROM surv s LEFT JOIN expanded c ON s.doc_id = c.doc_id),
          |win AS (
          |  SELECT doc_id, content_key,
          |    min(doc_id) OVER (PARTITION BY cid) AS keep_id

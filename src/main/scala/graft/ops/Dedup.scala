@@ -66,6 +66,39 @@ object Dedup {
       .orderBy("keep_doc_id")
   }
 
+  /** (doc_id, rep_id, n_copies): each doc mapped to the representative
+    * (minimum doc_id) of its exact-content group — `exact`'s md5 grouping
+    * as a per-doc map. One shuffle on the content key; both window
+    * functions share the single exchange.
+    */
+  def exactDupMap(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+    val w = Window.partitionBy("content_key")
+    docs.select(col("doc_id"), md5(norm).as("content_key"))
+      .withColumn("rep_id", min(col("doc_id")).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .select("doc_id", "rep_id", "n_copies")
+  }
+
+  /** The docs frame restricted to one representative per exact-content
+    * key — the identical-content hot-bucket guard (VERDICT r4 #1) the
+    * fuzzy rungs run behind: identical documents have IDENTICAL sketches,
+    * so banding the raw corpus puts all m copies of a boilerplate page in
+    * the same bucket in EVERY band — m(m-1)/2 candidate pairs, quadratic
+    * on exactly the key a dup-heavy crawl corpus makes hottest. Collapsing
+    * first makes candidate volume scale with DISTINCT content; the exact
+    * rung already owns copy-level dedup, and cluster membership expands
+    * back through `exactDupMap` where copies matter (nearDupClusters).
+    */
+  def representatives(docs: DataFrame): DataFrame = {
+    val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+    val reps = docs.select(col("doc_id"), md5(norm).as("content_key"))
+      .groupBy("content_key").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    docs.join(reps, Seq("doc_id"), "left_semi")
+  }
+
   /** MinHash signatures: for hash index i in [0, k), sig_i(doc) =
     * min over shingles of hash_i(shingle). Computed by exploding
     * (doc, shingle) x k and min-aggregating — partial aggregation makes
@@ -101,13 +134,18 @@ object Dedup {
     * explode-by-k formulation (whose signatures DedupSpec proves
     * identical). `family` = "md5" (oracle-reproducible h60i, the
     * correctness gate) or "xxh64" (production path).
+    *
+    * Runs over exact-content REPRESENTATIVES (see `representatives`):
+    * emitted pairs relate distinct content only — copy-level duplicates
+    * are the exact rung's product, not a quadratic bucket here.
     */
   def minHashLsh(spark: SparkSession, sfDir: String,
                  shingleN: Int = 3, k: Int = 16, bands: Int = 4,
                  minEst: Double = 0.5,
                  family: String = "md5"): DataFrame =
     minHashLshFromShingles(
-      shingles(table(spark, sfDir, "documents"), shingleN), k, bands, minEst, family)
+      shingles(representatives(table(spark, sfDir, "documents")), shingleN),
+      k, bands, minEst, family)
 
   /** minHashLsh over a PRE-COMPUTED (doc_id, shingle) frame — lets a
     * composed query (nearDupClusters, cleanCorpusFuzzy) share ONE corpus
@@ -163,12 +201,14 @@ object Dedup {
       .agg(graft.functions.SimHashSketch.sketch(col("shingle")).as("simhash"))
 
   /** SimHash near-dup pairs at hamming distance <= maxHamming via
-    * pigeonhole chunk bucketing (no cross join).
+    * pigeonhole chunk bucketing (no cross join). Runs over exact-content
+    * representatives — see `representatives` for why.
     */
   def simHashPairs(spark: SparkSession, sfDir: String,
                    shingleN: Int = 3, maxHamming: Int = 3): DataFrame =
     simHashPairsFromShingles(
-      shingles(table(spark, sfDir, "documents"), shingleN), maxHamming)
+      shingles(representatives(table(spark, sfDir, "documents")), shingleN),
+      maxHamming)
 
   /** simHashPairs over a pre-computed (doc_id, shingle) frame — shares
     * the corpus scan in composed queries (see minHashLshFromShingles).
@@ -406,21 +446,47 @@ object Dedup {
   /** Fuzzy-dedup cluster resolution: the three fuzzy rungs emit PAIRS;
     * this resolves them into components so a pipeline can make the
     * keep/drop decision. Edges = union of minhash-LSH, simhash and
-    * n-gram-Jaccard near-dup pairs; components via min-label
-    * propagation; canonical doc = the component's minimum doc_id.
-    * Output: (doc_id, cluster_id) for every doc in some near-dup pair,
-    * ordered by doc_id.
+    * n-gram-Jaccard near-dup pairs over exact-content REPRESENTATIVES;
+    * components via min-label propagation; membership then EXPANDS back
+    * through the exact-dup map — every copy of a representative joins
+    * its rep's component, and an exact-dup group whose rep has no fuzzy
+    * neighbor is a component of its own (identical docs are trivially
+    * near-dups). Canonical doc = the component's minimum doc_id, which
+    * the expansion preserves: a rep is the minimum of its copy group, so
+    * the min over reps in a component IS the min over all members.
+    *
+    * The collapse-then-expand shape is the identical-content hot-bucket
+    * guard (VERDICT r4 #1): candidate pair volume scales with distinct
+    * content while the output still covers every copy, at the linear
+    * cost of one (doc -> rep) join.
+    *
+    * Output: (doc_id, cluster_id) for every doc that is an exact copy of
+    * another doc or whose content is fuzzy-paired, ordered by doc_id.
     */
   def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    // narrow (doc_id, rep_id, n_copies) map, materialized once: feeds the
+    // rep filter now and the membership expansion after clustering
+    val dupMap = exactDupMap(docs).localCheckpoint()
+    val repDocs = docs.join(
+      dupMap.filter(col("doc_id") === col("rep_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
     // ONE corpus scan + shingle pass feeds all three rungs (each rung
     // standalone re-derives it; composed, that would be 3 scans)
-    val sh = shingles(table(spark, sfDir, "documents")).localCheckpoint()
+    val sh = shingles(repDocs).localCheckpoint()
     val pairs = minHashLshFromShingles(sh).select("doc_a", "doc_b")
       .union(simHashPairsFromShingles(sh).select("doc_a", "doc_b"))
       .union(ngramJaccardPairsFromShingles(sh).select("doc_a", "doc_b"))
       .distinct()
       .localCheckpoint()
-    connectedComponents(pairs).orderBy("doc_id")
+    val repClusters = connectedComponents(pairs)
+      .select(col("doc_id").as("rep_id"), col("cluster_id"))
+    // expand: inherit the rep's cluster; dup groups (>= 2 copies) with an
+    // unclustered rep become their own component keyed by the rep
+    dupMap.join(repClusters, Seq("rep_id"), "left")
+      .filter(col("cluster_id").isNotNull || col("n_copies") >= 2)
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("rep_id")).as("cluster_id"))
+      .orderBy("doc_id")
   }
 
   /** The full corpus-cleaning ladder: quality gate -> exact dedup

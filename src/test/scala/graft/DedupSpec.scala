@@ -29,26 +29,27 @@ class DedupSpec extends SparkSpec {
     assert(rows === Map(1L -> 2L, 3L -> 1L, 4L -> 1L))
   }
 
-  test("minhash LSH: normalized duplicates pair with est_jaccard 1.0; near-dup found") {
+  test("minhash LSH: exact dups collapse to the rep; near-dup of distinct content found") {
     val pairs = Dedup.minHashLsh(spark, sfDir, minEst = 0.3).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    assert(pairs((1L, 2L)) === 1.0) // identical shingle sets -> all 16 sigs agree
-    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
-      s"near-dup pair missing: $pairs")
+    // doc 2 is an exact copy of doc 1 -> collapsed before banding: the
+    // copy-level pair is the exact rung's product, not an LSH candidate
+    assert(!pairs.keys.exists { case (a, b) => a == 2L || b == 2L })
+    assert(pairs.contains((1L, 3L)), s"near-dup pair missing: $pairs")
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
-  test("simhash: identical docs at hamming 0; unrelated doc absent") {
+  test("simhash: exact dups collapse to the rep; unrelated doc absent") {
     val pairs = Dedup.simHashPairs(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    assert(pairs((1L, 2L)) === 0L)
+    assert(!pairs.keys.exists { case (a, b) => a == 2L || b == 2L })
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
-  test("minhash fast path (xxhash64): identical shingle sets still pair at est 1.0") {
+  test("minhash fast path (xxhash64): collapsed reps, no copy-level pairs") {
     val pairs = Dedup.minHashLsh(spark, sfDir, minEst = 0.3, family = "xxh64")
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    assert(pairs((1L, 2L)) === 1.0) // family-independent: identical sets
+    assert(!pairs.keys.exists { case (a, b) => a == 2L || b == 2L })
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
@@ -143,11 +144,43 @@ class DedupSpec extends SparkSpec {
   }
 
   test("near-dup clusters: exact dups + near-dup resolve to one component") {
-    // 1~2 pair in every rung; 3 pairs with 1 (jaccard 806 >= 300), so
-    // {1,2,3} is one component with canonical id 1; doc 4 pairs nowhere
+    // reps are {1,3,4} (2 collapses into 1); 3 pairs with 1 (jaccard
+    // 806 >= 300) so {1,3} is a rep component; expansion pulls copy 2
+    // back in -> {1,2,3} with canonical id 1; doc 4 pairs nowhere
     val got = Dedup.nearDupClusters(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("hot-bucket guard: m identical docs yield O(m) clusters, not O(m^2) candidates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = tempSfDir()
+    val m = 40
+    val boiler = (1 to 30).map(i => s"b$i").mkString(" ")
+    val near = (1 to 30).map(i => if (i == 7) "EDITED" else s"b$i").mkString(" ")
+    val copies = (0L until m.toLong).map(id =>
+      (id, boiler, "en", "s", boiler.length.toLong))
+    writeTable(dir, "documents",
+      (copies :+ ((100L, near, "en", "s", near.length.toLong)))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val docs = graft.GraftSession.table(spark, dir, "documents")
+    // UNGUARDED banding (the shape VERDICT r4 flagged): every two copies
+    // share every band bucket -> m(m-1)/2 candidate pairs
+    val raw = Dedup.minHashLshFromShingles(Dedup.shingles(docs)).count()
+    assert(raw >= m.toLong * (m - 1) / 2, s"expected quadratic blowup, got $raw")
+    // guarded path: candidates relate distinct content only — at most
+    // the (rep, near-dup) pair ever materializes
+    val guarded = Dedup.minHashLsh(spark, dir, minEst = 0.3)
+    assert(guarded.count() <= 1L)
+    assert(!guarded.collect().exists(r => r.getLong(0) < m && r.getLong(1) < m))
+    // ...while cluster MEMBERSHIP still covers every copy: all m copies
+    // + the near-dup resolve to one component keyed by doc 0
+    val clusters = Dedup.nearDupClusters(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters.size === m + 1)
+    assert(clusters.values.toSet === Set(0L))
+    assert(clusters(100L) === 0L)
   }
 
   test("ngram jaccard: identical docs score 1000 milli; near-dup scored exactly") {
