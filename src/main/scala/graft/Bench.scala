@@ -63,11 +63,23 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     // untimed warmup: session/codegen infra init first, then one tiny-scale
-    // pass over every selected query (see protocol note above)
+    // pass over every selected query (see protocol note above). Warmup
+    // failures are NON-FATAL but must be visible: a missing warmup dataset
+    // would otherwise silently revert the whole run to cold timings and
+    // change what is measured (ADVICE r4).
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    selected.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    var warmupFailures = 0
+    selected.foreach { case (name, fn) =>
+      try fn(spark, warmDir).count() catch {
+        case e: Throwable =>
+          warmupFailures += 1
+          System.err.println(s"[graft.Bench] WARMUP FAILED for $name at $warmDir: " +
+            Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      }
     }
+    if (warmupFailures > 0)
+      System.err.println(s"[graft.Bench] WARNING: $warmupFailures/${selected.size} warmup " +
+        "runs failed — timings below may include JIT/codegen warmup (cold)")
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { case (name, fn) =>

@@ -183,6 +183,50 @@ class DedupSpec extends SparkSpec {
     assert(clusters(100L) === 0L)
   }
 
+  test("AQE splits the residual hot band (near-identical, non-exact-dup docs)") {
+    import spark.implicits._
+    // The representative collapse kills the IDENTICAL-content hot bucket;
+    // the residual skew case is near-identical boilerplate (each doc a
+    // small distinct suffix on a shared base -> same band signature for
+    // most docs, but distinct content keys so no collapse). This pins
+    // that AQE's skew-join split fires on that band self-join, i.e. the
+    // hot bucket's pair space is processed by MANY tasks, not one.
+    // Skew thresholds are lowered to make test-sized data skew-eligible;
+    // the mechanism (OptimizeSkewedJoin on the sort-merge band join) is
+    // the same one a 256MB-default production partition would trigger.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin").map(k => k -> conf.getOption(k))
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // SMJ, not broadcast
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "128b")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128b")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+    conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    try {
+      val base = (1 to 40).map(i => s"t$i").mkString(" ")
+      val docs = (0 until 120).map(i => (i.toLong, s"$base uniq$i"))
+        .toDF("doc_id", "text")
+      // distinct content -> representatives are all 120 docs; the shared
+      // base still lands most of them in one (band, sig) bucket
+      val pairs = Dedup.minHashLshFromShingles(Dedup.shingles(docs))
+      val n = pairs.count()
+      assert(n > 1000L, s"expected a dense near-dup pair set, got $n")
+      pairs.collect()
+      val plan = pairs.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"no skew-split join in the final adaptive plan:\n${plan.take(3000)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("ngram jaccard: identical docs score 1000 milli; near-dup scored exactly") {
     val pairs = Dedup.ngramJaccardPairs(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
