@@ -68,6 +68,11 @@ object SparkEntry {
     "rel_part_type_revenue" -> ((s, dir) => Relational.partTypeRevenue(s, dir)),
     "rel_supplier_revenue" -> ((s, dir) => Relational.supplierRevenue(s, dir)),
     "rel_activity" -> ((s, dir) => Relational.customerOrderActivity(s, dir)),
+    // bucketed-storage co-located join: customer/orders written
+    // bucketBy(custkey), joined bucket-to-bucket with no Exchange on
+    // the join (the pay-the-shuffle-once layout; BucketingSpec pins
+    // the exchange-free plan)
+    "rel_bucketed_join" -> ((s, dir) => Relational.bucketedCustomerOrders(s, dir)),
     // —— event-time windows (batch analog of graft.streaming) ——
     "ev_tumbling" -> ((s, dir) => EventWindows.tumbling(s, dir)),
     "ev_sliding" -> ((s, dir) => EventWindows.sliding(s, dir)),
@@ -89,6 +94,9 @@ object SparkEntry {
     // context-window chunking (64-token windows, 8-token overlap);
     // chunk content is proven by md5, not shipped
     "text_chunks" -> ((s, dir) => TextAnalysis.chunkDocs(s, dir)),
+    // per-source length quantiles: GK approx-percentile sketch gated
+    // in-plan against exact quantiles at q±5% (the HLL++ gate pattern)
+    "text_len_quantiles" -> ((s, dir) => TextAnalysis.lengthQuantiles(s, dir)),
     // —— deduplication ladder ——
     "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minHashLsh(s, dir)),
@@ -457,6 +465,22 @@ object SparkEntry {
         |SELECT CASE WHEN has_orders THEN 'active' ELSE 'inactive' END AS status,
         |  count(*)::BIGINT AS n_customers
         |FROM a GROUP BY status ORDER BY status""".stripMargin,
+    // bucketing is physical layout, not semantics: the oracle is the
+    // plain join/aggregate over the raw tables
+    "rel_bucketed_join" ->
+      """SELECT c_nationkey, count(*)::BIGINT AS n_orders,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS total_spend
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    // the oracle recomputes the exact quantile comparators: n_docs and
+    // the interpolated median must match exactly, and asserting TRUE on
+    // the three gate flags verifies Spark's GK sketch landed within the
+    // q±5% exact-quantile envelope (not a vacuous constant)
+    "text_len_quantiles" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |  quantile_cont(n_chars, 0.5) AS p50_chars,
+        |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "ev_tumbling" ->
       """SELECT ((epoch_us(ts) // 1000000) // 3600) * 3600 AS win_start, event_type,
         |  count(*)::BIGINT AS n,

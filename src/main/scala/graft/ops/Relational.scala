@@ -173,4 +173,31 @@ object Relational {
       .groupBy("status").agg(count(lit(1)).as("n_customers"))
       .orderBy("status")
   }
+
+  /** Co-located join over BUCKETED tables (graft.sources.Bucketed):
+    * customer and orders are written bucketed by custkey with the same
+    * bucket count, then joined bucket-to-bucket — the join itself plans
+    * with no Exchange (BucketingSpec pins that); only the small
+    * per-nation aggregate shuffles. This is the pay-the-shuffle-once
+    * storage design for a key a fleet of queries joins on daily; the
+    * write lands under the JVM temp dir so the query stays re-runnable
+    * anywhere the harness runs.
+    */
+  def bucketedCustomerOrders(spark: SparkSession, sfDir: String,
+                             nBuckets: Int = 8): DataFrame = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-bucketed"
+    val cust = table(spark, sfDir, "customer")
+      .select(col("c_custkey").as("custkey"), col("c_nationkey"))
+    val ords = table(spark, sfDir, "orders")
+      .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+    graft.sources.Bucketed.writeBucketed(
+      spark, cust, "graft_b_customer", s"$base/customer", "custkey", nBuckets)
+    graft.sources.Bucketed.writeBucketed(
+      spark, ords, "graft_b_orders", s"$base/orders", "custkey", nBuckets)
+    spark.table("graft_b_customer")
+      .join(spark.table("graft_b_orders"), Seq("custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spend"))
+      .orderBy("c_nationkey")
+  }
 }

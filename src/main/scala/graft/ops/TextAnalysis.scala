@@ -166,6 +166,34 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Per-source length-distribution sketch: exact doc count, exact
+    * median, and approx-percentile (Greenwald–Khanna summary —
+    * mergeable, bounded memory, the 100 TB way to get quantiles)
+    * p50/p90/p99 of n_chars, each GATED in the plan: the sketch value
+    * must lie between the exact quantiles at q ± 5% (the same 5%
+    * in-plan tolerance the HLL++ twin uses; GK's own rank guarantee at
+    * accuracy 100 is 1%, so the gate only trips on a real sketch bug —
+    * the wide margin absorbs rank-convention off-by-ones in tiny
+    * groups). Surfaced columns are exact (count, interpolated median,
+    * booleans), so the DuckDB oracle verifies the sketch landed
+    * in-bound without replaying GK. As with the HLL twin, production
+    * runs only the sketch; the exact comparators are the verification
+    * harness.
+    */
+  def lengthQuantiles(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("percentile_approx(n_chars, array(0.5D, 0.9D, 0.99D), 100)").as("ap"),
+        expr("percentile(n_chars, array(0.45D, 0.55D, 0.85D, 0.95D, 0.94D, 1.0D))").as("ex"),
+        expr("percentile(n_chars, 0.5D)").as("p50_chars"))
+      .select(col("source"), col("n_docs"), col("p50_chars"),
+        (col("ap")(0) >= col("ex")(0) && col("ap")(0) <= col("ex")(1)).as("p50_ok"),
+        (col("ap")(1) >= col("ex")(2) && col("ap")(1) <= col("ex")(3)).as("p90_ok"),
+        (col("ap")(2) >= col("ex")(4) && col("ap")(2) <= col("ex")(5)).as("p99_ok"))
+      .orderBy("source")
+
   /** Content fingerprints: md5 of whitespace-normalized lowercased text
     * (exact-dup key) plus a 60-bit integer form for compact joins. The
     * rolling-hash winnowing variant lives in Dedup.winnowFingerprints.

@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed parquet tables — the storage-level answer to repeated
+  * shuffles on the same join/aggregation key (the 100 TB design the
+  * builder prompt calls "bucketing for co-located joins").
+  *
+  * A table written with `bucketBy(n, key)` is hash-partitioned into n
+  * files-per-partition by the key AT WRITE TIME and the layout is
+  * recorded in the catalog. Every later equi-join or aggregation on
+  * that key reads co-located buckets and plans with NO Exchange on the
+  * bucketed side(s): the shuffle is paid once at ingest instead of once
+  * per query. Two tables bucketed on their join key with the SAME
+  * bucket count join bucket-to-bucket (BucketingSpec pins the
+  * exchange-free plan). This is how a warehouse lays out fact tables a
+  * fleet of queries joins daily — on the harness corpus the tables are
+  * small, but the plan shape is the scale story.
+  */
+object Bucketed {
+
+  /** Write `df` as a bucketed, per-bucket-sorted external parquet table
+    * at `path`, registered as `name` in the session catalog (replacing
+    * any previous registration). Sorting inside buckets makes the later
+    * sort-merge join's Sort a near-no-op and enables min/max skipping.
+    */
+  def writeBucketed(spark: SparkSession, df: DataFrame, name: String,
+                    path: String, key: String, nBuckets: Int): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    df.write.format("parquet")
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .option("path", path)
+      .mode("overwrite")
+      .saveAsTable(name)
+  }
+}

@@ -94,6 +94,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.values.sum === 200L)
   }
 
+  test("length quantiles: GK sketch lands inside the exact-quantile gate; median exact") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // source sA: n_chars 10,20,...,250 (25 docs) -> exact median 130;
+    // source sB: constant 7 -> every quantile 7
+    val docs = (1L to 25L).map(i => (i, "t " * i.toInt, "en", "sA", i * 10)) ++
+      (100L to 109L).map(i => (i, "x", "en", "sB", 7L))
+    writeTable(dir, "documents", docs.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = TextAnalysis.lengthQuantiles(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getBoolean(3), r.getBoolean(4), r.getBoolean(5))))
+      .toMap
+    assert(got("sA") === ((25L, 130.0, true, true, true)))
+    assert(got("sB") === ((10L, 7.0, true, true, true)))
+  }
+
   private implicit class MapOps(
       rows: Array[(Long, Long, Long, Long, Long, Boolean)]) {
     def toMap2: Map[Long, (Long, Long, Long, Long, Boolean)] =
