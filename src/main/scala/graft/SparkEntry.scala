@@ -78,6 +78,10 @@ object SparkEntry {
     "ev_sliding" -> ((s, dir) => EventWindows.sliding(s, dir)),
     "ev_sessions" -> ((s, dir) => EventWindows.sessionize(s, dir)),
     "ev_daily_top" -> ((s, dir) => EventWindows.dailyTopTypes(s, dir)),
+    // as-of join (conversion attribution): each purchase joined to the
+    // latest preceding view of the same user — composed as tag + one
+    // shuffle + carry-forward window, not a quadratic range join
+    "ev_asof_attribution" -> ((s, dir) => EventWindows.asOfAttribution(s, dir)),
     // —— text analysis ——
     "text_stats" -> ((s, dir) => TextAnalysis.tokenStats(s, dir)),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
@@ -152,6 +156,8 @@ object SparkEntry {
     // Append-mode twin: watermark-evicting, state-bounded — emits only
     // windows the final watermark (max event time - 2h) finalized
     "stream_tumbling_append" -> ((s, dir) => StreamingOps.streamTumblingAppend(s, dir)),
+    // sliding-window streaming twin (1h window / 30min slide)
+    "stream_sliding" -> ((s, dir) => StreamingOps.streamSliding(s, dir)),
     "stream_sessions" -> ((s, dir) => StreamingOps.streamSessions(s, dir)),
     // Append-mode sessionization: watermark-evicting, emits only
     // sessions whose end (last event + gap) the final watermark passed
@@ -526,6 +532,27 @@ object SparkEntry {
         |  FROM day)
         |SELECT day, event_type, n, rk FROM ranked WHERE rk <= 3
         |ORDER BY day, rk""".stripMargin,
+    // as-of attribution: same deterministic carry-forward formulation
+    // (total order: ts, views-before-purchases, event_id) — DuckDB's
+    // native ASOF JOIN leaves equal-ts ties implementation-defined, so
+    // the oracle spells the window out instead
+    "ev_asof_attribution" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS tus,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |marked AS (
+        |  SELECT event_id, user_id, tus, is_purchase,
+        |    last_value(CASE WHEN is_purchase = 0
+        |                    THEN {'vt': tus, 'vid': event_id} END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |            ORDER BY tus ASC, is_purchase ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv
+        |  FROM ev)
+        |SELECT event_id AS purchase_event_id, user_id, tus AS purchase_tus,
+        |  lv.vid AS view_event_id, lv.vt AS view_tus,
+        |  tus - lv.vt AS lag_us
+        |FROM marked WHERE is_purchase = 1 ORDER BY purchase_event_id""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         |  length(text)::BIGINT AS n_chars,
@@ -903,6 +930,13 @@ object SparkEntry {
         |FROM events, wm
         |WHERE (((epoch_us(ts) // 1000000) // 3600) * 3600 + 3600) * 1000 <= wm_ms
         |GROUP BY win_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
+    "stream_sliding" ->
+      """WITH base AS (
+        |  SELECT ((epoch_us(ts) // 1000000) // 1800) * 1800 AS base, event_type FROM events),
+        |ex AS (SELECT base - off AS win_start, event_type FROM base, UNNEST([0, 1800]) AS t(off))
+        |SELECT win_start, event_type, count(*)::BIGINT AS n
+        |FROM ex GROUP BY win_start, event_type
         |ORDER BY win_start, event_type""".stripMargin,
     // session_window MERGES an event landing exactly at the window end
     // (gap-touching), so a new session starts only when diff > gap —

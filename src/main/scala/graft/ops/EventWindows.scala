@@ -100,6 +100,49 @@ object EventWindows {
       .orderBy("user_id")
   }
 
+  /** As-of join (time-series attribution): for each `purchase` event,
+    * the LATEST `view` event by the same user at or before it — the
+    * operator behind conversion attribution, sensor alignment and
+    * trade-vs-quote joins. Spark has no native as-of join; a range join
+    * (view.ts <= purchase.ts) explodes quadratically in dense keys, so
+    * this composes the scalable MapReduce-classic form instead: tag both
+    * sides, ONE shuffle on the key, order within each user by event
+    * time, and carry the last view forward with a running window —
+    * linear in events, no range explosion.
+    *
+    * Tie policy (total, so both engines agree): the attributed view is
+    * the one with the greatest (ts, event_id) among views with
+    * ts <= purchase.ts — a view sharing the purchase's exact timestamp
+    * counts (views order before purchases at equal ts), and equal-ts
+    * views resolve to the largest event_id. Purchases with no prior
+    * view surface NULL attribution (kept: the unattributed count is
+    * the interesting number).
+    *
+    * Output: (purchase_event_id, user_id, purchase_tus, view_event_id,
+    * view_tus, lag_us), micros everywhere, ordered by purchase id.
+    */
+  def asOfAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = table(spark, sfDir, "events")
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"),
+        expr(floorDiv("ts", 1000L)).as("tus"),
+        (col("event_type") === "purchase").cast("int").as("is_purchase"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tus").asc, col("is_purchase").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lastView = last(
+      when(col("is_purchase") === 0,
+        struct(col("tus").as("vt"), col("event_id").as("vid"))),
+      ignoreNulls = true).over(w)
+    ev.withColumn("lv", lastView)
+      .filter(col("is_purchase") === 1)
+      .select(col("event_id").as("purchase_event_id"), col("user_id"),
+        col("tus").as("purchase_tus"),
+        col("lv.vid").as("view_event_id"), col("lv.vt").as("view_tus"),
+        (col("tus") - col("lv.vt")).as("lag_us"))
+      .orderBy("purchase_event_id")
+  }
+
   /** Daily top event types: window rank over tumbling day buckets. */
   def dailyTopTypes(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     val day = table(spark, sfDir, "events")

@@ -170,6 +170,22 @@ object StreamingOps {
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("win_start", "event_type")
 
+  /** Streaming sliding-window twin of EventWindows.sliding: 1 h windows
+    * every 30 min, each event contributing to width/slide = 2 windows
+    * (Spark's window() replicates then groups, same as the batch
+    * spelled-out form). Complete-mode harness twin like streamTumbling.
+    */
+  def streamSliding(spark: SparkSession, sfDir: String): DataFrame =
+    runToBatch(spark,
+        harnessEventStream(spark, sfDir)
+          .withWatermark("ts", "2 hours")
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+          .agg(count(lit(1)).as("n")),
+        "stream_sliding", OutputMode.Complete())
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("n"))
+      .orderBy("win_start", "event_type")
+
   /** Streaming session windows (native session_window) per user.
     * session_window merges an event landing exactly at the current
     * window end (gap-touching), so a new session starts only when the

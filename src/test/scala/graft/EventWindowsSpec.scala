@@ -50,6 +50,35 @@ class EventWindowsSpec extends SparkSpec {
     assert(rows === Seq((1L, 2L, 2L), (2L, 1L, 1L)))
   }
 
+  test("as-of attribution: latest prior view, inclusive equal-ts, max-id tie, null when none") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "events", Seq(
+      // user 1: purchase @5 has no prior view -> NULL attribution;
+      // views @10 (ids 2 and 3 — equal ts, tie -> max id 3) precede
+      // purchase @10 (equal ts counts as prior) and purchase @50;
+      // view @60 is AFTER both purchases and must not attribute
+      (1L, ns(5), 1L, "purchase", 1.0, "p"),
+      (2L, ns(10), 1L, "view", 1.0, "p"),
+      (3L, ns(10), 1L, "view", 1.0, "p"),
+      (4L, ns(10), 1L, "purchase", 1.0, "p"),
+      (5L, ns(50), 1L, "purchase", 1.0, "p"),
+      (6L, ns(60), 1L, "view", 1.0, "p"),
+      // user 2: clicks are ignored by the operator entirely
+      (7L, ns(10), 2L, "click", 1.0, "p"),
+      (8L, ns(20), 2L, "purchase", 1.0, "p")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val rows = EventWindows.asOfAttribution(spark, dir).collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSeq
+    assert(rows === Seq(
+      (1L, None, None),                       // no prior view
+      (4L, Some(3L), Some(0L)),               // equal-ts view, max id, lag 0
+      (5L, Some(3L), Some(40L * 1000000L)),   // carried forward 40s
+      (8L, None, None)))                      // user 2 never viewed
+  }
+
   test("daily top event types: rank within day, deterministic tie-break") {
     val rows = EventWindows.dailyTopTypes(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
