@@ -73,6 +73,11 @@ object SparkEntry {
     // the join (the pay-the-shuffle-once layout; BucketingSpec pins
     // the exchange-free plan)
     "rel_bucketed_join" -> ((s, dir) => Relational.bucketedCustomerOrders(s, dir)),
+    // partition-pruned scan: documents written partitionBy(source), a
+    // two-source profile reads only those two partition directories —
+    // the predicate prunes at planning time (PartitionFilters, not
+    // PushedFilters; PartitionedSpec pins the plan shape)
+    "src_pruned_scan" -> ((s, dir) => graft.sources.Partitioned.prunedDocCounts(s, dir)),
     // —— event-time windows (batch analog of graft.streaming) ——
     "ev_tumbling" -> ((s, dir) => EventWindows.tumbling(s, dir)),
     "ev_sliding" -> ((s, dir) => EventWindows.sliding(s, dir)),
@@ -101,6 +106,9 @@ object SparkEntry {
     // per-source length quantiles: GK approx-percentile sketch gated
     // in-plan against exact quantiles at q±5% (the HLL++ gate pattern)
     "text_len_quantiles" -> ((s, dir) => TextAnalysis.lengthQuantiles(s, dir)),
+    // top-3 characteristic terms per doc by TF-IDF (exact-rational
+    // integer idf — cross-engine deterministic, no float log)
+    "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(s, dir)),
     // —— deduplication ladder ——
     "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minHashLsh(s, dir)),
@@ -173,7 +181,13 @@ object SparkEntry {
     // suppression of sketch-identical docs (the strictest LSH rung)
     "stream_dedup_fuzzy" -> ((s, dir) => StreamingOps.streamMinhashDedup(s, dir)),
     // bounded fuzzy twin: same sketch key, watermark-evicted state
-    "stream_dedup_fuzzy_bounded" -> ((s, dir) => StreamingOps.streamMinhashDedupBounded(s, dir))
+    "stream_dedup_fuzzy_bounded" -> ((s, dir) => StreamingOps.streamMinhashDedupBounded(s, dir)),
+    // stream-STREAM interval join: purchases x views within 1h, both
+    // sides watermarked + time-bounded so the join state is evictable
+    "stream_join" -> ((s, dir) => StreamingOps.streamViewPurchaseJoin(s, dir)),
+    // ingest-time decontamination: stream-static broadcast join of
+    // arriving docs' shingles against the eval-set shingle table
+    "stream_decontaminate" -> ((s, dir) => StreamingOps.streamDecontaminate(s, dir))
   )
 
   // Shared oracle fragments -------------------------------------------------
@@ -478,6 +492,13 @@ object SparkEntry {
         |  sum(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS total_spend
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    // partition pruning is a pure I/O optimization: the pruned scan
+    // must equal the same relation over the unpartitioned table
+    "src_pruned_scan" ->
+      """SELECT source, lang, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS sum_chars
+        |FROM documents WHERE source IN ('src3', 'src7')
+        |GROUP BY source, lang ORDER BY source, lang""".stripMargin,
     // the oracle recomputes the exact quantile comparators: n_docs and
     // the interpolated median must match exactly, and asserting TRUE on
     // the three gate flags verifies Spark's GK sketch landed within the
@@ -603,6 +624,26 @@ object SparkEntry {
          |  count(DISTINCT shingle)::BIGINT AS n_distinct,
          |  floor((count(*) - count(DISTINCT shingle)) * 1000.0 / count(*))::BIGINT AS rep_milli
          |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // tf-idf mirror: same exact-rational integer idf ((N*1000) // df),
+    // same (score desc, term asc) total order
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    (tf.tf * ((n.n_docs * 1000) // df.df))::BIGINT AS score_milli
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, df, score_milli,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score_milli DESC, term ASC) AS rk
+        |  FROM scored)
+        |SELECT doc_id, term, tf, df, score_milli, rk
+        |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
     // chunking mirror: stride 56 = 64 - 8; DuckDB list slices are
     // 1-based inclusive, toks[s+1 : s+64] = 64 tokens from 0-based s
     "text_chunks" ->
@@ -628,6 +669,17 @@ object SparkEntry {
          |  count(*)::BIGINT AS n_docs
          |FROM b GROUP BY source, split ORDER BY source, split""".stripMargin,
     "pipeline_decontaminate" ->
+      s"""WITH $docShingles,
+         |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+         |SELECT s.doc_id, count(*)::BIGINT AS n_overlap
+         |FROM sh s JOIN ev ON s.shingle = ev.shingle
+         |WHERE s.doc_id % 97 != 0
+         |GROUP BY s.doc_id
+         |HAVING count(*) >= 3
+         |ORDER BY doc_id""".stripMargin,
+    // streaming twin shares the batch decontamination relation (the
+    // stream-static join is stateless; per-doc groups complete in-batch)
+    "stream_decontaminate" ->
       s"""WITH $docShingles,
          |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
          |SELECT s.doc_id, count(*)::BIGINT AS n_overlap
@@ -994,6 +1046,22 @@ object SparkEntry {
       """SELECT user_id, count(*)::BIGINT AS n_events,
         |  sum(floor(value * 1000000)::BIGINT)::BIGINT AS total_value_micros
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // stream-stream interval join: the batch relation is the plain
+    // self-join — streaming emits each (purchase, view) pair exactly
+    // once (inner join, append mode), so the sets coincide. Window is
+    // inclusive both ends; micros on both sides (epoch_us floors nanos
+    // the same way the stream's timestamp_micros conversion does).
+    "stream_join" ->
+      """SELECT p.event_id AS purchase_event_id, p.user_id,
+        |  epoch_us(p.ts) AS purchase_tus,
+        |  v.event_id AS view_event_id, epoch_us(v.ts) AS view_tus,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+        |FROM events p JOIN events v
+        |  ON p.user_id = v.user_id
+        | AND p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND epoch_us(v.ts) <= epoch_us(p.ts)
+        | AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000
+        |ORDER BY purchase_event_id, view_event_id""".stripMargin,
     "stream_dedup" ->
       """SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_key
         |FROM documents ORDER BY content_key""".stripMargin,

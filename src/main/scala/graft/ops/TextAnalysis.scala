@@ -194,6 +194,44 @@ object TextAnalysis {
         (col("ap")(2) >= col("ex")(4) && col("ap")(2) <= col("ex")(5)).as("p99_ok"))
       .orderBy("source")
 
+  /** Top-k characteristic terms per document by TF-IDF — the classic
+    * "what is this document about" signal (keyword extraction, topic
+    * balancing, near-dup triage). The IDF here is the exact-rational
+    * form idf_milli = (N * 1000) div df (linear inverse document
+    * frequency, floored integer division) instead of the textbook
+    * log(N/df): both weightings induce the same "rarer terms rank
+    * higher" order for fixed tf, and the integer form is bit-identical
+    * across engines — a float log's last-ulp differences under a
+    * floor() would make the oracle hash flaky (the same reason every
+    * other score in this repo is integral). score_milli = tf *
+    * idf_milli; ties break by term ascending, so top-k is total.
+    *
+    * Plan shape at 100 TB: explode -> partial-aggregated (doc, term)
+    * counts (one shuffle), term-level df (second shuffle, input already
+    * one row per (doc, term)), a 1-row broadcast of the corpus size, a
+    * term-keyed join of tf to df (AQE skew-splits the stopword keys),
+    * and a doc-keyed window for the top-k (third shuffle). No driver
+    * materialization anywhere.
+    */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val terms = docs.select(col("doc_id"),
+      explode(filter(split(lower(col("text")), " "), t => length(t) > 0)).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("score_milli").desc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score_milli", col("tf") * expr("(n_docs * 1000) div df"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score_milli"), col("rk"))
+      .orderBy("doc_id", "rk")
+  }
+
   /** Content fingerprints: md5 of whitespace-normalized lowercased text
     * (exact-dup key) plus a 60-bit integer form for compact joins. The
     * rolling-hash winnowing variant lives in Dedup.winnowFingerprints.

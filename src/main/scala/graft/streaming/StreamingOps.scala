@@ -332,6 +332,83 @@ object StreamingOps {
       .orderBy("sketch_sig")
   }
 
+  /** Streaming decontamination — the ingest-time twin of
+    * Dedup.decontaminate: each arriving doc's 3-word shingles are
+    * stream-static joined against the (static, broadcast) eval-set
+    * shingle table and docs with >= minOverlap hits are flagged. The
+    * stream-static join is STATELESS — the static side is planned like
+    * any batch broadcast join, so the hot path stays narrow per row; the
+    * only state is the per-doc overlap aggregate, and each doc's
+    * shingles arrive in one row, so a doc's group completes within its
+    * micro-batch. This is the shape for "reject benchmark-contaminated
+    * docs before they enter the corpus" rather than sweeping after.
+    */
+  def streamDecontaminate(spark: SparkSession, sfDir: String,
+                          evalMod: Int = 97, minOverlap: Int = 3): DataFrame = {
+    val evalShingles = broadcast(
+      graft.ops.Dedup.shingles(
+          graft.GraftSession.table(spark, sfDir, "documents"), 3)
+        .filter(col("doc_id") % evalMod === 0)
+        .select("shingle").distinct())
+    runToBatch(spark,
+        harnessDocStream(spark, sfDir)
+          .filter(col("doc_id") % evalMod =!= 0)
+          // array_distinct BEFORE the explode: the batch op's
+          // distinct-per-doc, done narrowly per row — a streaming
+          // dropDuplicates here would grow (doc, shingle) state forever
+          .select(col("doc_id"),
+            explode(array_distinct(
+              graft.functions.ShingleColumns.wordShingles(col("text"), 3)))
+              .as("shingle"))
+          .join(evalShingles, Seq("shingle"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_overlap")),
+        "stream_decontaminate", OutputMode.Complete())
+      .filter(col("n_overlap") >= minOverlap)
+      .orderBy("doc_id")
+  }
+
+  /** Stream-STREAM interval join — the remaining first-class Structured
+    * Streaming shape (joins so far were stream-to-static): every
+    * purchase joined to EVERY view by the same user in the preceding
+    * hour (the fan-out companion to the batch as-of join, which keeps
+    * only the latest). Both sides are watermarked and the join carries
+    * an event-time range condition — together those bound the state
+    * store: a buffered view can be dropped once the watermark proves no
+    * future purchase's one-hour lookback can reach it, so state holds
+    * one (watermark delay + join window) of rows per side, not the
+    * stream's history. Without the time bound Spark would buffer both
+    * streams forever — the range condition is load-bearing, not
+    * decoration. Inner join => append mode; rows emit as soon as both
+    * sides arrive.
+    *
+    * Timestamps are micros on both sides of the oracle comparison
+    * (harnessEventStream floors nanos -> micros; the oracle compares
+    * epoch_us), and the window is inclusive at both ends:
+    * p_ts - 1h <= v_ts <= p_ts.
+    */
+  def streamViewPurchaseJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val views = harnessEventStream(spark, sfDir)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_event_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val purchases = harnessEventStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_event_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    runToBatch(spark,
+        purchases.join(views, expr(
+          "user_id = v_user AND v_ts <= p_ts AND v_ts >= p_ts - INTERVAL 1 HOUR")),
+        "stream_join", OutputMode.Append())
+      .select(col("purchase_event_id"), col("user_id"),
+        unix_micros(col("p_ts")).as("purchase_tus"),
+        col("view_event_id"), unix_micros(col("v_ts")).as("view_tus"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
+      .orderBy("purchase_event_id", "view_event_id")
+  }
+
   /** Final per-user state of the mapGroupsWithState running totals. The
     * memory sink sees one Update row per (user, micro-batch); the final
     * state per user is the row with the highest event count (monotone).

@@ -218,6 +218,46 @@ class StreamingSpec extends SparkSpec {
     assert(fuzzyB === fuzzyU && fuzzyB.size === 2)
   }
 
+  test("streaming decontamination flags docs overlapping the eval set") {
+    import spark.implicits._
+    val sfDir = tempSfDir()
+    // doc 0 (0 % 97 == 0) is the eval doc: shingles {a b c, b c d, c d e, d e f}
+    writeTable(sfDir, "documents", Seq(
+      (0L, "a b c d e f", "en", "s", 11L),
+      (1L, "a b c d e f g", "en", "s", 13L), // 4 eval shingles >= 3 -> flagged
+      (2L, "z y x w v u t", "en", "s", 13L), // no overlap
+      (3L, "a b c d x", "en", "s", 9L)       // 2 overlaps < 3 -> kept
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = StreamingOps.streamDecontaminate(spark, sfDir)
+      .as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 4L)), s"got $got")
+  }
+
+  test("stream-stream interval join: inclusive 1h lookback, same-user only") {
+    import spark.implicits._
+    val sfDir = tempSfDir()
+    def nanos(sec: Long): Long = sec * 1000000000L
+    // purchase p (id 20, user 1, t=5000s); candidate views:
+    //  id 10 t=1000s  -> 4000s before: outside the hour, excluded
+    //  id 11 t=1400s  -> exactly 3600s before: inclusive boundary, kept
+    //  id 12 t=5000s  -> equal ts: v_ts <= p_ts inclusive, kept
+    //  id 13 t=5200s  -> after the purchase, excluded
+    //  id 14 t=4900s user 2 -> wrong user, excluded
+    writeTable(sfDir, "events", Seq(
+      (10L, nanos(1000L), 1L, "view", 1.0, "{}"),
+      (11L, nanos(1400L), 1L, "view", 1.0, "{}"),
+      (12L, nanos(5000L), 1L, "view", 1.0, "{}"),
+      (13L, nanos(5200L), 1L, "view", 1.0, "{}"),
+      (14L, nanos(4900L), 2L, "view", 1.0, "{}"),
+      (20L, nanos(5000L), 1L, "purchase", 9.0, "{}"),
+      (21L, nanos(100L), 3L, "purchase", 9.0, "{}") // no views at all
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = StreamingOps.streamViewPurchaseJoin(spark, sfDir)
+      .select("purchase_event_id", "view_event_id", "lag_us")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got === Seq((20L, 11L, 3600000000L), (20L, 12L, 0L)), s"got $got")
+  }
+
   test("mapGroupsWithState running totals (custom state machine)") {
     import spark.implicits._
     val q = StreamingOps.runToMemory(

@@ -110,6 +110,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("sB") === ((10L, 7.0, true, true, true)))
   }
 
+  test("tf-idf: exact-rational idf, score and tie ordering") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", Seq(
+      (1L, "apple banana apple", "en", "s", 18L),
+      (2L, "banana cherry", "en", "s", 13L),
+      (3L, "cherry banana banana", "en", "s", 20L),
+      (4L, "date", "en", "s", 4L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // N=4; df: apple 1, banana 3, cherry 2, date 1
+    // idf_milli: apple 4000, banana 1333, cherry 2000, date 4000
+    val got = TextAnalysis.tfidfTopTerms(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got.filter(_._1 == 1L) === Seq(
+      (1L, "apple", 2L, 1L, 8000L, 1L),     // 2 * 4000
+      (1L, "banana", 1L, 3L, 1333L, 2L)))   // 1 * (4000 div 3)
+    assert(got.filter(_._1 == 2L) === Seq(
+      (2L, "cherry", 1L, 2L, 2000L, 1L),
+      (2L, "banana", 1L, 3L, 1333L, 2L)))
+    assert(got.filter(_._1 == 4L) === Seq((4L, "date", 1L, 1L, 4000L, 1L)))
+  }
+
   private implicit class MapOps(
       rows: Array[(Long, Long, Long, Long, Long, Boolean)]) {
     def toMap2: Map[Long, (Long, Long, Long, Long, Boolean)] =
