@@ -187,7 +187,42 @@ object SparkEntry {
     "stream_join" -> ((s, dir) => StreamingOps.streamViewPurchaseJoin(s, dir)),
     // ingest-time decontamination: stream-static broadcast join of
     // arriving docs' shingles against the eval-set shingle table
-    "stream_decontaminate" -> ((s, dir) => StreamingOps.streamDecontaminate(s, dir))
+    "stream_decontaminate" -> ((s, dir) => StreamingOps.streamDecontaminate(s, dir)),
+
+    // —— corpus management: source merge + training-shard packing ——
+    "pipeline_priority_merge" -> ((s, dir) => Corpus.priorityMerge(s, dir)),
+    "shard_plan" -> ((s, dir) => Corpus.shardPlan(s, dir)),
+    // —— explicit skew-mitigation shapes (result-identical to the plain
+    //    forms; the PLAN is what differs — see each operator's doc) ——
+    "urlcount_salted" -> ((s, dir) =>
+      UrlCount.saltedTokenCounts(table(s, dir, "documents"), "text", "doc_id")),
+    "ev_distinct_users" -> ((s, dir) => EventWindows.distinctUsersPerType(s, dir)),
+
+    // —— SQL surface: the custom expression/aggregate toolkit invoked
+    //    from spark.sql via GraftExtensions (winnow fingerprints and the
+    //    minhash sketch aggregate run as pure SQL; results match the
+    //    Column-API twins' oracles) ——
+    "sql_winnow" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      table(s, dir, "documents").createOrReplaceTempView("graft_documents")
+      s.sql(
+        """SELECT DISTINCT doc_id, fp FROM (
+          |  SELECT doc_id,
+          |    explode(graft_winnow_fps(
+          |      lower(regexp_replace(trim(text), '\\s+', ' ')), 8, 4)) AS fp
+          |  FROM graft_documents)
+          |ORDER BY doc_id, fp""".stripMargin)
+    }),
+    "sql_minhash" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      table(s, dir, "documents").createOrReplaceTempView("graft_documents")
+      s.sql(
+        """SELECT doc_id, element_at(graft_minhash_sketch(shingle, 4), 1) AS mh0
+          |FROM (SELECT doc_id, explode(graft_word_shingles(text)) AS shingle
+          |      FROM graft_documents)
+          |GROUP BY doc_id
+          |ORDER BY doc_id""".stripMargin)
+    })
   )
 
   // Shared oracle fragments -------------------------------------------------
@@ -236,6 +271,30 @@ object SparkEntry {
   /** 60-bit md5-derived integer hash (mirror of OracleHash.h60). */
   private def h60(expr: String): String =
     s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
+
+  /** Winnowing (k=8, w=4) oracle: gram hashes over the normalized text,
+    * then per-position window minima, restricted to FULL windows
+    * (i <= n_grams - (w-1)), distinct per doc. Shared by the Column-API
+    * query (text_winnow) and its SQL-surface twin (sql_winnow) — same
+    * relation by construction.
+    */
+  private lazy val winnowOracle: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, i, ${h60("substr(norm, i::INT, 8)")} AS h,
+       |         length(norm) - 7 AS n_grams
+       |  FROM d, UNNEST(range(1, length(norm) - 6)) AS u(i)
+       |  WHERE length(norm) >= 11),
+       |w AS (
+       |  SELECT doc_id, i, n_grams,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+       |  FROM g)
+       |SELECT DISTINCT doc_id, fp FROM w
+       |WHERE i <= n_grams - 3
+       |ORDER BY doc_id, fp""".stripMargin
 
   /** Exact-thousandths cosine similarity (mirror of Similarity.cosMilli). */
   private def cosMilli(a: String, b: String): String =
@@ -940,26 +999,16 @@ object SparkEntry {
         |  CASE WHEN width >= height THEN 224 ELSE (width * 224) // height END::BIGINT AS out_w,
         |  CASE WHEN width >= height THEN (height * 224) // width ELSE 224 END::BIGINT AS out_h
         |FROM d ORDER BY id""".stripMargin,
-    // winnowing (k=8, w=4): gram hashes over the normalized text, then
-    // per-position window minima, restricted to FULL windows
-    // (i <= n_grams - (w-1)), distinct per doc
-    "text_winnow" ->
-      s"""WITH d AS (
-         |  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
-         |  FROM documents),
-         |g AS (
-         |  SELECT doc_id, i, ${h60("substr(norm, i::INT, 8)")} AS h,
-         |         length(norm) - 7 AS n_grams
-         |  FROM d, UNNEST(range(1, length(norm) - 6)) AS u(i)
-         |  WHERE length(norm) >= 11),
-         |w AS (
-         |  SELECT doc_id, i, n_grams,
-         |    min(h) OVER (PARTITION BY doc_id ORDER BY i
-         |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
-         |  FROM g)
-         |SELECT DISTINCT doc_id, fp FROM w
-         |WHERE i <= n_grams - 3
-         |ORDER BY doc_id, fp""".stripMargin,
+    "text_winnow" -> winnowOracle,
+    // SQL-surface twins: same relations as their Column-API siblings
+    "sql_winnow" -> winnowOracle,
+    // minhash sketch slot 0 = min over shingles of h60("0:" || shingle);
+    // min is duplicate-insensitive, so the distinct docShingles CTE
+    // matches the non-distinct SQL-side explode exactly
+    "sql_minhash" ->
+      s"""WITH $docShingles
+         |SELECT doc_id, min(${h60("'0:' || shingle")}) AS mh0
+         |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // streaming twins: same relational semantics as their batch analogs,
     // so the oracles are plain batch SQL over the same tables
     "stream_tumbling" ->
@@ -1145,6 +1194,58 @@ object SparkEntry {
         |  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_key
         |  FROM kept)
         |SELECT min(doc_id)::BIGINT AS doc_id, content_key
-        |FROM keyed GROUP BY content_key ORDER BY doc_id""".stripMargin
+        |FROM keyed GROUP BY content_key ORDER BY doc_id""".stripMargin,
+    // priority source merge: arg-min by (source rank, doc_id) per lead
+    // fingerprint (md5 of the first 5 normalized tokens)
+    "pipeline_priority_merge" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, CAST(substr(source, 4) AS BIGINT) AS prio,
+        |    md5(array_to_string(
+        |      (list_filter(string_split(lower(trim(text)), ' '), t -> length(t) > 0))[1:5],
+        |      ' ')) AS lead_key
+        |  FROM documents),
+        |r AS (
+        |  SELECT lead_key, doc_id, source,
+        |    row_number() OVER (PARTITION BY lead_key ORDER BY prio, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY lead_key) AS n_candidates
+        |  FROM d)
+        |SELECT lead_key, doc_id AS keep_doc_id, source AS keep_source,
+        |  n_candidates::BIGINT AS n_candidates
+        |FROM r WHERE rk = 1 ORDER BY lead_key""".stripMargin,
+    // shard packing: distributed prefix sum mirrored as bucket-local
+    // running sums + exclusive bucket offsets (bucketSize=100, budget=2048)
+    "shard_plan" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0))::BIGINT AS n_tokens,
+        |    doc_id // 100 AS bucket
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens, bucket,
+        |    sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |                        ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM d),
+        |b AS (SELECT bucket, sum(n_tokens) AS bucket_tokens FROM d GROUP BY bucket),
+        |o AS (
+        |  SELECT bucket,
+        |    coalesce(sum(bucket_tokens) OVER (ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bucket_offset
+        |  FROM b)
+        |SELECT c.doc_id, c.n_tokens,
+        |  (o.bucket_offset + c.cum - c.n_tokens)::BIGINT AS global_start,
+        |  ((o.bucket_offset + c.cum - c.n_tokens) // 2048)::BIGINT AS shard_id
+        |FROM c JOIN o USING (bucket) ORDER BY c.doc_id""".stripMargin,
+    // salted two-phase counts: result-identical to urlcount_counts (the
+    // oracle proves the salt changes the PLAN, not the relation)
+    "urlcount_salted" ->
+      """SELECT token, count(*)::BIGINT AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE length(token) > 0
+        |GROUP BY token
+        |ORDER BY token""".stripMargin,
+    // two-phase exact distinct: same relation as COUNT(DISTINCT)
+    "ev_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

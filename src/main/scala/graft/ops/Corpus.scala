@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.GraftSession.table
+
+/** Corpus-management operators: the steps a multi-source training-data
+  * pipeline runs AROUND cleaning — merging sources by trust, and packing
+  * the cleaned corpus into fixed-token-budget output shards.
+  *
+  * Scale stance (100 TB): both operators are shuffle-on-key with no
+  * driver materialization. The shard planner's global prefix sum is the
+  * distributed two-level form (per-bucket window + a tiny bucket-offset
+  * table broadcast back), never a single-partition window over the
+  * corpus.
+  */
+object Corpus {
+
+  /** Multi-source priority merge — when several crawls/sources supply the
+    * "same" document, keep the copy from the most-trusted source. Here
+    * "same" is a LEAD FINGERPRINT (md5 of the first `leadTokens`
+    * normalized tokens): docs that open identically are near-certain
+    * re-crawls or template variants, the case a pure content-hash merge
+    * misses. Trust = the source's numeric rank (src0 most trusted); ties
+    * break by doc_id, so the winner is total.
+    *
+    * One shuffle on the lead key; the arg-min rides inside the
+    * aggregation as a (prio, doc_id, source) struct MIN — no second pass
+    * and no window. Group sizes are re-crawl multiplicities (tiny), so no
+    * skew risk; a boilerplate-heavy corpus would first collapse exact
+    * copies (Dedup.representatives) like the fuzzy rungs do.
+    *
+    * Output: (lead_key, keep_doc_id, keep_source, n_candidates), ordered.
+    */
+  def priorityMerge(spark: SparkSession, sfDir: String,
+                    leadTokens: Int = 5): DataFrame = {
+    val toks = filter(split(lower(trim(col("text"))), " "), t => length(t) > 0)
+    val leadKey = md5(concat_ws(" ", slice(toks, 1, leadTokens)))
+    // source rank: numeric suffix of the source name ("src7" -> 7);
+    // production swaps in an explicit source -> rank dimension (broadcast)
+    val prio = substring(col("source"), 4, 10).cast("long")
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), prio.as("prio"),
+        leadKey.as("lead_key"))
+      .groupBy("lead_key")
+      .agg(
+        min(struct(col("prio"), col("doc_id"), col("source"))).as("w"),
+        count(lit(1)).as("n_candidates"))
+      .select(col("lead_key"), col("w.doc_id").as("keep_doc_id"),
+        col("w.source").as("keep_source"), col("n_candidates"))
+      .orderBy("lead_key")
+  }
+
+  /** Training-shard packing plan: assign every document a contiguous
+    * token interval in doc_id order and the output shard that interval
+    * starts in — the step that turns a cleaned corpus into fixed-budget
+    * training files (`writeShards` materializes it).
+    *
+    * The global running token total is a distributed prefix sum, NOT a
+    * corpus-wide single-partition window (which would serialize 100 TB
+    * through one task):
+    *   1. bucket docs by `doc_id div bucketSize`; a per-bucket window
+    *      computes the within-bucket running sum (parallel across
+    *      buckets);
+    *   2. per-bucket token subtotals (corpus/bucketSize rows — tiny)
+    *      get their exclusive prefix sum in one single-partition window
+    *      over that TINY relation only;
+    *   3. broadcast the offsets back and add. global_start = bucket
+    *      offset + within-bucket running sum - own tokens;
+    *      shard_id = global_start div tokensPerShard.
+    *
+    * Documents larger than the budget spill over their shard boundary
+    * (interval assignment, like a tokenizer's block packing) — shard
+    * sizes stay within one document of the budget without splitting doc
+    * text mid-stream.
+    *
+    * Output: (doc_id, n_tokens, global_start, shard_id), ordered.
+    */
+  def shardPlan(spark: SparkSession, sfDir: String,
+                tokensPerShard: Long = 2048, bucketSize: Long = 100): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.wsTokenCount(col("text")).as("n_tokens"),
+        expr(s"doc_id div ${bucketSize}L").as("bucket"))
+    val withinW = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = docs.withColumn("cum", sum(col("n_tokens")).over(withinW))
+    val bucketTotals = docs.groupBy("bucket")
+      .agg(sum(col("n_tokens")).as("bucket_tokens"))
+    // exclusive prefix sum over the bucket totals: single-partition by
+    // construction, but over |corpus| / bucketSize rows, not the corpus
+    val offsetW = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketTotals
+      .withColumn("bucket_offset",
+        coalesce(sum(col("bucket_tokens")).over(offsetW), lit(0L)))
+      .select("bucket", "bucket_offset")
+    withCum.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("global_start", col("bucket_offset") + col("cum") - col("n_tokens"))
+      .withColumn("shard_id", expr(s"global_start div ${tokensPerShard}L"))
+      .select("doc_id", "n_tokens", "global_start", "shard_id")
+      .orderBy("doc_id")
+  }
+
+  /** Materialize the shard plan: the corpus written as parquet
+    * partitioned by shard_id — one directory per training shard, each
+    * holding ~tokensPerShard tokens of documents in doc_id order. The
+    * join is a broadcast-free equi-join on doc_id; at 100 TB the write
+    * fans out per shard directory with no driver involvement.
+    */
+  def writeShards(spark: SparkSession, sfDir: String, outDir: String,
+                  tokensPerShard: Long = 2048): Unit =
+    table(spark, sfDir, "documents")
+      .join(shardPlan(spark, sfDir, tokensPerShard), Seq("doc_id"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
+}

@@ -143,6 +143,28 @@ object EventWindows {
       .orderBy("purchase_event_id")
   }
 
+  /** Exact distinct users per event type, spelled as the explicit
+    * two-phase rewrite: phase 1 dedups on the (event_type, user_id) PAIR
+    * — the shuffle key carries the high-cardinality value, so even if
+    * one event type dominates the stream its rows spread over every
+    * reducer — phase 2 counts the surviving pairs per type (at most
+    * |distinct users| rows per type move). This is the skew-proof shape
+    * of COUNT(DISTINCT) at 100 TB; the single-phase form would funnel
+    * the hot type's full user stream through one reducer's in-memory
+    * set. (Spark's own count_distinct plans an Expand + two-key
+    * aggregate — same idea; this query pins the explicit composition the
+    * library exposes for aggregations the optimizer does NOT rewrite,
+    * e.g. exact medians or collect_set joins.) The approximate twin at
+    * scale is approx_count_distinct (see urlcount_approx_distinct).
+    */
+  def distinctUsersPerType(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .select("event_type", "user_id")
+      .distinct()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("event_type")
+
   /** Daily top event types: window rank over tumbling day buckets. */
   def dailyTopTypes(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     val day = table(spark, sfDir, "events")

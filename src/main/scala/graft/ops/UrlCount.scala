@@ -116,6 +116,33 @@ object UrlCount {
         (abs(col("n_approx") - col("n_exact")) <= col("n_exact") * lit(0.05))
           .as("within_tolerance"))
 
+  /** Explicitly SALTED two-phase counts — the manual skew-mitigation
+    * pattern for aggregations on Zipf-distributed keys: phase 1 groups on
+    * (token, salt) so a hot token's rows spread over `salts` reducers,
+    * phase 2 merges the per-salt subtotals on the token alone (a shuffle
+    * of at most `salts` rows per distinct token). The salt derives from
+    * the row's id column — anything uncorrelated with the key works.
+    *
+    * For plain `count`, Spark's map-side partial aggregation already
+    * bounds the hot key's shuffle volume at one row per (partition, key),
+    * so this query exists to pin the TECHNIQUE (result identical to
+    * `tokenCounts` — the oracle proves it) for the aggregations that
+    * genuinely need it at 100 TB: per-key state too large to combine
+    * map-side (exact distinct sets, collect_list percentiles, large
+    * sketches), where without the salt every occurrence of the hottest
+    * key lands on ONE reducer.
+    */
+  def saltedTokenCounts(df: DataFrame, textCol: String, idCol: String,
+                        salts: Int = 16, sep: String = " "): DataFrame =
+    df.select(pmod(col(idCol), lit(salts.toLong)).as("salt"),
+        tokenize(col(textCol), sep).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token", "salt")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("token")
+      .agg(sum(col("c")).cast("long").as("cnt"))
+      .orderBy("token")
+
   /** End-to-end reference pipeline over raw text files (EP1/EP2/EP3 of
     * SURVEY.md §3 collapse to this one plan).
     */

@@ -1,0 +1,86 @@
+package graft
+
+import graft.ops.{Corpus, EventWindows, UrlCount}
+import org.apache.spark.sql.functions._
+
+/** Corpus-management semantics on constructed inputs: priority-merge
+  * winner rule, shard-plan prefix-sum contiguity, shard write layout,
+  * and the result-equivalence of the explicit skew-mitigation shapes.
+  */
+class CorpusSpec extends SparkSpec {
+
+  // docs 1, 2, 4 share the first-5-token lead fingerprint (doc 4 only
+  // after case folding); doc 5 is shorter than the lead width
+  private lazy val sfDir: String = {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", Seq(
+      (1L, "alpha beta gamma delta epsilon tail one", "en", "src2", 38L),
+      (2L, "alpha beta gamma delta epsilon other tail", "en", "src0", 40L),
+      (3L, "unique opening line for doc three xyz", "en", "src1", 37L),
+      (4L, "ALPHA beta GAMMA delta epsilon zeta", "en", "src10", 35L),
+      (5L, "short", "en", "src3", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    dir
+  }
+
+  test("priorityMerge keeps the most-trusted source per lead fingerprint") {
+    val rows = Corpus.priorityMerge(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(rows.length === 3) // {1,2,4}, {3}, {5}
+    // the shared-lead group resolves to doc 2 (src0 outranks src2/src10)
+    assert(rows.contains((2L, "src0", 3L)))
+    assert(rows.contains((3L, "src1", 1L)))
+    assert(rows.contains((5L, "src3", 1L)))
+  }
+
+  test("shardPlan emits a contiguous global token interval per doc") {
+    val rows = Corpus.shardPlan(spark, sfDir, tokensPerShard = 5, bucketSize = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // token counts: 7, 7, 7, 6, 1 -> starts 0, 7, 14, 21, 27
+    assert(rows.map(_._2).toSeq === Seq(7L, 7L, 7L, 6L, 1L))
+    // contiguity: each start = previous start + previous tokens
+    rows.sliding(2).foreach { case Array((_, n1, s1, _), (_, _, s2, _)) =>
+      assert(s2 === s1 + n1)
+    }
+    // shard = floor(global_start / budget)
+    rows.foreach { case (_, _, start, shard) => assert(shard === start / 5) }
+    assert(rows.map(_._4).toSeq === Seq(0L, 1L, 2L, 4L, 5L))
+  }
+
+  test("writeShards materializes one partition directory per shard") {
+    val out = tempSfDir() + "/shards"
+    Corpus.writeShards(spark, sfDir, out, tokensPerShard = 5)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 5)
+    // partition column survives the round trip with the planned values
+    // (read back via directory-name inference, so cast explicitly)
+    val shards = back.select(col("shard_id").cast("long")).distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(shards === Seq(0L, 1L, 2L, 4L, 5L))
+    // every doc carries its full row (text intact) plus the plan columns
+    assert(back.columns.toSet.contains("text") &&
+      back.columns.toSet.contains("global_start"))
+  }
+
+  test("salted two-phase counts equal the plain single-phase counts") {
+    val docs = GraftSession.table(spark, sfDir, "documents")
+    val plain = UrlCount.tokenCounts(docs, "text").collect().toSeq
+    val salted = UrlCount.saltedTokenCounts(docs, "text", "doc_id", salts = 4)
+      .collect().toSeq
+    assert(salted === plain)
+  }
+
+  test("two-phase distinct users equals COUNT(DISTINCT)") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "events", Seq(
+      ("view", 1L), ("view", 1L), ("view", 2L),
+      ("purchase", 1L), ("purchase", 1L)
+    ).toDF("event_type", "user_id"))
+    val rows = EventWindows.distinctUsersPerType(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows === Map("view" -> 2L, "purchase" -> 1L))
+  }
+}
