@@ -134,11 +134,32 @@ object StreamingOps {
         StructField("n_chars", LongType))))
       .parquet(s"$sfDir/{documents.parquet}")
 
+  /** State-partition count for the harness streaming queries. A
+    * stateful operator's shuffle-partition count is FROZEN into its
+    * state layout at query start, and every state partition carries its
+    * own store instances (a stream-stream join holds FOUR per
+    * partition), each committing a snapshot file per micro-batch — at
+    * the harness's key cardinality (thousands of keys), 32 partitions
+    * are pure per-batch commit overhead: measured 13-18 s for the
+    * interval join at 32 vs ~4-6 s at 4-8, identical results. This is
+    * the knob a production deployment sizes UP with state volume (state
+    * must fit per partition, and parallelism caps at this count) — the
+    * number is per-workload, NOT per-cluster-core like batch shuffle
+    * partitions.
+    */
+  private val stateShufflePartitions = 8
+
   private def runToBatch(spark: SparkSession, df: DataFrame, prefix: String,
                          mode: OutputMode): DataFrame = {
     val name = freshName(prefix)
-    val q = runToMemory(df, name, mode)
-    q.stop()
+    // the conf is only read when the query STARTS; restore right after so
+    // surrounding batch plans keep the session's parallelism
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", stateShufflePartitions.toString)
+    try {
+      val q = runToMemory(df, name, mode)
+      q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 
