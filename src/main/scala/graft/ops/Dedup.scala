@@ -383,13 +383,32 @@ object Dedup {
     * node that appears in some pair, cluster_id = min id of its component.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    // Partition count sized to EDGE VOLUME, not core count: each
+    // propagation round is join + agg over the edge list, and a round on
+    // a small graph is pure per-partition scheduling overhead at the
+    // session's batch width (measured: a 259-edge graph spent ~1.4 s in
+    // 32-partition rounds, ~3x the data cost). ~100k edges per partition
+    // keeps rounds task-bound; huge graphs cap at the session setting,
+    // which a production job sizes to its cluster. pairs is already
+    // materialized by every caller, so the count is a cheap local scan.
+    val spark = pairs.sparkSession
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val nEdges = pairs.count() * 2
+    val parts = math.max(1L, math.min(sessionParts.toLong,
+      (nEdges + 99999L) / 100000L)).toInt
+    // every round's shuffles (the edge join's label side and the min
+    // aggregation) follow the session conf, so scope it to `parts` for
+    // the whole loop; every action inside is eager, and the finally
+    // restores the session's batch width for the caller
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       // hash-partitioned on the per-round join key BEFORE the checkpoint:
       // the checkpointed relation keeps that outputPartitioning, so the
       // (big, static) edge side is exchanged ONCE total instead of once
       // per propagation round — only the (small) label table moves
-      .repartition(col("dst"))
+      .repartition(parts, col("dst"))
       .localCheckpoint() // static across rounds; computed once
     // The loop uses persist/unpersist, NOT localCheckpoint: checkpoint
     // blocks are only freed when the ContextCleaner notices the plan got
@@ -441,6 +460,7 @@ object Dedup {
       .localCheckpoint()
     pinned.unpersist()
     out
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
   }
 
   /** Fuzzy-dedup cluster resolution: the three fuzzy rungs emit PAIRS;
