@@ -50,6 +50,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // same deterministic plan surface as Verify: every timed query runs
+    // with the SQL functions + token-count rewrite active
+    GraftExtensions.register(spark)
     def esc(s: String): String =
       s.flatMap {
         case '"' => "\\\""

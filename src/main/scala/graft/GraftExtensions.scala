@@ -29,10 +29,13 @@ import graft.functions.{DotProduct, MinHashArrayExpr, MinHashSketchAgg,
   * than silently defaulting.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // the library's one custom logical rewrite — see TokenCountRewrite
+    ext.injectOptimizerRule(_ => graft.plans.TokenCountRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -127,9 +130,16 @@ object GraftExtensions {
         case _ => badArity("graft_simhash", "(value)")
       }))
 
-  /** Idempotently register every function on a live session. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotently register every function AND the token-count rewrite on
+    * a live session (`experimental.extraOptimizations` is the public
+    * post-build twin of injectOptimizerRule).
+    */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, _, builder) =>
       GraftExpressionBridge.registerTempFunction(spark, name, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.TokenCountRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.TokenCountRewrite
+  }
 }

@@ -27,6 +27,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // deterministic plan surface: the SQL functions + token-count rewrite
+    // are active for EVERY query, not just those after a sql_* query's
+    // own register call (map order would otherwise decide which plans
+    // the rewrite touches)
+    GraftExtensions.register(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

@@ -430,6 +430,37 @@ object StreamingOps {
       .orderBy("purchase_event_id", "view_event_id")
   }
 
+  /** Streaming shard sink — the ingest-time twin of Corpus.writeShards:
+    * each micro-batch is appended to parquet partitioned by shard, via
+    * foreachBatch (the sink escape hatch for writers the built-in sinks
+    * can't express; here: partitioned append). A global token prefix sum
+    * doesn't exist on an infinite stream, so the shard key is the
+    * deterministic hash bucket (h60(doc_id) mod nShards) — stable under
+    * re-ingest, reordering and restarts, which is what a production
+    * ingest path wants anyway; batch-time repacking to token budgets
+    * (Corpus.shardPlan) then runs per partition. Exactly-once note: the
+    * parquet append is idempotent per (batch, file) only via the normal
+    * checkpoint/batch-id discipline — a real deployment keys the write
+    * on batchId (e.g. writes to a batch-stamped directory, or a
+    * transactional table format); the harness runs one AvailableNow
+    * pass, where plain append is exact.
+    */
+  def streamWriteHashShards(spark: SparkSession, sfDir: String, outDir: String,
+                            nShards: Int = 8): Unit = {
+    val q = harnessDocStream(spark, sfDir)
+      .withColumn("shard_id",
+        pmod(graft.functions.OracleHash.h60(col("doc_id").cast("string")),
+          lit(nShards.toLong)))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("shard_id").parquet(outDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Final per-user state of the mapGroupsWithState running totals. The
     * memory sink sees one Update row per (user, micro-batch); the final
     * state per user is the row with the highest event count (monotone).

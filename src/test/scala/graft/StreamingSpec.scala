@@ -233,6 +233,30 @@ class StreamingSpec extends SparkSpec {
     assert(got === Seq((1L, 4L)), s"got $got")
   }
 
+  test("foreachBatch shard sink: partitioned append, deterministic buckets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val sfDir = tempSfDir()
+    writeTable(sfDir, "documents", Seq(
+      (0L, "a", "en", "s", 1L), (1L, "b", "en", "s", 1L),
+      (2L, "c", "en", "s", 1L), (3L, "d", "en", "s", 1L),
+      (4L, "e", "en", "s", 1L), (5L, "f", "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val out = tempSfDir() + "/shards"
+    StreamingOps.streamWriteHashShards(spark, sfDir, out, nShards = 4)
+    val back = spark.read.parquet(out)
+    assert(back.count() === 6)
+    // shard assignment matches the batch-side expression exactly
+    val expected = GraftSession.table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        pmod(graft.functions.OracleHash.h60(col("doc_id").cast("string")), lit(4L))
+          .as("shard"))
+      .as[(Long, Long)].collect().toMap
+    val got = back.select(col("doc_id"), col("shard_id").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    assert(got === expected)
+  }
+
   test("stream-stream interval join: inclusive 1h lookback, same-user only") {
     import spark.implicits._
     val sfDir = tempSfDir()
