@@ -189,6 +189,10 @@ object SparkEntry {
     // arriving docs' shingles against the eval-set shingle table
     "stream_decontaminate" -> ((s, dir) => StreamingOps.streamDecontaminate(s, dir)),
 
+    // BPE first-merge scoring: distinct-word compression -> weighted
+    // adjacent-pair counts -> top-k (one tokenizer-training iteration)
+    "vocab_bpe_pairs" -> ((s, dir) => TextAnalysis.bpePairCounts(s, dir)),
+
     // —— corpus management: source merge + training-shard packing ——
     "pipeline_priority_merge" -> ((s, dir) => Corpus.priorityMerge(s, dir)),
     "shard_plan" -> ((s, dir) => Corpus.shardPlan(s, dir)),
@@ -1195,6 +1199,21 @@ object SparkEntry {
         |  FROM kept)
         |SELECT min(doc_id)::BIGINT AS doc_id, content_key
         |FROM keyed GROUP BY content_key ORDER BY doc_id""".stripMargin,
+    // BPE pair scoring: distinct-word freq table -> weighted adjacent
+    // char pairs -> top-20 by (cnt desc, pair asc)
+    "vocab_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT token AS word, count(*)::BIGINT AS freq
+        |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS token
+        |        FROM documents)
+        |  GROUP BY token),
+        |p AS (
+        |  SELECT substr(word, i::INT, 2) AS pair, freq
+        |  FROM w, UNNEST(range(1, length(word))) AS u(i)
+        |  WHERE length(word) >= 2),
+        |c AS (SELECT pair, sum(freq)::BIGINT AS cnt FROM p GROUP BY pair)
+        |SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair ASC)::BIGINT AS rk
+        |FROM c ORDER BY rk LIMIT 20""".stripMargin,
     // priority source merge: arg-min by (source rank, doc_id) per lead
     // fingerprint (md5 of the first 5 normalized tokens)
     "pipeline_priority_merge" ->

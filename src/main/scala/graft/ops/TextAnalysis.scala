@@ -232,6 +232,40 @@ object TextAnalysis {
       .orderBy("doc_id", "rk")
   }
 
+  /** Top-k adjacent character pairs by corpus frequency — the scoring
+    * step of one BPE training iteration (the pair a byte-pair-encoding
+    * tokenizer would merge first). The classic two-stage compression
+    * that makes BPE training feasible at corpus scale:
+    *   1. collapse the corpus to the DISTINCT-WORD frequency table (one
+    *      shuffle; at 100 TB this is the 10^6-row table BPE trainers
+    *      actually iterate on, not the corpus);
+    *   2. explode each distinct word's adjacent pairs weighted by word
+    *      frequency and sum per pair (second shuffle, keyed on the
+    *      pair — cardinality bounded by alphabet², inherently small).
+    * Top-k runs as orderBy+limit (TakeOrdered — no corpus-wide
+    * single-partition window); ranks are attached to the k survivors
+    * only. Ties break by pair ascending, so the result is total. A full
+    * BPE train repeats this scoring after applying each merge to the
+    * word table — the per-iteration plan is exactly this one.
+    */
+  def bpePairCounts(spark: SparkSession, sfDir: String, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = table(spark, sfDir, "documents")
+      .select(explode(filter(split(lower(col("text")), " "), t => length(t) > 0)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val top = words.filter(length(col("word")) >= 2)
+      .select(col("freq"),
+        explode(transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum(col("freq")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair").asc)
+      .limit(k)
+    top.withColumn("rk",
+        row_number().over(Window.orderBy(col("cnt").desc, col("pair").asc))
+          .cast("long"))
+      .orderBy("rk")
+  }
+
   /** Content fingerprints: md5 of whitespace-normalized lowercased text
     * (exact-dup key) plus a 60-bit integer form for compact joins. The
     * rolling-hash winnowing variant lives in Dedup.winnowFingerprints.

@@ -133,6 +133,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.filter(_._1 == 4L) === Seq((4L, "date", 1L, 1L, 4000L, 1L)))
   }
 
+  test("bpe pair counts: word-frequency-weighted adjacent pairs, ranked") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", Seq(
+      (1L, "abc abc ab", "en", "s", 10L),
+      (2L, "ABC x", "en", "s", 5L) // lowercases into abc; "x" has no pair
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // word freqs: abc 3, ab 1, x 1
+    // pairs: "ab" = 3 (from abc) + 1 (from ab) = 4; "bc" = 3
+    val got = TextAnalysis.bpePairCounts(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq(("ab", 4L, 1L), ("bc", 3L, 2L)))
+  }
+
   private implicit class MapOps(
       rows: Array[(Long, Long, Long, Long, Long, Boolean)]) {
     def toMap2: Map[Long, (Long, Long, Long, Long, Boolean)] =
