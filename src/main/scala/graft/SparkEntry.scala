@@ -192,6 +192,9 @@ object SparkEntry {
     // BPE first-merge scoring: distinct-word compression -> weighted
     // adjacent-pair counts -> top-k (one tokenizer-training iteration)
     "vocab_bpe_pairs" -> ((s, dir) => TextAnalysis.bpePairCounts(s, dir)),
+    // corpus-LM fluency score: exact-rational mean bigram conditional
+    // (the n-gram perplexity stand-in; big-to-big join on the bigram key)
+    "text_lm_score" -> ((s, dir) => TextAnalysis.lmScore(s, dir)),
 
     // —— corpus management: source merge + training-shard packing ——
     "pipeline_priority_merge" -> ((s, dir) => Corpus.priorityMerge(s, dir)),
@@ -1214,6 +1217,27 @@ object SparkEntry {
         |c AS (SELECT pair, sum(freq)::BIGINT AS cnt FROM p GROUP BY pair)
         |SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair ASC)::BIGINT AS rk
         |FROM c ORDER BY rk LIMIT 20""".stripMargin,
+    // LM score: per-bigram exact conditionals floor((C(w1w2)*1000)/C(w1·)),
+    // doc score = floor(mean); occurrences, not distinct bigrams
+    "text_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, array_to_string(toks[i+1:i+2], ' ') AS bigram
+        |  FROM toks, UNNEST(range(0, len(toks) - 1)) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |bs AS (SELECT bigram, count(*)::BIGINT AS c_bigram FROM bg GROUP BY bigram),
+        |w1s AS (
+        |  SELECT split_part(bigram, ' ', 1) AS w1, sum(c_bigram)::BIGINT AS c_w1
+        |  FROM bs GROUP BY 1),
+        |sc AS (
+        |  SELECT bigram, (c_bigram * 1000) // c_w1 AS cond_milli
+        |  FROM bs JOIN w1s ON split_part(bs.bigram, ' ', 1) = w1s.w1)
+        |SELECT g.doc_id, count(*)::BIGINT AS n_bigrams,
+        |  (sum(sc.cond_milli) // count(*))::BIGINT AS lm_milli
+        |FROM bg g JOIN sc ON g.bigram = sc.bigram
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     // priority source merge: arg-min by (source rank, doc_id) per lead
     // fingerprint (md5 of the first 5 normalized tokens)
     "pipeline_priority_merge" ->

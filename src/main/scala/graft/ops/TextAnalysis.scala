@@ -266,6 +266,48 @@ object TextAnalysis {
       .orderBy("rk")
   }
 
+  /** Corpus-LM fluency score — the n-gram language-model quality signal
+    * (the cheap stand-in for perplexity filtering): score each doc by
+    * the mean corpus-conditional probability of its bigrams,
+    *
+    *   lm_milli = floor( sum over doc bigram occurrences of
+    *                     floor(C(w1 w2) * 1000 / C(w1 ·)) / n_bigrams )
+    *
+    * where C(w1 w2) counts the bigram corpus-wide and C(w1 ·) counts
+    * bigrams STARTING with w1 (so each term is an exact conditional in
+    * thousandths — all-integer, no log/float drift; the textbook
+    * perplexity would exponentiate a mean log, which induces the same
+    * ordering per fixed length). Template/boilerplate text scores HIGH
+    * (its transitions dominate the corpus), word salad scores LOW —
+    * both are drop signals a plain length/stopword gate misses.
+    *
+    * Plan shape — deliberately the one text op with a BIG-to-big join:
+    * doc bigram occurrences join the corpus bigram-stats table on the
+    * bigram key (both sides shuffle; hot bigrams are exactly the keys
+    * AQE skew-split), then one aggregation back on doc_id. The stats
+    * table is corpus-derived — at 100 TB you materialize it once and
+    * reuse it across scoring runs. Docs with no bigram are excluded
+    * (no denominator).
+    */
+  def lmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val bigrams = table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleColumns.wordShingles(col("text"), 2)).as("bigram"))
+    // corpus stats: C(bigram) and C(first-word ·) — derived from the
+    // same bigram relation, so C(w1 ·) = sum over bigrams starting w1
+    val bstats = bigrams.groupBy("bigram").agg(count(lit(1)).as("c_bigram"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val w1stats = bstats.groupBy("w1").agg(sum(col("c_bigram")).as("c_w1"))
+    val scored = bstats.join(w1stats, Seq("w1"))
+      .withColumn("cond_milli", expr("(c_bigram * 1000) div c_w1"))
+      .select("bigram", "cond_milli")
+    bigrams.join(scored, Seq("bigram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(cond_milli) div count(1)").as("lm_milli"))
+      .orderBy("doc_id")
+  }
+
   /** Content fingerprints: md5 of whitespace-normalized lowercased text
     * (exact-dup key) plus a 60-bit integer form for compact joins. The
     * rolling-hash winnowing variant lives in Dedup.winnowFingerprints.

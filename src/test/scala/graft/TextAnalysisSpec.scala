@@ -147,6 +147,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Seq(("ab", 4L, 1L), ("bc", 3L, 2L)))
   }
 
+  test("lm score: exact-rational mean bigram conditional per doc") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", Seq(
+      (1L, "a b a b", "en", "s", 7L),
+      (2L, "a c", "en", "s", 3L),
+      (3L, "solo", "en", "s", 4L) // no bigram -> excluded
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // corpus: "a b" x2, "b a" x1, "a c" x1; C(a .)=3, C(b .)=1
+    // cond_milli: "a b"=666, "b a"=1000, "a c"=333
+    // doc1 = (666+1000+666) div 3 = 777; doc2 = 333
+    val got = TextAnalysis.lmScore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 3L, 777L), (2L, 1L, 333L)))
+  }
+
   private implicit class MapOps(
       rows: Array[(Long, Long, Long, Long, Long, Boolean)]) {
     def toMap2: Map[Long, (Long, Long, Long, Long, Boolean)] =
