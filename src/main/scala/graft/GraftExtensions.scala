@@ -108,6 +108,14 @@ object GraftExtensions {
           LongType)
         case _ => badArity("graft_h60", "(s)")
       }),
+    ("graft_cms_estimate",
+      info("graft_cms_estimate",
+        "graft_cms_estimate(sketch, item) - point-query estimate from a " +
+          "count_min_sketch(...) binary (string item probed as UTF-8 bytes)"),
+      {
+        case Seq(s, i) => graft.functions.CmsEstimateExpr(s, i)
+        case _ => badArity("graft_cms_estimate", "(sketch, item)")
+      }),
     // aggregates: the analyzer wraps a returned AggregateFunction in its
     // AggregateExpression, so these work directly under GROUP BY
     ("graft_minhash_sketch",

@@ -203,6 +203,10 @@ object SparkEntry {
     //    forms; the PLAN is what differs — see each operator's doc) ——
     "urlcount_salted" -> ((s, dir) =>
       UrlCount.saltedTokenCounts(table(s, dir, "documents"), "text", "doc_id")),
+    // count-min-sketch heavy hitters, gated in-plan vs exact counts
+    // (the frequency member of the sketch family, like the HLL/GK gates)
+    "urlcount_cms" -> ((s, dir) =>
+      UrlCount.cmsHeavyHitters(table(s, dir, "documents"), "text")),
     "ev_distinct_users" -> ((s, dir) => EventWindows.distinctUsersPerType(s, dir)),
 
     // —— SQL surface: the custom expression/aggregate toolkit invoked
@@ -1285,6 +1289,17 @@ object SparkEntry {
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |WHERE length(token) > 0
         |GROUP BY token
+        |ORDER BY token""".stripMargin,
+    // CMS gate: oracle recomputes the exact top-5 and asserts the
+    // tolerance flag — i.e. the sketch estimate landed within 5%
+    "urlcount_cms" ->
+      """WITH c AS (
+        |  SELECT token, count(*)::BIGINT AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE length(token) > 0
+        |  GROUP BY token)
+        |SELECT token, cnt, TRUE AS within_tolerance
+        |FROM (SELECT token, cnt FROM c ORDER BY cnt DESC, token ASC LIMIT 5)
         |ORDER BY token""".stripMargin,
     // two-phase exact distinct: same relation as COUNT(DISTINCT)
     "ev_distinct_users" ->

@@ -143,6 +143,35 @@ object UrlCount {
       .agg(sum(col("c")).cast("long").as("cnt"))
       .orderBy("token")
 
+  /** Heavy-hitter counts from a count-min sketch, GATED in-plan against
+    * the exact counts — the frequency member of the sketch family
+    * (HLL++ distinct: approxDistinctTokens; GK quantiles:
+    * TextAnalysis.lengthQuantiles). One pass builds the fixed-size
+    * mergeable CMS (no shuffle of the keys, only sketch merges); the
+    * top-k exact counts — the verification harness, like the HLL twin's
+    * exact side — probe it via the native cms_estimate expression over
+    * the broadcast one-row sketch. Surfaced as (token, cnt,
+    * within_tolerance): the oracle recomputes the exact side and
+    * hash-verifies the estimate landed within 5% (CMS only
+    * overestimates, by at most eps*N with the configured confidence, so
+    * the gate trips only on a real sketch bug). At 100 TB production
+    * reads the sketch alone.
+    */
+  def cmsHeavyHitters(df: DataFrame, textCol: String, k: Int = 5,
+                      sep: String = " "): DataFrame = {
+    val toks = tokens(df, textCol, sep)
+    val sketch = toks.agg(
+      expr("count_min_sketch(token, 0.0001d, 0.99d, 42)").as("cms"))
+    val top = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(k)
+    top.crossJoin(broadcast(sketch))
+      .select(col("token"), col("cnt"),
+        (abs(graft.functions.CmsColumns.cmsEstimate(col("cms"), col("token"))
+          - col("cnt")) <= col("cnt") * lit(0.05)).as("within_tolerance"))
+      .orderBy("token")
+  }
+
   /** End-to-end reference pipeline over raw text files (EP1/EP2/EP3 of
     * SURVEY.md §3 collapse to this one plan).
     */

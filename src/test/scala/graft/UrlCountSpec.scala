@@ -104,4 +104,22 @@ class UrlCountSpec extends SparkSpec {
     assert(got(0).getLong(0) === 137L) // exact distinct: u0..u136
     assert(got(0).getBoolean(1), "HLL++ estimate outside 5% of exact")
   }
+
+  test("CMS heavy hitters: exact counts surfaced, estimates inside the gate") {
+    import spark.implicits._
+    val lines = (0 until 300).map(i => s"hot t${i % 97}") // "hot" x300, tail x~3
+    val got = UrlCount.cmsHeavyHitters(lines.toDF("text"), "text", k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.map(_._1).contains("hot"))
+    assert(got.find(_._1 == "hot").get._2 === 300L)
+    assert(got.forall(_._3), s"CMS estimate outside 5%: ${got.mkString(",")}")
+    // the SQL-surface estimator reads the same sketch the aggregate wrote
+    lines.toDF("text").createOrReplaceTempView("cms_in")
+    val est = spark.sql(
+      """SELECT graft_cms_estimate(
+        |  (SELECT count_min_sketch(t, 0.0001d, 0.99d, 42)
+        |   FROM (SELECT explode(split(text, ' ')) AS t FROM cms_in)),
+        |  'hot') AS e""".stripMargin).collect()(0).getLong(0)
+    assert(est === 300L) // tiny corpus: no collisions, estimate exact
+  }
 }
