@@ -63,9 +63,12 @@ object Corpus {
     *   1. bucket docs by `doc_id div bucketSize`; a per-bucket window
     *      computes the within-bucket running sum (parallel across
     *      buckets);
-    *   2. per-bucket token subtotals (corpus/bucketSize rows — tiny)
-    *      get their exclusive prefix sum in one single-partition window
-    *      over that TINY relation only;
+    *   2. per-bucket token subtotals (corpus/bucketSize rows) get their
+    *      exclusive prefix sum in one single-partition window over that
+    *      SMALL relation only — size `bucketSize` so corpus/bucketSize
+    *      stays ~10^6 rows (the default 100 suits the harness corpus; a
+    *      10^10-doc corpus wants ~10^4). If even that relation is too
+    *      big, apply the same two-level split recursively;
     *   3. broadcast the offsets back and add. global_start = bucket
     *      offset + within-bucket running sum - own tokens;
     *      shard_id = global_start div tokensPerShard.
