@@ -151,6 +151,8 @@ object SparkEntry {
     // brute-force ground truth, surfaced as exact integers so the
     // driver (not just a spec) checks ANN quality every round
     "sim_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
+    // per-label centroid stats (order-independent integer accumulation)
+    "emb_label_centroids" -> ((s, dir) => Similarity.labelCentroids(s, dir)),
     // —— multimodal columns ——
     "mm_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
     "mm_frames" -> ((s, dir) => Multimodal.sampleFrames(s, dir)),
@@ -1290,6 +1292,22 @@ object SparkEntry {
         |WHERE length(token) > 0
         |GROUP BY token
         |ORDER BY token""".stripMargin,
+    // centroid stats: per-element floor(v*1e6) integerization THEN the
+    // integer sum — order-independent. Sums can be negative and BOTH
+    // engines' integer division truncates toward zero, so both sides
+    // spell exact floor division with a nonneg-mod guard (Spark: pmod +
+    // div; DuckDB: ((s % n + n) % n) + //)
+    "emb_label_centroids" ->
+      """WITH e AS (
+        |  SELECT label, i,
+        |    floor(embedding[(i + 1)::INT]::DOUBLE * 1000000)::BIGINT AS micros
+        |  FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)),
+        |g AS (
+        |  SELECT label, i, count(*)::BIGINT AS n, sum(micros)::BIGINT AS s
+        |  FROM e GROUP BY label, i)
+        |SELECT label::BIGINT AS label, i::BIGINT AS i, n,
+        |  ((s - ((s % n + n) % n)) // n)::BIGINT AS mean_micros
+        |FROM g ORDER BY label, i""".stripMargin,
     // CMS gate: oracle recomputes the exact top-5 and asserts the
     // tolerance flag — i.e. the sketch estimate landed within 5%
     "urlcount_cms" ->

@@ -329,4 +329,31 @@ object Similarity {
       .select(col("q_id"), col("rk").cast("long").as("rk"), col("n_id"), col("cos_milli"))
       .orderBy("q_id", "rk")
   }
+
+  /** Per-label centroid statistics — the embedding-column monitoring
+    * aggregate (class balance + per-dimension means: distribution-drift
+    * detection, IVF seeding diagnostics, embedding-version regression
+    * checks). One narrow posexplode (x dim) and one shuffle on
+    * (label, dim); partial aggregation bounds shuffle volume at
+    * |labels| x dim rows per partition regardless of corpus size.
+    *
+    * Float sums are NOT associative, so a naive mean would depend on
+    * partition order; each element is integerized FIRST
+    * (floor(v * 1e6) — identical double math in both engines) and the
+    * integer micros are summed — order-independent, overflow-safe to
+    * ~9e12 vectors per (label, dim), and bit-identical cross-engine.
+    * The mean uses exact floor division (pmod guard: `div` truncates
+    * toward zero, sums can be negative).
+    */
+  def labelCentroids(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "embeddings")
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("label"), col("i").cast("long").as("i"),
+        floor(col("v").cast("double") * lit(1000000L)).as("micros"))
+      .groupBy("label", "i")
+      .agg(count(lit(1)).as("n"), sum(col("micros")).as("s"))
+      .select(col("label"), col("i"), col("n"),
+        expr("(s - pmod(s, n)) div n").as("mean_micros"))
+      .orderBy("label", "i")
 }
