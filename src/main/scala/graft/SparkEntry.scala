@@ -175,6 +175,8 @@ object SparkEntry {
     "stream_tokens" -> ((s, dir) => StreamingOps.streamTokenCounts(s, dir)),
     "stream_running" -> ((s, dir) => StreamingOps.streamRunningTotals(s, dir)),
     "stream_dedup" -> ((s, dir) => StreamingOps.streamExactDedup(s, dir)),
+    // the same dedup as an explicit flatMapGroupsWithState state machine
+    "stream_dedup_custom" -> ((s, dir) => StreamingOps.streamExactDedupCustom(s, dir)),
     // watermark-BOUNDED ingest dedup: dropDuplicatesWithinWatermark
     // evicts key state one retention window behind the watermark — the
     // state-bounded production path (the unbounded form is its oracle twin)
@@ -1125,6 +1127,10 @@ object SparkEntry {
         | AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000
         |ORDER BY purchase_event_id, view_event_id""".stripMargin,
     "stream_dedup" ->
+      """SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_key
+        |FROM documents ORDER BY content_key""".stripMargin,
+    // the flatMapGroupsWithState machine emits exactly the same relation
+    "stream_dedup_custom" ->
       """SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_key
         |FROM documents ORDER BY content_key""".stripMargin,
     // bounded twin: the harness corpus's ingest span (doc_id seconds)

@@ -430,6 +430,42 @@ object StreamingOps {
       .orderBy("purchase_event_id", "view_event_id")
   }
 
+  case class KeyArrival(content_key: String)
+  case class KeySeen(seen: Boolean)
+
+  /** Ingest dedup as an EXPLICIT state machine — dropDuplicates
+    * hand-rolled with flatMapGroupsWithState, the API for suppression
+    * logic the built-in stateful operators can't express (emit-once is
+    * its degenerate case; the same skeleton carries count-limited
+    * emission, per-key rate limiting, or change-data suppression by
+    * changing what the state records). One group per content key; the
+    * first arrival emits and sets the state, every later arrival is
+    * swallowed. Semantics — and oracle — identical to `streamExactDedup`
+    * (the distinct content keys); which doc wins stays
+    * arrival-order-dependent, so only the key is surfaced. State is
+    * unbounded like the dropDuplicates twin; the watermark-bounded
+    * production variant would use GroupStateTimeout.EventTimeTimeout
+    * exactly as dropDuplicatesWithinWatermark does internally.
+    */
+  def streamExactDedupCustom(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val keyed = harnessDocStream(spark, sfDir)
+      .select(md5(lower(regexp_replace(trim(col("text")), "\\s+", " ")))
+        .as("content_key"))
+      .as[KeyArrival]
+      .groupByKey(_.content_key)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[KeyArrival], state: GroupState[KeySeen]) =>
+          val first = !state.exists
+          state.update(KeySeen(true))
+          rows.size // drain the iterator; arrivals beyond the first are swallowed
+          if (first) Iterator single key else Iterator.empty
+      }
+    runToBatch(spark, keyed.toDF("content_key"), "stream_dedup_custom",
+        OutputMode.Append())
+      .orderBy("content_key")
+  }
+
   /** Streaming shard sink — the ingest-time twin of Corpus.writeShards:
     * each micro-batch is appended to parquet partitioned by shard, via
     * foreachBatch (the sink escape hatch for writers the built-in sinks

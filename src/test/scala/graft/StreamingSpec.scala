@@ -233,6 +233,24 @@ class StreamingSpec extends SparkSpec {
     assert(got === Seq((1L, 4L)), s"got $got")
   }
 
+  test("flatMapGroupsWithState dedup machine: first arrival emits, rest swallowed") {
+    import spark.implicits._
+    val sfDir = tempSfDir()
+    // docs 1 and 2 normalize to the same content key; doc 3 differs
+    writeTable(sfDir, "documents", Seq(
+      (1L, "Same   Doc", "en", "s", 10L),
+      (2L, "same doc", "en", "s", 8L),
+      (3L, "other", "en", "s", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = StreamingOps.streamExactDedupCustom(spark, sfDir)
+      .as[String].collect().toSeq
+    val expected = Seq("same doc", "other")
+      .map(s => java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      .sorted
+    assert(got === expected)
+  }
+
   test("foreachBatch shard sink: partitioned append, deterministic buckets") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, pmod, lit}
