@@ -189,6 +189,9 @@ object SparkEntry {
     // stream-STREAM interval join: purchases x views within 1h, both
     // sides watermarked + time-bounded so the join state is evictable
     "stream_join" -> ((s, dir) => StreamingOps.streamViewPurchaseJoin(s, dir)),
+    // LEFT OUTER stream-stream join: unmatched purchases surface with
+    // NULLs once the watermark proves no matching view can arrive
+    "stream_join_outer" -> ((s, dir) => StreamingOps.streamViewPurchaseJoinOuter(s, dir)),
     // ingest-time decontamination: stream-static broadcast join of
     // arriving docs' shingles against the eval-set shingle table
     "stream_decontaminate" -> ((s, dir) => StreamingOps.streamDecontaminate(s, dir)),
@@ -1125,6 +1128,43 @@ object SparkEntry {
         | AND p.event_type = 'purchase' AND v.event_type = 'view'
         | AND epoch_us(v.ts) <= epoch_us(p.ts)
         | AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000
+        |ORDER BY purchase_event_id, view_event_id""".stripMargin,
+    // outer emission boundary: matched pairs emit on arrival (the inner
+    // relation); an unmatched purchase emits with NULLs iff the final
+    // watermark passed it — wm = min(max view ts, max purchase ts)
+    // floored to ms minus 2h (each side advances only its OWN watermark,
+    // the join takes the min; Spark tracks watermarks in ms), STRICT
+    // p_ts < wm (probe-verified; boundary also pinned by StreamingSpec).
+    // Purchases later than wm stay in state, never emitted.
+    "stream_join_outer" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_event_id, user_id,
+        |    epoch_us(ts) AS purchase_tus
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT event_id AS view_event_id, user_id AS v_user,
+        |    epoch_us(ts) AS view_tus
+        |  FROM events WHERE event_type = 'view'),
+        |wm AS (
+        |  SELECT (least((SELECT max(view_tus) FROM v),
+        |                (SELECT max(purchase_tus) FROM p)) // 1000 - 7200000) * 1000 AS wm_us),
+        |matched AS (
+        |  SELECT p.purchase_event_id, p.user_id, p.purchase_tus,
+        |    v.view_event_id, v.view_tus
+        |  FROM p JOIN v ON p.user_id = v.v_user
+        |    AND v.view_tus <= p.purchase_tus
+        |    AND v.view_tus >= p.purchase_tus - 3600000000),
+        |unmatched AS (
+        |  SELECT p.purchase_event_id, p.user_id, p.purchase_tus,
+        |    NULL::BIGINT AS view_event_id, NULL::BIGINT AS view_tus
+        |  FROM p, wm
+        |  WHERE p.purchase_tus < wm.wm_us
+        |    AND NOT EXISTS (
+        |      SELECT 1 FROM v WHERE v.v_user = p.user_id
+        |        AND v.view_tus <= p.purchase_tus
+        |        AND v.view_tus >= p.purchase_tus - 3600000000))
+        |SELECT * FROM matched
+        |UNION ALL SELECT * FROM unmatched
         |ORDER BY purchase_event_id, view_event_id""".stripMargin,
     "stream_dedup" ->
       """SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_key

@@ -497,6 +497,42 @@ object StreamingOps {
     q.stop()
   }
 
+  /** LEFT OUTER stream-stream interval join — `streamViewPurchaseJoin`
+    * with the unmatched purchases surfaced as NULL attribution rows (the
+    * funnel-analysis form: every purchase, attributed or not). Outer
+    * emission is WATERMARK-DRIVEN state eviction: a purchase row waits
+    * in state while a matching view could still arrive, and emits with
+    * NULLs only when the watermark passes its join window — so on an
+    * open stream the unmatched rows trail by the watermark delay, and
+    * under AvailableNow the trailing no-data batches flush every
+    * purchase the final watermark (max event time - 2h) proves
+    * unmatched; later purchases stay in state unemitted. The harness
+    * surfaces matched rows plus the EMITTED unmatched set; the oracle
+    * models the boundary explicitly (StreamingSpec pins it on a
+    * constructed stream).
+    */
+  def streamViewPurchaseJoinOuter(spark: SparkSession, sfDir: String): DataFrame = {
+    val views = harnessEventStream(spark, sfDir)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_event_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val purchases = harnessEventStream(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_event_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    runToBatch(spark,
+        purchases.join(views, expr(
+          "user_id = v_user AND v_ts <= p_ts AND v_ts >= p_ts - INTERVAL 1 HOUR"),
+          "left_outer"),
+        "stream_join_outer", OutputMode.Append())
+      .select(col("purchase_event_id"), col("user_id"),
+        unix_micros(col("p_ts")).as("purchase_tus"),
+        col("view_event_id"), unix_micros(col("v_ts")).as("view_tus"))
+      .orderBy("purchase_event_id", "view_event_id")
+  }
+
   /** Final per-user state of the mapGroupsWithState running totals. The
     * memory sink sees one Update row per (user, micro-batch); the final
     * state per user is the row with the highest event count (monotone).

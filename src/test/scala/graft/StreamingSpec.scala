@@ -233,6 +233,30 @@ class StreamingSpec extends SparkSpec {
     assert(got === Seq((1L, 4L)), s"got $got")
   }
 
+  test("outer stream join: matched emit on arrival, unmatched only past the watermark, strictly") {
+    import spark.implicits._
+    val sfDir = tempSfDir()
+    def nanos(sec: Long): Long = sec * 1000000000L
+    // wm = min(max view 60000, max purchase 50000) - 7200 = 42800s
+    //  purchase 20 (t=1500): matched by view 10 -> emits with attribution
+    //  purchase 21 (t=2000): unmatched, 2000 < 42800 -> emits with NULLs
+    //  purchase 23 (t=42800): unmatched, AT the watermark -> held (strict <)
+    //  purchase 22 (t=50000): unmatched, past the watermark -> held
+    writeTable(sfDir, "events", Seq(
+      (10L, nanos(1000L), 1L, "view", 1.0, "{}"),
+      (11L, nanos(60000L), 3L, "view", 1.0, "{}"),
+      (20L, nanos(1500L), 1L, "purchase", 9.0, "{}"),
+      (21L, nanos(2000L), 2L, "purchase", 9.0, "{}"),
+      (23L, nanos(42800L), 4L, "purchase", 9.0, "{}"),
+      (22L, nanos(50000L), 2L, "purchase", 9.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val got = StreamingOps.streamViewPurchaseJoinOuter(spark, sfDir)
+      .select("purchase_event_id", "view_event_id")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSeq
+    assert(got === Seq((20L, 10L), (21L, -1L)), s"got $got")
+  }
+
   test("flatMapGroupsWithState dedup machine: first arrival emits, rest swallowed") {
     import spark.implicits._
     val sfDir = tempSfDir()
