@@ -100,6 +100,9 @@ object SparkEntry {
     // distinct 3-grams with the held-out set (threshold chosen so the
     // check is NON-VACUOUS on the synthetic corpus: overlaps reach 4)
     "pipeline_decontaminate" -> ((s, dir) => Dedup.decontaminate(s, dir)),
+    // bloom-prefiltered twin: same relation, the eval-set-too-big-to-
+    // broadcast scale path (bloom sketch ships instead of the set)
+    "pipeline_decontaminate_bloom" -> ((s, dir) => Dedup.decontaminateBloom(s, dir)),
     // context-window chunking (64-token windows, 8-token overlap);
     // chunk content is proven by md5, not shipped
     "text_chunks" -> ((s, dir) => TextAnalysis.chunkDocs(s, dir)),
@@ -746,6 +749,18 @@ object SparkEntry {
          |  count(*)::BIGINT AS n_docs
          |FROM b GROUP BY source, split ORDER BY source, split""".stripMargin,
     "pipeline_decontaminate" ->
+      s"""WITH $docShingles,
+         |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+         |SELECT s.doc_id, count(*)::BIGINT AS n_overlap
+         |FROM sh s JOIN ev ON s.shingle = ev.shingle
+         |WHERE s.doc_id % 97 != 0
+         |GROUP BY s.doc_id
+         |HAVING count(*) >= 3
+         |ORDER BY doc_id""".stripMargin,
+    // bloom twin: the exact-confirm join makes the relation identical to
+    // pipeline_decontaminate — the bloom only pre-drops non-overlapping
+    // train shingles, never a qualifying one
+    "pipeline_decontaminate_bloom" ->
       s"""WITH $docShingles,
          |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
          |SELECT s.doc_id, count(*)::BIGINT AS n_overlap

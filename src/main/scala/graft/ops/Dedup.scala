@@ -552,6 +552,49 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Bloom-prefiltered decontamination — `decontaminate` for the regime
+    * where the eval-shingle set outgrows a comfortable broadcast: build
+    * a fixed-size Bloom filter over the eval shingles (Spark's own
+    * runtime-join-filter aggregate, constructed directly — it has no SQL
+    * registration), ship THAT to every executor, and drop the ~all of
+    * the 100 TB train side that can't overlap before any join. The
+    * surviving sliver then takes the EXACT join (false positives
+    * eliminated), so the output relation is identical to `decontaminate`
+    * — same oracle. At harness scale the confirm join still broadcasts;
+    * at eval-sets-too-big-to-broadcast scale it becomes a shuffle join
+    * over the bloom-reduced survivors, which is the entire point.
+    */
+  def decontaminateBloom(spark: SparkSession, sfDir: String,
+                         evalMod: Int = 97, minOverlap: Int = 3,
+                         shingleN: Int = 3): DataFrame = {
+    import org.apache.spark.sql.GraftExpressionBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val sh = shingles(table(spark, sfDir, "documents"), shingleN)
+    val evalShingles = sh.filter(col("doc_id") % evalMod === 0)
+      .select("shingle").distinct()
+    // the sketch is evaluated once and embedded as a CONSTANT binary:
+    // might_contain requires a constant/scalar-subquery filter side (it
+    // is Spark's runtime-filter primitive, which does exactly this —
+    // evaluate the filter subquery, then probe with the result). The
+    // driver pull is the fixed sketch size (numBits/8 = 100 KB here),
+    // independent of eval-set or corpus size — not a data collect.
+    val bfBytes = evalShingles.agg(column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        expression(xxhash64(col("shingle"))),
+        Literal(100000L), Literal(800000L)).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val mightHit = column(BloomFilterMightContain(
+      Literal(bfBytes), expression(xxhash64(col("shingle")))))
+    sh.filter(col("doc_id") % evalMod =!= 0)
+      .filter(mightHit)
+      .select("doc_id", "shingle")
+      .join(broadcast(evalShingles), Seq("shingle")) // exact: kills FPs
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+      .orderBy("doc_id")
+  }
+
   /** Embedding near-dup: pairs of vectors with cosine >= minCos.
     * Candidates come from random-hyperplane LSH buckets
     * (Similarity.lshNearDupPairs) — exact cosine runs only within

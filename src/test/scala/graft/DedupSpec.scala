@@ -131,6 +131,11 @@ class DedupSpec extends SparkSpec {
     // doc 5 shares shingles (alpha beta gamma), (beta gamma delta),
     // (gamma delta epsilon) = 3 of doc 0's 4
     assert(got === Seq((5L, 3L)))
+    // the bloom-prefiltered twin emits the identical relation, and the
+    // bloom probe is actually in its plan
+    val bloomed = Dedup.decontaminateBloom(spark, dir, minOverlap = 3)
+    assert(bloomed.queryExecution.executedPlan.toString.contains("might_contain"))
+    assert(bloomed.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === got)
   }
 
   test("connected components: chain merges to min label; disjoint pair stays separate") {
