@@ -87,6 +87,10 @@ object SparkEntry {
     // latest preceding view of the same user — composed as tag + one
     // shuffle + carry-forward window, not a quadratic range join
     "ev_asof_attribution" -> ((s, dir) => EventWindows.asOfAttribution(s, dir)),
+    // batch interval join: purchases x views within the 1 h lookback,
+    // equi-joined on (user, coarse time bucket) so candidate pairs are
+    // bounded by true temporal neighbors, not per-user totals
+    "ev_interval_join" -> ((s, dir) => EventWindows.intervalJoin(s, dir)),
     // —— text analysis ——
     "text_stats" -> ((s, dir) => TextAnalysis.tokenStats(s, dir)),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
@@ -654,6 +658,19 @@ object SparkEntry {
         |  lv.vid AS view_event_id, lv.vt AS view_tus,
         |  tus - lv.vt AS lag_us
         |FROM marked WHERE is_purchase = 1 ORDER BY purchase_event_id""".stripMargin,
+    // batch interval join: the oracle states the relation as the plain
+    // theta-join — the bucketed equi-join must produce exactly it
+    "ev_interval_join" ->
+      """SELECT p.event_id AS purchase_event_id, p.user_id,
+        |  epoch_us(p.ts) AS purchase_tus,
+        |  v.event_id AS view_event_id, epoch_us(v.ts) AS view_tus,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+        |FROM events p JOIN events v
+        |  ON p.user_id = v.user_id
+        | AND p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND epoch_us(v.ts) <= epoch_us(p.ts)
+        | AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000
+        |ORDER BY purchase_event_id, view_event_id""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         |  length(text)::BIGINT AS n_chars,

@@ -165,6 +165,52 @@ object EventWindows {
       .agg(count(lit(1)).as("n_users"))
       .orderBy("event_type")
 
+  /** Batch interval join (the batch twin of
+    * streaming.StreamingOps.streamViewPurchaseJoin): every (purchase,
+    * view) pair by the same user with the view inside the purchase's
+    * 1-hour lookback, endpoints inclusive.
+    *
+    * The naive plan — equi-join on user_id, range predicate as a
+    * post-filter — generates |purchases(u)| x |views(u)| candidate pairs
+    * per user BEFORE the filter: quadratic in per-user event density, and
+    * one hot user (a bot at 100 TB) lands an unbounded task. This instead
+    * refines the join key with a coarse TIME BUCKET of the lookback
+    * width: a view belongs to exactly one bucket; a purchase's window
+    * [t-L, t] overlaps exactly two (floor((t-L)/L) = floor(t/L)-1), so
+    * the probe side replicates 2x and the equi-join key becomes
+    * (user_id, bucket). Candidate pairs are then bounded by pairs within
+    * 2L of each other — proportional to the TRUE output, not to the
+    * per-user totals — and a hot user's year of traffic spreads over
+    * ~8760 hourly bucket keys instead of one. Same key refinement the
+    * streaming engine gets from watermark-bounded state; AQE skew-split
+    * remains as the backstop for a single hot (user, hour).
+    */
+  def intervalJoin(spark: SparkSession, sfDir: String, lookbackSec: Long = 3600): DataFrame = {
+    val lUs = lookbackSec * 1000000L
+    val ev = table(spark, sfDir, "events")
+    def toBucket(tusCol: String): String =
+      s"(($tusCol - pmod($tusCol, ${lUs}L)) div ${lUs}L)"
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_event_id"), col("user_id").as("v_user_id"),
+        expr(floorDiv("ts", 1000L)).as("view_tus"))
+      .withColumn("bucket", expr(toBucket("view_tus")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_event_id"), col("user_id"),
+        expr(floorDiv("ts", 1000L)).as("purchase_tus"))
+      .withColumn("b0", expr(toBucket("purchase_tus")))
+      .withColumn("bucket", explode(array(col("b0") - 1, col("b0"))))
+      .drop("b0")
+    purchases.join(views,
+        purchases("user_id") === views("v_user_id") &&
+          purchases("bucket") === views("bucket") &&
+          views("view_tus") >= purchases("purchase_tus") - lUs &&
+          views("view_tus") <= purchases("purchase_tus"))
+      .select(col("purchase_event_id"), col("user_id"), col("purchase_tus"),
+        col("view_event_id"), col("view_tus"),
+        (col("purchase_tus") - col("view_tus")).as("lag_us"))
+      .orderBy("purchase_event_id", "view_event_id")
+  }
+
   /** Daily top event types: window rank over tumbling day buckets. */
   def dailyTopTypes(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     val day = table(spark, sfDir, "events")

@@ -79,6 +79,34 @@ class EventWindowsSpec extends SparkSpec {
       (8L, None, None)))                      // user 2 never viewed
   }
 
+  test("interval join: inclusive endpoints, bucket-boundary crossing, same-user only") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "events", Seq(
+      // user 1, purchase @5000s: its 1 h window [1400, 5000] starts in
+      // bucket 0 and ends in bucket 1 — views on BOTH sides of the 3600s
+      // bucket boundary must match (the 2-bucket probe expansion)
+      (1L, ns(1399), 1L, "view", 1.0, "p"),      // 1 s before window: out
+      (2L, ns(1400), 1L, "view", 1.0, "p"),      // exact lower endpoint: in
+      (3L, ns(3599), 1L, "view", 1.0, "p"),      // bucket 0, inside: in
+      (4L, ns(3601), 1L, "view", 1.0, "p"),      // bucket 1, inside: in
+      (5L, ns(5000), 1L, "view", 1.0, "p"),      // exact upper endpoint: in
+      (6L, ns(5001), 1L, "view", 1.0, "p"),      // after the purchase: out
+      (7L, ns(5000), 1L, "purchase", 1.0, "p"),
+      // user 2's view at a matching time must NOT join across users
+      (8L, ns(4000), 2L, "view", 1.0, "p"),
+      (9L, ns(4000), 2L, "purchase", 1.0, "p")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val rows = EventWindows.intervalJoin(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(5))).toSeq
+    assert(rows === Seq(
+      (7L, 2L, 3600L * 1000000L),
+      (7L, 3L, 1401L * 1000000L),
+      (7L, 4L, 1399L * 1000000L),
+      (7L, 5L, 0L),
+      (9L, 8L, 0L)))
+  }
+
   test("daily top event types: rank within day, deterministic tie-break") {
     val rows = EventWindows.dailyTopTypes(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
