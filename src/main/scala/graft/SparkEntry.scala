@@ -118,6 +118,10 @@ object SparkEntry {
     "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(s, dir)),
     // —— deduplication ladder ——
     "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
+    // passage-level dedup (C4 "line dedup"): first occurrence of each
+    // 32-token passage wins via argmin aggregation — no self-join, so a
+    // million-copy boilerplate passage never materializes a pair
+    "dedup_passages" -> ((s, dir) => Dedup.passageDedup(s, dir)),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minHashLsh(s, dir)),
     // production-path hash family (xxhash64) — not DuckDB-reproducible,
     // so no oracleSql entry: the driver records the weaker rows-only
@@ -809,6 +813,33 @@ object SparkEntry {
         |  FROM documents)
         |SELECT content_key, min(doc_id)::BIGINT AS keep_doc_id, count(*)::BIGINT AS n_copies
         |FROM d GROUP BY content_key ORDER BY keep_doc_id""".stripMargin,
+    // passage dedup: same segmentation as text_chunks but non-overlapping
+    // (stride = width = 32); first-occurrence-wins stated as row_number
+    // over (doc_id, seg_idx); rebuilt text compared by md5
+    "dedup_passages" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |seg AS (
+        |  SELECT doc_id, i AS seg_idx,
+        |    array_to_string(toks[(i * 32 + 1)::INT : (i * 32 + 32)::INT], ' ') AS ptext
+        |  FROM toks, UNNEST(range(0, (len(toks) - 1) // 32 + 1)) AS u(i)
+        |  WHERE len(toks) > 0),
+        |ranked AS (
+        |  SELECT doc_id, seg_idx, ptext,
+        |    row_number() OVER (PARTITION BY ptext ORDER BY doc_id, seg_idx) AS rn
+        |  FROM seg),
+        |kept AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_kept,
+        |    md5(string_agg(ptext, ' ' ORDER BY seg_idx)) AS clean_md5
+        |  FROM ranked WHERE rn = 1 GROUP BY doc_id),
+        |tot AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_passages FROM seg GROUP BY doc_id)
+        |SELECT tot.doc_id, tot.n_passages,
+        |  coalesce(kept.n_kept, 0)::BIGINT AS n_kept,
+        |  coalesce(kept.clean_md5, md5('')) AS clean_md5
+        |FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id
+        |ORDER BY tot.doc_id""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $repDocShingles,
          |sig AS (

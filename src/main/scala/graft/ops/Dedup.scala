@@ -600,6 +600,64 @@ object Dedup {
     * (Similarity.lshNearDupPairs) — exact cosine runs only within
     * buckets, never as an all-pairs join over the corpus.
     */
+  /** Passage-level exact dedup across the corpus (the C4/RefinedWeb
+    * "line dedup" rung, segmented on fixed token windows because this
+    * corpus has no newlines): split every document into non-overlapping
+    * `passageTokens`-token passages, keep only the FIRST occurrence of
+    * each distinct passage corpus-wide (first = smallest (doc_id,
+    * seg_idx)), and reassemble each document from its surviving
+    * passages in order.
+    *
+    * Scale shape: first-occurrence-wins is an ARGMIN AGGREGATION
+    * (`min(struct(doc_id, seg_idx, ptext))` grouped by the passage
+    * hash), not a self-join — a boilerplate passage repeated 10^6 times
+    * across a crawl collapses to one row per partition in the map-side
+    * partial aggregate and never materializes any pair. Reassembly is
+    * one shuffle on doc_id with `sort_array(collect_list(struct))` so
+    * the order inside the rebuilt text is deterministic regardless of
+    * partition order. Output stays fixed-width at any corpus size: the
+    * rebuilt text ships as its md5, not the string.
+    *
+    * Output: (doc_id, n_passages, n_kept, clean_md5) ordered by doc_id;
+    * docs whose every passage was seen earlier surface with n_kept=0
+    * and md5('') — the dropped-content count is the interesting number.
+    */
+  def passageDedup(spark: SparkSession, sfDir: String,
+                   passageTokens: Int = 32): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val seg = table(spark, sfDir, "documents")
+      .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0),
+          floor((col("n") - 1) / passageTokens).cast("int"))).as("seg_idx"))
+      .select(col("doc_id"), col("seg_idx").cast("long").as("seg_idx"),
+        concat_ws(" ",
+          slice(col("toks"), col("seg_idx") * passageTokens + 1,
+            lit(passageTokens))).as("ptext"))
+    val survivors = seg
+      .groupBy(md5(col("ptext")).as("h"))
+      .agg(min(struct(col("doc_id"), col("seg_idx"), col("ptext"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.seg_idx").as("seg_idx"),
+        col("w.ptext").as("ptext"))
+    val kept = survivors.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(concat_ws(" ",
+          transform(sort_array(collect_list(struct(col("seg_idx"), col("ptext")))),
+            s => s.getField("ptext")))).as("clean_md5"))
+    seg.groupBy("doc_id").agg(count(lit(1)).as("n_passages"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_passages"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_md5"), lit(md5Hex(""))).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  private def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    d.map("%02x".format(_)).mkString
+  }
+
   def embeddingNearDups(spark: SparkSession, sfDir: String,
                         minCosMilli: Long = 990): DataFrame =
     Similarity.lshNearDupPairs(spark, sfDir, minCosMilli)

@@ -232,6 +232,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("passage dedup: first occurrence wins, within-doc dups drop, order-preserving rebuild") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    def md5s(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    writeTable(dir, "documents", Seq(
+      (1L, "a b c d e f g h", "en", "s", 15L),   // both passages first-seen
+      (2L, "a b c d x y z w", "en", "s", 15L),   // P0 dups doc1's P0
+      (3L, "e f g h", "en", "s", 7L),            // sole passage dups doc1's P1
+      (4L, "a b c d e", "en", "s", 9L),          // dup P0 + short tail "e"
+      (5L, "q r s t q r s t", "en", "s", 15L)    // self-duplicate passage
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = Dedup.passageDedup(spark, dir, passageTokens = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(rows === Seq(
+      (1L, 2L, 2L, md5s("a b c d e f g h")),
+      (2L, 2L, 1L, md5s("x y z w")),
+      (3L, 1L, 0L, md5s("")),
+      (4L, 2L, 1L, md5s("e")),
+      (5L, 2L, 1L, md5s("q r s t"))))
+  }
+
   test("ngram jaccard: identical docs score 1000 milli; near-dup scored exactly") {
     val pairs = Dedup.ngramJaccardPairs(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
