@@ -94,6 +94,9 @@ object SparkEntry {
     // —— text analysis ——
     "text_stats" -> ((s, dir) => TextAnalysis.tokenStats(s, dir)),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
+    // Gopher rule filter: every structural rule as its own auditable
+    // flag, keep = AND of all; exact integer-milli ratios, zero shuffle
+    "text_gopher" -> ((s, dir) => TextAnalysis.gopherRules(s, dir)),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "text_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
     // intra-doc repeated-n-gram ratio (boilerplate/spam quality signal)
@@ -698,6 +701,44 @@ object SparkEntry {
         |  (len(toks) >= 10 AND len(toks) <= 100000
         |    AND len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','on'))) * 100 >= len(toks)) AS quality_keep
         |FROM d ORDER BY doc_id""".stripMargin,
+    // Gopher rules: integer-milli ratios (// floors; Spark's double-div
+    // + cast truncates — identical on these non-negative values)
+    "text_gopher" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    len(toks)::BIGINT AS n_words,
+        |    coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT AS char_mass,
+        |    len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha,
+        |    (length(text) - length(replace(text, '#', '')))::BIGINT AS n_hash,
+        |    ((length(text) - length(replace(text, '...', ''))) // 3)::BIGINT AS n_ellipsis,
+        |    len(list_intersect(toks, ['the','a','of','and','to','in','is','on']))::BIGINT AS n_stop
+        |  FROM t),
+        |r AS (
+        |  SELECT doc_id, n_words,
+        |    CASE WHEN n_words > 0 THEN char_mass * 1000 // n_words END AS mean_word_len_milli,
+        |    CASE WHEN n_words > 0 THEN n_alpha * 1000 // n_words END AS alpha_word_milli,
+        |    CASE WHEN n_words > 0 THEN (n_hash + n_ellipsis) * 1000 // n_words END AS symbol_milli,
+        |    n_stop AS n_stop_distinct
+        |  FROM m)
+        |SELECT doc_id, n_words, mean_word_len_milli, alpha_word_milli,
+        |  symbol_milli, n_stop_distinct,
+        |  (n_words >= 10 AND n_words <= 100000) AS r_words,
+        |  (mean_word_len_milli IS NOT NULL
+        |    AND mean_word_len_milli BETWEEN 3000 AND 10000) AS r_meanlen,
+        |  (alpha_word_milli IS NOT NULL AND alpha_word_milli >= 800) AS r_alpha,
+        |  (symbol_milli IS NOT NULL AND symbol_milli < 100) AS r_symbol,
+        |  (n_stop_distinct >= 2) AS r_stop,
+        |  ((n_words >= 10 AND n_words <= 100000)
+        |    AND (mean_word_len_milli IS NOT NULL
+        |         AND mean_word_len_milli BETWEEN 3000 AND 10000)
+        |    AND (alpha_word_milli IS NOT NULL AND alpha_word_milli >= 800)
+        |    AND (symbol_milli IS NOT NULL AND symbol_milli < 100)
+        |    AND n_stop_distinct >= 2) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
     "text_langid" ->
       """WITH d AS (
         |  SELECT doc_id, lang,

@@ -312,6 +312,66 @@ object TextAnalysis {
     * (exact-dup key) plus a 60-bit integer form for compact joins. The
     * rolling-hash winnowing variant lives in Dedup.winnowFingerprints.
     */
+  /** Gopher-style rule-based quality filter (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", table A1): a document survives only
+    * if every structural rule passes. The rules that apply to a
+    * newline-free corpus, each surfaced as its own flag so downstream
+    * can audit WHICH rule rejected a doc (the per-rule rejection mix is
+    * the tuning signal on a real crawl):
+    *
+    *   r_words   — token count within [minWords, maxWords]
+    *   r_meanlen — mean token length within [3, 10] chars
+    *   r_alpha   — >= 80% of tokens contain an alphabetic character
+    *   r_symbol  — < 10% of tokens' worth of symbol marks (#, ellipsis)
+    *   r_stop    — >= 2 DISTINCT stop words present (array_intersect
+    *               is set-semantics in both engines)
+    *
+    * All ratios are exact integer millis — no float divergence between
+    * engines. Single narrow projection, no shuffle except the final
+    * presentation sort: per-doc rule evaluation is embarrassingly
+    * parallel at any corpus size.
+    */
+  def gopherRules(spark: SparkSession, sfDir: String,
+                  minWords: Int = 10, maxWords: Int = 100000): DataFrame = {
+    val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val nTok = size(toks).cast("long")
+    // exact character mass of the tokens (robust to any whitespace runs)
+    val charMass = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val nAlpha = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+    val nHash = (length(col("text")) -
+      length(regexp_replace(col("text"), "#", ""))).cast("long")
+    val nEllipsis = ((length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3).cast("long")
+    val nStop = size(array_intersect(toks,
+      array(stopwords.map(lit(_)): _*))).cast("long")
+    // Spark's `/` on longs is DOUBLE division; values are < 2^53 so the
+    // double is exact and the cast truncates — same result as the
+    // oracle's integer floor division on these non-negative operands
+    val meanLenMilli = when(nTok > 0, (charMass * 1000L / nTok).cast("long"))
+      .otherwise(lit(null).cast("long"))
+    val symbolMilli = when(nTok > 0, ((nHash + nEllipsis) * 1000L / nTok).cast("long"))
+      .otherwise(lit(null).cast("long"))
+    val alphaMilli = when(nTok > 0, (nAlpha * 1000L / nTok).cast("long"))
+      .otherwise(lit(null).cast("long"))
+    val rWords = nTok >= minWords && nTok <= maxWords
+    val rMeanLen = meanLenMilli.isNotNull &&
+      meanLenMilli >= 3000L && meanLenMilli <= 10000L
+    val rAlpha = alphaMilli.isNotNull && alphaMilli >= 800L
+    val rSymbol = symbolMilli.isNotNull && symbolMilli < 100L
+    val rStop = nStop >= 2L
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"), nTok.as("n_words"),
+        meanLenMilli.as("mean_word_len_milli"),
+        alphaMilli.as("alpha_word_milli"),
+        symbolMilli.as("symbol_milli"),
+        nStop.as("n_stop_distinct"),
+        rWords.as("r_words"), rMeanLen.as("r_meanlen"), rAlpha.as("r_alpha"),
+        rSymbol.as("r_symbol"), rStop.as("r_stop"),
+        (rWords && rMeanLen && rAlpha && rSymbol && rStop).as("keep"))
+      .orderBy("doc_id")
+  }
+
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame = {
     val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
     table(spark, sfDir, "documents")

@@ -163,6 +163,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Seq((1L, 3L, 777L), (2L, 1L, 333L)))
   }
 
+  test("gopher rules: each rule rejects exactly its constructed offender") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", Seq(
+      // passes every rule
+      (1L, "the a quick brown foxes jumps over lazy dogs every single day", "en", "s", 0L),
+      // 5 words < 10 -> r_words fails, everything else passes
+      (2L, "the a tiny doc here", "en", "s", 0L),
+      // mean word length 14000/12 = 1166 milli < 3000 -> r_meanlen fails
+      (3L, "a b c d e f g h i j the k", "en", "s", 0L),
+      // 2 of 12 words alphabetic = 166 milli < 800 -> r_alpha fails
+      (4L, "1111 2222 3333 4444 5555 6666 7777 8888 9999 0000 the a", "en", "s", 0L),
+      // 40 '#' marks over 12 words = 3333 milli >= 100 -> r_symbol fails
+      (5L, "the a " + Seq.fill(10)("word####").mkString(" "), "en", "s", 0L),
+      // no stop words at all -> r_stop fails
+      (6L, "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = TextAnalysis.gopherRules(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getBoolean(6), r.getBoolean(7), r.getBoolean(8),
+        r.getBoolean(9), r.getBoolean(10), r.getBoolean(11))).toMap
+    assert(rows(1L) === ((true, true, true, true, true, true)))
+    assert(rows(2L) === ((false, true, true, true, true, false)))
+    assert(rows(3L) === ((true, false, true, true, true, false)))
+    assert(rows(4L) === ((true, true, false, true, true, false)))
+    assert(rows(5L) === ((true, true, true, false, true, false)))
+    assert(rows(6L) === ((true, true, true, true, false, false)))
+  }
+
   private implicit class MapOps(
       rows: Array[(Long, Long, Long, Long, Long, Boolean)]) {
     def toMap2: Map[Long, (Long, Long, Long, Long, Boolean)] =
