@@ -91,6 +91,9 @@ object SparkEntry {
     // equi-joined on (user, coarse time bucket) so candidate pairs are
     // bounded by true temporal neighbors, not per-user totals
     "ev_interval_join" -> ((s, dir) => EventWindows.intervalJoin(s, dir)),
+    // funnel: view -> click -> purchase progression counted with k
+    // chained running-min windows over ONE shuffle (no joins back)
+    "ev_funnel" -> ((s, dir) => EventWindows.funnel(s, dir)),
     // —— text analysis ——
     "text_stats" -> ((s, dir) => TextAnalysis.tokenStats(s, dir)),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
@@ -678,6 +681,29 @@ object SparkEntry {
         | AND epoch_us(v.ts) <= epoch_us(p.ts)
         | AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000
         |ORDER BY purchase_event_id, view_event_id""".stripMargin,
+    // funnel: the oracle states reach times as dependent aggregations
+    // (t2 from t1, t3 from t2) — the windowed single-shuffle plan must
+    // reproduce them exactly, non-strict (>=) chaining
+    "ev_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |t1 AS (
+        |  SELECT user_id, min(tus) AS t FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (
+        |  SELECT e.user_id, min(e.tus) AS t FROM e JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.tus >= t1.t GROUP BY e.user_id),
+        |t3 AS (
+        |  SELECT e.user_id, min(e.tus) AS t FROM e JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.tus >= t2.t GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT 1::BIGINT AS step_idx, 'view' AS step, count(*)::BIGINT AS n_users FROM t1
+        |  UNION ALL
+        |  SELECT 2::BIGINT, 'click', count(*)::BIGINT FROM t2
+        |  UNION ALL
+        |  SELECT 3::BIGINT, 'purchase', count(*)::BIGINT FROM t3)
+        |ORDER BY step_idx""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         |  length(text)::BIGINT AS n_chars,

@@ -211,6 +211,59 @@ object EventWindows {
       .orderBy("purchase_event_id", "view_event_id")
   }
 
+  /** Funnel analysis: how many users progress through the ordered step
+    * sequence (view -> click -> purchase), where step k counts only at
+    * or after the user's step-(k-1) reach time (non-strict: equal
+    * timestamps chain, with earlier steps ordered first at ties).
+    *
+    * Scale shape: sequential pattern matching in ONE shuffle. The
+    * textbook formulation is k dependent aggregations (t2 needs t1,
+    * t3 needs t2 — each a join back to events); here each reach time is
+    * a RUNNING MIN over the same (user_id) x (tus, step, event_id)
+    * window, with step k's candidate condition reading step k-1's
+    * running column. All k window layers share one partitioning and one
+    * sort, so Catalyst plans a single Exchange + Sort followed by k
+    * chained WindowExecs and a final same-key aggregation — linear in
+    * events at any k, no join back, no per-user explosion.
+    *
+    * Output: (step_idx, step, n_users) — the classic funnel table.
+    */
+  def funnel(spark: SparkSession, sfDir: String,
+             steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty)
+    val sidx = steps.zipWithIndex
+      .foldLeft(lit(Int.MaxValue)) { case (acc, (s, i)) =>
+        when(col("event_type") === s, lit(i)).otherwise(acc)
+      }
+    val ev = table(spark, sfDir, "events")
+      .filter(col("event_type").isin(steps.map(s => s: Any): _*))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr(floorDiv("ts", 1000L)).as("tus"))
+      .withColumn("sidx", sidx)
+    // ties: earlier steps first, so an equal-ts later step sees them
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tus").asc, col("sidx").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withReach = steps.zipWithIndex.foldLeft(ev) { case (df, (s, i)) =>
+      val candidate =
+        if (i == 0) when(col("event_type") === s, col("tus"))
+        else when(col("event_type") === s && col(s"c${i - 1}").isNotNull, col("tus"))
+      df.withColumn(s"c$i", min(candidate).over(w))
+    }
+    val perUser = withReach.groupBy("user_id")
+      .agg(min(col("c0")).as("t0"),
+        steps.indices.drop(1).map(i => min(col(s"c$i")).as(s"t$i")): _*)
+    val counts = perUser.agg(
+      count(col("t0")).as("n0"),
+      steps.indices.drop(1).map(i => count(col(s"t$i")).as(s"n$i")): _*)
+    counts.select(explode(array(steps.zipWithIndex.map { case (s, i) =>
+        struct(lit(i + 1).cast("long").as("step_idx"), lit(s).as("step"),
+          col(s"n$i").as("n_users"))
+      }: _*)).as("r"))
+      .select(col("r.step_idx"), col("r.step"), col("r.n_users"))
+      .orderBy("step_idx")
+  }
+
   /** Daily top event types: window rank over tumbling day buckets. */
   def dailyTopTypes(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     val day = table(spark, sfDir, "events")

@@ -107,6 +107,36 @@ class EventWindowsSpec extends SparkSpec {
       (9L, 8L, 0L)))
   }
 
+  test("funnel: non-strict sequential chaining, equal-ts steps chain, out-of-order don't") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "events", Seq(
+      // user 1: clean view -> click -> purchase
+      (1L, ns(10), 1L, "view", 1.0, "p"),
+      (2L, ns(20), 1L, "click", 1.0, "p"),
+      (3L, ns(30), 1L, "purchase", 1.0, "p"),
+      // user 2: click BEFORE the first view never counts; purchase
+      // without a qualifying click doesn't either
+      (4L, ns(10), 2L, "click", 1.0, "p"),
+      (5L, ns(20), 2L, "view", 1.0, "p"),
+      (6L, ns(30), 2L, "purchase", 1.0, "p"),
+      // user 3: view and click share a timestamp (chains); the purchase
+      // PRECEDES the click reach time, so depth stops at 2
+      (7L, ns(10), 3L, "view", 1.0, "p"),
+      (8L, ns(10), 3L, "click", 1.0, "p"),
+      (9L, ns(5), 3L, "purchase", 1.0, "p"),
+      // user 4: purchase only — no funnel entry at all
+      (10L, ns(10), 4L, "purchase", 1.0, "p"),
+      // user 5: click and purchase share a timestamp (chains to depth 3)
+      (11L, ns(10), 5L, "view", 1.0, "p"),
+      (12L, ns(15), 5L, "click", 1.0, "p"),
+      (13L, ns(15), 5L, "purchase", 1.0, "p")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val rows = EventWindows.funnel(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows === Seq((1L, "view", 4L), (2L, "click", 3L), (3L, "purchase", 2L)))
+  }
+
   test("daily top event types: rank within day, deterministic tie-break") {
     val rows = EventWindows.dailyTopTypes(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
