@@ -61,4 +61,19 @@ class SourcesSpec extends SparkSpec {
     assert(counts.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
       Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 1L, "e" -> 1L))
   }
+
+  test("ORC round-trip: lossless incl unicode/empty, predicate pushes to the scan") {
+    val dir = tempSfDir() + "/orc"
+    docs.write.orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      docs.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+    // ORC is the other columnar lake format: both column pruning and
+    // predicate pushdown must reach the scan, as with parquet
+    val filtered = back.filter(col("doc_id") === 2L).select("doc_id", "lang")
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), scan.take(1500))
+    assert(scan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,2)]"), scan.take(1500))
+    assert(filtered.collect().map(_.getString(1)).toSeq === Seq("fr"))
+  }
 }
