@@ -68,6 +68,8 @@ object SparkEntry {
     "rel_part_type_revenue" -> ((s, dir) => Relational.partTypeRevenue(s, dir)),
     "rel_supplier_revenue" -> ((s, dir) => Relational.supplierRevenue(s, dir)),
     "rel_activity" -> ((s, dir) => Relational.customerOrderActivity(s, dir)),
+    // order cadence: lag-window day gaps + same-key aggregate, 1 shuffle
+    "rel_order_gaps" -> ((s, dir) => Relational.customerOrderGaps(s, dir)),
     // bucketed-storage co-located join: customer/orders written
     // bucketBy(custkey), joined bucket-to-bucket with no Exchange on
     // the join (the pay-the-shuffle-once layout; BucketingSpec pins
@@ -579,6 +581,22 @@ object SparkEntry {
         |SELECT CASE WHEN has_orders THEN 'active' ELSE 'inactive' END AS status,
         |  count(*)::BIGINT AS n_customers
         |FROM a GROUP BY status ORDER BY status""".stripMargin,
+    // order cadence: integral day gaps (midnight dates divide exactly);
+    // avg floors to millis in both engines
+    "rel_order_gaps" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, epoch_us(o_orderdate) AS t FROM orders),
+        |g AS (
+        |  SELECT o_custkey,
+        |    (t - lag(t) OVER (PARTITION BY o_custkey ORDER BY t, o_orderkey))
+        |      // 86400000000 AS gap_days
+        |  FROM o)
+        |SELECT o_custkey, count(*)::BIGINT AS n_gaps,
+        |  sum(gap_days)::BIGINT AS sum_gap_days,
+        |  max(gap_days)::BIGINT AS max_gap_days,
+        |  (sum(gap_days) * 1000 // count(*))::BIGINT AS avg_gap_milli
+        |FROM g WHERE gap_days IS NOT NULL
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     // bucketing is physical layout, not semantics: the oracle is the
     // plain join/aggregate over the raw tables
     "rel_bucketed_join" ->

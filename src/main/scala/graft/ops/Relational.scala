@@ -174,6 +174,39 @@ object Relational {
       .orderBy("status")
   }
 
+  /** Per-customer order cadence via lead/lag: day gaps between
+    * consecutive orders (ties broken by o_orderkey for a total order),
+    * aggregated to count/sum/max/avg-milli per customer. The lag window
+    * and the per-customer aggregation share the o_custkey partitioning,
+    * so the whole query is ONE shuffle + sort followed by a same-key
+    * aggregate — the recency/frequency shape behind churn features,
+    * retention cohorts and inter-arrival analyses. All gap math is
+    * integral (micros div 86400e6; dates are midnights so division is
+    * exact); avg is floor millis to stay engine-exact. Single-order
+    * customers have no gap and are excluded (their n would be 0 and
+    * every stat NULL — the interesting population is repeat customers).
+    */
+  def customerOrderGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("t").asc, col("o_orderkey").asc)
+    table(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        // harness parquet is TIMESTAMP_NTZ; under the UTC session the
+        // cast to (LTZ) timestamp is the identity instant, and it keeps
+        // the op working on LTZ inputs too
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t"))
+      .withColumn("prev", lag(col("t"), 1).over(w))
+      .withColumn("gap_days", expr("(t - prev) div 86400000000"))
+      .filter(col("gap_days").isNotNull)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_days")).as("sum_gap_days"),
+        max(col("gap_days")).as("max_gap_days"))
+      .withColumn("avg_gap_milli",
+        (col("sum_gap_days") * 1000L / col("n_gaps")).cast("long"))
+      .orderBy("o_custkey")
+  }
+
   /** Co-located join over BUCKETED tables (graft.sources.Bucketed):
     * customer and orders are written bucketed by custkey with the same
     * bucket count, then joined bucket-to-bucket — the join itself plans

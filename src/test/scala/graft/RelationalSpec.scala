@@ -52,4 +52,27 @@ class RelationalSpec extends SparkSpec {
     assert(rev.head.getLong(0) === 100L)
     assert(rev.head.getDouble(3) === 290.0)
   }
+
+  test("order gaps: day deltas per customer, same-date tie by orderkey, singles excluded") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    def day(d: Long) = new java.sql.Timestamp(d * 86400000L)
+    writeTable(dir, "orders", Seq(
+      // customer 1: days 0, 3, 10 -> gaps 3 and 7
+      (1L, 1L, "O", 1.0, day(0), "p"),
+      (2L, 1L, "O", 1.0, day(3), "p"),
+      (3L, 1L, "O", 1.0, day(10), "p"),
+      // customer 2: two orders on the SAME day -> one gap of 0
+      (4L, 2L, "O", 1.0, day(5), "p"),
+      (5L, 2L, "O", 1.0, day(5), "p"),
+      // customer 3: single order -> excluded
+      (6L, 3L, "O", 1.0, day(9), "p")
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority"))
+    val rows = Relational.customerOrderGaps(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(rows === Seq(
+      (1L, 2L, 10L, 7L, 5000L), // (3+7) days, max 7, avg 5000 milli
+      (2L, 1L, 0L, 0L, 0L)))
+  }
 }
