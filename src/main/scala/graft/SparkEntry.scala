@@ -102,6 +102,9 @@ object SparkEntry {
     // Gopher rule filter: every structural rule as its own auditable
     // flag, keep = AND of all; exact integer-milli ratios, zero shuffle
     "text_gopher" -> ((s, dir) => TextAnalysis.gopherRules(s, dir)),
+    // OOV rate vs the top-10 corpus vocabulary: urlcount agg cut to K,
+    // broadcast left join, one doc_id shuffle for the rollup
+    "text_oov" -> ((s, dir) => TextAnalysis.oovRate(s, dir)),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "text_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
     // intra-doc repeated-n-gram ratio (boilerplate/spam quality signal)
@@ -783,6 +786,23 @@ object SparkEntry {
         |    AND (symbol_milli IS NOT NULL AND symbol_milli < 100)
         |    AND n_stop_distinct >= 2) AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+    // OOV: vocabulary cut is deterministic (count desc, token asc)
+    "text_oov" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '),
+        |    t -> length(t) > 0)) AS tok
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT tok FROM (
+        |    SELECT tok, count(*) AS cnt FROM tok GROUP BY tok
+        |    ORDER BY cnt DESC, tok ASC LIMIT 10)),
+        |j AS (
+        |  SELECT t.doc_id, t.tok, v.tok IS NOT NULL AS in_vocab
+        |  FROM tok t LEFT JOIN vocab v ON t.tok = v.tok)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  sum(CASE WHEN in_vocab THEN 0 ELSE 1 END)::BIGINT AS n_oov,
+        |  (sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) * 1000 // count(*))::BIGINT AS oov_milli
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "text_langid" ->
       """WITH d AS (
         |  SELECT doc_id, lang,

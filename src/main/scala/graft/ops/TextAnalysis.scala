@@ -372,6 +372,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary coverage: build the top-`vocabSize` corpus vocabulary
+    * (by frequency, ties by token — deterministic at the cut), then
+    * score every document's out-of-vocabulary rate against it. The
+    * tokenizer-coverage signal a training pipeline tracks per source /
+    * per snapshot: rising OOV means the corpus drifted from the
+    * tokenizer.
+    *
+    * Scale shape: pass 1 is the urlcount aggregation (shuffle on token,
+    * map-side combine) cut to K rows; pass 2 BROADCASTS that K-row
+    * vocabulary and left-joins the token stream against it map-side —
+    * the full token stream shuffles only once, on doc_id, for the
+    * per-doc rollup. A vocabulary too big to broadcast swaps the
+    * broadcast for the Bloom pre-filter shape (see decontaminateBloom);
+    * the plan is otherwise unchanged.
+    */
+  def oovRate(spark: SparkSession, sfDir: String, vocabSize: Int = 10): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val tok = table(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(toks).as("tok"))
+    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(vocabSize)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_milli", (col("n_oov") * 1000L / col("n_tokens")).cast("long"))
+      .orderBy("doc_id")
+  }
+
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame = {
     val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
     table(spark, sfDir, "documents")

@@ -191,6 +191,19 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(6L) === ((true, true, true, true, false, false)))
   }
 
+  test("oov rate: frequency-cut vocabulary with token tie-break, exact milli rates") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", Seq(
+      (1L, "x x x y y z", "en", "s", 11L),
+      (2L, "x q q", "en", "s", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // counts: x=4, q=2, y=2, z=1; top-2 cut ties q vs y by token asc -> {x, q}
+    val rows = TextAnalysis.oovRate(spark, dir, vocabSize = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows === Seq((1L, 6L, 3L, 500L), (2L, 3L, 0L, 0L)))
+  }
+
   private implicit class MapOps(
       rows: Array[(Long, Long, Long, Long, Long, Boolean)]) {
     def toMap2: Map[Long, (Long, Long, Long, Long, Boolean)] =
