@@ -133,6 +133,9 @@ object SparkEntry {
     // 32-token passage wins via argmin aggregation — no self-join, so a
     // million-copy boilerplate passage never materializes a pair
     "dedup_passages" -> ((s, dir) => Dedup.passageDedup(s, dir)),
+    // composed C4-style pass: gopher gate (narrow, first) -> passage
+    // dedup over survivors -> per-source curation summary
+    "pipeline_gopher" -> ((s, dir) => Dedup.gopherClean(s, dir)),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minHashLsh(s, dir)),
     // production-path hash family (xxhash64) — not DuckDB-reproducible,
     // so no oracleSql entry: the driver records the weaker rows-only
@@ -945,6 +948,54 @@ object SparkEntry {
         |  coalesce(kept.clean_md5, md5('')) AS clean_md5
         |FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id
         |ORDER BY tot.doc_id""".stripMargin,
+    // composed pipeline: gopher keep-set feeds the passage-dedup CTEs,
+    // rolled up per source
+    "pipeline_gopher" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, source,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    len(toks)::BIGINT AS n_words,
+        |    coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT AS char_mass,
+        |    len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha,
+        |    (length(text) - length(replace(text, '#', '')))::BIGINT AS n_hash,
+        |    ((length(text) - length(replace(text, '...', ''))) // 3)::BIGINT AS n_ellipsis,
+        |    len(list_intersect(toks, ['the','a','of','and','to','in','is','on']))::BIGINT AS n_stop
+        |  FROM t),
+        |keepids AS (
+        |  SELECT doc_id FROM g
+        |  WHERE n_words >= 10 AND n_words <= 100000
+        |    AND (CASE WHEN n_words > 0 THEN char_mass * 1000 // n_words END)
+        |      BETWEEN 3000 AND 10000
+        |    AND (CASE WHEN n_words > 0 THEN n_alpha * 1000 // n_words END) >= 800
+        |    AND (CASE WHEN n_words > 0 THEN (n_hash + n_ellipsis) * 1000 // n_words END) < 100
+        |    AND n_stop >= 2),
+        |s AS (SELECT t.* FROM t JOIN keepids ON t.doc_id = keepids.doc_id),
+        |seg AS (
+        |  SELECT doc_id, i AS seg_idx,
+        |    array_to_string(toks[(i * 32 + 1)::INT : (i * 32 + 32)::INT], ' ') AS ptext
+        |  FROM s, UNNEST(range(0, (len(toks) - 1) // 32 + 1)) AS u(i)
+        |  WHERE len(toks) > 0),
+        |ranked AS (
+        |  SELECT doc_id, seg_idx,
+        |    row_number() OVER (PARTITION BY ptext ORDER BY doc_id, seg_idx) AS rn
+        |  FROM seg),
+        |kept AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_kept
+        |  FROM ranked WHERE rn = 1 GROUP BY doc_id),
+        |tot AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_passages FROM seg GROUP BY doc_id),
+        |p AS (
+        |  SELECT tot.doc_id, tot.n_passages, coalesce(kept.n_kept, 0) AS n_kept
+        |  FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id)
+        |SELECT d.source, count(*)::BIGINT AS n_docs,
+        |  sum(p.n_passages)::BIGINT AS n_passages,
+        |  sum(p.n_kept)::BIGINT AS n_kept_passages,
+        |  sum(CASE WHEN p.n_kept = 0 THEN 1 ELSE 0 END)::BIGINT AS n_emptied_docs
+        |FROM p JOIN documents d ON p.doc_id = d.doc_id
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $repDocShingles,
          |sig AS (

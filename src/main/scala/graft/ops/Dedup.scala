@@ -623,9 +623,13 @@ object Dedup {
     * and md5('') — the dropped-content count is the interesting number.
     */
   def passageDedup(spark: SparkSession, sfDir: String,
-                   passageTokens: Int = 32): DataFrame = {
+                   passageTokens: Int = 32): DataFrame =
+    passageDedupDocs(table(spark, sfDir, "documents"), passageTokens)
+
+  /** Composable form over any (doc_id, text) frame — see [[passageDedup]]. */
+  def passageDedupDocs(docs: DataFrame, passageTokens: Int = 32): DataFrame = {
     val toks = filter(split(col("text"), " "), t => length(t) > 0)
-    val seg = table(spark, sfDir, "documents")
+    val seg = docs
       .select(col("doc_id"), toks.as("toks"), size(toks).as("n"))
       .filter(col("n") > 0)
       .select(col("doc_id"), col("toks"),
@@ -651,6 +655,30 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_md5"), lit(md5Hex(""))).as("clean_md5"))
       .orderBy("doc_id")
+  }
+
+  /** Composed C4-style cleaning pass: Gopher rule gate -> passage-level
+    * dedup over the survivors -> per-source audit summary. The order
+    * matters at scale: the rule gate is a zero-shuffle narrow filter, so
+    * it runs FIRST and shrinks the passage-dedup shuffles (the expensive
+    * stage) by the rejection rate; dedup results then roll up per source
+    * with doc counts, passage keep rates, and how many docs deduped to
+    * nothing — the numbers a corpus-curation run reports per snapshot.
+    */
+  def gopherClean(spark: SparkSession, sfDir: String,
+                  passageTokens: Int = 32): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val kept = TextAnalysis.gopherRules(spark, sfDir)
+      .filter(col("keep")).select("doc_id")
+    val survivors = docs.join(kept, Seq("doc_id"), "left_semi")
+    passageDedupDocs(survivors, passageTokens)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_passages")).as("n_passages"),
+        sum(col("n_kept")).as("n_kept_passages"),
+        sum(when(col("n_kept") === 0, 1L).otherwise(0L)).as("n_emptied_docs"))
+      .orderBy("source")
   }
 
   private def md5Hex(s: String): String = {

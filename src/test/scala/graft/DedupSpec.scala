@@ -255,6 +255,21 @@ class DedupSpec extends SparkSpec {
       (5L, 2L, 1L, md5s("q r s t"))))
   }
 
+  test("gopher clean: rejected docs don't claim passage first-occurrence") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", Seq(
+      // fails the word-count rule (4 words) but shares doc 2's first
+      // passage — as a REJECTED doc it must not steal first-occurrence
+      (1L, "the a cat dog", "en", "srcA", 13L),
+      (2L, "the a cat dog emu fox gnu hen ibis jay kit lark", "en", "srcB", 47L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = Dedup.gopherClean(spark, dir, passageTokens = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // srcA absent (its doc was gated out); doc 2 keeps ALL 3 passages
+    assert(rows === Seq(("srcB", 1L, 3L, 3L, 0L)))
+  }
+
   test("ngram jaccard: identical docs score 1000 milli; near-dup scored exactly") {
     val pairs = Dedup.ngramJaccardPairs(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
