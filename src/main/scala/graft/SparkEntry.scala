@@ -70,6 +70,8 @@ object SparkEntry {
     "rel_activity" -> ((s, dir) => Relational.customerOrderActivity(s, dir)),
     // order cadence: lag-window day gaps + same-key aggregate, 1 shuffle
     "rel_order_gaps" -> ((s, dir) => Relational.customerOrderGaps(s, dir)),
+    // FK audit: distinct-key full outer join -> reconciliation counts
+    "rel_fk_audit" -> ((s, dir) => Relational.fkAudit(s, dir)),
     // bucketed-storage co-located join: customer/orders written
     // bucketBy(custkey), joined bucket-to-bucket with no Exchange on
     // the join (the pay-the-shuffle-once layout; BucketingSpec pins
@@ -603,6 +605,16 @@ object SparkEntry {
         |  (sum(gap_days) * 1000 // count(*))::BIGINT AS avg_gap_milli
         |FROM g WHERE gap_days IS NOT NULL
         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "rel_fk_audit" ->
+      """WITH o AS (SELECT DISTINCT o_orderkey FROM orders),
+        |l AS (SELECT DISTINCT l_orderkey FROM lineitem)
+        |SELECT CASE
+        |    WHEN o_orderkey IS NOT NULL AND l_orderkey IS NOT NULL THEN 'both'
+        |    WHEN l_orderkey IS NULL THEN 'order_only'
+        |    ELSE 'lineitem_only' END AS side,
+        |  count(*)::BIGINT AS n_keys
+        |FROM o FULL OUTER JOIN l ON o_orderkey = l_orderkey
+        |GROUP BY side ORDER BY side""".stripMargin,
     // bucketing is physical layout, not semantics: the oracle is the
     // plain join/aggregate over the raw tables
     "rel_bucketed_join" ->

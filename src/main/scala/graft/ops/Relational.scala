@@ -207,6 +207,27 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  /** Referential-integrity audit between the fact pair: orders without
+    * any lineitem, lineitems whose order is missing, and matched keys —
+    * the FULL OUTER join member of the join family (semi/anti live in
+    * customerOrderActivity), collapsed to the three reconciliation
+    * counts a snapshot-ingest run alerts on. Both sides pre-aggregate
+    * to DISTINCT keys before the join, so the full-outer shuffle moves
+    * one row per key (not per lineitem) and the join itself can never
+    * skew beyond key cardinality.
+    */
+  def fkAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = table(spark, sfDir, "orders").select(col("o_orderkey")).distinct()
+    val l = table(spark, sfDir, "lineitem").select(col("l_orderkey")).distinct()
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "full_outer")
+      .select(
+        when(col("o_orderkey").isNotNull && col("l_orderkey").isNotNull, "both")
+          .when(col("l_orderkey").isNull, "order_only")
+          .otherwise("lineitem_only").as("side"))
+      .groupBy("side").agg(count(lit(1)).as("n_keys"))
+      .orderBy("side")
+  }
+
   /** Co-located join over BUCKETED tables (graft.sources.Bucketed):
     * customer and orders are written bucketed by custkey with the same
     * bucket count, then joined bucket-to-bucket — the join itself plans

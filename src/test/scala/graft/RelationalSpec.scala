@@ -75,4 +75,12 @@ class RelationalSpec extends SparkSpec {
       (1L, 2L, 10L, 7L, 5000L), // (3+7) days, max 7, avg 5000 milli
       (2L, 1L, 0L, 0L, 0L)))
   }
+
+  test("fk audit: both / order-only / lineitem-only reconciliation counts") {
+    // fixture: orders 100 and 101 exist; only 100 has lineitems; no
+    // orphan lineitems -> lineitem_only absent from the output
+    val rows = Relational.fkAudit(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows === Map("both" -> 1L, "order_only" -> 1L))
+  }
 }
