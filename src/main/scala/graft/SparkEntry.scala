@@ -98,6 +98,8 @@ object SparkEntry {
     // funnel: view -> click -> purchase progression counted with k
     // chained running-min windows over ONE shuffle (no joins back)
     "ev_funnel" -> ((s, dir) => EventWindows.funnel(s, dir)),
+    // grouped HLL++ distinct users per type, in-plan ±5% gate vs exact
+    "ev_approx_users" -> ((s, dir) => EventWindows.approxDistinctUsersPerType(s, dir)),
     // —— text analysis ——
     "text_stats" -> ((s, dir) => TextAnalysis.tokenStats(s, dir)),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
@@ -740,6 +742,12 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 3::BIGINT, 'purchase', count(*)::BIGINT FROM t3)
         |ORDER BY step_idx""".stripMargin,
+    // grouped sketch gate: the oracle recomputes the exact side and
+    // requires the in-plan tolerance check to have passed
+    "ev_approx_users" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact,
+        |  TRUE AS within_tolerance
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         |  length(text)::BIGINT AS n_chars,

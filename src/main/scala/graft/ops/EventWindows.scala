@@ -264,6 +264,26 @@ object EventWindows {
       .orderBy("step_idx")
   }
 
+  /** GROUPED approximate distinct: HLL++ users per event type, gated
+    * in-plan against the exact count at ±5% (the grouped member of the
+    * sketch-gate family — global HLL: UrlCount.approxDistinctTokens; GK
+    * quantiles: TextAnalysis.lengthQuantiles; CMS: cmsHeavyHitters).
+    * The exact side exists only as the verification harness; at 100 TB
+    * the sketch column runs alone — per-group HLL registers are
+    * fixed-size and merge map-side, so a hot event type costs the same
+    * shuffle bytes as a cold one, which is the entire point vs the
+    * exact distinct's per-group key sets.
+    */
+  def approxDistinctUsersPerType(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id"), 0.02).as("n_approx"))
+      .select(col("event_type"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")) <= col("n_exact") * lit(0.05))
+          .as("within_tolerance"))
+      .orderBy("event_type")
+
   /** Daily top event types: window rank over tumbling day buckets. */
   def dailyTopTypes(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     val day = table(spark, sfDir, "events")

@@ -137,6 +137,13 @@ class EventWindowsSpec extends SparkSpec {
     assert(rows === Seq((1L, "view", 4L), (2L, "click", 3L), (3L, "purchase", 2L)))
   }
 
+  test("grouped approx distinct users: exact side right, gate passes at tiny scale") {
+    val rows = EventWindows.approxDistinctUsersPerType(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSeq
+    // fixture: clicks from users 1 and 2, one view from user 1
+    assert(rows === Seq(("click", 2L, true), ("view", 1L, true)))
+  }
+
   test("daily top event types: rank within day, deterministic tie-break") {
     val rows = EventWindows.dailyTopTypes(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
