@@ -109,6 +109,8 @@ object SparkEntry {
     // OOV rate vs the top-10 corpus vocabulary: urlcount agg cut to K,
     // broadcast left join, one doc_id shuffle for the rollup
     "text_oov" -> ((s, dir) => TextAnalysis.oovRate(s, dir)),
+    // per-source rule rejection rates + keep rate: the drift audit table
+    "text_quality_report" -> ((s, dir) => TextAnalysis.qualityReport(s, dir)),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "text_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
     // intra-doc repeated-n-gram ratio (boilerplate/spam quality signal)
@@ -826,6 +828,40 @@ object SparkEntry {
         |  sum(CASE WHEN in_vocab THEN 0 ELSE 1 END)::BIGINT AS n_oov,
         |  (sum(CASE WHEN in_vocab THEN 0 ELSE 1 END) * 1000 // count(*))::BIGINT AS oov_milli
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // quality drift report: gopher rule columns grouped per source
+    "text_quality_report" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text,
+        |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+        |  FROM documents),
+        |m AS (
+        |  SELECT source,
+        |    len(toks)::BIGINT AS n_words,
+        |    coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT AS char_mass,
+        |    len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha,
+        |    (length(text) - length(replace(text, '#', '')))::BIGINT AS n_hash,
+        |    ((length(text) - length(replace(text, '...', ''))) // 3)::BIGINT AS n_ellipsis,
+        |    len(list_intersect(toks, ['the','a','of','and','to','in','is','on']))::BIGINT AS n_stop
+        |  FROM t),
+        |r AS (
+        |  SELECT source,
+        |    (n_words >= 10 AND n_words <= 100000) AS r_words,
+        |    (CASE WHEN n_words > 0 THEN char_mass * 1000 // n_words END)
+        |      BETWEEN 3000 AND 10000 AS r_meanlen,
+        |    (CASE WHEN n_words > 0 THEN n_alpha * 1000 // n_words END) >= 800 AS r_alpha,
+        |    (CASE WHEN n_words > 0 THEN (n_hash + n_ellipsis) * 1000 // n_words END) < 100 AS r_symbol,
+        |    n_stop >= 2 AS r_stop
+        |  FROM m)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  (sum(CASE WHEN r_words THEN 0 ELSE 1 END) * 1000 // count(*))::BIGINT AS rej_words_milli,
+        |  (sum(CASE WHEN coalesce(r_meanlen, FALSE) THEN 0 ELSE 1 END) * 1000 // count(*))::BIGINT AS rej_meanlen_milli,
+        |  (sum(CASE WHEN coalesce(r_alpha, FALSE) THEN 0 ELSE 1 END) * 1000 // count(*))::BIGINT AS rej_alpha_milli,
+        |  (sum(CASE WHEN coalesce(r_symbol, FALSE) THEN 0 ELSE 1 END) * 1000 // count(*))::BIGINT AS rej_symbol_milli,
+        |  (sum(CASE WHEN r_stop THEN 0 ELSE 1 END) * 1000 // count(*))::BIGINT AS rej_stop_milli,
+        |  (sum(CASE WHEN r_words AND coalesce(r_meanlen, FALSE)
+        |        AND coalesce(r_alpha, FALSE) AND coalesce(r_symbol, FALSE)
+        |        AND r_stop THEN 1 ELSE 0 END) * 1000 // count(*))::BIGINT AS keep_milli
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "text_langid" ->
       """WITH d AS (
         |  SELECT doc_id, lang,

@@ -332,7 +332,15 @@ object TextAnalysis {
     * parallel at any corpus size.
     */
   def gopherRules(spark: SparkSession, sfDir: String,
-                  minWords: Int = 10, maxWords: Int = 100000): DataFrame = {
+                  minWords: Int = 10, maxWords: Int = 100000): DataFrame =
+    table(spark, sfDir, "documents")
+      .select(col("doc_id") +: gopherColumns(minWords, maxWords): _*)
+      .orderBy("doc_id")
+
+  /** The rule/metric columns over a `text` column — shared by
+    * [[gopherRules]] (per-doc) and [[qualityReport]] (per-source).
+    */
+  private def gopherColumns(minWords: Int, maxWords: Int): Seq[Column] = {
     val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
     val toks = filter(split(col("text"), " "), t => length(t) > 0)
     val nTok = size(toks).cast("long")
@@ -360,16 +368,14 @@ object TextAnalysis {
     val rAlpha = alphaMilli.isNotNull && alphaMilli >= 800L
     val rSymbol = symbolMilli.isNotNull && symbolMilli < 100L
     val rStop = nStop >= 2L
-    table(spark, sfDir, "documents")
-      .select(col("doc_id"), nTok.as("n_words"),
-        meanLenMilli.as("mean_word_len_milli"),
-        alphaMilli.as("alpha_word_milli"),
-        symbolMilli.as("symbol_milli"),
-        nStop.as("n_stop_distinct"),
-        rWords.as("r_words"), rMeanLen.as("r_meanlen"), rAlpha.as("r_alpha"),
-        rSymbol.as("r_symbol"), rStop.as("r_stop"),
-        (rWords && rMeanLen && rAlpha && rSymbol && rStop).as("keep"))
-      .orderBy("doc_id")
+    Seq(nTok.as("n_words"),
+      meanLenMilli.as("mean_word_len_milli"),
+      alphaMilli.as("alpha_word_milli"),
+      symbolMilli.as("symbol_milli"),
+      nStop.as("n_stop_distinct"),
+      rWords.as("r_words"), rMeanLen.as("r_meanlen"), rAlpha.as("r_alpha"),
+      rSymbol.as("r_symbol"), rStop.as("r_stop"),
+      (rWords && rMeanLen && rAlpha && rSymbol && rStop).as("keep"))
   }
 
   /** Vocabulary coverage: build the top-`vocabSize` corpus vocabulary
@@ -400,6 +406,31 @@ object TextAnalysis {
         sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
       .withColumn("oov_milli", (col("n_oov") * 1000L / col("n_tokens")).cast("long"))
       .orderBy("doc_id")
+  }
+
+  /** Per-source quality drift report: for each source, how often each
+    * Gopher rule rejects, and the overall keep rate — the audit table a
+    * curation team watches across snapshots (a source whose r_alpha
+    * rejection rate doubles week-over-week changed its scraper, not its
+    * content). Exact integer millis; one narrow pass + one tiny
+    * aggregation keyed by source (hundreds of groups at any corpus
+    * size, so the report never becomes the bottleneck).
+    */
+  def qualityReport(spark: SparkSession, sfDir: String): DataFrame = {
+    def rejMilli(flag: String): Column =
+      (sum(when(col(flag), 0L).otherwise(1L)) * 1000L / count(lit(1))).cast("long")
+    table(spark, sfDir, "documents")
+      .select(col("source") +: gopherColumns(10, 100000): _*)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        rejMilli("r_words").as("rej_words_milli"),
+        rejMilli("r_meanlen").as("rej_meanlen_milli"),
+        rejMilli("r_alpha").as("rej_alpha_milli"),
+        rejMilli("r_symbol").as("rej_symbol_milli"),
+        rejMilli("r_stop").as("rej_stop_milli"),
+        (sum(when(col("keep"), 1L).otherwise(0L)) * 1000L / count(lit(1)))
+          .cast("long").as("keep_milli"))
+      .orderBy("source")
   }
 
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame = {

@@ -204,6 +204,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows === Seq((1L, 6L, 3L, 500L), (2L, 3L, 0L, 0L)))
   }
 
+  test("quality report: per-source rejection mix — one offender per rule, one keeper") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", Seq(
+      (1L, "the a quick brown foxes jumps over lazy dogs every single day", "en", "s", 0L),
+      (2L, "the a tiny doc here", "en", "s", 0L),
+      (3L, "a b c d e f g h i j the k", "en", "s", 0L),
+      (4L, "1111 2222 3333 4444 5555 6666 7777 8888 9999 0000 the a", "en", "s", 0L),
+      (5L, "the a " + Seq.fill(10)("word####").mkString(" "), "en", "s", 0L),
+      (6L, "zzz yyy xxx www vvv uuu ttt sss rrr qqq ppp ooo", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = TextAnalysis.qualityReport(spark, dir).collect()
+    assert(r.length === 1)
+    val row = r.head
+    // 6 docs, exactly one offender per rule -> every rejection rate is
+    // floor(1000/6) = 166 milli; one keeper -> keep rate 166 too
+    assert((row.getString(0), row.getLong(1)) === (("s", 6L)))
+    assert((2 to 7).map(row.getLong) === Seq(166L, 166L, 166L, 166L, 166L, 166L))
+  }
+
   private implicit class MapOps(
       rows: Array[(Long, Long, Long, Long, Long, Boolean)]) {
     def toMap2: Map[Long, (Long, Long, Long, Long, Boolean)] =
