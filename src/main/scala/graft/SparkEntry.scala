@@ -220,6 +220,9 @@ object SparkEntry {
     // stream-STREAM interval join: purchases x views within 1h, both
     // sides watermarked + time-bounded so the join state is evictable
     "stream_join" -> ((s, dir) => StreamingOps.streamViewPurchaseJoin(s, dir)),
+    // streaming funnel: per-user flatMapGroupsWithState depth machine,
+    // O(k) state, rolled into the batch funnel's exact table
+    "stream_funnel" -> ((s, dir) => StreamingOps.streamFunnel(s, dir)),
     // LEFT OUTER stream-stream join: unmatched purchases surface with
     // NULLs once the watermark proves no matching view can arrive
     "stream_join_outer" -> ((s, dir) => StreamingOps.streamViewPurchaseJoinOuter(s, dir)),
@@ -1393,6 +1396,28 @@ object SparkEntry {
     // once (inner join, append mode), so the sets coincide. Window is
     // inclusive both ends; micros on both sides (epoch_us floors nanos
     // the same way the stream's timestamp_micros conversion does).
+    // streaming funnel: the state machine must land on the BATCH
+    // funnel's dependent-aggregation relation exactly
+    "stream_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |t1 AS (
+        |  SELECT user_id, min(tus) AS t FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (
+        |  SELECT e.user_id, min(e.tus) AS t FROM e JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.tus >= t1.t GROUP BY e.user_id),
+        |t3 AS (
+        |  SELECT e.user_id, min(e.tus) AS t FROM e JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.tus >= t2.t GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT 1::BIGINT AS step_idx, 'view' AS step, count(*)::BIGINT AS n_users FROM t1
+        |  UNION ALL
+        |  SELECT 2::BIGINT, 'click', count(*)::BIGINT FROM t2
+        |  UNION ALL
+        |  SELECT 3::BIGINT, 'purchase', count(*)::BIGINT FROM t3)
+        |ORDER BY step_idx""".stripMargin,
     "stream_join" ->
       """SELECT p.event_id AS purchase_event_id, p.user_id,
         |  epoch_us(p.ts) AS purchase_tus,

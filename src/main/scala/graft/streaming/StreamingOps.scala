@@ -466,6 +466,73 @@ object StreamingOps {
       .orderBy("content_key")
   }
 
+  case class FunnelEvent(user_id: Long, sidx: Int, tus: Long, event_id: Long)
+  case class FunnelReach(reach: List[Long])
+
+  /** Streaming funnel — the ingest-time twin of EventWindows.funnel: a
+    * per-user flatMapGroupsWithState depth machine. State is the list
+    * of reach times of the steps completed so far; each micro-batch's
+    * arrivals are sorted by the SAME total order the batch operator
+    * uses ((tus, step-priority, event_id) — equal-ts steps chain,
+    * earlier steps first) and folded through the transition "step k
+    * counts iff k steps are done and its time is >= the last reach
+    * time". Because events are processed in sorted order, the first
+    * qualifying occurrence IS the min — the state stays exactly the
+    * batch operator's running-min column vector.
+    *
+    * Each batch emits every touched user's current depth (Update mode);
+    * the harness then rolls the final depths into the classic
+    * (step_idx, step, n_users) table, which the BATCH funnel's oracle
+    * must reproduce exactly. Cross-batch caveat, stated honestly: the
+    * fold is exact when micro-batches respect event-time order (true
+    * for the file-replay harness and for any in-order source); an
+    * out-of-order source needs watermark-delayed finalization — buffer
+    * events in state until the watermark passes, then fold — the same
+    * EventTimeTimeout skeleton as the bounded dedup twins.
+    *
+    * State is O(k) longs per user — bounded by construction, no
+    * timeout needed for correctness (a production deployment still
+    * sets one to retire dormant users).
+    */
+  def streamFunnel(spark: SparkSession, sfDir: String,
+                   steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    import spark.implicits._
+    val sidx = steps.zipWithIndex
+      .foldLeft(lit(Int.MaxValue)) { case (acc, (s, i)) =>
+        when(col("event_type") === s, lit(i)).otherwise(acc)
+      }
+    val ev = harnessEventStream(spark, sfDir)
+      .filter(col("event_type").isin(steps.map(s => s: Any): _*))
+      .select(col("user_id"), sidx.cast("int").as("sidx"),
+        unix_micros(col("ts")).as("tus"), col("event_id"))
+      .as[FunnelEvent]
+    val k = steps.length
+    val depths = ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelReach]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.tus, e.sidx, e.event_id))
+          val reach = sorted.foldLeft(
+            state.getOption.map(_.reach).getOrElse(Nil)) { (r, e) =>
+            if (r.length < k && e.sidx == r.length &&
+                (r.isEmpty || e.tus >= r.last)) r :+ e.tus else r
+          }
+          state.update(FunnelReach(reach))
+          Iterator.single((uid, reach.length.toLong))
+      }
+    val perUser = runToBatch(spark, depths.toDF("user_id", "depth"),
+      "stream_funnel", OutputMode.Update())
+    // final depth per user (last batch wins = max: depth only grows),
+    // unrolled into the cumulative funnel table
+    perUser.groupBy("user_id").agg(max(col("depth")).as("depth"))
+      .filter(col("depth") > 0)
+      .select(explode(sequence(lit(1L), col("depth"))).as("step_idx"))
+      .groupBy("step_idx").agg(count(lit(1)).as("n_users"))
+      .select(col("step_idx"),
+        element_at(array(steps.map(lit(_)): _*), col("step_idx").cast("int")).as("step"),
+        col("n_users"))
+      .orderBy("step_idx")
+  }
+
   /** Streaming shard sink — the ingest-time twin of Corpus.writeShards:
     * each micro-batch is appended to parquet partitioned by shard, via
     * foreachBatch (the sink escape hatch for writers the built-in sinks

@@ -336,4 +336,33 @@ class StreamingSpec extends SparkSpec {
       assert(got === Seq((1L, 3L, 5000000L), (2L, 1L, 4000000L)))
     } finally q.stop()
   }
+
+  test("streaming funnel: depth machine matches the batch funnel on the offender corpus") {
+    val sfDir = tempSfDir()
+    def nanos(sec: Long): Long = sec * 1000000000L
+    import spark.implicits._
+    // the batch EventWindowsSpec funnel fixture verbatim: users 1-5
+    // reach depths 3, 1, 2, 0, 3
+    writeTable(sfDir, "events", Seq(
+      (1L, nanos(10), 1L, "view", 1.0, "p"),
+      (2L, nanos(20), 1L, "click", 1.0, "p"),
+      (3L, nanos(30), 1L, "purchase", 1.0, "p"),
+      (4L, nanos(10), 2L, "click", 1.0, "p"),
+      (5L, nanos(20), 2L, "view", 1.0, "p"),
+      (6L, nanos(30), 2L, "purchase", 1.0, "p"),
+      (7L, nanos(10), 3L, "view", 1.0, "p"),
+      (8L, nanos(10), 3L, "click", 1.0, "p"),
+      (9L, nanos(5), 3L, "purchase", 1.0, "p"),
+      (10L, nanos(10), 4L, "purchase", 1.0, "p"),
+      (11L, nanos(10), 5L, "view", 1.0, "p"),
+      (12L, nanos(15), 5L, "click", 1.0, "p"),
+      (13L, nanos(15), 5L, "purchase", 1.0, "p")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val stream = StreamingOps.streamFunnel(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(stream === Seq((1L, "view", 4L), (2L, "click", 3L), (3L, "purchase", 2L)))
+    val batch = graft.ops.EventWindows.funnel(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(stream === batch)
+  }
 }
