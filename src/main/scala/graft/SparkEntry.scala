@@ -100,6 +100,10 @@ object SparkEntry {
     "ev_funnel" -> ((s, dir) => EventWindows.funnel(s, dir)),
     // grouped HLL++ distinct users per type, in-plan ±5% gate vs exact
     "ev_approx_users" -> ((s, dir) => EventWindows.approxDistinctUsersPerType(s, dir)),
+    // growth curve: first-day-per-user rewrite of running distinct
+    "ev_daily_new_users" -> ((s, dir) => EventWindows.dailyNewUsers(s, dir)),
+    // retention triangle: (cohort week, offset) counts from (user, week) pairs
+    "ev_retention" -> ((s, dir) => EventWindows.retentionCohorts(s, dir)),
     // —— text analysis ——
     "text_stats" -> ((s, dir) => TextAnalysis.tokenStats(s, dir)),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
@@ -753,6 +757,30 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact,
         |  TRUE AS within_tolerance
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ev_daily_new_users" ->
+      """WITH fd AS (
+        |  SELECT user_id, min((epoch_us(ts) // 86400000000) * 86400) AS first_day
+        |  FROM events GROUP BY user_id),
+        |daily AS (
+        |  SELECT first_day AS day, count(*)::BIGINT AS n_new_users
+        |  FROM fd GROUP BY first_day)
+        |SELECT day, n_new_users,
+        |  sum(n_new_users) OVER (ORDER BY day ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+        |    AS n_cumulative_users
+        |FROM daily ORDER BY day""".stripMargin,
+    "ev_retention" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    (epoch_us(ts) // 604800000000) * 604800 AS week
+        |  FROM events),
+        |c AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id)
+        |SELECT c.cohort_week, (uw.week - c.cohort_week) // 604800 AS week_offset,
+        |  count(*)::BIGINT AS n_users
+        |FROM uw JOIN c ON uw.user_id = c.user_id
+        |GROUP BY c.cohort_week, week_offset
+        |ORDER BY cohort_week, week_offset""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         |  length(text)::BIGINT AS n_chars,

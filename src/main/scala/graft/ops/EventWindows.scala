@@ -284,6 +284,49 @@ object EventWindows {
           .as("within_tolerance"))
       .orderBy("event_type")
 
+  /** Daily new users and the cumulative user count — the growth curve.
+    * "Distinct users so far" is NOT computable as a running window over
+    * daily distinct counts (users repeat across days); the scalable
+    * rewrite is: first-activity day per user (one aggregation over the
+    * (user, day) pairs), daily arrivals from that (tiny), then a
+    * running sum over the handful of day rows. The heavy shuffle keys
+    * on user_id — high cardinality, skew-free — and everything after it
+    * is proportional to days, not events.
+    */
+  def dailyNewUsers(spark: SparkSession, sfDir: String): DataFrame = {
+    val firstDay = table(spark, sfDir, "events")
+      .select(col("user_id"), bucket(86400L).as("day"))
+      .groupBy("user_id").agg(min(col("day")).as("first_day"))
+    val daily = firstDay.groupBy(col("first_day").as("day"))
+      .agg(count(lit(1)).as("n_new_users"))
+    daily.withColumn("n_cumulative_users",
+        sum(col("n_new_users")).over(Window.orderBy(col("day").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy("day")
+  }
+
+  /** Retention cohorts: users grouped by first-activity WEEK, counted
+    * as retained in each later week they were active — the (cohort,
+    * offset) triangle behind every retention dashboard. ONE shuffle on
+    * user_id builds each user's week SET (collect_set partials merge
+    * map-side, so the shuffle moves exactly the distinct (user, week)
+    * pairs — the same bytes as a distinct, without the extra exchange a
+    * distinct -> per-user-agg -> join-back chain costs); the cohort is
+    * the set's min and the offsets explode in place. State per user is
+    * bounded by calendar weeks (a few hundred over years), never by
+    * event volume; everything after the explode is O(weeks^2).
+    */
+  def retentionCohorts(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .select(col("user_id"), bucket(604800L).as("week"))
+      .groupBy("user_id").agg(collect_set(col("week")).as("weeks"))
+      .select(explode(col("weeks")).as("week"),
+        array_min(col("weeks")).as("cohort_week"))
+      .groupBy(col("cohort_week"),
+        ((col("week") - col("cohort_week")) / 604800L).cast("long").as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+
   /** Daily top event types: window rank over tumbling day buckets. */
   def dailyTopTypes(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     val day = table(spark, sfDir, "events")

@@ -144,6 +144,28 @@ class EventWindowsSpec extends SparkSpec {
     assert(rows === Seq(("click", 2L, true), ("view", 1L, true)))
   }
 
+  test("daily new users + cumulative, retention cohort triangle") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    def day(d: Long, off: Long = 0L): Long = ns(d * 86400 + off)
+    writeTable(dir, "events", Seq(
+      // user 1 active day 0 and day 1; user 2 day 0 only;
+      // user 3 day 1 and day 8 (the second WEEK)
+      (1L, day(0), 1L, "click", 1.0, "p"),
+      (2L, day(1), 1L, "click", 1.0, "p"),
+      (3L, day(0, 5), 2L, "view", 1.0, "p"),
+      (4L, day(1), 3L, "click", 1.0, "p"),
+      (5L, day(8), 3L, "click", 1.0, "p")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val growth = EventWindows.dailyNewUsers(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(growth === Seq((0L, 2L, 2L), (86400L, 1L, 3L)))
+    val ret = EventWindows.retentionCohorts(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // all three users cohort week 0; only user 3 returns in week 1
+    assert(ret === Seq((0L, 0L, 3L), (0L, 1L, 1L)))
+  }
+
   test("daily top event types: rank within day, deterministic tie-break") {
     val rows = EventWindows.dailyTopTypes(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
