@@ -104,6 +104,8 @@ object SparkEntry {
     "ev_daily_new_users" -> ((s, dir) => EventWindows.dailyNewUsers(s, dir)),
     // retention triangle: (cohort week, offset) counts from (user, week) pairs
     "ev_retention" -> ((s, dir) => EventWindows.retentionCohorts(s, dir)),
+    // semi-structured: typed from_json parse of props, per-type stats
+    "ev_props" -> ((s, dir) => EventWindows.propsStats(s, dir)),
     // —— text analysis ——
     "text_stats" -> ((s, dir) => TextAnalysis.tokenStats(s, dir)),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
@@ -781,6 +783,14 @@ object SparkEntry {
         |FROM uw JOIN c ON uw.user_id = c.user_id
         |GROUP BY c.cohort_week, week_offset
         |ORDER BY cohort_week, week_offset""".stripMargin,
+    "ev_props" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  sum(CASE WHEN json_extract_string(props, '$.k') IS NULL
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_null_props,
+        |  sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+        |  min(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS min_k,
+        |  max(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "text_stats" ->
       """SELECT doc_id,
         |  length(text)::BIGINT AS n_chars,

@@ -327,6 +327,29 @@ object EventWindows {
       .agg(count(lit(1)).as("n_users"))
       .orderBy("cohort_week", "week_offset")
 
+  /** Semi-structured path: parse the `props` JSON string column with a
+    * TYPED schema (`from_json` — schema-on-read that stays inside
+    * codegen; `get_json_object` re-parses per extraction, and a UDF
+    * would leave Tungsten entirely), then aggregate the extracted field
+    * per event type. The production notes at 100 TB: declare the fields
+    * you need (pruned parse), parse ONCE per row into a struct and
+    * reuse, and surface malformed rows as NULLs you count rather than
+    * exceptions (here: n_null_props audits parse failures in-plan).
+    */
+  def propsStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val parsed = table(spark, sfDir, "events")
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+    parsed.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null_props"),
+        sum(col("k")).as("sum_k"), min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+  }
+
   /** Daily top event types: window rank over tumbling day buckets. */
   def dailyTopTypes(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     val day = table(spark, sfDir, "events")

@@ -166,6 +166,22 @@ class EventWindowsSpec extends SparkSpec {
     assert(ret === Seq((0L, 0L, 3L), (0L, 1L, 1L)))
   }
 
+  test("props parse: typed extraction, malformed JSON counted as null not thrown") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "events", Seq(
+      (1L, ns(0), 1L, "click", 1.0, """{"k": 7}"""),
+      (2L, ns(1), 1L, "click", 1.0, """{"k": 3}"""),
+      (3L, ns(2), 1L, "click", 1.0, "not json at all"),
+      (4L, ns(3), 1L, "view", 1.0, """{"other": 1}""")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val rows = EventWindows.propsStats(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows === Seq(("click", 3L, 1L), ("view", 1L, 1L)))
+    val click = EventWindows.propsStats(spark, dir).collect().head
+    assert((click.getLong(3), click.getLong(4), click.getLong(5)) === ((10L, 3L, 7L)))
+  }
+
   test("daily top event types: rank within day, deterministic tie-break") {
     val rows = EventWindows.dailyTopTypes(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
