@@ -250,6 +250,9 @@ object SparkEntry {
     //    forms; the PLAN is what differs — see each operator's doc) ——
     "urlcount_salted" -> ((s, dir) =>
       UrlCount.saltedTokenCounts(table(s, dir, "documents"), "text", "doc_id")),
+    // Zipf audit: two-level rollup, corpus-sized shuffle exactly once
+    "urlcount_zipf" -> ((s, dir) =>
+      UrlCount.freqOfFreqs(table(s, dir, "documents"), "text")),
     // count-min-sketch heavy hitters, gated in-plan vs exact counts
     // (the frequency member of the sketch family, like the HLL/GK gates)
     "urlcount_cms" -> ((s, dir) =>
@@ -1676,6 +1679,13 @@ object SparkEntry {
         |WHERE length(token) > 0
         |GROUP BY token
         |ORDER BY token""".stripMargin,
+    "urlcount_zipf" ->
+      """WITH c AS (
+        |  SELECT token, count(*)::BIGINT AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE length(token) > 0 GROUP BY token)
+        |SELECT cnt, count(*)::BIGINT AS n_tokens
+        |FROM c GROUP BY cnt ORDER BY cnt""".stripMargin,
     // centroid stats: per-element floor(v*1e6) integerization THEN the
     // integer sum — order-independent. Sums can be negative and BOTH
     // engines' integer division truncates toward zero, so both sides

@@ -177,4 +177,18 @@ object UrlCount {
     */
   def topKFromTextFiles(spark: SparkSession, paths: Seq[String], k: Int = 100): DataFrame =
     topK(spark.read.text(paths: _*).withColumnRenamed("value", "text"), "text", k)
+
+  /** Frequency-of-frequencies (the Zipf audit): how many distinct
+    * tokens occur exactly `cnt` times. The second aggregation's input
+    * is one row per DISTINCT token and its output one row per distinct
+    * count — the classic two-level rollup where each level shrinks by
+    * orders of magnitude, so the corpus-sized shuffle happens exactly
+    * once (the token count; Zipf head/tail shape, vocabulary growth and
+    * Good-Turing smoothing mass all read off the result).
+    */
+  def freqOfFreqs(df: DataFrame, textCol: String, sep: String = " "): DataFrame =
+    tokens(df, textCol, sep)
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .groupBy("cnt").agg(count(lit(1)).as("n_tokens"))
+      .orderBy("cnt")
 }

@@ -122,4 +122,12 @@ class UrlCountSpec extends SparkSpec {
         |  'hot') AS e""".stripMargin).collect()(0).getLong(0)
     assert(est === 300L) // tiny corpus: no collisions, estimate exact
   }
+
+  test("frequency-of-frequencies: Zipf audit rollup") {
+    import spark.implicits._
+    // counts: a=3, b=2, c=2, d=1 -> fof: (1,1), (2,2), (3,1)
+    val got = UrlCount.freqOfFreqs(Seq("a a a b b", "c c d").toDF("text"), "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === Seq((1L, 1L), (2L, 2L), (3L, 1L)))
+  }
 }
