@@ -245,6 +245,9 @@ object SparkEntry {
 
     // —— corpus management: source merge + training-shard packing ——
     "pipeline_priority_merge" -> ((s, dir) => Corpus.priorityMerge(s, dir)),
+    // deterministic mix sampler: stable hash coin per doc vs per-source
+    // quota; output is the configured-vs-achieved audit report
+    "pipeline_mix_sample" -> ((s, dir) => Corpus.mixSample(s, dir)),
     "shard_plan" -> ((s, dir) => Corpus.shardPlan(s, dir)),
     // —— explicit skew-mitigation shapes (result-identical to the plain
     //    forms; the PLAN is what differs — see each operator's doc) ——
@@ -1633,6 +1636,19 @@ object SparkEntry {
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     // priority source merge: arg-min by (source rank, doc_id) per lead
     // fingerprint (md5 of the first 5 normalized tokens)
+    // mix sampler: both engines derive rate and coin from md5 prefixes
+    // (h60 parity: ('0x' || substr(md5(s), 1, 15))::BIGINT)
+    "pipeline_mix_sample" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    ('0x' || substr(md5('rate:' || source), 1, 15))::BIGINT % 800 + 100 AS rate_milli,
+        |    ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000 AS toss
+        |  FROM documents)
+        |SELECT source, rate_milli, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN toss < rate_milli THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  (sum(CASE WHEN toss < rate_milli THEN 1 ELSE 0 END) * 1000 // count(*))::BIGINT
+        |    AS achieved_milli
+        |FROM d GROUP BY source, rate_milli ORDER BY source""".stripMargin,
     "pipeline_priority_merge" ->
       """WITH d AS (
         |  SELECT doc_id, source, CAST(substr(source, 4) AS BIGINT) AS prio,

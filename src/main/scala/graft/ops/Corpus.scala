@@ -112,6 +112,34 @@ object Corpus {
     * join is a broadcast-free equi-join on doc_id; at 100 TB the write
     * fans out per shard directory with no driver involvement.
     */
+  /** Deterministic data-mixing sampler: each source gets a sampling
+    * rate (millis), each doc a stable coin toss `h60("mix:" + doc_id)
+    * mod 1000` — kept iff the toss lands under the source's rate. The
+    * properties a training-mix pipeline needs, all by construction:
+    * REPRODUCIBLE (hash of the id, not RNG state — the same doc makes
+    * the same cut on every re-run, restart, and executor count),
+    * CONSISTENT under corpus growth (adding docs never flips existing
+    * decisions, unlike every nth-row/limit scheme), and AUDITABLE (the
+    * output is the per-source quota report: configured rate vs achieved
+    * rate). Per-row decision is a narrow map; only the tiny per-source
+    * rollup shuffles. Default rates are themselves derived from the
+    * source name hash so the query is self-contained; production passes
+    * an explicit mix config and broadcasts it the same way.
+    */
+  def mixSample(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.OracleHash.h60
+    val rate = pmod(h60(concat(lit("rate:"), col("source"))), lit(800L)) + lit(100L)
+    val toss = pmod(h60(concat(lit("mix:"), col("doc_id").cast("string"))), lit(1000L))
+    table(spark, sfDir, "documents")
+      .select(col("source"), rate.as("rate_milli"), (toss < rate).as("keep"))
+      .groupBy("source", "rate_milli")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("achieved_milli",
+        (col("n_kept") * 1000L / col("n_docs")).cast("long"))
+      .orderBy("source")
+  }
+
   def writeShards(spark: SparkSession, sfDir: String, outDir: String,
                   tokensPerShard: Long = 2048): Unit =
     table(spark, sfDir, "documents")

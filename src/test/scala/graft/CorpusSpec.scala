@@ -72,6 +72,26 @@ class CorpusSpec extends SparkSpec {
     assert(salted === plain)
   }
 
+  test("mix sampler: decisions match an independent md5 computation, and repeat exactly") {
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expected = Seq("src0", "src1", "src2", "src3", "src10").map { src =>
+      val docs = Seq(1L, 2L, 3L, 4L, 5L).zip(
+        Seq("src2", "src0", "src1", "src10", "src3")).filter(_._2 == src).map(_._1)
+      val rate = h60(s"rate:$src") % 800 + 100
+      (src, rate, docs.length.toLong,
+        docs.count(id => h60(s"mix:$id") % 1000 < rate).toLong)
+    }.filter(_._3 > 0).sortBy(_._1)
+    def run() = Corpus.mixSample(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val got = run()
+    assert(got === expected.sortBy(_._1))
+    assert(got === run()) // hash coin, not RNG: identical on re-run
+  }
+
   test("two-phase distinct users equals COUNT(DISTINCT)") {
     import spark.implicits._
     val dir = tempSfDir()
