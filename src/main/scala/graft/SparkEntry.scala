@@ -117,6 +117,10 @@ object SparkEntry {
     "text_oov" -> ((s, dir) => TextAnalysis.oovRate(s, dir)),
     // per-source rule rejection rates + keep rate: the drift audit table
     "text_quality_report" -> ((s, dir) => TextAnalysis.qualityReport(s, dir)),
+    // declared-column PIVOT cross-tab; zero-filled count cells
+    "text_pivot" -> ((s, dir) => TextAnalysis.langSourcePivot(s, dir)),
+    // ntile(4) length bands per source, deterministic edges
+    "text_ntile" -> ((s, dir) => TextAnalysis.lengthNtileBands(s, dir)),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "text_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
     // intra-doc repeated-n-gram ratio (boilerplate/spam quality signal)
@@ -909,6 +913,24 @@ object SparkEntry {
         |        AND coalesce(r_alpha, FALSE) AND coalesce(r_symbol, FALSE)
         |        AND r_stop THEN 1 ELSE 0 END) * 1000 // count(*))::BIGINT AS keep_milli
         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    // pivot: the oracle spells the declared columns as CASE counts
+    "text_pivot" ->
+      """SELECT source,
+        |  sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
+        |  sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::BIGINT AS n_de,
+        |  sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)::BIGINT AS n_es,
+        |  sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::BIGINT AS n_fr,
+        |  sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)::BIGINT AS n_zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "text_ntile" ->
+      """WITH b AS (
+        |  SELECT source, n_chars,
+        |    ntile(4) OVER (PARTITION BY source ORDER BY n_chars ASC, doc_id ASC)
+        |      AS quartile
+        |  FROM documents)
+        |SELECT source, quartile::BIGINT AS quartile, count(*)::BIGINT AS n_docs,
+        |  min(n_chars)::BIGINT AS min_chars, max(n_chars)::BIGINT AS max_chars
+        |FROM b GROUP BY source, quartile ORDER BY source, quartile""".stripMargin,
     "text_langid" ->
       """WITH d AS (
         |  SELECT doc_id, lang,

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GraftSession.table
 import graft.functions.OracleHash
@@ -431,6 +432,44 @@ object TextAnalysis {
         (sum(when(col("keep"), 1L).otherwise(0L)) * 1000L / count(lit(1)))
           .cast("long").as("keep_milli"))
       .orderBy("source")
+  }
+
+  /** Cross-tab via PIVOT: doc counts per source x language. The pivoted
+    * column set is DECLARED (the language whitelist), which is the only
+    * scalable form — an undeclared pivot runs a distinct scan first and
+    * caps at spark.sql.pivotMaxValues; a declared one is a single
+    * aggregation pass with one output column per pivoted value. Missing
+    * cells surface as 0 (count semantics), not NULL.
+    */
+  def langSourcePivot(spark: SparkSession, sfDir: String,
+                      langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame = {
+    val pivoted = table(spark, sfDir, "documents")
+      .groupBy("source")
+      .pivot("lang", langs)
+      .agg(count(lit(1)))
+    langs.foldLeft(pivoted) { (df, l) =>
+        df.withColumn(s"n_$l", coalesce(col(s"`$l`"), lit(0L))).drop(l)
+      }
+      .orderBy("source")
+  }
+
+  /** Quartile banding via ntile(4) over doc length per source — the
+    * rank-window family member (row_number lives in dailyTopTypes /
+    * tfidf; ntile's equal-count bands are the data-mixing "length
+    * bucket" signal). Total order (n_chars, doc_id) makes band edges
+    * deterministic, so the per-band min/max/count roll-up is
+    * oracle-exact. One shuffle on source; bands never cross partitions.
+    */
+  def lengthNtileBands(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    table(spark, sfDir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy("source", "quartile")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+      .orderBy("source", "quartile")
   }
 
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame = {

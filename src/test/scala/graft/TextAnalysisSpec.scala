@@ -224,6 +224,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert((2 to 7).map(row.getLong) === Seq(166L, 166L, 166L, 166L, 166L, 166L))
   }
 
+  test("pivot cross-tab: declared columns, zero-filled missing cells") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", Seq(
+      (1L, "x", "en", "sA", 1L), (2L, "x", "en", "sA", 1L),
+      (3L, "x", "de", "sA", 1L), (4L, "x", "fr", "sB", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = TextAnalysis.langSourcePivot(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4))).toSeq
+    // columns: source, n_en, n_de, n_es, n_fr, n_zh
+    assert(rows === Seq(("sA", 2L, 1L, 0L), ("sB", 0L, 0L, 1L)))
+  }
+
+  test("ntile bands: equal-count quartiles with deterministic tie edges") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", Seq(
+      (1L, "x", "en", "s", 10L), (2L, "x", "en", "s", 20L),
+      (3L, "x", "en", "s", 30L), (4L, "x", "en", "s", 40L),
+      (5L, "x", "en", "s", 50L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = TextAnalysis.lengthNtileBands(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // ntile(4) over 5 rows: band 1 gets 2 rows, bands 2-4 one each
+    assert(rows === Seq((1L, 2L, 10L, 20L), (2L, 1L, 30L, 30L),
+      (3L, 1L, 40L, 40L), (4L, 1L, 50L, 50L)))
+  }
+
   private implicit class MapOps(
       rows: Array[(Long, Long, Long, Long, Long, Boolean)]) {
     def toMap2: Map[Long, (Long, Long, Long, Long, Boolean)] =
