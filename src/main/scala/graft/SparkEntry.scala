@@ -106,6 +106,8 @@ object SparkEntry {
     "ev_retention" -> ((s, dir) => EventWindows.retentionCohorts(s, dir)),
     // semi-structured: typed from_json parse of props, per-type stats
     "ev_props" -> ((s, dir) => EventWindows.propsStats(s, dir)),
+    // changelog compaction: last-write-wins via max(struct), no window
+    "ev_latest_state" -> ((s, dir) => EventWindows.latestState(s, dir)),
     // —— text analysis ——
     "text_stats" -> ((s, dir) => TextAnalysis.tokenStats(s, dir)),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
@@ -769,6 +771,21 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact,
         |  TRUE AS within_tolerance
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // changelog compaction: the oracle states last-write-wins as a
+    // rank-1 window at MICROS resolution, ties by event_id
+    "ev_latest_state" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, event_id, event_type,
+        |    floor(value * 1000000)::BIGINT AS vm
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, tus, event_id, event_type, vm,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY tus DESC, event_id DESC) AS rn
+        |  FROM e)
+        |SELECT user_id, tus AS last_tus, event_id AS last_event_id,
+        |  event_type AS last_event_type, vm AS last_value_micros
+        |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "ev_daily_new_users" ->
       """WITH fd AS (
         |  SELECT user_id, min((epoch_us(ts) // 86400000000) * 86400) AS first_day

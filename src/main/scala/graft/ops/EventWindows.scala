@@ -350,6 +350,33 @@ object EventWindows {
       .orderBy("event_type")
   }
 
+  /** Changelog compaction (last-write-wins): the final per-user state
+    * implied by the event stream — the batch form of the streaming
+    * running-state query, and the core of every CDC snapshot rebuild.
+    * The arg-max rides INSIDE one aggregation as a max(struct) ordered
+    * by (ts, event_id): no window, no sort, map-side combinable — the
+    * hottest user costs one row per partition in the shuffle, which is
+    * why changelog compaction scales where a per-key ORDER BY would
+    * not. Value surfaces as exact micros.
+    */
+  def latestState(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
+      .select(col("user_id"),
+        // order on MICROS (the oracle's resolution), not raw nanos — a
+        // sub-microsecond difference must not decide a tie differently
+        // across engines; equal-micros ties resolve by event_id
+        struct(expr(floorDiv("ts", 1000L)).as("tus"), col("event_id"),
+          col("event_type"),
+          floor(col("value") * 1000000L).cast("long").as("value_micros")).as("s"))
+      .groupBy("user_id")
+      .agg(max(col("s")).as("w"))
+      .select(col("user_id"),
+        col("w.tus").as("last_tus"),
+        col("w.event_id").as("last_event_id"),
+        col("w.event_type").as("last_event_type"),
+        col("w.value_micros").as("last_value_micros"))
+      .orderBy("user_id")
+
   /** Daily top event types: window rank over tumbling day buckets. */
   def dailyTopTypes(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     val day = table(spark, sfDir, "events")

@@ -182,6 +182,20 @@ class EventWindowsSpec extends SparkSpec {
     assert((click.getLong(3), click.getLong(4), click.getLong(5)) === ((10L, 3L, 7L)))
   }
 
+  test("latest state: last write wins, equal-time tie by event_id") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "events", Seq(
+      (1L, ns(10), 1L, "view", 1.25, "p"),
+      (2L, ns(20), 1L, "purchase", 2.5, "p"),  // later -> wins for user 1
+      (3L, ns(30), 2L, "click", 3.0, "p"),
+      (4L, ns(30), 2L, "error", 4.0, "p")      // equal ts, higher id -> wins
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val rows = EventWindows.latestState(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(3), r.getLong(4))).toSeq
+    assert(rows === Seq((1L, 2L, "purchase", 2500000L), (2L, 4L, "error", 4000000L)))
+  }
+
   test("daily top event types: rank within day, deterministic tie-break") {
     val rows = EventWindows.dailyTopTypes(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
