@@ -123,6 +123,9 @@ object SparkEntry {
     "text_pivot" -> ((s, dir) => TextAnalysis.langSourcePivot(s, dir)),
     // ntile(4) length bands per source, deterministic edges
     "text_ntile" -> ((s, dir) => TextAnalysis.lengthNtileBands(s, dir)),
+    // compression-ratio quality proxy — rows-only BY DESIGN (zlib output
+    // length is not SQL-replayable); properties pinned by spec
+    "text_compression" -> ((s, dir) => TextAnalysis.compressionSignal(s, dir)),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "text_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
     // intra-doc repeated-n-gram ratio (boilerplate/spam quality signal)

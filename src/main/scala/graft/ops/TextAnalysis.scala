@@ -472,6 +472,40 @@ object TextAnalysis {
       .orderBy("source", "quartile")
   }
 
+  case class CompressionRow(doc_id: Long, n_bytes: Long, n_compressed: Long,
+                            ratio_milli: Long)
+
+  /** Compression-ratio quality signal (the CCNet/Gopher entropy proxy:
+    * templated/boilerplate text DEFLATEs far below natural text, and a
+    * near-1000 ratio means binary junk). Runs through the same
+    * init-once-per-partition seam as the multimodal decode — one
+    * Deflater reused across a partition's rows and released when the
+    * partition drains, never a per-row codec construction.
+    *
+    * Registered rows-only by design: DEFLATE output length is a
+    * zlib-implementation fact no SQL oracle can replay. The spec pins
+    * the properties that matter instead (repetitive text compresses
+    * harder than varied text, determinism across runs, byte accounting).
+    */
+  def compressionSignal(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](1 << 16)
+        val out = rows.map { case (id, text) =>
+          val in = text.getBytes("UTF-8")
+          deflater.reset(); deflater.setInput(in); deflater.finish()
+          var total = 0L
+          while (!deflater.finished()) total += deflater.deflate(buf)
+          CompressionRow(id, in.length.toLong, total,
+            if (in.isEmpty) 1000L else total * 1000L / in.length)
+        }
+        out ++ { deflater.end(); Iterator.empty }
+      }.toDF().orderBy("doc_id")
+  }
+
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame = {
     val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
     table(spark, sfDir, "documents")

@@ -252,6 +252,27 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 1L, 40L, 40L), (4L, 1L, 50L, 50L)))
   }
 
+  test("compression signal: boilerplate compresses harder, accounting exact, deterministic") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    val boiler = Seq.fill(60)("same words repeated").mkString(" ")
+    val varied = (1 to 120).map(i => s"tok${i * 37 % 997}x$i").mkString(" ")
+    writeTable(dir, "documents", Seq(
+      (1L, boiler, "en", "s", boiler.length.toLong),
+      (2L, varied, "en", "s", varied.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    def run() = TextAnalysis.compressionSignal(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val got = run()
+    val byId = got.map(t => t._1 -> t).toMap
+    assert(byId(1L)._2 === boiler.length.toLong)
+    assert(byId(1L)._4 === byId(1L)._3 * 1000L / byId(1L)._2) // accounting
+    // the repeated text must compress MUCH harder than the varied text
+    assert(byId(1L)._4 < byId(2L)._4 / 2,
+      s"boilerplate ${byId(1L)._4} not << varied ${byId(2L)._4}")
+    assert(got === run()) // deterministic across runs
+  }
+
   private implicit class MapOps(
       rows: Array[(Long, Long, Long, Long, Long, Boolean)]) {
     def toMap2: Map[Long, (Long, Long, Long, Long, Boolean)] =
