@@ -108,6 +108,8 @@ object SparkEntry {
     "ev_props" -> ((s, dir) => EventWindows.propsStats(s, dir)),
     // changelog compaction: last-write-wins via max(struct), no window
     "ev_latest_state" -> ((s, dir) => EventWindows.latestState(s, dir)),
+    // debounce audit: burst duplicates per type via lag on (user, type)
+    "ev_bursts" -> ((s, dir) => EventWindows.burstDuplicates(s, dir)),
     // —— text analysis ——
     "text_stats" -> ((s, dir) => TextAnalysis.tokenStats(s, dir)),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
@@ -789,6 +791,20 @@ object SparkEntry {
         |SELECT user_id, tus AS last_tus, event_id AS last_event_id,
         |  event_type AS last_event_type, vm AS last_value_micros
         |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "ev_bursts" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS tus FROM events),
+        |l AS (
+        |  SELECT event_type,
+        |    (lag(tus) OVER (PARTITION BY user_id, event_type
+        |       ORDER BY tus ASC, event_id ASC)) AS prev, tus
+        |  FROM e)
+        |SELECT event_type, count(*)::BIGINT AS n_events,
+        |  sum(CASE WHEN prev IS NOT NULL AND tus - prev <= 60000000
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_duplicates,
+        |  (sum(CASE WHEN prev IS NOT NULL AND tus - prev <= 60000000
+        |       THEN 1 ELSE 0 END) * 1000 // count(*))::BIGINT AS dup_milli
+        |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
     "ev_daily_new_users" ->
       """WITH fd AS (
         |  SELECT user_id, min((epoch_us(ts) // 86400000000) * 86400) AS first_day

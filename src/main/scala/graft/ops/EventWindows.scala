@@ -377,6 +377,34 @@ object EventWindows {
         col("w.value_micros").as("last_value_micros"))
       .orderBy("user_id")
 
+  /** Burst (debounce) duplicate audit: an event is a burst-duplicate
+    * when the same user fired the same event type within `withinSec`
+    * of the PREVIOUS event of that key — the double-click/bot-retry
+    * cleaning rule every event pipeline runs at ingest. Previous-EVENT
+    * semantics (plain lag — one shuffle on the key, oracle-exact), not
+    * previous-KEPT: the chained form is a sequential state machine
+    * (streaming: dropDuplicatesWithinWatermark covers it); for audit
+    * rates the two differ only inside dense bursts. Output: per-type
+    * totals with exact milli duplicate rates.
+    */
+  def burstDuplicates(spark: SparkSession, sfDir: String,
+                      withinSec: Long = 60): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("tus").asc, col("event_id").asc)
+    table(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        expr(floorDiv("ts", 1000L)).as("tus"))
+      .withColumn("prev", lag(col("tus"), 1).over(w))
+      .withColumn("is_dup",
+        col("prev").isNotNull && col("tus") - col("prev") <= withinSec * 1000000L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_duplicates"))
+      .withColumn("dup_milli",
+        (col("n_duplicates") * 1000L / col("n_events")).cast("long"))
+      .orderBy("event_type")
+  }
+
   /** Daily top event types: window rank over tumbling day buckets. */
   def dailyTopTypes(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     val day = table(spark, sfDir, "events")

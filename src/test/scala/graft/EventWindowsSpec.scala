@@ -196,6 +196,24 @@ class EventWindowsSpec extends SparkSpec {
     assert(rows === Seq((1L, 2L, "purchase", 2500000L), (2L, 4L, "error", 4000000L)))
   }
 
+  test("burst duplicates: within-window same-key repeats flagged, cross-key not") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "events", Seq(
+      // user 1 clicks at 0, 30 (dup: 30s gap), 100 (not: 70s from 30)
+      (1L, ns(0), 1L, "click", 1.0, "p"),
+      (2L, ns(30), 1L, "click", 1.0, "p"),
+      (3L, ns(100), 1L, "click", 1.0, "p"),
+      // same user, different type within 30s: NOT a duplicate
+      (4L, ns(10), 1L, "view", 1.0, "p"),
+      // different user, same type/time as user 1's: NOT a duplicate
+      (5L, ns(30), 2L, "click", 1.0, "p")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val rows = EventWindows.burstDuplicates(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows === Seq(("click", 4L, 1L, 250L), ("view", 1L, 0L, 0L)))
+  }
+
   test("daily top event types: rank within day, deterministic tie-break") {
     val rows = EventWindows.dailyTopTypes(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
