@@ -1,0 +1,46 @@
+package graft
+
+/** Whole-surface plan invariant: NO registered batch query may plan a
+  * CartesianProduct or BroadcastNestedLoopJoin — the two shapes that
+  * turn into corpus-squared work at 100 TB. This is the structural
+  * "no quadratic plan" guarantee as a test: every future operator is
+  * swept automatically the moment it is registered.
+  *
+  * Streaming twins are skipped (calling them RUNS the query; their
+  * batch-visible plan is just the memory-sink read — the streaming
+  * plans are pinned by StreamingSpec behaviorally). Queries whose
+  * construction materializes intermediates (localCheckpoint in the
+  * dedup ladder) execute those steps at sf0.001 — cheap, and the final
+  * plan is exactly what the harness runs.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("no registered batch query plans a cartesian or nested-loop join") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(_._1.startsWith("stream_"))
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+        val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin").filter { op =>
+          // broadcast-side crossJoins against tiny centroid/sketch sets
+          // are the documented exception IF the build side is a
+          // broadcast of an aggregate (Similarity IVF / CMS gate); a
+          // plain NLJ over two scans is always a bug
+          plan.contains(op)
+        }
+        bad.map(op => s"$name: $op")
+      }
+    // the ONLY sanctioned nested-loop joins — each a broadcast of a
+    // BOUNDED side, by documented design: IVF/kmeans centroid sets and
+    // the CMS one-row sketch; the brute-force exact baseline's strided
+    // query set; the all-pairs verifier's FIXED 500-id sample; tfidf's
+    // one-row corpus count. A nested loop over two unbounded scans
+    // fails this sweep.
+    val sanctioned = Set("sim_ivf", "sim_ivf_kmeans", "sim_recall",
+      "urlcount_cms", "emb_label_centroids",
+      "sim_bruteforce", "sim_allpairs", "text_tfidf")
+    val real = offenders.filterNot(o => sanctioned.exists(o.startsWith))
+    assert(real.isEmpty, s"quadratic plan shapes found:\n${real.mkString("\n")}")
+  }
+}
