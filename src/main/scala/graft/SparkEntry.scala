@@ -128,6 +128,8 @@ object SparkEntry {
     // compression-ratio quality proxy — rows-only BY DESIGN (zlib output
     // length is not SQL-replayable); properties pinned by spec
     "text_compression" -> ((s, dir) => TextAnalysis.compressionSignal(s, dir)),
+    // int8 quantization audit: exact integer scale/dequant error report
+    "sim_quantize" -> ((s, dir) => Similarity.quantizeInt8Report(s, dir)),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(s, dir)),
     "text_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
     // intra-doc repeated-n-gram ratio (boilerplate/spam quality signal)
@@ -1760,6 +1762,32 @@ object SparkEntry {
         |  WHERE length(token) > 0 GROUP BY token)
         |SELECT cnt, count(*)::BIGINT AS n_tokens
         |FROM c GROUP BY cnt ORDER BY cnt""".stripMargin,
+    // int8 quantization: all integer math on non-negative magnitudes
+    // with the sign reapplied — trunc and floor division agree there,
+    // and every product stays far below 2^53 so the double-division
+    // round-trip is exact (a nonzero integer numerator-residue cannot
+    // land within one ulp of an integer quotient at these magnitudes)
+    "sim_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS vm
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, vm,
+        |    list_max(list_transform(vm, x -> abs(x))) AS scale
+        |  FROM e),
+        |x AS (SELECT vec_id, scale, unnest(vm) AS v FROM m),
+        |r AS (
+        |  SELECT vec_id, scale, v,
+        |    CASE WHEN scale = 0 THEN 0
+        |      ELSE (CASE WHEN v < 0 THEN -1 ELSE 1 END) *
+        |        ((((abs(v) * 127) // scale) * scale) // 127)
+        |      END AS recon
+        |  FROM x)
+        |SELECT vec_id, scale::BIGINT AS scale_micros,
+        |  sum(abs(v - recon))::BIGINT AS sum_err_micros,
+        |  max(abs(v - recon))::BIGINT AS max_err_micros
+        |FROM r GROUP BY vec_id, scale ORDER BY vec_id""".stripMargin,
     // centroid stats: per-element floor(v*1e6) integerization THEN the
     // integer sum — order-independent. Sums can be negative and BOTH
     // engines' integer division truncates toward zero, so both sides

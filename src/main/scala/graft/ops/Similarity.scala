@@ -356,4 +356,40 @@ object Similarity {
       .select(col("label"), col("i"), col("n"),
         expr("(s - pmod(s, n)) div n").as("mean_micros"))
       .orderBy("label", "i")
+
+  /** Scalar int8 quantization report — the vector-COMPRESSION rung of
+    * the embedding family (ANN finds neighbors; quantization is how
+    * 100 TB of float32 vectors fit storage/memory at 4x less): each
+    * vector is integerized to micros, scaled to [-127, 127] by its own
+    * max-abs, dequantized, and the reconstruction error reported
+    * per vector. Every step is INTEGER math on non-negative magnitudes
+    * with the sign reapplied (truncating and flooring division agree on
+    * non-negatives, so Spark `div` and the oracle's `//` match exactly
+    * — the centroid query's pmod trick is unnecessary here). Zero
+    * shuffle: per-row HOFs, then the presentation sort.
+    *
+    * Output: (vec_id, scale_micros, sum_err_micros, max_err_micros) —
+    * the audit that decides whether int8 (vs f16/int4) is acceptable
+    * for a given corpus.
+    */
+  def quantizeInt8Report(spark: SparkSession, sfDir: String): DataFrame = {
+    val vm = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(1000000L)).cast("long"))
+    val scale = array_max(transform(col("vm"), abs(_)))
+    def sgn(c: Column): Column = when(c < 0L, -1L).otherwise(1L)
+    // q in [-127, 127]; dequantized back to micros at the same scale
+    val recon = transform(col("vm"), v =>
+      when(col("scale") === 0L, lit(0L)).otherwise(
+        sgn(v) * (((abs(v) * 127L) / col("scale")).cast("long") * col("scale") / 127L)
+          .cast("long")))
+    table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), vm.as("vm"))
+      .withColumn("scale", scale)
+      .withColumn("errs",
+        zip_with(col("vm"), recon, (a, b) => abs(a - b)))
+      .select(col("vec_id"), col("scale").as("scale_micros"),
+        aggregate(col("errs"), lit(0L), (acc, e) => acc + e).as("sum_err_micros"),
+        array_max(col("errs")).as("max_err_micros"))
+      .orderBy("vec_id")
+  }
 }

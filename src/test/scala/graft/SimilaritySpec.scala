@@ -113,4 +113,19 @@ class SimilaritySpec extends SparkSpec {
     val withNull = Seq((Some(Seq(1.0, 2.0)), None: Option[Seq[Double]])).toDF("a", "b")
     assert(withNull.select(Similarity.dot(col("a"), col("b"))).head().isNullAt(0))
   }
+
+  test("int8 quantization report: hand-computed scale and dequant error") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "embeddings", Seq(
+      // micros [500000, -250000, 0]; scale 500000
+      // q = [127, -63, 0]; recon = [500000, -248031, 0] -> errs [0, 1969, 0]
+      (1L, Seq(0.5f, -0.25f, 0.0f), 0),
+      // all-zero vector: scale 0, every error 0 by the guard
+      (2L, Seq(0.0f, 0.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label"))
+    val rows = Similarity.quantizeInt8Report(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows === Seq((1L, 500000L, 1969L, 1969L), (2L, 0L, 0L, 0L)))
+  }
 }
