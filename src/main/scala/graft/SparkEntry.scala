@@ -261,6 +261,8 @@ object SparkEntry {
     // deterministic mix sampler: stable hash coin per doc vs per-source
     // quota; output is the configured-vs-achieved audit report
     "pipeline_mix_sample" -> ((s, dir) => Corpus.mixSample(s, dir)),
+    // stateless ingest-time sampling: same decisions as the batch form
+    "stream_mix_sample" -> ((s, dir) => StreamingOps.streamMixSample(s, dir)),
     "shard_plan" -> ((s, dir) => Corpus.shardPlan(s, dir)),
     // —— explicit skew-mitigation shapes (result-identical to the plain
     //    forms; the PLAN is what differs — see each operator's doc) ——
@@ -1698,6 +1700,19 @@ object SparkEntry {
     // fingerprint (md5 of the first 5 normalized tokens)
     // mix sampler: both engines derive rate and coin from md5 prefixes
     // (h60 parity: ('0x' || substr(md5(s), 1, 15))::BIGINT)
+    // the streaming twin shares the batch sampler's relation verbatim —
+    // stateless hash decisions are batch/stream invariant
+    "stream_mix_sample" ->
+      """WITH d AS (
+        |  SELECT source,
+        |    ('0x' || substr(md5('rate:' || source), 1, 15))::BIGINT % 800 + 100 AS rate_milli,
+        |    ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000 AS toss
+        |  FROM documents)
+        |SELECT source, rate_milli, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN toss < rate_milli THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  (sum(CASE WHEN toss < rate_milli THEN 1 ELSE 0 END) * 1000 // count(*))::BIGINT
+        |    AS achieved_milli
+        |FROM d GROUP BY source, rate_milli ORDER BY source""".stripMargin,
     "pipeline_mix_sample" ->
       """WITH d AS (
         |  SELECT source,

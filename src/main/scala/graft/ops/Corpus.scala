@@ -126,10 +126,22 @@ object Corpus {
     * source name hash so the query is self-contained; production passes
     * an explicit mix config and broadcasts it the same way.
     */
-  def mixSample(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The sampler's per-row expressions, shared with the streaming twin
+    * (stateless — which is WHY the stream form needs no state and the
+    * decisions survive restart: the coin is the hash, not an RNG).
+    */
+  private[graft] def mixRate: org.apache.spark.sql.Column = {
     import graft.functions.OracleHash.h60
-    val rate = pmod(h60(concat(lit("rate:"), col("source"))), lit(800L)) + lit(100L)
-    val toss = pmod(h60(concat(lit("mix:"), col("doc_id").cast("string"))), lit(1000L))
+    pmod(h60(concat(lit("rate:"), col("source"))), lit(800L)) + lit(100L)
+  }
+  private[graft] def mixToss: org.apache.spark.sql.Column = {
+    import graft.functions.OracleHash.h60
+    pmod(h60(concat(lit("mix:"), col("doc_id").cast("string"))), lit(1000L))
+  }
+
+  def mixSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val rate = mixRate
+    val toss = mixToss
     table(spark, sfDir, "documents")
       .select(col("source"), rate.as("rate_milli"), (toss < rate).as("keep"))
       .groupBy("source", "rate_milli")

@@ -533,6 +533,27 @@ object StreamingOps {
       .orderBy("step_idx")
   }
 
+  /** Ingest-time mix sampling — the streaming twin of Corpus.mixSample,
+    * sharing its expressions AND its oracle: the sampler is a
+    * STATELESS hash decision, so the stream form needs no state store,
+    * no watermark, and no dedup on restart — re-delivered rows make the
+    * same decision, which is the whole argument for hash coins over RNG
+    * at ingest. Only the audit rollup (Complete mode, one row per
+    * source) is stateful, and it is bounded by source count.
+    */
+  def streamMixSample(spark: SparkSession, sfDir: String): DataFrame =
+    runToBatch(spark,
+        harnessDocStream(spark, sfDir)
+          .select(col("source"), graft.ops.Corpus.mixRate.as("rate_milli"),
+            (graft.ops.Corpus.mixToss < graft.ops.Corpus.mixRate).as("keep"))
+          .groupBy("source", "rate_milli")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept")),
+        "stream_mix", OutputMode.Complete())
+      .withColumn("achieved_milli",
+        (col("n_kept") * 1000L / col("n_docs")).cast("long"))
+      .orderBy("source")
+
   /** Streaming shard sink — the ingest-time twin of Corpus.writeShards:
     * each micro-batch is appended to parquet partitioned by shard, via
     * foreachBatch (the sink escape hatch for writers the built-in sinks

@@ -366,6 +366,19 @@ class StreamingSpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("streaming mix sample equals the batch sampler (stateless hash decisions)") {
+    import spark.implicits._
+    val sfDir = tempSfDir()
+    writeTable(sfDir, "documents", (1L to 40L).map(i =>
+      (i, s"doc $i text", "en", s"src${i % 3}", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val stream = StreamingOps.streamMixSample(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val batch = graft.ops.Corpus.mixSample(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(stream === batch)
+  }
+
   test("restart from checkpoint: processed input is not re-ingested, new input is") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft-restart-in").toString
