@@ -82,6 +82,17 @@ object SparkEntry {
     // the predicate prunes at planning time (PartitionFilters, not
     // PushedFilters; PartitionedSpec pins the plan shape)
     "src_pruned_scan" -> ((s, dir) => graft.sources.Partitioned.prunedDocCounts(s, dir)),
+    // Z-order layout audit: per-bucket min-max spans of the natural vs
+    // Morton-interleaved (custkey x day) layout — the multi-dimensional
+    // file-skipping design check, all-integer bit math
+    "src_zorder" -> ((s, dir) => Layout.zorderAudit(s, dir)),
+    // incremental MV maintenance: mergeable partials over a base
+    // snapshot + mid-month delta, merged by re-aggregation; the oracle
+    // recomputes directly, proving merge == recompute
+    "rel_mv_merge" -> ((s, dir) => Relational.incrementalMvMerge(s, dir)),
+    // PageRank over the customer<->supplier trade graph: 3 rounds of
+    // integral-rank propagation over a checkpointed static edge list
+    "graph_pagerank" -> ((s, dir) => Graph.pageRank(s, dir)),
     // —— event-time windows (batch analog of graft.streaming) ——
     "ev_tumbling" -> ((s, dir) => EventWindows.tumbling(s, dir)),
     "ev_sliding" -> ((s, dir) => EventWindows.sliding(s, dir)),
@@ -110,6 +121,9 @@ object SparkEntry {
     "ev_latest_state" -> ((s, dir) => EventWindows.latestState(s, dir)),
     // debounce audit: burst duplicates per type via lag on (user, type)
     "ev_bursts" -> ((s, dir) => EventWindows.burstDuplicates(s, dir)),
+    // Markov transition matrix: (prev -> next) counts + integral ppm
+    // row rates from per-user lag sequences; one full-data shuffle
+    "ev_transitions" -> ((s, dir) => EventWindows.eventTransitions(s, dir)),
     // —— text analysis ——
     "text_stats" -> ((s, dir) => TextAnalysis.tokenStats(s, dir)),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
@@ -663,6 +677,76 @@ object SparkEntry {
         |  sum(n_chars)::BIGINT AS sum_chars
         |FROM documents WHERE source IN ('src3', 'src7')
         |GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+    // same normalize/interleave/bucket arithmetic, DuckDB operator
+    // spelling of the interleave (generated next to the Spark spelling
+    // in graft.ops.Layout so the two can never drift)
+    "src_zorder" ->
+      s"""WITH rows0 AS (
+        |  SELECT o_orderkey AS ok, o_custkey AS ck,
+        |    date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS day
+        |  FROM orders),
+        |c AS (SELECT min(ck) AS ck_min, min(day) AS day_min,
+        |             min(ok) AS ok_min, max(ok) AS ok_max FROM rows0),
+        |n AS (SELECT ok, ck, day, ck - ck_min AS ckn, day - day_min AS dayn,
+        |             ok_min, ok_max FROM rows0 CROSS JOIN c),
+        |zz AS (SELECT *, ${graft.ops.Layout.zExprDuckDb("ckn", "dayn", 16)} AS z FROM n),
+        |zc AS (SELECT min(z) AS z_min, max(z) AS z_max FROM zz),
+        |b AS (SELECT zz.*,
+        |        (16 * (ok - ok_min)) // (ok_max - ok_min + 1) AS bucket_nat,
+        |        (16 * (z - z_min)) // (z_max - z_min + 1) AS bucket_z
+        |      FROM zz CROSS JOIN zc)
+        |SELECT layout, bucket, n_rows, ck_span, day_span FROM (
+        |  SELECT 'natural' AS layout, bucket_nat AS bucket,
+        |    count(*)::BIGINT AS n_rows, (max(ck) - min(ck))::BIGINT AS ck_span,
+        |    (max(day) - min(day))::BIGINT AS day_span
+        |  FROM b GROUP BY bucket_nat
+        |  UNION ALL
+        |  SELECT 'zorder' AS layout, bucket_z AS bucket,
+        |    count(*)::BIGINT AS n_rows, (max(ck) - min(ck))::BIGINT AS ck_span,
+        |    (max(day) - min(day))::BIGINT AS day_span
+        |  FROM b GROUP BY bucket_z)
+        |ORDER BY layout, bucket""".stripMargin,
+    // the MV oracle recomputes the monthly aggregate DIRECTLY over the
+    // full table: a pass proves merge(base, delta) == recompute(all)
+    "rel_mv_merge" ->
+      """SELECT o_orderpriority,
+        |  (year(o_orderdate) * 100 + month(o_orderdate))::BIGINT AS yyyymm,
+        |  count(*)::BIGINT AS n,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  min(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS min_cents,
+        |  max(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS max_cents,
+        |  (CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+        |    // count(*))::BIGINT AS avg_cents
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the oracle replays the integral-rank propagation as three chained
+    // CTE rounds — same fixed-point formula, floor division throughout
+    "graph_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT o.o_custkey AS c, 1000000 + l.l_suppkey AS s
+        |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |edges AS (
+        |  SELECT c AS src, s AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT s AS src, c AS dst FROM pairs),
+        |deg AS (SELECT src AS node, count(*)::BIGINT AS outdeg
+        |        FROM edges GROUP BY src),
+        |r0 AS (SELECT node, 1000000::BIGINT AS r FROM deg),
+        |r1 AS (SELECT e.dst AS node,
+        |         (150000 + (85 * CAST(sum(p.r // d.outdeg) AS BIGINT)) // 100)::BIGINT AS r
+        |       FROM edges e JOIN r0 p ON e.src = p.node
+        |         JOIN deg d ON e.src = d.node GROUP BY e.dst),
+        |r2 AS (SELECT e.dst AS node,
+        |         (150000 + (85 * CAST(sum(p.r // d.outdeg) AS BIGINT)) // 100)::BIGINT AS r
+        |       FROM edges e JOIN r1 p ON e.src = p.node
+        |         JOIN deg d ON e.src = d.node GROUP BY e.dst),
+        |r3 AS (SELECT e.dst AS node,
+        |         (150000 + (85 * CAST(sum(p.r // d.outdeg) AS BIGINT)) // 100)::BIGINT AS r
+        |       FROM edges e JOIN r2 p ON e.src = p.node
+        |         JOIN deg d ON e.src = d.node GROUP BY e.dst)
+        |SELECT node,
+        |  CASE WHEN node >= 1000000 THEN 'supplier' ELSE 'customer' END AS kind,
+        |  r AS rank_micros
+        |FROM r3 ORDER BY rank_micros DESC, node ASC LIMIT 20""".stripMargin,
     // the oracle recomputes the exact quantile comparators: n_docs and
     // the interpolated median must match exactly, and asserting TRUE on
     // the three gate flags verifies Spark's GK sketch landed within the
@@ -809,6 +893,20 @@ object SparkEntry {
         |  (sum(CASE WHEN prev IS NOT NULL AND tus - prev <= 60000000
         |       THEN 1 ELSE 0 END) * 1000 // count(*))::BIGINT AS dup_milli
         |FROM l GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ev_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+        |l AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY tus ASC, event_id ASC) AS prev_type,
+        |    event_type AS next_type
+        |  FROM e),
+        |t AS (
+        |  SELECT prev_type, next_type, count(*)::BIGINT AS n
+        |  FROM l WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type)
+        |SELECT prev_type, next_type, n,
+        |  ((1000000 * n) // (sum(n) OVER (PARTITION BY prev_type)))::BIGINT AS rate_ppm
+        |FROM t ORDER BY prev_type, next_type""".stripMargin,
     "ev_daily_new_users" ->
       """WITH fd AS (
         |  SELECT user_id, min((epoch_us(ts) // 86400000000) * 86400) AS first_day

@@ -405,6 +405,37 @@ object EventWindows {
       .orderBy("event_type")
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: for every (prev_type -> next_type) pair, the transition
+    * count and its per-million rate within the prev_type row — the
+    * behavioral model behind next-action prediction, funnel-shape
+    * discovery and bot detection (a scripted client's transition rows
+    * are near-deterministic; organic traffic is spread).
+    *
+    * Sequence order is (event time, event_id) within user — the same
+    * total order every sequential op here uses. Plan: ONE full-data
+    * shuffle (the per-user sort for lag), then the pair counts collapse
+    * to |types|^2 rows, so the row-rate window and the final sort are
+    * driver-trivial at any corpus size. Rates are integral ppm (floor),
+    * so rows hash-match the oracle exactly.
+    */
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tus").asc, col("event_id").asc)
+    table(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr(floorDiv("ts", 1000L)).as("tus"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total",
+        sum(col("n")).over(Window.partitionBy("prev_type")))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("(1000000 * n) div row_total").as("rate_ppm"))
+      .orderBy("prev_type", "next_type")
+  }
+
   /** Daily top event types: window rank over tumbling day buckets. */
   def dailyTopTypes(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     val day = table(spark, sfDir, "events")

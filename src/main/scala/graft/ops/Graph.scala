@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.GraftSession.table
+
+/** Iterative graph analytics over relationship tables.
+  *
+  * The reference's engine has exactly one iterative behavior — the
+  * map/reduce phase barrier (`/root/reference/src/mapreduce/master.go:147-165`)
+  * — but an analytics engine over entity tables needs whole-graph
+  * iteration (influence ranking, community detection). Connected
+  * components already lives in Dedup.connectedComponents (min-label
+  * propagation); this module adds the other canonical iterative-join
+  * workload, PageRank, in the same bounded-state shape:
+  *
+  *  - the edge list is static: repartitioned on the per-round join key
+  *    ONCE and localCheckpoint'd, so each round shuffles only the small
+  *    per-node rank table, never the edges;
+  *  - per-round state is two rank tables (current persisted, previous
+  *    unpersisted) — resident state is O(|nodes|) regardless of rounds;
+  *  - rank arithmetic is integral (micro-units, floor division), so the
+  *    result is bit-identical across engines and partitionings — the
+  *    determinism contract every registered query carries.
+  *
+  * At 100 TB the same plan holds: edges hash-partition by src across
+  * the cluster, each iteration is one co-partitioned join plus one
+  * group-by-dst exchange of |nodes| rows, and no stage ever holds more
+  * than a partition of edges plus its rank slice.
+  */
+object Graph {
+
+  /** PageRank over an undirected bipartite trade graph: customer c and
+    * supplier s are linked when at least one of c's orders contains a
+    * line supplied by s. Supplier nodes are offset by +1,000,000 to
+    * share one BIGINT node id space.
+    *
+    * Fixed-point formula (damping 0.85, micro-unit integers, floor
+    * division — exact on any engine):
+    *   r_0(n)     = 1,000,000
+    *   r_{k+1}(n) = 150,000 + (85 * sum_{(m,n) in E} (r_k(m) div deg(m))) div 100
+    *
+    * Because the graph is symmetric, every node has in- and out-edges:
+    * no dangling-mass term is needed and each round's aggregate covers
+    * every node.
+    */
+  def pageRank(spark: SparkSession, sfDir: String,
+               iters: Int = 3, topK: Int = 20): DataFrame = {
+    val pairs = table(spark, sfDir, "orders")
+      .join(table(spark, sfDir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"),
+        (col("l_suppkey") + lit(1000000L)).as("s"))
+      .distinct()
+    pageRankFromPairs(pairs, iters)
+      .select(col("node"),
+        when(col("node") >= 1000000L, "supplier").otherwise("customer").as("kind"),
+        col("r").as("rank_micros"))
+      .orderBy(col("rank_micros").desc, col("node").asc)
+      .limit(topK)
+  }
+
+  /** Core iteration over an arbitrary bipartite pair list (columns
+    * `c`, `s`; node ids must already be disjoint). Exposed so specs can
+    * pin hand-computed ranks on a toy graph. Returns (node, r).
+    *
+    * Partition sizing, persist discipline and the final flatten follow
+    * Dedup.connectedComponents: rounds on a small graph are scheduling-
+    * overhead-bound at the session's batch width, so the loop runs at
+    * ~100k edges/partition (capped at the session setting); the loop
+    * persists each round and unpersists the previous, and the returned
+    * table is localCheckpoint'd flat so the last persisted round can be
+    * released immediately.
+    */
+  def pageRankFromPairs(pairs: DataFrame, iters: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val sym = pairs.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
+    val nEdges = pairs.count() * 2
+    val parts = math.max(1L, math.min(sessionParts.toLong,
+      (nEdges + 99999L) / 100000L)).toInt
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      val edges = sym.repartition(parts, col("src")).localCheckpoint()
+      val deg = edges.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("outdeg"))
+        .persist()
+      var ranks = deg.select(col("node"), lit(1000000L).as("r")).persist()
+      var pinned = ranks
+      for (_ <- 1 to iters) {
+        val contrib = ranks.join(deg, "node")
+          .select(col("node").as("src"), expr("r div outdeg").as("contrib"))
+        val next = edges.join(contrib, Seq("src"))
+          .groupBy(col("dst").as("node"))
+          .agg(expr("150000L + (85 * sum(contrib)) div 100").as("r"))
+          .persist()
+        next.count() // materialize before releasing the parent round
+        pinned.unpersist()
+        pinned = next
+        ranks = next
+      }
+      val out = ranks.localCheckpoint()
+      pinned.unpersist()
+      deg.unpersist(blocking = false)
+      out
+    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+  }
+}

@@ -228,6 +228,42 @@ object Relational {
       .orderBy("side")
   }
 
+  /** Incremental materialized-view maintenance: the monthly revenue MV
+    * per order priority, computed as mergeable PARTIAL aggregates over a
+    * base snapshot and a delta batch (split mid-month, so groups span
+    * the boundary and the merge genuinely combines partials of the same
+    * key), then merged by re-aggregation. This is the 100 TB ingest
+    * path: a daily pipeline never re-scans the historical corpus — it
+    * aggregates the delta and merges O(|groups|) partial rows, which is
+    * exactly what this operator's merge stage does. Every partial is
+    * algebraic (count/sum/min/max; avg derived at read time from
+    * sum+count), carried in exact integer cents so merge order can
+    * never change a bit. The oracle recomputes the MV directly over the
+    * full table — passing proves merge(base, delta) == recompute(all).
+    */
+  def incrementalMvMerge(spark: SparkSession, sfDir: String,
+                         splitDate: String = "1998-06-15"): DataFrame = {
+    val o = table(spark, sfDir, "orders").select(
+      col("o_orderpriority"),
+      (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("long").as("yyyymm"),
+      (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+      col("o_orderdate"))
+    def partial(rows: DataFrame): DataFrame =
+      rows.groupBy("o_orderpriority", "yyyymm")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+    val split = lit(splitDate).cast("timestamp")
+    val base = partial(o.filter(col("o_orderdate") < split))
+    val delta = partial(o.filter(col("o_orderdate") >= split))
+    base.unionByName(delta)
+      .groupBy("o_orderpriority", "yyyymm")
+      .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"),
+        min(col("min_cents")).as("min_cents"), max(col("max_cents")).as("max_cents"))
+      .withColumn("avg_cents", expr("sum_cents div n"))
+      .orderBy("o_orderpriority", "yyyymm")
+  }
+
   /** Co-located join over BUCKETED tables (graft.sources.Bucketed):
     * customer and orders are written bucketed by custkey with the same
     * bucket count, then joined bucket-to-bucket — the join itself plans

@@ -50,6 +50,16 @@ class EventWindowsSpec extends SparkSpec {
     assert(rows === Seq((1L, 2L, 2L), (2L, 1L, 1L)))
   }
 
+  test("transitions: per-user lag pairs, integral ppm row rates") {
+    // user 1 sequence click, click, view -> (click,click), (click,view);
+    // user 2 has one event -> contributes nothing
+    val rows = EventWindows.eventTransitions(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows === Seq(
+      ("click", "click", 1L, 500000L),
+      ("click", "view", 1L, 500000L)))
+  }
+
   test("as-of attribution: latest prior view, inclusive equal-ts, max-id tie, null when none") {
     import spark.implicits._
     val dir = tempSfDir()

@@ -1,0 +1,56 @@
+package graft
+
+import graft.ops.Graph
+
+/** PageRank fixed-point pinned by hand on a toy bipartite graph, plus
+  * the full-query shape over sfDir-shaped fixture tables.
+  *
+  * Toy graph: customers 1 and 2 both trade with supplier 1000001.
+  * deg(1) = deg(2) = 1, deg(s) = 2; r0 = 1,000,000 everywhere.
+  *   round 1: r(s) = 150000 + 85*(1e6 + 1e6) div 100   = 1,850,000
+  *            r(c) = 150000 + 85*(1e6 div 2) div 100   =   575,000
+  *   round 2: r(s) = 150000 + 85*(575000*2) div 100    = 1,127,500
+  *            r(c) = 150000 + 85*(925000) div 100      =   936,250
+  *   round 3: r(s) = 150000 + 85*(936250*2) div 100    = 1,741,625
+  *            r(c) = 150000 + 85*(563750) div 100      =   629,187
+  */
+class GraphSpec extends SparkSpec {
+
+  test("pageRankFromPairs: hand-computed integral ranks after 3 rounds") {
+    import spark.implicits._
+    val pairs = Seq((1L, 1000001L), (2L, 1000001L)).toDF("c", "s")
+    val got = Graph.pageRankFromPairs(pairs, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 629187L, 2L -> 629187L, 1000001L -> 1741625L))
+  }
+
+  test("pageRank: full query shape — kind labels, order, topK") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "orders",
+      Seq((10L, 1L), (20L, 2L)).toDF("o_orderkey", "o_custkey"))
+    writeTable(dir, "lineitem",
+      Seq((10L, 1L), (20L, 1L)).toDF("l_orderkey", "l_suppkey"))
+    val rows = Graph.pageRank(spark, dir, iters = 3, topK = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // supplier hub outranks the two symmetric customers; topK=2 keeps
+    // the hub + the lower-node-id customer (desc rank, asc node)
+    assert(rows === Seq((1000001L, "supplier", 1741625L),
+      (1L, "customer", 629187L)))
+  }
+
+  test("pageRank: deterministic under repartitioning") {
+    import spark.implicits._
+    // a less symmetric graph: hub supplier + a private supplier
+    val pairs = Seq((1L, 1000001L), (2L, 1000001L), (3L, 1000001L),
+      (3L, 1000002L)).toDF("c", "s")
+    val a = Graph.pageRankFromPairs(pairs, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Graph.pageRankFromPairs(pairs.repartition(7), iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a === b)
+    // the 2-degree customer gets more mass than the 1-degree customers
+    val ranks = a.toMap
+    assert(ranks(3L) > ranks(1L) && ranks(1L) === ranks(2L))
+  }
+}

@@ -76,6 +76,27 @@ class RelationalSpec extends SparkSpec {
       (2L, 1L, 0L, 0L, 0L)))
   }
 
+  test("mv merge: partials spanning the split combine to the direct aggregate") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    writeTable(dir, "orders", Seq(
+      // June 1998 group SPANS the 1998-06-15 split: one order per side,
+      // so the merge must genuinely combine same-key partials
+      (1L, 1L, "O", 10.25, ts("1998-06-10"), "1-URGENT"),
+      (2L, 1L, "O", 20.50, ts("1998-06-20"), "1-URGENT"),
+      // a group entirely in the delta
+      (3L, 2L, "O", 5.00, ts("1998-07-01"), "2-HIGH")
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority"))
+    val rows = Relational.incrementalMvMerge(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(rows === Seq(
+      ("1-URGENT", 199806L, 2L, 3075L, 1025L, 2050L, 1537L),
+      ("2-HIGH", 199807L, 1L, 500L, 500L, 500L, 500L)))
+  }
+
   test("fk audit: both / order-only / lineitem-only reconciliation counts") {
     // fixture: orders 100 and 101 exist; only 100 has lineitems; no
     // orphan lineitems -> lineitem_only absent from the output
