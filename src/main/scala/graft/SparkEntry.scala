@@ -256,6 +256,9 @@ object SparkEntry {
     // streaming funnel: per-user flatMapGroupsWithState depth machine,
     // O(k) state, rolled into the batch funnel's exact table
     "stream_funnel" -> ((s, dir) => StreamingOps.streamFunnel(s, dir)),
+    // streaming Markov transitions: per-user O(1) last-event state,
+    // emitted pairs collapse to the batch transition matrix
+    "stream_transitions" -> ((s, dir) => StreamingOps.streamTransitions(s, dir)),
     // LEFT OUTER stream-stream join: unmatched purchases surface with
     // NULLs once the watermark proves no matching view can arrive
     "stream_join_outer" -> ((s, dir) => StreamingOps.streamViewPurchaseJoinOuter(s, dir)),
@@ -1622,6 +1625,22 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 3::BIGINT, 'purchase', count(*)::BIGINT FROM t3)
         |ORDER BY step_idx""".stripMargin,
+    // streaming transitions: one emitted pair per consecutive per-user
+    // step == the batch lag relation, so the oracle is shared verbatim
+    "stream_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events),
+        |l AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY tus ASC, event_id ASC) AS prev_type,
+        |    event_type AS next_type
+        |  FROM e),
+        |t AS (
+        |  SELECT prev_type, next_type, count(*)::BIGINT AS n
+        |  FROM l WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type)
+        |SELECT prev_type, next_type, n,
+        |  ((1000000 * n) // (sum(n) OVER (PARTITION BY prev_type)))::BIGINT AS rate_ppm
+        |FROM t ORDER BY prev_type, next_type""".stripMargin,
     "stream_join" ->
       """SELECT p.event_id AS purchase_event_id, p.user_id,
         |  epoch_us(p.ts) AS purchase_tus,

@@ -533,6 +533,56 @@ object StreamingOps {
       .orderBy("step_idx")
   }
 
+  case class TransEvent(user_id: Long, tus: Long, event_id: Long, event_type: String)
+  case class TransLast(tus: Long, event_id: Long, tpe: String)
+
+  /** Streaming Markov transitions — the ingest-time twin of
+    * EventWindows.eventTransitions: a per-user flatMapGroupsWithState
+    * machine whose state is the ONE last-seen event (time, id, type).
+    * Each micro-batch's arrivals are sorted by the batch operator's
+    * total order (tus, event_id) and zipped against the carried last
+    * event, emitting one (prev_type, next_type) pair per consecutive
+    * step; the pairs accumulate in the sink and the harness collapses
+    * them to the same counts + integral ppm row-rate table the batch
+    * operator produces, so the two share one oracle.
+    *
+    * Same in-order caveat as streamFunnel: exact when micro-batches
+    * respect event-time order (the file-replay harness and any
+    * in-order source); an out-of-order source buffers in state until
+    * the watermark passes. State is O(1) per user — one (long, long,
+    * string) regardless of history length, the key property that makes
+    * per-user sequence features viable at ingest on an unbounded
+    * stream.
+    */
+  def streamTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val ev = harnessEventStream(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_id"), col("event_type"))
+      .as[TransEvent]
+    val pairs = ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[TransEvent], state: GroupState[TransLast]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.tus, e.event_id))
+          val carried = state.getOption
+          val seq = carried.map(l => TransEvent(uid, l.tus, l.event_id, l.tpe))
+            .toSeq ++ sorted
+          val last = seq.last
+          state.update(TransLast(last.tus, last.event_id, last.event_type))
+          seq.iterator.zip(seq.iterator.drop(1))
+            .map { case (a, b) => (a.event_type, b.event_type) }
+      }
+    val emitted = runToBatch(spark, pairs.toDF("prev_type", "next_type"),
+      "stream_transitions", OutputMode.Update())
+    emitted.groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("row_total",
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window.partitionBy("prev_type")))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        expr("(1000000 * n) div row_total").as("rate_ppm"))
+      .orderBy("prev_type", "next_type")
+  }
+
   /** Ingest-time mix sampling — the streaming twin of Corpus.mixSample,
     * sharing its expressions AND its oracle: the sampler is a
     * STATELESS hash decision, so the stream form needs no state store,

@@ -366,6 +366,32 @@ class StreamingSpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("streaming transitions equal the batch transition matrix") {
+    val sfDir = tempSfDir()
+    def nanos(sec: Long): Long = sec * 1000000000L
+    import spark.implicits._
+    // user 1: view -> click -> click; user 2: purchase -> view;
+    // user 3: single event (no transition); equal-ts tie for user 1's
+    // first two events breaks by event_id on both sides
+    writeTable(sfDir, "events", Seq(
+      (1L, nanos(10), 1L, "view", 1.0, "p"),
+      (2L, nanos(10), 1L, "click", 1.0, "p"),
+      (3L, nanos(30), 1L, "click", 1.0, "p"),
+      (4L, nanos(10), 2L, "purchase", 1.0, "p"),
+      (5L, nanos(20), 2L, "view", 1.0, "p"),
+      (6L, nanos(10), 3L, "signup", 1.0, "p")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val stream = StreamingOps.streamTransitions(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(stream === Seq(
+      ("click", "click", 1L, 1000000L),
+      ("purchase", "view", 1L, 1000000L),
+      ("view", "click", 1L, 1000000L)))
+    val batch = graft.ops.EventWindows.eventTransitions(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(stream === batch)
+  }
+
   test("streaming mix sample equals the batch sampler (stateless hash decisions)") {
     import spark.implicits._
     val sfDir = tempSfDir()
