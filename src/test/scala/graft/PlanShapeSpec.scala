@@ -35,11 +35,12 @@ class PlanShapeSpec extends SparkSpec {
     // BOUNDED side, by documented design: IVF/kmeans centroid sets and
     // the CMS one-row sketch; the brute-force exact baseline's strided
     // query set; the all-pairs verifier's FIXED 500-id sample; tfidf's
-    // one-row corpus count. A nested loop over two unbounded scans
+    // one-row corpus count; the z-order audit's one-row min/max
+    // normalization constants. A nested loop over two unbounded scans
     // fails this sweep.
     val sanctioned = Set("sim_ivf", "sim_ivf_kmeans", "sim_recall",
       "urlcount_cms", "emb_label_centroids",
-      "sim_bruteforce", "sim_allpairs", "text_tfidf")
+      "sim_bruteforce", "sim_allpairs", "text_tfidf", "src_zorder")
     val real = offenders.filterNot(o => sanctioned.exists(o.startsWith))
     assert(real.isEmpty, s"quadratic plan shapes found:\n${real.mkString("\n")}")
   }
