@@ -93,6 +93,9 @@ object SparkEntry {
     // PageRank over the customer<->supplier trade graph: 3 rounds of
     // integral-rank propagation over a checkpointed static edge list
     "graph_pagerank" -> ((s, dir) => Graph.pageRank(s, dir)),
+    // set-operation family: churned/retained/new customer segments via
+    // EXCEPT / INTERSECT over distinct year-activity key sets
+    "rel_churn" -> ((s, dir) => Relational.customerChurnSetOps(s, dir)),
     // —— event-time windows (batch analog of graft.streaming) ——
     "ev_tumbling" -> ((s, dir) => EventWindows.tumbling(s, dir)),
     "ev_sliding" -> ((s, dir) => EventWindows.sliding(s, dir)),
@@ -124,6 +127,9 @@ object SparkEntry {
     // Markov transition matrix: (prev -> next) counts + integral ppm
     // row rates from per-user lag sequences; one full-data shuffle
     "ev_transitions" -> ((s, dir) => EventWindows.eventTransitions(s, dir)),
+    // bounded-frame window: trailing 7-bucket moving average of daily
+    // volume per type, integral milli
+    "ev_moving_avg" -> ((s, dir) => EventWindows.movingAverage(s, dir)),
     // —— text analysis ——
     "text_stats" -> ((s, dir) => TextAnalysis.tokenStats(s, dir)),
     "text_quality" -> ((s, dir) => TextAnalysis.qualityScore(s, dir)),
@@ -137,6 +143,8 @@ object SparkEntry {
     "text_quality_report" -> ((s, dir) => TextAnalysis.qualityReport(s, dir)),
     // declared-column PIVOT cross-tab; zero-filled count cells
     "text_pivot" -> ((s, dir) => TextAnalysis.langSourcePivot(s, dir)),
+    // UNPIVOT (stack) of the pivot back to long rows — proven round-trip
+    "text_unpivot" -> ((s, dir) => TextAnalysis.langSourceUnpivot(s, dir)),
     // ntile(4) length bands per source, deterministic edges
     "text_ntile" -> ((s, dir) => TextAnalysis.lengthNtileBands(s, dir)),
     // compression-ratio quality proxy — rows-only BY DESIGN (zlib output
@@ -750,6 +758,21 @@ object SparkEntry {
         |  CASE WHEN node >= 1000000 THEN 'supplier' ELSE 'customer' END AS kind,
         |  r AS rank_micros
         |FROM r3 ORDER BY rank_micros DESC, node ASC LIMIT 20""".stripMargin,
+    "rel_churn" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE year(o_orderdate) = 1995),
+        |     b AS (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE year(o_orderdate) = 1996)
+        |SELECT segment, o_custkey FROM (
+        |  SELECT 'churned' AS segment, o_custkey FROM
+        |    (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+        |  UNION ALL
+        |  SELECT 'retained' AS segment, o_custkey FROM
+        |    (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+        |  UNION ALL
+        |  SELECT 'new' AS segment, o_custkey FROM
+        |    (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a))
+        |ORDER BY segment, o_custkey""".stripMargin,
     // the oracle recomputes the exact quantile comparators: n_docs and
     // the interpolated median must match exactly, and asserting TRUE on
     // the three gate flags verifies Spark's GK sketch landed within the
@@ -910,6 +933,17 @@ object SparkEntry {
         |SELECT prev_type, next_type, n,
         |  ((1000000 * n) // (sum(n) OVER (PARTITION BY prev_type)))::BIGINT AS rate_ppm
         |FROM t ORDER BY prev_type, next_type""".stripMargin,
+    "ev_moving_avg" ->
+      """WITH daily AS (
+        |  SELECT ((epoch_us(ts) // 1000000) // 86400) * 86400 AS day,
+        |    event_type, count(*)::BIGINT AS n
+        |  FROM events GROUP BY day, event_type)
+        |SELECT day, event_type, n,
+        |  ((1000 * sum(n) OVER w) // (count(*) OVER w))::BIGINT AS avg_milli
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day ASC
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
     "ev_daily_new_users" ->
       """WITH fd AS (
         |  SELECT user_id, min((epoch_us(ts) // 86400000000) * 86400) AS first_day
@@ -1063,6 +1097,11 @@ object SparkEntry {
         |  sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::BIGINT AS n_fr,
         |  sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)::BIGINT AS n_zh
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // the unpivot round-trip must land on the DIRECT long-form counts
+    "text_unpivot" ->
+      """SELECT source, lang, count(*)::BIGINT AS n
+        |FROM documents WHERE lang IN ('en', 'de', 'es', 'fr', 'zh')
+        |GROUP BY source, lang ORDER BY source, lang""".stripMargin,
     "text_ntile" ->
       """WITH b AS (
         |  SELECT source, n_chars,

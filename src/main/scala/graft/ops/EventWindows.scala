@@ -405,6 +405,31 @@ object EventWindows {
       .orderBy("event_type")
   }
 
+  /** Trailing moving average of daily event volume per type — the
+    * bounded-frame window family member (ROWS BETWEEN k PRECEDING AND
+    * CURRENT ROW; the running aggregates elsewhere use the unbounded
+    * frame). Average is over the last up-to-`win` OBSERVED daily
+    * buckets (on a sparse calendar that is fewer than `win` calendar
+    * days — the audit convention for volume smoothing), emitted as
+    * integral milli so it hash-matches. Plan: one day+type aggregation
+    * collapses the corpus to |days|x|types| rows; the window runs on
+    * that tiny relation.
+    */
+  def movingAverage(spark: SparkSession, sfDir: String, win: Int = 7): DataFrame = {
+    val daily = table(spark, sfDir, "events")
+      .withColumn("day", bucket(86400L))
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy(col("day").asc)
+      .rowsBetween(-(win - 1), Window.currentRow)
+    daily
+      .withColumn("win_sum", sum(col("n")).over(w))
+      .withColumn("win_cnt", count(lit(1)).over(w))
+      .select(col("day"), col("event_type"), col("n"),
+        expr("(1000 * win_sum) div win_cnt").as("avg_milli"))
+      .orderBy("event_type", "day")
+  }
+
   /** First-order Markov transition matrix over per-user event
     * sequences: for every (prev_type -> next_type) pair, the transition
     * count and its per-million rate within the prev_type row — the

@@ -75,9 +75,13 @@ object Graph {
   def pageRankFromPairs(pairs: DataFrame, iters: Int): DataFrame = {
     val spark = pairs.sparkSession
     val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val sym = pairs.select(col("c").as("src"), col("s").as("dst"))
-      .unionByName(pairs.select(col("s").as("src"), col("c").as("dst")))
-    val nEdges = pairs.count() * 2
+    // materialize the pair derivation ONCE: it feeds the edge-count
+    // (partition sizing) and BOTH symmetrize branches — without the
+    // checkpoint the producing join would run three times
+    val p = pairs.localCheckpoint()
+    val sym = p.select(col("c").as("src"), col("s").as("dst"))
+      .unionByName(p.select(col("s").as("src"), col("c").as("dst")))
+    val nEdges = p.count() * 2
     val parts = math.max(1L, math.min(sessionParts.toLong,
       (nEdges + 99999L) / 100000L)).toInt
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)

@@ -228,6 +228,30 @@ object Relational {
       .orderBy("side")
   }
 
+  /** Customer churn segmentation via the relational SET-OPERATION
+    * family (EXCEPT / INTERSECT — the one join-adjacent family the
+    * suite didn't yet exercise): customers active in year A but not B
+    * (churned), in both (retained), only in B (new). Spark plans
+    * except/intersect as left-anti/left-semi joins over the DISTINCT
+    * key sets, so each branch shuffles one row per customer — key-
+    * cardinality bound, skew-free, the same shape fkAudit relies on.
+    * Emitting (segment, custkey) rows rather than 3 counts makes the
+    * oracle hash pin the exact membership, not just sizes.
+    */
+  def customerChurnSetOps(spark: SparkSession, sfDir: String,
+                          yearA: Int = 1995, yearB: Int = 1996): DataFrame = {
+    val o = table(spark, sfDir, "orders")
+      .select(col("o_custkey"), year(col("o_orderdate")).as("y"))
+    val a = o.filter(col("y") === yearA).select("o_custkey").distinct()
+    val b = o.filter(col("y") === yearB).select("o_custkey").distinct()
+    a.except(b).select(lit("churned").as("segment"), col("o_custkey"))
+      .unionByName(a.intersect(b)
+        .select(lit("retained").as("segment"), col("o_custkey")))
+      .unionByName(b.except(a)
+        .select(lit("new").as("segment"), col("o_custkey")))
+      .orderBy("segment", "o_custkey")
+  }
+
   /** Incremental materialized-view maintenance: the monthly revenue MV
     * per order priority, computed as mergeable PARTIAL aggregates over a
     * base snapshot and a delta batch (split mid-month, so groups span

@@ -441,6 +441,25 @@ object TextAnalysis {
     * aggregation pass with one output column per pivoted value. Missing
     * cells surface as 0 (count semantics), not NULL.
     */
+  /** Inverse of langSourcePivot: UNPIVOT (stack) the wide cross-tab
+    * back to long (source, lang, n) rows — the wide->long reshape of
+    * the relational family. Built ON the pivot's output so the pair is
+    * a proven round-trip: stack re-derives exactly the direct
+    * group-by-count relation (the oracle), with the pivot's synthetic
+    * zero cells dropped (a zero count never existed as input rows).
+    * stack() is a generator projection — no extra shuffle beyond the
+    * pivot's own aggregation.
+    */
+  def langSourceUnpivot(spark: SparkSession, sfDir: String,
+                        langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame = {
+    val wide = langSourcePivot(spark, sfDir, langs)
+    val stackExpr = s"stack(${langs.length}, " +
+      langs.map(l => s"'$l', n_$l").mkString(", ") + ") AS (lang, n)"
+    wide.select(col("source"), expr(stackExpr))
+      .filter(col("n") > 0)
+      .orderBy("source", "lang")
+  }
+
   def langSourcePivot(spark: SparkSession, sfDir: String,
                       langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")): DataFrame = {
     val pivoted = table(spark, sfDir, "documents")

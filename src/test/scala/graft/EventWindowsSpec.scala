@@ -50,6 +50,28 @@ class EventWindowsSpec extends SparkSpec {
     assert(rows === Seq((1L, 2L, 2L), (2L, 1L, 1L)))
   }
 
+  test("moving average: trailing frame over observed daily buckets") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // click: 2 events day 0, 4 events day 1; view: 1 event day 3
+    val d = 86400L
+    writeTable(dir, "events", Seq(
+      (1L, ns(0), 1L, "click", 1.0, "p"),
+      (2L, ns(100), 2L, "click", 1.0, "p"),
+      (3L, ns(d), 1L, "click", 1.0, "p"),
+      (4L, ns(d + 1), 2L, "click", 1.0, "p"),
+      (5L, ns(d + 2), 3L, "click", 1.0, "p"),
+      (6L, ns(d + 3), 4L, "click", 1.0, "p"),
+      (7L, ns(3 * d), 1L, "view", 1.0, "p")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val rows = EventWindows.movingAverage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows === Seq(
+      (0L, "click", 2L, 2000L),          // frame = [2] -> 2.000
+      (d, "click", 4L, 3000L),           // frame = [2,4] -> 3.000
+      (3 * d, "view", 1L, 1000L)))       // separate partition
+  }
+
   test("transitions: per-user lag pairs, integral ppm row rates") {
     // user 1 sequence click, click, view -> (click,click), (click,view);
     // user 2 has one event -> contributes nothing

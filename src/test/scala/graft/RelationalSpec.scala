@@ -97,6 +97,23 @@ class RelationalSpec extends SparkSpec {
       ("2-HIGH", 199807L, 1L, 500L, 500L, 500L, 500L)))
   }
 
+  test("churn set ops: except/intersect membership per segment") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    writeTable(dir, "orders", Seq(
+      (1L, 1L, "O", 1.0, ts("1995-03-01"), "p"), // cust 1: 1995 only -> churned
+      (2L, 2L, "O", 1.0, ts("1995-05-01"), "p"), // cust 2: both -> retained
+      (3L, 2L, "O", 1.0, ts("1996-02-01"), "p"),
+      (4L, 2L, "O", 1.0, ts("1996-03-01"), "p"), // duplicate-year activity collapses
+      (5L, 3L, "O", 1.0, ts("1996-07-01"), "p")  // cust 3: 1996 only -> new
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority"))
+    val rows = Relational.customerChurnSetOps(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows === Seq(("churned", 1L), ("new", 3L), ("retained", 2L)))
+  }
+
   test("fk audit: both / order-only / lineitem-only reconciliation counts") {
     // fixture: orders 100 and 101 exist; only 100 has lineitems; no
     // orphan lineitems -> lineitem_only absent from the output

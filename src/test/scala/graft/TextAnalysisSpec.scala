@@ -237,6 +237,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows === Seq(("sA", 2L, 1L, 0L), ("sB", 0L, 0L, 1L)))
   }
 
+  test("unpivot round-trip: stack of the pivot equals direct long counts") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", Seq(
+      (1L, "x", "en", "sA", 1L), (2L, "x", "en", "sA", 1L),
+      (3L, "x", "de", "sA", 1L), (4L, "x", "fr", "sB", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = TextAnalysis.langSourceUnpivot(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // the pivot's zero cells (sA/es, sB/en, ...) are dropped, not emitted
+    assert(rows === Seq(
+      ("sA", "de", 1L), ("sA", "en", 2L), ("sB", "fr", 1L)))
+  }
+
   test("ntile bands: equal-count quartiles with deterministic tie edges") {
     import spark.implicits._
     val dir = tempSfDir()
