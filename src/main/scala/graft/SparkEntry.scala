@@ -96,6 +96,9 @@ object SparkEntry {
     // set-operation family: churned/retained/new customer segments via
     // EXCEPT / INTERSECT over distinct year-activity key sets
     "rel_churn" -> ((s, dir) => Relational.customerChurnSetOps(s, dir)),
+    // declarative constraint audit: six rules (unique/positive/range/
+    // domain/FK), one fused aggregate pass per table + anti-join count
+    "rel_dq_audit" -> ((s, dir) => Relational.dqAudit(s, dir)),
     // —— event-time windows (batch analog of graft.streaming) ——
     "ev_tumbling" -> ((s, dir) => EventWindows.tumbling(s, dir)),
     "ev_sliding" -> ((s, dir) => EventWindows.sliding(s, dir)),
@@ -758,6 +761,32 @@ object SparkEntry {
         |  CASE WHEN node >= 1000000 THEN 'supplier' ELSE 'customer' END AS kind,
         |  r AS rank_micros
         |FROM r3 ORDER BY rank_micros DESC, node ASC LIMIT 20""".stripMargin,
+    "rel_dq_audit" ->
+      """WITH o AS (SELECT count(*) AS n,
+        |    count(*) - count(DISTINCT o_orderkey) AS dup_keys,
+        |    sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpos,
+        |    sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS over_100k
+        |  FROM orders),
+        |l AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS disc_over,
+        |    sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS qty_out
+        |  FROM lineitem),
+        |fk AS (SELECT count(*) AS orphans FROM orders o2 WHERE NOT EXISTS
+        |  (SELECT 1 FROM customer c WHERE c.c_custkey = o2.o_custkey))
+        |SELECT rule, n_checked, n_violations, n_violations = 0 AS pass FROM (
+        |  SELECT 'lineitem.discount_le_5pct' AS rule, l.n::BIGINT AS n_checked,
+        |    l.disc_over::BIGINT AS n_violations FROM l
+        |  UNION ALL SELECT 'lineitem.quantity_in_1_50', l.n::BIGINT,
+        |    l.qty_out::BIGINT FROM l
+        |  UNION ALL SELECT 'orders.custkey_in_customer', o.n::BIGINT,
+        |    fk.orphans::BIGINT FROM o, fk
+        |  UNION ALL SELECT 'orders.orderkey_unique', o.n::BIGINT,
+        |    o.dup_keys::BIGINT FROM o
+        |  UNION ALL SELECT 'orders.totalprice_le_100k', o.n::BIGINT,
+        |    o.over_100k::BIGINT FROM o
+        |  UNION ALL SELECT 'orders.totalprice_positive', o.n::BIGINT,
+        |    o.nonpos::BIGINT FROM o)
+        |ORDER BY rule""".stripMargin,
     "rel_churn" ->
       """WITH a AS (SELECT DISTINCT o_custkey FROM orders
         |           WHERE year(o_orderdate) = 1995),

@@ -228,6 +228,55 @@ object Relational {
       .orderBy("side")
   }
 
+  /** Declarative data-quality audit — table-level constraint checking
+    * (the expectations/constraint-suite family of public data-validation
+    * frameworks): six rules over the fact pair (uniqueness, positivity,
+    * range sanity, domain bound, FK membership), each reported as
+    * (rule, n_checked, n_violations, pass). Rules are deliberately a
+    * MIX of passing and firing on the harness data so the report is
+    * non-vacuous in both directions.
+    *
+    * Plan shape is the at-scale audit design: ONE aggregate pass per
+    * table computes every rule's violation count for that table
+    * (conditional sums fused into a single scan each), the FK rule is a
+    * broadcast anti-join count, and the three one-row results combine
+    * with constant-side joins before exploding into rule rows — no
+    * per-rule rescans.
+    */
+  def dqAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = table(spark, sfDir, "orders").agg(
+      count(lit(1)).as("o_n"),
+      (count(lit(1)) - countDistinct(col("o_orderkey"))).as("dup_keys"),
+      sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("nonpos"),
+      sum(when(col("o_totalprice") > 100000, 1L).otherwise(0L)).as("over_100k"))
+    val l = table(spark, sfDir, "lineitem").agg(
+      count(lit(1)).as("l_n"),
+      sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("disc_over"),
+      sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L))
+        .as("qty_out"))
+    val fk = table(spark, sfDir, "orders").select("o_custkey")
+      .join(broadcast(table(spark, sfDir, "customer").select("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+    o.crossJoin(l).crossJoin(fk)
+      .select(explode(array(
+        struct(lit("lineitem.discount_le_5pct").as("rule"),
+          col("l_n").as("n_checked"), col("disc_over").as("n_violations")),
+        struct(lit("lineitem.quantity_in_1_50").as("rule"),
+          col("l_n").as("n_checked"), col("qty_out").as("n_violations")),
+        struct(lit("orders.custkey_in_customer").as("rule"),
+          col("o_n").as("n_checked"), col("orphans").as("n_violations")),
+        struct(lit("orders.orderkey_unique").as("rule"),
+          col("o_n").as("n_checked"), col("dup_keys").as("n_violations")),
+        struct(lit("orders.totalprice_le_100k").as("rule"),
+          col("o_n").as("n_checked"), col("over_100k").as("n_violations")),
+        struct(lit("orders.totalprice_positive").as("rule"),
+          col("o_n").as("n_checked"), col("nonpos").as("n_violations")))).as("r"))
+      .select(col("r.rule"), col("r.n_checked"), col("r.n_violations"),
+        (col("r.n_violations") === 0L).as("pass"))
+      .orderBy("rule")
+  }
+
   /** Customer churn segmentation via the relational SET-OPERATION
     * family (EXCEPT / INTERSECT — the one join-adjacent family the
     * suite didn't yet exercise): customers active in year A but not B

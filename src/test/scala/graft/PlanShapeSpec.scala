@@ -36,11 +36,13 @@ class PlanShapeSpec extends SparkSpec {
     // the CMS one-row sketch; the brute-force exact baseline's strided
     // query set; the all-pairs verifier's FIXED 500-id sample; tfidf's
     // one-row corpus count; the z-order audit's one-row min/max
-    // normalization constants. A nested loop over two unbounded scans
-    // fails this sweep.
+    // normalization constants; the dq audit's one-row per-table rule
+    // aggregates. A nested loop over two unbounded scans fails this
+    // sweep.
     val sanctioned = Set("sim_ivf", "sim_ivf_kmeans", "sim_recall",
       "urlcount_cms", "emb_label_centroids",
-      "sim_bruteforce", "sim_allpairs", "text_tfidf", "src_zorder")
+      "sim_bruteforce", "sim_allpairs", "text_tfidf", "src_zorder",
+      "rel_dq_audit")
     val real = offenders.filterNot(o => sanctioned.exists(o.startsWith))
     assert(real.isEmpty, s"quadratic plan shapes found:\n${real.mkString("\n")}")
   }

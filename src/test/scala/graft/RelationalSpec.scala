@@ -97,6 +97,35 @@ class RelationalSpec extends SparkSpec {
       ("2-HIGH", 199807L, 1L, 500L, 500L, 500L, 500L)))
   }
 
+  test("dq audit: constructed violations land on the right rules") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    writeTable(dir, "customer", Seq((1L, "c1", 0, 1.0, "AUTO"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+    writeTable(dir, "orders", Seq(
+      (100L, 1L, "O", 50.0, ts("1995-01-01"), "p"),       // clean
+      (100L, 1L, "O", 200000.0, ts("1995-01-02"), "p"),   // dup key + >100k
+      (101L, 9L, "O", -5.0, ts("1995-01-03"), "p")        // orphan FK + nonpositive
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority"))
+    writeTable(dir, "lineitem", Seq(
+      (100L, 1L, 1L, 1, 2.0, 10.0, 0.06, 0.0, "N", "O", ts("1995-01-01")), // discount
+      (100L, 1L, 1L, 2, 99.0, 10.0, 0.01, 0.0, "N", "O", ts("1995-01-01")) // quantity
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate"))
+    val rows = Relational.dqAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(rows === Seq(
+      ("lineitem.discount_le_5pct", 2L, 1L, false),
+      ("lineitem.quantity_in_1_50", 2L, 1L, false),
+      ("orders.custkey_in_customer", 3L, 1L, false),
+      ("orders.orderkey_unique", 3L, 1L, false),
+      ("orders.totalprice_le_100k", 3L, 1L, false),
+      ("orders.totalprice_positive", 3L, 1L, false)))
+  }
+
   test("churn set ops: except/intersect membership per segment") {
     import spark.implicits._
     val dir = tempSfDir()
