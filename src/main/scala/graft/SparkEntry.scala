@@ -144,6 +144,9 @@ object SparkEntry {
     "text_oov" -> ((s, dir) => TextAnalysis.oovRate(s, dir)),
     // per-source rule rejection rates + keep rate: the drift audit table
     "text_quality_report" -> ((s, dir) => TextAnalysis.qualityReport(s, dir)),
+    // vocab application: token->id broadcast join + order-preserving
+    // sequence reassembly per doc, sequence proven by md5
+    "text_tokenize" -> ((s, dir) => TextAnalysis.tokenizeDocs(s, dir)),
     // declared-column PIVOT cross-tab; zero-filled count cells
     "text_pivot" -> ((s, dir) => TextAnalysis.langSourcePivot(s, dir)),
     // UNPIVOT (stack) of the pivot back to long rows — proven round-trip
@@ -1126,6 +1129,30 @@ object SparkEntry {
         |  sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::BIGINT AS n_fr,
         |  sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)::BIGINT AS n_zh
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // tokenize: same vocab as text_oov (top-10 by cnt desc, token asc),
+    // ids by rank, 0 = OOV; the ordered id sequence is md5-proven
+    "text_tokenize" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |vc AS (
+        |  SELECT token, count(*)::BIGINT AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE length(token) > 0 GROUP BY token
+        |  ORDER BY cnt DESC, token ASC LIMIT 10),
+        |vocab AS (
+        |  SELECT token, row_number() OVER (ORDER BY cnt DESC, token ASC)::BIGINT AS id
+        |  FROM vc),
+        |t AS (
+        |  SELECT doc_id, i AS pos, toks[i+1] AS w
+        |  FROM toks, UNNEST(range(0, len(toks))) AS u(i)),
+        |m AS (
+        |  SELECT t.doc_id, t.pos, coalesce(v.id, 0) AS tid
+        |  FROM t LEFT JOIN vocab v ON t.w = v.token)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+        |  md5(string_agg(tid::VARCHAR, ',' ORDER BY pos)) AS seq_md5
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the unpivot round-trip must land on the DIRECT long-form counts
     "text_unpivot" ->
       """SELECT source, lang, count(*)::BIGINT AS n

@@ -394,6 +394,39 @@ object TextAnalysis {
     * broadcast for the Bloom pre-filter shape (see decontaminateBloom);
     * the plan is otherwise unchanged.
     */
+  /** Vocabulary application at scale — tokenize every document against
+    * the corpus top-K vocabulary (ids 1..K by frequency rank, 0 = OOV)
+    * and prove the ORDER-PRESERVING token-id sequence by md5. This is
+    * the step after tokenizer training (vocab_bpe_pairs scores merges,
+    * oovRate measures coverage; this APPLIES the vocab): map tokens to
+    * ids with a broadcast vocab join, then re-assemble each document's
+    * id sequence in token order — the explode -> join -> ordered-
+    * reassembly shape every sequence-feature pipeline needs. The
+    * reassembly aggregate's state is bounded by DOCUMENT length
+    * (collect_list within doc_id), never corpus size, and the sequence
+    * is proven by hash, not shipped. Shares oovRate's vocabulary
+    * definition so coverage numbers and ids agree.
+    */
+  def tokenizeDocs(spark: SparkSession, sfDir: String, vocabSize: Int = 10): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val tok = table(spark, sfDir, "documents")
+      .select(col("doc_id"), posexplode(toks).as(Seq("pos", "tok")))
+    val vocab = tok.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc).limit(vocabSize)
+      .withColumn("id", row_number()
+        .over(Window.orderBy(col("cnt").desc, col("tok").asc)).cast("long"))
+      .select("tok", "id")
+    tok.join(broadcast(vocab), Seq("tok"), "left")
+      .withColumn("tid", coalesce(col("id"), lit(0L)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("tid") === 0L, 1L).otherwise(0L)).as("n_oov"),
+        md5(concat_ws(",",
+          transform(sort_array(collect_list(struct(col("pos"), col("tid")))),
+            x => x.getField("tid").cast("string")))).as("seq_md5"))
+      .orderBy("doc_id")
+  }
+
   def oovRate(spark: SparkSession, sfDir: String, vocabSize: Int = 10): DataFrame = {
     val toks = filter(split(col("text"), " "), t => length(t) > 0)
     val tok = table(spark, sfDir, "documents")

@@ -237,6 +237,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows === Seq(("sA", 2L, 1L, 0L), ("sB", 0L, 0L, 1L)))
   }
 
+  test("tokenize: rank ids, OOV as 0, order-preserving sequence md5") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // counts: x=3, y=2, z=1, q=1 -> vocab(k=2): x->1, y->2; z,q OOV
+    writeTable(dir, "documents", Seq(
+      (1L, "x x y z", "en", "s", 7L),
+      (2L, "y x q", "en", "s", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = TextAnalysis.tokenizeDocs(spark, dir, vocabSize = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(rows === Seq(
+      (1L, 4L, 1L, md5hex("1,1,2,0")),
+      (2L, 3L, 1L, md5hex("2,1,0"))))
+  }
+
   test("unpivot round-trip: stack of the pivot equals direct long counts") {
     import spark.implicits._
     val dir = tempSfDir()
