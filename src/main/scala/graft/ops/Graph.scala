@@ -90,22 +90,30 @@ object Graph {
       val deg = edges.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("outdeg"))
         .persist()
-      var ranks = deg.select(col("node"), lit(1000000L).as("r")).persist()
-      var pinned = ranks
-      for (_ <- 1 to iters) {
+      var ranks = deg.select(col("node"), lit(1000000L).as("r"))
+      var pinned: DataFrame = null
+      for (i <- 1 to iters) {
         val contrib = ranks.join(deg, "node")
           .select(col("node").as("src"), expr("r div outdeg").as("contrib"))
-        val next = edges.join(contrib, Seq("src"))
+        var next = edges.join(contrib, Seq("src"))
           .groupBy(col("dst").as("node"))
           .agg(expr("150000L + (85 * sum(contrib)) div 100").as("r"))
-          .persist()
-        next.count() // materialize before releasing the parent round
-        pinned.unpersist()
-        pinned = next
+        // materialize PERIODICALLY, not per round: edges are checkpointed
+        // flat, so a few rounds of lazy lineage are shallow joins Catalyst
+        // composes into one job — per-round persist+count actions cost
+        // more than they save on short walks. Every 4th round (and the
+        // last) pins the current table and releases the previous pin, so
+        // long walks still keep lineage and resident state bounded.
+        if (i % 4 == 0 || i == iters) {
+          next = next.persist()
+          next.count()
+          if (pinned != null) pinned.unpersist()
+          pinned = next
+        }
         ranks = next
       }
       val out = ranks.localCheckpoint()
-      pinned.unpersist()
+      if (pinned != null) pinned.unpersist()
       deg.unpersist(blocking = false)
       out
     } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
