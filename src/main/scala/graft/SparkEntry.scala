@@ -195,6 +195,12 @@ object SparkEntry {
     // check, and DedupSpec pins its semantics against the oracle variant
     "dedup_minhash_fast" -> ((s, dir) =>
       Dedup.minHashLsh(s, dir, family = "xxh64")),
+    // index-backed INCREMENTAL dedup (the daily-crawl shape): band
+    // signatures of the "existing" 90% of the corpus persisted as a
+    // bucketed table, the "new" 10% sketched and probed against ONLY the
+    // matching buckets — no corpus rescan; the index side of the probe
+    // join plans with no Exchange (IncrementalIndexSpec)
+    "dedup_incremental" -> ((s, dir) => Dedup.incrementalMinHash(s, dir)),
     "dedup_simhash" -> ((s, dir) => Dedup.simHashPairs(s, dir)),
     "dedup_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(s, dir)),
     // threshold 400 (not the production 990): the synthetic corpus has no
@@ -219,6 +225,11 @@ object SparkEntry {
     // learned centroids are not oracle-replayable, so rows-only here;
     // SimilaritySpec pins recall@10 against brute-force ground truth
     "sim_ivf_kmeans" -> ((s, dir) => Similarity.ivfAnnKMeans(s, dir)),
+    // the index OUTLIVES the query: cell assignments written bucketed by
+    // cell once, probes read the stored posting lists (no re-assignment
+    // scan, no Exchange on the index side — SimilaritySpec pins it);
+    // same quantizer as sim_ivf so the same oracle replays the result
+    "sim_ivf_indexed" -> ((s, dir) => Similarity.ivfIndexed(s, dir)),
     // exact ground-truth verifier, quadratic BY DESIGN: the sample is a
     // FIXED absolute size (500 smallest vec_ids -> <=124,750 pairs), so
     // 100x the corpus cannot re-quadratize it
@@ -405,6 +416,69 @@ object SparkEntry {
        |SELECT DISTINCT doc_id, fp FROM w
        |WHERE i <= n_grams - 3
        |ORDER BY doc_id, fp""".stripMargin
+
+  /** One side of the incremental-dedup oracle (suffix o = existing
+    * corpus, n = new batch): documents under `pred` -> exact-content
+    * representatives -> 3-shingles -> 16-slot minhash -> band keys with
+    * the self-describing `band|run` prefix (mirror of Dedup.bandKeys).
+    */
+  private def incSideCtes(sfx: String, pred: String): String =
+    s"""d_$sfx AS (SELECT doc_id, text FROM documents WHERE $pred),
+       |rep_$sfx AS (
+       |  SELECT min(doc_id) AS doc_id
+       |  FROM (SELECT doc_id,
+       |          md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS ck
+       |        FROM d_$sfx)
+       |  GROUP BY ck),
+       |toks_$sfx AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+       |  FROM d_$sfx WHERE doc_id IN (SELECT doc_id FROM rep_$sfx)),
+       |sh_$sfx AS (
+       |  SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS shingle
+       |  FROM toks_$sfx, UNNEST(range(0, len(toks) - 2)) AS u(i)
+       |  WHERE len(toks) >= 3),
+       |sig_$sfx AS (
+       |  SELECT doc_id, i, min(${h60("i || ':' || shingle")}) AS mh
+       |  FROM sh_$sfx, UNNEST(range(0, 16)) AS u(i)
+       |  GROUP BY doc_id, i),
+       |band_$sfx AS (
+       |  SELECT doc_id,
+       |    (i // 4)::VARCHAR || '|' || string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
+       |  FROM sig_$sfx GROUP BY doc_id, (i // 4))""".stripMargin
+
+  /** IVF probe replay (mirror of Similarity.ivfAnn AND ivfIndexed —
+    * the indexed variant persists the identical assignment, so one
+    * oracle serves both): strided centroids, argmax-cosine cell
+    * assignment, nprobe=2 probing, exact re-rank, orderings made total
+    * by the (cos desc, id asc) tie-break everywhere.
+    */
+  private lazy val ivfOracle: String =
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT e.vec_id, e.v, c.c_id, ${cosMilli("e.v", "c.cv")} AS cs
+       |  FROM emb e CROSS JOIN cent c),
+       |assigned AS (
+       |  SELECT vec_id, v, c_id AS cell FROM (
+       |    SELECT vec_id, v, c_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id ASC) AS ark
+       |    FROM scored) WHERE ark = 1),
+       |probes AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT vec_id AS q_id, c_id AS cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id ASC) AS prk
+       |    FROM scored WHERE vec_id % 50 = 0) WHERE prk <= 2),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
+       |cand AS (
+       |  SELECT DISTINCT p.q_id, a.vec_id AS n_id, ${cosMilli("q.qv", "a.v")} AS cos_milli
+       |  FROM probes p JOIN q USING (q_id) JOIN assigned a ON a.cell = p.cell
+       |  WHERE a.vec_id != p.q_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, cos_milli,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos_milli DESC, n_id ASC) AS rk
+       |  FROM cand)
+       |SELECT q_id, rk, n_id, cos_milli FROM ranked WHERE rk <= 10
+       |ORDER BY q_id, rk""".stripMargin
 
   /** Exact-thousandths cosine similarity (mirror of Similarity.cosMilli). */
   private def cosMilli(a: String, b: String): String =
@@ -1380,6 +1454,26 @@ object SparkEntry {
          |SELECT doc_a, doc_b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // incremental probe replay: both sides' representative collapse,
+    // sketches and band keys recomputed from scratch over the SAME mod-10
+    // split, pairs = band-key matches scored by 16-slot agreement — the
+    // Spark side's persisted index must reproduce exactly this relation
+    "dedup_incremental" ->
+      s"""WITH ${incSideCtes("o", "doc_id % 10 <> 0")},
+         |${incSideCtes("n", "doc_id % 10 = 0")},
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_idx
+         |  FROM band_n n JOIN band_o o ON n.sig = o.sig),
+         |est AS (
+         |  SELECT c.doc_new, c.doc_idx,
+         |    sum(CASE WHEN sn.mh = so.mh THEN 1 ELSE 0 END)::DOUBLE / 16 AS est_jaccard
+         |  FROM cand c
+         |  JOIN sig_n sn ON sn.doc_id = c.doc_new
+         |  JOIN sig_o so ON so.doc_id = c.doc_idx AND so.i = sn.i
+         |  GROUP BY c.doc_new, c.doc_idx)
+         |SELECT doc_new, doc_idx, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.5
+         |ORDER BY doc_new, doc_idx""".stripMargin,
     "dedup_simhash" ->
       s"""WITH $repDocShingles,
          |hv AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
@@ -1478,33 +1572,11 @@ object SparkEntry {
     // IVF mirror: strided centroids, argmax-cosine cell assignment,
     // nprobe=2 probing, exact re-rank — orderings made total by the
     // (cos desc, id asc) tie-break everywhere
-    "sim_ivf" ->
-      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0),
-         |scored AS (
-         |  SELECT e.vec_id, e.v, c.c_id, ${cosMilli("e.v", "c.cv")} AS cs
-         |  FROM emb e CROSS JOIN cent c),
-         |assigned AS (
-         |  SELECT vec_id, v, c_id AS cell FROM (
-         |    SELECT vec_id, v, c_id,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id ASC) AS ark
-         |    FROM scored) WHERE ark = 1),
-         |probes AS (
-         |  SELECT q_id, cell FROM (
-         |    SELECT vec_id AS q_id, c_id AS cell,
-         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id ASC) AS prk
-         |    FROM scored WHERE vec_id % 50 = 0) WHERE prk <= 2),
-         |q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
-         |cand AS (
-         |  SELECT DISTINCT p.q_id, a.vec_id AS n_id, ${cosMilli("q.qv", "a.v")} AS cos_milli
-         |  FROM probes p JOIN q USING (q_id) JOIN assigned a ON a.cell = p.cell
-         |  WHERE a.vec_id != p.q_id),
-         |ranked AS (
-         |  SELECT q_id, n_id, cos_milli,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY cos_milli DESC, n_id ASC) AS rk
-         |  FROM cand)
-         |SELECT q_id, rk, n_id, cos_milli FROM ranked WHERE rk <= 10
-         |ORDER BY q_id, rk""".stripMargin,
+    "sim_ivf" -> ivfOracle,
+    // the indexed variant persists the identical assignment and probes
+    // the stored table — same quantizer, same parameters, so the same
+    // replay is the oracle (the INDEX is what changed, not the answer)
+    "sim_ivf_indexed" -> ivfOracle,
     // ANN recall gate: brute-force truth, LSH and IVF top-10 replayed,
     // hits counted per method — integers, so the compare is exact
     "sim_recall" ->

@@ -187,6 +187,99 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // -------------------------------------------------------------------
+  // Incremental dedup against a PERSISTED signature index — the shape a
+  // production crawl pipeline runs daily: the corpus's minhash band
+  // signatures are written ONCE as a bucketed table, and each new batch
+  // is sketched and joined against ONLY the matching index buckets. No
+  // corpus rescan, no re-sketch of old documents; per-day cost scales
+  // with the batch, not the corpus. (The streaming twins cover the
+  // in-flight case; this is the reusable batch index the VERDICT r6 gap
+  // list put first.)
+  // -------------------------------------------------------------------
+
+  /** Banded minhash keys with a SINGLE self-describing band key
+    * `"<band>|<mh,...,mh>"` — one string column so the index can be
+    * bucketed on it and probed with a single-key equi-join (the bucketed
+    * side plans with no Exchange). Output: (doc_id, sig, sigs) — one row
+    * per (doc, band), the full k-slot sketch riding along for candidate
+    * scoring without a re-join.
+    */
+  private def bandKeys(sh: DataFrame, k: Int, bands: Int,
+                       family: String): DataFrame = {
+    val r = k / bands
+    sh.groupBy("doc_id")
+      .agg(graft.functions.MinHashSketch.sketch(col("shingle"), k, family).as("sigs"))
+      .withColumn("band", explode(array((0 until bands).map(lit(_)): _*)))
+      .withColumn("sig", concat(col("band").cast("string"), lit("|"),
+        array_join(transform(slice(col("sigs"), col("band") * r + 1, lit(r)),
+          _.cast("string")), ",")))
+      .select("doc_id", "sig", "sigs")
+  }
+
+  /** Build the persisted signature index over `docs`: exact-content
+    * representatives -> k-slot minhash sketch -> banded keys, written as
+    * parquet BUCKETED BY the band key (graft.sources.Bucketed). The
+    * bucket shuffle is paid once at build time; every later probe joins
+    * the stored buckets directly. At 100 TB this table is ~|distinct
+    * docs| x bands rows of (string, long, long[k]) — a small fraction of
+    * corpus bytes — and nBuckets is sized to corpus volume, not batch
+    * volume.
+    */
+  def buildMinHashIndex(spark: SparkSession, docs: DataFrame,
+                        name: String, path: String,
+                        shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                        family: String = "md5", nBuckets: Int = 8): Unit =
+    graft.sources.Bucketed.writeBucketed(
+      spark, bandKeys(shingles(representatives(docs), shingleN), k, bands, family),
+      name, path, "sig", nBuckets)
+
+  /** Probe the stored index with a new batch: sketch ONLY the batch,
+    * join on the band key (index side exchange-free — bucketed on the
+    * key; IncrementalIndexSpec pins that), score candidate pairs by
+    * k-slot sketch agreement. Output: (doc_new, doc_idx, est_jaccard)
+    * for est >= minEst — each new document paired with the existing
+    * corpus documents it near-duplicates. Batch-internal duplicates are
+    * the ordinary batch rung's job (run `minHashLsh` over the batch, or
+    * fold the batch into the index afterwards).
+    */
+  def probeMinHashIndex(index: DataFrame, newDocs: DataFrame,
+                        shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                        minEst: Double = 0.5,
+                        family: String = "md5"): DataFrame = {
+    val batch = bandKeys(shingles(representatives(newDocs), shingleN), k, bands, family)
+      .select(col("doc_id").as("doc_new"), col("sig"), col("sigs").as("sigs_new"))
+    val idx = index.select(col("doc_id").as("doc_idx"), col("sig"),
+      col("sigs").as("sigs_idx"))
+    batch.join(idx, Seq("sig"))
+      .select("doc_new", "doc_idx", "sigs_new", "sigs_idx")
+      .distinct() // a pair sharing >1 band collapses to one row (sketches are per-doc constants)
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sigs_new"), col("sigs_idx"), (x, y) => x === y),
+          agree => agree)) / lit(k))
+      .filter(col("est_jaccard") >= minEst)
+      .select("doc_new", "doc_idx", "est_jaccard")
+      .orderBy("doc_new", "doc_idx")
+  }
+
+  /** dedup_incremental: the two halves composed on the harness corpus —
+    * docs with doc_id % mod != 0 play the existing corpus (indexed,
+    * bucketed, persisted), docs with doc_id % mod == 0 play the new
+    * crawl batch probing it. The index lands under the JVM temp dir so
+    * the query is re-runnable anywhere the harness runs; production
+    * builds the index in one job and probes it from every later one.
+    */
+  def incrementalMinHash(spark: SparkSession, sfDir: String,
+                         mod: Int = 10, shingleN: Int = 3, k: Int = 16,
+                         bands: Int = 4, minEst: Double = 0.5): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-minhash-index"
+    buildMinHashIndex(spark, docs.filter(col("doc_id") % mod =!= 0),
+      "graft_minhash_index", base, shingleN, k, bands)
+    probeMinHashIndex(spark.table("graft_minhash_index"),
+      docs.filter(col("doc_id") % mod === 0), shingleN, k, bands, minEst)
+  }
+
   /** 3. SimHash (32-bit): per bit j, sum +-1 weighted by shingle-hash bit
     * j over the doc's shingles; simhash bit j = (weight > 0). Computed in
     * ONE aggregation by SimHashSketchAgg (a TypedImperativeAggregate over

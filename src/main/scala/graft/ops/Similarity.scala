@@ -193,32 +193,53 @@ object Similarity {
     */
   private[ops] def ivfTopK(emb: DataFrame, cent: DataFrame, isQuery: Column,
                            nprobe: Int, k: Int): DataFrame = {
-    // cell assignment: argmax cosine, ties to the smallest centroid id.
-    // (cs, neg_c) is unique per (vector, centroid), so the trailing v
-    // never participates in the max comparison — it just rides along,
-    // avoiding any re-join of the corpus vectors.
-    val assigned = emb.crossJoin(cent)
+    val assigned = assignCells(emb, cent)
+    val probes = probeCells(
+      emb.filter(isQuery).select(col("vec_id").as("q_id"), col("v").as("qv")),
+      cent, nprobe)
+    probeIndex(probes, assigned, k)
+  }
+
+  /** Cell assignment: argmax cosine over the (tiny, broadcast) centroid
+    * table, ties to the smallest centroid id. (cs, neg_c) is unique per
+    * (vector, centroid), so the trailing v never participates in the max
+    * comparison — it just rides along, avoiding any re-join of the
+    * corpus vectors. Output: (vec_id, cell, v).
+    */
+  private[ops] def assignCells(emb: DataFrame, cent: DataFrame): DataFrame =
+    emb.crossJoin(cent)
       .select(col("vec_id"),
         struct(cosMilli(col("v"), col("cv")).as("cs"),
           (-col("c_id")).as("neg_c"), col("v").as("v")).as("sc"))
       .groupBy("vec_id")
       .agg(max(col("sc")).as("best"))
       .select(col("vec_id"), (-col("best.neg_c")).as("cell"), col("best.v").as("v"))
-    // each query probes its nprobe best cells; queries are filtered
-    // BEFORE the scoring cross join, and the query vector rides along so
-    // no separate query-side join is needed
+
+  /** Each query's nprobe best cells by centroid cosine; queries are
+    * filtered BEFORE the scoring cross join, and the query vector rides
+    * along so no separate query-side join is needed. Input: (q_id, qv);
+    * output: (q_id, qv, cell).
+    */
+  private[ops] def probeCells(queries: DataFrame, cent: DataFrame,
+                              nprobe: Int): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("cs").desc, col("c_id").asc)
-    val probes = emb.filter(isQuery)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      .crossJoin(cent)
+    queries.crossJoin(cent)
       .select(col("q_id"), col("qv"), col("c_id"),
         cosMilli(col("qv"), col("cv")).as("cs"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= nprobe)
       .select(col("q_id"), col("qv"), col("c_id").as("cell"))
-    // probe cells are distinct per query and each vector lives in exactly
-    // one cell, so (q_id, n_id) candidates are already unique — no
-    // distinct pass needed
+  }
+
+  /** Exact re-rank inside the probed cells. Probe cells are distinct per
+    * query and each vector lives in exactly one cell, so (q_id, n_id)
+    * candidates are already unique — no distinct pass needed.
+    * `assigned` is (cell, vec_id, v) — either freshly computed
+    * (ivfTopK) or read back from the persisted bucketed index
+    * (ivfIndexed, where the scan side plans with no Exchange).
+    */
+  private[ops] def probeIndex(probes: DataFrame, assigned: DataFrame,
+                              k: Int): DataFrame = {
     val cand = probes.join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
@@ -228,6 +249,33 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk").cast("long").as("rk"), col("n_id"), col("cos_milli"))
       .orderBy("q_id", "rk")
+  }
+
+  /** sim_ivf_indexed: the index OUTLIVES the query. Train/assign once,
+    * write (cell, vec_id, v) as parquet BUCKETED BY cell
+    * (graft.sources.Bucketed), then answer the query by READING the
+    * stored posting lists — the probe join's index side plans with no
+    * Exchange (bucketed on the join key; SimilaritySpec pins that) and
+    * no re-assignment scan of the corpus runs at query time. This is the
+    * production ANN serving shape at 100 TB: assignment cost is paid at
+    * ingest, queries touch only the probed buckets. Same quantizer and
+    * parameters as `ivfAnn`, so results are identical (`sim_ivf`'s
+    * oracle replays the probe).
+    */
+  def ivfIndexed(spark: SparkSession, sfDir: String,
+                 centroidMod: Int = 50, nprobe: Int = 2, k: Int = 10): DataFrame = {
+    val emb = embeddings(spark, sfDir)
+    val cent = emb.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-index"
+    graft.sources.Bucketed.writeBucketed(spark,
+      assignCells(emb, broadcast(cent)).select("cell", "vec_id", "v"),
+      "graft_ivf_index", base, "cell", 8)
+    val probes = probeCells(
+      emb.filter(col("vec_id") % centroidMod === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv")),
+      broadcast(cent), nprobe)
+    probeIndex(probes, spark.table("graft_ivf_index"), k)
   }
 
   /** IVF with a TRAINED coarse quantizer: the strided seeds of `ivfAnn`

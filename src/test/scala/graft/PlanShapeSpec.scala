@@ -39,7 +39,7 @@ class PlanShapeSpec extends SparkSpec {
     // normalization constants; the dq audit's one-row per-table rule
     // aggregates. A nested loop over two unbounded scans fails this
     // sweep.
-    val sanctioned = Set("sim_ivf", "sim_ivf_kmeans", "sim_recall",
+    val sanctioned = Set("sim_ivf", "sim_ivf_kmeans", "sim_ivf_indexed", "sim_recall",
       "urlcount_cms", "emb_label_centroids",
       "sim_bruteforce", "sim_allpairs", "text_tfidf", "src_zorder",
       "rel_dq_audit")
