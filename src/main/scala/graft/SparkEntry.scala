@@ -199,7 +199,7 @@ object SparkEntry {
     // signatures of the "existing" 90% of the corpus persisted as a
     // bucketed table, the "new" 10% sketched and probed against ONLY the
     // matching buckets — no corpus rescan; the index side of the probe
-    // join plans with no Exchange (IncrementalIndexSpec)
+    // join plans with no Exchange (PersistedIndexSpec)
     "dedup_incremental" -> ((s, dir) => Dedup.incrementalMinHash(s, dir)),
     "dedup_simhash" -> ((s, dir) => Dedup.simHashPairs(s, dir)),
     "dedup_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(s, dir)),
@@ -343,6 +343,45 @@ object SparkEntry {
           |      FROM graft_documents)
           |GROUP BY doc_id
           |ORDER BY doc_id""".stripMargin)
+    }),
+    // the token-count HOF idiom written in pure SQL: TokenCountRewrite
+    // (session-wide via GraftExtensions) turns BOTH size(filter(split))
+    // occurrences into the native codegen'd token_count — PlanRewriteSpec
+    // pins the rewrite fires from this exact SQL text; shares text_stats'
+    // Column-API oracle
+    "sql_tokencount" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      table(s, dir, "documents").createOrReplaceTempView("graft_documents")
+      s.sql(
+        """SELECT doc_id,
+          |  CAST(length(text) AS BIGINT) AS n_chars,
+          |  CAST(size(filter(split(text, '\\s+'), t -> length(t) > 0)) AS BIGINT) AS n_tokens,
+          |  CAST(size(filter(split(text, '[^a-zA-Z0-9]+'), t -> length(t) > 0)) AS BIGINT)
+          |    + CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '')) AS BIGINT) AS n_subwords
+          |FROM graft_documents ORDER BY doc_id""".stripMargin)
+    }),
+    // count-min-sketch heavy hitters from pure SQL: the stock
+    // count_min_sketch aggregate probed by the custom graft_cms_estimate
+    // expression, gated in-plan exactly like the Column-API twin
+    // (urlcount_cms), whose oracle it shares
+    "sql_cms" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      table(s, dir, "documents").createOrReplaceTempView("graft_documents")
+      s.sql(
+        """WITH toks AS (
+          |  SELECT token
+          |  FROM (SELECT explode(split(text, ' ')) AS token FROM graft_documents)
+          |  WHERE length(token) > 0),
+          |sk AS (SELECT count_min_sketch(token, 0.0001d, 0.99d, 42) AS cms FROM toks),
+          |top AS (
+          |  SELECT token, CAST(count(*) AS BIGINT) AS cnt
+          |  FROM toks GROUP BY token
+          |  ORDER BY cnt DESC, token ASC LIMIT 5)
+          |SELECT t.token, t.cnt,
+          |  abs(graft_cms_estimate(s.cms, t.token) - t.cnt) <= t.cnt * 0.05
+          |    AS within_tolerance
+          |FROM top t CROSS JOIN sk s
+          |ORDER BY t.token""".stripMargin)
     })
   )
 
@@ -479,6 +518,34 @@ object SparkEntry {
        |  FROM cand)
        |SELECT q_id, rk, n_id, cos_milli FROM ranked WHERE rk <= 10
        |ORDER BY q_id, rk""".stripMargin
+
+  /** Per-doc token statistics (mirror of TextAnalysis.tokenStats).
+    * Shared by the Column-API query (text_stats) and its SQL-surface
+    * twin (sql_tokencount) — identical relation by construction.
+    */
+  private val textStatsOracle: String =
+    """SELECT doc_id,
+      |  length(text)::BIGINT AS n_chars,
+      |  len(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0))::BIGINT AS n_tokens,
+      |  (len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), t -> length(t) > 0))
+      |    + length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')))::BIGINT AS n_subwords
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** CMS heavy-hitter gate (mirror of UrlCount.cmsHeavyHitters): exact
+    * top-5 counts; within_tolerance is asserted TRUE because CMS
+    * overestimates by at most eps*N at the configured confidence, so a
+    * FALSE from the Spark side is a real sketch bug the hash-compare
+    * must catch. Shared by urlcount_cms and the SQL twin sql_cms.
+    */
+  private val cmsOracle: String =
+    """WITH c AS (
+      |  SELECT token, count(*)::BIGINT AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE length(token) > 0
+      |  GROUP BY token)
+      |SELECT token, cnt, TRUE AS within_tolerance
+      |FROM (SELECT token, cnt FROM c ORDER BY cnt DESC, token ASC LIMIT 5)
+      |ORDER BY token""".stripMargin
 
   /** Exact-thousandths cosine similarity (mirror of Similarity.cosMilli). */
   private def cosMilli(a: String, b: String): String =
@@ -1082,13 +1149,10 @@ object SparkEntry {
         |  min(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS min_k,
         |  max(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
-    "text_stats" ->
-      """SELECT doc_id,
-        |  length(text)::BIGINT AS n_chars,
-        |  len(list_filter(string_split_regex(text, '\s+'), t -> length(t) > 0))::BIGINT AS n_tokens,
-        |  (len(list_filter(string_split_regex(text, '[^a-zA-Z0-9]+'), t -> length(t) > 0))
-        |    + length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')))::BIGINT AS n_subwords
-        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_stats" -> textStatsOracle,
+    // the SQL-surface twin runs the identical relation through the
+    // TokenCountRewrite path — same oracle by construction
+    "sql_tokencount" -> textStatsOracle,
     "text_quality" ->
       """WITH d AS (
         |  SELECT doc_id, text,
@@ -2105,15 +2169,9 @@ object SparkEntry {
         |FROM g ORDER BY label, i""".stripMargin,
     // CMS gate: oracle recomputes the exact top-5 and asserts the
     // tolerance flag — i.e. the sketch estimate landed within 5%
-    "urlcount_cms" ->
-      """WITH c AS (
-        |  SELECT token, count(*)::BIGINT AS cnt
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-        |  WHERE length(token) > 0
-        |  GROUP BY token)
-        |SELECT token, cnt, TRUE AS within_tolerance
-        |FROM (SELECT token, cnt FROM c ORDER BY cnt DESC, token ASC LIMIT 5)
-        |ORDER BY token""".stripMargin,
+    "urlcount_cms" -> cmsOracle,
+    // SQL-surface twin of urlcount_cms: same sketch, same gate, same oracle
+    "sql_cms" -> cmsOracle,
     // two-phase exact distinct: same relation as COUNT(DISTINCT)
     "ev_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users

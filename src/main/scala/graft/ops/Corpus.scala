@@ -37,12 +37,21 @@ object Corpus {
                     leadTokens: Int = 5): DataFrame = {
     val toks = filter(split(lower(trim(col("text"))), " "), t => length(t) > 0)
     val leadKey = md5(concat_ws(" ", slice(toks, 1, leadTokens)))
-    // source rank: numeric suffix of the source name ("src7" -> 7);
-    // production swaps in an explicit source -> rank dimension (broadcast)
-    val prio = substring(col("source"), 4, 10).cast("long")
-    table(spark, sfDir, "documents")
-      .select(col("doc_id"), col("source"), prio.as("prio"),
-        leadKey.as("lead_key"))
+    val docs = table(spark, sfDir, "documents")
+    // trust is an explicit (source, prio) DIMENSION, broadcast-joined —
+    // one row per source, so a production pipeline swaps in its own
+    // curated rank table with no change to the merge plan. The harness
+    // dimension derives rank from the generator's "srcN" names, confined
+    // to this per-source relation (not a per-row parse), and fails
+    // loudly on a source the scheme doesn't cover instead of silently
+    // mis-ranking it.
+    val trustDim = docs.select(col("source")).distinct()
+      .withColumn("prio", substring(col("source"), 4, 10).cast("long"))
+    require(trustDim.filter(col("prio").isNull).isEmpty,
+      "priorityMerge trust dimension has unrankable source names")
+    docs
+      .select(col("doc_id"), col("source"), leadKey.as("lead_key"))
+      .join(broadcast(trustDim), Seq("source"))
       .groupBy("lead_key")
       .agg(
         min(struct(col("prio"), col("doc_id"), col("source"))).as("w"),

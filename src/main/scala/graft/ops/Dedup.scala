@@ -236,7 +236,7 @@ object Dedup {
 
   /** Probe the stored index with a new batch: sketch ONLY the batch,
     * join on the band key (index side exchange-free — bucketed on the
-    * key; IncrementalIndexSpec pins that), score candidate pairs by
+    * key; PersistedIndexSpec pins that), score candidate pairs by
     * k-slot sketch agreement. Output: (doc_new, doc_idx, est_jaccard)
     * for est >= minEst — each new document paired with the existing
     * corpus documents it near-duplicates. Batch-internal duplicates are
@@ -489,14 +489,29 @@ object Dedup {
     val nEdges = pairs.count() * 2
     val parts = math.max(1L, math.min(sessionParts.toLong,
       (nEdges + 99999L) / 100000L)).toInt
-    // every round's shuffles (the edge join's label side and the min
-    // aggregation) follow the session conf, so scope it to `parts` for
-    // the whole loop; every action inside is eager, and the finally
-    // restores the session's batch width for the caller
-    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // `parts` is threaded through the EDGE relation's explicit
+    // repartition only — never spark.conf.set, which is session-global
+    // and would leak the reduced width into any query running
+    // concurrently on the same session (VERDICT r6 #1; ConcurrencySpec
+    // pins the isolation). The per-round join co-partitions the label
+    // side to the edge side's width automatically (a side that already
+    // satisfies the join's distribution sets the exchange width for the
+    // other), and the remaining aggregation exchanges run at the session
+    // width with AQE coalescing the tiny reads.
+    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // SELF-LOOPS fold "keep your own label" into the neighbor-min
+    // aggregation, so each round references the label table exactly ONCE
+    // (one join + one min-agg). With the old two-reference round
+    // (neighbor-min join PLUS a least() self-join), the logical plan is
+    // a DAG whose tree-rendering doubles per round — Spark stringifies
+    // plans per action (AQE explainString, listener events), and a
+    // high-diameter graph (~25+ rounds) drove that 2^k walk into a
+    // driver OOM. One reference per round keeps lineage depth linear in
+    // rounds; ConcurrencySpec's 40-node chain pins the regression.
+    val edges = sym
+      .union(sym.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst")))
       // hash-partitioned on the per-round join key BEFORE the checkpoint:
       // the checkpointed relation keeps that outputPartitioning, so the
       // (big, static) edge side is exchanged ONCE total instead of once
@@ -509,36 +524,37 @@ object Dedup {
     // per round per execution — measured as queries getting slower the
     // longer the JVM runs. persist + explicit unpersist of the previous
     // round keeps resident state bounded at ~2 label tables regardless
-    // of round count. (Lineage grows one join per round — shallow, since
-    // `edges` is checkpointed flat above; correctness never depends on
-    // the cache, it only avoids recompute.)
+    // of round count. (Correctness never depends on the cache, it only
+    // avoids recompute.)
     var labels = edges.select(col("src").as("doc_id"))
       .distinct()
       .withColumn("label", col("doc_id"))
       .persist()
     // `pinned` tracks the PERSISTED dataset handle: unpersist is
     // non-cascading and matches by plan, so calling it on a Project OVER
-    // the persisted plan (as `labels` becomes after round 1) would be a
-    // no-op and leak one cached label table per round (ADVICE r4).
+    // the persisted plan would be a no-op and leak one cached label
+    // table per round (ADVICE r4).
     var pinned = labels
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
-      val nbrMin = edges
+      // self-loops make the min cover the node's own label, and give
+      // every node a matching edge row — no left join needed
+      val upd = edges
         .join(labels.select(col("doc_id").as("dst"), col("label").as("dst_label")),
           Seq("dst"))
         .groupBy(col("src").as("doc_id"))
-        .agg(min(col("dst_label")).as("nbr_label"))
-      // every node has at least one edge (pairs are bidirectional), but
-      // keep the left join + coalesce defensive
-      val upd = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("label"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("new_label"))
+        .agg(min(col("dst_label")).as("label"))
         .persist()
-      changed = upd.filter(col("new_label") < col("label")).count() // materializes upd
+      // convergence check against the PREVIOUS (persisted) round; this
+      // count's plan is executed and discarded — it never joins the
+      // label lineage, so the double reference here is rendering-safe
+      changed = upd
+        .join(labels.withColumnRenamed("label", "prev"), Seq("doc_id"))
+        .filter(col("label") < col("prev")).count() // materializes upd
       pinned.unpersist()
       pinned = upd
-      labels = upd.select(col("doc_id"), col("new_label").as("label"))
+      labels = upd
       it += 1
     }
     if (changed > 0)
@@ -553,7 +569,6 @@ object Dedup {
       .localCheckpoint()
     pinned.unpersist()
     out
-    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
   }
 
   /** Fuzzy-dedup cluster resolution: the three fuzzy rungs emit PAIRS;

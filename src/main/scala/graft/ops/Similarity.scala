@@ -255,7 +255,7 @@ object Similarity {
     * write (cell, vec_id, v) as parquet BUCKETED BY cell
     * (graft.sources.Bucketed), then answer the query by READING the
     * stored posting lists — the probe join's index side plans with no
-    * Exchange (bucketed on the join key; SimilaritySpec pins that) and
+    * Exchange (bucketed on the join key; PersistedIndexSpec pins that) and
     * no re-assignment scan of the corpus runs at query time. This is the
     * production ANN serving shape at 100 TB: assignment cost is paid at
     * ingest, queries touch only the probed buckets. Same quantizer and

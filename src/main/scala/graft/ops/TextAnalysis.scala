@@ -538,6 +538,13 @@ object TextAnalysis {
     * zlib-implementation fact no SQL oracle can replay. The spec pins
     * the properties that matter instead (repetitive text compresses
     * harder than varied text, determinism across runs, byte accounting).
+    *
+    * The native Deflater is released via a TASK COMPLETION LISTENER, not
+    * by draining the iterator: a downstream `limit`/take abandons the
+    * iterator mid-partition, and an end-of-iterator release would strand
+    * the native buffer until GC (ADVICE r6). The listener fires on every
+    * task exit path — drained, limited, failed — which is the cleanup
+    * contract any native-resource seam on this codebase should copy.
     */
   def compressionSignal(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
@@ -545,8 +552,10 @@ object TextAnalysis {
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .mapPartitions { rows =>
         val deflater = new java.util.zip.Deflater(6)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
         val buf = new Array[Byte](1 << 16)
-        val out = rows.map { case (id, text) =>
+        rows.map { case (id, text) =>
           val in = text.getBytes("UTF-8")
           deflater.reset(); deflater.setInput(in); deflater.finish()
           var total = 0L
@@ -554,7 +563,6 @@ object TextAnalysis {
           CompressionRow(id, in.length.toLong, total,
             if (in.isEmpty) 1000L else total * 1000L / in.length)
         }
-        out ++ { deflater.end(); Iterator.empty }
       }.toDF().orderBy("doc_id")
   }
 

@@ -19,6 +19,19 @@ class LayoutSpec extends SparkSpec {
     assert(got === Map((3L, 5L) -> 39L, (1L, 0L) -> 1L, (0L, 1L) -> 2L, (0L, 0L) -> 0L))
   }
 
+  test("zExprSpark: an offset beyond `bits` raises instead of truncating") {
+    import spark.implicits._
+    // 70000 > 2^16-1: silently dropping the high bits would alias
+    // distant customers to one z value (ADVICE r6) — the guard raises
+    val df = Seq((70000L, 3L)).toDF("ckn", "dayn")
+      .select(expr(Layout.zExprSpark("ckn", "dayn", 16)).as("z"))
+    val e = intercept[Exception](df.collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("z-order key offset exceeds 16 bits")),
+      s"unexpected failure: $e")
+  }
+
   test("zorderAudit: z buckets are square tiles, natural buckets span full custkey range") {
     import spark.implicits._
     // 64 x 64 dense grid in insertion order: custkey cycles 0..63 fast,

@@ -58,6 +58,20 @@ class PlanRewriteSpec extends SparkSpec {
     assert(rows.toSeq === Seq((1L, 3L), (2L, 0L)))
   }
 
+  test("the pure-SQL surface (sql_tokencount) rewrites to token_count too") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", Seq(
+      (1L, "a b  c", "en", "src0", 6L),
+      (2L, "", "en", "src0", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val df = SparkEntry.queries("sql_tokencount")(spark, dir)
+    assert(planOf(df).contains("token_count"),
+      s"SQL-surface rewrite did not fire:\n${planOf(df)}")
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(rows.toSeq === Seq((1L, 3L), (2L, 0L)))
+  }
+
   test("non-idiom lambdas and zero-width separators are left alone") {
     import spark.implicits._
     val df = Seq("a b").toDF("t")

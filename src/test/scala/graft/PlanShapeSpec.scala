@@ -40,7 +40,7 @@ class PlanShapeSpec extends SparkSpec {
     // aggregates. A nested loop over two unbounded scans fails this
     // sweep.
     val sanctioned = Set("sim_ivf", "sim_ivf_kmeans", "sim_ivf_indexed", "sim_recall",
-      "urlcount_cms", "emb_label_centroids",
+      "urlcount_cms", "sql_cms", "emb_label_centroids",
       "sim_bruteforce", "sim_allpairs", "text_tfidf", "src_zorder",
       "rel_dq_audit")
     val real = offenders.filterNot(o => sanctioned.exists(o.startsWith))

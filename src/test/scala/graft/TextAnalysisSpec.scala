@@ -303,6 +303,13 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byId(1L)._4 < byId(2L)._4 / 2,
       s"boilerplate ${byId(1L)._4} not << varied ${byId(2L)._4}")
     assert(got === run()) // deterministic across runs
+    // partial consumption (limit abandons the partition iterators): the
+    // task-completion listener owns Deflater release, so this neither
+    // crashes nor changes what IS consumed
+    val one = TextAnalysis.compressionSignal(spark, dir).limit(1).collect()
+    assert(one.length === 1)
+    assert(got.contains((one(0).getLong(0), one(0).getLong(1),
+      one(0).getLong(2), one(0).getLong(3))))
   }
 
   private implicit class MapOps(
