@@ -245,6 +245,10 @@ object SparkEntry {
     // —— multimodal columns ——
     "mm_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
     "mm_frames" -> ((s, dir) => Multimodal.sampleFrames(s, dir)),
+    // REAL codec round-trip: deterministic PNGs rendered per row, then
+    // decoded back with javax.imageio; the oracle states what a correct
+    // decode must recover (dims + exact milli luma) from id arithmetic
+    "mm_decode" -> ((s, dir) => Multimodal.decodedImageFeatures(s, dir)),
     "mm_features" -> ((s, dir) => Multimodal.featureSummary(s, dir)),
     "mm_resize" -> ((s, dir) => Multimodal.resizePlan(s, dir)),
     // —— document fingerprinting (winnowing) ——
@@ -1710,25 +1714,38 @@ object SparkEntry {
         |SELECT id, k, floor(k * total_frames / 4)::BIGINT AS frame_idx
         |FROM m, UNNEST(range(0, 4)) AS u(k)
         |ORDER BY id, k""".stripMargin,
+    // the codec round-trip contract: a correct javax.imageio decode of
+    // the generated PNG for id recovers w=id%31+2, h=id%17+2 and mean
+    // luma exactly 1000*(id%256) milli (constant gray fill)
+    "mm_decode" ->
+      """SELECT doc_id AS id,
+        |  (doc_id % 31 + 2)::BIGINT AS width,
+        |  (doc_id % 17 + 2)::BIGINT AS height,
+        |  (1000 * (doc_id % 256))::BIGINT AS luma_milli
+        |FROM documents WHERE doc_id % 2 = 0 ORDER BY id""".stripMargin,
+    // image dims from the REAL decode (id arithmetic per mm_decode);
+    // audio dims from the labeled stub (len-derived)
     "mm_features" ->
-      """WITH m AS (
-        |  SELECT CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
-        |    octet_length(encode(text))::BIGINT AS len
-        |  FROM documents)
-        |SELECT modality, count(*)::BIGINT AS n,
-        |  sum(len)::BIGINT AS total_bytes,
-        |  sum(len % 640 + 1)::BIGINT AS sum_width,
-        |  sum(len % 480 + 1)::BIGINT AS sum_height
-        |FROM m GROUP BY modality ORDER BY modality""".stripMargin,
-    // mirror of Multimodal.resizePlan: stub dims (len-derived, same
-    // formulas as mm_features) + aspect-preserving fit into 224
-    "mm_resize" ->
-      """WITH m AS (
-        |  SELECT doc_id AS id, octet_length(encode(text))::BIGINT AS len
+      """WITH img AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(doc_id % 31 + 2)::BIGINT AS sw, sum(doc_id % 17 + 2)::BIGINT AS sh
         |  FROM documents WHERE doc_id % 2 = 0),
-        |d AS (
-        |  SELECT id, (len % 640 + 1)::BIGINT AS width, (len % 480 + 1)::BIGINT AS height
-        |  FROM m)
+        |aud AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    sum(octet_length(encode(text)) % 640 + 1)::BIGINT AS sw,
+        |    sum(octet_length(encode(text)) % 480 + 1)::BIGINT AS sh
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT 'audio' AS modality, n, sw AS sum_width, sh AS sum_height FROM aud
+        |UNION ALL
+        |SELECT 'image' AS modality, n, sw AS sum_width, sh AS sum_height FROM img
+        |ORDER BY modality""".stripMargin,
+    // mirror of Multimodal.resizePlan: REAL decoded dims (id arithmetic
+    // per mm_decode) + aspect-preserving fit into 224
+    "mm_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id,
+        |    (doc_id % 31 + 2)::BIGINT AS width, (doc_id % 17 + 2)::BIGINT AS height
+        |  FROM documents WHERE doc_id % 2 = 0)
         |SELECT id, width, height,
         |  CASE WHEN width >= height THEN 224 ELSE (width * 224) // height END::BIGINT AS out_w,
         |  CASE WHEN width >= height THEN (height * 224) // width ELSE 224 END::BIGINT AS out_h

@@ -8,9 +8,13 @@ import graft.GraftSession.table
   * columns plus typed metadata, with the decode/feature stage isolated
   * behind a narrow per-partition seam.
   *
-  * The container has no image/audio codecs, so `decodeStub` is a
-  * clearly-marked deterministic fake — but everything around it is the
-  * real production shape:
+  * The IMAGE path is fully real: `imageTable` renders a deterministic
+  * PNG per row (dimensions and fill derived from the id, so the oracle
+  * can predict them), and `decodeImages` decodes those bytes with
+  * javax.imageio — an actual encode->decode codec round-trip, JDK-only
+  * (respects the offline-build constraint). The AUDIO path keeps a
+  * clearly-marked deterministic stub (the JDK ships no audio codec).
+  * Around both, everything is the production shape:
   *  - schema: (id, modality, payload BINARY, meta fields);
   *  - batch-at-a-time decode via `mapPartitions` (the Scala analog of
   *    `mapInPandas`: one library/model init per partition, amortized
@@ -26,10 +30,13 @@ object Multimodal {
   case class MediaRow(id: Long, modality: String, payload: Array[Byte])
   case class MediaFeatures(id: Long, modality: String, byte_len: Long,
                            width: Int, height: Int, mean_luma: Double)
+  case class ImageRow(id: Long, payload: Array[Byte])
+  case class ImageFeatures(id: Long, width: Long, height: Long,
+                           luma_milli: Long)
 
   /** Synthesize a BINARY media column from the documents table (the
     * harness ships no real media; UTF-8 bytes stand in for an encoded
-    * image). Production: spark.read.format("binaryFile") or a payload
+    * payload). Production: spark.read.format("binaryFile") or a payload
     * column in parquet.
     */
   def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
@@ -38,15 +45,88 @@ object Multimodal {
         (when(col("doc_id") % 2 === 0, "image").otherwise("audio")).as("modality"),
         encode(col("text"), "UTF-8").as("payload"))
 
-  /** STUB decode: a real implementation would hand `payload` to an image
-    * codec (e.g. javax.imageio / ffmpeg bindings) here. The fake derives
-    * deterministic pseudo-features from the bytes so tests are stable.
-    * The seam — signature, batching, schema — is exactly what a real
-    * decoder plugs into.
+  /** Deterministic REAL image corpus: one PNG per even doc_id, rendered
+    * with java.awt + encoded by javax.imageio. Width, height and the
+    * constant gray fill are pure id arithmetic —
+    * w = id%31+2, h = id%17+2, gray = id%256 — so the DuckDB oracle can
+    * state exactly what a correct decode must recover, without being
+    * able to (or needing to) reproduce the PNG container bytes.
+    */
+  def imageTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, sfDir, "documents")
+      .filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("id")).as[Long]
+      .mapPartitions(ids => ids.map(id => ImageRow(id, encodePng(id))))
+      .toDF()
+  }
+
+  /** Render + PNG-encode the deterministic image for `id` (see
+    * imageTable for the dimension/fill formulas).
+    */
+  private def encodePng(id: Long): Array[Byte] = {
+    val w = (id % 31 + 2).toInt
+    val h = (id % 17 + 2).toInt
+    val g = (id % 256).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (g << 16) | (g << 8) | g
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL image decode behind the per-partition seam: javax.imageio
+    * parses the PNG bytes back to pixels; features are the decoded
+    * dimensions plus mean luma in exact integer milli-units
+    * (1000 * sum(r+g+b) / (3*w*h), floor). On the constant-fill corpus
+    * that is exactly 1000*gray — the oracle checks the codec round-trip
+    * recovered every generator parameter. Fails loudly on undecodable
+    * bytes: silently skipping corrupt payloads would undercount a real
+    * corpus.
+    */
+  def decodeImages(spark: SparkSession, images: DataFrame): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    images.as[ImageRow].mapPartitions { rows =>
+      // ImageIO reader instances are created per call; the expensive
+      // plugin registry scan happens once per JVM — nothing per-row to
+      // hoist, but a native codec handle would be opened HERE, once
+      rows.map { r =>
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        require(img != null, s"undecodable image payload for id ${r.id}")
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        ImageFeatures(r.id, w.toLong, h.toLong, 1000L * sum / (3L * w * h))
+      }
+    }
+  }
+
+  /** STUB decode for the audio modality: the JDK ships no audio codec,
+    * so this derives deterministic pseudo-features from the bytes (the
+    * ??? seam a real decoder plugs into). The image modality no longer
+    * routes through here — see decodeImages.
     */
   private def decodeStub(r: MediaRow): MediaFeatures = {
     val len = r.payload.length.toLong
-    // ??? real codec goes here; deterministic fake below
+    // ??? real audio codec goes here; deterministic fake below
     val w = (len % 640 + 1).toInt
     val h = (len % 480 + 1).toInt
     val luma = if (len == 0) 0.0
@@ -54,10 +134,7 @@ object Multimodal {
     MediaFeatures(r.id, r.modality, len, w, h, math.floor(luma * 1000) / 1000)
   }
 
-  /** Per-partition decode: init-once-per-partition, stream rows through.
-    * This is where a model/codec handle would be created (once per
-    * partition, not per row).
-    */
+  /** Per-partition stub decode for non-image modalities (see decodeStub). */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
@@ -76,33 +153,45 @@ object Multimodal {
         sha2(col("payload"), 256).as("sha"))
       .orderBy("id")
 
-  /** Decoded-feature aggregate: per modality, count + mean dimensions.
-    * Runs the full mapPartitions decode path.
+  /** mm_decode: the full real codec round-trip — generate PNGs, decode
+    * them with javax.imageio, emit the recovered (width, height,
+    * luma_milli) per image. The oracle recomputes what the generator
+    * encoded; any codec/pixel math drift hash-mismatches.
+    */
+  def decodedImageFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    decodeImages(spark, imageTable(spark, sfDir)).toDF()
+      .orderBy("id")
+
+  /** Decoded-feature aggregate: per modality, count + summed dimensions.
+    * Image dims come from the REAL javax.imageio decode; audio dims from
+    * the labeled stub.
     */
   def featureSummary(spark: SparkSession, sfDir: String): DataFrame = {
-    decodeFeatures(spark, mediaTable(spark, sfDir)).toDF()
+    val img = decodeImages(spark, imageTable(spark, sfDir)).toDF()
+      .select(lit("image").as("modality"), col("width"), col("height"))
+    val aud = decodeFeatures(spark,
+        mediaTable(spark, sfDir).filter(col("modality") === "audio")).toDF()
+      .select(lit("audio").as("modality"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
+    img.unionByName(aud)
       .groupBy("modality")
       .agg(count(lit(1)).as("n"),
-        sum(col("byte_len")).as("total_bytes"),
-        sum(col("width").cast("long")).as("sum_width"),
-        sum(col("height").cast("long")).as("sum_height"))
+        sum(col("width")).as("sum_width"),
+        sum(col("height")).as("sum_height"))
       .orderBy("modality")
   }
 
   /** Resize planning: aspect-preserving fit of each decoded image into a
-    * target box (the standard pre-train normalization step). Runs the
-    * real mapPartitions decode seam for source dimensions, then pure
-    * integer arithmetic (BIGINT floor division — oracle-exact) for the
-    * output dims. The pixel resample itself belongs inside the decode
-    * stub's codec; the plan (who, from what dims, to what dims) is the
-    * Spark-side contract and is fully real.
+    * target box (the standard pre-train normalization step). Source
+    * dimensions come from the REAL decode; the output dims are pure
+    * integer arithmetic (BIGINT floor division — oracle-exact). The
+    * pixel resample itself belongs next to decodeImages' codec; the plan
+    * (who, from what dims, to what dims) is the Spark-side contract.
     */
   def resizePlan(spark: SparkSession, sfDir: String, target: Int = 224): DataFrame =
-    decodeFeatures(spark, mediaTable(spark, sfDir)).toDF()
-      .filter(col("modality") === "image")
-      .select(col("id"),
-        col("width").cast("long").as("width"),
-        col("height").cast("long").as("height"))
+    decodeImages(spark, imageTable(spark, sfDir)).toDF()
+      .select(col("id"), col("width"), col("height"))
       .withColumn("out_w",
         expr(s"CASE WHEN width >= height THEN ${target}L ELSE (width * $target) div height END"))
       .withColumn("out_h",

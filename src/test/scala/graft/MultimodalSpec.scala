@@ -28,13 +28,44 @@ class MultimodalSpec extends SparkSpec {
     assert(r0.getString(3) === sha)
   }
 
-  test("decode seam: per-partition decode produces deterministic features") {
+  test("real PNG round-trip: imageio decode recovers the generator's parameters") {
+    val feats = Multimodal.decodedImageFeatures(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // id 0: 2x2 gray 0 -> luma 0; id 2: 4x4 gray 2 -> luma 2000 milli
+    assert(feats === Seq((0L, 2L, 2L, 0L), (2L, 4L, 4L, 2000L)))
+  }
+
+  test("decodeImages: real pixel math on a hand-built non-uniform image") {
+    import spark.implicits._
+    // 2x1 PNG: one black pixel, one white pixel -> mean luma 127.5 ->
+    // floor(1000 * (0 + 3*255) / (3*2)) = 127500 milli... = 127500/1000
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000)
+    img.setRGB(1, 0, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val df = Seq((42L, bos.toByteArray)).toDF("id", "payload")
+    val got = Multimodal.decodeImages(spark, df).collect().toSeq
+    assert(got === Seq(Multimodal.ImageFeatures(42L, 2L, 1L, 127500L)))
+  }
+
+  test("decodeImages fails loudly on undecodable payload bytes") {
+    import spark.implicits._
+    val df = Seq((7L, "not a png".getBytes("UTF-8"))).toDF("id", "payload")
+    val e = intercept[Exception](Multimodal.decodeImages(spark, df).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("undecodable image payload")), s"got: $e")
+  }
+
+  test("featureSummary: real image dims + stubbed audio dims per modality") {
     val feats = Multimodal.featureSummary(spark, sfDir).collect()
-      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
-    // image: lens 4 and 8 -> widths 5,9 heights 5,9; audio: len 3 -> w 4 h 4
-    assert(feats("image") === ((2L, 12L, 14L, 14L)))
-    assert(feats("audio") === ((1L, 3L, 4L, 4L)))
+    // images ids 0,2: real decoded dims (2,2) and (4,4); audio len 3 -> w 4 h 4
+    assert(feats("image") === ((2L, 6L, 6L)))
+    assert(feats("audio") === ((1L, 4L, 4L)))
   }
 
   test("sampleFrames: evenly spaced frame indices per image") {
