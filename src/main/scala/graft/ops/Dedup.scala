@@ -508,7 +508,7 @@ object Dedup {
     // plans per action (AQE explainString, listener events), and a
     // high-diameter graph (~25+ rounds) drove that 2^k walk into a
     // driver OOM. One reference per round keeps lineage depth linear in
-    // rounds; ConcurrencySpec's 40-node chain pins the regression.
+    // rounds; ConcurrencySpec's chain graph pins the regression.
     val edges = sym
       .union(sym.select(col("src")).distinct()
         .select(col("src"), col("src").as("dst")))

@@ -1,0 +1,62 @@
+#!/usr/bin/env python3
+"""Build a 10x scale copy of sf0.1 under /tmp for the scale bench.
+
+Dimensions (region, nation, customer, supplier, part) stay 1x — the
+realistic growth shape (facts grow, dims are stable) and it keeps the
+z-order audit's 16-bit custkey-offset guard and PageRank's 1M supplier
+offset valid. Fact tables are replicated 10x with key offsets:
+
+  orders.o_orderkey    +i * 1_000_000   (lineitem.l_orderkey matches)
+  events.event_id      +i * 10_000_000  (user_id/ts unchanged: denser stream)
+  documents.doc_id     +i * 1_000_000   (even offsets preserve id-parity
+                                         modality split; 10x exact dups =
+                                         the dup-heavy crawl stress case)
+  embeddings.vec_id    +i * 100_000 + 1 for i>0 (replicas never hit
+                                         vec_id % 50 == 0: the strided
+                                         query/centroid set stays FIXED
+                                         while the corpus grows 10x)
+
+pyarrow copies column types verbatim (events.ts stays TIMESTAMP(NANOS)).
+"""
+import sys
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1x"
+K = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+
+DIMS = ["region", "nation", "customer", "supplier", "part"]
+FACT_OFFSETS = {
+    "orders": {"o_orderkey": 1_000_000},
+    "lineitem": {"l_orderkey": 1_000_000},
+    "events": {"event_id": 10_000_000},
+    "documents": {"doc_id": 1_000_000},
+    "embeddings": {"vec_id": 100_000},
+}
+
+
+def shifted(table: pa.Table, offsets: dict, i: int, bump_one: bool) -> pa.Table:
+    if i == 0:
+        return table
+    for name, step in offsets.items():
+        idx = table.schema.get_field_index(name)
+        off = step * i + (1 if bump_one else 0)
+        col = pc.add(table.column(name), pa.scalar(off, type=pa.int64()))
+        table = table.set_column(idx, table.schema.field(idx), col.cast(table.schema.field(idx).type))
+    return table
+
+
+import os
+os.makedirs(DST, exist_ok=True)
+for t in DIMS:
+    pq.write_table(pq.read_table(f"{SRC}/{t}.parquet"), f"{DST}/{t}.parquet")
+    print(f"{t}: copied 1x")
+for t, offsets in FACT_OFFSETS.items():
+    base = pq.read_table(f"{SRC}/{t}.parquet")
+    parts = [shifted(base, offsets, i, bump_one=(t == "embeddings")) for i in range(K)]
+    out = pa.concat_tables(parts)
+    pq.write_table(out, f"{DST}/{t}.parquet")
+    print(f"{t}: {base.num_rows} -> {out.num_rows}")
+print("done:", DST)
