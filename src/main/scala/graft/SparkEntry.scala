@@ -201,6 +201,10 @@ object SparkEntry {
     // matching buckets — no corpus rescan; the index side of the probe
     // join plans with no Exchange (PersistedIndexSpec)
     "dedup_incremental" -> ((s, dir) => Dedup.incrementalMinHash(s, dir)),
+    // the fold-in half of the daily cycle: batch signatures APPENDED to
+    // the stored bucketed index, audited per band against a full
+    // rebuild — the redundancy is exactly the cross-split content dups
+    "dedup_index_refresh" -> ((s, dir) => Dedup.indexRefreshAudit(s, dir)),
     "dedup_simhash" -> ((s, dir) => Dedup.simHashPairs(s, dir)),
     "dedup_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(s, dir)),
     // threshold 400 (not the production 990): the synthetic corpus has no
@@ -208,6 +212,10 @@ object SparkEntry {
     // oracle compare empty-vs-empty — vacuously green. 400 keeps the
     // LSH-bucket + exact-cosine path exercised on non-empty output.
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDups(s, dir, minCosMilli = 400L)),
+    // exact vector dedup (the embedding twin of dedup_exact): grouping on
+    // the raw DOUBLE array — identical-vector copies collapse here, so
+    // the near-dup rung above pairs DISTINCT vectors only
+    "emb_exact_dups" -> ((s, dir) => Similarity.exactVectorDups(s, dir)),
     // fuzzy cluster resolution: union of the three fuzzy rungs' pairs
     // over exact-content representatives -> connected components
     // (min-label propagation) -> membership expanded back to every copy
@@ -1522,6 +1530,23 @@ object SparkEntry {
          |SELECT doc_a, doc_b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // fold-in audit replay: folded = per-side band keys unioned (what
+    // build-then-append produces), rebuild = band keys over the GLOBAL
+    // representative collapse; redundancy = cross-split content dups
+    "dedup_index_refresh" ->
+      s"""WITH ${incSideCtes("o", "doc_id % 10 <> 0")},
+         |${incSideCtes("n", "doc_id % 10 = 0")},
+         |${incSideCtes("g", "TRUE")},
+         |folded AS (SELECT sig FROM band_o UNION ALL SELECT sig FROM band_n),
+         |f AS (
+         |  SELECT split_part(sig, '|', 1)::BIGINT AS band, count(*)::BIGINT AS n_folded
+         |  FROM folded GROUP BY 1),
+         |r AS (
+         |  SELECT split_part(sig, '|', 1)::BIGINT AS band, count(*)::BIGINT AS n_rebuild
+         |  FROM band_g GROUP BY 1)
+         |SELECT f.band, f.n_folded, r.n_rebuild,
+         |  (f.n_folded - r.n_rebuild)::BIGINT AS n_redundant
+         |FROM f JOIN r USING (band) ORDER BY band""".stripMargin,
     // incremental probe replay: both sides' representative collapse,
     // sketches and band keys recomputed from scratch over the SAME mod-10
     // split, pairs = band-key matches scored by 16-slot agreement — the
@@ -1592,9 +1617,13 @@ object SparkEntry {
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embedding" ->
       s"""WITH $lshBucketsCte,
+         |vreps AS (SELECT min(vec_id) AS vec_id FROM emb GROUP BY v),
+         |rb AS (
+         |  SELECT * FROM bucketed
+         |  WHERE vec_id IN (SELECT vec_id FROM vreps)),
          |pr AS (
          |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM bucketed a JOIN bucketed b
+         |  FROM rb a JOIN rb b
          |    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id),
          |scored AS (
          |  SELECT p.vec_a, p.vec_b, ${cosMilli("ea.v", "eb.v")} AS cos_milli
@@ -1604,6 +1633,12 @@ object SparkEntry {
          |SELECT vec_a, vec_b, cos_milli FROM scored
          |WHERE cos_milli >= 400
          |ORDER BY vec_a, vec_b""".stripMargin,
+    // exact vector dedup: grouped on the raw DOUBLE list value — both
+    // engines read the same parquet doubles, so equality is bit-exact
+    "emb_exact_dups" ->
+      """SELECT min(vec_id)::BIGINT AS keep_vec_id, count(*)::BIGINT AS n_copies
+        |FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |GROUP BY v ORDER BY keep_vec_id""".stripMargin,
     "sim_bruteforce" ->
       s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 50 = 0),

@@ -104,10 +104,38 @@ object Similarity {
     * target, cos >= ~0.99) almost surely agree on all sign bits of some
     * band. Same shuffle shape as lshAnn: one exchange on (band, sig).
     */
+  /** One representative (min vec_id) per DISTINCT embedding vector — the
+    * identical-VECTOR hot-bucket guard, the exact analog of
+    * Dedup.representatives for text: m copies of one vector land in the
+    * same LSH bucket in EVERY band and pair quadratically (the 10x
+    * duplicate-replica scale bench measured dedup_embedding at 39.8x for
+    * 10x data before this collapse). Copy-level identity is
+    * `exactVectorDups`' product; the near-dup rung relates distinct
+    * vectors only, so candidate volume scales with distinct content.
+    */
+  private[ops] def vectorRepresentatives(emb: DataFrame): DataFrame =
+    emb.groupBy(col("v")).agg(min(col("vec_id")).as("vec_id"))
+      .select("vec_id", "v")
+
+  /** emb_exact_dups: exact vector dedup — one row per distinct embedding
+    * with its kept representative and copy count (grouping on the raw
+    * DOUBLE array: bit-identical vectors only, no tolerance — the
+    * embedding twin of Dedup.exact). One shuffle on the vector value.
+    */
+  def exactVectorDups(spark: SparkSession, sfDir: String): DataFrame =
+    embeddings(spark, sfDir)
+      .groupBy(col("v"))
+      .agg(min(col("vec_id")).as("keep_vec_id"), count(lit(1)).as("n_copies"))
+      .select("keep_vec_id", "n_copies")
+      .orderBy("keep_vec_id")
+
   def lshNearDupPairs(spark: SparkSession, sfDir: String,
                       minCosMilli: Long = 990,
                       nBits: Int = 8, nBands: Int = 4, dim: Int = 64): DataFrame = {
-    val bucketed = lshBuckets(spark, sfDir, nBits, nBands, dim)
+    // bucket REPRESENTATIVES only (see vectorRepresentatives): emitted
+    // pairs relate distinct vectors; copies expand through exactVectorDups
+    val bucketed = lshBucketsFrom(
+      vectorRepresentatives(embeddings(spark, sfDir)), nBits, nBands, dim)
     val a = bucketed.select(col("band"), col("sig"), col("vec_id").as("vec_a"), col("v").as("va"))
     val b = bucketed.select(col("band"), col("sig"), col("vec_id").as("vec_b"), col("v").as("vb"))
     a.join(b, Seq("band", "sig")).filter(col("vec_a") < col("vec_b"))
@@ -140,8 +168,15 @@ object Similarity {
     * the joins a flat, literal-free relation.
     */
   private[ops] def lshBuckets(spark: SparkSession, sfDir: String,
-                              nBits: Int, nBands: Int, dim: Int): DataFrame = {
-    val emb = embeddings(spark, sfDir)
+                              nBits: Int, nBands: Int, dim: Int): DataFrame =
+    lshBucketsFrom(embeddings(spark, sfDir), nBits, nBands, dim)
+
+  /** lshBuckets over a caller-supplied (vec_id, v) frame — lets the
+    * near-dup rung band representatives while ANN keeps the full corpus
+    * (collapsing the corpus would change which ids a query can return).
+    */
+  private[ops] def lshBucketsFrom(emb: DataFrame,
+                                  nBits: Int, nBands: Int, dim: Int): DataFrame = {
     val sigCols = (0 until nBands).map { band =>
       val bits = (0 until nBits).map { bit =>
         val plane = array((0 until dim).map(d => lit(planeComponent(band, bit, d))): _*)

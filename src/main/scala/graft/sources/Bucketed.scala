@@ -34,4 +34,18 @@ object Bucketed {
       .mode("overwrite")
       .saveAsTable(name)
   }
+
+  /** Append rows to an EXISTING bucketed table (the daily-ingest cycle:
+    * the table layout is the contract, each batch pays its own bucket
+    * shuffle on the way in). The bucket spec must match the table's —
+    * Spark validates and the append lands new per-bucket files, so
+    * later joins still read co-located buckets with no Exchange.
+    */
+  def appendBucketed(spark: SparkSession, df: DataFrame, name: String,
+                     key: String, nBuckets: Int): Unit =
+    df.write.format("parquet")
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .mode("append")
+      .saveAsTable(name)
 }

@@ -86,6 +86,34 @@ class PersistedIndexSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_minhash_index_spec")
   }
 
+  test("index fold-in: appended batch keys audit against a full rebuild") {
+    import spark.implicits._
+    val sfDir = tempSfDir()
+    val X = "alpha beta gamma delta"
+    val Y = "one two three four"
+    val Z = "totally different content here"
+    writeTable(sfDir, "documents", Seq(
+      (1L, X), (2L, Y), (3L, Y), // existing (% 10 != 0); 3 collapses into 2
+      (10L, X), (30L, Z)         // batch; 10 duplicates existing content X
+    ).toDF("doc_id", "text"))
+    val audit = Dedup.indexRefreshAudit(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // per band: folded = reps {1,2} + {10,30} = 4 rows; rebuild = global
+    // reps {1,2,30} = 3; redundant = the one cross-split dup (X)
+    assert(audit === (0L until 4L).map(b => (b, 4L, 3L, 1L)))
+    // the folded index is still a bucketed table: probe join plans with
+    // only the probe-side exchange even over the appended files
+    withSmjPinned {
+      val probe = Seq(("0|1,2,3,4", 99L)).toDF("sig", "x")
+      val j = probe.join(spark.table("graft_minhash_index_refresh"), Seq("sig"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"append broke bucketed read:\n$plan")
+      assert(exchanges(plan) === 1, s"\n$plan")
+    }
+    spark.sql("DROP TABLE IF EXISTS graft_minhash_index_refresh")
+  }
+
   test("ivfIndexed answers match the recompute-per-query ivfAnn exactly") {
     val sfDir = "/root/testdata/sf0.001"
     val fresh = Similarity.ivfAnn(spark, sfDir).collect().toSeq

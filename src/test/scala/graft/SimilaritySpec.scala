@@ -35,10 +35,35 @@ class SimilaritySpec extends SparkSpec {
     assert(q0 === Seq((100L, 1000L), (150L, 948L), (50L, 0L)))
   }
 
-  test("LSH near-dup pairs: identical vectors always share every band bucket") {
+  test("LSH near-dup rung: bit-identical copies collapse out; the exact rung owns them") {
+    // 0 and 100 are bit-identical: the identical-vector hot-bucket guard
+    // (vectorRepresentatives) keeps them out of the pair rung — m copies
+    // would otherwise pair quadratically in every band at scale
     val pairs = Similarity.lshNearDupPairs(spark, sfDir, minCosMilli = 990L)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
-    assert(pairs === Seq((0L, 100L, 1000L)))
+    assert(pairs === Seq.empty)
+    val dups = Similarity.exactVectorDups(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(dups === Seq((0L, 2L), (50L, 1L), (150L, 1L)))
+  }
+
+  test("near-dup pairs relate DISTINCT vectors sharing buckets") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // 9 is 1 SCALED (distinct bits, cosine exactly 1, same hyperplane
+    // signs -> same buckets); 5 is a bit-identical copy of 1
+    writeTable(dir, "embeddings", Seq(
+      (1L, vec(0), 0),
+      (5L, vec(0), 0),
+      (9L, (0 until 64).map(d => if (d == 0) 2.0f else 0.0f), 0),
+      (3L, vec(1), 1)
+    ).toDF("vec_id", "embedding", "label"))
+    val pairs = Similarity.lshNearDupPairs(spark, dir, minCosMilli = 990L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(pairs === Seq((1L, 9L, 1000L)))
+    val dups = Similarity.exactVectorDups(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(dups === Seq((1L, 2L), (3L, 1L), (9L, 1L)))
   }
 
   test("LSH ANN: duplicate is rank-1 neighbor of its twin") {
