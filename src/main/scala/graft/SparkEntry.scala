@@ -104,6 +104,10 @@ object SparkEntry {
     "ev_sliding" -> ((s, dir) => EventWindows.sliding(s, dir)),
     "ev_sessions" -> ((s, dir) => EventWindows.sessionize(s, dir)),
     "ev_daily_top" -> ((s, dir) => EventWindows.dailyTopTypes(s, dir)),
+    // the same top-k-per-day via the custom TopKTagAgg aggregate: no
+    // per-day sort, k-entry buffers combine map-side — the shuffle
+    // carries k rows per day instead of every (day, type) row
+    "ev_daily_top_agg" -> ((s, dir) => EventWindows.dailyTopTypesAgg(s, dir)),
     // as-of join (conversion attribution): each purchase joined to the
     // latest preceding view of the same user — composed as tag + one
     // shuffle + carry-forward window, not a quadratic range join
@@ -259,6 +263,10 @@ object SparkEntry {
     "mm_decode" -> ((s, dir) => Multimodal.decodedImageFeatures(s, dir)),
     "mm_features" -> ((s, dir) => Multimodal.featureSummary(s, dir)),
     "mm_resize" -> ((s, dir) => Multimodal.resizePlan(s, dir)),
+    // the resample EXECUTED: decode -> nearest-neighbor to the planned
+    // box -> re-encode -> decode the OUTPUT; constant-fill sources make
+    // the whole chain's measured result id-arithmetic for the oracle
+    "mm_resize_exec" -> ((s, dir) => Multimodal.resizeExec(s, dir)),
     // —— document fingerprinting (winnowing) ——
     "text_winnow" -> ((s, dir) => Dedup.winnowFingerprints(s, dir)),
     // —— Structured Streaming twins, run to completion (AvailableNow) and
@@ -530,6 +538,22 @@ object SparkEntry {
        |  FROM cand)
        |SELECT q_id, rk, n_id, cos_milli FROM ranked WHERE rk <= 10
        |ORDER BY q_id, rk""".stripMargin
+
+  /** Daily top-k event types (mirror of EventWindows.dailyTopTypes).
+    * Shared by the window form (ev_daily_top) and the custom-aggregate
+    * form (ev_daily_top_agg) — identical relation, identical total order.
+    */
+  private val dailyTopOracle: String =
+    """WITH day AS (
+      |  SELECT ((epoch_us(ts) // 1000000) // 86400) * 86400 AS day, event_type,
+      |    count(*)::BIGINT AS n
+      |  FROM events GROUP BY day, event_type),
+      |ranked AS (
+      |  SELECT day, event_type, n,
+      |    row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type ASC) AS rk
+      |  FROM day)
+      |SELECT day, event_type, n, rk FROM ranked WHERE rk <= 3
+      |ORDER BY day, rk""".stripMargin
 
   /** Per-doc token statistics (mirror of TextAnalysis.tokenStats).
     * Shared by the Column-API query (text_stats) and its SQL-surface
@@ -1001,17 +1025,10 @@ object SparkEntry {
         |SELECT user_id, count(*)::BIGINT AS n_sessions,
         |  max(sess_events)::BIGINT AS max_session_events
         |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin,
-    "ev_daily_top" ->
-      """WITH day AS (
-        |  SELECT ((epoch_us(ts) // 1000000) // 86400) * 86400 AS day, event_type,
-        |    count(*)::BIGINT AS n
-        |  FROM events GROUP BY day, event_type),
-        |ranked AS (
-        |  SELECT day, event_type, n,
-        |    row_number() OVER (PARTITION BY day ORDER BY n DESC, event_type ASC) AS rk
-        |  FROM day)
-        |SELECT day, event_type, n, rk FROM ranked WHERE rk <= 3
-        |ORDER BY day, rk""".stripMargin,
+    "ev_daily_top" -> dailyTopOracle,
+    // the custom-aggregate twin produces the identical relation (same
+    // total order), so the window oracle replays it verbatim
+    "ev_daily_top_agg" -> dailyTopOracle,
     // as-of attribution: same deterministic carry-forward formulation
     // (total order: ts, views-before-purchases, event_id) — DuckDB's
     // native ASOF JOIN leaves equal-ts ties implementation-defined, so
@@ -1592,7 +1609,7 @@ object SparkEntry {
          |WHERE bit_count(xor(sh_a, sh_b)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_jaccard" ->
-      s"""WITH $docShingles,
+      s"""WITH $repDocShingles,
          |sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
          |dfreq AS (SELECT shingle, count(*)::BIGINT AS df FROM sh GROUP BY shingle),
          |rare AS (
@@ -1774,6 +1791,19 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'image' AS modality, n, sw AS sum_width, sh AS sum_height FROM img
         |ORDER BY modality""".stripMargin,
+    // executed resample chain: output dims are the plan's box, and a
+    // correct nearest-neighbor resample of a constant-gray source
+    // preserves mean luma exactly through the re-encode/re-decode
+    "mm_resize_exec" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id,
+        |    (doc_id % 31 + 2)::BIGINT AS width, (doc_id % 17 + 2)::BIGINT AS height
+        |  FROM documents WHERE doc_id % 2 = 0)
+        |SELECT id,
+        |  CASE WHEN width >= height THEN 224 ELSE (width * 224) // height END::BIGINT AS out_w,
+        |  CASE WHEN width >= height THEN (height * 224) // width ELSE 224 END::BIGINT AS out_h,
+        |  (1000 * (id % 256))::BIGINT AS luma_milli
+        |FROM d ORDER BY id""".stripMargin,
     // mirror of Multimodal.resizePlan: REAL decoded dims (id arithmetic
     // per mm_decode) + aspect-preserving fit into 224
     "mm_resize" ->

@@ -392,8 +392,14 @@ object Dedup {
   def ngramJaccardPairs(spark: SparkSession, sfDir: String,
                         shingleN: Int = 3, maxDf: Int = 50,
                         minJaccardMilli: Long = 300): DataFrame =
+    // over exact-content REPRESENTATIVES like the other fuzzy rungs (the
+    // composed pipelines already share a rep shingle frame): m copies of
+    // a doc would otherwise meet in every rare shingle and pair m^2 —
+    // the same quadratic the 10x dup-replica scale bench surfaced for
+    // the embedding rung
     ngramJaccardPairsFromShingles(
-      shingles(table(spark, sfDir, "documents"), shingleN).localCheckpoint(),
+      shingles(representatives(table(spark, sfDir, "documents")), shingleN)
+        .localCheckpoint(),
       maxDf, minJaccardMilli)
 
   /** ngramJaccardPairs over a pre-computed, ALREADY-MATERIALIZED

@@ -462,6 +462,28 @@ object EventWindows {
   }
 
   /** Daily top event types: window rank over tumbling day buckets. */
+  /** ev_daily_top_agg: the rank-per-group-keep-k relation re-expressed
+    * with the custom TopKTagAgg aggregate instead of a window. The
+    * window form exchanges every (day, type) row and SORTS each day
+    * partition; this form keeps a k-entry buffer per day that combines
+    * map-side, so the shuffle carries k rows per day and no sort runs
+    * anywhere. Row-for-row equal to dailyTopTypes (same total order:
+    * n desc, type asc) — it shares the window twin's oracle, and
+    * EventWindowsSpec pins the equality directly.
+    */
+  def dailyTopTypesAgg(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
+    val day = table(spark, sfDir, "events")
+      .withColumn("day", bucket(86400L))
+      .groupBy("day", "event_type")
+      .agg(count(lit(1)).as("n"))
+    day.groupBy("day")
+      .agg(graft.functions.TopKSketch.topK(col("n"), col("event_type"), k).as("top"))
+      .select(col("day"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("day"), col("t.tag").as("event_type"), col("t.n").as("n"),
+        (col("i") + 1).cast("long").as("rk"))
+      .orderBy("day", "rk")
+  }
+
   def dailyTopTypes(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame = {
     val day = table(spark, sfDir, "events")
       .withColumn("day", bucket(86400L))

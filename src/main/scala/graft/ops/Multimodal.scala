@@ -82,14 +82,37 @@ object Multimodal {
     bos.toByteArray
   }
 
+  private def decodeOrFail(id: Long, payload: Array[Byte]): java.awt.image.BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"undecodable image payload for id $id")
+    img
+  }
+
+  /** Mean luma of a decoded image in exact integer milli-units:
+    * floor(1000 * sum(r+g+b) / (3*w*h)). On a constant-gray image this
+    * is exactly 1000*gray.
+    */
+  private def lumaMilli(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    var sum = 0L
+    var i = 0
+    while (i < px.length) {
+      val p = px(i)
+      sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+      i += 1
+    }
+    1000L * sum / (3L * w * h)
+  }
+
   /** REAL image decode behind the per-partition seam: javax.imageio
     * parses the PNG bytes back to pixels; features are the decoded
-    * dimensions plus mean luma in exact integer milli-units
-    * (1000 * sum(r+g+b) / (3*w*h), floor). On the constant-fill corpus
-    * that is exactly 1000*gray — the oracle checks the codec round-trip
-    * recovered every generator parameter. Fails loudly on undecodable
-    * bytes: silently skipping corrupt payloads would undercount a real
-    * corpus.
+    * dimensions plus mean luma in exact integer milli-units. On the
+    * constant-fill corpus that is exactly 1000*gray — the oracle checks
+    * the codec round-trip recovered every generator parameter. Fails
+    * loudly on undecodable bytes: silently skipping corrupt payloads
+    * would undercount a real corpus.
     */
   def decodeImages(spark: SparkSession, images: DataFrame): Dataset[ImageFeatures] = {
     import spark.implicits._
@@ -98,25 +121,62 @@ object Multimodal {
       // plugin registry scan happens once per JVM — nothing per-row to
       // hoist, but a native codec handle would be opened HERE, once
       rows.map { r =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(r.payload))
-        require(img != null, s"undecodable image payload for id ${r.id}")
+        val img = decodeOrFail(r.id, r.payload)
+        ImageFeatures(r.id, img.getWidth.toLong, img.getHeight.toLong, lumaMilli(img))
+      }
+    }
+  }
+
+  /** mm_resize_exec: the resample EXECUTED, not just planned — decode,
+    * nearest-neighbor resample to the aspect-preserving box of
+    * `resizePlan` (floor source mapping sx = x*w div ow: pure integer,
+    * deterministic), re-encode as PNG, then decode the OUTPUT back and
+    * emit its measured (dims, luma). The re-decode makes the audit
+    * honest: a correct resample of a constant-fill source preserves
+    * mean luma exactly, so the oracle can state the whole
+    * decode->resample->encode->decode chain's result from id
+    * arithmetic. All pixel I/O is bulk-array (getRGB/setRGB row
+    * batches), never per-pixel accessor calls in a hot loop.
+    */
+  def resizeExec(spark: SparkSession, sfDir: String, target: Int = 224): DataFrame =
+    resizeImages(spark, imageTable(spark, sfDir), target)
+
+  /** resizeExec over a caller-supplied (id, payload) frame — the seam
+    * specs use to push non-uniform images through the resample chain.
+    */
+  def resizeImages(spark: SparkSession, images: DataFrame, target: Int): DataFrame = {
+    import spark.implicits._
+    images.as[ImageRow].mapPartitions { rows =>
+      rows.map { r =>
+        val img = decodeOrFail(r.id, r.payload)
         val w = img.getWidth
         val h = img.getHeight
-        var sum = 0L
+        val ow = if (w >= h) target else (w.toLong * target / h).toInt
+        val oh = if (w >= h) (h.toLong * target / w).toInt else target
+        val src = img.getRGB(0, 0, w, h, null, 0, w)
+        val dst = new Array[Int](ow * oh)
         var y = 0
-        while (y < h) {
+        while (y < oh) {
+          val sy = (y.toLong * h / oh).toInt
           var x = 0
-          while (x < w) {
-            val p = img.getRGB(x, y)
-            sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+          while (x < ow) {
+            dst(y * ow + x) = src(sy * w + (x.toLong * w / ow).toInt)
             x += 1
           }
           y += 1
         }
-        ImageFeatures(r.id, w.toLong, h.toLong, 1000L * sum / (3L * w * h))
+        val out = new java.awt.image.BufferedImage(
+          ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        out.setRGB(0, 0, ow, oh, dst, 0, ow)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        val dec = decodeOrFail(r.id, bos.toByteArray)
+        ImageFeatures(r.id, dec.getWidth.toLong, dec.getHeight.toLong, lumaMilli(dec))
       }
-    }
+    }.toDF()
+      .select(col("id"), col("width").as("out_w"), col("height").as("out_h"),
+        col("luma_milli"))
+      .orderBy("id")
   }
 
   /** STUB decode for the audio modality: the JDK ships no audio codec,

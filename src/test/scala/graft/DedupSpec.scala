@@ -270,10 +270,12 @@ class DedupSpec extends SparkSpec {
     assert(rows === Seq(("srcB", 1L, 3L, 3L, 0L)))
   }
 
-  test("ngram jaccard: identical docs score 1000 milli; near-dup scored exactly") {
+  test("ngram jaccard: copies collapse to the rep; near-dup scored exactly") {
     val pairs = Dedup.ngramJaccardPairs(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    assert(pairs((1L, 2L)) === 1000L)
+    // docs 1/2 are exact-content copies: like the other fuzzy rungs the
+    // jaccard rung pairs REPRESENTATIVES only — no copy-level pair
+    assert(!pairs.contains((1L, 2L)))
     // doc3 differs from doc1 in one word of 30 -> 3-shingles: 28 per doc,
     // 3 shingles touched by the change -> |inter| = 25, |union| = 31
     assert(pairs((1L, 3L)) === 25L * 1000L / 31L)

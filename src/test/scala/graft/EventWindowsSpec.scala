@@ -251,4 +251,33 @@ class EventWindowsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
     assert(rows === Seq((0L, "click", 3L, 1L), (0L, "view", 1L, 2L)))
   }
+
+  test("TopKTagAgg twin equals the window form, including count ties") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "events", Seq(
+      // day 0: click 2, view 2 (tie -> click first), scroll 1 (cut at k=3... kept)
+      (1L, ns(0), 1L, "click", 1.0, "p"),
+      (2L, ns(1), 1L, "click", 1.0, "p"),
+      (3L, ns(2), 1L, "view", 1.0, "p"),
+      (4L, ns(3), 1L, "view", 1.0, "p"),
+      (5L, ns(4), 1L, "scroll", 1.0, "p"),
+      (6L, ns(5), 1L, "hover", 1.0, "p"),
+      // day 1: single type
+      (7L, ns(86400), 2L, "view", 1.0, "p")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val win = rows(EventWindows.dailyTopTypes(spark, dir))
+    val agg = rows(EventWindows.dailyTopTypesAgg(spark, dir))
+    assert(agg === win)
+    // the k=3 cut with the 1-count tie resolves lexically: hover loses
+    assert(win === Seq(
+      (0L, "click", 2L, 1L), (0L, "view", 2L, 2L), (0L, "hover", 1L, 3L),
+      (86400L, "view", 1L, 1L)))
+    // the harness corpus agrees too
+    val sf = "/root/testdata/sf0.001"
+    assert(rows(EventWindows.dailyTopTypesAgg(spark, sf)) ===
+      rows(EventWindows.dailyTopTypes(spark, sf)))
+  }
 }

@@ -59,6 +59,29 @@ class MultimodalSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("undecodable image payload")), s"got: $e")
   }
 
+  test("resizeExec: executed resample chain preserves constant-fill luma at planned dims") {
+    val rows = Multimodal.resizeExec(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // both fixture images are square -> 224x224; gray 0 and 2 preserved
+    assert(rows === Seq((0L, 224L, 224L, 0L), (2L, 224L, 224L, 2000L)))
+  }
+
+  test("resizeImages: nearest-neighbor really samples a non-uniform source") {
+    import spark.implicits._
+    // 2x1 black|white upscaled to 224x112: left half black, right half
+    // white (sx = x*2 div 224 flips at x=112) -> mean luma exactly 127500
+    val img = new java.awt.image.BufferedImage(
+      2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000)
+    img.setRGB(1, 0, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val got = Multimodal.resizeImages(
+        spark, Seq((5L, bos.toByteArray)).toDF("id", "payload"), 224)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq((5L, 224L, 112L, 127500L)))
+  }
+
   test("featureSummary: real image dims + stubbed audio dims per modality") {
     val feats = Multimodal.featureSummary(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
