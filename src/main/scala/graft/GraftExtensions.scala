@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.{DotProduct, MinHashArrayExpr, MinHashSketchAgg,
-  SimHashSketchAgg, WinnowFpsExpr, WordShinglesExpr}
+  SimHashSketchAgg, TopKTagAgg, WinnowFpsExpr, WordShinglesExpr}
 
 /** The engine's SQL surface: every custom Catalyst expression/aggregate
   * of graft.functions exposed as a named SQL function, so a user can run
@@ -136,6 +136,14 @@ object GraftExtensions {
       {
         case Seq(v) => SimHashSketchAgg(v)
         case _ => badArity("graft_simhash", "(value)")
+      }),
+    ("graft_top_k",
+      info("graft_top_k",
+        "graft_top_k(n, tag, k) - aggregate: top-k (n, tag) structs ordered " +
+          "(n desc, tag asc) via a bounded k-entry buffer (no per-group sort)"),
+      {
+        case Seq(o, t, kk) => TopKTagAgg(o, t, intLit("graft_top_k", "k", kk))
+        case _ => badArity("graft_top_k", "(n, tag, k)")
       }))
 
   /** Idempotently register every function AND the token-count rewrite on

@@ -108,6 +108,25 @@ object SparkEntry {
     // per-day sort, k-entry buffers combine map-side — the shuffle
     // carries k rows per day instead of every (day, type) row
     "ev_daily_top_agg" -> ((s, dir) => EventWindows.dailyTopTypesAgg(s, dir)),
+    // RANGE (value-based) window frame: trailing one-hour same-user
+    // same-type activity per event — the frame family member ROWS
+    // framing can't express; partitioned on a high-cardinality key
+    "ev_range_frame" -> ((s, dir) => EventWindows.rangeFrameCounts(s, dir)),
+    // explicit GROUPING SETS (the member between rollup and cube):
+    // chosen aggregation levels with grouping() flags; pure SQL surface
+    "rel_grouping_sets" -> ((s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("graft_orders")
+      s.sql(
+        """SELECT o_orderpriority, o_orderstatus,
+          |  CAST(grouping(o_orderpriority) AS BIGINT) AS g_pri,
+          |  CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS cents
+          |FROM graft_orders
+          |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+          |                        (o_orderpriority), (o_orderstatus), ())
+          |ORDER BY g_pri, g_status, o_orderpriority, o_orderstatus""".stripMargin)
+    }),
     // as-of join (conversion attribution): each purchase joined to the
     // latest preceding view of the same user — composed as tag + one
     // shuffle + carry-forward window, not a quadratic range join
@@ -402,6 +421,21 @@ object SparkEntry {
           |    AS within_tolerance
           |FROM top t CROSS JOIN sk s
           |ORDER BY t.token""".stripMargin)
+    }),
+    // the custom top-k aggregate from pure SQL (graft_top_k), exploded
+    // back to ranked rows — same relation as both daily-top twins
+    "sql_topk" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      table(s, dir, "events").createOrReplaceTempView("graft_events")
+      s.sql(
+        """WITH d AS (
+          |  SELECT ((ts div 1000000000) div 86400) * 86400 AS day, event_type,
+          |    CAST(count(*) AS BIGINT) AS n
+          |  FROM graft_events GROUP BY 1, 2),
+          |t AS (SELECT day, graft_top_k(n, event_type, 3) AS top FROM d GROUP BY day)
+          |SELECT day, col.tag AS event_type, col.n AS n, CAST(pos + 1 AS BIGINT) AS rk
+          |FROM t LATERAL VIEW posexplode(top) x AS pos, col
+          |ORDER BY day, rk""".stripMargin)
     })
   )
 
@@ -1029,6 +1063,31 @@ object SparkEntry {
     // the custom-aggregate twin produces the identical relation (same
     // total order), so the window oracle replays it verbatim
     "ev_daily_top_agg" -> dailyTopOracle,
+    // the SQL-surface twin of the custom aggregate — same relation again
+    "sql_topk" -> dailyTopOracle,
+    // RANGE frame: DuckDB spells the same value-based trailing window
+    "ev_range_frame" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    (epoch_us(ts) // 1000000) AS tsec
+        |  FROM events)
+        |SELECT event_id, user_id, event_type, tsec,
+        |  count(*) OVER (PARTITION BY user_id, event_type ORDER BY tsec
+        |    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)::BIGINT AS n_user_hour
+        |FROM e ORDER BY event_id""".stripMargin,
+    // grouping-sets mirror: identical level set, identical grouping()
+    // flags, NULL group columns constant within each level so the
+    // cross-engine NULL sort order never participates in the ORDER BY
+    "rel_grouping_sets" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+        |  CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+        |  count(*)::BIGINT AS n,
+        |  sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))::BIGINT AS cents
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+        |                        (o_orderpriority), (o_orderstatus), ())
+        |ORDER BY g_pri, g_status, o_orderpriority, o_orderstatus""".stripMargin,
     // as-of attribution: same deterministic carry-forward formulation
     // (total order: ts, views-before-purchases, event_id) — DuckDB's
     // native ASOF JOIN leaves equal-ts ties implementation-defined, so

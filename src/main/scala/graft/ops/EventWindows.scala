@@ -462,6 +462,24 @@ object EventWindows {
   }
 
   /** Daily top event types: window rank over tumbling day buckets. */
+  /** ev_range_frame: per-event trailing one-hour activity — for every
+    * event, how many events the SAME user fired of the SAME type in
+    * [t-3599, t] seconds (burst/rate-limit audit). RANGE (value-based)
+    * framing, not ROWS: all rows at equal tsec are in-frame regardless
+    * of physical order, so ties need no id tie-break to be
+    * deterministic. Partitioned by (user_id, event_type) — high
+    * cardinality, skew-free; the frame evaluates in one pass over each
+    * sorted partition, never a time-range self-join.
+    */
+  def rangeFrameCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "event_type").orderBy("tsec")
+      .rangeBetween(-3599, Window.currentRow)
+    table(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), tsec.as("tsec"))
+      .withColumn("n_user_hour", count(lit(1)).over(w))
+      .orderBy("event_id")
+  }
+
   /** ev_daily_top_agg: the rank-per-group-keep-k relation re-expressed
     * with the custom TopKTagAgg aggregate instead of a window. The
     * window form exchanges every (day, type) row and SORTS each day

@@ -252,6 +252,24 @@ class EventWindowsSpec extends SparkSpec {
     assert(rows === Seq((0L, "click", 3L, 1L), (0L, "view", 1L, 2L)))
   }
 
+  test("range frame: trailing hour is value-based — equal timestamps all in-frame") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "events", Seq(
+      (1L, ns(0), 1L, "click", 1.0, "p"),
+      (2L, ns(1800), 1L, "click", 1.0, "p"),
+      (3L, ns(3599), 1L, "click", 1.0, "p"),  // still within 1's hour
+      (4L, ns(3600), 1L, "click", 1.0, "p"),  // 1 ages out; 2,3,4 in
+      (5L, ns(3600), 1L, "click", 1.0, "p"),  // equal ts: BOTH 4 and 5 count
+      (6L, ns(3600), 1L, "view", 1.0, "p"),   // other type: own frame
+      (7L, ns(3600), 2L, "click", 1.0, "p")   // other user: own frame
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val rows = EventWindows.rangeFrameCounts(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(rows === Map(1L -> 1L, 2L -> 2L, 3L -> 3L,
+      4L -> 4L, 5L -> 4L, 6L -> 1L, 7L -> 1L))
+  }
+
   test("TopKTagAgg twin equals the window form, including count ties") {
     import spark.implicits._
     val dir = tempSfDir()
