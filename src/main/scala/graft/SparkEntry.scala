@@ -329,6 +329,11 @@ object SparkEntry {
     // ingest-time decontamination: stream-static broadcast join of
     // arriving docs' shingles against the eval-set shingle table
     "stream_decontaminate" -> ((s, dir) => StreamingOps.streamDecontaminate(s, dir)),
+    // the streaming half of the daily-crawl cycle: arrivals sketch
+    // per-row and probe the PERSISTED band index stream-static —
+    // completely stateless (no watermark, no state store)
+    "stream_dedup_incremental" -> ((s, dir) =>
+      StreamingOps.streamIncrementalDedup(s, dir)),
 
     // BPE first-merge scoring: distinct-word compression -> weighted
     // adjacent-pair counts -> top-k (one tokenizer-training iteration)
@@ -512,20 +517,27 @@ object SparkEntry {
 
   /** One side of the incremental-dedup oracle (suffix o = existing
     * corpus, n = new batch): documents under `pred` -> exact-content
-    * representatives -> 3-shingles -> 16-slot minhash -> band keys with
-    * the self-describing `band|run` prefix (mirror of Dedup.bandKeys).
+    * representatives (skipped when collapse=false — the streaming probe
+    * side, where every ARRIVAL probes) -> 3-shingles -> 16-slot minhash
+    * -> band keys with the self-describing `band|run` prefix (mirror of
+    * Dedup.bandKeys).
     */
-  private def incSideCtes(sfx: String, pred: String): String =
+  private def incSideCtes(sfx: String, pred: String,
+                          collapse: Boolean = true): String = {
+    val repCte = if (collapse)
+      s"""rep_$sfx AS (
+         |  SELECT min(doc_id) AS doc_id
+         |  FROM (SELECT doc_id,
+         |          md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS ck
+         |        FROM d_$sfx)
+         |  GROUP BY ck),
+         |""".stripMargin
+    else ""
+    val repFilter = if (collapse) s" WHERE doc_id IN (SELECT doc_id FROM rep_$sfx)" else ""
     s"""d_$sfx AS (SELECT doc_id, text FROM documents WHERE $pred),
-       |rep_$sfx AS (
-       |  SELECT min(doc_id) AS doc_id
-       |  FROM (SELECT doc_id,
-       |          md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS ck
-       |        FROM d_$sfx)
-       |  GROUP BY ck),
-       |toks_$sfx AS (
+       |${repCte}toks_$sfx AS (
        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
-       |  FROM d_$sfx WHERE doc_id IN (SELECT doc_id FROM rep_$sfx)),
+       |  FROM d_$sfx$repFilter),
        |sh_$sfx AS (
        |  SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS shingle
        |  FROM toks_$sfx, UNNEST(range(0, len(toks) - 2)) AS u(i)
@@ -538,6 +550,7 @@ object SparkEntry {
        |  SELECT doc_id,
        |    (i // 4)::VARCHAR || '|' || string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
        |  FROM sig_$sfx GROUP BY doc_id, (i // 4))""".stripMargin
+  }
 
   /** IVF probe replay (mirror of Similarity.ivfAnn AND ivfIndexed —
     * the indexed variant persists the identical assignment, so one
@@ -1623,6 +1636,25 @@ object SparkEntry {
          |SELECT f.band, f.n_folded, r.n_rebuild,
          |  (f.n_folded - r.n_rebuild)::BIGINT AS n_redundant
          |FROM f JOIN r USING (band) ORDER BY band""".stripMargin,
+    // streaming probe replay: index side rep-collapsed (built by the
+    // batch half), probe side NOT collapsed — every arriving doc probes;
+    // the ingest asymmetry stated exactly
+    "stream_dedup_incremental" ->
+      s"""WITH ${incSideCtes("o", "doc_id % 10 <> 0")},
+         |${incSideCtes("n", "doc_id % 10 = 0", collapse = false)},
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id AS doc_new, o.doc_id AS doc_idx
+         |  FROM band_n n JOIN band_o o ON n.sig = o.sig),
+         |est AS (
+         |  SELECT c.doc_new, c.doc_idx,
+         |    sum(CASE WHEN sn.mh = so.mh THEN 1 ELSE 0 END)::DOUBLE / 16 AS est_jaccard
+         |  FROM cand c
+         |  JOIN sig_n sn ON sn.doc_id = c.doc_new
+         |  JOIN sig_o so ON so.doc_id = c.doc_idx AND so.i = sn.i
+         |  GROUP BY c.doc_new, c.doc_idx)
+         |SELECT doc_new, doc_idx, est_jaccard FROM est
+         |WHERE est_jaccard >= 0.5
+         |ORDER BY doc_new, doc_idx""".stripMargin,
     // incremental probe replay: both sides' representative collapse,
     // sketches and band keys recomputed from scratch over the SAME mod-10
     // split, pairs = band-key matches scored by 16-slot agreement — the

@@ -389,6 +389,60 @@ object StreamingOps {
       .orderBy("doc_id")
   }
 
+  /** stream_dedup_incremental: ingest-time probe of the PERSISTED band
+    * signature index — the streaming half of the daily-crawl cycle
+    * (batch builds/folds the index: dedup_incremental /
+    * dedup_index_refresh; this flags arrivals against it in flight).
+    * Arriving docs sketch per row with the native MinHashArrayExpr,
+    * derive band keys as narrow array expressions, stream-STATIC join
+    * the bucketed index, and score by per-row zip_with — COMPLETELY
+    * STATELESS: no watermark, no state store, nothing grows with stream
+    * length; the static side broadcasts per micro-batch. A pair that
+    * matches in several bands emits per band; the collapse to one row
+    * per pair is a per-micro-batch distinct in the production
+    * foreachBatch sink (reader-side here), never cross-batch state.
+    *
+    * Every ARRIVING doc probes (no representative collapse — ingest
+    * can't see the batch), while the index side is rep-collapsed by
+    * construction; the oracle states exactly that asymmetry.
+    */
+  def streamIncrementalDedup(spark: SparkSession, sfDir: String,
+                             mod: Int = 10, k: Int = 16, bands: Int = 4,
+                             minEst: Double = 0.5): DataFrame = {
+    val r = k / bands
+    // the harness builds the "yesterday" index in-query so the run is
+    // self-contained; production reads the table the batch job owns
+    graft.ops.Dedup.buildMinHashIndex(spark,
+      graft.GraftSession.table(spark, sfDir, "documents")
+        .filter(col("doc_id") % mod =!= 0),
+      "graft_minhash_index_stream",
+      s"${System.getProperty("java.io.tmpdir")}/graft-minhash-index-stream",
+      3, k, bands)
+    val idx = spark.table("graft_minhash_index_stream")
+      .select(col("doc_id").as("doc_idx"), col("sig"), col("sigs").as("sigs_idx"))
+    val sk = graft.functions.ShingleColumns.minhashArray(col("shingles"), k)
+    val probed = harnessDocStream(spark, sfDir)
+      .filter(col("doc_id") % mod === 0)
+      .select(col("doc_id").as("doc_new"),
+        graft.functions.ShingleColumns.wordShingles(col("text"), 3).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_new"), sk.as("sigs_new"))
+      .select(col("doc_new"), col("sigs_new"),
+        explode(array((0 until bands).map(b =>
+          concat(lit(b.toString), lit("|"),
+            array_join(transform(slice(col("sigs_new"), b * r + 1, r),
+              _.cast("string")), ","))): _*)).as("sig"))
+      .join(idx, Seq("sig"))
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sigs_new"), col("sigs_idx"), (x, y) => x === y),
+          a => a)) / lit(k))
+      .filter(col("est_jaccard") >= minEst)
+      .select("doc_new", "doc_idx", "est_jaccard")
+    runToBatch(spark, probed, "stream_dedup_incremental", OutputMode.Append())
+      .distinct() // multi-band matches collapse per batch, not in state
+      .orderBy("doc_new", "doc_idx")
+  }
+
   /** Stream-STREAM interval join — the remaining first-class Structured
     * Streaming shape (joins so far were stream-to-static): every
     * purchase joined to EVERY view by the same user in the preceding

@@ -218,6 +218,22 @@ class StreamingSpec extends SparkSpec {
     assert(fuzzyB === fuzzyU && fuzzyB.size === 2)
   }
 
+  test("streaming incremental probe flags arrivals against the persisted index") {
+    import spark.implicits._
+    val sfDir = tempSfDir()
+    // existing corpus (% 10 != 0): docs 1, 2; arrivals (% 10 == 0):
+    // 10 is an exact copy of 1, 20 matches nothing
+    writeTable(sfDir, "documents", Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "s", 35L),
+      (2L, "one two three four five six seven", "en", "s", 33L),
+      (10L, "alpha beta gamma delta epsilon zeta", "en", "s", 35L),
+      (20L, "completely novel text with fresh words", "en", "s", 38L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val got = StreamingOps.streamIncrementalDedup(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got === Seq((10L, 1L, 1.0)), s"got $got")
+  }
+
   test("streaming decontamination flags docs overlapping the eval set") {
     import spark.implicits._
     val sfDir = tempSfDir()
