@@ -57,6 +57,11 @@ object Multimodal {
     table(spark, sfDir, "documents")
       .filter(col("doc_id") % 2 === 0)
       .select(col("doc_id").as("id")).as[Long]
+      // the id list is a few KB of parquet -> ONE input split, which
+      // would serialize every downstream encode/decode chain onto one
+      // core; spread the ids across the session width BEFORE the
+      // CPU-heavy codec stages (the exchange moves only bare longs)
+      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions(ids => ids.map(id => ImageRow(id, encodePng(id))))
       .toDF()
   }
