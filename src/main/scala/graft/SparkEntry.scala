@@ -228,6 +228,11 @@ object SparkEntry {
     // the stored bucketed index, audited per band against a full
     // rebuild — the redundancy is exactly the cross-split content dups
     "dedup_index_refresh" -> ((s, dir) => Dedup.indexRefreshAudit(s, dir)),
+    // the maintenance step the refresh audit prices out: rewrite the
+    // folded index keeping global representatives only — a semi-join of
+    // STORED rows against the rep-id set, no re-sketch; compacted row
+    // count must equal a from-scratch rebuild's
+    "dedup_index_compact" -> ((s, dir) => Dedup.indexCompactAudit(s, dir)),
     "dedup_simhash" -> ((s, dir) => Dedup.simHashPairs(s, dir)),
     "dedup_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(s, dir)),
     // threshold 400 (not the production 990): the synthetic corpus has no
@@ -1619,6 +1624,22 @@ object SparkEntry {
          |SELECT doc_a, doc_b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // compaction replay: folded = per-side band keys unioned; compacted
+    // = the global-rep rebuild count (the semi-join keeps exactly the
+    // rows a from-scratch rebuild would produce)
+    "dedup_index_compact" ->
+      s"""WITH ${incSideCtes("o", "doc_id % 10 <> 0")},
+         |${incSideCtes("n", "doc_id % 10 = 0")},
+         |${incSideCtes("g", "TRUE")},
+         |folded AS (SELECT sig FROM band_o UNION ALL SELECT sig FROM band_n),
+         |f AS (
+         |  SELECT split_part(sig, '|', 1)::BIGINT AS band, count(*)::BIGINT AS n_folded
+         |  FROM folded GROUP BY 1),
+         |c AS (
+         |  SELECT split_part(sig, '|', 1)::BIGINT AS band, count(*)::BIGINT AS n_compacted
+         |  FROM band_g GROUP BY 1)
+         |SELECT f.band, f.n_folded, c.n_compacted
+         |FROM f JOIN c USING (band) ORDER BY band""".stripMargin,
     // fold-in audit replay: folded = per-side band keys unioned (what
     // build-then-append produces), rebuild = band keys over the GLOBAL
     // representative collapse; redundancy = cross-split content dups

@@ -316,6 +316,45 @@ object Dedup {
       .orderBy("band")
   }
 
+  /** dedup_index_compact: the maintenance step the refresh audit prices
+    * out — periodically rewrite the folded index keeping only GLOBAL
+    * exact-content representatives, reclaiming the cross-split
+    * redundancy daily fold-ins accumulate. The compacted row set equals
+    * a from-scratch rebuild EXACTLY (the global rep of each content is
+    * one of the per-side reps and identical content sketches
+    * identically), but compaction computes it with a semi-join of the
+    * STORED index against the (small) global rep-id set — no re-shingle,
+    * no re-sketch of anything. Output: (band, n_folded, n_compacted),
+    * where n_compacted must equal the rebuild count the oracle derives
+    * independently.
+    */
+  def indexCompactAudit(spark: SparkSession, sfDir: String,
+                        mod: Int = 10, shingleN: Int = 3, k: Int = 16,
+                        bands: Int = 4, nBuckets: Int = 8): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-minhash-index-compact"
+    buildMinHashIndex(spark, docs.filter(col("doc_id") % mod =!= 0),
+      "graft_minhash_index_compact", base, shingleN, k, bands, "md5", nBuckets)
+    graft.sources.Bucketed.appendBucketed(spark,
+      bandKeys(shingles(representatives(docs.filter(col("doc_id") % mod === 0)),
+        shingleN), k, bands, "md5"),
+      "graft_minhash_index_compact", "sig", nBuckets)
+    val folded = spark.table("graft_minhash_index_compact")
+    // the global rep-id set: |distinct contents| ids — tiny next to the
+    // index, and derivable from the exact rung's map without any sketch
+    val globalReps = representatives(docs).select("doc_id")
+    val compacted = folded.join(globalReps, Seq("doc_id"), "left_semi")
+    graft.sources.Bucketed.writeBucketed(spark, compacted,
+      "graft_minhash_index_compacted", s"$base-out", "sig", nBuckets)
+    def perBand(sigs: DataFrame, as: String): DataFrame = sigs
+      .select(split(col("sig"), "\\|").getItem(0).cast("long").as("band"))
+      .groupBy("band").agg(count(lit(1)).as(as))
+    perBand(folded, "n_folded")
+      .join(perBand(spark.table("graft_minhash_index_compacted"), "n_compacted"),
+        Seq("band"))
+      .orderBy("band")
+  }
+
   /** 3. SimHash (32-bit): per bit j, sum +-1 weighted by shingle-hash bit
     * j over the doc's shingles; simhash bit j = (weight > 0). Computed in
     * ONE aggregation by SimHashSketchAgg (a TypedImperativeAggregate over

@@ -114,6 +114,31 @@ class PersistedIndexSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_minhash_index_refresh")
   }
 
+  test("index compaction: global-rep semi-join reclaims exactly the cross-split dups") {
+    import spark.implicits._
+    val sfDir = tempSfDir()
+    val X = "alpha beta gamma delta"
+    val Y = "one two three four"
+    val Z = "totally different content here"
+    writeTable(sfDir, "documents", Seq(
+      (1L, X), (2L, Y), (10L, X), (30L, Z) // X spans the split
+    ).toDF("doc_id", "text"))
+    val audit = Dedup.indexCompactAudit(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // folded keeps both reps of X (1 and 10); compaction keeps only the
+    // global rep (1): 4 -> 3 rows per band
+    assert(audit === (0L until 4L).map(b => (b, 4L, 3L)))
+    // the compacted table answers probes identically to a fresh build:
+    // probe content X and find rep 1, not the reclaimed copy 10
+    val probe = Dedup.probeMinHashIndex(
+      spark.table("graft_minhash_index_compacted"),
+      Seq((100L, X)).toDF("doc_id", "text"))
+    val pairs = probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((100L, 1L)))
+    spark.sql("DROP TABLE IF EXISTS graft_minhash_index_compact")
+    spark.sql("DROP TABLE IF EXISTS graft_minhash_index_compacted")
+  }
+
   test("ivfIndexed answers match the recompute-per-query ivfAnn exactly") {
     val sfDir = "/root/testdata/sf0.001"
     val fresh = Similarity.ivfAnn(spark, sfDir).collect().toSeq
