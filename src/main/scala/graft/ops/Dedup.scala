@@ -611,14 +611,25 @@ object Dedup {
       .distinct()
       .withColumn("label", col("doc_id"))
       .persist()
+    // convergence via the LABEL-SUM invariant, not a join back to the
+    // previous round: labels are non-increasing per node (the self-loop
+    // folds "own label" into the min), so the total sum strictly
+    // decreases iff ANY label changed. One scalar aggregate over the
+    // freshly persisted table replaces a whole join+filter+count per
+    // round, and the round still references the label table exactly
+    // once (the linear-lineage requirement — see above). DECIMAL(38,0)
+    // so 1e12 nodes x 1e12 ids cannot overflow the sum.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label")).cast("decimal(38,0)")).head().getDecimal(0)
     // `pinned` tracks the PERSISTED dataset handle: unpersist is
     // non-cascading and matches by plan, so calling it on a Project OVER
     // the persisted plan would be a no-op and leak one cached label
     // table per round (ADVICE r4).
     var pinned = labels
-    var changed = 1L
+    var prevSum = labelSum(labels) // also materializes the persist
+    var changed = true
     var it = 0
-    while (changed > 0 && it < maxIters) {
+    while (changed && it < maxIters) {
       // self-loops make the min cover the node's own label, and give
       // every node a matching edge row — no left join needed
       val upd = edges
@@ -627,22 +638,19 @@ object Dedup {
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("dst_label")).as("label"))
         .persist()
-      // convergence check against the PREVIOUS (persisted) round; this
-      // count's plan is executed and discarded — it never joins the
-      // label lineage, so the double reference here is rendering-safe
-      changed = upd
-        .join(labels.withColumnRenamed("label", "prev"), Seq("doc_id"))
-        .filter(col("label") < col("prev")).count() // materializes upd
+      val newSum = labelSum(upd) // materializes upd
+      changed = newSum.compareTo(prevSum) != 0
+      prevSum = newSum
       pinned.unpersist()
       pinned = upd
       labels = upd
       it += 1
     }
-    if (changed > 0)
+    if (changed)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds " +
-          s"($changed labels still changing) — partially-propagated cluster " +
-          "ids would be silently wrong; raise maxIters for graphs with " +
+          "(labels still changing) — partially-propagated cluster ids " +
+          "would be silently wrong; raise maxIters for graphs with " +
           s"diameter > $maxIters")
     // flatten the result so the last persisted table can be released now
     // rather than held for the caller's (lazy) lifetime
