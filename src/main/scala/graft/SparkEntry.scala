@@ -266,6 +266,11 @@ object SparkEntry {
     // scan, no Exchange on the index side — SimilaritySpec pins it);
     // same quantizer as sim_ivf so the same oracle replays the result
     "sim_ivf_indexed" -> ((s, dir) => Similarity.ivfIndexed(s, dir)),
+    // the index GROWS: new vectors assign against the stored day-one
+    // quantizer and APPEND to the bucketed posting lists — per-vector
+    // assignment is independent, so grown == rebuilt and the same
+    // oracle replays the probe
+    "sim_ivf_grow" -> ((s, dir) => Similarity.ivfIndexedGrow(s, dir)),
     // exact ground-truth verifier, quadratic BY DESIGN: the sample is a
     // FIXED absolute size (500 smallest vec_ids -> <=124,750 pairs), so
     // 100x the corpus cannot re-quadratize it
@@ -1809,6 +1814,8 @@ object SparkEntry {
     // the stored table — same quantizer, same parameters, so the same
     // replay is the oracle (the INDEX is what changed, not the answer)
     "sim_ivf_indexed" -> ivfOracle,
+    // grown-incrementally index: same assignment, same probe, same oracle
+    "sim_ivf_grow" -> ivfOracle,
     // ANN recall gate: brute-force truth, LSH and IVF top-10 replayed,
     // hits counted per method — integers, so the compare is exact
     "sim_recall" ->

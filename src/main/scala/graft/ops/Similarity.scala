@@ -313,6 +313,39 @@ object Similarity {
     probeIndex(probes, spark.table("graft_ivf_index"), k)
   }
 
+  /** sim_ivf_grow: the ANN index GROWS incrementally, mirroring the
+    * dedup index's daily cycle — the coarse quantizer is a fixed day-one
+    * artifact, the existing corpus's cell assignments are written
+    * bucketed once, and each new batch assigns ONLY its own vectors
+    * against the broadcast centroids and APPENDS to the stored posting
+    * lists (per-vector assignment is independent, so grown == rebuilt
+    * row-for-row and `sim_ivf`'s oracle replays the probe unchanged).
+    * Per-day cost scales with the batch; the corpus is never
+    * re-assigned. Quantizer drift over many days is the compaction
+    * trigger: retrain + one full rebuild, then resume appending.
+    */
+  def ivfIndexedGrow(spark: SparkSession, sfDir: String,
+                     centroidMod: Int = 50, nprobe: Int = 2, k: Int = 10,
+                     mod: Int = 10): DataFrame = {
+    val emb = embeddings(spark, sfDir)
+    val cent = emb.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-index-grow"
+    graft.sources.Bucketed.writeBucketed(spark,
+      assignCells(emb.filter(col("vec_id") % mod =!= 0), broadcast(cent))
+        .select("cell", "vec_id", "v"),
+      "graft_ivf_index_grow", base, "cell", 8)
+    graft.sources.Bucketed.appendBucketed(spark,
+      assignCells(emb.filter(col("vec_id") % mod === 0), broadcast(cent))
+        .select("cell", "vec_id", "v"),
+      "graft_ivf_index_grow", "cell", 8)
+    val probes = probeCells(
+      emb.filter(col("vec_id") % centroidMod === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv")),
+      broadcast(cent), nprobe)
+    probeIndex(probes, spark.table("graft_ivf_index_grow"), k)
+  }
+
   /** IVF with a TRAINED coarse quantizer: the strided seeds of `ivfAnn`
     * refined by `rounds` Lloyd iterations, then the identical
     * assign/probe/re-rank plan (ivfTopK). Each round is one broadcast

@@ -147,6 +147,15 @@ class PersistedIndexSpec extends SparkSpec {
     assert(stored.nonEmpty)
   }
 
+  test("ivfIndexedGrow: build-then-append answers match the full rebuild exactly") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rebuilt = Similarity.ivfAnn(spark, sfDir).collect().toSeq
+    val grown = Similarity.ivfIndexedGrow(spark, sfDir).collect().toSeq
+    assert(grown === rebuilt)
+    assert(grown.nonEmpty)
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_index_grow")
+  }
+
   test("ivf posting-list probe join plans with no Exchange on the index side") {
     import spark.implicits._
     // the index table was written by the previous test's ivfIndexed run
