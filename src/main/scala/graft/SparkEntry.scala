@@ -96,6 +96,10 @@ object SparkEntry {
     // set-operation family: churned/retained/new customer segments via
     // EXCEPT / INTERSECT over distinct year-activity key sets
     "rel_churn" -> ((s, dir) => Relational.customerChurnSetOps(s, dir)),
+    // SCD2 dimension build from a changelog: gaps-and-islands run
+    // collapse -> validity intervals, one shuffle, shared window
+    // partitioning throughout
+    "rel_scd2" -> ((s, dir) => Relational.scd2StatusDim(s, dir)),
     // declarative constraint audit: six rules (unique/positive/range/
     // domain/FK), one fused aggregate pass per table + anti-join count
     "rel_dq_audit" -> ((s, dir) => Relational.dqAudit(s, dir)),
@@ -203,8 +207,21 @@ object SparkEntry {
     // top-3 characteristic terms per doc by TF-IDF (exact-rational
     // integer idf — cross-engine deterministic, no float log)
     "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(s, dir)),
+    // deny-list redaction with audit: blocklisted tokens masked per row
+    // (no shuffle), scrubbed text proven by md5
+    "text_scrub" -> ((s, dir) => TextAnalysis.scrubDocs(s, dir)),
+    // hashed linear quality classifier (fastText-style stand-in): score
+    // is one array fold per row — the model-based filter rung above the
+    // gopher heuristics
+    "text_classifier" -> ((s, dir) => TextAnalysis.classifierScore(s, dir)),
     // —— deduplication ladder ——
     "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
+    // exact-substring duplication report: per-doc fraction of 8-token
+    // windows shared with ANY other doc — overlap at every alignment
+    // (passage dedup only sees fixed-aligned blocks); windows hashed to
+    // 60 bits before the shuffle, document frequency via one
+    // count-over-partition pass, no self-join
+    "dedup_substring" -> ((s, dir) => Dedup.substringDupReport(s, dir)),
     // passage-level dedup (C4 "line dedup"): first occurrence of each
     // 32-token passage wins via argmin aggregation — no self-join, so a
     // million-copy boilerplate passage never materializes a pair
@@ -283,6 +300,15 @@ object SparkEntry {
     "sim_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
     // per-label centroid stats (order-independent integer accumulation)
     "emb_label_centroids" -> ((s, dir) => Similarity.labelCentroids(s, dir)),
+    // SemDeDup: semantic dedup scoped to IVF cells — near-copies prune
+    // WITHIN a coarse cluster only (quadratic in cell size, never in
+    // corpus size); bit-identical vectors collapse to representatives
+    // before pairing (the emb_exact_dups guard)
+    "sim_semdedup" -> ((s, dir) => Similarity.semDedup(s, dir)),
+    // product-quantization audit: sign-pattern codebooks (deterministic
+    // one-step training), per-subspace reconstruction error — the
+    // vector-compression rung beyond scalar int8 (sim_quantize)
+    "sim_pq" -> ((s, dir) => Similarity.pqAudit(s, dir)),
     // —— multimodal columns ——
     "mm_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
     "mm_frames" -> ((s, dir) => Multimodal.sampleFrames(s, dir)),
@@ -2376,6 +2402,128 @@ object SparkEntry {
     // two-phase exact distinct: same relation as COUNT(DISTINCT)
     "ev_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // deny-list scrub: token-level mask + audit counts; scrubbed text
+    // compared by md5 (the chunkDocs pattern)
+    "text_scrub" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(toks)::BIGINT AS n_tokens,
+        |  len(list_filter(toks, t -> t IN ('customer', 'spark', 'vector')))::BIGINT AS n_redacted,
+        |  md5(array_to_string(list_transform(toks,
+        |    t -> CASE WHEN t IN ('customer', 'spark', 'vector') THEN '[REDACTED]' ELSE t END),
+        |    ' ')) AS redacted_md5
+        |FROM toks ORDER BY doc_id""".stripMargin,
+    // hashed linear classifier: weight(token) = h60('w:'||token) % 1001
+    // - 500, score = sum over token occurrences — pure integer math
+    "text_classifier" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+         |  FROM documents)
+         |SELECT doc_id,
+         |  len(toks)::BIGINT AS n_tokens,
+         |  coalesce(list_sum(list_transform(toks,
+         |    t -> ${h60("'w:' || t")} % 1001 - 500)), 0)::BIGINT AS score,
+         |  coalesce(list_sum(list_transform(toks,
+         |    t -> ${h60("'w:' || t")} % 1001 - 500)), 0) >= 0 AS kept
+         |FROM toks ORDER BY doc_id""".stripMargin,
+    // exact-substring duplication report: 8-token windows hashed to 60
+    // bits, window document frequency, per-doc duplicated fraction
+    "dedup_substring" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    ${h60("array_to_string(toks[i+1:i+8], ' ')")} AS w
+         |  FROM toks, UNNEST(range(0, len(toks) - 7)) AS u(i)
+         |  WHERE len(toks) >= 8),
+         |df AS (SELECT w, count(*)::BIGINT AS n_docs FROM sh GROUP BY w)
+         |SELECT s.doc_id, count(*)::BIGINT AS n_windows,
+         |  sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_windows,
+         |  ((1000 * sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT) // count(*))::BIGINT AS dup_milli
+         |FROM sh s JOIN df f USING (w)
+         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+    // SemDeDup replay: representative collapse, ivf cell assignment
+    // (same strided quantizer as sim_ivf), within-cell pairs at
+    // cos_milli >= 400, keeper = smallest qualifying same-cell id
+    "sim_semdedup" ->
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |vreps AS (SELECT min(vec_id) AS vec_id FROM emb GROUP BY v),
+         |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0),
+         |remb AS (SELECT * FROM emb WHERE vec_id IN (SELECT vec_id FROM vreps)),
+         |scored AS (
+         |  SELECT e.vec_id, e.v, c.c_id, ${cosMilli("e.v", "c.cv")} AS cs
+         |  FROM remb e CROSS JOIN cent c),
+         |assigned AS (
+         |  SELECT vec_id, v, c_id AS cell FROM (
+         |    SELECT vec_id, v, c_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id ASC) AS ark
+         |    FROM scored) WHERE ark = 1),
+         |pairs AS (
+         |  SELECT a.cell, b.vec_id AS vec_id, a.vec_id AS a_id,
+         |    ${cosMilli("a.v", "b.v")} AS cs
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |qual AS (SELECT * FROM pairs WHERE cs >= 400),
+         |sel AS (
+         |  SELECT vec_id, cell, a_id, cs,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY a_id ASC, cs ASC) AS rk
+         |  FROM qual)
+         |SELECT vec_id, cell, a_id AS keeper_id, cs AS cos_milli
+         |FROM sel WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+    // PQ replay: sign-pattern codes per 8-dim subspace, per-(sub, code,
+    // dim) exact-floor-division means, per-subspace |err| rollup
+    "sim_pq" ->
+      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |comps AS (
+        |  SELECT vec_id, d, d // 8 AS sub,
+        |    floor(v[(d + 1)::INT] * 1000000)::BIGINT AS xm
+        |  FROM emb, UNNEST(range(0, 64)) AS u(d)),
+        |codes AS (
+        |  SELECT vec_id, sub,
+        |    sum(CASE WHEN xm >= 0 THEN (1 << (d % 8)) ELSE 0 END)::BIGINT AS code
+        |  FROM comps GROUP BY vec_id, sub),
+        |cb AS (
+        |  SELECT c.sub, k.code, c.d, count(*)::BIGINT AS n, sum(c.xm)::BIGINT AS s
+        |  FROM comps c JOIN codes k ON k.vec_id = c.vec_id AND k.sub = c.sub
+        |  GROUP BY c.sub, k.code, c.d),
+        |cbm AS (
+        |  SELECT sub, code, d, (s - ((s % n + n) % n)) // n AS cm FROM cb),
+        |err AS (
+        |  SELECT c.sub, k.code, c.vec_id, abs(c.xm - m.cm) AS e
+        |  FROM comps c
+        |  JOIN codes k ON k.vec_id = c.vec_id AND k.sub = c.sub
+        |  JOIN cbm m ON m.sub = c.sub AND m.code = k.code AND m.d = c.d)
+        |SELECT sub::BIGINT AS sub, count(DISTINCT code)::BIGINT AS n_codes_used,
+        |  count(DISTINCT vec_id)::BIGINT AS n_vecs,
+        |  sum(e)::BIGINT AS sum_abs_err_micros, max(e)::BIGINT AS max_abs_err_micros
+        |FROM err GROUP BY sub ORDER BY sub""".stripMargin,
+    // SCD2 replay: change flag -> running-sum run id -> interval rows,
+    // current version closed at the 9999-12-31 sentinel (epoch micros)
+    "rel_scd2" ->
+      """WITH ev AS (
+        |  SELECT o_custkey AS custkey, o_orderkey, epoch_us(o_orderdate) AS t,
+        |    o_orderstatus AS status
+        |  FROM orders),
+        |runs AS (
+        |  SELECT *, CASE WHEN lag(status) OVER w IS NULL
+        |    OR lag(status) OVER w <> status THEN 1 ELSE 0 END AS chg
+        |  FROM ev WINDOW w AS (PARTITION BY custkey ORDER BY t, o_orderkey)),
+        |grps AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY custkey ORDER BY t, o_orderkey
+        |    ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM runs),
+        |v AS (
+        |  SELECT custkey, grp, min(status) AS status, min(t)::BIGINT AS valid_from,
+        |    count(*)::BIGINT AS n_orders
+        |  FROM grps GROUP BY custkey, grp)
+        |SELECT custkey, grp::BIGINT AS version, status, valid_from,
+        |  coalesce(lead(valid_from) OVER (PARTITION BY custkey ORDER BY grp),
+        |    253402214400000000)::BIGINT AS valid_to,
+        |  n_orders
+        |FROM v ORDER BY custkey, version""".stripMargin
   )
 }

@@ -883,6 +883,41 @@ object Dedup {
     d.map("%02x".format(_)).mkString
   }
 
+  /** dedup_substring: exact-substring duplication report — for every
+    * document, what fraction of its n-token windows also appears in
+    * ANOTHER document (the per-doc signal behind suffix-array substring
+    * dedup, Lee et al. 2022 "Deduplicating Training Data": long shared
+    * spans mark boilerplate/mirrored content even when whole documents
+    * differ). Passage dedup (`passageDedup`) removes FIXED-ALIGNED
+    * blocks; this rung measures overlap at EVERY alignment.
+    *
+    * Scale shape: windows are hashed to 60-bit integers before the
+    * shuffle (the string leaves the plan immediately), window
+    * document-frequency comes from a count-over-partition window on the
+    * hash — ONE pass over the shingle stream, no self-join — then one
+    * doc-keyed aggregate. Both shuffles carry (doc_id, hash) pairs
+    * only: linear in corpus token count at any scale, and hot windows
+    * (common phrases) cost a count, never a pairing. Exact duplicate
+    * documents intentionally participate (their spans ARE duplicated
+    * text); they cost group-size increments, not quadratic pairs.
+    *
+    * Output: (doc_id, n_windows, n_dup_windows, dup_milli) for docs
+    * with >= n tokens; dup_milli = floor(1000 * dup/total).
+    */
+  def substringDupReport(spark: SparkSession, sfDir: String,
+                         n: Int = 8): DataFrame = {
+    val sh = shingles(table(spark, sfDir, "documents"), n)
+      .select(col("doc_id"), h60(col("shingle")).as("w"))
+    val wdf = org.apache.spark.sql.expressions.Window.partitionBy("w")
+    sh.withColumn("n_docs", count(lit(1)).over(wdf))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("n_docs") >= 2L, 1L).otherwise(0L)).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        expr("(1000 * n_dup_windows) div n_windows").as("dup_milli"))
+      .orderBy("doc_id")
+  }
+
   def embeddingNearDups(spark: SparkSession, sfDir: String,
                         minCosMilli: Long = 990): DataFrame =
     Similarity.lshNearDupPairs(spark, sfDir, minCosMilli)

@@ -363,4 +363,43 @@ object Relational {
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spend"))
       .orderBy("c_nationkey")
   }
+
+  /** rel_scd2: slowly-changing-dimension (type 2) build from a
+    * changelog — the warehouse shape that turns an event stream of
+    * state changes into validity intervals. Orders play the changelog
+    * (customer x orderdate x status); consecutive equal states collapse
+    * into one version row [valid_from, valid_to) via gaps-and-islands
+    * (change flag -> running-sum group id), the current version closes
+    * at the 9999-12-31 sentinel. All windows share ONE partitioning
+    * (custkey) and one total order (t, orderkey), so the whole build is
+    * a single shuffle + per-key sorts — per-customer history is tiny,
+    * so no skew; at 100 TB the changelog shuffle is the floor any SCD2
+    * build pays. Timestamps are epoch micros end-to-end (exact on both
+    * engines).
+    *
+    * Output: (custkey, version, status, valid_from, valid_to, n_orders).
+    */
+  def scd2StatusDim(spark: SparkSession, sfDir: String): DataFrame = {
+    val wSeq = Window.partitionBy("custkey")
+      .orderBy(col("t").asc, col("o_orderkey").asc)
+    val wRun = wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wVer = Window.partitionBy("custkey").orderBy(col("grp").asc)
+    val sentinel = 253402214400000000L // epoch micros of 9999-12-31T00:00Z
+    table(spark, sfDir, "orders")
+      .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
+        col("o_orderstatus").as("status"))
+      .withColumn("chg",
+        when(lag(col("status"), 1).over(wSeq).isNull
+          || lag(col("status"), 1).over(wSeq) =!= col("status"), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("chg")).over(wRun))
+      .groupBy("custkey", "grp")
+      .agg(min(col("status")).as("status"), // constant within a run
+        min(col("t")).as("valid_from"), count(lit(1)).as("n_orders"))
+      .select(col("custkey"), col("grp").as("version"), col("status"),
+        col("valid_from"),
+        coalesce(lead(col("valid_from"), 1).over(wVer), lit(sentinel)).as("valid_to"),
+        col("n_orders"))
+      .orderBy("custkey", "version")
+  }
 }

@@ -508,4 +508,106 @@ object Similarity {
         array_max(col("errs")).as("max_err_micros"))
       .orderBy("vec_id")
   }
+
+  /** sim_semdedup: SEMANTIC dedup — drop every vector that has a
+    * sufficiently-cosine-similar, smaller-id neighbor in its own coarse
+    * cell (SemDeDup, Abbas et al. 2023: cluster, then prune near-copies
+    * WITHIN clusters only — never across the corpus). Reuses the IVF
+    * quantizer (`assignCells`, same strided centroids as sim_ivf), so
+    * the cluster structure is the one the ANN family already pays for.
+    *
+    * Scale shape: the within-cell self-join is quadratic in CELL size,
+    * not corpus size — the centroid count grows with the corpus
+    * (vec_id % centroidMod keeps expected cell size ~centroidMod
+    * regardless of N), so per-cell work is bounded by design. Two
+    * guards make that hold on a dup-heavy crawl: bit-identical vectors
+    * collapse to one representative BEFORE pairing
+    * (`vectorRepresentatives` — copies would otherwise inflate a cell
+    * quadratically), and the pair join runs on the cell key where AQE
+    * splits any residual hot cell. Dropped copies are reported by
+    * emb_exact_dups; this rung prunes DISTINCT-but-semantically-equal
+    * vectors the exact rung cannot see.
+    *
+    * Output: one row per dropped representative — (vec_id, cell,
+    * keeper_id, cos_milli to that keeper); keeper is the smallest
+    * qualifying same-cell id, ties on cosine broken by id.
+    */
+  def semDedup(spark: SparkSession, sfDir: String,
+               centroidMod: Int = 50, tauMilli: Long = 400): DataFrame = {
+    val emb = embeddings(spark, sfDir)
+    val cent = emb.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val assigned = assignCells(vectorRepresentatives(emb), broadcast(cent))
+    val a = assigned.select(col("cell"), col("vec_id").as("a_id"), col("v").as("av"))
+    val b = assigned.select(col("cell"), col("vec_id").as("b_id"), col("v").as("bv"))
+    a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("cell"), col("b_id").as("vec_id"), col("a_id"),
+        cosMilli(col("av"), col("bv")).as("cs"))
+      .filter(col("cs") >= tauMilli)
+      .groupBy(col("vec_id"), col("cell"))
+      .agg(min(struct(col("a_id").as("keeper_id"), col("cs"))).as("k"))
+      .select(col("vec_id"), col("cell"),
+        col("k.keeper_id").as("keeper_id"), col("k.cs").as("cos_milli"))
+      .orderBy("vec_id")
+  }
+
+  /** sim_pq: product-quantization audit — the ANN-compression rung
+    * beyond scalar int8 (`quantizeInt8Report`): split each 64-dim
+    * vector into 8 subvectors of 8 dims, code each subvector by its
+    * SIGN PATTERN (8 bits -> 256 codes per subspace — a deterministic
+    * one-step codebook: assignment is data-independent, centroids are
+    * the per-(subspace, code, dim) means), then report per-subspace
+    * reconstruction error. Production PQ k-means-trains the codebooks;
+    * the assignment/centroid/error plan is identical, only the
+    * assignment rule changes — and the sign rule keeps the whole audit
+    * exactly replayable (learned codebooks are why sim_ivf_kmeans is
+    * rows-only).
+    *
+    * Plan: codes are computed per row with higher-order functions (no
+    * shuffle); the codebook aggregation is ONE shuffle keyed by
+    * (subspace, code, dim) — at most 8*256*8 = 16k groups at ANY corpus
+    * size, so the codebook is always broadcastable back for the error
+    * join; the final per-subspace rollup is 8 groups with map-side
+    * partials. Means use the exact-floor-division pmod guard
+    * (labelCentroids pattern: component sums can be negative).
+    *
+    * Output: 8 rows — (sub, n_codes_used, n_vecs, sum_abs_err_micros,
+    * max_abs_err_micros).
+    */
+  def pqAudit(spark: SparkSession, sfDir: String,
+              nSub: Int = 8, subDim: Int = 8): DataFrame = {
+    val vm = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(1000000L)).cast("long"))
+    // per-subspace sign code: bit j of code(sub) set iff component
+    // sub*subDim+j is non-negative — one array fold per row, no shuffle
+    val codes = transform(sequence(lit(0), lit(nSub - 1)), s =>
+      aggregate(
+        zip_with(slice(col("vm"), s * subDim + 1, lit(subDim)),
+          sequence(lit(0), lit(subDim - 1)),
+          (x, j) => when(x >= 0L, pow(lit(2.0d), j.cast("double")).cast("long"))
+            .otherwise(lit(0L))),
+        lit(0L), (acc, bit) => acc + bit))
+    val comps = table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), vm.as("vm"))
+      .withColumn("codes", codes)
+      .select(col("vec_id"), posexplode(col("vm")).as(Seq("d", "xm")),
+        col("codes"))
+      .select(col("vec_id"), col("d").cast("long").as("d"), col("xm"),
+        (col("d").cast("long") / lit(subDim)).cast("long").as("sub"),
+        element_at(col("codes"), (col("d") / lit(subDim)).cast("int") + 1).as("code"))
+    val codebook = comps.groupBy("sub", "code", "d")
+      .agg(count(lit(1)).as("n"), sum(col("xm")).as("s"))
+      .select(col("sub"), col("code"), col("d"),
+        expr("(s - pmod(s, n)) div n").as("cm"))
+    comps.join(broadcast(codebook), Seq("sub", "code", "d"))
+      .select(col("sub"), col("code"), col("vec_id"),
+        abs(col("xm") - col("cm")).as("e"))
+      .groupBy("sub")
+      .agg(countDistinct(col("code")).as("n_codes_used"),
+        countDistinct(col("vec_id")).as("n_vecs"),
+        sum(col("e")).as("sum_abs_err_micros"),
+        max(col("e")).as("max_abs_err_micros"))
+      .orderBy("sub")
+  }
 }

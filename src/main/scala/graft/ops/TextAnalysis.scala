@@ -575,4 +575,67 @@ object TextAnalysis {
         OracleHash.h60(norm).as("fp_h60"))
       .orderBy("doc_id")
   }
+
+  /** Deny-list terms for `scrubDocs` — stands in for the curated
+    * blocklist (PII patterns, taboo terms, site boilerplate) a real
+    * pipeline redacts before training. Small by nature (10^2..10^5
+    * terms), so it ships to every executor whole — here as a literal
+    * set inside the codegen'd expression; a 10^5-term production list
+    * becomes a broadcast variable consulted by the same per-token
+    * transform, identical plan shape either way.
+    */
+  val denyTerms: Seq[String] = Seq("customer", "spark", "vector")
+
+  /** text_scrub: deny-list redaction with audit — every blocklisted
+    * token is replaced by a fixed mask and the document reports how
+    * much was removed. This is the REDACTION stage of a training
+    * pipeline (the filter stages drop whole documents; scrubbing
+    * repairs documents worth keeping). Pure per-row map — no shuffle,
+    * stays in whole-stage codegen — so it scales embarrassingly; the
+    * scrubbed text itself is proven by md5 rather than shipped
+    * (the chunkDocs pattern).
+    *
+    * Output: (doc_id, n_tokens, n_redacted, redacted_md5).
+    */
+  def scrubDocs(spark: SparkSession, sfDir: String,
+                deny: Seq[String] = denyTerms, mask: String = "[REDACTED]"): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val isDenied: Column => Column = t => t.isin(deny: _*)
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(filter(col("toks"), isDenied)).cast("long").as("n_redacted"),
+        md5(concat_ws(" ",
+          transform(col("toks"),
+            t => when(isDenied(t), lit(mask)).otherwise(t)))).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** text_classifier: hashed linear quality classifier — the
+    * model-based filter rung of the quality family (gopherRules is the
+    * heuristic rung; production pipelines run a fastText-style linear
+    * model next). Features are hashed unigrams, the weight of a token
+    * is a deterministic function of its hash (h60("w:"||token) mod 1001
+    * - 500 — a stand-in for trained weights; swapping in a real model
+    * is a broadcast (token, weight) map feeding the SAME per-row fold),
+    * and a document's score is the sum over token OCCURRENCES. The
+    * entire score is one array fold per row — no explode, no shuffle, a
+    * 100 TB corpus scores in a single embarrassingly-parallel pass.
+    *
+    * Output: (doc_id, n_tokens, score, kept) — kept mirrors the
+    * pipeline gate score >= 0.
+    */
+  def classifierScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val weight: Column => Column = t =>
+      OracleHash.h60(concat(lit("w:"), t)) % 1001L - 500L
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        aggregate(col("toks"), lit(0L), (acc, t) => acc + weight(t)).as("score"))
+      .withColumn("kept", col("score") >= 0L)
+      .orderBy("doc_id")
+  }
 }

@@ -281,4 +281,21 @@ class DedupSpec extends SparkSpec {
     assert(pairs((1L, 3L)) === 25L * 1000L / 31L)
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
+
+  test("substring report: per-doc duplicated-window fraction at every alignment") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", Seq(
+      (1L, "a b c d e f g h", "en", "s", 15L),       // 1 window, shared with 2
+      (2L, "a b c d e f g h i", "en", "s", 17L),     // windows at offsets 0 (shared), 1 (unique)
+      (3L, "p q r s t u v w", "en", "s", 15L),       // 1 window, unique
+      (4L, "too short", "en", "s", 9L)               // < 8 tokens: excluded
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = Dedup.substringDupReport(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows === Seq(
+      (1L, 1L, 1L, 1000L),
+      (2L, 2L, 1L, 500L),
+      (3L, 1L, 0L, 0L)))
+  }
 }

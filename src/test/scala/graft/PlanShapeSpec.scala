@@ -42,7 +42,10 @@ class PlanShapeSpec extends SparkSpec {
     val sanctioned = Set("sim_ivf", "sim_ivf_kmeans", "sim_ivf_indexed", "sim_recall",
       "urlcount_cms", "sql_cms", "emb_label_centroids",
       "sim_bruteforce", "sim_allpairs", "text_tfidf", "src_zorder",
-      "rel_dq_audit")
+      "rel_dq_audit",
+      // SemDeDup assigns cells through the same broadcast centroid
+      // cross join as sim_ivf; the pair join itself is cell-keyed
+      "sim_semdedup")
     val real = offenders.filterNot(o => sanctioned.exists(o.startsWith))
     assert(real.isEmpty, s"quadratic plan shapes found:\n${real.mkString("\n")}")
   }

@@ -150,4 +150,30 @@ class RelationalSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rows === Map("both" -> 1L, "order_only" -> 1L))
   }
+
+  test("scd2: consecutive equal states collapse; intervals chain to the sentinel") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    def day(d: Long) = new java.sql.Timestamp(d * 86400000L)
+    val us = 86400000000L // one day in epoch micros
+    writeTable(dir, "orders", Seq(
+      // customer 1: O@d0, O@d1, F@d2, O@d3 -> three versions
+      (1L, 1L, "O", 1.0, day(0), "p"),
+      (2L, 1L, "O", 1.0, day(1), "p"),
+      (3L, 1L, "F", 1.0, day(2), "p"),
+      (4L, 1L, "O", 1.0, day(3), "p"),
+      // customer 2: one state forever -> a single open version
+      (5L, 2L, "P", 1.0, day(5), "p")
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority"))
+    val sentinel = 253402214400000000L
+    val rows = Relational.scd2StatusDim(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(rows === Seq(
+      (1L, 1L, "O", 0L, 2L * us, 2L),
+      (1L, 2L, "F", 2L * us, 3L * us, 1L),
+      (1L, 3L, "O", 3L * us, sentinel, 1L),
+      (2L, 1L, "P", 5L * us, sentinel, 1L)))
+  }
 }

@@ -153,4 +153,42 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(rows === Seq((1L, 500000L, 1969L, 1969L), (2L, 0L, 0L, 0L)))
   }
+
+  test("semdedup: drops within-cell near-copies toward the smallest id; copies collapse first") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "embeddings", Seq(
+      (0L, vec(0), 0),                                            // centroid, cell 0
+      (50L, vec(1), 1),                                           // centroid, cell 50
+      (7L, (0 until 64).map(d => if (d == 0) 2.0f else 0.0f), 0), // axis0 scaled: cos(., 0)=1000
+      (11L, (0 until 64).map(d => if (d == 0) 2.0f else 0.0f), 0), // bit-identical copy of 7
+      (9L, mix(0, 1, 3f, 1f), 0),                                 // cell 0, cos with axis0 = 948
+      (3L, (0 until 64).map(d => if (d == 1) 5.0f else 0.0f), 1)  // axis1 scaled: cell 50
+    ).toDF("vec_id", "embedding", "label"))
+    val rows = Similarity.semDedup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // 11 never appears (identical-vector copy collapses to rep 7 before
+    // pairing); 7 and 9 prune toward vec 0 inside cell 0; the CENTROID
+    // vec 50 itself prunes toward the smaller-id near-copy 3 in its cell
+    assert(rows === Seq(
+      (7L, 0L, 0L, 1000L),
+      (9L, 0L, 0L, 948L),
+      (50L, 50L, 3L, 1000L)))
+  }
+
+  test("pq audit: sign codebook means and reconstruction error, hand-computed") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "embeddings", Seq(
+      (1L, (0 until 64).map(_ => 0.5f), 0),   // all micros 500000, code 255 every sub
+      (2L, (0 until 64).map(_ => -0.5f), 0),  // all micros -500000, code 0 every sub
+      (3L, vec(0), 0)                         // d0 = 1e6, rest 0 -> code 255 every sub
+    ).toDF("vec_id", "embedding", "label"))
+    // code-255 group = {1, 3}: mean 750000 at d0 (err 250000 each side),
+    // 250000 elsewhere (err 250000 each side); vec 2 alone in code 0 ->
+    // zero error. Every sub: sum = 2 vecs * 8 dims * 250000 = 4,000,000.
+    val rows = Similarity.pqAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(rows === (0L to 7L).map(s => (s, 2L, 3L, 4000000L, 250000L)))
+  }
 }

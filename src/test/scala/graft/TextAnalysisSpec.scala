@@ -312,6 +312,45 @@ class TextAnalysisSpec extends SparkSpec {
       one(0).getLong(2), one(0).getLong(3))))
   }
 
+  test("scrub: deny-listed tokens mask out; audit counts and md5 are exact") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", Seq(
+      (1L, "spark is fast", "en", "s", 13L),
+      (2L, "no denied words here", "en", "s", 20L),
+      (3L, "customer  spark", "en", "s", 15L) // double space: empty token drops
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = TextAnalysis.scrubDocs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(rows === Seq(
+      (1L, 3L, 1L, md5hex("[REDACTED] is fast")),
+      (2L, 4L, 0L, md5hex("no denied words here")),
+      (3L, 2L, 2L, md5hex("[REDACTED] [REDACTED]"))))
+  }
+
+  test("classifier: score is the sum of md5-derived unigram weights, with multiplicity") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", Seq(
+      (1L, "alpha beta alpha", "en", "s", 16L),
+      (2L, "", "en", "s", 0L) // empty doc: zero tokens, score 0, kept
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    def w(t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"w:$t".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 1001L - 500L
+    }
+    val want1 = 2 * w("alpha") + w("beta")
+    val rows = TextAnalysis.classifierScore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(rows === Seq(
+      (1L, 3L, want1, want1 >= 0L),
+      (2L, 0L, 0L, true)))
+  }
+
   private implicit class MapOps(
       rows: Array[(Long, Long, Long, Long, Long, Boolean)]) {
     def toMap2: Map[Long, (Long, Long, Long, Long, Boolean)] =
