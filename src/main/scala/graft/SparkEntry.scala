@@ -385,6 +385,11 @@ object SparkEntry {
     "pipeline_mix_sample" -> ((s, dir) => Corpus.mixSample(s, dir)),
     // stateless ingest-time sampling: same decisions as the batch form
     "stream_mix_sample" -> ((s, dir) => StreamingOps.streamMixSample(s, dir)),
+    // stateless ingest-time redaction / classifier scoring: per-row
+    // micro-batch maps with NO state store — same plans as the batch
+    // forms, so they share the batch oracles
+    "stream_scrub" -> ((s, dir) => StreamingOps.streamScrub(s, dir)),
+    "stream_classifier" -> ((s, dir) => StreamingOps.streamClassifier(s, dir)),
     "shard_plan" -> ((s, dir) => Corpus.shardPlan(s, dir)),
     // —— explicit skew-mitigation shapes (result-identical to the plain
     //    forms; the PLAN is what differs — see each operator's doc) ——
@@ -665,6 +670,38 @@ object SparkEntry {
       |SELECT token, cnt, TRUE AS within_tolerance
       |FROM (SELECT token, cnt FROM c ORDER BY cnt DESC, token ASC LIMIT 5)
       |ORDER BY token""".stripMargin
+
+  /** Deny-list scrub replay (mirror of TextAnalysis.scrubFrame). Shared
+    * by the batch query (text_scrub) and its stateless streaming twin
+    * (stream_scrub) — identical relation by construction.
+    */
+  private val scrubOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(toks)::BIGINT AS n_tokens,
+      |  len(list_filter(toks, t -> t IN ('customer', 'spark', 'vector')))::BIGINT AS n_redacted,
+      |  md5(array_to_string(list_transform(toks,
+      |    t -> CASE WHEN t IN ('customer', 'spark', 'vector') THEN '[REDACTED]' ELSE t END),
+      |    ' ')) AS redacted_md5
+      |FROM toks ORDER BY doc_id""".stripMargin
+
+  /** Hashed-unigram linear classifier replay (mirror of
+    * TextAnalysis.classifierFrame); shared by text_classifier and its
+    * stateless streaming twin.
+    */
+  private lazy val classifierOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(toks)::BIGINT AS n_tokens,
+       |  coalesce(list_sum(list_transform(toks,
+       |    t -> ${h60("'w:' || t")} % 1001 - 500)), 0)::BIGINT AS score,
+       |  coalesce(list_sum(list_transform(toks,
+       |    t -> ${h60("'w:' || t")} % 1001 - 500)), 0) >= 0 AS kept
+       |FROM toks ORDER BY doc_id""".stripMargin
 
   /** Exact-thousandths cosine similarity (mirror of Similarity.cosMilli). */
   private def cosMilli(a: String, b: String): String =
@@ -2404,31 +2441,15 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // deny-list scrub: token-level mask + audit counts; scrubbed text
-    // compared by md5 (the chunkDocs pattern)
-    "text_scrub" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
-        |  FROM documents)
-        |SELECT doc_id,
-        |  len(toks)::BIGINT AS n_tokens,
-        |  len(list_filter(toks, t -> t IN ('customer', 'spark', 'vector')))::BIGINT AS n_redacted,
-        |  md5(array_to_string(list_transform(toks,
-        |    t -> CASE WHEN t IN ('customer', 'spark', 'vector') THEN '[REDACTED]' ELSE t END),
-        |    ' ')) AS redacted_md5
-        |FROM toks ORDER BY doc_id""".stripMargin,
+    // compared by md5 (the chunkDocs pattern); the stateless streaming
+    // twin produces the identical relation, so it shares the oracle
+    "text_scrub" -> scrubOracle,
+    "stream_scrub" -> scrubOracle,
     // hashed linear classifier: weight(token) = h60('w:'||token) % 1001
-    // - 500, score = sum over token occurrences — pure integer math
-    "text_classifier" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
-         |  FROM documents)
-         |SELECT doc_id,
-         |  len(toks)::BIGINT AS n_tokens,
-         |  coalesce(list_sum(list_transform(toks,
-         |    t -> ${h60("'w:' || t")} % 1001 - 500)), 0)::BIGINT AS score,
-         |  coalesce(list_sum(list_transform(toks,
-         |    t -> ${h60("'w:' || t")} % 1001 - 500)), 0) >= 0 AS kept
-         |FROM toks ORDER BY doc_id""".stripMargin,
+    // - 500, score = sum over token occurrences — pure integer math;
+    // stateless streaming twin shares the oracle
+    "text_classifier" -> classifierOracle,
+    "stream_classifier" -> classifierOracle,
     // exact-substring duplication report: 8-token windows hashed to 60
     // bits, window document frequency, per-doc duplicated fraction
     "dedup_substring" ->

@@ -598,10 +598,19 @@ object TextAnalysis {
     * Output: (doc_id, n_tokens, n_redacted, redacted_md5).
     */
   def scrubDocs(spark: SparkSession, sfDir: String,
-                deny: Seq[String] = denyTerms, mask: String = "[REDACTED]"): DataFrame = {
+                deny: Seq[String] = denyTerms, mask: String = "[REDACTED]"): DataFrame =
+    scrubFrame(table(spark, sfDir, "documents"), deny, mask).orderBy("doc_id")
+
+  /** Composable scrub core over any (doc_id, text) frame — batch and
+    * streaming share it (stateless, so the streaming twin is the SAME
+    * plan run per micro-batch). No ordering: the caller owns the sort.
+    */
+  def scrubFrame(docs: DataFrame,
+                 deny: Seq[String] = denyTerms,
+                 mask: String = "[REDACTED]"): DataFrame = {
     val toks = filter(split(col("text"), " "), t => length(t) > 0)
     val isDenied: Column => Column = t => t.isin(deny: _*)
-    table(spark, sfDir, "documents")
+    docs
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
@@ -609,7 +618,6 @@ object TextAnalysis {
         md5(concat_ws(" ",
           transform(col("toks"),
             t => when(isDenied(t), lit(mask)).otherwise(t)))).as("redacted_md5"))
-      .orderBy("doc_id")
   }
 
   /** text_classifier: hashed linear quality classifier — the
@@ -626,16 +634,21 @@ object TextAnalysis {
     * Output: (doc_id, n_tokens, score, kept) — kept mirrors the
     * pipeline gate score >= 0.
     */
-  def classifierScore(spark: SparkSession, sfDir: String): DataFrame = {
+  def classifierScore(spark: SparkSession, sfDir: String): DataFrame =
+    classifierFrame(table(spark, sfDir, "documents")).orderBy("doc_id")
+
+  /** Composable classifier core over any (doc_id, text) frame — see
+    * [[scrubFrame]] for the batch/streaming sharing rationale.
+    */
+  def classifierFrame(docs: DataFrame): DataFrame = {
     val toks = filter(split(col("text"), " "), t => length(t) > 0)
     val weight: Column => Column = t =>
       OracleHash.h60(concat(lit("w:"), t)) % 1001L - 500L
-    table(spark, sfDir, "documents")
+    docs
       .select(col("doc_id"), toks.as("toks"))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         aggregate(col("toks"), lit(0L), (acc, t) => acc + weight(t)).as("score"))
       .withColumn("kept", col("score") >= 0L)
-      .orderBy("doc_id")
   }
 }

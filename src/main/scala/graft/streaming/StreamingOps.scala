@@ -658,6 +658,28 @@ object StreamingOps {
         (col("n_kept") * 1000L / col("n_docs")).cast("long"))
       .orderBy("source")
 
+  /** Stateless ingest-time deny-list scrub — the streaming twin of
+    * text_scrub: redaction is a pure per-row map, so the micro-batch
+    * plan IS the batch plan (graft.ops.TextAnalysis.scrubFrame) with no
+    * state store at all — the cheapest kind of streaming operator, and
+    * the shape a production ingest path runs redaction in (scrub
+    * before anything persists the raw text).
+    */
+  def streamScrub(spark: SparkSession, sfDir: String): DataFrame =
+    runToBatch(spark,
+        graft.ops.TextAnalysis.scrubFrame(harnessDocStream(spark, sfDir)),
+        "stream_scrub", OutputMode.Append())
+      .orderBy("doc_id")
+
+  /** Stateless ingest-time quality-classifier scoring — the streaming
+    * twin of text_classifier; same zero-state per-row fold.
+    */
+  def streamClassifier(spark: SparkSession, sfDir: String): DataFrame =
+    runToBatch(spark,
+        graft.ops.TextAnalysis.classifierFrame(harnessDocStream(spark, sfDir)),
+        "stream_classifier", OutputMode.Append())
+      .orderBy("doc_id")
+
   /** Streaming shard sink — the ingest-time twin of Corpus.writeShards:
     * each micro-batch is appended to parquet partitioned by shard, via
     * foreachBatch (the sink escape hatch for writers the built-in sinks

@@ -421,6 +421,26 @@ class StreamingSpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("stateless scrub and classifier twins equal their batch forms row-for-row") {
+    import spark.implicits._
+    val sfDir = tempSfDir()
+    writeTable(sfDir, "documents", Seq(
+      (1L, "spark is fast", "en", "s", 13L),
+      (2L, "customer spark vector", "en", "s", 21L),
+      (3L, "plain words only", "en", "s", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val sScrub = StreamingOps.streamScrub(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val bScrub = graft.ops.TextAnalysis.scrubDocs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(sScrub === bScrub)
+    val sCls = StreamingOps.streamClassifier(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    val bCls = graft.ops.TextAnalysis.classifierScore(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(sCls === bCls)
+  }
+
   test("restart from checkpoint: processed input is not re-ingested, new input is") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft-restart-in").toString
