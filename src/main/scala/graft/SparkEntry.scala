@@ -309,6 +309,10 @@ object SparkEntry {
     // one-step training), per-subspace reconstruction error — the
     // vector-compression rung beyond scalar int8 (sim_quantize)
     "sim_pq" -> ((s, dir) => Similarity.pqAudit(s, dir)),
+    // the PQ SERVING path: per-query (subspace, code) lookup tables,
+    // approximate dot = nSub table hits per corpus item — a compressed
+    // linear scan with exact-integer replayable scores
+    "sim_pq_ann" -> ((s, dir) => Similarity.pqAnn(s, dir)),
     // —— multimodal columns ——
     "mm_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
     "mm_frames" -> ((s, dir) => Multimodal.sampleFrames(s, dir)),
@@ -390,6 +394,12 @@ object SparkEntry {
     // forms, so they share the batch oracles
     "stream_scrub" -> ((s, dir) => StreamingOps.streamScrub(s, dir)),
     "stream_classifier" -> ((s, dir) => StreamingOps.streamClassifier(s, dir)),
+    // temperature-based (alpha=0.5) mixture weights: head sources
+    // shrink, tail sources grow; integer ppm math after one aggregate
+    "pipeline_mix_temperature" -> ((s, dir) => Corpus.temperatureMix(s, dir)),
+    // per-source contribution cap via the bounded top-k aggregate: k
+    // rows per source cross the shuffle, no per-source sort anywhere
+    "pipeline_source_cap" -> ((s, dir) => Corpus.sourceCap(s, dir)),
     "shard_plan" -> ((s, dir) => Corpus.shardPlan(s, dir)),
     // —— explicit skew-mitigation shapes (result-identical to the plain
     //    forms; the PLAN is what differs — see each operator's doc) ——
@@ -702,6 +712,28 @@ object SparkEntry {
        |  coalesce(list_sum(list_transform(toks,
        |    t -> ${h60("'w:' || t")} % 1001 - 500)), 0) >= 0 AS kept
        |FROM toks ORDER BY doc_id""".stripMargin
+
+  /** Product-quantization CTE chain (mirror of Similarity.pqCompsAndBook):
+    * integerized components, per-(vec, sub) sign codes, per-(sub, code,
+    * dim) exact-mean codebook. Shared by the reconstruction audit
+    * (sim_pq) and the ADC serving path (sim_pq_ann).
+    */
+  private val pqCtes: String =
+    """emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |comps AS (
+      |  SELECT vec_id, d, d // 8 AS sub,
+      |    floor(v[(d + 1)::INT] * 1000000)::BIGINT AS xm
+      |  FROM emb, UNNEST(range(0, 64)) AS u(d)),
+      |codes AS (
+      |  SELECT vec_id, sub,
+      |    sum(CASE WHEN xm >= 0 THEN (1 << (d % 8)) ELSE 0 END)::BIGINT AS code
+      |  FROM comps GROUP BY vec_id, sub),
+      |cb AS (
+      |  SELECT c.sub, k.code, c.d, count(*)::BIGINT AS n, sum(c.xm)::BIGINT AS s
+      |  FROM comps c JOIN codes k ON k.vec_id = c.vec_id AND k.sub = c.sub
+      |  GROUP BY c.sub, k.code, c.d),
+      |cbm AS (
+      |  SELECT sub, code, d, (s - ((s % n + n) % n)) // n AS cm FROM cb)""".stripMargin
 
   /** Exact-thousandths cosine similarity (mirror of Similarity.cosMilli). */
   private def cosMilli(a: String, b: String): String =
@@ -2498,30 +2530,58 @@ object SparkEntry {
     // PQ replay: sign-pattern codes per 8-dim subspace, per-(sub, code,
     // dim) exact-floor-division means, per-subspace |err| rollup
     "sim_pq" ->
-      """WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |comps AS (
-        |  SELECT vec_id, d, d // 8 AS sub,
-        |    floor(v[(d + 1)::INT] * 1000000)::BIGINT AS xm
-        |  FROM emb, UNNEST(range(0, 64)) AS u(d)),
-        |codes AS (
-        |  SELECT vec_id, sub,
-        |    sum(CASE WHEN xm >= 0 THEN (1 << (d % 8)) ELSE 0 END)::BIGINT AS code
-        |  FROM comps GROUP BY vec_id, sub),
-        |cb AS (
-        |  SELECT c.sub, k.code, c.d, count(*)::BIGINT AS n, sum(c.xm)::BIGINT AS s
-        |  FROM comps c JOIN codes k ON k.vec_id = c.vec_id AND k.sub = c.sub
-        |  GROUP BY c.sub, k.code, c.d),
-        |cbm AS (
-        |  SELECT sub, code, d, (s - ((s % n + n) % n)) // n AS cm FROM cb),
-        |err AS (
-        |  SELECT c.sub, k.code, c.vec_id, abs(c.xm - m.cm) AS e
-        |  FROM comps c
-        |  JOIN codes k ON k.vec_id = c.vec_id AND k.sub = c.sub
-        |  JOIN cbm m ON m.sub = c.sub AND m.code = k.code AND m.d = c.d)
-        |SELECT sub::BIGINT AS sub, count(DISTINCT code)::BIGINT AS n_codes_used,
-        |  count(DISTINCT vec_id)::BIGINT AS n_vecs,
-        |  sum(e)::BIGINT AS sum_abs_err_micros, max(e)::BIGINT AS max_abs_err_micros
-        |FROM err GROUP BY sub ORDER BY sub""".stripMargin,
+      s"""WITH $pqCtes,
+         |err AS (
+         |  SELECT c.sub, k.code, c.vec_id, abs(c.xm - m.cm) AS e
+         |  FROM comps c
+         |  JOIN codes k ON k.vec_id = c.vec_id AND k.sub = c.sub
+         |  JOIN cbm m ON m.sub = c.sub AND m.code = k.code AND m.d = c.d)
+         |SELECT sub::BIGINT AS sub, count(DISTINCT code)::BIGINT AS n_codes_used,
+         |  count(DISTINCT vec_id)::BIGINT AS n_vecs,
+         |  sum(e)::BIGINT AS sum_abs_err_micros, max(e)::BIGINT AS max_abs_err_micros
+         |FROM err GROUP BY sub ORDER BY sub""".stripMargin,
+    // ADC replay: per-query (sub, code) partial-dot LUT against the
+    // codebook means, score = sum of the query's 8 code hits
+    "sim_pq_ann" ->
+      s"""WITH $pqCtes,
+         |lut AS (
+         |  SELECT c.vec_id AS q_id, m.sub, m.code, sum(c.xm * m.cm)::BIGINT AS p
+         |  FROM comps c JOIN cbm m ON m.sub = c.sub AND m.d = c.d
+         |  WHERE c.vec_id % 50 = 0
+         |  GROUP BY q_id, m.sub, m.code),
+         |scored AS (
+         |  SELECT l.q_id, k.vec_id, sum(l.p)::BIGINT AS adc_micro2
+         |  FROM codes k JOIN lut l ON l.sub = k.sub AND l.code = k.code
+         |  WHERE k.vec_id <> l.q_id
+         |  GROUP BY l.q_id, k.vec_id),
+         |ranked AS (
+         |  SELECT q_id, vec_id, adc_micro2,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adc_micro2 DESC, vec_id ASC) AS rk
+         |  FROM scored)
+         |SELECT q_id, rk::BIGINT AS rk, vec_id AS n_id, adc_micro2
+         |FROM ranked WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin,
+    // temperature mixture replay: sqrt of exact integer counts is
+    // IEEE-identical on both engines; everything after the floor is ppm
+    // integer math
+    "pipeline_mix_temperature" ->
+      """WITH c AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY source),
+        |s AS (SELECT source, n_docs, floor(sqrt(n_docs) * 1000)::BIGINT AS s_milli FROM c),
+        |t AS (SELECT source, n_docs, s_milli, sum(s_milli) OVER ()::BIGINT AS tot_s,
+        |  sum(n_docs) OVER ()::BIGINT AS tot_docs FROM s)
+        |SELECT source, n_docs, s_milli,
+        |  ((1000000 * s_milli) // tot_s)::BIGINT AS w_ppm,
+        |  ((((1000000 * s_milli) // tot_s) * tot_docs) // 1000000)::BIGINT AS n_target
+        |FROM t ORDER BY source""".stripMargin,
+    // source cap replay: the window rank form — row-for-row equal to
+    // the bounded top-k aggregate (same total order: doc_id asc)
+    "pipeline_source_cap" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id,
+        |    count(*) OVER (PARTITION BY source) AS n_docs,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rk
+        |  FROM documents)
+        |SELECT source, n_docs::BIGINT AS n_docs, doc_id, rk::BIGINT AS rk
+        |FROM ranked WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
     // SCD2 replay: change flag -> running-sum run id -> interval rows,
     // current version closed at the 9999-12-31 sentinel (epoch micros)
     "rel_scd2" ->

@@ -161,6 +161,57 @@ object Corpus {
       .orderBy("source")
   }
 
+  /** pipeline_mix_temperature: temperature-based mixture weights — the
+    * standard multilingual/multi-source rebalancing rule (sample source
+    * i proportional to n_i^alpha, alpha=0.5 here): raw counts are
+    * square-rooted so head sources shrink and tail sources grow, then
+    * normalized to parts-per-million and turned into per-source target
+    * doc counts. All math after the one corpus-count aggregate runs
+    * over |sources| rows (the empty-partition windows are fine at any
+    * corpus size — sources number in the thousands, not billions);
+    * sqrt of an exact integer is IEEE-identical on both engines, and
+    * everything after the floor is integer.
+    *
+    * Output: (source, n_docs, s_milli, w_ppm, n_target).
+    */
+  def temperatureMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy() // |sources| rows post-aggregate only
+    table(spark, sfDir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .withColumn("s_milli",
+        floor(sqrt(col("n_docs").cast("double")) * lit(1000d)).cast("long"))
+      .withColumn("tot_docs", sum(col("n_docs")).over(w))
+      .withColumn("tot_s", sum(col("s_milli")).over(w))
+      .select(col("source"), col("n_docs"), col("s_milli"),
+        expr("(1000000 * s_milli) div tot_s").as("w_ppm"),
+        expr("(((1000000 * s_milli) div tot_s) * tot_docs) div 1000000").as("n_target"))
+      .orderBy("source")
+  }
+
+  /** pipeline_source_cap: per-source contribution cap — keep at most k
+    * documents per source (smallest doc_id wins), the crawl-curation
+    * rule that stops any single domain from dominating the mix. Uses
+    * the bounded top-k aggregate (TopKTagAgg, ord = -doc_id) instead
+    * of a rank window: partial k-entry buffers combine map-side, the
+    * shuffle carries k rows per source, and NO per-source sort runs —
+    * the shape that holds when one source has a billion docs. Reports
+    * the kept ids with their rank plus the source's total, so the
+    * audit shows exactly what the cap cut.
+    *
+    * Output: (source, n_docs, doc_id, rk), rk = 1..min(k, n_docs).
+    */
+  def sourceCap(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame =
+    table(spark, sfDir, "documents")
+      .select(col("source"), col("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        graft.functions.TopKSketch.topK(-col("doc_id"),
+          col("doc_id").cast("string"), k).as("top"))
+      .select(col("source"), col("n_docs"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("source"), col("n_docs"), col("t.tag").cast("long").as("doc_id"),
+        (col("i") + 1).cast("long").as("rk"))
+      .orderBy("source", "rk")
+
   def writeShards(spark: SparkSession, sfDir: String, outDir: String,
                   tokensPerShard: Long = 2048): Unit =
     table(spark, sfDir, "documents")

@@ -575,8 +575,15 @@ object Similarity {
     * Output: 8 rows — (sub, n_codes_used, n_vecs, sum_abs_err_micros,
     * max_abs_err_micros).
     */
-  def pqAudit(spark: SparkSession, sfDir: String,
-              nSub: Int = 8, subDim: Int = 8): DataFrame = {
+  /** Shared PQ plumbing: `comps` is the integerized component stream
+    * (vec_id, d, xm, sub, code) — codes computed per ROW with
+    * higher-order functions before the explode, so no shuffle produces
+    * them — and `codebook` is the per-(subspace, code, dim) exact-mean
+    * table (at most nSub * 2^subDim * subDim rows at ANY corpus size,
+    * always broadcastable).
+    */
+  private[ops] def pqCompsAndBook(spark: SparkSession, sfDir: String,
+                                  nSub: Int, subDim: Int): (DataFrame, DataFrame) = {
     val vm = transform(col("embedding"),
       x => floor(x.cast("double") * lit(1000000L)).cast("long"))
     // per-subspace sign code: bit j of code(sub) set iff component
@@ -600,6 +607,12 @@ object Similarity {
       .agg(count(lit(1)).as("n"), sum(col("xm")).as("s"))
       .select(col("sub"), col("code"), col("d"),
         expr("(s - pmod(s, n)) div n").as("cm"))
+    (comps, codebook)
+  }
+
+  def pqAudit(spark: SparkSession, sfDir: String,
+              nSub: Int = 8, subDim: Int = 8): DataFrame = {
+    val (comps, codebook) = pqCompsAndBook(spark, sfDir, nSub, subDim)
     comps.join(broadcast(codebook), Seq("sub", "code", "d"))
       .select(col("sub"), col("code"), col("vec_id"),
         abs(col("xm") - col("cm")).as("e"))
@@ -609,5 +622,50 @@ object Similarity {
         sum(col("e")).as("sum_abs_err_micros"),
         max(col("e")).as("max_abs_err_micros"))
       .orderBy("sub")
+  }
+
+  /** sim_pq_ann: asymmetric-distance (ADC) top-k over the PQ codes —
+    * the SERVING path of product quantization: each query builds a
+    * (subspace, code) -> partial-dot lookup table against the codebook
+    * (|Q| x nSub x 2^subDim rows, corpus-size-INDEPENDENT), and a
+    * corpus vector's approximate dot product is the sum of nSub table
+    * hits on its codes — the full vector is never touched at query
+    * time. This is a COMPRESSED linear scan (PQ's nature): per-query
+    * work is linear in N like sim_bruteforce, but each item costs nSub
+    * code lookups instead of a dim-wide float dot; the production
+    * composition routes through IVF cells first (sim_ivf's probe
+    * bounds the scanned fraction) with this LUT math inside each cell.
+    *
+    * Plan: the LUT join is broadcast (bounded size), partial sums
+    * combine map-side into the (q_id, vec_id) aggregate, top-k by
+    * row_number. Scores are exact integer micro^2 dot products of the
+    * RECONSTRUCTED vectors — fully replayable by the oracle.
+    *
+    * Output: (q_id, rk, n_id, adc_micro2) — ties broken by n_id.
+    */
+  def pqAnn(spark: SparkSession, sfDir: String,
+            nSub: Int = 8, subDim: Int = 8,
+            queryMod: Int = 50, k: Int = 10): DataFrame = {
+    val (comps, codebook) = pqCompsAndBook(spark, sfDir, nSub, subDim)
+    val lut = comps.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("q_id"), col("sub"), col("d"), col("xm").as("qm"))
+      .join(broadcast(codebook), Seq("sub", "d"))
+      .groupBy("q_id", "sub", "code")
+      .agg(sum(col("qm") * col("cm")).as("p"))
+    val vecCodes = comps.select(col("vec_id"), col("sub"), col("code")).distinct()
+    val scored = vecCodes.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("p")).as("adc_micro2"), count(lit(1)).as("n_sub"))
+      // a neighbor scores only if every subspace contributed (it always
+      // does — its codes define the codebook — but assert in-plan)
+      .filter(col("n_sub") === nSub)
+    val wr = Window.partitionBy("q_id")
+      .orderBy(col("adc_micro2").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("n_id"), col("adc_micro2"))
+      .orderBy("q_id", "rk")
   }
 }

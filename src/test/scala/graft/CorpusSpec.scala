@@ -103,4 +103,33 @@ class CorpusSpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(rows === Map("view" -> 2L, "purchase" -> 1L))
   }
+
+  test("temperature mix: sqrt-damped ppm weights and integer targets") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", (
+      (1L to 4L).map(i => (i, "t", "en", "a", 1L)) :+ ((9L, "t", "en", "b", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = Corpus.temperatureMix(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // s_milli: sqrt(4)*1000 = 2000, sqrt(1)*1000 = 1000; tot 3000
+    // w_ppm: 2e9/3000 = 666666, 1e9/3000 = 333333; targets of 5 docs: 3, 1
+    assert(rows === Seq(
+      ("a", 4L, 2000L, 666666L, 3L),
+      ("b", 1L, 1000L, 333333L, 1L)))
+  }
+
+  test("source cap: k smallest ids kept per source via the bounded aggregate") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", (
+      Seq(4L, 2L, 7L, 1L).map(i => (i, "t", "en", "a", 1L)) :+ ((9L, "t", "en", "b", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = Corpus.sourceCap(spark, dir, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows === Seq(
+      ("a", 4L, 1L, 1L),
+      ("a", 4L, 2L, 2L),
+      ("b", 1L, 9L, 1L)))
+  }
 }

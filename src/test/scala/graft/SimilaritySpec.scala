@@ -191,4 +191,24 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
     assert(rows === (0L to 7L).map(s => (s, 2L, 3L, 4000000L, 250000L)))
   }
+
+  test("pq ADC serving: scores are exact LUT sums over the reconstructed vectors") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "embeddings", Seq(
+      (0L, (0 until 64).map(_ => 0.5f), 0),   // query (0 % 50 == 0), code 255
+      (1L, (0 until 64).map(_ => -0.5f), 0),  // code 0, alone -> recon exact
+      (2L, vec(0), 0)                         // code 255, shares codebook with 0
+    ).toDF("vec_id", "embedding", "label"))
+    // codebook code-255 means: 750000 at d0, 250000 elsewhere; code-0: -500000.
+    // LUT for q=0 (qm=500000 everywhere):
+    //   (sub0, 255) = .5e6*.75e6 + 7*.5e6*.25e6 = 1.25e12; other subs = 1e12
+    //   (sub*, 0)   = 8 * .5e6*(-.5e6) = -2e12
+    // vec 2 scores 1.25e12 + 7e12 = 8.25e12; vec 1 scores -1.6e13
+    val rows = Similarity.pqAnn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows === Seq(
+      (0L, 1L, 2L, 8250000000000L),
+      (0L, 2L, 1L, -16000000000000L)))
+  }
 }
