@@ -149,25 +149,31 @@ object StreamingOps {
     */
   private val stateShufflePartitions = 8
 
-  private def runToBatch(spark: SparkSession, df: DataFrame, prefix: String,
-                         mode: OutputMode): DataFrame = {
+  private def runToBatch(spark: SparkSession, build: SparkSession => DataFrame,
+                         prefix: String, mode: OutputMode): DataFrame = {
+    // state-partition sizing is scoped to a CLONED session — same
+    // SparkContext and shared state, separate SQL conf and catalog —
+    // so the surrounding session's parallelism is NEVER touched, not
+    // even during query start (the old set/restore pattern left a
+    // window where a concurrent batch query inherited the reduced
+    // width; ConcurrencySpec pins the isolation). The stream must be
+    // BUILT against the clone: a streaming query freezes the state
+    // layout from its DataFrame's own session conf at start, and the
+    // memory sink registers in that session's catalog, hence the
+    // builder-closure shape and the scoped.table read.
     val name = freshName(prefix)
-    // the conf is only read when the query STARTS; restore right after so
-    // surrounding batch plans keep the session's parallelism
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", stateShufflePartitions.toString)
-    try {
-      val q = runToMemory(df, name, mode)
-      q.stop()
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    spark.table(name)
+    val scoped = spark.newSession()
+    scoped.conf.set("spark.sql.shuffle.partitions", stateShufflePartitions.toString)
+    val q = runToMemory(build(scoped), name, mode)
+    q.stop()
+    scoped.table(name)
   }
 
   /** Streaming tumbling-window twin of EventWindows.tumbling, surfaced
     * with epoch-second window starts for the oracle.
     */
   def streamTumbling(spark: SparkSession, sfDir: String): DataFrame =
-    runToBatch(spark, windowedEventCounts(harnessEventStream(spark, sfDir)),
+    runToBatch(spark, s => windowedEventCounts(harnessEventStream(s, sfDir)),
         "stream_tumbling", OutputMode.Complete())
       .select(unix_timestamp(col("win_start")).as("win_start"),
         col("event_type"), col("n"), col("sum_value"))
@@ -185,7 +191,7 @@ object StreamingOps {
     * watermark (max event time - 2h) flushes every window it passed.
     */
   def streamTumblingAppend(spark: SparkSession, sfDir: String): DataFrame =
-    runToBatch(spark, windowedEventCounts(harnessEventStream(spark, sfDir)),
+    runToBatch(spark, s => windowedEventCounts(harnessEventStream(s, sfDir)),
         "stream_tumbling_append", OutputMode.Append())
       .select(unix_timestamp(col("win_start")).as("win_start"),
         col("event_type"), col("n"), col("sum_value"))
@@ -198,7 +204,7 @@ object StreamingOps {
     */
   def streamSliding(spark: SparkSession, sfDir: String): DataFrame =
     runToBatch(spark,
-        harnessEventStream(spark, sfDir)
+        s => harnessEventStream(s, sfDir)
           .withWatermark("ts", "2 hours")
           .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
           .agg(count(lit(1)).as("n")),
@@ -215,7 +221,7 @@ object StreamingOps {
     * with its start (micros).
     */
   def streamSessions(spark: SparkSession, sfDir: String): DataFrame =
-    runToBatch(spark, sessionizedEvents(harnessEventStream(spark, sfDir)),
+    runToBatch(spark, s => sessionizedEvents(harnessEventStream(s, sfDir)),
         "stream_sessions", OutputMode.Complete())
       .select(col("user_id"), unix_micros(col("sess_start")).as("sess_start_us"),
         col("n_events"))
@@ -229,7 +235,7 @@ object StreamingOps {
     * watermark delay per user, not by stream length.
     */
   def streamSessionsAppend(spark: SparkSession, sfDir: String): DataFrame =
-    runToBatch(spark, sessionizedEvents(harnessEventStream(spark, sfDir)),
+    runToBatch(spark, s => sessionizedEvents(harnessEventStream(s, sfDir)),
         "stream_sessions_append", OutputMode.Append())
       .select(col("user_id"), unix_micros(col("sess_start")).as("sess_start_us"),
         col("n_events"))
@@ -240,7 +246,7 @@ object StreamingOps {
     */
   def streamTokenCounts(spark: SparkSession, sfDir: String): DataFrame =
     runToBatch(spark,
-        harnessDocStream(spark, sfDir)
+        s => harnessDocStream(s, sfDir)
           .select(explode(split(col("text"), " ")).as("token"))
           .filter(length(col("token")) > 0)
           .groupBy("token")
@@ -258,7 +264,7 @@ object StreamingOps {
     */
   def streamExactDedup(spark: SparkSession, sfDir: String): DataFrame =
     runToBatch(spark,
-        harnessDocStream(spark, sfDir)
+        s => harnessDocStream(s, sfDir)
           .select(md5(lower(regexp_replace(trim(col("text")), "\\s+", " ")))
             .as("content_key"))
           .dropDuplicates("content_key"),
@@ -291,7 +297,7 @@ object StreamingOps {
   def streamExactDedupBounded(spark: SparkSession, sfDir: String,
                               delay: String = "2 hours"): DataFrame =
     runToBatch(spark,
-        withIngestTs(harnessDocStream(spark, sfDir))
+        s => withIngestTs(harnessDocStream(s, sfDir))
           .select(md5(lower(regexp_replace(trim(col("text")), "\\s+", " ")))
             .as("content_key"), col("ingest_ts"))
           .withWatermark("ingest_ts", delay)
@@ -319,7 +325,7 @@ object StreamingOps {
   def streamMinhashDedup(spark: SparkSession, sfDir: String, k: Int = 16): DataFrame = {
     val sketch = graft.functions.ShingleColumns.minhashArray(col("shingles"), k)
     runToBatch(spark,
-        harnessDocStream(spark, sfDir)
+        s => harnessDocStream(s, sfDir)
           .select(graft.functions.ShingleColumns.wordShingles(col("text"), 3).as("shingles"))
           .filter(size(col("shingles")) > 0) // shingle-less docs have no sketch
           .select(array_join(transform(sketch, m => m.cast("string")), ",").as("sketch_sig"))
@@ -340,7 +346,7 @@ object StreamingOps {
                                 delay: String = "2 hours"): DataFrame = {
     val sketch = graft.functions.ShingleColumns.minhashArray(col("shingles"), k)
     runToBatch(spark,
-        withIngestTs(harnessDocStream(spark, sfDir))
+        s => withIngestTs(harnessDocStream(s, sfDir))
           .select(col("ingest_ts"),
             graft.functions.ShingleColumns.wordShingles(col("text"), 3).as("shingles"))
           .filter(size(col("shingles")) > 0) // shingle-less docs have no sketch
@@ -366,24 +372,28 @@ object StreamingOps {
     */
   def streamDecontaminate(spark: SparkSession, sfDir: String,
                           evalMod: Int = 97, minOverlap: Int = 3): DataFrame = {
-    val evalShingles = broadcast(
-      graft.ops.Dedup.shingles(
-          graft.GraftSession.table(spark, sfDir, "documents"), 3)
-        .filter(col("doc_id") % evalMod === 0)
-        .select("shingle").distinct())
     runToBatch(spark,
-        harnessDocStream(spark, sfDir)
-          .filter(col("doc_id") % evalMod =!= 0)
-          // array_distinct BEFORE the explode: the batch op's
-          // distinct-per-doc, done narrowly per row — a streaming
-          // dropDuplicates here would grow (doc, shingle) state forever
-          .select(col("doc_id"),
-            explode(array_distinct(
-              graft.functions.ShingleColumns.wordShingles(col("text"), 3)))
-              .as("shingle"))
-          .join(evalShingles, Seq("shingle"))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_overlap")),
+        s => {
+          // static side built on the SAME scoped session as the stream
+          // (one plan must not mix sessions)
+          val evalShingles = broadcast(
+            graft.ops.Dedup.shingles(
+                graft.GraftSession.table(s, sfDir, "documents"), 3)
+              .filter(col("doc_id") % evalMod === 0)
+              .select("shingle").distinct())
+          harnessDocStream(s, sfDir)
+            .filter(col("doc_id") % evalMod =!= 0)
+            // array_distinct BEFORE the explode: the batch op's
+            // distinct-per-doc, done narrowly per row — a streaming
+            // dropDuplicates here would grow (doc, shingle) state forever
+            .select(col("doc_id"),
+              explode(array_distinct(
+                graft.functions.ShingleColumns.wordShingles(col("text"), 3)))
+                .as("shingle"))
+            .join(evalShingles, Seq("shingle"))
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("n_overlap"))
+        },
         "stream_decontaminate", OutputMode.Complete())
       .filter(col("n_overlap") >= minOverlap)
       .orderBy("doc_id")
@@ -410,35 +420,39 @@ object StreamingOps {
                              mod: Int = 10, k: Int = 16, bands: Int = 4,
                              minEst: Double = 0.5): DataFrame = {
     val r = k / bands
-    // the harness builds the "yesterday" index in-query so the run is
-    // self-contained; production reads the table the batch job owns
-    graft.ops.Dedup.buildMinHashIndex(spark,
-      graft.GraftSession.table(spark, sfDir, "documents")
-        .filter(col("doc_id") % mod =!= 0),
-      "graft_minhash_index_stream",
-      s"${System.getProperty("java.io.tmpdir")}/graft-minhash-index-stream",
-      3, k, bands)
-    val idx = spark.table("graft_minhash_index_stream")
-      .select(col("doc_id").as("doc_idx"), col("sig"), col("sigs").as("sigs_idx"))
     val sk = graft.functions.ShingleColumns.minhashArray(col("shingles"), k)
-    val probed = harnessDocStream(spark, sfDir)
-      .filter(col("doc_id") % mod === 0)
-      .select(col("doc_id").as("doc_new"),
-        graft.functions.ShingleColumns.wordShingles(col("text"), 3).as("shingles"))
-      .filter(size(col("shingles")) > 0)
-      .select(col("doc_new"), sk.as("sigs_new"))
-      .select(col("doc_new"), col("sigs_new"),
-        explode(array((0 until bands).map(b =>
-          concat(lit(b.toString), lit("|"),
-            array_join(transform(slice(col("sigs_new"), b * r + 1, r),
-              _.cast("string")), ","))): _*)).as("sig"))
-      .join(idx, Seq("sig"))
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sigs_new"), col("sigs_idx"), (x, y) => x === y),
-          a => a)) / lit(k))
-      .filter(col("est_jaccard") >= minEst)
-      .select("doc_new", "doc_idx", "est_jaccard")
-    runToBatch(spark, probed, "stream_dedup_incremental", OutputMode.Append())
+    runToBatch(spark,
+        s => {
+          // the harness builds the "yesterday" index in-query so the run
+          // is self-contained (on the scoped session — the temp view is
+          // session-local); production reads the table the batch job owns
+          graft.ops.Dedup.buildMinHashIndex(s,
+            graft.GraftSession.table(s, sfDir, "documents")
+              .filter(col("doc_id") % mod =!= 0),
+            "graft_minhash_index_stream",
+            s"${System.getProperty("java.io.tmpdir")}/graft-minhash-index-stream",
+            3, k, bands)
+          val idx = s.table("graft_minhash_index_stream")
+            .select(col("doc_id").as("doc_idx"), col("sig"), col("sigs").as("sigs_idx"))
+          harnessDocStream(s, sfDir)
+            .filter(col("doc_id") % mod === 0)
+            .select(col("doc_id").as("doc_new"),
+              graft.functions.ShingleColumns.wordShingles(col("text"), 3).as("shingles"))
+            .filter(size(col("shingles")) > 0)
+            .select(col("doc_new"), sk.as("sigs_new"))
+            .select(col("doc_new"), col("sigs_new"),
+              explode(array((0 until bands).map(b =>
+                concat(lit(b.toString), lit("|"),
+                  array_join(transform(slice(col("sigs_new"), b * r + 1, r),
+                    _.cast("string")), ","))): _*)).as("sig"))
+            .join(idx, Seq("sig"))
+            .withColumn("est_jaccard",
+              size(filter(zip_with(col("sigs_new"), col("sigs_idx"), (x, y) => x === y),
+                a => a)) / lit(k))
+            .filter(col("est_jaccard") >= minEst)
+            .select("doc_new", "doc_idx", "est_jaccard")
+        },
+        "stream_dedup_incremental", OutputMode.Append())
       .distinct() // multi-band matches collapse per batch, not in state
       .orderBy("doc_new", "doc_idx")
   }
@@ -463,25 +477,35 @@ object StreamingOps {
     * p_ts - 1h <= v_ts <= p_ts.
     */
   def streamViewPurchaseJoin(spark: SparkSession, sfDir: String): DataFrame = {
-    val views = harnessEventStream(spark, sfDir)
-      .filter(col("event_type") === "view")
-      .select(col("event_id").as("view_event_id"), col("user_id").as("v_user"),
-        col("ts").as("v_ts"))
-      .withWatermark("v_ts", "2 hours")
-    val purchases = harnessEventStream(spark, sfDir)
-      .filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_event_id"), col("user_id"),
-        col("ts").as("p_ts"))
-      .withWatermark("p_ts", "2 hours")
     runToBatch(spark,
-        purchases.join(views, expr(
-          "user_id = v_user AND v_ts <= p_ts AND v_ts >= p_ts - INTERVAL 1 HOUR")),
+        s => joinSides(s, sfDir) match { case (purchases, views) =>
+          purchases.join(views, expr(
+            "user_id = v_user AND v_ts <= p_ts AND v_ts >= p_ts - INTERVAL 1 HOUR"))
+        },
         "stream_join", OutputMode.Append())
       .select(col("purchase_event_id"), col("user_id"),
         unix_micros(col("p_ts")).as("purchase_tus"),
         col("view_event_id"), unix_micros(col("v_ts")).as("view_tus"),
         (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("lag_us"))
       .orderBy("purchase_event_id", "view_event_id")
+  }
+
+  /** The watermarked purchase/view sides of the stream-stream joins,
+    * built on the given (scoped) session so both join forms share one
+    * definition. Returns (purchases, views).
+    */
+  private def joinSides(s: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    val views = harnessEventStream(s, sfDir)
+      .filter(col("event_type") === "view")
+      .select(col("event_id").as("view_event_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val purchases = harnessEventStream(s, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_event_id"), col("user_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    (purchases, views)
   }
 
   case class KeyArrival(content_key: String)
@@ -503,20 +527,21 @@ object StreamingOps {
     */
   def streamExactDedupCustom(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val keyed = harnessDocStream(spark, sfDir)
-      .select(md5(lower(regexp_replace(trim(col("text")), "\\s+", " ")))
-        .as("content_key"))
-      .as[KeyArrival]
-      .groupByKey(_.content_key)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (key: String, rows: Iterator[KeyArrival], state: GroupState[KeySeen]) =>
-          val first = !state.exists
-          state.update(KeySeen(true))
-          rows.size // drain the iterator; arrivals beyond the first are swallowed
-          if (first) Iterator single key else Iterator.empty
-      }
-    runToBatch(spark, keyed.toDF("content_key"), "stream_dedup_custom",
-        OutputMode.Append())
+    runToBatch(spark,
+        s => harnessDocStream(s, sfDir)
+          .select(md5(lower(regexp_replace(trim(col("text")), "\\s+", " ")))
+            .as("content_key"))
+          .as[KeyArrival]
+          .groupByKey(_.content_key)
+          .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+            (key: String, rows: Iterator[KeyArrival], state: GroupState[KeySeen]) =>
+              val first = !state.exists
+              state.update(KeySeen(true))
+              rows.size // drain the iterator; arrivals beyond the first are swallowed
+              if (first) Iterator single key else Iterator.empty
+          }
+          .toDF("content_key"),
+        "stream_dedup_custom", OutputMode.Append())
       .orderBy("content_key")
   }
 
@@ -555,25 +580,26 @@ object StreamingOps {
       .foldLeft(lit(Int.MaxValue)) { case (acc, (s, i)) =>
         when(col("event_type") === s, lit(i)).otherwise(acc)
       }
-    val ev = harnessEventStream(spark, sfDir)
-      .filter(col("event_type").isin(steps.map(s => s: Any): _*))
-      .select(col("user_id"), sidx.cast("int").as("sidx"),
-        unix_micros(col("ts")).as("tus"), col("event_id"))
-      .as[FunnelEvent]
     val k = steps.length
-    val depths = ev.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelReach]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.tus, e.sidx, e.event_id))
-          val reach = sorted.foldLeft(
-            state.getOption.map(_.reach).getOrElse(Nil)) { (r, e) =>
-            if (r.length < k && e.sidx == r.length &&
-                (r.isEmpty || e.tus >= r.last)) r :+ e.tus else r
-          }
-          state.update(FunnelReach(reach))
-          Iterator.single((uid, reach.length.toLong))
-      }
-    val perUser = runToBatch(spark, depths.toDF("user_id", "depth"),
+    val perUser = runToBatch(spark,
+      s => harnessEventStream(s, sfDir)
+        .filter(col("event_type").isin(steps.map(st => st: Any): _*))
+        .select(col("user_id"), sidx.cast("int").as("sidx"),
+          unix_micros(col("ts")).as("tus"), col("event_id"))
+        .as[FunnelEvent]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+          (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelReach]) =>
+            val sorted = rows.toSeq.sortBy(e => (e.tus, e.sidx, e.event_id))
+            val reach = sorted.foldLeft(
+              state.getOption.map(_.reach).getOrElse(Nil)) { (r, e) =>
+              if (r.length < k && e.sidx == r.length &&
+                  (r.isEmpty || e.tus >= r.last)) r :+ e.tus else r
+            }
+            state.update(FunnelReach(reach))
+            Iterator.single((uid, reach.length.toLong))
+        }
+        .toDF("user_id", "depth"),
       "stream_funnel", OutputMode.Update())
     // final depth per user (last batch wins = max: depth only grows),
     // unrolled into the cumulative funnel table
@@ -610,23 +636,24 @@ object StreamingOps {
     */
   def streamTransitions(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val ev = harnessEventStream(spark, sfDir)
-      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
-        col("event_id"), col("event_type"))
-      .as[TransEvent]
-    val pairs = ev.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (uid: Long, rows: Iterator[TransEvent], state: GroupState[TransLast]) =>
-          val sorted = rows.toSeq.sortBy(e => (e.tus, e.event_id))
-          val carried = state.getOption
-          val seq = carried.map(l => TransEvent(uid, l.tus, l.event_id, l.tpe))
-            .toSeq ++ sorted
-          val last = seq.last
-          state.update(TransLast(last.tus, last.event_id, last.event_type))
-          seq.iterator.zip(seq.iterator.drop(1))
-            .map { case (a, b) => (a.event_type, b.event_type) }
-      }
-    val emitted = runToBatch(spark, pairs.toDF("prev_type", "next_type"),
+    val emitted = runToBatch(spark,
+      s => harnessEventStream(s, sfDir)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+          col("event_id"), col("event_type"))
+        .as[TransEvent]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+          (uid: Long, rows: Iterator[TransEvent], state: GroupState[TransLast]) =>
+            val sorted = rows.toSeq.sortBy(e => (e.tus, e.event_id))
+            val carried = state.getOption
+            val seq = carried.map(l => TransEvent(uid, l.tus, l.event_id, l.tpe))
+              .toSeq ++ sorted
+            val last = seq.last
+            state.update(TransLast(last.tus, last.event_id, last.event_type))
+            seq.iterator.zip(seq.iterator.drop(1))
+              .map { case (a, b) => (a.event_type, b.event_type) }
+        }
+        .toDF("prev_type", "next_type"),
       "stream_transitions", OutputMode.Update())
     emitted.groupBy("prev_type", "next_type")
       .agg(count(lit(1)).as("n"))
@@ -647,7 +674,7 @@ object StreamingOps {
     */
   def streamMixSample(spark: SparkSession, sfDir: String): DataFrame =
     runToBatch(spark,
-        harnessDocStream(spark, sfDir)
+        s => harnessDocStream(s, sfDir)
           .select(col("source"), graft.ops.Corpus.mixRate.as("rate_milli"),
             (graft.ops.Corpus.mixToss < graft.ops.Corpus.mixRate).as("keep"))
           .groupBy("source", "rate_milli")
@@ -667,7 +694,7 @@ object StreamingOps {
     */
   def streamScrub(spark: SparkSession, sfDir: String): DataFrame =
     runToBatch(spark,
-        graft.ops.TextAnalysis.scrubFrame(harnessDocStream(spark, sfDir)),
+        s => graft.ops.TextAnalysis.scrubFrame(harnessDocStream(s, sfDir)),
         "stream_scrub", OutputMode.Append())
       .orderBy("doc_id")
 
@@ -676,7 +703,7 @@ object StreamingOps {
     */
   def streamClassifier(spark: SparkSession, sfDir: String): DataFrame =
     runToBatch(spark,
-        graft.ops.TextAnalysis.classifierFrame(harnessDocStream(spark, sfDir)),
+        s => graft.ops.TextAnalysis.classifierFrame(harnessDocStream(s, sfDir)),
         "stream_classifier", OutputMode.Append())
       .orderBy("doc_id")
 
@@ -726,20 +753,12 @@ object StreamingOps {
     * constructed stream).
     */
   def streamViewPurchaseJoinOuter(spark: SparkSession, sfDir: String): DataFrame = {
-    val views = harnessEventStream(spark, sfDir)
-      .filter(col("event_type") === "view")
-      .select(col("event_id").as("view_event_id"), col("user_id").as("v_user"),
-        col("ts").as("v_ts"))
-      .withWatermark("v_ts", "2 hours")
-    val purchases = harnessEventStream(spark, sfDir)
-      .filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_event_id"), col("user_id"),
-        col("ts").as("p_ts"))
-      .withWatermark("p_ts", "2 hours")
     runToBatch(spark,
-        purchases.join(views, expr(
-          "user_id = v_user AND v_ts <= p_ts AND v_ts >= p_ts - INTERVAL 1 HOUR"),
-          "left_outer"),
+        s => joinSides(s, sfDir) match { case (purchases, views) =>
+          purchases.join(views, expr(
+            "user_id = v_user AND v_ts <= p_ts AND v_ts >= p_ts - INTERVAL 1 HOUR"),
+            "left_outer")
+        },
         "stream_join_outer", OutputMode.Append())
       .select(col("purchase_event_id"), col("user_id"),
         unix_micros(col("p_ts")).as("purchase_tus"),
@@ -753,7 +772,7 @@ object StreamingOps {
     */
   def streamRunningTotals(spark: SparkSession, sfDir: String): DataFrame =
     runToBatch(spark,
-        runningUserTotals(spark, harnessEventStream(spark, sfDir)),
+        s => runningUserTotals(s, harnessEventStream(s, sfDir)),
         "stream_running", OutputMode.Update())
       .groupBy("user_id")
       .agg(max(struct(col("n_events"), col("total_value_micros"))).as("f"))

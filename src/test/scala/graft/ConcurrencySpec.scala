@@ -58,4 +58,25 @@ class ConcurrencySpec extends SparkSpec {
     assert(samples > 0, "loop finished before any sample; grow the graph")
     assert(widths === Set("4"), s"session width mutated mid-loop: $widths")
   }
+
+  test("streaming twins never mutate the session shuffle width (scoped clone)") {
+    import spark.implicits._
+    // the streaming harness used to set/restore the session conf around
+    // each query; it now builds every stream on a CLONED session, so the
+    // shared session's width must stay fixed for the whole run
+    val sfDir = tempSfDir()
+    writeTable(sfDir, "documents", (1L to 200L).map(i =>
+      (i, s"tok$i a b", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val (out, widths, samples) = sampleWhile(
+      graft.streaming.StreamingOps.streamExactDedup(spark, sfDir).collect())
+    assert(out.length === 200)
+    assert(samples > 0, "stream finished before any sample; grow the corpus")
+    assert(widths === Set("4"), s"session width mutated during stream: $widths")
+    // and the stateful plan itself ran at the scoped 8-partition width,
+    // not the session's: the state store count is frozen at query start
+    // (behavioral pin: results identical either way — StreamingSpec —
+    // so the isolation is what this asserts)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === "4")
+  }
 }
