@@ -100,6 +100,10 @@ object SparkEntry {
     // collapse -> validity intervals, one shuffle, shared window
     // partitioning throughout
     "rel_scd2" -> ((s, dir) => Relational.scd2StatusDim(s, dir)),
+    // point-in-time lookup against that dimension: key equi-join +
+    // validity-range predicate (the warehouse temporal join), 'NONE'
+    // for first orders
+    "rel_scd2_asof" -> ((s, dir) => Relational.scd2AsOfLookup(s, dir)),
     // declarative constraint audit: six rules (unique/positive/range/
     // domain/FK), one fused aggregate pass per table + anti-join count
     "rel_dq_audit" -> ((s, dir) => Relational.dqAudit(s, dir)),
@@ -229,6 +233,10 @@ object SparkEntry {
     // composed C4-style pass: gopher gate (narrow, first) -> passage
     // dedup over survivors -> per-source curation summary
     "pipeline_gopher" -> ((s, dir) => Dedup.gopherClean(s, dir)),
+    // directed containment rung: |inter| / min(|A|,|B|) over
+    // representatives — nested/quoted duplication symmetric jaccard
+    // misses (big doc swallows the union)
+    "dedup_containment" -> ((s, dir) => Dedup.ngramContainmentPairs(s, dir)),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minHashLsh(s, dir)),
     // production-path hash family (xxhash64) — not DuckDB-reproducible,
     // so no oracleSql entry: the driver records the weaker rows-only
@@ -300,6 +308,9 @@ object SparkEntry {
     "sim_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
     // per-label centroid stats (order-independent integer accumulation)
     "emb_label_centroids" -> ((s, dir) => Similarity.labelCentroids(s, dir)),
+    // embedding health check: zero-vector detection + exact-integer
+    // norm stats per label (cosine is undefined on zero norms)
+    "emb_norm_audit" -> ((s, dir) => Similarity.normAudit(s, dir)),
     // SemDeDup: semantic dedup scoped to IVF cells — near-copies prune
     // WITHIN a coarse cluster only (quadratic in cell size, never in
     // corpus size); bit-identical vectors collapse to representatives
@@ -712,6 +723,35 @@ object SparkEntry {
        |  coalesce(list_sum(list_transform(toks,
        |    t -> ${h60("'w:' || t")} % 1001 - 500)), 0) >= 0 AS kept
        |FROM toks ORDER BY doc_id""".stripMargin
+
+  /** SCD2 dimension CTE chain (mirror of Relational.scd2StatusDim),
+    * ending in `dim` (custkey, version, status, valid_from, valid_to,
+    * n_orders). Shared by the build query (rel_scd2) and the
+    * point-in-time lookup (rel_scd2_asof).
+    */
+  private val scd2Ctes: String =
+    """ev AS (
+      |  SELECT o_custkey AS custkey, o_orderkey, epoch_us(o_orderdate) AS t,
+      |    o_orderstatus AS status
+      |  FROM orders),
+      |runs AS (
+      |  SELECT *, CASE WHEN lag(status) OVER w IS NULL
+      |    OR lag(status) OVER w <> status THEN 1 ELSE 0 END AS chg
+      |  FROM ev WINDOW w AS (PARTITION BY custkey ORDER BY t, o_orderkey)),
+      |grps AS (
+      |  SELECT *, sum(chg) OVER (PARTITION BY custkey ORDER BY t, o_orderkey
+      |    ROWS UNBOUNDED PRECEDING) AS grp
+      |  FROM runs),
+      |v AS (
+      |  SELECT custkey, grp, min(status) AS status, min(t)::BIGINT AS valid_from,
+      |    count(*)::BIGINT AS n_orders
+      |  FROM grps GROUP BY custkey, grp),
+      |dim AS (
+      |  SELECT custkey, grp::BIGINT AS version, status, valid_from,
+      |    coalesce(lead(valid_from) OVER (PARTITION BY custkey ORDER BY grp),
+      |      253402214400000000)::BIGINT AS valid_to,
+      |    n_orders
+      |  FROM v)""".stripMargin
 
   /** Product-quantization CTE chain (mirror of Similarity.pqCompsAndBook):
     * integerized components, per-(vec, sub) sign codes, per-(sub, code,
@@ -2585,26 +2625,59 @@ object SparkEntry {
     // SCD2 replay: change flag -> running-sum run id -> interval rows,
     // current version closed at the 9999-12-31 sentinel (epoch micros)
     "rel_scd2" ->
-      """WITH ev AS (
-        |  SELECT o_custkey AS custkey, o_orderkey, epoch_us(o_orderdate) AS t,
-        |    o_orderstatus AS status
-        |  FROM orders),
-        |runs AS (
-        |  SELECT *, CASE WHEN lag(status) OVER w IS NULL
-        |    OR lag(status) OVER w <> status THEN 1 ELSE 0 END AS chg
-        |  FROM ev WINDOW w AS (PARTITION BY custkey ORDER BY t, o_orderkey)),
-        |grps AS (
-        |  SELECT *, sum(chg) OVER (PARTITION BY custkey ORDER BY t, o_orderkey
-        |    ROWS UNBOUNDED PRECEDING) AS grp
-        |  FROM runs),
-        |v AS (
-        |  SELECT custkey, grp, min(status) AS status, min(t)::BIGINT AS valid_from,
-        |    count(*)::BIGINT AS n_orders
-        |  FROM grps GROUP BY custkey, grp)
-        |SELECT custkey, grp::BIGINT AS version, status, valid_from,
-        |  coalesce(lead(valid_from) OVER (PARTITION BY custkey ORDER BY grp),
-        |    253402214400000000)::BIGINT AS valid_to,
-        |  n_orders
-        |FROM v ORDER BY custkey, version""".stripMargin
+      s"""WITH $scd2Ctes
+         |SELECT custkey, version, status, valid_from, valid_to, n_orders
+         |FROM dim ORDER BY custkey, version""".stripMargin,
+    // as-of replay: every order joined to the version valid at t - 1us
+    // over the SAME dim CTE; first orders fall out of every interval
+    "rel_scd2_asof" ->
+      s"""WITH $scd2Ctes
+         |SELECT f.o_orderkey, f.custkey, f.t,
+         |  coalesce(d.status, 'NONE') AS prev_status
+         |FROM (SELECT o_orderkey, o_custkey AS custkey,
+         |        epoch_us(o_orderdate)::BIGINT AS t FROM orders) f
+         |LEFT JOIN dim d ON d.custkey = f.custkey
+         |  AND d.valid_from <= f.t - 1 AND f.t - 1 < d.valid_to
+         |ORDER BY o_orderkey""".stripMargin,
+    // containment replay: same candidate set as the jaccard rung, the
+    // min-size denominator in the final score
+    "dedup_containment" ->
+      s"""WITH $repDocShingles,
+         |sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+         |dfreq AS (SELECT shingle, count(*)::BIGINT AS df FROM sh GROUP BY shingle),
+         |rare AS (
+         |  SELECT s.doc_id, s.shingle
+         |  FROM sh s JOIN dfreq d ON s.shingle = d.shingle
+         |  WHERE d.df <= 50),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS n_inter
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT i.doc_a, i.doc_b,
+         |  floor(i.n_inter * 1000.0 / least(za.sz, zb.sz))::BIGINT AS cont_milli
+         |FROM inter i
+         |JOIN sizes za ON za.doc_id = i.doc_a
+         |JOIN sizes zb ON zb.doc_id = i.doc_b
+         |WHERE floor(i.n_inter * 1000.0 / least(za.sz, zb.sz)) >= 500
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // norm audit replay: list_dot_product is the same sequential fold
+    // the Spark dot uses; everything after the floor is integer
+    "emb_norm_audit" ->
+      """WITH e AS (
+        |  SELECT label::BIGINT AS label,
+        |    floor(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |      * 1000000)::BIGINT AS norm_micros
+        |  FROM embeddings)
+        |SELECT label, count(*)::BIGINT AS n_vecs,
+        |  sum(CASE WHEN norm_micros = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+        |  min(norm_micros)::BIGINT AS min_norm_micros,
+        |  max(norm_micros)::BIGINT AS max_norm_micros,
+        |  sum(norm_micros)::BIGINT AS sum_norm_micros
+        |FROM e GROUP BY label ORDER BY label""".stripMargin
   )
 }

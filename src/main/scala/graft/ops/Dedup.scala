@@ -489,6 +489,70 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** dedup_containment: directed n-gram CONTAINMENT pairs — score =
+    * |inter| / min(|A|, |B|), i.e. how much of the SMALLER shingle set
+    * lives inside the larger. Catches nested duplication (a quoted or
+    * embedded document, boilerplate wrapping) where symmetric Jaccard
+    * stays low because the big doc's size dominates the union — the
+    * asymmetric rung the Jaccard ladder can't see. Same 3-stage
+    * candidate/prune/exact plan as the jaccard rung over exact-content
+    * representatives; the prune bound swaps in the containment
+    * denominator (still monotone in the intersection, so it never
+    * drops a qualifying pair).
+    *
+    * Output: (doc_a, doc_b, cont_milli), a < b by id.
+    */
+  def ngramContainmentPairs(spark: SparkSession, sfDir: String,
+                            shingleN: Int = 3, maxDf: Int = 50,
+                            minContMilli: Long = 500): DataFrame =
+    ngramContainmentFromShingles(
+      shingles(representatives(table(spark, sfDir, "documents")), shingleN)
+        .localCheckpoint(),
+      maxDf, minContMilli)
+
+  /** Containment over a pre-computed, ALREADY-MATERIALIZED (doc_id,
+    * shingle) frame — see [[ngramJaccardPairsFromShingles]] for the
+    * staging rationale (this mirrors it with the containment bound).
+    */
+  def ngramContainmentFromShingles(sh: DataFrame, maxDf: Int = 50,
+                                   minContMilli: Long = 500): DataFrame = {
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df")).localCheckpoint()
+    val rare = sh.join(dfreq.filter(col("df") <= maxDf), Seq("shingle"))
+      .select("doc_id", "shingle").localCheckpoint()
+    val interRare = rare.as("a").join(rare.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter_rare"))
+    val stats = sh.join(dfreq, Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("sz"),
+        sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("n_hot"))
+      .localCheckpoint()
+    val sa = stats.select(col("doc_id").as("doc_a"),
+      col("sz").as("sz_a"), col("n_hot").as("hot_a"))
+    val sb = stats.select(col("doc_id").as("doc_b"),
+      col("sz").as("sz_b"), col("n_hot").as("hot_b"))
+    // prune on the containment upper bound: inter <= inter_ub, so
+    // inter_ub * 1000 >= minCont * min(sz) is implied by any true hit
+    val surv = interRare.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .withColumn("inter_ub", col("inter_rare") + least(col("hot_a"), col("hot_b")))
+      .filter(col("inter_ub") * 1000 >=
+        lit(minContMilli) * least(col("sz_a"), col("sz_b")))
+      .select("doc_a", "doc_b", "sz_a", "sz_b")
+      .localCheckpoint()
+    val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val inter = surv.select("doc_a", "doc_b")
+      .join(shA, Seq("doc_a")).join(shB, Seq("doc_b", "shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    surv.join(inter, Seq("doc_a", "doc_b"))
+      .withColumn("cont_milli",
+        (col("inter") * 1000 / least(col("sz_a"), col("sz_b"))).cast("long"))
+      .filter(col("cont_milli") >= minContMilli)
+      .select("doc_a", "doc_b", "cont_milli")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Winnowing document fingerprints (the MOSS scheme: Schleimer,
     * Wilkerson, Aiken — "Winnowing: Local Algorithms for Document
     * Fingerprinting"): hash every k-char gram of the normalized text,

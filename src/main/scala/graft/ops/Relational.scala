@@ -402,4 +402,32 @@ object Relational {
         col("n_orders"))
       .orderBy("custkey", "version")
   }
+
+  /** rel_scd2_asof: point-in-time (as-of) lookup against the SCD2
+    * dimension — for every order, the customer's status version valid
+    * JUST BEFORE the order (t - 1 microsecond), 'NONE' for a customer's
+    * first order. The standard warehouse temporal-join: an equi-join on
+    * the dimension key plus the validity-range predicate; per-key
+    * version counts are small (a customer's history, not the fact
+    * volume), so the range filter after the key join is bounded — the
+    * shape that holds when the fact side is 100 TB and the dimension is
+    * millions of keys with tens of versions each. Composes the
+    * scd2StatusDim build directly, proving the dim is usable as built.
+    *
+    * Output: (o_orderkey, custkey, t, prev_status).
+    */
+  def scd2AsOfLookup(spark: SparkSession, sfDir: String): DataFrame = {
+    val dim = scd2StatusDim(spark, sfDir)
+      .select(col("custkey"), col("status"), col("valid_from"), col("valid_to"))
+    val facts = table(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey").as("custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("t"))
+    facts.join(dim,
+        facts("custkey") === dim("custkey") &&
+          dim("valid_from") <= facts("t") - 1 && facts("t") - 1 < dim("valid_to"),
+        "left_outer")
+      .select(col("o_orderkey"), facts("custkey").as("custkey"), col("t"),
+        coalesce(col("status"), lit("NONE")).as("prev_status"))
+      .orderBy("o_orderkey")
+  }
 }

@@ -624,6 +624,31 @@ object Similarity {
       .orderBy("sub")
   }
 
+  /** emb_norm_audit: embedding health check — per-label vector counts,
+    * zero-vector detection, and exact-integer norm statistics (micros).
+    * The audit a pipeline runs on a fresh embedding batch before
+    * anything joins on cosine: zero or degenerate-norm vectors make
+    * cosine undefined/unstable and usually mark an upstream encoder
+    * fault. Zero shuffle except the |labels|-row rollup; the norm is a
+    * per-row fold.
+    *
+    * Output: (label, n_vecs, n_zero, min_norm_micros, max_norm_micros,
+    * sum_norm_micros).
+    */
+  def normAudit(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "embeddings")
+      .select(col("label").cast("long").as("label"),
+        floor(sqrt(dot(transform(col("embedding"), _.cast("double")),
+          transform(col("embedding"), _.cast("double")))) * lit(1000000L))
+          .cast("long").as("norm_micros"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("norm_micros") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        min(col("norm_micros")).as("min_norm_micros"),
+        max(col("norm_micros")).as("max_norm_micros"),
+        sum(col("norm_micros")).as("sum_norm_micros"))
+      .orderBy("label")
+
   /** sim_pq_ann: asymmetric-distance (ADC) top-k over the PQ codes —
     * the SERVING path of product quantization: each query builds a
     * (subspace, code) -> partial-dot lookup table against the codebook

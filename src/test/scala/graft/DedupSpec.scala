@@ -282,6 +282,24 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("containment: nested doc caught at full score where jaccard stays silent") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    val small = (1 to 12).map(i => s"w$i").mkString(" ")          // 10 shingles
+    val filler = (1 to 90).map(i => s"f$i").mkString(" ")
+    writeTable(dir, "documents", Seq(
+      (1L, small, "en", "s", 40L),
+      (2L, s"$small $filler", "en", "s", 400L),   // fully contains doc 1
+      (3L, (1 to 20).map(i => s"z$i").mkString(" "), "en", "s", 80L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // jaccard: |inter| 10, |union| 100 -> 100 milli, below the 300 gate
+    val jac = Dedup.ngramJaccardPairs(spark, dir).collect()
+    assert(jac.isEmpty)
+    val cont = Dedup.ngramContainmentPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(cont === Seq((1L, 2L, 1000L)))
+  }
+
   test("substring report: per-doc duplicated-window fraction at every alignment") {
     import spark.implicits._
     val dir = tempSfDir()

@@ -175,5 +175,12 @@ class RelationalSpec extends SparkSpec {
       (1L, 2L, "F", 2L * us, 3L * us, 1L),
       (1L, 3L, "O", 3L * us, sentinel, 1L),
       (2L, 1L, "P", 5L * us, sentinel, 1L)))
+    // point-in-time lookup against the same dim: status just BEFORE
+    // each order — first orders see NONE, a change-day order sees the
+    // version that was closing (t-1us lands in the previous interval)
+    val asof = Relational.scd2AsOfLookup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toSeq
+    assert(asof === Seq(
+      (1L, "NONE"), (2L, "O"), (3L, "O"), (4L, "F"), (5L, "NONE")))
   }
 }

@@ -192,6 +192,22 @@ class SimilaritySpec extends SparkSpec {
     assert(rows === (0L to 7L).map(s => (s, 2L, 3L, 4000000L, 250000L)))
   }
 
+  test("norm audit: zero vectors counted, norms exact to the micro") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "embeddings", Seq(
+      (1L, (0 until 64).map(_ => 0.0f), 0),                        // zero vector
+      (2L, (0 until 64).map(d => if (d == 0) 0.5f else 0.0f), 0),  // norm 0.5
+      (3L, vec(0), 1)                                              // norm 1.0
+    ).toDF("vec_id", "embedding", "label"))
+    val rows = Similarity.normAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(rows === Seq(
+      (0L, 2L, 1L, 0L, 500000L, 500000L),
+      (1L, 1L, 0L, 1000000L, 1000000L, 1000000L)))
+  }
+
   test("pq ADC serving: scores are exact LUT sums over the reconstructed vectors") {
     import spark.implicits._
     val dir = tempSfDir()
