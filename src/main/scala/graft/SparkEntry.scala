@@ -758,9 +758,8 @@ object SparkEntry {
     * dim) exact-mean codebook. Shared by the reconstruction audit
     * (sim_pq) and the ADC serving path (sim_pq_ann).
     */
-  private val pqCtes: String =
-    """emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-      |comps AS (
+  private val pqCoreCtes: String =
+    """comps AS (
       |  SELECT vec_id, d, d // 8 AS sub,
       |    floor(v[(d + 1)::INT] * 1000000)::BIGINT AS xm
       |  FROM emb, UNNEST(range(0, 64)) AS u(d)),
@@ -774,6 +773,10 @@ object SparkEntry {
       |  GROUP BY c.sub, k.code, c.d),
       |cbm AS (
       |  SELECT sub, code, d, (s - ((s % n + n) % n)) // n AS cm FROM cb)""".stripMargin
+
+  private lazy val pqCtes: String =
+    s"""emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |$pqCoreCtes""".stripMargin
 
   /** Exact-thousandths cosine similarity (mirror of Similarity.cosMilli). */
   private def cosMilli(a: String, b: String): String =
@@ -1998,10 +2001,28 @@ object SparkEntry {
          |    SELECT q_id, n_id,
          |      row_number() OVER (PARTITION BY q_id ORDER BY cos_milli DESC, n_id ASC) AS rk
          |    FROM iv_cand) WHERE rk <= 10),
+         |$pqCoreCtes,
+         |pq_lut AS (
+         |  SELECT c.vec_id AS q_id, m2.sub, m2.code, sum(c.xm * m2.cm)::BIGINT AS p
+         |  FROM comps c JOIN cbm m2 ON m2.sub = c.sub AND m2.d = c.d
+         |  WHERE c.vec_id % 50 = 0
+         |  GROUP BY q_id, m2.sub, m2.code),
+         |pq_scored AS (
+         |  SELECT l.q_id, k.vec_id, sum(l.p)::BIGINT AS s
+         |  FROM codes k JOIN pq_lut l ON l.sub = k.sub AND l.code = k.code
+         |  WHERE k.vec_id <> l.q_id
+         |  GROUP BY l.q_id, k.vec_id),
+         |pq AS (
+         |  SELECT q_id, vec_id AS n_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY s DESC, vec_id ASC) AS rk
+         |    FROM pq_scored) WHERE rk <= 10),
          |m AS (
          |  SELECT 'ivf' AS method, (SELECT count(*) FROM bf JOIN ivf USING (q_id, n_id)) AS h
          |  UNION ALL
-         |  SELECT 'lsh', (SELECT count(*) FROM bf JOIN lsh USING (q_id, n_id)))
+         |  SELECT 'lsh', (SELECT count(*) FROM bf JOIN lsh USING (q_id, n_id))
+         |  UNION ALL
+         |  SELECT 'pq', (SELECT count(*) FROM bf JOIN pq USING (q_id, n_id)))
          |SELECT method,
          |  (SELECT count(DISTINCT q_id) FROM bf)::BIGINT AS n_queries,
          |  h::BIGINT AS n_hits,

@@ -418,6 +418,10 @@ object Similarity {
     recallOf("ivf", ivfAnn(spark, sfDir, centroidMod = stride, k = k))
       .union(recallOf("lsh",
         lshAnn(spark, sfDir, k = k).filter(col("q_id") % stride === 0)))
+      // the compressed-scan rung: how much top-k quality survives the
+      // 8-bits-per-subspace code (PQ trades recall for a 32x smaller
+      // scan; the gate quantifies the trade per corpus)
+      .union(recallOf("pq", pqAnn(spark, sfDir, queryMod = stride, k = k)))
       .orderBy("method")
   }
 
