@@ -104,6 +104,10 @@ object SparkEntry {
     // validity-range predicate (the warehouse temporal join), 'NONE'
     // for first orders
     "rel_scd2_asof" -> ((s, dir) => Relational.scd2AsOfLookup(s, dir)),
+    // incremental SCD2 maintenance: delta-touched customers rebuild
+    // from their own history, everyone else keeps stored rows (anti-
+    // join) — merged == full rebuild, so the build oracle verifies it
+    "rel_scd2_merge" -> ((s, dir) => Relational.scd2IncrementalMerge(s, dir)),
     // declarative constraint audit: six rules (unique/positive/range/
     // domain/FK), one fused aggregate pass per table + anti-join count
     "rel_dq_audit" -> ((s, dir) => Relational.dqAudit(s, dir)),
@@ -112,6 +116,9 @@ object SparkEntry {
     "ev_sliding" -> ((s, dir) => EventWindows.sliding(s, dir)),
     "ev_sessions" -> ((s, dir) => EventWindows.sessionize(s, dir)),
     "ev_daily_top" -> ((s, dir) => EventWindows.dailyTopTypes(s, dir)),
+    // per-type top-1% trim audit (rank-based winsorization): exact
+    // integer percentile cut, ties total by event_id
+    "ev_outliers" -> ((s, dir) => EventWindows.outlierTrimAudit(s, dir)),
     // the same top-k-per-day via the custom TopKTagAgg aggregate: no
     // per-day sort, k-entry buffers combine map-side — the shuffle
     // carries k rows per day instead of every (day, type) row
@@ -2649,6 +2656,30 @@ object SparkEntry {
       s"""WITH $scd2Ctes
          |SELECT custkey, version, status, valid_from, valid_to, n_orders
          |FROM dim ORDER BY custkey, version""".stripMargin,
+    // incremental merge replay: merged == full rebuild by construction,
+    // so the maintenance path shares the build query's exact relation
+    "rel_scd2_merge" ->
+      s"""WITH $scd2Ctes
+         |SELECT custkey, version, status, valid_from, valid_to, n_orders
+         |FROM dim ORDER BY custkey, version""".stripMargin,
+    // top-1% trim replay: same rank window, same integer cut
+    "ev_outliers" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, floor(value * 1000)::BIGINT AS v_milli
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, event_id, v_milli,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY v_milli DESC, event_id ASC) AS rk,
+        |    count(*) OVER (PARTITION BY event_type) AS n_events
+        |  FROM e)
+        |SELECT event_type, max(n_events)::BIGINT AS n_events,
+        |  count(*)::BIGINT AS n_outliers,
+        |  min(v_milli)::BIGINT AS cut_value_milli,
+        |  max(v_milli)::BIGINT AS max_value_milli,
+        |  sum(v_milli)::BIGINT AS outlier_sum_milli
+        |FROM r WHERE rk <= n_events // 100
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // as-of replay: every order joined to the version valid at t - 1us
     // over the SAME dim CTE; first orders fall out of every interval
     "rel_scd2_asof" ->

@@ -514,4 +514,39 @@ object EventWindows {
         col("rk").cast("long").as("rk")) // BIGINT: DuckDB row_number() is BIGINT
       .orderBy("day", "rk")
   }
+
+  /** ev_outliers: per-type top-percentile trim audit — flag the top 1%
+    * of events by value (rank-based winsorization: the heavy-tail trim
+    * a metrics pipeline runs before averaging, with NO distributional
+    * assumption — no mean/sigma float math to drift cross-engine).
+    * Exact integer everywhere: values in millis, the cut count is
+    * n div 100, ties broken by event_id so the trimmed set is total.
+    *
+    * The rank window sorts each type's partition — fine at the
+    * harness's type cardinality; at 100 TB the same audit runs off a
+    * GK quantile-sketch threshold (the text_len_quantiles pattern:
+    * sketch picks the cut value, a narrow filter applies it) and this
+    * exact form remains the verifier on samples.
+    *
+    * Output: (event_type, n_events, n_outliers, cut_value_milli,
+    * max_value_milli, outlier_sum_milli).
+    */
+  def outlierTrimAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("v_milli").desc, col("event_id").asc)
+    val wn = Window.partitionBy("event_type")
+    table(spark, sfDir, "events")
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 1000d).cast("long").as("v_milli"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_events", count(lit(1)).over(wn))
+      .filter(col("rk") <= expr("n_events div 100"))
+      .groupBy("event_type")
+      .agg(max(col("n_events")).as("n_events"),
+        count(lit(1)).as("n_outliers"),
+        min(col("v_milli")).as("cut_value_milli"),
+        max(col("v_milli")).as("max_value_milli"),
+        sum(col("v_milli")).as("outlier_sum_milli"))
+      .orderBy("event_type")
+  }
 }

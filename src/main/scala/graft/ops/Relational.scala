@@ -379,13 +379,47 @@ object Relational {
     *
     * Output: (custkey, version, status, valid_from, valid_to, n_orders).
     */
-  def scd2StatusDim(spark: SparkSession, sfDir: String): DataFrame = {
+  def scd2StatusDim(spark: SparkSession, sfDir: String): DataFrame =
+    scd2FromChangelog(table(spark, sfDir, "orders"))
+      .orderBy("custkey", "version")
+
+  /** rel_scd2_merge: INCREMENTAL SCD2 maintenance — apply a new slice
+    * of the changelog to an existing dimension without rebuilding
+    * untouched customers (the daily shape: the changelog grows by one
+    * day, the dim is petabyte-scale, and recomputing every key is the
+    * cost you must not pay). Orders split at a date cutoff play
+    * yesterday's dim source vs today's delta: customers ABSENT from the
+    * delta keep their stored rows verbatim (anti-join — no window, no
+    * rebuild); only delta-touched customers re-run the gaps-and-islands
+    * build over their own full history (semi-join pulls just those keys'
+    * changelog — per-key history, not the table). merged == full
+    * rebuild row-for-row, so the build query's oracle verifies the
+    * maintenance path exactly (the incrementalMvMerge proof pattern).
+    */
+  def scd2IncrementalMerge(spark: SparkSession, sfDir: String,
+                           cutoffYear: Int = 1996): DataFrame = {
+    val orders = table(spark, sfDir, "orders")
+    val delta = orders.filter(year(col("o_orderdate")) >= cutoffYear)
+    val affected = delta.select(col("o_custkey").as("custkey")).distinct()
+    val oldDim = scd2FromChangelog(
+      orders.filter(year(col("o_orderdate")) < cutoffYear))
+    val kept = oldDim.join(affected, Seq("custkey"), "left_anti")
+    val rebuilt = scd2FromChangelog(
+      orders.join(affected, orders("o_custkey") === affected("custkey"), "left_semi"))
+    kept.unionByName(rebuilt).orderBy("custkey", "version")
+  }
+
+  /** The SCD2 build over an arbitrary orders changelog slice — shared
+    * by the full build (scd2StatusDim) and the incremental merge.
+    * Unordered; callers own the presentation sort.
+    */
+  private def scd2FromChangelog(orders: DataFrame): DataFrame = {
     val wSeq = Window.partitionBy("custkey")
       .orderBy(col("t").asc, col("o_orderkey").asc)
     val wRun = wSeq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wVer = Window.partitionBy("custkey").orderBy(col("grp").asc)
     val sentinel = 253402214400000000L // epoch micros of 9999-12-31T00:00Z
-    table(spark, sfDir, "orders")
+    orders
       .select(col("o_custkey").as("custkey"), col("o_orderkey"),
         unix_micros(col("o_orderdate").cast("timestamp")).as("t"),
         col("o_orderstatus").as("status"))
@@ -400,7 +434,6 @@ object Relational {
         col("valid_from"),
         coalesce(lead(col("valid_from"), 1).over(wVer), lit(sentinel)).as("valid_to"),
         col("n_orders"))
-      .orderBy("custkey", "version")
   }
 
   /** rel_scd2_asof: point-in-time (as-of) lookup against the SCD2

@@ -298,4 +298,19 @@ class EventWindowsSpec extends SparkSpec {
     assert(rows(EventWindows.dailyTopTypesAgg(spark, sf)) ===
       rows(EventWindows.dailyTopTypes(spark, sf)))
   }
+
+  test("outlier trim: exact 1% rank cut with id tie-break; small types cut nothing") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // 200 "view" events valued id/1000 -> v_milli == id; top 1% = 2 rows
+    // (ids 200, 199); 50 "click" events -> 50 div 100 = 0 outliers, so
+    // the type produces NO row at all
+    val ev = (1L to 200L).map(i => ("view", i, i / 1000.0)) ++
+      (201L to 250L).map(i => ("click", i, 5.0))
+    writeTable(dir, "events", ev.toDF("event_type", "event_id", "value"))
+    val rows2 = EventWindows.outlierTrimAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(rows2 === Seq(("view", 200L, 2L, 199L, 200L, 399L)))
+  }
 }

@@ -183,4 +183,28 @@ class RelationalSpec extends SparkSpec {
     assert(asof === Seq(
       (1L, "NONE"), (2L, "O"), (3L, "O"), (4L, "F"), (5L, "NONE")))
   }
+
+  test("scd2 incremental merge equals the full rebuild") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    def day(d: Long) = new java.sql.Timestamp(d * 86400000L)
+    writeTable(dir, "orders", Seq(
+      (1L, 1L, "O", 1.0, day(0), "p"),
+      (2L, 1L, "F", 1.0, day(2), "p"),
+      // day 10000 = 1997: lands past the 1996 cutoff -> the delta
+      // touches customer 1 only; customer 2 must keep stored rows
+      (3L, 1L, "O", 1.0, day(10000), "p"),
+      (4L, 2L, "P", 1.0, day(5), "p")
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val full = rows(Relational.scd2StatusDim(spark, dir))
+    assert(rows(Relational.scd2IncrementalMerge(spark, dir)) === full)
+    // degenerate cutoffs: everything-delta and everything-kept both
+    // reduce to the same relation
+    assert(rows(Relational.scd2IncrementalMerge(spark, dir, cutoffYear = 1970)) === full)
+    assert(rows(Relational.scd2IncrementalMerge(spark, dir, cutoffYear = 2999)) === full)
+  }
 }
