@@ -412,6 +412,9 @@ object SparkEntry {
     // forms, so they share the batch oracles
     "stream_scrub" -> ((s, dir) => StreamingOps.streamScrub(s, dir)),
     "stream_classifier" -> ((s, dir) => StreamingOps.streamClassifier(s, dir)),
+    // stateful per-source admission control: O(1) counter state admits
+    // the first k arrivals per source in flight
+    "stream_source_cap" -> ((s, dir) => StreamingOps.streamSourceCap(s, dir)),
     // temperature-based (alpha=0.5) mixture weights: head sources
     // shrink, tail sources grow; integer ppm math after one aggregate
     "pipeline_mix_temperature" -> ((s, dir) => Corpus.temperatureMix(s, dir)),
@@ -2649,6 +2652,15 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rk
         |  FROM documents)
         |SELECT source, n_docs::BIGINT AS n_docs, doc_id, rk::BIGINT AS rk
+        |FROM ranked WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    // ingest admission control replay: in-order arrival => admitted set
+    // is exactly the k smallest ids per source
+    "stream_source_cap" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rk
+        |  FROM documents)
+        |SELECT source, doc_id, rk::BIGINT AS rk
         |FROM ranked WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
     // SCD2 replay: change flag -> running-sum run id -> interval rows,
     // current version closed at the 9999-12-31 sentinel (epoch micros)

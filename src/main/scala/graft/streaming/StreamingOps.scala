@@ -766,6 +766,43 @@ object StreamingOps {
       .orderBy("purchase_event_id", "view_event_id")
   }
 
+  case class CapArrival(source: String, doc_id: Long)
+  case class CapCount(n: Long)
+
+  /** stream_source_cap: per-source ADMISSION CONTROL at ingest — the
+    * streaming twin of pipeline_source_cap. A per-source counter in
+    * state admits the first k arrivals and silently drops the rest:
+    * O(1) state per source regardless of stream length, the gate a
+    * crawl frontier applies while the data is still in flight (the
+    * batch cap then repacks offline). Same in-order caveat as
+    * streamFunnel — arrivals are sorted per micro-batch by doc_id and
+    * the harness file-replay respects that order, so admitted == the k
+    * smallest ids and the batch window-rank relation is the oracle.
+    *
+    * Output: (source, doc_id, rk) for admitted docs only.
+    */
+  def streamSourceCap(spark: SparkSession, sfDir: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    runToBatch(spark,
+        s => harnessDocStream(s, sfDir)
+          .select(col("source"), col("doc_id"))
+          .as[CapArrival]
+          .groupByKey(_.source)
+          .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+            (src: String, rows: Iterator[CapArrival], state: GroupState[CapCount]) =>
+              val sorted = rows.toSeq.sortBy(_.doc_id)
+              var n = state.getOption.map(_.n).getOrElse(0L)
+              val admitted = sorted.flatMap { a =>
+                if (n < k) { n += 1; Some((a.source, a.doc_id, n)) } else None
+              }
+              state.update(CapCount(n))
+              admitted.iterator
+          }
+          .toDF("source", "doc_id", "rk"),
+        "stream_source_cap", OutputMode.Append())
+      .orderBy("source", "rk")
+  }
+
   /** Final per-user state of the mapGroupsWithState running totals. The
     * memory sink sees one Update row per (user, micro-batch); the final
     * state per user is the row with the highest event count (monotone).

@@ -441,6 +441,21 @@ class StreamingSpec extends SparkSpec {
     assert(sCls === bCls)
   }
 
+  test("source cap admission: first k per source admitted, the rest dropped in flight") {
+    import spark.implicits._
+    val sfDir = tempSfDir()
+    writeTable(sfDir, "documents", (
+      Seq(4L, 2L, 7L, 1L).map(i => (i, "t", "en", "a", 1L)) :+ ((9L, "t", "en", "b", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = StreamingOps.streamSourceCap(spark, sfDir, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // matches the batch cap's kept set (minus its n_docs column)
+    val batch = graft.ops.Corpus.sourceCap(spark, sfDir, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows === batch)
+    assert(rows === Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 9L, 1L)))
+  }
+
   test("restart from checkpoint: processed input is not re-ingested, new input is") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft-restart-in").toString
