@@ -599,14 +599,21 @@ object Similarity {
           (x, j) => when(x >= 0L, pow(lit(2.0d), j.cast("double")).cast("long"))
             .otherwise(lit(0L))),
         lit(0L), (acc, bit) => acc + bit))
+    // zip (component, its subspace code) into ONE array-valued
+    // expression BEFORE the explode: projection collapse would
+    // otherwise inline the whole interpreted code fold into the
+    // per-exploded-row projection and re-run it 64x per vector
+    // (measured 34x wall at the 10x scale probe)
+    val perDimCode = flatten(transform(codes, c => array_repeat(c, subDim)))
     val comps = table(spark, sfDir, "embeddings")
       .select(col("vec_id"), vm.as("vm"))
-      .withColumn("codes", codes)
-      .select(col("vec_id"), posexplode(col("vm")).as(Seq("d", "xm")),
-        col("codes"))
-      .select(col("vec_id"), col("d").cast("long").as("d"), col("xm"),
+      .select(col("vec_id"),
+        posexplode(zip_with(col("vm"), perDimCode,
+          (x, c) => struct(x.as("xm"), c.as("code")))).as(Seq("d", "zc")))
+      .select(col("vec_id"), col("d").cast("long").as("d"),
+        col("zc.xm").as("xm"),
         (col("d").cast("long") / lit(subDim)).cast("long").as("sub"),
-        element_at(col("codes"), (col("d") / lit(subDim)).cast("int") + 1).as("code"))
+        col("zc.code").as("code"))
     val codebook = comps.groupBy("sub", "code", "d")
       .agg(count(lit(1)).as("n"), sum(col("xm")).as("s"))
       .select(col("sub"), col("code"), col("d"),

@@ -11,7 +11,7 @@ offset valid. Fact tables are replicated 10x with key offsets:
   documents.doc_id     +i * 1_000_000   (even offsets preserve id-parity
                                          modality split; 10x exact dups =
                                          the dup-heavy crawl stress case)
-  embeddings.vec_id    +i * 100_000 + 1 for i>0 (replicas never hit
+  embeddings.vec_id    2*(id + i*100_000)+1 for i>0 (odd ids never hit
                                          vec_id % 50 == 0: the strided
                                          query/centroid set stays FIXED
                                          while the corpus grows 10x)
@@ -37,13 +37,22 @@ FACT_OFFSETS = {
 }
 
 
-def shifted(table: pa.Table, offsets: dict, i: int, bump_one: bool) -> pa.Table:
+def shifted(table: pa.Table, offsets: dict, i: int, odd_ids: bool) -> pa.Table:
     if i == 0:
         return table
     for name, step in offsets.items():
         idx = table.schema.get_field_index(name)
-        off = step * i + (1 if bump_one else 0)
-        col = pc.add(table.column(name), pa.scalar(off, type=pa.int64()))
+        if odd_ids:
+            # replica id = 2*(orig + step*i) + 1: always ODD, hence never
+            # a multiple of 50 — a constant offset can't guarantee that
+            # (any constant maps exactly one residue class onto the
+            # stride; the old "+1" bump leaked ids ≡ 49 (mod 50) into
+            # the query/centroid set, growing it 10x at 10x scale)
+            col = pc.add(pc.multiply(pc.add(table.column(name),
+                pa.scalar(step * i, type=pa.int64())),
+                pa.scalar(2, type=pa.int64())), pa.scalar(1, type=pa.int64()))
+        else:
+            col = pc.add(table.column(name), pa.scalar(step * i, type=pa.int64()))
         table = table.set_column(idx, table.schema.field(idx), col.cast(table.schema.field(idx).type))
     return table
 
@@ -55,7 +64,7 @@ for t in DIMS:
     print(f"{t}: copied 1x")
 for t, offsets in FACT_OFFSETS.items():
     base = pq.read_table(f"{SRC}/{t}.parquet")
-    parts = [shifted(base, offsets, i, bump_one=(t == "embeddings")) for i in range(K)]
+    parts = [shifted(base, offsets, i, odd_ids=(t == "embeddings")) for i in range(K)]
     out = pa.concat_tables(parts)
     pq.write_table(out, f"{DST}/{t}.parquet")
     print(f"{t}: {base.num_rows} -> {out.num_rows}")
