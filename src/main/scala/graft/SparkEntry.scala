@@ -225,6 +225,10 @@ object SparkEntry {
     // is one array fold per row — the model-based filter rung above the
     // gopher heuristics
     "text_classifier" -> ((s, dir) => TextAnalysis.classifierScore(s, dir)),
+    // ordered filter cascade with attribution: first failing rule per
+    // doc (lang -> gopher x5 -> classifier), per-source histogram; one
+    // per-row projection, zero shuffles before the rollup
+    "pipeline_cascade" -> ((s, dir) => TextAnalysis.filterCascade(s, dir)),
     // —— deduplication ladder ——
     "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
     // exact-substring duplication report: per-doc fraction of 8-token
@@ -1466,6 +1470,44 @@ object SparkEntry {
         |    AND (symbol_milli IS NOT NULL AND symbol_milli < 100)
         |    AND n_stop_distinct >= 2) AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+    // cascade replay: gopher rule CTEs + the classifier fold + the
+    // ordered CASE chain, per-source attribution histogram
+    "pipeline_cascade" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, source, text,
+         |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, lang, source,
+         |    len(toks)::BIGINT AS n_words,
+         |    coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT AS char_mass,
+         |    len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha,
+         |    (length(text) - length(replace(text, '#', '')))::BIGINT AS n_hash,
+         |    ((length(text) - length(replace(text, '...', ''))) // 3)::BIGINT AS n_ellipsis,
+         |    len(list_intersect(toks, ['the','a','of','and','to','in','is','on']))::BIGINT AS n_stop,
+         |    coalesce(list_sum(list_transform(toks,
+         |      x -> ${h60("'w:' || x")} % 1001 - 500)), 0)::BIGINT AS score
+         |  FROM t),
+         |r AS (
+         |  SELECT doc_id, lang, source, n_words, n_stop, score,
+         |    CASE WHEN n_words > 0 THEN char_mass * 1000 // n_words END AS mw,
+         |    CASE WHEN n_words > 0 THEN n_alpha * 1000 // n_words END AS aw,
+         |    CASE WHEN n_words > 0 THEN (n_hash + n_ellipsis) * 1000 // n_words END AS sy
+         |  FROM m),
+         |v AS (
+         |  SELECT source,
+         |    CASE
+         |      WHEN lang <> 'en' THEN '1_lang'
+         |      WHEN NOT (n_words >= 10 AND n_words <= 100000) THEN '2_words'
+         |      WHEN NOT (mw IS NOT NULL AND mw BETWEEN 3000 AND 10000) THEN '3_meanlen'
+         |      WHEN NOT (aw IS NOT NULL AND aw >= 800) THEN '4_alpha'
+         |      WHEN NOT (sy IS NOT NULL AND sy < 100) THEN '5_symbol'
+         |      WHEN NOT (n_stop >= 2) THEN '6_stop'
+         |      WHEN score < 0 THEN '7_classifier'
+         |      ELSE '0_keep' END AS verdict
+         |  FROM r)
+         |SELECT source, verdict, count(*)::BIGINT AS n_docs
+         |FROM v GROUP BY source, verdict ORDER BY source, verdict""".stripMargin,
     // OOV: vocabulary cut is deterministic (count desc, token asc)
     "text_oov" ->
       """WITH tok AS (

@@ -620,6 +620,45 @@ object TextAnalysis {
             t => when(isDenied(t), lit(mask)).otherwise(t)))).as("redacted_md5"))
   }
 
+  /** pipeline_cascade: the ordered filter cascade with ATTRIBUTION —
+    * every rejected document reports the FIRST rule that killed it
+    * (lang gate -> the five Gopher rules in order -> the linear
+    * classifier), rolled up per source. This is the report a curation
+    * run actually ships: not just survivor counts but WHY each slice
+    * died, so a rule misfiring on one source is visible immediately.
+    * Rule order matters and is part of the contract (earlier, cheaper
+    * rules take the blame when several would fire — the order they'd
+    * short-circuit in at 100 TB).
+    *
+    * One per-row projection computes every signal (the gopher columns
+    * and the classifier fold are both narrow), so the cascade costs
+    * ZERO shuffles beyond the |sources x verdicts| rollup.
+    *
+    * Output: (source, verdict, n_docs); verdict '0_keep' or the
+    * ordinal-prefixed first failing rule.
+    */
+  def filterCascade(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val weight: Column => Column = t =>
+      OracleHash.h60(concat(lit("w:"), t)) % 1001L - 500L
+    val score = aggregate(toks, lit(0L), (acc, t) => acc + weight(t))
+    table(spark, sfDir, "documents")
+      .select(Seq(col("doc_id"), col("lang"), col("source"),
+        score.as("score")) ++ gopherColumns(10, 100000): _*)
+      .withColumn("verdict",
+        when(col("lang") =!= "en", "1_lang")
+          .when(!col("r_words"), "2_words")
+          .when(!col("r_meanlen"), "3_meanlen")
+          .when(!col("r_alpha"), "4_alpha")
+          .when(!col("r_symbol"), "5_symbol")
+          .when(!col("r_stop"), "6_stop")
+          .when(col("score") < 0L, "7_classifier")
+          .otherwise("0_keep"))
+      .groupBy("source", "verdict")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "verdict")
+  }
+
   /** text_classifier: hashed linear quality classifier — the
     * model-based filter rung of the quality family (gopherRules is the
     * heuristic rung; production pipelines run a fastText-style linear

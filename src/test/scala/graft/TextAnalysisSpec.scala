@@ -331,6 +331,24 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, 2L, 2L, md5hex("[REDACTED] [REDACTED]"))))
   }
 
+  test("cascade: first failing rule takes the blame, in declared order") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    val good = "the cat and the hat sat on a mat of straw today friends" // passes gopher
+    writeTable(dir, "documents", Seq(
+      // fails lang AND words: lang (rule 1) must take the blame
+      (1L, "kurz", "de", "s1", 4L),
+      // en but 1 word: words (rule 2) fires before stop would
+      (2L, "solo", "en", "s1", 4L),
+      // en, >=10 words, no stopwords at all -> 6_stop
+      (3L, (1 to 12).map(i => s"tok$i").mkString(" "), "en", "s2", 60L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = TextAnalysis.filterCascade(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows === Seq(
+      ("s1", "1_lang", 1L), ("s1", "2_words", 1L), ("s2", "6_stop", 1L)))
+  }
+
   test("classifier: score is the sum of md5-derived unigram weights, with multiplicity") {
     import spark.implicits._
     val dir = tempSfDir()
