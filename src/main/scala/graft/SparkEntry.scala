@@ -289,6 +289,10 @@ object SparkEntry {
     // full ladder: quality gate -> exact dedup -> fuzzy-cluster dedup
     // (keep the smallest surviving doc per near-dup component)
     "pipeline_fuzzy" -> ((s, dir) => Dedup.cleanCorpusFuzzy(s, dir)),
+    // the END-TO-END funnel: every ladder stage composed in one run,
+    // exact survivor counts per stage (raw -> quality -> exact ->
+    // fuzzy -> decontaminated -> sampled)
+    "pipeline_e2e" -> ((s, dir) => Dedup.curationFunnel(s, dir)),
     // —— similarity search ——
     "sim_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "sim_lsh_ann" -> ((s, dir) => Similarity.lshAnn(s, dir)),
@@ -2403,6 +2407,62 @@ object SparkEntry {
          |  FROM lab)
          |SELECT doc_id::BIGINT AS doc_id, content_key
          |FROM win WHERE doc_id = keep_id ORDER BY doc_id""".stripMargin,
+    // e2e funnel replay: the fuzzy chain's CTEs produce stages 2-4; the
+    // decontamination overlap runs over its own (all-doc) shingle CTEs
+    // (d-prefixed — repDocShingles' toks/sh are rep-restricted); stage 6
+    // applies the mix coin to stage 5's survivors
+    "pipeline_e2e" ->
+      s"""WITH RECURSIVE $repDocShingles,
+         |$fuzzyEdgesCte,
+         |$clustersCte,
+         |$expandClustersCte,
+         |pq AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk
+         |  FROM documents),
+         |pkept AS (
+         |  SELECT doc_id, text FROM pq
+         |  WHERE len(tk) >= 10 AND len(tk) <= 100000
+         |    AND len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is','on'))) * 100 >= len(tk)),
+         |pkeyed AS (
+         |  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_key
+         |  FROM pkept),
+         |surv AS (
+         |  SELECT min(doc_id) AS doc_id, content_key
+         |  FROM pkeyed GROUP BY content_key),
+         |lab AS (
+         |  SELECT s.doc_id, coalesce(c.cluster_id, s.doc_id) AS cid
+         |  FROM surv s LEFT JOIN expanded c ON s.doc_id = c.doc_id),
+         |win AS (
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY cid) AS keep_id FROM lab),
+         |fz AS (SELECT doc_id FROM win WHERE doc_id = keep_id),
+         |dtoks AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+         |  FROM documents),
+         |dsh AS (
+         |  SELECT DISTINCT doc_id, array_to_string(toks[i+1:i+3], ' ') AS shingle
+         |  FROM dtoks, UNNEST(range(0, len(toks) - 2)) AS u(i)
+         |  WHERE len(toks) >= 3),
+         |ev AS (SELECT DISTINCT shingle FROM dsh WHERE doc_id % 97 = 0),
+         |flagged AS (
+         |  SELECT s.doc_id FROM dsh s JOIN ev ON s.shingle = ev.shingle
+         |  WHERE s.doc_id % 97 != 0
+         |  GROUP BY s.doc_id HAVING count(*) >= 3),
+         |dec AS (
+         |  SELECT doc_id FROM fz
+         |  WHERE doc_id % 97 != 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)),
+         |smp AS (
+         |  SELECT d.doc_id FROM dec d JOIN documents c USING (doc_id)
+         |  WHERE ('0x' || substr(md5('mix:' || d.doc_id::VARCHAR), 1, 15))::BIGINT % 1000
+         |      < ('0x' || substr(md5('rate:' || c.source), 1, 15))::BIGINT % 800 + 100)
+         |SELECT stage, n_docs FROM (
+         |  SELECT '1_raw' AS stage, count(*)::BIGINT AS n_docs FROM documents
+         |  UNION ALL SELECT '2_quality', count(*)::BIGINT FROM pkept
+         |  UNION ALL SELECT '3_exact', count(*)::BIGINT FROM surv
+         |  UNION ALL SELECT '4_fuzzy', count(*)::BIGINT FROM fz
+         |  UNION ALL SELECT '5_decontaminated', count(*)::BIGINT FROM dec
+         |  UNION ALL SELECT '6_sampled', count(*)::BIGINT FROM smp)
+         |ORDER BY stage""".stripMargin,
     "pipeline_clean" ->
       """WITH q AS (
         |  SELECT doc_id, text,

@@ -985,4 +985,48 @@ object Dedup {
   def embeddingNearDups(spark: SparkSession, sfDir: String,
                         minCosMilli: Long = 990): DataFrame =
     Similarity.lshNearDupPairs(spark, sfDir, minCosMilli)
+
+  /** pipeline_e2e: the END-TO-END curation funnel — every stage of the
+    * cleaning ladder composed into one run, reporting exact survivor
+    * counts per stage:
+    *
+    *   1_raw -> 2_quality (rule gate) -> 3_exact (content dedup of the
+    *   kept) -> 4_fuzzy (near-dup cluster collapse) -> 5_decontaminated
+    *   (eval members AND eval-overlapping docs dropped) ->
+    *   6_sampled (mix-rate hash coin)
+    *
+    * This is the snapshot-level report a corpus build publishes: each
+    * number is the INPUT to the next stage, so regressions localize to
+    * a stage immediately. Stage ordering is the scale ordering — narrow
+    * gates first (quality is a zero-shuffle filter), the expensive
+    * fuzzy collapse only over exact survivors, decontamination as a
+    * broadcast semi-join, sampling as a per-row hash — and each stage's
+    * operator is the SAME function registered standalone, so the funnel
+    * is composition, not reimplementation.
+    *
+    * Output: (stage, n_docs), 6 rows.
+    */
+  def curationFunnel(spark: SparkSession, sfDir: String,
+                     evalMod: Int = 97): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val quality = TextAnalysis.qualityScore(spark, sfDir)
+      .filter(col("quality_keep")).select("doc_id")
+    val exact = cleanCorpus(spark, sfDir).select("doc_id")
+    val fuzzy = cleanCorpusFuzzy(spark, sfDir).select("doc_id").localCheckpoint()
+    val flagged = decontaminate(spark, sfDir, evalMod).select("doc_id")
+    val decon = fuzzy.filter(col("doc_id") % evalMod =!= 0)
+      .join(flagged, Seq("doc_id"), "left_anti").localCheckpoint()
+    val sampled = decon
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .filter(Corpus.mixToss < Corpus.mixRate)
+    Seq(
+      "1_raw" -> docs.select("doc_id"), "2_quality" -> quality,
+      "3_exact" -> exact, "4_fuzzy" -> fuzzy,
+      "5_decontaminated" -> decon, "6_sampled" -> sampled.select("doc_id"))
+      .map { case (stage, df) =>
+        df.agg(count(lit(1)).as("n_docs")).select(lit(stage).as("stage"), col("n_docs"))
+      }
+      .reduce(_ unionByName _)
+      .orderBy("stage")
+  }
 }

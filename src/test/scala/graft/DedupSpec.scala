@@ -282,6 +282,19 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("e2e funnel: stages monotone, each equal to its standalone operator") {
+    val rows = Dedup.curationFunnel(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(rows.map(_._1) === Seq("1_raw", "2_quality", "3_exact", "4_fuzzy",
+      "5_decontaminated", "6_sampled"))
+    val counts = rows.map(_._2)
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      s"funnel not monotone: $rows")
+    val m = rows.toMap
+    assert(m("3_exact") === Dedup.cleanCorpus(spark, sfDir).count())
+    assert(m("4_fuzzy") === Dedup.cleanCorpusFuzzy(spark, sfDir).count())
+  }
+
   test("containment: nested doc caught at full score where jaccard stays silent") {
     import spark.implicits._
     val dir = tempSfDir()
