@@ -507,6 +507,30 @@ object SparkEntry {
           |FROM top t CROSS JOIN sk s
           |ORDER BY t.token""".stripMargin)
     }),
+    // the native dot-product expression from pure SQL (graft_dot):
+    // brute-force cosine top-k written as SQL text — same relation as
+    // sim_bruteforce, whose oracle it shares
+    "sql_cosine" -> ((s, dir) => {
+      GraftExtensions.register(s)
+      table(s, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
+      s.sql(
+        """WITH emb AS (
+          |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          |  FROM graft_embeddings),
+          |q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
+          |scored AS (
+          |  SELECT q.q_id, e.vec_id AS n_id,
+          |    CAST(floor(graft_dot(q.qv, e.v) /
+          |      (sqrt(graft_dot(q.qv, q.qv)) * sqrt(graft_dot(e.v, e.v))) * 1000)
+          |      AS BIGINT) AS cos_milli
+          |  FROM emb e CROSS JOIN q WHERE e.vec_id != q.q_id),
+          |ranked AS (
+          |  SELECT q_id, n_id, cos_milli,
+          |    row_number() OVER (PARTITION BY q_id ORDER BY cos_milli DESC, n_id ASC) AS rk
+          |  FROM scored)
+          |SELECT q_id, CAST(rk AS BIGINT) AS rk, n_id, cos_milli
+          |FROM ranked WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin)
+    }),
     // the custom top-k aggregate from pure SQL (graft_top_k), exploded
     // back to ranked rows — same relation as both daily-top twins
     "sql_topk" -> ((s, dir) => {
@@ -795,6 +819,24 @@ object SparkEntry {
   private lazy val pqCtes: String =
     s"""emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |$pqCoreCtes""".stripMargin
+
+  /** Brute-force cosine top-k replay (mirror of
+    * Similarity.bruteForceTopK). Shared by the Column-API query
+    * (sim_bruteforce) and the graft_dot SQL-surface twin (sql_cosine).
+    */
+  private lazy val bruteForceOracle: String =
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id AS n_id, ${cosMilli("q.qv", "e.v")} AS cos_milli
+       |  FROM emb e CROSS JOIN q
+       |  WHERE e.vec_id != q.q_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, cos_milli,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos_milli DESC, n_id ASC) AS rk
+       |  FROM scored)
+       |SELECT q_id, rk, n_id, cos_milli FROM ranked WHERE rk <= 10
+       |ORDER BY q_id, rk""".stripMargin
 
   /** Exact-thousandths cosine similarity (mirror of Similarity.cosMilli). */
   private def cosMilli(a: String, b: String): String =
@@ -1967,19 +2009,9 @@ object SparkEntry {
       """SELECT min(vec_id)::BIGINT AS keep_vec_id, count(*)::BIGINT AS n_copies
         |FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |GROUP BY v ORDER BY keep_vec_id""".stripMargin,
-    "sim_bruteforce" ->
-      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
-         |scored AS (
-         |  SELECT q.q_id, e.vec_id AS n_id, ${cosMilli("q.qv", "e.v")} AS cos_milli
-         |  FROM emb e CROSS JOIN q
-         |  WHERE e.vec_id != q.q_id),
-         |ranked AS (
-         |  SELECT q_id, n_id, cos_milli,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY cos_milli DESC, n_id ASC) AS rk
-         |  FROM scored)
-         |SELECT q_id, rk, n_id, cos_milli FROM ranked WHERE rk <= 10
-         |ORDER BY q_id, rk""".stripMargin,
+    "sim_bruteforce" -> bruteForceOracle,
+    // graft_dot SQL-surface twin: identical relation by construction
+    "sql_cosine" -> bruteForceOracle,
     "sim_lsh_ann" ->
       s"""WITH $lshBucketsCte,
          |q AS (SELECT vec_id AS q_id, v AS qv, band, sig FROM bucketed),

@@ -45,7 +45,10 @@ class PlanShapeSpec extends SparkSpec {
       "rel_dq_audit",
       // SemDeDup assigns cells through the same broadcast centroid
       // cross join as sim_ivf; the pair join itself is cell-keyed
-      "sim_semdedup")
+      "sim_semdedup",
+      // the graft_dot SQL twin of sim_bruteforce: same broadcast
+      // strided-query cross join as the Column-API form
+      "sql_cosine")
     val real = offenders.filterNot(o => sanctioned.exists(o.startsWith))
     assert(real.isEmpty, s"quadratic plan shapes found:\n${real.mkString("\n")}")
   }
