@@ -423,6 +423,9 @@ object SparkEntry {
     // stateful per-source admission control: O(1) counter state admits
     // the first k arrivals per source in flight
     "stream_source_cap" -> ((s, dir) => StreamingOps.streamSourceCap(s, dir)),
+    // the cascade live: per-row verdicts, bounded (source, verdict)
+    // rollup — shares the batch cascade's oracle
+    "stream_cascade" -> ((s, dir) => StreamingOps.streamCascade(s, dir)),
     // temperature-based (alpha=0.5) mixture weights: head sources
     // shrink, tail sources grow; integer ppm math after one aggregate
     "pipeline_mix_temperature" -> ((s, dir) => Corpus.temperatureMix(s, dir)),
@@ -819,6 +822,47 @@ object SparkEntry {
   private lazy val pqCtes: String =
     s"""emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |$pqCoreCtes""".stripMargin
+
+  /** Cascade attribution replay (mirror of TextAnalysis.cascadeFrame
+    * + the rollup). Shared by pipeline_cascade and its stateless
+    * streaming twin (stream_cascade).
+    */
+  private lazy val cascadeOracle: String =
+    s"""WITH t AS (
+         |  SELECT doc_id, lang, source, text,
+         |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, lang, source,
+         |    len(toks)::BIGINT AS n_words,
+         |    coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT AS char_mass,
+         |    len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha,
+         |    (length(text) - length(replace(text, '#', '')))::BIGINT AS n_hash,
+         |    ((length(text) - length(replace(text, '...', ''))) // 3)::BIGINT AS n_ellipsis,
+         |    len(list_intersect(toks, ['the','a','of','and','to','in','is','on']))::BIGINT AS n_stop,
+         |    coalesce(list_sum(list_transform(toks,
+         |      x -> ${h60("'w:' || x")} % 1001 - 500)), 0)::BIGINT AS score
+         |  FROM t),
+         |r AS (
+         |  SELECT doc_id, lang, source, n_words, n_stop, score,
+         |    CASE WHEN n_words > 0 THEN char_mass * 1000 // n_words END AS mw,
+         |    CASE WHEN n_words > 0 THEN n_alpha * 1000 // n_words END AS aw,
+         |    CASE WHEN n_words > 0 THEN (n_hash + n_ellipsis) * 1000 // n_words END AS sy
+         |  FROM m),
+         |v AS (
+         |  SELECT source,
+         |    CASE
+         |      WHEN lang <> 'en' THEN '1_lang'
+         |      WHEN NOT (n_words >= 10 AND n_words <= 100000) THEN '2_words'
+         |      WHEN NOT (mw IS NOT NULL AND mw BETWEEN 3000 AND 10000) THEN '3_meanlen'
+         |      WHEN NOT (aw IS NOT NULL AND aw >= 800) THEN '4_alpha'
+         |      WHEN NOT (sy IS NOT NULL AND sy < 100) THEN '5_symbol'
+         |      WHEN NOT (n_stop >= 2) THEN '6_stop'
+         |      WHEN score < 0 THEN '7_classifier'
+         |      ELSE '0_keep' END AS verdict
+         |  FROM r)
+         |SELECT source, verdict, count(*)::BIGINT AS n_docs
+         |FROM v GROUP BY source, verdict ORDER BY source, verdict""".stripMargin
 
   /** Brute-force cosine top-k replay (mirror of
     * Similarity.bruteForceTopK). Shared by the Column-API query
@@ -1517,43 +1561,10 @@ object SparkEntry {
         |    AND n_stop_distinct >= 2) AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
     // cascade replay: gopher rule CTEs + the classifier fold + the
-    // ordered CASE chain, per-source attribution histogram
-    "pipeline_cascade" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, lang, source, text,
-         |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
-         |  FROM documents),
-         |m AS (
-         |  SELECT doc_id, lang, source,
-         |    len(toks)::BIGINT AS n_words,
-         |    coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT AS char_mass,
-         |    len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha,
-         |    (length(text) - length(replace(text, '#', '')))::BIGINT AS n_hash,
-         |    ((length(text) - length(replace(text, '...', ''))) // 3)::BIGINT AS n_ellipsis,
-         |    len(list_intersect(toks, ['the','a','of','and','to','in','is','on']))::BIGINT AS n_stop,
-         |    coalesce(list_sum(list_transform(toks,
-         |      x -> ${h60("'w:' || x")} % 1001 - 500)), 0)::BIGINT AS score
-         |  FROM t),
-         |r AS (
-         |  SELECT doc_id, lang, source, n_words, n_stop, score,
-         |    CASE WHEN n_words > 0 THEN char_mass * 1000 // n_words END AS mw,
-         |    CASE WHEN n_words > 0 THEN n_alpha * 1000 // n_words END AS aw,
-         |    CASE WHEN n_words > 0 THEN (n_hash + n_ellipsis) * 1000 // n_words END AS sy
-         |  FROM m),
-         |v AS (
-         |  SELECT source,
-         |    CASE
-         |      WHEN lang <> 'en' THEN '1_lang'
-         |      WHEN NOT (n_words >= 10 AND n_words <= 100000) THEN '2_words'
-         |      WHEN NOT (mw IS NOT NULL AND mw BETWEEN 3000 AND 10000) THEN '3_meanlen'
-         |      WHEN NOT (aw IS NOT NULL AND aw >= 800) THEN '4_alpha'
-         |      WHEN NOT (sy IS NOT NULL AND sy < 100) THEN '5_symbol'
-         |      WHEN NOT (n_stop >= 2) THEN '6_stop'
-         |      WHEN score < 0 THEN '7_classifier'
-         |      ELSE '0_keep' END AS verdict
-         |  FROM r)
-         |SELECT source, verdict, count(*)::BIGINT AS n_docs
-         |FROM v GROUP BY source, verdict ORDER BY source, verdict""".stripMargin,
+    // ordered CASE chain, per-source attribution histogram; the
+    // stateless streaming twin shares it
+    "pipeline_cascade" -> cascadeOracle,
+    "stream_cascade" -> cascadeOracle,
     // OOV: vocabulary cut is deterministic (count desc, token asc)
     "text_oov" ->
       """WITH tok AS (

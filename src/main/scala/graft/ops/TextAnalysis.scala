@@ -637,15 +637,27 @@ object TextAnalysis {
     * Output: (source, verdict, n_docs); verdict '0_keep' or the
     * ordinal-prefixed first failing rule.
     */
-  def filterCascade(spark: SparkSession, sfDir: String): DataFrame = {
+  def filterCascade(spark: SparkSession, sfDir: String): DataFrame =
+    cascadeFrame(table(spark, sfDir, "documents"))
+      .groupBy("source", "verdict")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "verdict")
+
+  /** The cascade's per-row verdict over any documents frame — shared by
+    * the batch rollup and the stateless streaming twin (the verdict is
+    * a pure per-row map; only the |sources x verdicts| rollup is
+    * stateful, and it is bounded by construction).
+    * Output: (doc_id, source, verdict).
+    */
+  def cascadeFrame(docs: DataFrame): DataFrame = {
     val toks = filter(split(col("text"), " "), t => length(t) > 0)
     val weight: Column => Column = t =>
       OracleHash.h60(concat(lit("w:"), t)) % 1001L - 500L
     val score = aggregate(toks, lit(0L), (acc, t) => acc + weight(t))
-    table(spark, sfDir, "documents")
+    docs
       .select(Seq(col("doc_id"), col("lang"), col("source"),
         score.as("score")) ++ gopherColumns(10, 100000): _*)
-      .withColumn("verdict",
+      .select(col("doc_id"), col("source"),
         when(col("lang") =!= "en", "1_lang")
           .when(!col("r_words"), "2_words")
           .when(!col("r_meanlen"), "3_meanlen")
@@ -653,10 +665,7 @@ object TextAnalysis {
           .when(!col("r_symbol"), "5_symbol")
           .when(!col("r_stop"), "6_stop")
           .when(col("score") < 0L, "7_classifier")
-          .otherwise("0_keep"))
-      .groupBy("source", "verdict")
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy("source", "verdict")
+          .otherwise("0_keep").as("verdict"))
   }
 
   /** text_classifier: hashed linear quality classifier — the

@@ -766,6 +766,20 @@ object StreamingOps {
       .orderBy("purchase_event_id", "view_event_id")
   }
 
+  /** Streaming twin of the attribution cascade: the verdict is a pure
+    * per-row map (graft.ops.TextAnalysis.cascadeFrame), so the only
+    * state is the Complete-mode (source, verdict) rollup — bounded by
+    * |sources| x 8 verdicts regardless of stream length. The report a
+    * live ingest dashboard reads.
+    */
+  def streamCascade(spark: SparkSession, sfDir: String): DataFrame =
+    runToBatch(spark,
+        s => graft.ops.TextAnalysis.cascadeFrame(harnessDocStream(s, sfDir))
+          .groupBy("source", "verdict")
+          .agg(count(lit(1)).as("n_docs")),
+        "stream_cascade", OutputMode.Complete())
+      .orderBy("source", "verdict")
+
   case class CapArrival(source: String, doc_id: Long)
   case class CapCount(n: Long)
 
