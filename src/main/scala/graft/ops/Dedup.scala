@@ -957,13 +957,18 @@ object Dedup {
     *
     * Scale shape: windows are hashed to 60-bit integers before the
     * shuffle (the string leaves the plan immediately), window
-    * document-frequency comes from a count-over-partition window on the
-    * hash — ONE pass over the shingle stream, no self-join — then one
-    * doc-keyed aggregate. Both shuffles carry (doc_id, hash) pairs
-    * only: linear in corpus token count at any scale, and hot windows
-    * (common phrases) cost a count, never a pairing. Exact duplicate
-    * documents intentionally participate (their spans ARE duplicated
-    * text); they cost group-size increments, not quadratic pairs.
+    * occurrence counts come from a map-side-combinable
+    * `groupBy(w).count()` joined back onto the shingle stream — NOT a
+    * count-over-partition window: window functions get no partial
+    * aggregation, so a hot boilerplate n-gram appearing in a few
+    * percent of documents would land every occurrence on ONE task. With
+    * the hash aggregate, a hot window costs one partial count per input
+    * partition plus a single merged row; the join back is hash-to-hash
+    * on `w` where the count side has exactly one row per distinct
+    * window. Both shuffles carry (doc_id, hash) pairs only: linear in
+    * corpus token count at any scale. Exact duplicate documents
+    * intentionally participate (their spans ARE duplicated text); they
+    * cost group-size increments, not quadratic pairs.
     *
     * Output: (doc_id, n_windows, n_dup_windows, dup_milli) for docs
     * with >= n tokens; dup_milli = floor(1000 * dup/total).
@@ -972,11 +977,11 @@ object Dedup {
                          n: Int = 8): DataFrame = {
     val sh = shingles(table(spark, sfDir, "documents"), n)
       .select(col("doc_id"), h60(col("shingle")).as("w"))
-    val wdf = org.apache.spark.sql.expressions.Window.partitionBy("w")
-    sh.withColumn("n_docs", count(lit(1)).over(wdf))
+    val wCounts = sh.groupBy("w").agg(count(lit(1)).as("n_occ"))
+    sh.join(wCounts, Seq("w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"),
-        sum(when(col("n_docs") >= 2L, 1L).otherwise(0L)).as("n_dup_windows"))
+        sum(when(col("n_occ") >= 2L, 1L).otherwise(0L)).as("n_dup_windows"))
       .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
         expr("(1000 * n_dup_windows) div n_windows").as("dup_milli"))
       .orderBy("doc_id")
