@@ -237,6 +237,12 @@ object SparkEntry {
     // 60 bits before the shuffle, document frequency via one
     // count-over-partition pass, no self-join
     "dedup_substring" -> ((s, dir) => Dedup.substringDupReport(s, dir)),
+    // substring-duplication REMOVAL (Lee et al. ExactSubstr): excise
+    // every 8-token span occurring >= 2 times corpus-wide, keep the
+    // rest of the doc in order; rebuilt text proven by md5, per-doc
+    // token/char removal audit. Semi-join against duplicated window
+    // keys + one per-doc rebuild projection — no self-join
+    "dedup_substring_rewrite" -> ((s, dir) => Dedup.substringDupRewrite(s, dir)),
     // passage-level dedup (C4 "line dedup"): first occurrence of each
     // 32-token passage wins via argmin aggregation — no self-join, so a
     // million-copy boilerplate passage never materializes a pair
@@ -2715,6 +2721,54 @@ object SparkEntry {
          |  ((1000 * sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT) // count(*))::BIGINT AS dup_milli
          |FROM sh s JOIN df f USING (w)
          |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+    // span REMOVAL replay: total-occurrence window counts (within-doc
+    // repeats included, per Lee et al.), a token is removed iff covered
+    // by any duplicated window start in [p-7, p]; rebuild joins kept
+    // original-case tokens in order
+    "dedup_substring_rewrite" ->
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks,
+         |    list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS ltoks
+         |  FROM documents),
+         |base AS (
+         |  SELECT doc_id, toks, len(toks)::BIGINT AS n_toks, ltoks
+         |  FROM b WHERE len(toks) > 0),
+         |sh AS (
+         |  SELECT doc_id, i AS pos,
+         |    ${h60("array_to_string(ltoks[i+1:i+8], ' ')")} AS w
+         |  FROM base, UNNEST(range(0, n_toks - 7)) AS u(i)
+         |  WHERE n_toks >= 8),
+         |dupw AS (SELECT w FROM sh GROUP BY w HAVING count(*) >= 2),
+         |dup AS (SELECT s.doc_id, s.pos FROM sh s JOIN dupw USING (w)),
+         |posr AS (
+         |  SELECT doc_id, i AS p, toks[i+1] AS tok
+         |  FROM base, UNNEST(range(0, n_toks)) AS u(i)),
+         |rem AS (
+         |  SELECT DISTINCT p.doc_id, p.p
+         |  FROM posr p JOIN dup d
+         |    ON p.doc_id = d.doc_id AND p.p BETWEEN d.pos AND d.pos + 7),
+         |keptr AS (
+         |  SELECT p.doc_id, p.p, p.tok
+         |  FROM posr p LEFT JOIN rem r ON p.doc_id = r.doc_id AND p.p = r.p
+         |  WHERE r.p IS NULL),
+         |reb AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_kept,
+         |    string_agg(tok, ' ' ORDER BY p) AS clean_text,
+         |    sum(length(tok))::BIGINT AS kept_chars
+         |  FROM keptr GROUP BY doc_id),
+         |mass AS (
+         |  SELECT doc_id,
+         |    coalesce(list_sum(list_transform(toks, t -> length(t))), 0)::BIGINT AS tot_chars
+         |  FROM base)
+         |SELECT base.doc_id, base.n_toks,
+         |  (base.n_toks - coalesce(r.n_kept, 0))::BIGINT AS n_removed,
+         |  ((1000 * (base.n_toks - coalesce(r.n_kept, 0))) // base.n_toks)::BIGINT AS removed_milli,
+         |  (m.tot_chars - coalesce(r.kept_chars, 0))::BIGINT AS chars_removed,
+         |  coalesce(md5(r.clean_text), md5('')) AS clean_md5
+         |FROM base JOIN mass m ON base.doc_id = m.doc_id
+         |LEFT JOIN reb r ON base.doc_id = r.doc_id
+         |ORDER BY base.doc_id""".stripMargin,
     // SemDeDup replay: representative collapse, ivf cell assignment
     // (same strided quantizer as sim_ivf), within-cell pairs at
     // cos_milli >= 400, keeper = smallest qualifying same-cell id

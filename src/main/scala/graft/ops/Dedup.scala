@@ -620,6 +620,15 @@ object Dedup {
     * Input: (doc_a, doc_b) pairs. Output: (doc_id, cluster_id) for every
     * node that appears in some pair, cluster_id = min id of its component.
     */
+  /** Convergence-sum aggregate for [[connectedComponents]]: the cast
+    * sits INSIDE the sum so the ACCUMULATOR is DECIMAL(38,0) — a
+    * LongType accumulator (cast applied to the result only) wraps
+    * silently past 2^63 in non-ANSI mode, and a wrap-aliased equal sum
+    * would falsely signal convergence. Package-visible so DedupSpec can
+    * pin both the output type and the no-wrap behavior. */
+  private[graft] def labelSumCol: Column =
+    sum(col("label").cast("decimal(38,0)"))
+
   def connectedComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     // Partition count sized to EDGE VOLUME, not core count: each
     // propagation round is join + agg over the edge list, and a round on
@@ -682,9 +691,10 @@ object Dedup {
     // freshly persisted table replaces a whole join+filter+count per
     // round, and the round still references the label table exactly
     // once (the linear-lineage requirement — see above). DECIMAL(38,0)
-    // so 1e12 nodes x 1e12 ids cannot overflow the sum.
+    // ACCUMULATION (see labelSumCol) so 1e12 nodes x 1e12 ids cannot
+    // overflow — or wrap-alias — the sum.
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label")).cast("decimal(38,0)")).head().getDecimal(0)
+      df.agg(labelSumCol).head().getDecimal(0)
     // `pinned` tracks the PERSISTED dataset handle: unpersist is
     // non-cascading and matches by plan, so calling it on a Project OVER
     // the persisted plan would be a no-op and leak one cached label
@@ -955,9 +965,11 @@ object Dedup {
     * differ). Passage dedup (`passageDedup`) removes FIXED-ALIGNED
     * blocks; this rung measures overlap at EVERY alignment.
     *
-    * Scale shape: windows are hashed to 60-bit integers before the
-    * shuffle (the string leaves the plan immediately), window
-    * occurrence counts come from a map-side-combinable
+    * Scale shape: windows are hashed to 60-bit integers BEFORE the
+    * per-doc distinct (the string really does leave the plan at the
+    * projection — the distinct shuffle carries (doc_id, int64) rows, not
+    * n-token strings; this also matches the oracle, whose DISTINCT is on
+    * the hash). Window occurrence counts come from a map-side-combinable
     * `groupBy(w).count()` joined back onto the shingle stream — NOT a
     * count-over-partition window: window functions get no partial
     * aggregation, so a hot boilerplate n-gram appearing in a few
@@ -965,18 +977,26 @@ object Dedup {
     * the hash aggregate, a hot window costs one partial count per input
     * partition plus a single merged row; the join back is hash-to-hash
     * on `w` where the count side has exactly one row per distinct
-    * window. Both shuffles carry (doc_id, hash) pairs only: linear in
-    * corpus token count at any scale. Exact duplicate documents
-    * intentionally participate (their spans ARE duplicated text); they
-    * cost group-size increments, not quadratic pairs.
+    * window. All three shuffles carry (doc_id, hash) pairs only: linear
+    * in corpus token count at any scale. The distinct subtree feeds both
+    * the count side and the probe side; the two subplans are identical,
+    * so exchange reuse collapses the second scan (verified: the adaptive
+    * final plan carries a ReusedExchange over the distinct's exchange —
+    * AQE applies the reuse at stage materialization, so it only shows
+    * post-execution). Exact duplicate
+    * documents intentionally participate (their spans ARE duplicated
+    * text); they cost group-size increments, not quadratic pairs.
     *
     * Output: (doc_id, n_windows, n_dup_windows, dup_milli) for docs
     * with >= n tokens; dup_milli = floor(1000 * dup/total).
     */
   def substringDupReport(spark: SparkSession, sfDir: String,
                          n: Int = 8): DataFrame = {
-    val sh = shingles(table(spark, sfDir, "documents"), n)
+    val sh = table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleColumns.wordShingles(col("text"), n)).as("shingle"))
       .select(col("doc_id"), h60(col("shingle")).as("w"))
+      .distinct()
     val wCounts = sh.groupBy("w").agg(count(lit(1)).as("n_occ"))
     sh.join(wCounts, Seq("w"))
       .groupBy("doc_id")
@@ -984,6 +1004,91 @@ object Dedup {
         sum(when(col("n_occ") >= 2L, 1L).otherwise(0L)).as("n_dup_windows"))
       .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
         expr("(1000 * n_dup_windows) div n_windows").as("dup_milli"))
+      .orderBy("doc_id")
+  }
+
+  /** dedup_substring_rewrite: exact-substring duplication REMOVAL — the
+    * other half of Lee et al. 2022 ("Deduplicating Training Data"):
+    * rather than dropping whole documents, EXCISE every n-token span
+    * that occurs more than once in the corpus and keep the rest of the
+    * document intact, in order. (The paper's ExactSubstr dedup: repeated
+    * spans mark boilerplate/mirrored text even when documents differ; a
+    * token survives iff NO duplicated window covers it.) Occurrence
+    * counting is TOTAL occurrences (every start position, within-doc
+    * repeats included), per the paper — unlike [[substringDupReport]],
+    * which reports distinct-document frequency.
+    *
+    * Scale shape, stage by stage:
+    *  - window starts are (doc_id, pos, h60(window)) rows — the string
+    *    leaves the plan at the projection; one row per token, linear in
+    *    corpus token count.
+    *  - occurrence counts are a map-side-combinable `groupBy(w).count()`
+    *    (one partial per input partition for a hot boilerplate n-gram,
+    *    never a single-task window partition).
+    *  - duplicated starts survive via a LEFT SEMI join against the
+    *    `n_occ >= 2` window set — the n_occ value itself is never
+    *    carried, so the build side is just the duplicated window keys.
+    *  - per-doc rebuild: duplicated starts collapse to ONE sorted array
+    *    per doc (bounded by the doc's own token count), join back to the
+    *    documents table on doc_id, and a single projection filters the
+    *    token array by span coverage and reassembles the survivors in
+    *    order. Per-row compute is O(n_toks * n_dup_starts) — bounded by
+    *    document length squared in the worst (fully duplicated) case,
+    *    which the upstream quality gate caps; no shuffle sees anything
+    *    wider than (doc_id, pos).
+    *  - the rebuilt text ships as its md5, not the string (fixed-width
+    *    output at any corpus size); chars_removed is the audit number a
+    *    cleaning run reports per snapshot.
+    *
+    * Duplicate detection tokenizes LOWERCASED text (same fold as the
+    * whole fuzzy ladder); excision applies to the original-case tokens
+    * at the same positions (lowercasing never adds/removes spaces, so
+    * positions align 1:1).
+    *
+    * Output: (doc_id, n_toks, n_removed, removed_milli, chars_removed,
+    * clean_md5) for docs with >= 1 token, ordered by doc_id;
+    * removed_milli = floor(1000 * removed/total), chars_removed = code
+    * points of excised tokens (separators excluded).
+    */
+  def substringDupRewrite(spark: SparkSession, sfDir: String,
+                          n: Int = 8): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val base = docs.select(col("doc_id"), toks.as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .filter(col("n_toks") > 0)
+    // posexplode: pos = 0-based start token index of each window;
+    // wordShingles lowercases + tokenizes exactly like `toks` above.
+    // localCheckpoint: sh feeds BOTH the occurrence count and the
+    // semi-join probe, and (unlike the report, where the two subtrees
+    // are identical and exchange reuse fires) the two consumers here
+    // diverge before any common exchange — without materialization the
+    // scan + per-window md5 (the dominant CPU) runs twice. One
+    // materialization costs the same IO class as the shuffle write it
+    // feeds; blocks are freed by the ContextCleaner (see object header).
+    val sh = docs.select(col("doc_id"),
+        posexplode(graft.functions.ShingleColumns.wordShingles(col("text"), n)))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        h60(col("col")).as("w"))
+      .localCheckpoint()
+    val dupW = sh.groupBy("w").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2L).select("w")
+    val starts = sh.join(dupW, Seq("w"), "left_semi")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+    val charMass = (c: Column) =>
+      aggregate(c, lit(0L), (acc, t) => acc + length(t))
+    base.join(starts, Seq("doc_id"), "left")
+      .withColumn("starts",
+        coalesce(col("starts"), array().cast("array<bigint>")))
+      .withColumn("kept",
+        filter(col("toks"), (t, i) =>
+          !exists(col("starts"), s => s <= i && i <= s + lit(n - 1))))
+      .select(col("doc_id"), col("n_toks"),
+        (col("n_toks") - size(col("kept"))).as("n_removed"),
+        expr(s"(1000 * (n_toks - size(kept))) div n_toks").as("removed_milli"),
+        (charMass(col("toks")) - charMass(col("kept"))).as("chars_removed"),
+        md5(concat_ws(" ", col("kept"))).as("clean_md5"))
       .orderBy("doc_id")
   }
 

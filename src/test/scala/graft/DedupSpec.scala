@@ -329,4 +329,47 @@ class DedupSpec extends SparkSpec {
       (2L, 2L, 1L, 500L),
       (3L, 1L, 0L, 0L)))
   }
+
+  test("substring rewrite: duplicated spans excised, remainder rebuilt in order") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    val md5 = (s: String) => {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    writeTable(dir, "documents", Seq(
+      // window "a..h" at pos 0 shared with doc 2 -> tokens 0-7 excised,
+      // original-case remainder "X Y Z" survives
+      (1L, "a b c d e f g h X Y Z", "en", "s", 21L),
+      // shared window sits at pos 1 -> tokens 1-8 excised, "Q" kept
+      (2L, "Q a b c d e f g h", "en", "s", 17L),
+      // within-doc repeat: "m1..m8" at pos 0 AND pos 9 -> both spans
+      // excised (total-occurrence counting), separator token survives
+      (3L, "m1 m2 m3 m4 m5 m6 m7 m8 sep m1 m2 m3 m4 m5 m6 m7 m8", "en", "s", 51L),
+      // unique content: nothing removed
+      (4L, "u1 u2 u3 u4 u5 u6 u7 u8 u9", "en", "s", 26L),
+      // < 8 tokens: no windows, passes through whole
+      (5L, "too short", "en", "s", 9L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = Dedup.substringDupRewrite(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSeq
+    assert(rows === Seq(
+      (1L, 11L, 8L, 727L, 8L, md5("X Y Z")),
+      (2L, 9L, 8L, 888L, 8L, md5("Q")),
+      (3L, 17L, 16L, 941L, 32L, md5("sep")),
+      (4L, 9L, 0L, 0L, 0L, md5("u1 u2 u3 u4 u5 u6 u7 u8 u9")),
+      (5L, 2L, 0L, 0L, 0L, md5("too short"))))
+  }
+
+  test("CC convergence sum accumulates in DECIMAL(38,0) — no silent Long wrap") {
+    import spark.implicits._
+    val agg = Seq(Long.MaxValue, Long.MaxValue).toDF("label").agg(Dedup.labelSumCol)
+    // output type pins the decimal ACCUMULATOR (sum over decimal input);
+    // a Long accumulator with a result-side cast reports DecimalType too
+    // late to matter — so also pin the value a wrapped Long cannot give
+    assert(agg.schema.head.dataType === org.apache.spark.sql.types.DecimalType(38, 0))
+    assert(agg.head().getDecimal(0) ===
+      new java.math.BigDecimal("18446744073709551614")) // 2 * (2^63 - 1) > Long.MaxValue
+  }
 }
