@@ -345,6 +345,11 @@ object SparkEntry {
     // approximate dot = nSub table hits per corpus item — a compressed
     // linear scan with exact-integer replayable scores
     "sim_pq_ann" -> ((s, dir) => Similarity.pqAnn(s, dir)),
+    // IVF-ADC: the production serving composition — stored posting
+    // lists hold PQ CODES bucketed by cell (probe side exchange-free),
+    // probed cells scored via the per-query broadcast LUT; probe AND
+    // compressed scoring replayed end-to-end by the oracle
+    "sim_ivf_pq" -> ((s, dir) => Similarity.ivfPqAnn(s, dir)),
     // —— multimodal columns ——
     "mm_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
     "mm_frames" -> ((s, dir) => Multimodal.sampleFrames(s, dir)),
@@ -2829,6 +2834,46 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY q_id ORDER BY adc_micro2 DESC, vec_id ASC) AS rk
          |  FROM scored)
          |SELECT q_id, rk::BIGINT AS rk, vec_id AS n_id, adc_micro2
+         |FROM ranked WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin,
+    // IVF-ADC replay: the sim_ivf assignment/probe CTEs feed the
+    // sim_pq_ann LUT scoring — candidates only from probed cells,
+    // scored by the per-query (sub, code) partial-dot table
+    "sim_ivf_pq" ->
+      s"""WITH $pqCtes,
+         |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0),
+         |cscore AS (
+         |  SELECT e.vec_id, c.c_id, ${cosMilli("e.v", "c.cv")} AS cs
+         |  FROM emb e CROSS JOIN cent c),
+         |assigned AS (
+         |  SELECT vec_id, c_id AS cell FROM (
+         |    SELECT vec_id, c_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id ASC) AS ark
+         |    FROM cscore) WHERE ark = 1),
+         |probes AS (
+         |  SELECT q_id, cell FROM (
+         |    SELECT vec_id AS q_id, c_id AS cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id ASC) AS prk
+         |    FROM cscore WHERE vec_id % 50 = 0) WHERE prk <= 2),
+         |lut AS (
+         |  SELECT c.vec_id AS q_id, m.sub, m.code, sum(c.xm * m.cm)::BIGINT AS p
+         |  FROM comps c JOIN cbm m ON m.sub = c.sub AND m.d = c.d
+         |  WHERE c.vec_id % 50 = 0
+         |  GROUP BY q_id, m.sub, m.code),
+         |cand AS (
+         |  SELECT p.q_id, a.vec_id AS n_id
+         |  FROM probes p JOIN assigned a ON a.cell = p.cell
+         |  WHERE a.vec_id <> p.q_id),
+         |scored AS (
+         |  SELECT cd.q_id, cd.n_id, sum(l.p)::BIGINT AS adc_micro2
+         |  FROM cand cd
+         |  JOIN codes k ON k.vec_id = cd.n_id
+         |  JOIN lut l ON l.q_id = cd.q_id AND l.sub = k.sub AND l.code = k.code
+         |  GROUP BY cd.q_id, cd.n_id),
+         |ranked AS (
+         |  SELECT q_id, n_id, adc_micro2,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adc_micro2 DESC, n_id ASC) AS rk
+         |  FROM scored)
+         |SELECT q_id, rk::BIGINT AS rk, n_id, adc_micro2
          |FROM ranked WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin,
     // temperature mixture replay: sqrt of exact integer counts is
     // IEEE-identical on both engines; everything after the floor is ppm

@@ -273,10 +273,10 @@ object Dedup {
                          mod: Int = 10, shingleN: Int = 3, k: Int = 16,
                          bands: Int = 4, minEst: Double = 0.5): DataFrame = {
     val docs = table(spark, sfDir, "documents")
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft-minhash-index"
+    val name = graft.sources.Bucketed.scopedName(spark, "graft_minhash_index")
     buildMinHashIndex(spark, docs.filter(col("doc_id") % mod =!= 0),
-      "graft_minhash_index", base, shingleN, k, bands)
-    probeMinHashIndex(spark.table("graft_minhash_index"),
+      name, graft.sources.Bucketed.scopedPath(name), shingleN, k, bands)
+    probeMinHashIndex(spark.table(name),
       docs.filter(col("doc_id") % mod === 0), shingleN, k, bands, minEst)
   }
 
@@ -297,17 +297,17 @@ object Dedup {
                         mod: Int = 10, shingleN: Int = 3, k: Int = 16,
                         bands: Int = 4, nBuckets: Int = 8): DataFrame = {
     val docs = table(spark, sfDir, "documents")
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft-minhash-index-refresh"
+    val name = graft.sources.Bucketed.scopedName(spark, "graft_minhash_index_refresh")
     buildMinHashIndex(spark, docs.filter(col("doc_id") % mod =!= 0),
-      "graft_minhash_index_refresh", base, shingleN, k, bands, "md5", nBuckets)
+      name, graft.sources.Bucketed.scopedPath(name), shingleN, k, bands, "md5", nBuckets)
     graft.sources.Bucketed.appendBucketed(spark,
       bandKeys(shingles(representatives(docs.filter(col("doc_id") % mod === 0)),
         shingleN), k, bands, "md5"),
-      "graft_minhash_index_refresh", "sig", nBuckets)
+      name, "sig", nBuckets)
     def perBand(sigs: DataFrame, as: String): DataFrame = sigs
       .select(split(col("sig"), "\\|").getItem(0).cast("long").as("band"))
       .groupBy("band").agg(count(lit(1)).as(as))
-    val folded = perBand(spark.table("graft_minhash_index_refresh"), "n_folded")
+    val folded = perBand(spark.table(name), "n_folded")
     val rebuild = perBand(
       bandKeys(shingles(representatives(docs), shingleN), k, bands, "md5"),
       "n_rebuild")
@@ -332,25 +332,27 @@ object Dedup {
                         mod: Int = 10, shingleN: Int = 3, k: Int = 16,
                         bands: Int = 4, nBuckets: Int = 8): DataFrame = {
     val docs = table(spark, sfDir, "documents")
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft-minhash-index-compact"
+    val name = graft.sources.Bucketed.scopedName(spark, "graft_minhash_index_compact")
     buildMinHashIndex(spark, docs.filter(col("doc_id") % mod =!= 0),
-      "graft_minhash_index_compact", base, shingleN, k, bands, "md5", nBuckets)
+      name, graft.sources.Bucketed.scopedPath(name), shingleN, k, bands, "md5", nBuckets)
     graft.sources.Bucketed.appendBucketed(spark,
       bandKeys(shingles(representatives(docs.filter(col("doc_id") % mod === 0)),
         shingleN), k, bands, "md5"),
-      "graft_minhash_index_compact", "sig", nBuckets)
-    val folded = spark.table("graft_minhash_index_compact")
+      name, "sig", nBuckets)
+    val folded = spark.table(name)
     // the global rep-id set: |distinct contents| ids — tiny next to the
     // index, and derivable from the exact rung's map without any sketch
     val globalReps = representatives(docs).select("doc_id")
     val compacted = folded.join(globalReps, Seq("doc_id"), "left_semi")
+    val outName =
+      graft.sources.Bucketed.scopedName(spark, "graft_minhash_index_compacted")
     graft.sources.Bucketed.writeBucketed(spark, compacted,
-      "graft_minhash_index_compacted", s"$base-out", "sig", nBuckets)
+      outName, graft.sources.Bucketed.scopedPath(outName), "sig", nBuckets)
     def perBand(sigs: DataFrame, as: String): DataFrame = sigs
       .select(split(col("sig"), "\\|").getItem(0).cast("long").as("band"))
       .groupBy("band").agg(count(lit(1)).as(as))
     perBand(folded, "n_folded")
-      .join(perBand(spark.table("graft_minhash_index_compacted"), "n_compacted"),
+      .join(perBand(spark.table(outName), "n_compacted"),
         Seq("band"))
       .orderBy("band")
   }

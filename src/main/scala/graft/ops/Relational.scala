@@ -348,17 +348,20 @@ object Relational {
     */
   def bucketedCustomerOrders(spark: SparkSession, sfDir: String,
                              nBuckets: Int = 8): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft-bucketed"
     val cust = table(spark, sfDir, "customer")
       .select(col("c_custkey").as("custkey"), col("c_nationkey"))
     val ords = table(spark, sfDir, "orders")
       .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+    val custName = graft.sources.Bucketed.scopedName(spark, "graft_b_customer")
+    val ordsName = graft.sources.Bucketed.scopedName(spark, "graft_b_orders")
     graft.sources.Bucketed.writeBucketed(
-      spark, cust, "graft_b_customer", s"$base/customer", "custkey", nBuckets)
+      spark, cust, custName, graft.sources.Bucketed.scopedPath(custName),
+      "custkey", nBuckets)
     graft.sources.Bucketed.writeBucketed(
-      spark, ords, "graft_b_orders", s"$base/orders", "custkey", nBuckets)
-    spark.table("graft_b_customer")
-      .join(spark.table("graft_b_orders"), Seq("custkey"))
+      spark, ords, ordsName, graft.sources.Bucketed.scopedPath(ordsName),
+      "custkey", nBuckets)
+    spark.table(custName)
+      .join(spark.table(ordsName), Seq("custkey"))
       .groupBy("c_nationkey")
       .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_spend"))
       .orderBy("c_nationkey")

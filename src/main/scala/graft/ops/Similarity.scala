@@ -302,15 +302,15 @@ object Similarity {
     val emb = embeddings(spark, sfDir)
     val cent = emb.filter(col("vec_id") % centroidMod === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-index"
+    val name = graft.sources.Bucketed.scopedName(spark, "graft_ivf_index")
     graft.sources.Bucketed.writeBucketed(spark,
       assignCells(emb, broadcast(cent)).select("cell", "vec_id", "v"),
-      "graft_ivf_index", base, "cell", 8)
+      name, graft.sources.Bucketed.scopedPath(name), "cell", 8)
     val probes = probeCells(
       emb.filter(col("vec_id") % centroidMod === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv")),
       broadcast(cent), nprobe)
-    probeIndex(probes, spark.table("graft_ivf_index"), k)
+    probeIndex(probes, spark.table(name), k)
   }
 
   /** sim_ivf_grow: the ANN index GROWS incrementally, mirroring the
@@ -330,20 +330,20 @@ object Similarity {
     val emb = embeddings(spark, sfDir)
     val cent = emb.filter(col("vec_id") % centroidMod === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-index-grow"
+    val name = graft.sources.Bucketed.scopedName(spark, "graft_ivf_index_grow")
     graft.sources.Bucketed.writeBucketed(spark,
       assignCells(emb.filter(col("vec_id") % mod =!= 0), broadcast(cent))
         .select("cell", "vec_id", "v"),
-      "graft_ivf_index_grow", base, "cell", 8)
+      name, graft.sources.Bucketed.scopedPath(name), "cell", 8)
     graft.sources.Bucketed.appendBucketed(spark,
       assignCells(emb.filter(col("vec_id") % mod === 0), broadcast(cent))
         .select("cell", "vec_id", "v"),
-      "graft_ivf_index_grow", "cell", 8)
+      name, "cell", 8)
     val probes = probeCells(
       emb.filter(col("vec_id") % centroidMod === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv")),
       broadcast(cent), nprobe)
-    probeIndex(probes, spark.table("graft_ivf_index_grow"), k)
+    probeIndex(probes, spark.table(name), k)
   }
 
   /** IVF with a TRAINED coarse quantizer: the strided seeds of `ivfAnn`
@@ -695,6 +695,75 @@ object Similarity {
       .agg(sum(col("p")).as("adc_micro2"), count(lit(1)).as("n_sub"))
       // a neighbor scores only if every subspace contributed (it always
       // does — its codes define the codebook — but assert in-plan)
+      .filter(col("n_sub") === nSub)
+    val wr = Window.partitionBy("q_id")
+      .orderBy(col("adc_micro2").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"),
+        col("vec_id").as("n_id"), col("adc_micro2"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** sim_ivf_pq: IVF-ADC — the production ANN serving composition at
+    * 100 TB, joining the two halves this file already ships: the stored
+    * IVF posting lists bound WHICH items a query touches (nprobe cells,
+    * a fixed fraction of the corpus), and PQ's asymmetric-distance
+    * lookup tables bound WHAT each touched item costs (nSub integer
+    * table hits instead of a dim-wide float dot — the full vector is
+    * never read at query time). `sim_ivf_indexed` re-ranks probed cells
+    * with exact cosine over stored VECTORS; `sim_pq_ann` ADC-scans the
+    * WHOLE corpus; this rung stores (cell, vec_id, sub, code) posting
+    * lists — the index holds the 1-byte-per-subspace codes, not dim
+    * floats — and serves probe + score end-to-end compressed.
+    *
+    * Plan: posting lists are parquet BUCKETED BY cell (same lifecycle
+    * as graft_ivf_index — the probe join's index side plans with no
+    * Exchange; PersistedIndexSpec pins the shape), the per-query LUT is
+    * a bounded broadcast (|Q| x nSub x observed-codes, corpus-size-
+    * independent per query), and both the (q_id, sub, code) hash join
+    * and the (q_id, vec_id) sum combine map-side. Scores are the same
+    * exact-integer micro^2 ADC dots as `sim_pq_ann`, so the DuckDB
+    * oracle replays the entire composition: assignment, probe AND
+    * compressed scoring.
+    *
+    * Output: (q_id, rk, n_id, adc_micro2) — ties broken by n_id.
+    */
+  def ivfPqAnn(spark: SparkSession, sfDir: String,
+               centroidMod: Int = 50, nprobe: Int = 2, k: Int = 10,
+               nSub: Int = 8, subDim: Int = 8): DataFrame = {
+    val emb = embeddings(spark, sfDir)
+    val cent = emb.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val (comps, codebook) = pqCompsAndBook(spark, sfDir, nSub, subDim)
+    // ingest: assign cells, attach each vector's nSub codes, store the
+    // compressed posting lists bucketed on the probe key
+    val name = graft.sources.Bucketed.scopedName(spark, "graft_ivf_pq_index")
+    graft.sources.Bucketed.writeBucketed(spark,
+      assignCells(emb, broadcast(cent)).select("cell", "vec_id")
+        .join(comps.select(col("vec_id"), col("sub"), col("code")).distinct(),
+          Seq("vec_id"))
+        .select("cell", "vec_id", "sub", "code"),
+      name, graft.sources.Bucketed.scopedPath(name), "cell", 8)
+    // serving: per-query (sub, code) -> partial-dot LUT (identical math
+    // to pqAnn), probe cells by centroid cosine, score stored codes
+    val lut = comps.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("q_id"), col("sub"), col("d"), col("xm").as("qm"))
+      .join(broadcast(codebook), Seq("sub", "d"))
+      .groupBy("q_id", "sub", "code")
+      .agg(sum(col("qm") * col("cm")).as("p"))
+    val probes = probeCells(
+      emb.filter(col("vec_id") % centroidMod === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv")),
+      broadcast(cent), nprobe)
+      .select("q_id", "cell")
+    val scored = probes.join(spark.table(name), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(lut), Seq("q_id", "sub", "code"))
+      .groupBy("q_id", "vec_id")
+      .agg(sum(col("p")).as("adc_micro2"), count(lit(1)).as("n_sub"))
+      // every stored code is in the codebook by construction, so each of
+      // the nSub rows matched exactly one LUT row — assert in-plan
       .filter(col("n_sub") === nSub)
     val wr = Window.partitionBy("q_id")
       .orderBy(col("adc_micro2").desc, col("vec_id").asc)

@@ -19,6 +19,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketed {
 
+  /** Run-scoped table name: `base` suffixed with the sanitized Spark
+    * applicationId. Persisted indexes register fixed catalog names and
+    * fixed `java.io.tmpdir` paths; two concurrent RUNS (separate
+    * SparkContexts — e.g. a bench and a verify on one machine) would
+    * overwrite each other's index mid-probe without this. Sessions
+    * SHARING a context share the suffix by design: the catalog itself
+    * is context-scoped, so that pair was never isolated — the index
+    * lifecycle is single-tenant per context, concurrent-safe per run.
+    */
+  def scopedName(spark: SparkSession, base: String): String =
+    base + "_" + spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
+
+  /** tmpdir path for a (run-scoped) index table name. */
+  def scopedPath(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/$name"
+
   /** Write `df` as a bucketed, per-bucket-sorted external parquet table
     * at `path`, registered as `name` in the session catalog (replacing
     * any previous registration). Sorting inside buckets makes the later

@@ -40,7 +40,8 @@ object Partitioned {
     */
   def prunedDocCounts(spark: SparkSession, sfDir: String,
                       keep: Seq[String] = Seq("src3", "src7")): DataFrame = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft-partitioned/documents"
+    val base = Bucketed.scopedPath(
+      Bucketed.scopedName(spark, "graft_partitioned")) + "/documents"
     writePartitioned(graft.GraftSession.table(spark, sfDir, "documents"), base, "source")
     spark.read.parquet(base)
       .filter(col("source").isin(keep.map(lit(_)): _*))

@@ -426,13 +426,14 @@ object StreamingOps {
           // the harness builds the "yesterday" index in-query so the run
           // is self-contained (on the scoped session — the temp view is
           // session-local); production reads the table the batch job owns
+          val idxName =
+            graft.sources.Bucketed.scopedName(s, "graft_minhash_index_stream")
           graft.ops.Dedup.buildMinHashIndex(s,
             graft.GraftSession.table(s, sfDir, "documents")
               .filter(col("doc_id") % mod =!= 0),
-            "graft_minhash_index_stream",
-            s"${System.getProperty("java.io.tmpdir")}/graft-minhash-index-stream",
+            idxName, graft.sources.Bucketed.scopedPath(idxName),
             3, k, bands)
-          val idx = s.table("graft_minhash_index_stream")
+          val idx = s.table(idxName)
             .select(col("doc_id").as("doc_idx"), col("sig"), col("sigs").as("sigs_idx"))
           harnessDocStream(s, sfDir)
             .filter(col("doc_id") % mod === 0)

@@ -105,13 +105,13 @@ class PersistedIndexSpec extends SparkSpec {
     // only the probe-side exchange even over the appended files
     withSmjPinned {
       val probe = Seq(("0|1,2,3,4", 99L)).toDF("sig", "x")
-      val j = probe.join(spark.table("graft_minhash_index_refresh"), Seq("sig"))
+      val j = probe.join(spark.table(
+        graft.sources.Bucketed.scopedName(spark, "graft_minhash_index_refresh")), Seq("sig"))
       j.collect()
       val plan = j.queryExecution.executedPlan.toString
       assert(plan.contains("Bucketed: true"), s"append broke bucketed read:\n$plan")
       assert(exchanges(plan) === 1, s"\n$plan")
     }
-    spark.sql("DROP TABLE IF EXISTS graft_minhash_index_refresh")
   }
 
   test("index compaction: global-rep semi-join reclaims exactly the cross-split dups") {
@@ -131,12 +131,11 @@ class PersistedIndexSpec extends SparkSpec {
     // the compacted table answers probes identically to a fresh build:
     // probe content X and find rep 1, not the reclaimed copy 10
     val probe = Dedup.probeMinHashIndex(
-      spark.table("graft_minhash_index_compacted"),
+      spark.table(
+        graft.sources.Bucketed.scopedName(spark, "graft_minhash_index_compacted")),
       Seq((100L, X)).toDF("doc_id", "text"))
     val pairs = probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs === Set((100L, 1L)))
-    spark.sql("DROP TABLE IF EXISTS graft_minhash_index_compact")
-    spark.sql("DROP TABLE IF EXISTS graft_minhash_index_compacted")
   }
 
   test("ivfIndexed answers match the recompute-per-query ivfAnn exactly") {
@@ -153,16 +152,44 @@ class PersistedIndexSpec extends SparkSpec {
     val grown = Similarity.ivfIndexedGrow(spark, sfDir).collect().toSeq
     assert(grown === rebuilt)
     assert(grown.nonEmpty)
-    spark.sql("DROP TABLE IF EXISTS graft_ivf_index_grow")
+  }
+
+  test("ivfPqAnn: probed-cell candidates carry exactly pqAnn's ADC scores") {
+    val sfDir = "/root/testdata/sf0.001"
+    // pqAnn ADC-scans the WHOLE corpus; the composed rung scores only
+    // probed cells — so every (q, n) the composition returns must carry
+    // the identical exact-integer ADC score pqAnn computed for that pair
+    val full = Similarity.pqAnn(spark, sfDir, k = Int.MaxValue).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    val composed = Similarity.ivfPqAnn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(composed.nonEmpty)
+    composed.foreach { case (q, n, adc) =>
+      assert(full((q, n)) === adc, s"ADC mismatch for ($q, $n)")
+    }
+    // the stored posting lists are bucketed on the probe key: the cell
+    // join's index side plans with no Exchange
+    import spark.implicits._
+    val idxName = graft.sources.Bucketed.scopedName(spark, "graft_ivf_pq_index")
+    withSmjPinned {
+      val probe = Seq((0L, 1L)).toDF("cell", "q_id")
+      val j = probe.join(spark.table(idxName), Seq("cell"))
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"\n$plan")
+      assert(exchanges(plan) === 1, s"\n$plan")
+    }
   }
 
   test("ivf posting-list probe join plans with no Exchange on the index side") {
     import spark.implicits._
-    // the index table was written by the previous test's ivfIndexed run
-    assert(spark.catalog.tableExists("graft_ivf_index"))
+    // build our own index (no reliance on suite-internal test order)
+    Similarity.ivfIndexed(spark, "/root/testdata/sf0.001").collect()
+    val idxName = graft.sources.Bucketed.scopedName(spark, "graft_ivf_index")
+    assert(spark.catalog.tableExists(idxName))
     withSmjPinned {
       val probe = Seq((0L, 1L)).toDF("cell", "q_id")
-      val j = probe.join(spark.table("graft_ivf_index"), Seq("cell"))
+      val j = probe.join(spark.table(idxName), Seq("cell"))
       j.collect()
       val plan = j.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
