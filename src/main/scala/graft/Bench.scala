@@ -104,7 +104,11 @@ object Bench {
     val qs = timings.map { case (k, v) => "\"" + esc(k) + "\":" + v }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => "\"" + esc(k) + "\":\"" + esc(v) + "\"" }.mkString("{", ",", "}")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"reps":$reps,"warmup":"$warmDir","sf":"$sfDir"}""")
+    // "metric"/"value" stay FIRST (the driver's contract keys) but the
+    // total is REPEATED after the big "queries" map: the driver keeps
+    // only the tail of a long line, so trailing placement is what makes
+    // the suite total recoverable from BENCH_r{N}.json (VERDICT r8 #4)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"total_sec":$total,"reps":$reps,"warmup":"$warmDir","sf":"$sfDir"}""")
     spark.stop()
   }
 }

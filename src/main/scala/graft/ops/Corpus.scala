@@ -44,11 +44,17 @@ object Corpus {
     // dimension derives rank from the generator's "srcN" names, confined
     // to this per-source relation (not a per-row parse), and fails
     // loudly on a source the scheme doesn't cover instead of silently
-    // mis-ranking it.
+    // mis-ranking it. The guard is IN-PLAN (raise_error fires when the
+    // aggregation evaluates an unrankable source's row) — an eager
+    // `require` here would be a Spark action at DataFrame-construction
+    // time, doubling the documents scan on every call.
+    val rank = expr("try_cast(substring(source, 4, 10) AS bigint)")
     val trustDim = docs.select(col("source")).distinct()
-      .withColumn("prio", substring(col("source"), 4, 10).cast("long"))
-    require(trustDim.filter(col("prio").isNull).isEmpty,
-      "priorityMerge trust dimension has unrankable source names")
+      .withColumn("prio",
+        when(rank.isNotNull, rank)
+          .otherwise(raise_error(concat(
+            lit("priorityMerge trust dimension has unrankable source name: "),
+            col("source")))))
     docs
       .select(col("doc_id"), col("source"), leadKey.as("lead_key"))
       .join(broadcast(trustDim), Seq("source"))

@@ -790,9 +790,19 @@ object StreamingOps {
     * O(1) state per source regardless of stream length, the gate a
     * crawl frontier applies while the data is still in flight (the
     * batch cap then repacks offline). Same in-order caveat as
-    * streamFunnel — arrivals are sorted per micro-batch by doc_id and
-    * the harness file-replay respects that order, so admitted == the k
-    * smallest ids and the batch window-rank relation is the oracle.
+    * streamFunnel — per micro-batch the k smallest doc_ids (within the
+    * remaining budget) are admitted and the harness file-replay is
+    * in-order, so the batch window-rank relation is the oracle.
+    *
+    * The per-batch selection is a BOUNDED K-MIN FOLD over the group
+    * iterator, not a materialize-and-sort: an admission-control
+    * operator exists to survive hot sources, so a hot source's
+    * million-row micro-batch must cost this task O(batch * log k) time
+    * and O(k) memory — a bounded max-heap of candidate ids — never a
+    * full in-memory copy of the group. (The previous
+    * `rows.toSeq.sortBy` form buffered the source's entire micro-batch
+    * on one task — exactly the failure mode the operator guards
+    * against.) State stays O(1) per source: just the admitted count.
     *
     * Output: (source, doc_id, rk) for admitted docs only.
     */
@@ -805,11 +815,19 @@ object StreamingOps {
           .groupByKey(_.source)
           .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
             (src: String, rows: Iterator[CapArrival], state: GroupState[CapCount]) =>
-              val sorted = rows.toSeq.sortBy(_.doc_id)
               var n = state.getOption.map(_.n).getOrElse(0L)
-              val admitted = sorted.flatMap { a =>
-                if (n < k) { n += 1; Some((a.source, a.doc_id, n)) } else None
+              val budget = math.max(0L, k - n).toInt
+              // max-heap of at most `budget` ids: the k smallest of the
+              // batch fall out without ever holding the batch
+              val heap = scala.collection.mutable.PriorityQueue.empty[Long]
+              if (budget > 0) rows.foreach { a =>
+                if (heap.size < budget) heap.enqueue(a.doc_id)
+                else if (a.doc_id < heap.head) {
+                  heap.dequeue(); heap.enqueue(a.doc_id)
+                }
               }
+              val admitted = heap.toArray.sorted // ascending ids
+                .map { (id: Long) => n += 1; (src, id, n) }
               state.update(CapCount(n))
               admitted.iterator
           }

@@ -34,6 +34,23 @@ class CorpusSpec extends SparkSpec {
     assert(rows.contains((5L, "src3", 1L)))
   }
 
+  test("priorityMerge fails loudly (in-plan) on unrankable source names") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", Seq(
+      (1L, "alpha beta gamma delta epsilon", "en", "src1", 30L),
+      (2L, "other text entirely here now", "en", "weird", 28L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // construction is lazy (no eager scan-doubling require); the guard
+    // raises from inside the plan when the bad dimension row evaluates
+    val df = Corpus.priorityMerge(spark, dir)
+    val e = intercept[Exception](df.collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("unrankable source name")),
+      s"unexpected failure: $e")
+  }
+
   test("shardPlan emits a contiguous global token interval per doc") {
     val rows = Corpus.shardPlan(spark, sfDir, tokensPerShard = 5, bucketSize = 2)
       .collect()
