@@ -358,6 +358,10 @@ object SparkEntry {
     // decode must recover (dims + exact milli luma) from id arithmetic
     "mm_decode" -> ((s, dir) => Multimodal.decodedImageFeatures(s, dir)),
     "mm_features" -> ((s, dir) => Multimodal.featureSummary(s, dir)),
+    // REAL audio codec round-trip: deterministic WAVs rendered per row,
+    // decoded back with javax.sound.sampled; the oracle states what a
+    // correct decode recovers (sample count, rate, |amplitude| stats)
+    "mm_audio_decode" -> ((s, dir) => Multimodal.decodedAudioFeatures(s, dir)),
     "mm_resize" -> ((s, dir) => Multimodal.resizePlan(s, dir)),
     // the resample EXECUTED: decode -> nearest-neighbor to the planned
     // box -> re-encode -> decode the OUTPUT; constant-fill sources make
@@ -415,6 +419,10 @@ object SparkEntry {
     // BPE first-merge scoring: distinct-word compression -> weighted
     // adjacent-pair counts -> top-k (one tokenizer-training iteration)
     "vocab_bpe_pairs" -> ((s, dir) => TextAnalysis.bpePairCounts(s, dir)),
+    // FULL BPE training loop: 3 greedy merge rounds over the
+    // distinct-word table — pair-count aggregate, arg-max winner,
+    // left-to-right non-overlapping merge fold per round
+    "vocab_bpe_train" -> ((s, dir) => TextAnalysis.bpeTrain(s, dir)),
     // corpus-LM fluency score: exact-rational mean bigram conditional
     // (the n-gram perplexity stand-in; big-to-big join on the bigram key)
     "text_lm_score" -> ((s, dir) => TextAnalysis.lmScore(s, dir)),
@@ -703,6 +711,62 @@ object SparkEntry {
        |  FROM cand)
        |SELECT q_id, rk, n_id, cos_milli FROM ranked WHERE rk <= 10
        |ORDER BY q_id, rk""".stripMargin
+
+  /** One BPE training round as CTEs (mirror of TextAnalysis.bpeTrain's
+    * loop body): given words{k}(word, freq, syms), derive the arg-max
+    * pair win{k} and the merged table words{k+1}. The greedy
+    * left-to-right non-overlapping application is window math: merge
+    * CANDIDATES at consecutive positions only exist for self-pairs
+    * (pl = pr over a run of identical symbols), and within each such
+    * run every other candidate applies (k2 % 2 = 1 after the
+    * run-grouping rank); positions consumed as the right half of an
+    * applied merge (b.i join) drop out of the rebuild.
+    */
+  private def bpeRound(k: Int): String =
+    s"""pr$k AS (
+       |  SELECT syms[i+1] AS pl, syms[i+2] AS pr, sum(freq)::BIGINT AS cnt
+       |  FROM words$k, UNNEST(range(0, len(syms) - 1)) AS u(i)
+       |  WHERE len(syms) >= 2 GROUP BY 1, 2),
+       |win$k AS (SELECT pl, pr, cnt FROM pr$k ORDER BY cnt DESC, pl ASC, pr ASC LIMIT 1),
+       |ex$k AS (
+       |  SELECT word, freq, i, syms[i+1] AS s
+       |  FROM words$k, UNNEST(range(0, len(syms))) AS u(i)),
+       |cand$k AS (
+       |  SELECT e.word, e.i FROM ex$k e
+       |  JOIN ex$k f ON f.word = e.word AND f.i = e.i + 1
+       |  JOIN win$k w ON e.s = w.pl AND f.s = w.pr),
+       |app$k AS (
+       |  SELECT word, i FROM (
+       |    SELECT word, i, row_number() OVER (PARTITION BY word, i - rn ORDER BY i) AS k2
+       |    FROM (SELECT word, i, row_number() OVER (PARTITION BY word ORDER BY i) AS rn
+       |          FROM cand$k)) WHERE k2 % 2 = 1),
+       |words${k + 1} AS (
+       |  SELECT e.word, e.freq,
+       |    array_agg(CASE WHEN a.i IS NOT NULL THEN w.pl || w.pr ELSE e.s END
+       |              ORDER BY e.i) AS syms
+       |  FROM ex$k e CROSS JOIN win$k w
+       |  LEFT JOIN app$k a ON a.word = e.word AND a.i = e.i
+       |  LEFT JOIN app$k b ON b.word = e.word AND b.i = e.i - 1
+       |  WHERE b.i IS NULL
+       |  GROUP BY e.word, e.freq)""".stripMargin
+
+  private lazy val bpeTrainOracle: String =
+    s"""WITH w0 AS (
+       |  SELECT token AS word, count(*)::BIGINT AS freq
+       |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS token
+       |        FROM documents)
+       |  GROUP BY token),
+       |words1 AS (
+       |  SELECT word, freq,
+       |    list_transform(range(1, length(word) + 1), i -> substr(word, i::INT, 1)) AS syms
+       |  FROM w0),
+       |${bpeRound(1)},
+       |${bpeRound(2)},
+       |${bpeRound(3)}
+       |SELECT 1::BIGINT AS round, pl, pr, cnt FROM win1
+       |UNION ALL SELECT 2::BIGINT, pl, pr, cnt FROM win2
+       |UNION ALL SELECT 3::BIGINT, pl, pr, cnt FROM win3
+       |ORDER BY round""".stripMargin
 
   /** Daily top-k event types (mirror of EventWindows.dailyTopTypes).
     * Shared by the window form (ev_daily_top) and the custom-aggregate
@@ -2140,7 +2204,7 @@ object SparkEntry {
          |FROM m ORDER BY method""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id AS id,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS modality,
         |  octet_length(encode(text))::BIGINT AS byte_len,
         |  sha256(text) AS sha
         |FROM documents ORDER BY id""".stripMargin,
@@ -2161,21 +2225,34 @@ object SparkEntry {
         |  (1000 * (doc_id % 256))::BIGINT AS luma_milli
         |FROM documents WHERE doc_id % 2 = 0 ORDER BY id""".stripMargin,
     // image dims from the REAL decode (id arithmetic per mm_decode);
-    // audio dims from the labeled stub (len-derived)
+    // video dims from the labeled stub (len-derived)
     "mm_features" ->
       """WITH img AS (
         |  SELECT count(*)::BIGINT AS n,
         |    sum(doc_id % 31 + 2)::BIGINT AS sw, sum(doc_id % 17 + 2)::BIGINT AS sh
         |  FROM documents WHERE doc_id % 2 = 0),
-        |aud AS (
+        |vid AS (
         |  SELECT count(*)::BIGINT AS n,
         |    sum(octet_length(encode(text)) % 640 + 1)::BIGINT AS sw,
         |    sum(octet_length(encode(text)) % 480 + 1)::BIGINT AS sh
         |  FROM documents WHERE doc_id % 2 = 1)
-        |SELECT 'audio' AS modality, n, sw AS sum_width, sh AS sum_height FROM aud
-        |UNION ALL
         |SELECT 'image' AS modality, n, sw AS sum_width, sh AS sum_height FROM img
+        |UNION ALL
+        |SELECT 'video' AS modality, n, sw AS sum_width, sh AS sum_height FROM vid
         |ORDER BY modality""".stripMargin,
+    // the audio codec contract: a correct javax.sound.sampled decode of
+    // the generated WAV for id recovers n = id%100+8 samples at 8 kHz
+    // with sample(i) = (id*31 + i*7) % 65536 - 32768
+    "mm_audio_decode" ->
+      """WITH a AS (
+        |  SELECT doc_id AS id, (doc_id % 100 + 8)::BIGINT AS n
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |s AS (
+        |  SELECT id, n, abs((id * 31 + i * 7) % 65536 - 32768)::BIGINT AS v
+        |  FROM a, UNNEST(range(0, n)) AS u(i))
+        |SELECT id, n AS n_samples, 8000::BIGINT AS sample_rate,
+        |  sum(v)::BIGINT AS sum_abs, max(v)::BIGINT AS peak_abs
+        |FROM s GROUP BY id, n ORDER BY id""".stripMargin,
     // executed resample chain: output dims are the plan's box, and a
     // correct nearest-neighbor resample of a constant-gray source
     // preserves mean luma exactly through the re-encode/re-decode
@@ -2546,6 +2623,12 @@ object SparkEntry {
         |c AS (SELECT pair, sum(freq)::BIGINT AS cnt FROM p GROUP BY pair)
         |SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair ASC)::BIGINT AS rk
         |FROM c ORDER BY rk LIMIT 20""".stripMargin,
+    // full BPE training replay: 3 chained rounds (the graph_pagerank
+    // unrolling style) — per round, arg-max pair then the greedy
+    // non-overlapping merge, applied via run-parity window math
+    // (candidates at consecutive positions only exist for self-pairs;
+    // within each run, every other candidate applies)
+    "vocab_bpe_train" -> bpeTrainOracle,
     // LM score: per-bigram exact conditionals floor((C(w1w2)*1000)/C(w1·)),
     // doc score = floor(mean); occurrences, not distinct bigrams
     "text_lm_score" ->

@@ -12,8 +12,11 @@ import graft.GraftSession.table
   * PNG per row (dimensions and fill derived from the id, so the oracle
   * can predict them), and `decodeImages` decodes those bytes with
   * javax.imageio — an actual encode->decode codec round-trip, JDK-only
-  * (respects the offline-build constraint). The AUDIO path keeps a
-  * clearly-marked deterministic stub (the JDK ships no audio codec).
+  * (respects the offline-build constraint). The AUDIO path is equally
+  * real via javax.sound.sampled (`audioTable`/`decodeAudio`: WAV/PCM
+  * encode->decode with id-arithmetic sample expectations). Only VIDEO
+  * keeps a clearly-marked deterministic stub (the JDK ships no video
+  * codec).
   * Around both, everything is the production shape:
   *  - schema: (id, modality, payload BINARY, meta fields);
   *  - batch-at-a-time decode via `mapPartitions` (the Scala analog of
@@ -42,7 +45,7 @@ object Multimodal {
   def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
     table(spark, sfDir, "documents")
       .select(col("doc_id").as("id"),
-        (when(col("doc_id") % 2 === 0, "image").otherwise("audio")).as("modality"),
+        (when(col("doc_id") % 2 === 0, "image").otherwise("video")).as("modality"),
         encode(col("text"), "UTF-8").as("payload"))
 
   /** Deterministic REAL image corpus: one PNG per even doc_id, rendered
@@ -184,14 +187,15 @@ object Multimodal {
       .orderBy("id")
   }
 
-  /** STUB decode for the audio modality: the JDK ships no audio codec,
-    * so this derives deterministic pseudo-features from the bytes (the
-    * ??? seam a real decoder plugs into). The image modality no longer
-    * routes through here — see decodeImages.
+  /** STUB decode for the VIDEO modality — the one modality left with no
+    * JDK codec (images round-trip through javax.imageio, audio through
+    * javax.sound.sampled; see decodeAudio). Derives deterministic
+    * pseudo-features from the bytes so the seam stays oracle-checkable;
+    * a real decoder (ffmpeg/JNI) plugs in here with the same
+    * per-partition amortization.
     */
   private def decodeStub(r: MediaRow): MediaFeatures = {
     val len = r.payload.length.toLong
-    // ??? real audio codec goes here; deterministic fake below
     val w = (len % 640 + 1).toInt
     val h = (len % 480 + 1).toInt
     val luma = if (len == 0) 0.0
@@ -199,7 +203,7 @@ object Multimodal {
     MediaFeatures(r.id, r.modality, len, w, h, math.floor(luma * 1000) / 1000)
   }
 
-  /** Per-partition stub decode for non-image modalities (see decodeStub). */
+  /** Per-partition stub decode for codec-less modalities (see decodeStub). */
   def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { rows =>
@@ -207,6 +211,95 @@ object Multimodal {
       rows.map(decodeStub)
     }
   }
+
+  case class AudioRow(id: Long, payload: Array[Byte])
+  case class AudioFeatures(id: Long, n_samples: Long, sample_rate: Long,
+                           sum_abs: Long, peak_abs: Long)
+
+  /** Deterministic REAL audio corpus: one PCM WAV per odd doc_id,
+    * encoded by javax.sound.sampled (the imageTable pattern for the
+    * audio modality — JDK-only, offline-safe). Sample count and every
+    * 16-bit sample value are pure id arithmetic —
+    * n = id%100+8, sample(i) = (id*31 + i*7) % 65536 - 32768 — so the
+    * oracle states exactly what a correct decode must recover without
+    * reproducing the RIFF container bytes.
+    */
+  def audioTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, sfDir, "documents")
+      .filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("id")).as[Long]
+      // same split-spreading rationale as imageTable: the id list is one
+      // input split; spread before the CPU-heavy codec stages
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(ids => ids.map(id => AudioRow(id, encodeWav(id))))
+      .toDF()
+  }
+
+  /** Render + WAV-encode the deterministic clip for `id` (see audioTable
+    * for the formulas): 8 kHz, 16-bit signed little-endian, mono.
+    */
+  private def encodeWav(id: Long): Array[Byte] = {
+    val n = (id % 100 + 8).toInt
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = ((id * 31 + i * 7) % 65536 - 32768).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode behind the per-partition seam: parse the WAV
+    * container back to PCM with javax.sound.sampled, verify the format,
+    * and emit exact-integer amplitude features — sample count, rate,
+    * sum and peak of |sample|. On the id-arithmetic corpus the oracle
+    * recomputes all four from the generator formulas; any container or
+    * sample-math drift hash-mismatches. Fails loudly on undecodable
+    * bytes (same contract as decodeOrFail).
+    */
+  def decodeAudio(spark: SparkSession, audio: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    audio.as[AudioRow].mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val f = ais.getFormat
+        require(f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
+          !f.isBigEndian &&
+          f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"unexpected audio format for id ${r.id}: $f")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        var sumAbs = 0L
+        var peak = 0L
+        var i = 0
+        while (i < n) {
+          val s = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+          val a = math.abs(s.toLong)
+          sumAbs += a
+          if (a > peak) peak = a
+          i += 1
+        }
+        AudioFeatures(r.id, n.toLong, f.getSampleRate.toLong, sumAbs, peak)
+      }
+    }
+  }
+
+  /** mm_audio_decode: the full real audio codec round-trip — generate
+    * WAVs, decode them back, emit recovered exact-integer features.
+    */
+  def decodedAudioFeatures(spark: SparkSession, sfDir: String): DataFrame =
+    decodeAudio(spark, audioTable(spark, sfDir)).toDF()
+      .orderBy("id")
 
   /** Metadata pass that never touches a decoder: byte length + content
     * hash straight off the BINARY column (pure codegen, oracle-checkable).
@@ -228,18 +321,18 @@ object Multimodal {
       .orderBy("id")
 
   /** Decoded-feature aggregate: per modality, count + summed dimensions.
-    * Image dims come from the REAL javax.imageio decode; audio dims from
-    * the labeled stub.
+    * Image dims come from the REAL javax.imageio decode; video dims from
+    * the labeled stub (the one codec-less modality).
     */
   def featureSummary(spark: SparkSession, sfDir: String): DataFrame = {
     val img = decodeImages(spark, imageTable(spark, sfDir)).toDF()
       .select(lit("image").as("modality"), col("width"), col("height"))
-    val aud = decodeFeatures(spark,
-        mediaTable(spark, sfDir).filter(col("modality") === "audio")).toDF()
-      .select(lit("audio").as("modality"),
+    val vid = decodeFeatures(spark,
+        mediaTable(spark, sfDir).filter(col("modality") === "video")).toDF()
+      .select(lit("video").as("modality"),
         col("width").cast("long").as("width"),
         col("height").cast("long").as("height"))
-    img.unionByName(aud)
+    img.unionByName(vid)
       .groupBy("modality")
       .agg(count(lit(1)).as("n"),
         sum(col("width")).as("sum_width"),

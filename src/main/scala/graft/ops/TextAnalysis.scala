@@ -267,6 +267,83 @@ object TextAnalysis {
       .orderBy("rk")
   }
 
+  /** vocab_bpe_train: the FULL iterative BPE training loop — m greedy
+    * merge rounds over the distinct-word frequency table (the step
+    * `bpePairCounts` scores once). Each round: count adjacent SYMBOL
+    * pairs weighted by word frequency, take the arg-max pair (ties by
+    * (left, right) ascending — total order), apply the merge greedily
+    * left-to-right non-overlapping to every word's symbol sequence, and
+    * record (round, pl, pr, cnt) — the merge table a BPE tokenizer
+    * ships.
+    *
+    * Scale shape (the reason BPE training is feasible at 100 TB): the
+    * loop never touches the corpus again after the first aggregation —
+    * rounds iterate on the DISTINCT-WORD table (~10^6 rows at any
+    * corpus size), exactly what production BPE trainers do. Per round:
+    * one map-side-combinable pair-count aggregate (cardinality bounded
+    * by |vocab|^2, in practice tiny), one TakeOrdered(1) for the
+    * winner, and one narrow per-row projection applying the merge as an
+    * `aggregate` fold — no join back, because the winning pair is
+    * pulled to the driver as a ONE-ROW scalar and folded in as
+    * literals, the same bounded-driver-action discipline as
+    * connectedComponents' convergence sum. That also keeps the evolving
+    * table's lineage LINEAR (one reference per round; see the CC
+    * docstring for why a per-round double reference is fatal), with
+    * persist/unpersist of the tracked handle bounding resident state at
+    * ~2 word tables.
+    *
+    * The fold is exact greedy BPE: scanning left to right, merge when
+    * the accumulator's last atom is `pl` and the current atom is `pr`.
+    * Within a round the freshly merged atom `pl||pr` can never re-merge
+    * as either side of the same pair (both sides are non-empty, so
+    * pl||pr = pl and pl||pr = pr are impossible), which makes the fold
+    * equal to the simultaneous non-overlapping application — runs of a
+    * self-pair (pl = pr) merge at alternating positions, as BPE
+    * specifies. `get()` (not element_at) keeps the empty-accumulator
+    * probe null-safe under ANSI.
+    *
+    * Output: (round, pl, pr, cnt), one row per merge, ordered by round.
+    */
+  def bpeTrain(spark: SparkSession, sfDir: String, m: Int = 3): DataFrame = {
+    import org.apache.spark.sql.DataFrame
+    val chars = transform(sequence(lit(1), length(col("word"))),
+      i => col("word").substr(i, lit(1)))
+    var words: DataFrame = table(spark, sfDir, "documents")
+      .select(explode(filter(split(lower(col("text")), " "),
+        t => length(t) > 0)).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"), chars.as("syms"))
+      .persist()
+    var pinned = words
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, String, Long)]()
+    var r = 1
+    while (r <= m) {
+      val pairs = transform(sequence(lit(0), size(col("syms")) - 2),
+        i => struct(get(col("syms"), i).as("pl"), get(col("syms"), i + 1).as("pr")))
+      val win = words.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(pairs).as("p"))
+        .groupBy(col("p.pl").as("pl"), col("p.pr").as("pr"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pl").asc, col("pr").asc)
+        .limit(1).head() // one bounded driver row per round (see above)
+      val (pl, pr, cnt) = (win.getString(0), win.getString(1), win.getLong(2))
+      merges += ((r.toLong, pl, pr, cnt))
+      val merged = aggregate(col("syms"), array().cast("array<string>"),
+        (acc, x) => when(get(acc, size(acc) - 1) === lit(pl) && x === lit(pr),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(pl + pr))))
+          .otherwise(concat(acc, array(x))))
+      val next = words.select(col("word"), col("freq"), merged.as("syms")).persist()
+      next.count() // materialize before releasing the previous round
+      pinned.unpersist()
+      pinned = next
+      words = next
+      r += 1
+    }
+    pinned.unpersist()
+    import spark.implicits._
+    merges.toSeq.toDF("round", "pl", "pr", "cnt").orderBy("round")
+  }
+
   /** Corpus-LM fluency score — the n-gram language-model quality signal
     * (the cheap stand-in for perplexity filtering): score each doc by
     * the mean corpus-conditional probability of its bigrams,

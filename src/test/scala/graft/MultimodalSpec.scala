@@ -12,7 +12,7 @@ class MultimodalSpec extends SparkSpec {
     val dir = tempSfDir()
     writeTable(dir, "documents", Seq(
       (0L, "abcd", "en", "s", 4L),     // image (even id), 4 bytes
-      (1L, "xyz", "en", "s", 3L),      // audio (odd id), 3 bytes
+      (1L, "xyz", "en", "s", 3L),      // video (odd id), 3 bytes
       (2L, "abcdefgh", "en", "s", 8L)  // image, 8 bytes
     ).toDF("doc_id", "text", "lang", "source", "n_chars"))
     dir
@@ -82,13 +82,39 @@ class MultimodalSpec extends SparkSpec {
     assert(got === Seq((5L, 224L, 112L, 127500L)))
   }
 
-  test("featureSummary: real image dims + stubbed audio dims per modality") {
+  test("featureSummary: real image dims + stubbed video dims per modality") {
     val feats = Multimodal.featureSummary(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
       .toMap
-    // images ids 0,2: real decoded dims (2,2) and (4,4); audio len 3 -> w 4 h 4
+    // images ids 0,2: real decoded dims (2,2) and (4,4); video len 3 -> w 4 h 4
     assert(feats("image") === ((2L, 6L, 6L)))
-    assert(feats("audio") === ((1L, 4L, 4L)))
+    assert(feats("video") === ((1L, 4L, 4L)))
+  }
+
+  test("real WAV round-trip: sampled decode recovers the generator's parameters") {
+    val feats = Multimodal.decodedAudioFeatures(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    // id 1: n = 1%100+8 = 9 samples at 8 kHz, sample(i) = (31+7i)%65536-32768
+    val expected = (0 until 9).map(i => math.abs((1L * 31 + i * 7) % 65536 - 32768))
+    assert(feats === Seq((1L, 9L, 8000L, expected.sum, expected.max)))
+  }
+
+  test("decodeAudio round-trips a hand-built WAV and fails loudly on junk") {
+    import spark.implicits._
+    // two samples: -32768 (peak) and 100
+    val pcm = Array[Byte](0x00, 0x80.toByte, 100, 0x00)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 2L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val got = Multimodal.decodeAudio(
+      spark, Seq((9L, bos.toByteArray)).toDF("id", "payload")).collect().toSeq
+    assert(got === Seq(Multimodal.AudioFeatures(9L, 2L, 8000L, 32868L, 32768L)))
+    val bad = Seq((8L, "not a wav".getBytes("UTF-8"))).toDF("id", "payload")
+    intercept[Exception](Multimodal.decodeAudio(spark, bad).collect())
   }
 
   test("sampleFrames: evenly spaced frame indices per image") {

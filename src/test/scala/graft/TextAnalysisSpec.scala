@@ -147,6 +147,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Seq(("ab", 4L, 1L), ("bc", 3L, 2L)))
   }
 
+  test("bpe train: m greedy merges with self-pair runs and exact tie-breaks") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", Seq(
+      (1L, "aaab aaab aab", "en", "s", 13L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // words: aaab x2, aab x1
+    // r1: (a,a) = 2*2+1 = 5 beats (a,b) = 3 -> aaab = [aa,a,b], aab = [aa,b]
+    //     (self-pair run "aaa" merges at alternating positions: only the
+    //      FIRST aa pair applies, the third a stays single)
+    // r2: (a,b) = 2 ties (aa,a) = 2 -> "a" < "aa" wins -> aaab = [aa,ab]
+    // r3: (aa,ab) = 2 beats (aa,b) = 1
+    val got = TextAnalysis.bpeTrain(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === Seq(
+      (1L, "a", "a", 5L),
+      (2L, "a", "b", 2L),
+      (3L, "aa", "ab", 2L)))
+  }
+
   test("lm score: exact-rational mean bigram conditional per doc") {
     import spark.implicits._
     val dir = tempSfDir()
