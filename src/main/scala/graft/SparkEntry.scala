@@ -111,6 +111,9 @@ object SparkEntry {
     // declarative constraint audit: six rules (unique/positive/range/
     // domain/FK), one fused aggregate pass per table + anti-join count
     "rel_dq_audit" -> ((s, dir) => Relational.dqAudit(s, dir)),
+    // join-key skew pre-flight: per-key counts rolled into exact log2
+    // bands (binary digit count, no float log) — the salt-or-not signal
+    "rel_skew_audit" -> ((s, dir) => Relational.skewAudit(s, dir)),
     // —— event-time windows (batch analog of graft.streaming) ——
     "ev_tumbling" -> ((s, dir) => EventWindows.tumbling(s, dir)),
     "ev_sliding" -> ((s, dir) => EventWindows.sliding(s, dir)),
@@ -250,6 +253,9 @@ object SparkEntry {
     // composed C4-style pass: gopher gate (narrow, first) -> passage
     // dedup over survivors -> per-source curation summary
     "pipeline_gopher" -> ((s, dir) => Dedup.gopherClean(s, dir)),
+    // source-pair containment matrix: per-window fanout bounded by the
+    // source dimension (<= C(S,2) pair rows per window), never corpus
+    "corpus_overlap" -> ((s, dir) => Dedup.sourceOverlap(s, dir)),
     // directed containment rung: |inter| / min(|A|,|B|) over
     // representatives — nested/quoted duplication symmetric jaccard
     // misses (big doc swallows the union)
@@ -423,6 +429,9 @@ object SparkEntry {
     // distinct-word table — pair-count aggregate, arg-max winner,
     // left-to-right non-overlapping merge fold per round
     "vocab_bpe_train" -> ((s, dir) => TextAnalysis.bpeTrain(s, dir)),
+    // APPLY the trained tokenizer: learned merges fold in as plan
+    // literals — zero-shuffle narrow encode pass over the corpus
+    "vocab_bpe_encode" -> ((s, dir) => TextAnalysis.bpeEncode(s, dir)),
     // corpus-LM fluency score: exact-rational mean bigram conditional
     // (the n-gram perplexity stand-in; big-to-big join on the bigram key)
     "text_lm_score" -> ((s, dir) => TextAnalysis.lmScore(s, dir)),
@@ -451,6 +460,9 @@ object SparkEntry {
     // per-source contribution cap via the bounded top-k aggregate: k
     // rows per source cross the shuffle, no per-source sort anywhere
     "pipeline_source_cap" -> ((s, dir) => Corpus.sourceCap(s, dir)),
+    // DSIR importance-resampling weights: one fused stats pass ->
+    // <= 1024-row ratio table broadcast back -> shuffle-free scoring
+    "mix_dsir" -> ((s, dir) => Corpus.dsirWeights(s, dir)),
     "shard_plan" -> ((s, dir) => Corpus.shardPlan(s, dir)),
     // —— explicit skew-mitigation shapes (result-identical to the plain
     //    forms; the PLAN is what differs — see each operator's doc) ——
@@ -1315,6 +1327,21 @@ object SparkEntry {
         |  CASE WHEN node >= 1000000 THEN 'supplier' ELSE 'customer' END AS kind,
         |  r AS rank_micros
         |FROM r3 ORDER BY rank_micros DESC, node ASC LIMIT 20""".stripMargin,
+    // skew bands: floor(log2(cnt)) as binary digit count — DuckDB bin()
+    // and Spark bin() render identically (no leading zeros)
+    "rel_skew_audit" ->
+      """WITH c1 AS (SELECT count(*)::BIGINT AS cnt FROM lineitem GROUP BY l_orderkey),
+        |c2 AS (SELECT count(*)::BIGINT AS cnt FROM orders GROUP BY o_custkey),
+        |c3 AS (SELECT count(*)::BIGINT AS cnt FROM events GROUP BY user_id),
+        |h AS (
+        |  SELECT 'lineitem.l_orderkey' AS relation, cnt FROM c1
+        |  UNION ALL SELECT 'orders.o_custkey', cnt FROM c2
+        |  UNION ALL SELECT 'events.user_id', cnt FROM c3)
+        |SELECT relation, (length(bin(cnt)) - 1)::BIGINT AS band_log2,
+        |  count(*)::BIGINT AS n_keys, sum(cnt)::BIGINT AS n_rows,
+        |  max(cnt)::BIGINT AS max_cnt
+        |FROM h GROUP BY relation, band_log2
+        |ORDER BY relation, band_log2""".stripMargin,
     "rel_dq_audit" ->
       """WITH o AS (SELECT count(*) AS n,
         |    count(*) - count(DISTINCT o_orderkey) AS dup_keys,
@@ -2629,6 +2656,32 @@ object SparkEntry {
     // (candidates at consecutive positions only exist for self-pairs;
     // within each run, every other candidate applies)
     "vocab_bpe_train" -> bpeTrainOracle,
+    // tokenizer APPLICATION replay: chain the same 3 training rounds to
+    // get each distinct word's post-merge symbol sequence (words4),
+    // then join per-doc token occurrences and sum symbol counts
+    "vocab_bpe_encode" ->
+      s"""WITH w0 AS (
+         |  SELECT token AS word, count(*)::BIGINT AS freq
+         |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS token
+         |        FROM documents)
+         |  GROUP BY token),
+         |words1 AS (
+         |  SELECT word, freq,
+         |    list_transform(range(1, length(word) + 1), i -> substr(word, i::INT, 1)) AS syms
+         |  FROM w0),
+         |${bpeRound(1)},
+         |${bpeRound(2)},
+         |${bpeRound(3)},
+         |dt AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS word
+         |  FROM documents)
+         |SELECT d.doc_id,
+         |  count(*)::BIGINT AS n_words,
+         |  sum(length(d.word))::BIGINT AS n_syms0,
+         |  sum(len(w.syms))::BIGINT AS n_bpe,
+         |  ((1000 * sum(len(w.syms))) // sum(length(d.word)))::BIGINT AS compression_milli
+         |FROM dt d JOIN words4 w ON d.word = w.word
+         |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin,
     // LM score: per-bigram exact conditionals floor((C(w1w2)*1000)/C(w1·)),
     // doc score = floor(mean); occurrences, not distinct bigrams
     "text_lm_score" ->
@@ -2794,6 +2847,29 @@ object SparkEntry {
     "stream_classifier" -> classifierOracle,
     // exact-substring duplication report: 8-token windows hashed to 60
     // bits, window document frequency, per-doc duplicated fraction
+    // source-pair containment matrix over distinct 8-token windows;
+    // string '<' is bytewise in both engines (ASCII source names)
+    "corpus_overlap" ->
+      s"""WITH toks AS (
+         |  SELECT source, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+         |  FROM documents),
+         |sw AS (
+         |  SELECT DISTINCT source,
+         |    ${h60("array_to_string(toks[i+1:i+8], ' ')")} AS w
+         |  FROM toks, UNNEST(range(0, len(toks) - 7)) AS u(i)
+         |  WHERE len(toks) >= 8),
+         |tot AS (SELECT source, count(*)::BIGINT AS n_windows FROM sw GROUP BY source),
+         |sh AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_shared
+         |  FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT s.src_a, s.src_b, s.n_shared,
+         |  ta.n_windows AS n_windows_a, tb.n_windows AS n_windows_b,
+         |  ((1000 * s.n_shared) // least(ta.n_windows, tb.n_windows))::BIGINT AS containment_milli
+         |FROM sh s
+         |JOIN tot ta ON ta.source = s.src_a
+         |JOIN tot tb ON tb.source = s.src_b
+         |ORDER BY src_a, src_b""".stripMargin,
     "dedup_substring" ->
       s"""WITH toks AS (
          |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
@@ -2972,6 +3048,25 @@ object SparkEntry {
         |FROM t ORDER BY source""".stripMargin,
     // source cap replay: the window rank form — row-for-row equal to
     // the bounded top-k aggregate (same total order: doc_id asc)
+    // DSIR weights: add-one-smoothed target/corpus bucket-count ratio in
+    // thousandths, doc weight = floor-mean over token occurrences
+    "mix_dsir" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, source,
+         |    unnest(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS word
+         |  FROM documents),
+         |tb AS (
+         |  SELECT doc_id, source, ${h60("word")} % 1024 AS b FROM tok),
+         |stats AS (
+         |  SELECT b, count(*)::BIGINT AS c_cnt,
+         |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS t_cnt
+         |  FROM tb GROUP BY b),
+         |ratio AS (
+         |  SELECT b, ((1000 * (t_cnt + 1)) // (c_cnt + 1))::BIGINT AS r_milli FROM stats)
+         |SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+         |  (sum(r.r_milli) // count(*))::BIGINT AS dsir_milli
+         |FROM tb t JOIN ratio r USING (b)
+         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
     "pipeline_source_cap" ->
       """WITH ranked AS (
         |  SELECT source, doc_id,

@@ -218,6 +218,53 @@ object Corpus {
         (col("i") + 1).cast("long").as("rk"))
       .orderBy("source", "rk")
 
+  /** mix_dsir: hashed-feature importance-resampling weights (the DSIR
+    * recipe, Xie et al. 2023 "Data Selection for Language Models via
+    * Importance Resampling"): score every document by how much its
+    * hashed bag-of-words distribution looks like a TARGET domain
+    * relative to the raw corpus, then resample the corpus by those
+    * weights to tilt the mix toward the target without training a
+    * classifier. Features are unigrams hashed into `buckets` bins; the
+    * per-bucket weight is the add-one-smoothed target/corpus count
+    * ratio in thousandths
+    *
+    *   r_milli(b) = floor(1000 * (t_b + 1) / (c_b + 1))
+    *
+    * and a doc's weight is the MEAN r_milli over its token occurrences
+    * — all-integer, so the oracle replays it exactly. (DSIR's n-gram
+    * probability ratio carries a constant corpus/target total factor;
+    * resampling normalizes weights, so the constant is dropped rather
+    * than risking overflow multiplying 100 TB-scale totals.)
+    *
+    * Scale shape: ONE aggregation over the tokenized corpus builds both
+    * count vectors (the target count rides along as a conditional sum —
+    * no second corpus scan), bounded at `buckets` rows at any corpus
+    * size, so the ratio table is explicitly BROADCAST back onto the
+    * token stream: the scoring join is shuffle-free on the big side,
+    * and the only wide stage is the final per-doc mean (map-side
+    * combinable). At 100 TB the stats table is materialized once and
+    * reused across target domains.
+    *
+    * Output: (doc_id, n_tokens, dsir_milli) for docs with >= 1 token.
+    */
+  def dsirWeights(spark: SparkSession, sfDir: String,
+                  target: String = "src0", buckets: Int = 1024): DataFrame = {
+    val tok = table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(filter(split(lower(col("text")), " "),
+          t => length(t) > 0)).as("word"))
+      .withColumn("b", pmod(graft.functions.OracleHash.h60(col("word")), lit(buckets.toLong)))
+    val ratio = tok.groupBy("b")
+      .agg(count(lit(1)).as("c_cnt"),
+        sum(when(col("source") === target, 1L).otherwise(0L)).as("t_cnt"))
+      .select(col("b"), expr("(1000 * (t_cnt + 1)) div (c_cnt + 1)").as("r_milli"))
+    tok.join(broadcast(ratio), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("sum(r_milli) div count(1)").as("dsir_milli"))
+      .orderBy("doc_id")
+  }
+
   def writeShards(spark: SparkSession, sfDir: String, outDir: String,
                   tokensPerShard: Long = 2048): Unit =
     table(spark, sfDir, "documents")

@@ -1141,4 +1141,51 @@ object Dedup {
       .reduce(_ unionByName _)
       .orderBy("stage")
   }
+
+  /** corpus_overlap: the source-pair n-gram containment matrix — for
+    * every pair of sources, how much of the smaller source's distinct
+    * 8-token-window set also appears in the other. This is the
+    * snapshot-level contamination/mirror audit a corpus build runs
+    * BEFORE mixing sources: a high-containment pair means one feed
+    * mirrors another (CommonCrawl re-crawls, syndicated boilerplate,
+    * a vendor reselling a scrape), and the mix weights double-count it.
+    * Same window fold as the intra-corpus rungs ([[substringDupReport]]).
+    *
+    * Scale shape: the (source, window-hash) relation is DISTINCT first
+    * — one row per source per distinct window, hashes only. The
+    * self-join key is the window hash, and the per-key fanout is
+    * bounded by the SOURCE DIMENSION, not the corpus: a window present
+    * in s of the corpus's S sources yields at most C(s,2) <= C(S,2)
+    * pair rows (S ~ 10^1..10^2 feeds in a real build — this is why no
+    * maxDf stop-window guard is needed here, unlike the per-DOCUMENT
+    * pair rungs where a hot window's fanout is corpus-sized). Totals
+    * per source are a second aggregate of the same distinct relation;
+    * the matrix itself is |S|^2 rows at most — driver-safe output at
+    * any corpus size.
+    *
+    * Output: (src_a, src_b, n_shared, n_windows_a, n_windows_b,
+    * containment_milli) for pairs with >= 1 shared window, src_a <
+    * src_b, containment_milli = floor(1000 * shared / min(totals)).
+    */
+  def sourceOverlap(spark: SparkSession, sfDir: String,
+                    n: Int = 8): DataFrame = {
+    val sw = table(spark, sfDir, "documents")
+      .select(col("source"),
+        explode(graft.functions.ShingleColumns.wordShingles(col("text"), n)).as("shingle"))
+      .select(col("source"), h60(col("shingle")).as("w"))
+      .distinct()
+      .localCheckpoint() // one pass for both the join sides and totals
+    val totals = sw.groupBy("source").agg(count(lit(1)).as("n_windows"))
+    sw.as("a")
+      .join(sw.as("b"),
+        col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(totals.select(col("source").as("src_a"), col("n_windows").as("n_windows_a")), Seq("src_a"))
+      .join(totals.select(col("source").as("src_b"), col("n_windows").as("n_windows_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"),
+        col("n_windows_a"), col("n_windows_b"),
+        expr("(1000 * n_shared) div least(n_windows_a, n_windows_b)").as("containment_milli"))
+      .orderBy("src_a", "src_b")
+  }
 }

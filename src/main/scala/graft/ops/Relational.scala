@@ -466,4 +466,32 @@ object Relational {
         coalesce(col("status"), lit("NONE")).as("prev_status"))
       .orderBy("o_orderkey")
   }
+
+  /** rel_skew_audit: join-key skew profile — the pre-flight a 100 TB
+    * join runs BEFORE choosing a strategy. For each candidate join key,
+    * per-key row counts roll up into log2 frequency bands
+    * (band = floor(log2(cnt)), computed exactly as binary-digit count,
+    * no float log): how many keys sit in each band, how many rows they
+    * carry, and the band's hottest key count. A heavy top band is the
+    * signal to salt that key or lean on AQE skew-join; a flat profile
+    * clears a plain shuffle join. The audit is itself scale-safe: one
+    * map-side-combinable count per key, then an aggregation over KEY
+    * CARDINALITY rows into <= 64 band rows per relation — the output is
+    * driver-safe at any corpus size, unlike a raw per-key dump.
+    *
+    * Output: (relation, band_log2, n_keys, n_rows, max_cnt), ordered.
+    */
+  def skewAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    def profile(df: DataFrame, key: Column, rel: String): DataFrame =
+      df.groupBy(key.as("k")).agg(count(lit(1)).as("cnt"))
+        .groupBy((length(bin(col("cnt"))) - 1).cast("long").as("band_log2"))
+        .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"),
+          max(col("cnt")).as("max_cnt"))
+        .select(lit(rel).as("relation"), col("band_log2"), col("n_keys"),
+          col("n_rows"), col("max_cnt"))
+    profile(table(spark, sfDir, "lineitem"), col("l_orderkey"), "lineitem.l_orderkey")
+      .unionByName(profile(table(spark, sfDir, "orders"), col("o_custkey"), "orders.o_custkey"))
+      .unionByName(profile(table(spark, sfDir, "events"), col("user_id"), "events.user_id"))
+      .orderBy("relation", "band_log2")
+  }
 }

@@ -149,4 +149,31 @@ class CorpusSpec extends SparkSpec {
       ("a", 4L, 2L, 2L),
       ("b", 1L, 9L, 1L)))
   }
+
+  test("dsir weights: exact smoothed ratio, collision-free by shared vocab") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // both docs use the SAME word, so bucket collisions are impossible:
+    // t_x = 2 (src0), c_x = 6 -> r = (1000*3) div 7 = 428 for every token
+    writeTable(dir, "documents", Seq(
+      (1L, "x x", "en", "src0", 3L),
+      (2L, "x x x x", "en", "src1", 7L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = Corpus.dsirWeights(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows === Seq((1L, 2L, 428L), (2L, 4L, 428L)))
+  }
+
+  test("dsir weights: target-only corpus scores exactly 1000 everywhere") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", Seq(
+      (1L, "alpha beta gamma", "en", "src0", 16L),
+      (2L, "delta beta", "en", "src0", 10L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // target == corpus -> t_b = c_b for every bucket -> r_milli = 1000
+    val rows = Corpus.dsirWeights(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(rows === Seq((1L, 1000L), (2L, 1000L)))
+  }
 }

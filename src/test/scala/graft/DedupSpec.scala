@@ -372,4 +372,21 @@ class DedupSpec extends SparkSpec {
     assert(agg.head().getDecimal(0) ===
       new java.math.BigDecimal("18446744073709551614")) // 2 * (2^63 - 1) > Long.MaxValue
   }
+
+  test("source overlap: containment on min total, pairs only when shared") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", Seq(
+      // srcA: 9 tokens -> windows {t1..t8, t2..t9}; srcB: the first
+      // window only; srcC: disjoint vocabulary -> no pair row
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9", "en", "srcA", 26L),
+      (2L, "t1 t2 t3 t4 t5 t6 t7 t8", "en", "srcB", 23L),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8", "en", "srcC", 23L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = Dedup.sourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // shared = 1, totals (A=2, B=1) -> containment = 1000*1 div 1 = 1000
+    assert(rows === Seq(("srcA", "srcB", 1L, 2L, 1L, 1000L)))
+  }
 }

@@ -207,4 +207,39 @@ class RelationalSpec extends SparkSpec {
     assert(rows(Relational.scd2IncrementalMerge(spark, dir, cutoffYear = 1970)) === full)
     assert(rows(Relational.scd2IncrementalMerge(spark, dir, cutoffYear = 2999)) === full)
   }
+
+  test("skew audit: exact log2 bands, row conservation per relation") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    val ts = new java.sql.Timestamp(0L)
+    writeTable(dir, "lineitem", Seq(
+      // orderkey 100 x3 -> band 1; orderkey 101 x1 -> band 0
+      (100L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts),
+      (100L, 1L, 1L, 2, 1.0, 1.0, 0.0, 0.0, "N", "O", ts),
+      (100L, 1L, 1L, 3, 1.0, 1.0, 0.0, 0.0, "N", "O", ts),
+      (101L, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts)
+    ).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate"))
+    writeTable(dir, "orders", Seq(
+      // custkey 1 x2 -> band 1; custkeys 2, 3 x1 -> band 0 (2 keys)
+      (100L, 1L, "O", 1.0, ts, "p"), (101L, 1L, "O", 1.0, ts, "p"),
+      (102L, 2L, "O", 1.0, ts, "p"), (103L, 3L, "O", 1.0, ts, "p")
+    ).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority"))
+    writeTable(dir, "events", Seq(
+      // user 7 x4 -> band 2
+      (1L, ts, 7L, "click", 1.0, "{}"), (2L, ts, 7L, "click", 1.0, "{}"),
+      (3L, ts, 7L, "click", 1.0, "{}"), (4L, ts, 7L, "view", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val rows = Relational.skewAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(rows === Seq(
+      ("events.user_id", 2L, 1L, 4L, 4L),
+      ("lineitem.l_orderkey", 0L, 1L, 1L, 1L),
+      ("lineitem.l_orderkey", 1L, 1L, 3L, 3L),
+      ("orders.o_custkey", 0L, 2L, 2L, 1L),
+      ("orders.o_custkey", 1L, 1L, 2L, 2L)))
+  }
 }

@@ -389,6 +389,30 @@ class TextAnalysisSpec extends SparkSpec {
       (2L, 0L, 0L, true)))
   }
 
+  test("bpe encode: learned merges applied greedily, zero-shuffle plan") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // vocab: abcd(freq 3), abce(1). Merges: r1 (a,b) [cnt 4, tie with
+    // (b,c) broken by pl asc], r2 (ab,c) [4], r3 (abc,d) [3].
+    // abcd -> [abcd] (1 token), abce -> [abc, e] (2 tokens)
+    writeTable(dir, "documents", Seq(
+      (1L, "abcd abcd abcd", "en", "s", 14L),
+      (2L, "abce", "en", "s", 4L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val df = TextAnalysis.bpeEncode(spark, dir)
+    val rows = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(rows === Seq(
+      (1L, 3L, 12L, 3L, 250L),
+      (2L, 1L, 4L, 2L, 500L)))
+    // the encode pass itself is a narrow projection: no join, no
+    // aggregate exchange — the only exchange is the output sort's
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("HashAggregate"), plan)
+  }
+
   private implicit class MapOps(
       rows: Array[(Long, Long, Long, Long, Long, Boolean)]) {
     def toMap2: Map[Long, (Long, Long, Long, Long, Boolean)] =
