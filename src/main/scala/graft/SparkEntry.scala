@@ -448,6 +448,12 @@ object SparkEntry {
     // forms, so they share the batch oracles
     "stream_scrub" -> ((s, dir) => StreamingOps.streamScrub(s, dir)),
     "stream_classifier" -> ((s, dir) => StreamingOps.streamClassifier(s, dir)),
+    // ingest-time DSIR scoring: batch-derived ratio dimension shipped as
+    // a map literal — stateless narrow fold, no stream-side join/shuffle
+    "stream_dsir" -> ((s, dir) => StreamingOps.streamDsir(s, dir)),
+    // ingest-time BPE tokenization: trained merges as plan literals —
+    // the broadcast-tokenizer serving shape, stateless append
+    "stream_bpe_encode" -> ((s, dir) => StreamingOps.streamBpeEncode(s, dir)),
     // stateful per-source admission control: O(1) counter state admits
     // the first k arrivals per source in flight
     "stream_source_cap" -> ((s, dir) => StreamingOps.streamSourceCap(s, dir)),
@@ -761,6 +767,57 @@ object SparkEntry {
        |  LEFT JOIN app$k b ON b.word = e.word AND b.i = e.i - 1
        |  WHERE b.i IS NULL
        |  GROUP BY e.word, e.freq)""".stripMargin
+
+  /** DSIR weights (mirror of Corpus.dsirWeights). Shared by the batch
+    * join form (mix_dsir) and the stateless map-literal streaming twin
+    * (stream_dsir) — identical relation by construction (CorpusSpec
+    * pins join-form == map-literal-form equality).
+    */
+  private lazy val dsirOracle: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source,
+       |    unnest(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS word
+       |  FROM documents),
+       |tb AS (
+       |  SELECT doc_id, source, ${h60("word")} % 1024 AS b FROM tok),
+       |stats AS (
+       |  SELECT b, count(*)::BIGINT AS c_cnt,
+       |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS t_cnt
+       |  FROM tb GROUP BY b),
+       |ratio AS (
+       |  SELECT b, ((1000 * (t_cnt + 1)) // (c_cnt + 1))::BIGINT AS r_milli FROM stats)
+       |SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+       |  (sum(r.r_milli) // count(*))::BIGINT AS dsir_milli
+       |FROM tb t JOIN ratio r USING (b)
+       |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
+
+  /** BPE encode replay (mirror of TextAnalysis.bpeEncodeFrame over the
+    * trained merges). Shared by the batch query (vocab_bpe_encode) and
+    * its stateless streaming twin (stream_bpe_encode).
+    */
+  private lazy val bpeEncodeOracle: String =
+    s"""WITH w0 AS (
+       |  SELECT token AS word, count(*)::BIGINT AS freq
+       |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS token
+       |        FROM documents)
+       |  GROUP BY token),
+       |words1 AS (
+       |  SELECT word, freq,
+       |    list_transform(range(1, length(word) + 1), i -> substr(word, i::INT, 1)) AS syms
+       |  FROM w0),
+       |${bpeRound(1)},
+       |${bpeRound(2)},
+       |${bpeRound(3)},
+       |dt AS (
+       |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS word
+       |  FROM documents)
+       |SELECT d.doc_id,
+       |  count(*)::BIGINT AS n_words,
+       |  sum(length(d.word))::BIGINT AS n_syms0,
+       |  sum(len(w.syms))::BIGINT AS n_bpe,
+       |  ((1000 * sum(len(w.syms))) // sum(length(d.word)))::BIGINT AS compression_milli
+       |FROM dt d JOIN words4 w ON d.word = w.word
+       |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin
 
   private lazy val bpeTrainOracle: String =
     s"""WITH w0 AS (
@@ -2659,29 +2716,7 @@ object SparkEntry {
     // tokenizer APPLICATION replay: chain the same 3 training rounds to
     // get each distinct word's post-merge symbol sequence (words4),
     // then join per-doc token occurrences and sum symbol counts
-    "vocab_bpe_encode" ->
-      s"""WITH w0 AS (
-         |  SELECT token AS word, count(*)::BIGINT AS freq
-         |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS token
-         |        FROM documents)
-         |  GROUP BY token),
-         |words1 AS (
-         |  SELECT word, freq,
-         |    list_transform(range(1, length(word) + 1), i -> substr(word, i::INT, 1)) AS syms
-         |  FROM w0),
-         |${bpeRound(1)},
-         |${bpeRound(2)},
-         |${bpeRound(3)},
-         |dt AS (
-         |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS word
-         |  FROM documents)
-         |SELECT d.doc_id,
-         |  count(*)::BIGINT AS n_words,
-         |  sum(length(d.word))::BIGINT AS n_syms0,
-         |  sum(len(w.syms))::BIGINT AS n_bpe,
-         |  ((1000 * sum(len(w.syms))) // sum(length(d.word)))::BIGINT AS compression_milli
-         |FROM dt d JOIN words4 w ON d.word = w.word
-         |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin,
+    "vocab_bpe_encode" -> bpeEncodeOracle,
     // LM score: per-bigram exact conditionals floor((C(w1w2)*1000)/C(w1·)),
     // doc score = floor(mean); occurrences, not distinct bigrams
     "text_lm_score" ->
@@ -2840,6 +2875,8 @@ object SparkEntry {
     // twin produces the identical relation, so it shares the oracle
     "text_scrub" -> scrubOracle,
     "stream_scrub" -> scrubOracle,
+    "stream_dsir" -> dsirOracle,
+    "stream_bpe_encode" -> bpeEncodeOracle,
     // hashed linear classifier: weight(token) = h60('w:'||token) % 1001
     // - 500, score = sum over token occurrences — pure integer math;
     // stateless streaming twin shares the oracle
@@ -3050,23 +3087,7 @@ object SparkEntry {
     // the bounded top-k aggregate (same total order: doc_id asc)
     // DSIR weights: add-one-smoothed target/corpus bucket-count ratio in
     // thousandths, doc weight = floor-mean over token occurrences
-    "mix_dsir" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, source,
-         |    unnest(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS word
-         |  FROM documents),
-         |tb AS (
-         |  SELECT doc_id, source, ${h60("word")} % 1024 AS b FROM tok),
-         |stats AS (
-         |  SELECT b, count(*)::BIGINT AS c_cnt,
-         |    sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)::BIGINT AS t_cnt
-         |  FROM tb GROUP BY b),
-         |ratio AS (
-         |  SELECT b, ((1000 * (t_cnt + 1)) // (c_cnt + 1))::BIGINT AS r_milli FROM stats)
-         |SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
-         |  (sum(r.r_milli) // count(*))::BIGINT AS dsir_milli
-         |FROM tb t JOIN ratio r USING (b)
-         |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin,
+    "mix_dsir" -> dsirOracle,
     "pipeline_source_cap" ->
       """WITH ranked AS (
         |  SELECT source, doc_id,

@@ -254,15 +254,56 @@ object Corpus {
         explode(filter(split(lower(col("text")), " "),
           t => length(t) > 0)).as("word"))
       .withColumn("b", pmod(graft.functions.OracleHash.h60(col("word")), lit(buckets.toLong)))
-    val ratio = tok.groupBy("b")
-      .agg(count(lit(1)).as("c_cnt"),
-        sum(when(col("source") === target, 1L).otherwise(0L)).as("t_cnt"))
-      .select(col("b"), expr("(1000 * (t_cnt + 1)) div (c_cnt + 1)").as("r_milli"))
-    tok.join(broadcast(ratio), Seq("b"))
+    tok.join(broadcast(dsirRatioTable(spark, sfDir, target, buckets)), Seq("b"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         expr("sum(r_milli) div count(1)").as("dsir_milli"))
       .orderBy("doc_id")
+  }
+
+  /** The (bucket -> r_milli) ratio dimension behind [[dsirWeights]] —
+    * <= `buckets` rows at any corpus size. Production materializes this
+    * once per target domain and reuses it across scoring runs; the
+    * streaming twin collects it (bounded driver pull, same discipline
+    * as the decontamination Bloom sketch) and scores arriving docs with
+    * a map-literal lookup — see [[dsirScoreFrame]].
+    */
+  def dsirRatioTable(spark: SparkSession, sfDir: String,
+                     target: String = "src0", buckets: Int = 1024): DataFrame =
+    table(spark, sfDir, "documents")
+      .select(col("source"),
+        explode(filter(split(lower(col("text")), " "),
+          t => length(t) > 0)).as("word"))
+      .withColumn("b", pmod(graft.functions.OracleHash.h60(col("word")), lit(buckets.toLong)))
+      .groupBy("b")
+      .agg(count(lit(1)).as("c_cnt"),
+        sum(when(col("source") === target, 1L).otherwise(0L)).as("t_cnt"))
+      .select(col("b"), expr("(1000 * (t_cnt + 1)) div (c_cnt + 1)").as("r_milli"))
+
+  /** Map-literal DSIR scoring over any (doc_id, text) frame — batch or
+    * stream. The ratio table rides INSIDE the plan as a 1024-entry map
+    * literal (the ship-the-tokenizer pattern: executors never see a
+    * join, a shuffle, or state — scoring is a narrow per-row fold over
+    * the token array, so the streaming twin is stateless-append). A
+    * bucket absent from the map means an unseen word family: the
+    * smoothed formula gives (0+1)/(0+1) -> 1000, applied via coalesce.
+    * Result-identical to the join form in [[dsirWeights]] (CorpusSpec).
+    */
+  private[graft] def dsirScoreFrame(docs: DataFrame, ratio: Seq[(Long, Long)],
+                                    buckets: Int = 1024): DataFrame = {
+    val ratioMap = map_from_entries(array(
+      ratio.map { case (b, r) => struct(lit(b), lit(r)) }: _*))
+    val toks = filter(split(lower(col("text")), " "), t => length(t) > 0)
+    docs.select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+        aggregate(col("toks"), lit(0L), (acc, w) =>
+          acc + coalesce(
+            element_at(ratioMap,
+              pmod(graft.functions.OracleHash.h60(w), lit(buckets.toLong))),
+            lit(1000L))).as("rsum"))
+      .select(col("doc_id"), col("n_tokens"),
+        expr("rsum div n_tokens").as("dsir_milli"))
   }
 
   def writeShards(spark: SparkSession, sfDir: String, outDir: String,

@@ -378,8 +378,16 @@ object TextAnalysis {
     * is O(tokens x word length x m); a 1000-executor cluster encodes
     * each split independently.
     */
-  def bpeEncode(spark: SparkSession, sfDir: String, m: Int = 3): DataFrame = {
-    val merges = bpeTrainMerges(spark, sfDir, m)
+  def bpeEncode(spark: SparkSession, sfDir: String, m: Int = 3): DataFrame =
+    bpeEncodeFrame(table(spark, sfDir, "documents"),
+      bpeTrainMerges(spark, sfDir, m)).orderBy("doc_id")
+
+  /** The encode projection behind [[bpeEncode]], over any (doc_id,
+    * text) frame — batch or stream (stateless-append: no shuffle, no
+    * state; the trained merges are plan literals).
+    */
+  private[graft] def bpeEncodeFrame(docs: DataFrame,
+                                    merges: Seq[(Long, String, String, Long)]): DataFrame = {
     def fold(syms: Column, pl: String, pr: String): Column =
       aggregate(syms, array().cast("array<string>"),
         (acc, x) => when(get(acc, size(acc) - 1) === lit(pl) && x === lit(pr),
@@ -390,7 +398,7 @@ object TextAnalysis {
       size(merges.foldLeft(chars) { case (s, (_, pl, pr, _)) => fold(s, pl, pr) })
     }
     val toks = filter(split(lower(col("text")), " "), t => length(t) > 0)
-    table(spark, sfDir, "documents")
+    docs
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"),
@@ -400,7 +408,6 @@ object TextAnalysis {
         aggregate(col("toks"), lit(0L),
           (acc, w) => acc + encLen(w).cast("long")).as("n_bpe"))
       .withColumn("compression_milli", expr("(1000 * n_bpe) div n_syms0"))
-      .orderBy("doc_id")
   }
 
   /** Corpus-LM fluency score — the n-gram language-model quality signal

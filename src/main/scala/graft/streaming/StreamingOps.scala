@@ -708,6 +708,39 @@ object StreamingOps {
         "stream_classifier", OutputMode.Append())
       .orderBy("doc_id")
 
+  /** Stateless ingest-time DSIR scoring — the streaming twin of
+    * mix_dsir, in the production serving shape: the <= 1024-row
+    * target/corpus ratio dimension is materialized from the BATCH
+    * corpus (at 100 TB: once per target domain), pulled to the driver
+    * (bounded by construction — the same fixed-size-pull discipline as
+    * the decontamination Bloom sketch) and shipped inside the plan as a
+    * map literal, so arriving documents score through a narrow per-row
+    * token fold: no join, no shuffle, no state on the stream side.
+    */
+  def streamDsir(spark: SparkSession, sfDir: String): DataFrame = {
+    val ratio = graft.ops.Corpus.dsirRatioTable(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    runToBatch(spark,
+        s => graft.ops.Corpus.dsirScoreFrame(harnessDocStream(s, sfDir), ratio),
+        "stream_dsir", OutputMode.Append())
+      .orderBy("doc_id")
+  }
+
+  /** Stateless ingest-time BPE tokenization — the streaming twin of
+    * vocab_bpe_encode: merges trained on the BATCH corpus (m bounded
+    * one-row driver actions), then arriving docs encode through the
+    * same literal-merge narrow projection. This is how a production
+    * ingest path tokenizes: the tokenizer is a broadcast artifact, the
+    * stream never shuffles.
+    */
+  def streamBpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    val merges = graft.ops.TextAnalysis.bpeTrainMerges(spark, sfDir, 3)
+    runToBatch(spark,
+        s => graft.ops.TextAnalysis.bpeEncodeFrame(harnessDocStream(s, sfDir), merges),
+        "stream_bpe_encode", OutputMode.Append())
+      .orderBy("doc_id")
+  }
+
   /** Streaming shard sink — the ingest-time twin of Corpus.writeShards:
     * each micro-batch is appended to parquet partitioned by shard, via
     * foreachBatch (the sink escape hatch for writers the built-in sinks

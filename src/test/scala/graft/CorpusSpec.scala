@@ -176,4 +176,22 @@ class CorpusSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(2))).toSeq
     assert(rows === Seq((1L, 1000L), (2L, 1000L)))
   }
+
+  test("dsir scoring: map-literal serving form equals the join form") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", Seq(
+      (1L, "alpha beta alpha gamma", "en", "src0", 22L),
+      (2L, "beta beta delta", "en", "src1", 15L),
+      (3L, "gamma epsilon", "en", "src2", 13L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val joined = Corpus.dsirWeights(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val ratio = Corpus.dsirRatioTable(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val mapped = Corpus.dsirScoreFrame(docs, ratio).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(mapped === joined)
+  }
 }
