@@ -469,6 +469,9 @@ object SparkEntry {
     // DSIR importance-resampling weights: one fused stats pass ->
     // <= 1024-row ratio table broadcast back -> shuffle-free scoring
     "mix_dsir" -> ((s, dir) => Corpus.dsirWeights(s, dir)),
+    // CCNet fluency terciles: edges from the bounded (lang, lm_milli)
+    // histogram — shuffles the histogram, never sorts the corpus
+    "mix_ccnet" -> ((s, dir) => Corpus.ccnetBuckets(s, dir)),
     "shard_plan" -> ((s, dir) => Corpus.shardPlan(s, dir)),
     // —— explicit skew-mitigation shapes (result-identical to the plain
     //    forms; the PLAN is what differs — see each operator's doc) ——
@@ -2738,6 +2741,49 @@ object SparkEntry {
         |  (sum(sc.cond_milli) // count(*))::BIGINT AS lm_milli
         |FROM bg g JOIN sc ON g.bigram = sc.bigram
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    // CCNet terciles: same LM CTEs, histogram-derived edges
+    // (e_k = min lm with 3*cum >= k*n), bucket + roll up
+    "mix_ccnet" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, array_to_string(toks[i+1:i+2], ' ') AS bigram
+        |  FROM toks, UNNEST(range(0, len(toks) - 1)) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |bs AS (SELECT bigram, count(*)::BIGINT AS c_bigram FROM bg GROUP BY bigram),
+        |w1s AS (
+        |  SELECT split_part(bigram, ' ', 1) AS w1, sum(c_bigram)::BIGINT AS c_w1
+        |  FROM bs GROUP BY 1),
+        |sc AS (
+        |  SELECT bigram, (c_bigram * 1000) // c_w1 AS cond_milli
+        |  FROM bs JOIN w1s ON split_part(bs.bigram, ' ', 1) = w1s.w1),
+        |lm AS (
+        |  SELECT g.doc_id, count(*)::BIGINT AS n_bigrams,
+        |    (sum(sc.cond_milli) // count(*))::BIGINT AS lm_milli
+        |  FROM bg g JOIN sc ON g.bigram = sc.bigram
+        |  GROUP BY g.doc_id),
+        |scored AS (
+        |  SELECT l.doc_id, l.n_bigrams, l.lm_milli, d.lang
+        |  FROM lm l JOIN documents d ON d.doc_id = l.doc_id),
+        |dist AS (SELECT lang, lm_milli, count(*)::BIGINT AS cnt FROM scored GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, lm_milli,
+        |    sum(cnt) OVER (PARTITION BY lang ORDER BY lm_milli)::BIGINT AS cum
+        |  FROM dist),
+        |tot AS (SELECT lang, sum(cnt)::BIGINT AS n FROM dist GROUP BY lang),
+        |edges AS (
+        |  SELECT c.lang,
+        |    min(CASE WHEN c.cum * 3 >= t.n THEN c.lm_milli END) AS e1,
+        |    min(CASE WHEN c.cum * 3 >= t.n * 2 THEN c.lm_milli END) AS e2
+        |  FROM cum c JOIN tot t ON c.lang = t.lang GROUP BY c.lang)
+        |SELECT s.lang,
+        |  CASE WHEN s.lm_milli <= e.e1 THEN 'tail'
+        |       WHEN s.lm_milli <= e.e2 THEN 'middle'
+        |       ELSE 'head' END AS bucket,
+        |  count(*)::BIGINT AS n_docs, sum(s.n_bigrams)::BIGINT AS n_bigrams
+        |FROM scored s JOIN edges e ON e.lang = s.lang
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // priority source merge: arg-min by (source rank, doc_id) per lead
     // fingerprint (md5 of the first 5 normalized tokens)
     // mix sampler: both engines derive rate and coin from md5 prefixes

@@ -306,6 +306,50 @@ object Corpus {
         expr("rsum div n_tokens").as("dsir_milli"))
   }
 
+  /** mix_ccnet: CCNet-style per-language fluency bucketing (Wenzek et
+    * al. 2020 "CCNet: Extracting High Quality Monolingual Datasets"):
+    * split each language's documents into head/middle/tail terciles of
+    * the corpus-LM fluency score ([[TextAnalysis.lmScore]], the
+    * perplexity stand-in), and report the per-(lang, bucket) doc/token
+    * mass — the table a CCNet-style build uses to keep head+middle and
+    * drop (or down-weight) the tail.
+    *
+    * Scale shape — the reason this is NOT a per-language sort: lm_milli
+    * has a BOUNDED domain (0..1000 by construction), so the tercile
+    * edges come from a (lang, lm_milli) histogram — two map-side-
+    * combinable aggregations and a cumulative window over partitions of
+    * AT MOST 1001 rows per language (domain-bounded, skew-impossible —
+    * the same bounded-domain trick as the Zipf rollup). Edges broadcast
+    * back (rows = |langs|), docs bucket in one narrow pass. A
+    * quantile-by-global-sort would shuffle the corpus; this shuffles
+    * the histogram. Edge rule: e_k = min lm with 3*cum >= k*n — docs
+    * <= e1 are 'tail', <= e2 'middle', else 'head' (high lm = high
+    * corpus fluency = CCNet's low-perplexity head).
+    *
+    * Output: (lang, bucket, n_docs, n_bigrams), ordered.
+    */
+  def ccnetBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = TextAnalysis.lmScore(spark, sfDir)
+      .join(table(spark, sfDir, "documents").select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+    val dist = scored.groupBy("lang", "lm_milli").agg(count(lit(1)).as("cnt"))
+    val cum = dist.withColumn("cum",
+      sum(col("cnt")).over(Window.partitionBy("lang").orderBy("lm_milli")))
+    val tot = dist.groupBy("lang").agg(sum(col("cnt")).as("n"))
+    val edges = cum.join(tot, Seq("lang"))
+      .groupBy("lang")
+      .agg(min(when(col("cum") * 3 >= col("n"), col("lm_milli"))).as("e1"),
+        min(when(col("cum") * 3 >= col("n") * 2, col("lm_milli"))).as("e2"))
+    scored.join(broadcast(edges), Seq("lang"))
+      .withColumn("bucket",
+        when(col("lm_milli") <= col("e1"), lit("tail"))
+          .when(col("lm_milli") <= col("e2"), lit("middle"))
+          .otherwise(lit("head")))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_bigrams")).as("n_bigrams"))
+      .orderBy("lang", "bucket")
+  }
+
   def writeShards(spark: SparkSession, sfDir: String, outDir: String,
                   tokensPerShard: Long = 2048): Unit =
     table(spark, sfDir, "documents")

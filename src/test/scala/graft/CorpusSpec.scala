@@ -194,4 +194,24 @@ class CorpusSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(mapped === joined)
   }
+
+  test("ccnet buckets: hand-computed tercile edges over the lm histogram") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // corpus bigrams: "a b" x3, "a c" x1, "b a" x1 -> c_a. = 4, c_b. = 1
+    // conds: a b = 750, a c = 250, b a = 1000
+    // lm: d1 = 750, d2 = 250, d3 = (750+1000+750)/3 = 833
+    // edges (n=3, one doc per value): e1 = 250, e2 = 750
+    writeTable(dir, "documents", Seq(
+      (1L, "a b", "en", "s", 3L),
+      (2L, "a c", "en", "s", 3L),
+      (3L, "a b a b", "en", "s", 7L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = Corpus.ccnetBuckets(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows === Seq(
+      ("en", "head", 1L, 3L),
+      ("en", "middle", 1L, 1L),
+      ("en", "tail", 1L, 1L)))
+  }
 }
