@@ -454,6 +454,9 @@ object SparkEntry {
     // ingest-time BPE tokenization: trained merges as plan literals —
     // the broadcast-tokenizer serving shape, stateless append
     "stream_bpe_encode" -> ((s, dir) => StreamingOps.streamBpeEncode(s, dir)),
+    // windowed hot-key monitor: CHAINED stateful aggs (counts -> bounded
+    // top-k via window_time re-aggregation), O(k)-state per window
+    "stream_hot_users" -> ((s, dir) => StreamingOps.streamHotUsers(s, dir)),
     // stateful per-source admission control: O(1) counter state admits
     // the first k arrivals per source in flight
     "stream_source_cap" -> ((s, dir) => StreamingOps.streamSourceCap(s, dir)),
@@ -2923,6 +2926,24 @@ object SparkEntry {
     "stream_scrub" -> scrubOracle,
     "stream_dsir" -> dsirOracle,
     "stream_bpe_encode" -> bpeEncodeOracle,
+    // hot-user monitor: append emission = windows whose END the final
+    // watermark passed; tag ties break on the STRING form of user_id
+    "stream_hot_users" ->
+      """WITH wm AS (
+        |  SELECT (max(epoch_us(ts)) // 1000 - 7200000) AS wm_ms FROM events),
+        |pu AS (
+        |  SELECT ((epoch_us(ts) // 1000000) // 3600) * 3600 AS win_start, user_id,
+        |    count(*)::BIGINT AS n
+        |  FROM events, wm
+        |  WHERE ((((epoch_us(ts) // 1000000) // 3600) * 3600) + 3600) * 1000 <= wm_ms
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT win_start, user_id, n,
+        |    row_number() OVER (PARTITION BY win_start
+        |                       ORDER BY n DESC, user_id::VARCHAR ASC) AS rk
+        |  FROM pu)
+        |SELECT win_start, user_id, n, rk FROM rk WHERE rk <= 3
+        |ORDER BY win_start, rk""".stripMargin,
     // hashed linear classifier: weight(token) = h60('w:'||token) % 1001
     // - 500, score = sum over token occurrences — pure integer math;
     // stateless streaming twin shares the oracle

@@ -329,9 +329,14 @@ object Corpus {
     * Output: (lang, bucket, n_docs, n_bigrams), ordered.
     */
   def ccnetBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    // materialized ONCE: the LM-score subtree (explode + two corpus
+    // joins) feeds the histogram AND the final bucket pass — without
+    // this it would recompute per reference (production materializes
+    // the per-doc LM table as its own artifact anyway)
     val scored = TextAnalysis.lmScore(spark, sfDir)
       .join(table(spark, sfDir, "documents").select(col("doc_id"), col("lang")),
         Seq("doc_id"))
+      .localCheckpoint()
     val dist = scored.groupBy("lang", "lm_milli").agg(count(lit(1)).as("cnt"))
     val cum = dist.withColumn("cum",
       sum(col("cnt")).over(Window.partitionBy("lang").orderBy("lm_milli")))

@@ -726,6 +726,45 @@ object StreamingOps {
       .orderBy("doc_id")
   }
 
+  /** stream_hot_users: windowed hot-key monitoring at ingest — the
+    * streaming analog of rel_skew_audit: per 1 h event-time window, the
+    * top-k users by event count, emitted exactly once when the
+    * watermark closes the window. This is the alerting feed a 100 TB
+    * ingest runs to catch hot keys BEFORE they skew downstream joins.
+    *
+    * Plan shape — a CHAINED stateful pipeline (two streaming
+    * aggregations, the multi-stateful-operator path Spark supports in
+    * append mode): per-(window, user) counts first (state bounded by
+    * watermark delay x active keys), then a window-on-window
+    * re-aggregation via `window_time` into the bounded top-k aggregate
+    * (TopKTagAgg: k-entry buffers merge map-side, so the second agg's
+    * state is k entries per window, NOT a per-user row set — the
+    * monitor's state is O(k) per window regardless of key cardinality).
+    * Both stages evict on the same watermark; windows still open at end
+    * of input are never emitted (the append discipline of the other
+    * *_append twins). Ties break by the tag STRING ascending (the
+    * aggregate's total order), which the oracle mirrors with a VARCHAR
+    * cast.
+    *
+    * Output: (win_start, user_id, n, rk), rk = 1..k, ordered.
+    */
+  def streamHotUsers(spark: SparkSession, sfDir: String, k: Int = 3): DataFrame =
+    runToBatch(spark, s => {
+        val perUser = harnessEventStream(s, sfDir)
+          .withWatermark("ts", "2 hours")
+          .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+        perUser
+          .groupBy(window(window_time(col("window")), "1 hour"))
+          .agg(graft.functions.TopKSketch.topK(col("n"),
+            col("user_id").cast("string"), k).as("top"))
+      }, "stream_hot_users", OutputMode.Append())
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("win_start"), col("t.tag").cast("long").as("user_id"),
+        col("t.n").as("n"), (col("i") + 1).cast("long").as("rk"))
+      .orderBy("win_start", "rk")
+
   /** Stateless ingest-time BPE tokenization — the streaming twin of
     * vocab_bpe_encode: merges trained on the BATCH corpus (m bounded
     * one-row driver actions), then arriving docs encode through the
