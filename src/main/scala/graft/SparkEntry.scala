@@ -221,6 +221,10 @@ object SparkEntry {
     // top-3 characteristic terms per doc by TF-IDF (exact-rational
     // integer idf — cross-engine deterministic, no float log)
     "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(s, dir)),
+    // BM25 top-k retrieval: inverted index w/ length-carrying postings,
+    // broadcast query-term dim, exact integer Robertson scoring, bounded
+    // per-query top-k aggregate (no per-query window)
+    "text_bm25" -> ((s, dir) => TextAnalysis.bm25TopK(s, dir)),
     // deny-list redaction with audit: blocklisted tokens masked per row
     // (no shuffle), scrubbed text proven by md5
     "text_scrub" -> ((s, dir) => TextAnalysis.scrubDocs(s, dir)),
@@ -454,6 +458,9 @@ object SparkEntry {
     // ingest-time BPE tokenization: trained merges as plan literals —
     // the broadcast-tokenizer serving shape, stateless append
     "stream_bpe_encode" -> ((s, dir) => StreamingOps.streamBpeEncode(s, dir)),
+    // BM25 percolation: stored queries as unrolled literal scorers,
+    // arriving docs match statelessly (Elasticsearch percolator shape)
+    "stream_bm25" -> ((s, dir) => StreamingOps.streamBm25(s, dir)),
     // windowed hot-key monitor: CHAINED stateful aggs (counts -> bounded
     // top-k via window_time re-aggregation), O(k)-state per window
     "stream_hot_users" -> ((s, dir) => StreamingOps.streamHotUsers(s, dir)),
@@ -773,6 +780,39 @@ object SparkEntry {
        |  LEFT JOIN app$k b ON b.word = e.word AND b.i = e.i - 1
        |  WHERE b.i IS NULL
        |  GROUP BY e.word, e.freq)""".stripMargin
+
+  /** BM25 score CTEs (mirror of TextAnalysis.bm25TopK's integral
+    * Robertson scoring; the `sc` relation is per-(query, doc) scores
+    * over docs matching >= 1 query term). Shared by the batch top-k
+    * retrieval (text_bm25) and the stateless percolation twin
+    * (stream_bm25) — identical scoring by construction (the twin
+    * unrolls the same formula over batch-collected artifacts;
+    * TextAnalysisSpec pins the hand-computed values).
+    */
+  private lazy val bm25ScoreCtes: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
+      |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+      |st AS (SELECT (SELECT count(*) FROM toks)::BIGINT AS tot,
+      |              (SELECT count(*) FROM documents)::BIGINT AS n_docs),
+      |q(query_id, term) AS (VALUES
+      |  (0, 'spark'), (0, 'table'), (0, 'join'),
+      |  (1, 'fast'), (1, 'scan'), (1, 'filter'),
+      |  (2, 'window'), (2, 'agg'), (2, 'group'),
+      |  (3, 'customer'), (3, 'query'), (3, 'value'),
+      |  (4, 'hash'), (4, 'merge'), (4, 'batch')),
+      |sc AS (
+      |  SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
+      |    sum((((2*n_docs - 2*df + 1) * 1000) // (2*df + 1))
+      |        * ((22000 * tf * tot) // (10*tot*tf + 3*tot + 9*dl*n_docs)))::BIGINT
+      |      AS score_micro
+      |  FROM q JOIN tf USING (term) JOIN df USING (term)
+      |    JOIN dl USING (doc_id) CROSS JOIN st
+      |  GROUP BY 1, 2)""".stripMargin
 
   /** DSIR weights (mirror of Corpus.dsirWeights). Shared by the batch
     * join form (mix_dsir) and the stateless map-literal streaming twin
@@ -1875,6 +1915,24 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, term, tf, df, score_milli, rk
         |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // BM25 mirror: exact-rational Robertson idf in millis, tf norm with
+    // every fraction cleared by 10*tot (k1=1.2, b=0.75, avgdl=tot/N as
+    // exact rationals), floor div both engines; ties doc_id::VARCHAR asc
+    // (the bounded top-k aggregate's STRING tag order)
+    "text_bm25" ->
+      s"""$bm25ScoreCtes,
+        |ranked AS (
+        |  SELECT query_id, doc_id, score_micro,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score_micro DESC, doc_id::VARCHAR ASC) AS rk
+        |  FROM sc)
+        |SELECT query_id, doc_id, score_micro, rk
+        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // percolation twin: same score CTE, no top-k — every (doc, query)
+    // match ranks stream-side readers' concern
+    "stream_bm25" ->
+      s"""$bm25ScoreCtes
+        |SELECT doc_id, query_id, score_micro FROM sc ORDER BY 1, 2""".stripMargin,
     // chunking mirror: stride 56 = 64 - 8; DuckDB list slices are
     // 1-based inclusive, toks[s+1 : s+64] = 64 tokens from 0-based s
     "text_chunks" ->

@@ -233,6 +233,167 @@ object TextAnalysis {
       .orderBy("doc_id", "rk")
   }
 
+  /** The default retrieval workload for `bm25TopK` / `streamBm25`:
+    * five multi-term queries over the corpus vocabulary. A production
+    * run passes its own (query_id, text) workload; the scoring plan is
+    * workload-size-independent as long as the term dimension stays
+    * broadcastable (thousands of stored queries are still KBs).
+    */
+  val defaultBm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "spark table join",
+    1L -> "fast scan filter",
+    2L -> "window agg group",
+    3L -> "customer query value",
+    4L -> "hash merge batch")
+
+  /** text_bm25: BM25 top-k retrieval over an inverted index — the
+    * ranked-search primitive an LLM-data pipeline uses for
+    * retrieval-based decontamination ("which training docs score high
+    * against an eval question"), RAG corpus serving, and targeted
+    * quality audits (Robertson & Zaragoza 2009, "The Probabilistic
+    * Relevance Framework: BM25 and Beyond"; k1 = 1.2, b = 0.75).
+    *
+    * All-integer scoring (same discipline as `tfidfTopTerms`: a float
+    * log's last-ulp differences under floor() would make the oracle
+    * hash flaky). With N = corpus docs, tot = corpus token count:
+    *   idf_milli(t)   = ((2N - 2df + 1) * 1000) div (2df + 1)
+    *     — the exact Robertson idf rational (N - df + 0.5)/(df + 0.5)
+    *       in millis, log dropped: same descending-df order, floored
+    *       integer division, bit-identical across engines.
+    *   tfn_milli(t,d) = (22000 * tf * tot)
+    *                    div (10*tot*tf + 3*tot + 9*dl*N)
+    *     — tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) with k1 = 1.2,
+    *       b = 0.75, avgdl = tot/N, numerator and denominator both
+    *       multiplied by 10*tot to clear every fraction exactly.
+    *   score_micro(q,d) = sum over q's terms of idf_milli * tfn_milli.
+    * Long-safe while 22000*tf*tot < 2^63 (tf*tot < 4e14, i.e. far past
+    * any single-table bench here); beyond that the identical plan runs
+    * with the operands cast decimal(38,0).
+    *
+    * Plan shape at 100 TB: index build = one explode pass feeding
+    * (doc, term, tf) + per-doc dl, joined doc-keyed so every posting
+    * carries its document's length — the standard materialized inverted
+    * index (postings store the norm, so serving never touches the
+    * corpus). Serving = per-query-term df dimension built by joining
+    * the BROADCAST query workload to the term-df aggregate (tiny:
+    * |workload terms| rows, re-broadcast), hash-joined into the
+    * postings — the corpus-sized side is pruned to query-term postings
+    * with zero extra shuffles. Top-k per query runs as the bounded
+    * TopKTagAgg (k-entry buffers merge map-side), NOT a per-query
+    * window: one hot query never lands its whole candidate set on one
+    * task. Ties: score desc, then doc_id STRING ascending (the
+    * aggregate's total order; oracle mirrors with a VARCHAR cast).
+    *
+    * Output: (query_id, doc_id, score_micro, rk), rk = 1..k, ordered.
+    */
+  def bm25TopK(spark: SparkSession, sfDir: String,
+               queries: Seq[(Long, String)] = defaultBm25Queries,
+               k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val docs = table(spark, sfDir, "documents")
+    val terms = docs.select(col("doc_id"),
+      explode(filter(split(lower(col("text")), " "), t => length(t) > 0)).as("term"))
+    // index build: postings carry (term, doc_id, tf, dl)
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val postings = tf.join(dl, "doc_id")
+    // corpus stats: 1-row broadcast
+    val stats = terms.agg(count(lit(1)).as("tot"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+    // per-query-term dimension: df attached to the broadcast workload
+    val qterms = queries.toDF("query_id", "qtext")
+      .select(col("query_id"),
+        explode(array_distinct(filter(split(lower(col("qtext")), " "),
+          t => length(t) > 0))).as("term"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qdim = broadcast(qterms.join(dft, "term"))
+    val scored = postings.join(qdim, "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_milli",
+        expr("((2*n_docs - 2*df + 1) * 1000) div (2*df + 1)"))
+      .withColumn("tfn_milli",
+        expr("(22000 * tf * tot) div (10*tot*tf + 3*tot + 9*dl*n_docs)"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum(col("idf_milli") * col("tfn_milli")).as("score_micro"))
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKSketch.topK(col("score_micro"),
+        col("doc_id").cast("string"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("query_id"), col("t.tag").cast("long").as("doc_id"),
+        col("t.n").as("score_micro"), (col("i") + 1).cast("long").as("rk"))
+      .orderBy("query_id", "rk")
+  }
+
+  /** Batch-side BM25 serving artifacts for the streaming percolator:
+    * the per-query-term dimension (query_id, term, idf_milli) plus the
+    * (tot, n_docs) corpus scalars. The dimension collect is bounded by
+    * the WORKLOAD size (terms appearing in stored queries — KBs for
+    * thousands of queries), never the vocabulary: the same sanctioned
+    * bounded-artifact discipline as the Bloom sketch pull and the DSIR
+    * ratio table. Query terms absent from the corpus are dropped here,
+    * which is exactly the batch scorer's inner-join semantics.
+    */
+  private[graft] def bm25Artifacts(spark: SparkSession, sfDir: String,
+      queries: Seq[(Long, String)]): (Seq[(Long, String, Long)], Long, Long) = {
+    val docs = table(spark, sfDir, "documents")
+    val terms = docs.select(col("doc_id"),
+      explode(filter(split(lower(col("text")), " "), t => length(t) > 0)).as("term"))
+    val qts: Seq[(Long, String)] = queries.flatMap { case (qid, qtext) =>
+      qtext.toLowerCase.split(" ").filter(_.nonEmpty).distinct.map(qid -> _)
+    }
+    val workloadTerms = qts.map(_._2).distinct
+    val dfMap = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .filter(col("term").isin(workloadTerms: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val st = terms.agg(count(lit(1)).as("tot"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_docs"))).collect().head
+    val (tot, nDocs) = (st.getLong(0), st.getLong(1))
+    val qdim = qts.collect { case (qid, t) if dfMap.contains(t) =>
+      val df = dfMap(t)
+      (qid, t, ((2 * nDocs - 2 * df + 1) * 1000) / (2 * df + 1))
+    }
+    (qdim, tot, nDocs)
+  }
+
+  /** The percolator scoring frame shared with the streaming twin:
+    * score each arriving document against every stored query, entirely
+    * stateless — the stored-query workload is UNROLLED into per-query
+    * integral score expressions over named tf columns (one
+    * `size(filter(toks, = term))` per workload term, then one
+    * `expr(... div ...)` per query), so every row is one narrow
+    * whole-stage-codegen projection: no shuffle, no state, no lambda
+    * float math. Emits (doc_id, query_id, score_micro) for documents
+    * matching >= 1 of the query's terms — identical relation to the
+    * batch scorer's inner join, proven by the shared oracle CTE.
+    */
+  private[graft] def bm25PercolateFrame(docs: DataFrame,
+      qdim: Seq[(Long, String, Long)], tot: Long, nDocs: Long): DataFrame = {
+    val workloadTerms = qdim.map(_._2).distinct
+    val tfCol = (t: String) => s"tf_${workloadTerms.indexOf(t)}"
+    val toks = filter(split(lower(col("text")), " "), t => length(t) > 0)
+    val withTf = workloadTerms.foldLeft(
+        docs.select(col("doc_id"), toks.as("toks"))
+          .filter(size(col("toks")) > 0)
+          .withColumn("dl", size(col("toks")).cast("long"))) {
+      case (d, t) => d.withColumn(tfCol(t),
+        size(filter(col("toks"), x => x === lit(t))).cast("long"))
+    }
+    val perQuery = qdim.groupBy(_._1).toSeq.sortBy(_._1).map { case (qid, qts) =>
+      val score = qts.map { case (_, t, idf) =>
+        s"($idf * ((22000 * ${tfCol(t)} * ${tot}L) div " +
+          s"(10 * ${tot}L * ${tfCol(t)} + ${3 * tot}L + ${9 * nDocs}L * dl)))"
+      }.mkString(" + ")
+      val matched = qts.map { case (_, t, _) => tfCol(t) }.mkString(" + ")
+      struct(lit(qid).as("query_id"), expr(score).as("score_micro"),
+        expr(s"($matched) > 0").as("matched"))
+    }
+    withTf.select(col("doc_id"), explode(array(perQuery: _*)).as("q"))
+      .filter(col("q.matched"))
+      .select(col("doc_id"), col("q.query_id").as("query_id"),
+        col("q.score_micro").as("score_micro"))
+  }
+
   /** Top-k adjacent character pairs by corpus frequency — the scoring
     * step of one BPE training iteration (the pair a byte-pair-encoding
     * tokenizer would merge first). The classic two-stage compression

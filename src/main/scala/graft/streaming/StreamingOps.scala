@@ -726,6 +726,28 @@ object StreamingOps {
       .orderBy("doc_id")
   }
 
+  /** stream_bm25: BM25 percolation at ingest — arriving documents are
+    * scored against the STORED query workload (the Elasticsearch
+    * percolator pattern: queries are the index, documents are the
+    * probes), the routing/alerting feed that pairs with batch
+    * retrieval ([[graft.ops.TextAnalysis.bm25TopK]]). The per-query-
+    * term idf dimension and (tot, n_docs) scalars are batch-side
+    * artifacts (bounded by the workload, the sanctioned literal-dim
+    * discipline); each arriving doc then scores in ONE stateless
+    * narrow projection — no stream-side join, no shuffle, no state.
+    * Shares the batch scorer's oracle CTE minus the top-k: the stream
+    * emits every (doc, query) match, ranking is the reader's concern.
+    */
+  def streamBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    val (qdim, tot, nDocs) = graft.ops.TextAnalysis.bm25Artifacts(
+      spark, sfDir, graft.ops.TextAnalysis.defaultBm25Queries)
+    runToBatch(spark,
+        s => graft.ops.TextAnalysis.bm25PercolateFrame(
+          harnessDocStream(s, sfDir), qdim, tot, nDocs),
+        "stream_bm25", OutputMode.Append())
+      .orderBy("doc_id", "query_id")
+  }
+
   /** stream_hot_users: windowed hot-key monitoring at ingest — the
     * streaming analog of rel_skew_audit: per 1 h event-time window, the
     * top-k users by event count, emitted exactly once when the

@@ -441,6 +441,25 @@ class StreamingSpec extends SparkSpec {
     assert(sCls === bCls)
   }
 
+  test("bm25 percolation twin equals the batch scorer's match relation") {
+    import spark.implicits._
+    val sfDir = tempSfDir()
+    writeTable(sfDir, "documents", Seq(
+      (1L, "spark table join table", "en", "s", 22L),
+      (2L, "fast scan scan filter table", "en", "s", 27L),
+      (3L, "plain words only", "en", "s", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val s = StreamingOps.streamBm25(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // 3 docs < k=5, so the batch top-k holds EVERY match: same relation
+    val b = graft.ops.TextAnalysis.bm25TopK(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(2))).toSet
+    assert(s === b)
+    assert(s.nonEmpty && s.map(_._1).contains(1L))
+    // doc 3 matches no stored query: percolator must not emit it
+    assert(!s.map(_._1).contains(3L))
+  }
+
   test("source cap admission: first k per source admitted, the rest dropped in flight") {
     import spark.implicits._
     val sfDir = tempSfDir()

@@ -133,6 +133,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.filter(_._1 == 4L) === Seq((4L, "date", 1L, 1L, 4000L, 1L)))
   }
 
+  test("bm25: hand-computed integer Robertson scores, ranked") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", Seq(
+      (1L, "cat cat dog", "en", "s", 11L),
+      (2L, "cat fish", "en", "s", 8L),
+      (3L, "bird bird bird bird", "en", "s", 19L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // N=3, tot=9; df(cat)=2, df(dog)=1
+    // idf_milli(cat) = (3*1000)//5 = 600; idf_milli(dog) = 5000//3 = 1666
+    // tfn_milli = (22000*tf*9) // (90*tf + 27 + 27*dl)
+    //   doc1 cat tf=2 dl=3: 396000//288 = 1375; dog tf=1: 198000//198 = 1000
+    //   doc2 cat tf=1 dl=2: 198000//171 = 1157
+    // doc1 = 600*1375 + 1666*1000 = 2491000; doc2 = 600*1157 = 694200
+    val q = TextAnalysis.bm25TopK(spark, dir, queries = Seq(0L -> "cat dog"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "query-term dim must broadcast into the postings")
+    assert(!plan.contains("Window"),
+      "per-query top-k must be the bounded aggregate, not a window")
+    val got = q.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === Seq((0L, 1L, 2491000L, 1L), (0L, 2L, 694200L, 2L)))
+  }
+
   test("bpe pair counts: word-frequency-weighted adjacent pairs, ranked") {
     import spark.implicits._
     val dir = tempSfDir()
