@@ -483,6 +483,9 @@ object SparkEntry {
     // histogram — shuffles the histogram, never sorts the corpus
     "mix_ccnet" -> ((s, dir) => Corpus.ccnetBuckets(s, dir)),
     "shard_plan" -> ((s, dir) => Corpus.shardPlan(s, dir)),
+    // deterministic per-epoch training-order shuffle: seeded-hash
+    // permutation, contiguous hash-range shards, per-shard windows only
+    "corpus_shuffle" -> ((s, dir) => Corpus.epochShuffle(s, dir)),
     // —— explicit skew-mitigation shapes (result-identical to the plain
     //    forms; the PLAN is what differs — see each operator's doc) ——
     "urlcount_salted" -> ((s, dir) =>
@@ -3011,6 +3014,23 @@ object SparkEntry {
     // bits, window document frequency, per-doc duplicated fraction
     // source-pair containment matrix over distinct 8-token windows;
     // string '<' is bytewise in both engines (ASCII source names)
+    // epoch-shuffle mirror: h60('e:'||doc_id) sort keys, hash-range
+    // shards (width = 2^60 div n_shards, last shard absorbs remainder),
+    // per-shard row_number; 2 epochs x 8 shards
+    "corpus_shuffle" ->
+      s"""WITH e AS (SELECT unnest(range(0, 2)) AS epoch),
+         |d AS (
+         |  SELECT epoch, doc_id,
+         |    ${h60("epoch::VARCHAR || ':' || doc_id::VARCHAR")} AS hkey
+         |  FROM documents CROSS JOIN e),
+         |s AS (
+         |  SELECT epoch::BIGINT AS epoch, doc_id,
+         |    least(hkey // ${(1L << 60) / 8}, 7)::BIGINT AS shard, hkey
+         |  FROM d)
+         |SELECT epoch, doc_id, shard,
+         |  row_number() OVER (PARTITION BY epoch, shard
+         |                     ORDER BY hkey, doc_id)::BIGINT AS pos
+         |FROM s ORDER BY epoch, shard, pos""".stripMargin,
     "corpus_overlap" ->
       s"""WITH toks AS (
          |  SELECT source, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks

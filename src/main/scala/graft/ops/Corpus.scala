@@ -355,6 +355,45 @@ object Corpus {
       .orderBy("lang", "bucket")
   }
 
+  /** corpus_shuffle: deterministic per-epoch training-order shuffle —
+    * the data-order step a reproducible LLM training run needs: every
+    * epoch is a pseudo-random permutation of the corpus, fully
+    * determined by (epoch, doc_id), so a run can be replayed (or
+    * resumed from a (epoch, shard, pos) checkpoint) bit-identically
+    * with no stored permutation table. Each doc's epoch-e sort key is
+    * the seeded hash h60("e:" || doc_id); shards are CONTIGUOUS HASH
+    * RANGES (not modulo buckets), so concatenating shards in shard
+    * order replays the one global permutation — the layout a
+    * sequential trainer streams.
+    *
+    * Scale shape: explode over epochs (narrow, xE), one shuffle keyed
+    * (epoch, shard), position by a PER-SHARD window — n_shards is
+    * chosen so a shard is one training file (~GBs), so the window
+    * partition is budget-bounded by construction; there is never a
+    * global sort or single-partition window. The hash is uniform, so
+    * range-shards are balanced within sampling noise; ties (h60
+    * collisions) break by doc_id, keeping the order total.
+    *
+    * Output: (epoch, doc_id, shard, pos), pos = 1.. within shard,
+    * ordered by (epoch, shard, pos).
+    */
+  def epochShuffle(spark: SparkSession, sfDir: String,
+                   epochs: Int = 2, nShards: Int = 8): DataFrame = {
+    val width = (1L << 60) / nShards
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), lit(epochs - 1L))).as("epoch"))
+      .withColumn("hkey",
+        graft.functions.OracleHash.h60i(col("epoch"), col("doc_id").cast("string")))
+      .withColumn("shard",
+        least(expr(s"hkey div ${width}L"), lit(nShards - 1L)).cast("long"))
+      .withColumn("pos", row_number()
+        .over(Window.partitionBy("epoch", "shard").orderBy("hkey", "doc_id"))
+        .cast("long"))
+      .select(col("epoch"), col("doc_id"), col("shard"), col("pos"))
+      .orderBy("epoch", "shard", "pos")
+  }
+
   def writeShards(spark: SparkSession, sfDir: String, outDir: String,
                   tokensPerShard: Long = 2048): Unit =
     table(spark, sfDir, "documents")

@@ -195,6 +195,32 @@ class CorpusSpec extends SparkSpec {
     assert(mapped === joined)
   }
 
+  test("epoch shuffle: per-epoch permutation, contiguous shard positions, epochs differ") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", (1L to 40L).map(i =>
+      (i, s"doc $i", "en", "s", 6L)).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = Corpus.epochShuffle(spark, dir, epochs = 2, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // each epoch covers every doc exactly once
+    for (e <- 0L to 1L) {
+      val ep = rows.filter(_._1 == e)
+      assert(ep.map(_._2).sorted === (1L to 40L))
+      // positions within each shard are contiguous 1..size
+      ep.groupBy(_._3).foreach { case (_, sh) =>
+        assert(sh.map(_._4).sorted === (1L to sh.length.toLong))
+      }
+    }
+    // the seeded hash gives each epoch a DIFFERENT order: compare the
+    // doc sequence read shard-major (the trainer's stream order)
+    val order = (e: Long) => rows.filter(_._1 == e).sortBy(r => (r._3, r._4)).map(_._2)
+    assert(order(0L) !== order(1L))
+    // deterministic: a second plan produces the identical assignment
+    val again = Corpus.epochShuffle(spark, dir, epochs = 2, nShards = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(again === rows)
+  }
+
   test("ccnet buckets: hand-computed tercile edges over the lm histogram") {
     import spark.implicits._
     val dir = tempSfDir()
