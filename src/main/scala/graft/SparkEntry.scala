@@ -260,6 +260,9 @@ object SparkEntry {
     // source-pair containment matrix: per-window fanout bounded by the
     // source dimension (<= C(S,2) pair rows per window), never corpus
     "corpus_overlap" -> ((s, dir) => Dedup.sourceOverlap(s, dir)),
+    // normalization-ladder audit: docs collapsed by each successive
+    // canonicalization rung (raw/lower/ws/punct), one x4 narrow pass
+    "dedup_normalization" -> ((s, dir) => Dedup.normalizationAudit(s, dir)),
     // directed containment rung: |inter| / min(|A|,|B|) over
     // representatives — nested/quoted duplication symmetric jaccard
     // misses (big doc swallows the union)
@@ -3014,6 +3017,32 @@ object SparkEntry {
     // bits, window document frequency, per-doc duplicated fraction
     // source-pair containment matrix over distinct 8-token windows;
     // string '<' is bytewise in both engines (ASCII source names)
+    // normalization ladder mirror: identical regex rungs ('g' flag —
+    // Spark replaces all matches by default), h60 keys, 4-row lag
+    "dedup_normalization" ->
+      s"""WITH kk AS (
+         |  SELECT text AS c0, lower(text) AS c1,
+         |    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS c2
+         |  FROM documents),
+         |kk3 AS (
+         |  SELECT c0, c1, c2,
+         |    regexp_replace(c2, '[^a-z0-9 ]', '', 'g') AS c3
+         |  FROM kk),
+         |r AS (
+         |  SELECT 0::BIGINT AS rung, ${h60("c0")} AS hkey FROM kk3
+         |  UNION ALL SELECT 1, ${h60("c1")} FROM kk3
+         |  UNION ALL SELECT 2, ${h60("c2")} FROM kk3
+         |  UNION ALL SELECT 3, ${h60("c3")} FROM kk3),
+         |p AS (
+         |  SELECT rung, count(*)::BIGINT AS n_docs,
+         |    count(DISTINCT hkey)::BIGINT AS n_distinct
+         |  FROM r GROUP BY rung)
+         |SELECT rung, n_docs, n_distinct,
+         |  (n_docs - n_distinct)::BIGINT AS n_collapsible,
+         |  ((n_docs - n_distinct)
+         |    - coalesce(lag(n_docs - n_distinct) OVER (ORDER BY rung), 0))::BIGINT
+         |    AS gain_vs_prev
+         |FROM p ORDER BY rung""".stripMargin,
     // epoch-shuffle mirror: h60('e:'||doc_id) sort keys, hash-range
     // shards (width = 2^60 div n_shards, last shard absorbs remainder),
     // per-shard row_number; 2 epochs x 8 shards

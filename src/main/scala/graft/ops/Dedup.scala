@@ -66,6 +66,49 @@ object Dedup {
       .orderBy("keep_doc_id")
   }
 
+  /** dedup_normalization: the normalization-ladder dedup audit — how
+    * many extra documents each successive normalization rung collapses:
+    *   rung 0 raw bytes, 1 + lowercase, 2 + whitespace collapse,
+    *   3 + punctuation strip.
+    * This is the measurement behind a corpus build's canonicalization
+    * choice ("is aggressive normalization worth it, or is it mostly
+    * collapsing near-identical boilerplate the fuzzy ladder would catch
+    * anyway"): each rung's keys are a coarsening of the previous
+    * rung's, so n_collapsible is monotone and gain_vs_prev is exactly
+    * the docs that rung ALONE buys.
+    *
+    * Scale shape: one narrow pass emits (rung, h60(norm)) per doc per
+    * rung (x4, like the shingle explode but constant fanout), then ONE
+    * partial-aggregated distinct-count per rung — group keys are the 4
+    * rungs, each group's distinct set is hash-collapsed map-side. The
+    * 60-bit key stands in for the full string (audit-grade: a collision
+    * undercounts groups by 1 in ~2^60); the 4-row lag window is
+    * domain-bounded. Output: (rung, n_docs, n_distinct, n_collapsible,
+    * gain_vs_prev), ordered by rung.
+    */
+  def normalizationAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k0 = col("text")
+    val k1 = lower(col("text"))
+    val k2 = regexp_replace(trim(k1), "\\s+", " ")
+    val k3 = regexp_replace(k2, "[^a-z0-9 ]", "")
+    val keyed = table(spark, sfDir, "documents")
+      .select(col("doc_id"), explode(array(
+        Seq(k0, k1, k2, k3).zipWithIndex.map { case (k, i) =>
+          struct(lit(i.toLong).as("rung"), graft.functions.OracleHash.h60(k).as("hkey"))
+        }: _*)).as("r"))
+      .select(col("r.rung").as("rung"), col("r.hkey").as("hkey"))
+    val perRung = keyed.groupBy("rung")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("hkey")).as("n_distinct"))
+      .withColumn("n_collapsible", col("n_docs") - col("n_distinct"))
+    perRung
+      .withColumn("gain_vs_prev",
+        col("n_collapsible") -
+          coalesce(lag(col("n_collapsible"), 1).over(Window.orderBy("rung")), lit(0L)))
+      .orderBy("rung")
+  }
+
   /** (doc_id, rep_id, n_copies): each doc mapped to the representative
     * (minimum doc_id) of its exact-content group — `exact`'s md5 grouping
     * as a per-doc map. One shuffle on the content key; both window

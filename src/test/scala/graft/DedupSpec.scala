@@ -29,6 +29,25 @@ class DedupSpec extends SparkSpec {
     assert(rows === Map(1L -> 2L, 3L -> 1L, 4L -> 1L))
   }
 
+  test("normalization ladder: per-rung collapse counts and marginal gains") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", Seq(
+      (1L, "Hello  World", "en", "s", 12L),
+      (2L, "hello world", "en", "s", 11L),
+      (3L, "hello   world", "en", "s", 13L),
+      (4L, "hello, world!", "en", "s", 13L),
+      (5L, "hello world", "en", "s", 11L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = Dedup.normalizationAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(rows === Seq(
+      (0L, 5L, 4L, 1L, 1L),  // raw: only the byte-identical pair {2,5}
+      (1L, 5L, 4L, 1L, 0L),  // lowercase alone buys nothing here
+      (2L, 5L, 2L, 3L, 2L),  // ws collapse merges {1,2,3,5}
+      (3L, 5L, 1L, 4L, 1L))) // punct strip folds in doc 4
+  }
+
   test("minhash LSH: exact dups collapse to the rep; near-dup of distinct content found") {
     val pairs = Dedup.minHashLsh(spark, sfDir, minEst = 0.3).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
