@@ -439,6 +439,9 @@ object SparkEntry {
     // APPLY the trained tokenizer: learned merges fold in as plan
     // literals — zero-shuffle narrow encode pass over the corpus
     "vocab_bpe_encode" -> ((s, dir) => TextAnalysis.bpeEncode(s, dir)),
+    // per-language tokenizer fertility under the trained vocab: the
+    // table that decides multilingual vocab rebalancing
+    "vocab_fertility" -> ((s, dir) => TextAnalysis.bpeFertility(s, dir)),
     // corpus-LM fluency score: exact-rational mean bigram conditional
     // (the n-gram perplexity stand-in; big-to-big join on the bigram key)
     "text_lm_score" -> ((s, dir) => TextAnalysis.lmScore(s, dir)),
@@ -485,6 +488,9 @@ object SparkEntry {
     // CCNet fluency terciles: edges from the bounded (lang, lm_milli)
     // histogram — shuffles the histogram, never sorts the corpus
     "mix_ccnet" -> ((s, dir) => Corpus.ccnetBuckets(s, dir)),
+    // epoch-annealed mixing schedule: uniform -> quality-proportional
+    // source weights, all-integer interpolation over the lm-score means
+    "mix_curriculum" -> ((s, dir) => Corpus.curriculumMix(s, dir)),
     "shard_plan" -> ((s, dir) => Corpus.shardPlan(s, dir)),
     // deterministic per-epoch training-order shuffle: seeded-hash
     // permutation, contiguous hash-range shards, per-shard windows only
@@ -2787,6 +2793,33 @@ object SparkEntry {
     // get each distinct word's post-merge symbol sequence (words4),
     // then join per-doc token occurrences and sum symbol counts
     "vocab_bpe_encode" -> bpeEncodeOracle,
+    // fertility rollup: the encode replay's words4 symbol table joined
+    // to per-doc occurrences + language, aggregated per lang
+    "vocab_fertility" ->
+      s"""WITH w0 AS (
+         |  SELECT token AS word, count(*)::BIGINT AS freq
+         |  FROM (SELECT unnest(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS token
+         |        FROM documents)
+         |  GROUP BY token),
+         |words1 AS (
+         |  SELECT word, freq,
+         |    list_transform(range(1, length(word) + 1), i -> substr(word, i::INT, 1)) AS syms
+         |  FROM w0),
+         |${bpeRound(1)},
+         |${bpeRound(2)},
+         |${bpeRound(3)},
+         |dt AS (
+         |  SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS word
+         |  FROM documents)
+         |SELECT dd.lang,
+         |  count(*)::BIGINT AS n_words,
+         |  sum(length(d.word))::BIGINT AS n_syms0,
+         |  sum(len(w.syms))::BIGINT AS n_bpe,
+         |  ((1000 * sum(len(w.syms))) // count(*))::BIGINT AS fertility_milli,
+         |  ((1000 * sum(len(w.syms))) // sum(length(d.word)))::BIGINT AS compression_milli
+         |FROM dt d JOIN words4 w ON d.word = w.word
+         |JOIN documents dd ON d.doc_id = dd.doc_id
+         |GROUP BY 1 ORDER BY lang""".stripMargin,
     // LM score: per-bigram exact conditionals floor((C(w1w2)*1000)/C(w1·)),
     // doc score = floor(mean); occurrences, not distinct bigrams
     "text_lm_score" ->
@@ -2851,6 +2884,47 @@ object SparkEntry {
         |  count(*)::BIGINT AS n_docs, sum(s.n_bigrams)::BIGINT AS n_bigrams
         |FROM scored s JOIN edges e ON e.lang = s.lang
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // curriculum schedule mirror: same lm CTEs as mix_ccnet, per-source
+    // means, then pure integer interpolation over the 1-row totals
+    "mix_curriculum" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, array_to_string(toks[i+1:i+2], ' ') AS bigram
+        |  FROM toks, UNNEST(range(0, len(toks) - 1)) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |bs AS (SELECT bigram, count(*)::BIGINT AS c_bigram FROM bg GROUP BY bigram),
+        |w1s AS (
+        |  SELECT split_part(bigram, ' ', 1) AS w1, sum(c_bigram)::BIGINT AS c_w1
+        |  FROM bs GROUP BY 1),
+        |sc AS (
+        |  SELECT bigram, (c_bigram * 1000) // c_w1 AS cond_milli
+        |  FROM bs JOIN w1s ON split_part(bs.bigram, ' ', 1) = w1s.w1),
+        |lm AS (
+        |  SELECT g.doc_id, (sum(sc.cond_milli) // count(*))::BIGINT AS lm_milli
+        |  FROM bg g JOIN sc ON g.bigram = sc.bigram
+        |  GROUP BY g.doc_id),
+        |dtok AS (
+        |  SELECT doc_id, source, len(toks)::BIGINT AS n_toks FROM toks
+        |  JOIN documents USING (doc_id)),
+        |src AS (
+        |  SELECT d.source, count(*)::BIGINT AS n_docs,
+        |    sum(l.lm_milli)::BIGINT AS sum_lm, sum(d.n_toks)::BIGINT AS n_tokens
+        |  FROM lm l JOIN dtok d USING (doc_id) GROUP BY 1),
+        |q AS (SELECT source, n_tokens, (sum_lm // n_docs)::BIGINT AS q_milli FROM src),
+        |tot AS (SELECT sum(q_milli)::BIGINT AS sum_q,
+        |               sum(n_tokens)::BIGINT AS total_tokens,
+        |               count(*)::BIGINT AS n_src FROM q),
+        |e AS (SELECT unnest(range(0, 3)) AS epoch)
+        |SELECT e.epoch::BIGINT AS epoch, q.source, q.q_milli,
+        |  (((1000 // n_src) * (2 - e.epoch)
+        |    + ((1000 * q.q_milli) // sum_q) * e.epoch) // 2)::BIGINT AS w_milli,
+        |  ((((1000 // n_src) * (2 - e.epoch)
+        |    + ((1000 * q.q_milli) // sum_q) * e.epoch) // 2)
+        |   * total_tokens // 1000)::BIGINT AS planned_tokens
+        |FROM q CROSS JOIN tot CROSS JOIN e
+        |ORDER BY epoch, source""".stripMargin,
     // priority source merge: arg-min by (source rank, doc_id) per lead
     // fingerprint (md5 of the first 5 normalized tokens)
     // mix sampler: both engines derive rate and coin from md5 prefixes

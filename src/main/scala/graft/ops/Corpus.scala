@@ -355,6 +355,53 @@ object Corpus {
       .orderBy("lang", "bucket")
   }
 
+  /** mix_curriculum: epoch-annealed source-mixing schedule — the
+    * curriculum a staged training run follows: epoch 0 samples sources
+    * UNIFORMLY (coverage first), the final epoch samples them
+    * proportionally to measured QUALITY (the corpus-LM fluency mean
+    * per source, [[TextAnalysis.lmScore]]), with linear integer
+    * interpolation between — the "anneal to high-quality data late in
+    * training" schedule used by staged pretraining recipes, as a
+    * deterministic plan table.
+    *
+    * All-integer: q_milli(s) = mean lm_milli over the source's scored
+    * docs (floor); qnorm_milli = (1000 * q) div sum_q; w_milli(s, e) =
+    * ((1000 div S) * (E-1-e) + qnorm_milli * e) div (E-1) — exactly
+    * uniform at e = 0, exactly quality-proportional at e = E-1.
+    * planned_tokens budgets each epoch's source draw against the total
+    * scored token mass.
+    *
+    * Plan shape: the corpus-scale work is lmScore's bigram-stats joins
+    * (shared with mix_ccnet); everything after is a |sources|-row
+    * aggregate crossed with a ONE-ROW broadcast of the corpus totals
+    * and the epoch sequence — the schedule table costs nothing beyond
+    * the quality scan. Output: (epoch, source, q_milli, w_milli,
+    * planned_tokens), ordered.
+    */
+  def curriculumMix(spark: SparkSession, sfDir: String, epochs: Int = 3): DataFrame = {
+    require(epochs >= 2, "a curriculum needs at least two epochs")
+    val toksCol = filter(split(lower(col("text")), " "), t => length(t) > 0)
+    val dtok = table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"), size(toksCol).cast("long").as("n_toks"))
+    val src = TextAnalysis.lmScore(spark, sfDir).select("doc_id", "lm_milli")
+      .join(dtok, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("lm_milli")).as("sum_lm"),
+        sum(col("n_toks")).as("n_tokens"))
+      .withColumn("q_milli", expr("sum_lm div n_docs"))
+    val tot = src.agg(sum(col("q_milli")).as("sum_q"),
+      sum(col("n_tokens")).as("total_tokens"), count(lit(1)).as("n_src"))
+    src.crossJoin(broadcast(tot))
+      .select(col("source"), col("q_milli"), col("sum_q"), col("total_tokens"),
+        col("n_src"), explode(sequence(lit(0L), lit(epochs - 1L))).as("epoch"))
+      .withColumn("w_milli", expr(
+        s"((1000 div n_src) * (${epochs - 1}L - epoch)" +
+          s" + ((1000 * q_milli) div sum_q) * epoch) div ${epochs - 1}L"))
+      .withColumn("planned_tokens", expr("(w_milli * total_tokens) div 1000"))
+      .select("epoch", "source", "q_milli", "w_milli", "planned_tokens")
+      .orderBy("epoch", "source")
+  }
+
   /** corpus_shuffle: deterministic per-epoch training-order shuffle —
     * the data-order step a reproducible LLM training run needs: every
     * epoch is a pseudo-random permutation of the corpus, fully

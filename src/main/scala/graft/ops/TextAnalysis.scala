@@ -544,6 +544,33 @@ object TextAnalysis {
     bpeEncodeFrame(table(spark, sfDir, "documents"),
       bpeTrainMerges(spark, sfDir, m)).orderBy("doc_id")
 
+  /** vocab_fertility: per-language tokenizer fertility under the
+    * trained BPE — the standard tokenizer-evaluation table (tokens per
+    * word and per character) that decides whether a vocab under-serves
+    * a language: high fertility = more tokens per word = that
+    * language's text costs more context window and more compute per
+    * character of content (the reason multilingual vocabs are
+    * rebalanced before training).
+    *   fertility_milli   = 1000 * n_bpe div n_words  (tokens per word)
+    *   compression_milli = 1000 * n_bpe div n_syms0  (tokens per char)
+    * Plan: the codegen'd encode projection ([[bpeEncodeFrame]]) joined
+    * doc-keyed to the language label, then one partial-aggregated
+    * rollup to |langs| rows — narrow scan + one tiny shuffle.
+    */
+  def bpeFertility(spark: SparkSession, sfDir: String, m: Int = 3): DataFrame = {
+    val enc = bpeEncodeFrame(table(spark, sfDir, "documents"),
+      bpeTrainMerges(spark, sfDir, m))
+    enc.join(table(spark, sfDir, "documents").select(col("doc_id"), col("lang")),
+        Seq("doc_id"))
+      .groupBy("lang")
+      .agg(sum(col("n_words")).as("n_words"),
+        sum(col("n_syms0")).as("n_syms0"),
+        sum(col("n_bpe")).as("n_bpe"))
+      .withColumn("fertility_milli", expr("(1000 * n_bpe) div n_words"))
+      .withColumn("compression_milli", expr("(1000 * n_bpe) div n_syms0"))
+      .orderBy("lang")
+  }
+
   /** The encode projection behind [[bpeEncode]], over any (doc_id,
     * text) frame — batch or stream (stateless-append: no shuffle, no
     * state; the trained merges are plan literals).

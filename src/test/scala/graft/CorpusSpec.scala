@@ -221,6 +221,36 @@ class CorpusSpec extends SparkSpec {
     assert(again === rows)
   }
 
+  test("curriculum mix: uniform at epoch 0, quality-proportional at the last epoch") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // two sources with clearly different corpus-LM fluency: src_a is
+    // pure repetition (all conditionals 1000); src_b's first words fan
+    // out to many successors (every conditional is a genuine split —
+    // one-off bigrams would still score 1000 since c_w1 would be 1)
+    writeTable(dir, "documents", Seq(
+      (1L, "x y x y x y x y", "en", "src_a", 15L),
+      (2L, "x y x y x y", "en", "src_a", 11L),
+      (3L, "p a p b p c p d", "en", "src_b", 15L),
+      (4L, "q a q b q c q d", "en", "src_b", 15L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = Corpus.curriculumMix(spark, dir, epochs = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // epoch 0: exactly uniform 1000 div 2 regardless of quality
+    val e0 = rows.filter(_._1 == 0L).map(_._4).toSet
+    assert(e0 === Set(500L))
+    // last epoch: exactly (1000 * q) div sum_q
+    val qs = rows.filter(_._1 == 2L).map(r => r._2 -> (r._3, r._4)).toMap
+    val sumQ = qs.values.map(_._1).sum
+    qs.foreach { case (_, (q, w)) => assert(w === (1000L * q) / sumQ) }
+    // the fluent source ends the schedule over-weighted
+    assert(qs("src_a")._2 > qs("src_b")._2)
+    // middle epoch is the floor-average of the endpoints' formulas
+    rows.filter(_._1 == 1L).foreach { case (_, s, q, w, _) =>
+      assert(w === (500L + (1000L * q) / sumQ) / 2L)
+    }
+  }
+
   test("ccnet buckets: hand-computed tercile edges over the lm histogram") {
     import spark.implicits._
     val dir = tempSfDir()

@@ -45,6 +45,9 @@ class PlanShapeSpec extends SparkSpec {
       // bm25's 1-row (tot, n_docs) corpus-stats broadcast, the same
       // shape as tfidf's one-row corpus count
       "text_bm25",
+      // the curriculum schedule's 1-row (sum_q, total_tokens, n_src)
+      // totals broadcast into the |sources|-row stats table
+      "mix_curriculum",
       "rel_dq_audit",
       // SemDeDup assigns cells through the same broadcast centroid
       // cross join as sim_ivf; the pair join itself is cell-keyed

@@ -133,6 +133,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.filter(_._1 == 4L) === Seq((4L, "date", 1L, 1L, 4000L, 1L)))
   }
 
+  test("bpe fertility equals the per-doc encode rolled up by language") {
+    val langOf = Map(1L -> "en", 2L -> "de", 3L -> "en")
+    val enc = graft.ops.TextAnalysis.bpeEncode(spark, sfDir).collect()
+      .map(r => (langOf(r.getLong(0)), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = enc.groupBy(_._1).map { case (lang, rows) =>
+      val (w, s0, b) = (rows.map(_._2).sum, rows.map(_._3).sum, rows.map(_._4).sum)
+      (lang, w, s0, b, 1000L * b / w, 1000L * b / s0)
+    }.toSet
+    val got = graft.ops.TextAnalysis.bpeFertility(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(got === expected)
+    // fertility can never be below 1 token per word
+    got.foreach { case (_, _, _, _, fert, _) => assert(fert >= 1000L) }
+  }
+
   test("bm25: hand-computed integer Robertson scores, ranked") {
     import spark.implicits._
     val dir = tempSfDir()
