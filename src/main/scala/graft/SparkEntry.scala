@@ -495,6 +495,9 @@ object SparkEntry {
     // deterministic per-epoch training-order shuffle: seeded-hash
     // permutation, contiguous hash-range shards, per-shard windows only
     "corpus_shuffle" -> ((s, dir) => Corpus.epochShuffle(s, dir)),
+    // padding-waste table across batching schemes: global cap vs
+    // round-to-256 vs round-to-64 length buckets
+    "corpus_padding_audit" -> ((s, dir) => Corpus.paddingAudit(s, dir)),
     // —— explicit skew-mitigation shapes (result-identical to the plain
     //    forms; the PLAN is what differs — see each operator's doc) ——
     "urlcount_salted" -> ((s, dir) =>
@@ -3117,6 +3120,21 @@ object SparkEntry {
          |    - coalesce(lag(n_docs - n_distinct) OVER (ORDER BY rung), 0))::BIGINT
          |    AS gain_vs_prev
          |FROM p ORDER BY rung""".stripMargin,
+    // padding audit mirror: identical integer round-up caps, 1-row max
+    "corpus_padding_audit" ->
+      """WITH d AS (
+        |  SELECT len(list_filter(string_split(lower(text), ' '), t -> length(t) > 0))::BIGINT AS n
+        |  FROM documents),
+        |dd AS (SELECT n FROM d WHERE n > 0),
+        |mx AS (SELECT max(n)::BIGINT AS max_n FROM dd),
+        |r AS (
+        |  SELECT 'global' AS scheme, n, max_n AS cap FROM dd CROSS JOIN mx
+        |  UNION ALL SELECT 'bucket256', n, ((n + 255) // 256) * 256 FROM dd
+        |  UNION ALL SELECT 'bucket64', n, ((n + 63) // 64) * 64 FROM dd)
+        |SELECT scheme, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_tokens,
+        |  sum(cap)::BIGINT AS n_padded,
+        |  ((1000 * (sum(cap) - sum(n))) // sum(cap))::BIGINT AS waste_milli
+        |FROM r GROUP BY scheme ORDER BY scheme""".stripMargin,
     // epoch-shuffle mirror: h60('e:'||doc_id) sort keys, hash-range
     // shards (width = 2^60 div n_shards, last shard absorbs remainder),
     // per-shard row_number; 2 epochs x 8 shards

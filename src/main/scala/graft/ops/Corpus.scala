@@ -355,6 +355,46 @@ object Corpus {
       .orderBy("lang", "bucket")
   }
 
+  /** corpus_padding_audit: padding-waste comparison across batching
+    * schemes — the design table behind length-bucketed batching: a
+    * training batch pads every sequence to its cap, so token-length
+    * spread turns directly into wasted pad compute. Three schemes:
+    *   'global'    — every doc pads to the CORPUS max length
+    *                 (the no-bucketing worst case),
+    *   'bucket256' — docs pad to their length rounded up to 256,
+    *   'bucket64'  — rounded up to 64 (finer buckets, less waste,
+    *                 more bucket-switching overhead).
+    * waste_milli = 1000 * (padded - tokens) div padded — the fraction
+    * of batch compute spent on pad tokens under each scheme.
+    *
+    * Scale shape: one narrow token-count pass; the per-doc caps are
+    * pure integer arithmetic (((n + step-1) div step) * step), the
+    * global cap is a ONE-ROW max broadcast back; output is 3 rows via
+    * a constant-fanout explode. Nothing shuffles but the 3-group
+    * rollup. Output: (scheme, n_docs, n_tokens, n_padded,
+    * waste_milli), ordered by scheme.
+    */
+  def paddingAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val toksCol = filter(split(lower(col("text")), " "), t => length(t) > 0)
+    val d = table(spark, sfDir, "documents")
+      .select(size(toksCol).cast("long").as("n"))
+      .filter(col("n") > 0)
+    val mx = d.agg(max(col("n")).as("max_n"))
+    d.crossJoin(broadcast(mx))
+      .select(explode(array(
+        struct(lit("global").as("scheme"), col("n"), col("max_n").as("cap")),
+        struct(lit("bucket256").as("scheme"), col("n"),
+          expr("((n + 255L) div 256L) * 256L").as("cap")),
+        struct(lit("bucket64").as("scheme"), col("n"),
+          expr("((n + 63L) div 64L) * 64L").as("cap")))).as("r"))
+      .select(col("r.scheme").as("scheme"), col("r.n").as("n"), col("r.cap").as("cap"))
+      .groupBy("scheme")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+        sum(col("cap")).as("n_padded"))
+      .withColumn("waste_milli", expr("(1000 * (n_padded - n_tokens)) div n_padded"))
+      .orderBy("scheme")
+  }
+
   /** mix_curriculum: epoch-annealed source-mixing schedule — the
     * curriculum a staged training run follows: epoch 0 samples sources
     * UNIFORMLY (coverage first), the final epoch samples them

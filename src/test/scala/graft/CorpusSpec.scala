@@ -221,6 +221,26 @@ class CorpusSpec extends SparkSpec {
     assert(again === rows)
   }
 
+  test("padding audit: hand-computed waste under global and bucketed caps") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // token counts 3, 70, 130 -> global cap 130; bucket64 caps 64/128/192
+    writeTable(dir, "documents", Seq(
+      (1L, (1 to 3).map(_ => "w").mkString(" "), "en", "s", 5L),
+      (2L, (1 to 70).map(_ => "w").mkString(" "), "en", "s", 139L),
+      (3L, (1 to 130).map(_ => "w").mkString(" "), "en", "s", 259L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = Corpus.paddingAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    val padded64 = 64L + 128L + 192L   // 384
+    val padded256 = 256L * 3           // 768
+    val padded_g = 130L * 3            // 390
+    assert(rows === Seq(
+      ("bucket256", 3L, 203L, padded256, 1000L * (padded256 - 203) / padded256),
+      ("bucket64", 3L, 203L, padded64, 1000L * (padded64 - 203) / padded64),
+      ("global", 3L, 203L, padded_g, 1000L * (padded_g - 203) / padded_g)))
+  }
+
   test("curriculum mix: uniform at epoch 0, quality-proportional at the last epoch") {
     import spark.implicits._
     val dir = tempSfDir()

@@ -48,6 +48,8 @@ class PlanShapeSpec extends SparkSpec {
       // the curriculum schedule's 1-row (sum_q, total_tokens, n_src)
       // totals broadcast into the |sources|-row stats table
       "mix_curriculum",
+      // the padding audit's 1-row corpus-max broadcast
+      "corpus_padding_audit",
       "rel_dq_audit",
       // SemDeDup assigns cells through the same broadcast centroid
       // cross join as sim_ivf; the pair join itself is cell-keyed
