@@ -225,6 +225,9 @@ object SparkEntry {
     // broadcast query-term dim, exact integer Robertson scoring, bounded
     // per-query top-k aggregate (no per-query window)
     "text_bm25" -> ((s, dir) => TextAnalysis.bm25TopK(s, dir)),
+    // the index OUTLIVES the query: term-bucketed stored postings +
+    // 1-row stats metadata; serving touches index tables only
+    "text_bm25_indexed" -> ((s, dir) => TextAnalysis.bm25Indexed(s, dir)),
     // deny-list redaction with audit: blocklisted tokens masked per row
     // (no shuffle), scrubbed text proven by md5
     "text_scrub" -> ((s, dir) => TextAnalysis.scrubDocs(s, dir)),
@@ -1935,6 +1938,17 @@ object SparkEntry {
     // exact rationals), floor div both engines; ties doc_id::VARCHAR asc
     // (the bounded top-k aggregate's STRING tag order)
     "text_bm25" ->
+      s"""$bm25ScoreCtes,
+        |ranked AS (
+        |  SELECT query_id, doc_id, score_micro,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score_micro DESC, doc_id::VARCHAR ASC) AS rk
+        |  FROM sc)
+        |SELECT query_id, doc_id, score_micro, rk
+        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // stored-index serving: identical relation to the inline scorer by
+    // construction (same scoring tail; df = posting-list length)
+    "text_bm25_indexed" ->
       s"""$bm25ScoreCtes,
         |ranked AS (
         |  SELECT query_id, doc_id, score_micro,

@@ -289,7 +289,6 @@ object TextAnalysis {
   def bm25TopK(spark: SparkSession, sfDir: String,
                queries: Seq[(Long, String)] = defaultBm25Queries,
                k: Int = 5): DataFrame = {
-    import spark.implicits._
     val docs = table(spark, sfDir, "documents")
     val terms = docs.select(col("doc_id"),
       explode(filter(split(lower(col("text")), " "), t => length(t) > 0)).as("term"))
@@ -300,13 +299,30 @@ object TextAnalysis {
     // corpus stats: 1-row broadcast
     val stats = terms.agg(count(lit(1)).as("tot"))
       .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
-    // per-query-term dimension: df attached to the broadcast workload
-    val qterms = queries.toDF("query_id", "qtext")
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qdim = broadcast(bm25QueryTerms(spark, queries).join(dft, "term"))
+    bm25Serve(postings, qdim, stats, k)
+  }
+
+  /** The broadcast query-workload dimension: (query_id, term), terms
+    * lowercased and de-duplicated per query.
+    */
+  private def bm25QueryTerms(spark: SparkSession,
+                             queries: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    queries.toDF("query_id", "qtext")
       .select(col("query_id"),
         explode(array_distinct(filter(split(lower(col("qtext")), " "),
           t => length(t) > 0))).as("term"))
-    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val qdim = broadcast(qterms.join(dft, "term"))
+  }
+
+  /** The BM25 serving tail shared by the inline form ([[bm25TopK]]) and
+    * the persisted-index form ([[bm25Indexed]]): integral Robertson
+    * scoring over (postings x broadcast query dim x 1-row stats), then
+    * the bounded per-query top-k aggregate.
+    */
+  private def bm25Serve(postings: DataFrame, qdim: DataFrame,
+                        stats: DataFrame, k: Int): DataFrame = {
     val scored = postings.join(qdim, "term")
       .crossJoin(broadcast(stats))
       .withColumn("idf_milli",
@@ -322,6 +338,51 @@ object TextAnalysis {
       .select(col("query_id"), col("t.tag").cast("long").as("doc_id"),
         col("t.n").as("score_micro"), (col("i") + 1).cast("long").as("rk"))
       .orderBy("query_id", "rk")
+  }
+
+  /** text_bm25_indexed: the inverted index OUTLIVES the query — the
+    * retrieval analog of `sim_ivf_indexed`'s stored posting lists.
+    * Build once: (term, doc_id, tf, dl) postings written as parquet
+    * BUCKETED BY term and SORTED within buckets (graft.sources
+    * .Bucketed, run-scoped name), plus a 1-row (tot, n_docs) stats
+    * table — the index metadata every real search engine persists
+    * beside its postings. Serve from the STORED tables only: the
+    * workload's term set is a plan-time IN filter, so the scan reads
+    * just the matching buckets' row groups (per-bucket term-sorted
+    * files give parquet min/max skipping — PushedFilters carries the
+    * IN, pinned by spec); per-term df comes from the pruned postings
+    * themselves (df = posting-list length), NOT a corpus scan. No
+    * corpus table is touched at query time; query cost scales with the
+    * matched posting lists, never the corpus. Results are identical to
+    * `bm25TopK` by construction (same scoring tail, df equalities),
+    * so the inline form's oracle replays this one.
+    */
+  def bm25Indexed(spark: SparkSession, sfDir: String,
+                  queries: Seq[(Long, String)] = defaultBm25Queries,
+                  k: Int = 5): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val terms = docs.select(col("doc_id"),
+      explode(filter(split(lower(col("text")), " "), t => length(t) > 0)).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val name = graft.sources.Bucketed.scopedName(spark, "graft_bm25_index")
+    graft.sources.Bucketed.writeBucketed(spark, tf.join(dl, "doc_id"),
+      name, graft.sources.Bucketed.scopedPath(name), "term", 8)
+    val statsName = graft.sources.Bucketed.scopedName(spark, "graft_bm25_stats")
+    spark.sql(s"DROP TABLE IF EXISTS $statsName")
+    terms.agg(count(lit(1)).as("tot"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+      .write.format("parquet")
+      .option("path", graft.sources.Bucketed.scopedPath(statsName))
+      .mode("overwrite").saveAsTable(statsName)
+    // —— serving: stored postings + stored metadata only ——
+    val qterms = bm25QueryTerms(spark, queries)
+    val workloadTerms = queries.flatMap(_._2.toLowerCase.split(" "))
+      .filter(_.nonEmpty).distinct
+    val pruned = spark.table(name).filter(col("term").isin(workloadTerms: _*))
+    val dft = pruned.groupBy("term").agg(count(lit(1)).as("df"))
+    val qdim = broadcast(qterms.join(dft, "term"))
+    bm25Serve(pruned, qdim, spark.table(statsName), k)
   }
 
   /** Batch-side BM25 serving artifacts for the streaming percolator:

@@ -43,8 +43,9 @@ class PlanShapeSpec extends SparkSpec {
       "urlcount_cms", "sql_cms", "emb_label_centroids",
       "sim_bruteforce", "sim_allpairs", "text_tfidf", "src_zorder",
       // bm25's 1-row (tot, n_docs) corpus-stats broadcast, the same
-      // shape as tfidf's one-row corpus count
-      "text_bm25",
+      // shape as tfidf's one-row corpus count (the indexed form reads
+      // the same stats from its stored metadata table)
+      "text_bm25", "text_bm25_indexed",
       // the curriculum schedule's 1-row (sum_q, total_tokens, n_src)
       // totals broadcast into the |sources|-row stats table
       "mix_curriculum",

@@ -174,6 +174,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Seq((0L, 1L, 2491000L, 1L), (0L, 2L, 694200L, 2L)))
   }
 
+  test("bm25 indexed serving equals the inline scorer; scan is pruned to workload terms") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", Seq(
+      (1L, "cat cat dog", "en", "s", 11L),
+      (2L, "cat fish", "en", "s", 8L),
+      (3L, "bird bird bird bird", "en", "s", 19L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val q = Seq(0L -> "cat dog")
+    val inline = graft.ops.TextAnalysis.bm25TopK(spark, dir, queries = q).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val stored = graft.ops.TextAnalysis.bm25Indexed(spark, dir, queries = q)
+    val plan = stored.queryExecution.executedPlan.toString
+    // serving reads the stored postings with the workload IN pushed to
+    // the parquet scan (term-sorted buckets -> row-group skipping)
+    assert(plan.contains("PushedFilters") && plan.contains("In(term"),
+      s"workload term filter must reach the index scan:\n$plan")
+    val got = stored.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === inline)
+    assert(got === Seq((0L, 1L, 2491000L, 1L), (0L, 2L, 694200L, 2L)))
+  }
+
   test("bpe pair counts: word-frequency-weighted adjacent pairs, ranked") {
     import spark.implicits._
     val dir = tempSfDir()
