@@ -470,6 +470,9 @@ object SparkEntry {
     // BM25 percolation: stored queries as unrolled literal scorers,
     // arriving docs match statelessly (Elasticsearch percolator shape)
     "stream_bm25" -> ((s, dir) => StreamingOps.streamBm25(s, dir)),
+    // ingest-time distilled-quality scoring: batch-fitted rational
+    // coefficients as decimal literals — stateless narrow projection
+    "stream_distill" -> ((s, dir) => StreamingOps.streamDistill(s, dir)),
     // windowed hot-key monitor: CHAINED stateful aggs (counts -> bounded
     // top-k via window_time re-aggregation), O(k)-state per window
     "stream_hot_users" -> ((s, dir) => StreamingOps.streamHotUsers(s, dir)),
@@ -494,6 +497,10 @@ object SparkEntry {
     // epoch-annealed mixing schedule: uniform -> quality-proportional
     // source weights, all-integer interpolation over the lm-score means
     "mix_curriculum" -> ((s, dir) => Corpus.curriculumMix(s, dir)),
+    // teacher->student quality distillation: one exact-integer
+    // normal-equations pass fits a linear student of the bigram-LM
+    // teacher; clamp-then-divide serving + train/holdout MAE audit
+    "mix_distill" -> ((s, dir) => Corpus.distillFit(s, dir)),
     "shard_plan" -> ((s, dir) => Corpus.shardPlan(s, dir)),
     // deterministic per-epoch training-order shuffle: seeded-hash
     // permutation, contiguous hash-range shards, per-shard windows only
@@ -854,6 +861,84 @@ object SparkEntry {
        |  (sum(r.r_milli) // count(*))::BIGINT AS dsir_milli
        |FROM tb t JOIN ratio r USING (b)
        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
+
+  /** Distillation CTEs (mirror of Corpus.distillParts): the bigram-LM
+    * teacher, the cheap student features, the 80/20 doc_id split, the
+    * 9 exact-integer moment sums on the train split, and the Cramer
+    * solve (positive Gram determinant + 3 numerators) in HUGEINT.
+    * Shared by mix_distill (fit + residual audit) and stream_distill
+    * (per-doc serving with the same rational coefficients).
+    */
+  private lazy val distillCtes: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+      |  FROM documents),
+      |bg AS (
+      |  SELECT doc_id, array_to_string(toks[i+1:i+2], ' ') AS bigram
+      |  FROM toks, UNNEST(range(0, len(toks) - 1)) AS u(i)
+      |  WHERE len(toks) >= 2),
+      |bs AS (SELECT bigram, count(*)::BIGINT AS c_bigram FROM bg GROUP BY bigram),
+      |w1s AS (
+      |  SELECT split_part(bigram, ' ', 1) AS w1, sum(c_bigram)::BIGINT AS c_w1
+      |  FROM bs GROUP BY 1),
+      |sc AS (
+      |  SELECT bigram, (c_bigram * 1000) // c_w1 AS cond_milli
+      |  FROM bs JOIN w1s ON split_part(bs.bigram, ' ', 1) = w1s.w1),
+      |lm AS (
+      |  SELECT g.doc_id, (sum(sc.cond_milli) // count(*))::BIGINT AS lm_milli
+      |  FROM bg g JOIN sc ON g.bigram = sc.bigram
+      |  GROUP BY g.doc_id),
+      |feats AS (
+      |  SELECT doc_id, least(len(toks), 255)::BIGINT AS x1,
+      |    ((1000 * len(list_filter(toks,
+      |        t -> list_contains(['the','a','of','and','to','in','is','on'], t))))
+      |      // len(toks))::BIGINT AS x2
+      |  FROM toks WHERE len(toks) > 0),
+      |j AS (
+      |  SELECT f.doc_id, f.x1, f.x2, l.lm_milli,
+      |    CASE WHEN f.doc_id % 5 < 4 THEN 'train' ELSE 'holdout' END AS split
+      |  FROM feats f JOIN lm l USING (doc_id)),
+      |s AS (
+      |  SELECT count(*)::HUGEINT AS n,
+      |    sum(x1)::HUGEINT AS s1, sum(x2)::HUGEINT AS s2,
+      |    sum(x1*x1)::HUGEINT AS s11, sum(x1*x2)::HUGEINT AS s12,
+      |    sum(x2*x2)::HUGEINT AS s22, sum(lm_milli)::HUGEINT AS sy,
+      |    sum(x1*lm_milli)::HUGEINT AS s1y, sum(x2*lm_milli)::HUGEINT AS s2y
+      |  FROM j WHERE split = 'train'),
+      |c AS (
+      |  SELECT
+      |    n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2) AS det,
+      |    sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y) AS b0n,
+      |    n*(s1y*s22 - s2y*s12) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2) AS b1n,
+      |    n*(s11*s2y - s12*s1y) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2) AS b2n
+      |  FROM s)""".stripMargin
+
+  private lazy val distillOracle: String =
+    s"""$distillCtes,
+       |p AS (
+       |  SELECT j.split, j.lm_milli, c.det, c.b0n, c.b1n, c.b2n,
+       |    (least(1000 * c.det, greatest(0, c.b0n + c.b1n * j.x1 + c.b2n * j.x2))
+       |      // c.det)::BIGINT AS pred_milli
+       |  FROM j, c)
+       |SELECT split, count(*)::BIGINT AS n_docs,
+       |  (sum(abs(pred_milli - lm_milli)) // count(*))::BIGINT AS mae_milli,
+       |  (sum(pred_milli) // count(*))::BIGINT AS mean_pred_milli,
+       |  (sum(lm_milli) // count(*))::BIGINT AS mean_lm_milli,
+       |  (CASE WHEN max(b0n) >= 0 THEN (1000000 * max(b0n)) // max(det)
+       |        ELSE -((1000000 * -max(b0n)) // max(det)) END)::BIGINT AS b0_micro,
+       |  (CASE WHEN max(b1n) >= 0 THEN (1000000 * max(b1n)) // max(det)
+       |        ELSE -((1000000 * -max(b1n)) // max(det)) END)::BIGINT AS b1_micro,
+       |  (CASE WHEN max(b2n) >= 0 THEN (1000000 * max(b2n)) // max(det)
+       |        ELSE -((1000000 * -max(b2n)) // max(det)) END)::BIGINT AS b2_micro
+       |FROM p GROUP BY split ORDER BY split""".stripMargin
+
+  private lazy val distillStreamOracle: String =
+    s"""$distillCtes
+       |SELECT f.doc_id, f.x1, f.x2,
+       |  (least(1000 * c.det, greatest(0, c.b0n + c.b1n * f.x1 + c.b2n * f.x2))
+       |    // c.det)::BIGINT AS pred_milli
+       |FROM feats f, c
+       |ORDER BY f.doc_id""".stripMargin
 
   /** BPE encode replay (mirror of TextAnalysis.bpeEncodeFrame over the
     * trained merges). Shared by the batch query (vocab_bpe_encode) and
@@ -3080,6 +3165,9 @@ object SparkEntry {
     "text_scrub" -> scrubOracle,
     "stream_scrub" -> scrubOracle,
     "stream_dsir" -> dsirOracle,
+    // distilled-quality serving: per-doc clamp-then-divide prediction
+    // with the SAME train-split rational coefficients as mix_distill
+    "stream_distill" -> distillStreamOracle,
     "stream_bpe_encode" -> bpeEncodeOracle,
     // hot-user monitor: append emission = windows whose END the final
     // watermark passed; tag ties break on the STRING form of user_id
@@ -3368,6 +3456,9 @@ object SparkEntry {
     // DSIR weights: add-one-smoothed target/corpus bucket-count ratio in
     // thousandths, doc weight = floor-mean over token occurrences
     "mix_dsir" -> dsirOracle,
+    // teacher->student distillation: exact-integer normal equations on
+    // the train split, Cramer rationals, clamp-then-divide serving
+    "mix_distill" -> distillOracle,
     "pipeline_source_cap" ->
       """WITH ranked AS (
         |  SELECT source, doc_id,

@@ -486,4 +486,154 @@ object Corpus {
     table(spark, sfDir, "documents")
       .join(shardPlan(spark, sfDir, tokensPerShard), Seq("doc_id"))
       .write.mode("overwrite").partitionBy("shard_id").parquet(outDir)
+
+  // ——— quality-model distillation (teacher -> cheap linear student) ———
+
+  /** Student features for [[distillFit]]: cheap per-row signals that
+    * need NO corpus join — capped token count and stopword per-mille.
+    * The 255 cap bounds both the model's length sensitivity and the
+    * exact-integer magnitude of every normal-equation sum (see
+    * [[distillFit]]'s overflow budget). Rows without tokens are
+    * excluded (the stopword ratio has no denominator).
+    */
+  private[graft] def distillFeatureFrame(docs: DataFrame): DataFrame = {
+    val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+    val toksCol = filter(split(lower(col("text")), " "), t => length(t) > 0)
+    val nStop = size(filter(col("toks"),
+      t => t.isin(stopwords.map(lit(_)): _*))).cast("long")
+    docs
+      .select(col("doc_id"), toksCol.as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_tok"),
+        nStop.as("n_stop"))
+      .filter(col("n_tok") > 0)
+      .select(col("doc_id"),
+        least(col("n_tok"), lit(255L)).as("x1"),
+        expr("(1000 * n_stop) div n_tok").as("x2"))
+  }
+
+  /** The fitted teacher/student relation + the one-row coefficient
+    * table, shared by [[distillFit]] and the streaming scorer.
+    * Returns (scored-docs-with-split, coefficient-row): the second is
+    * ONE row (det, b0n, b1n, b2n) — the exact-integer Cramer solve of
+    * the 3x3 normal equations on the TRAIN split.
+    */
+  private[graft] def distillParts(spark: SparkSession,
+                                  sfDir: String): (DataFrame, DataFrame) = {
+    val feats = distillFeatureFrame(table(spark, sfDir, "documents"))
+    val lm = TextAnalysis.lmScore(spark, sfDir).select("doc_id", "lm_milli")
+    // materialized ONCE (the ccnetBuckets discipline): the teacher
+    // subtree (bigram explode + two corpus joins) feeds the train-split
+    // sums AND the residual pass — production materializes the per-doc
+    // teacher table as its own artifact anyway
+    val j = feats.join(lm, Seq("doc_id"))
+      .withColumn("split",
+        when(col("doc_id") % 5 < 4, lit("train")).otherwise(lit("holdout")))
+      .localCheckpoint()
+    val dec = "decimal(38,0)"
+    val s = j.filter(col("split") === "train").agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("x1")).cast(dec).as("s1"),
+      sum(col("x2")).cast(dec).as("s2"),
+      sum(col("x1") * col("x1")).cast(dec).as("s11"),
+      sum(col("x1") * col("x2")).cast(dec).as("s12"),
+      sum(col("x2") * col("x2")).cast(dec).as("s22"),
+      sum(col("lm_milli")).cast(dec).as("sy"),
+      sum(col("x1") * col("lm_milli")).cast(dec).as("s1y"),
+      sum(col("x2") * col("lm_milli")).cast(dec).as("s2y"))
+    val c = s.select(
+      expr("n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2)")
+        .as("det"),
+      expr("sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y)")
+        .as("b0n"),
+      expr("n*(s1y*s22 - s2y*s12) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2)")
+        .as("b1n"),
+      expr("n*(s11*s2y - s12*s1y) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2)")
+        .as("b2n"))
+    (j, c)
+  }
+
+  /** mix_distill: distill the corpus-LM fluency teacher
+    * ([[TextAnalysis.lmScore]], the expensive bigram-join signal) into
+    * a 3-feature LINEAR student scored per row with no corpus join —
+    * the CCNet -> fastText distillation step a production pipeline runs
+    * so that 100 TB of documents score at map speed while only the
+    * (bounded) fit set ever pays the teacher's join.
+    *
+    * Fit = ordinary least squares by NORMAL EQUATIONS: one map-side-
+    * combinable aggregation produces the 9 Gram/moment sums (n, Sx1,
+    * Sx2, Sx1x1, Sx1x2, Sx2x2, Sy, Sx1y, Sx2y) — all exact integers,
+    * partition-order independent — and the 3x3 solve is Cramer's rule
+    * on those sums, computed in DECIMAL(38,0): coefficients stay exact
+    * RATIONALS (numerator, positive Gram determinant) end to end.
+    * There is no gradient loop and no float in the fit path.
+    *
+    * Per-doc serving keeps integer exactness: pred_milli =
+    * clamp-then-divide — least(1000*det, greatest(0, b0n + b1n*x1 +
+    * b2n*x2)) div det — the clamp happens in exact NUMERATOR space, so
+    * the one integer division is nonnegative/positive, where floor and
+    * truncate agree on every engine. Reported b?_micro use the same
+    * symmetric-truncation CASE. Train/holdout split is a deterministic
+    * doc_id % 5 hash (80/20): the holdout row's mae_milli IS the
+    * generalization audit.
+    *
+    * Overflow budget (documented, not incidental): x1 <= 255, x2 <=
+    * 1000, y <= 1000, so every Cramer term is <= n^3 * 6.5e10 and the
+    * micro-unit numerators <= 1e6 * n^3 * 6.5e10 — inside DECIMAL(38,0)
+    * for n up to ~8e6 fit docs. At 100 TB the fit set is a bounded
+    * deterministic hash-sample (quality classifiers train on samples;
+    * the student scores everything), so n is a design constant, not the
+    * corpus size.
+    *
+    * Plan shape: teacher relation checkpointed once; ONE row of sums;
+    * coefficients broadcast back (the sanctioned one-row constant
+    * join); one final 2-group rollup. Output: (split, n_docs,
+    * mae_milli, mean_pred_milli, mean_lm_milli, b0_micro, b1_micro,
+    * b2_micro), ordered by split.
+    */
+  def distillFit(spark: SparkSession, sfDir: String): DataFrame = {
+    val (j, c) = distillParts(spark, sfDir)
+    j.crossJoin(broadcast(c))
+      .withColumn("pred_milli",
+        expr("least(1000 * det, greatest(CAST(0 AS DECIMAL(38,0)), " +
+          "b0n + b1n * x1 + b2n * x2)) div det"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(abs(pred_milli - lm_milli)) div count(1)").as("mae_milli"),
+        expr("sum(pred_milli) div count(1)").as("mean_pred_milli"),
+        expr("sum(lm_milli) div count(1)").as("mean_lm_milli"),
+        expr("CASE WHEN max(b0n) >= 0 THEN (1000000 * max(b0n)) div max(det) " +
+          "ELSE -((1000000 * -max(b0n)) div max(det)) END").as("b0_micro"),
+        expr("CASE WHEN max(b1n) >= 0 THEN (1000000 * max(b1n)) div max(det) " +
+          "ELSE -((1000000 * -max(b1n)) div max(det)) END").as("b1_micro"),
+        expr("CASE WHEN max(b2n) >= 0 THEN (1000000 * max(b2n)) div max(det) " +
+          "ELSE -((1000000 * -max(b2n)) div max(det)) END").as("b2_micro"))
+      .orderBy("split")
+  }
+
+  /** The fitted coefficients as exact decimal strings, for shipping
+    * into a streaming plan as literals (the bounded one-row pull — the
+    * same fixed-size-collect discipline as the DSIR ratio map and the
+    * decontamination Bloom sketch). Order: (det, b0n, b1n, b2n).
+    */
+  private[graft] def distillCoeffStrings(spark: SparkSession,
+                                         sfDir: String): (String, String, String, String) = {
+    val r = distillParts(spark, sfDir)._2.collect()(0)
+    def s(i: Int): String = r.getDecimal(i).toBigInteger.toString
+    (s(0), s(1), s(2), s(3))
+  }
+
+  /** Score a (possibly streaming) documents frame with batch-fitted
+    * distill coefficients: per-row features + the exact clamp-then-
+    * divide prediction, all inside one narrow projection — no join, no
+    * shuffle, no state. Output: (doc_id, x1, x2, pred_milli).
+    */
+  private[graft] def distillScoreFrame(docs: DataFrame,
+                                       coeffs: (String, String, String, String)): DataFrame = {
+    val (det, b0n, b1n, b2n) = coeffs
+    def d(v: String): String = s"CAST('$v' AS DECIMAL(38,0))"
+    distillFeatureFrame(docs)
+      .withColumn("pred_milli",
+        expr(s"least(1000 * ${d(det)}, greatest(CAST(0 AS DECIMAL(38,0)), " +
+          s"${d(b0n)} + ${d(b1n)} * x1 + ${d(b2n)} * x2)) div ${d(det)}"))
+  }
 }

@@ -726,6 +726,26 @@ object StreamingOps {
       .orderBy("doc_id")
   }
 
+  /** stream_distill: ingest-time distilled-quality scoring — the
+    * streaming twin of mix_distill's SERVING half, in the production
+    * shape: the linear student's coefficients are fitted on the BATCH
+    * corpus (exact-rational Cramer solve; at 100 TB, refit on a
+    * bounded sample per corpus snapshot), pulled to the driver as ONE
+    * row (the same fixed-size-collect discipline as the DSIR ratio
+    * map) and shipped into the plan as decimal literals — each
+    * arriving document then scores in one stateless narrow projection:
+    * no join, no shuffle, no state store. This is exactly why the
+    * distillation exists: the teacher's bigram join cannot run at
+    * ingest; the student can.
+    */
+  def streamDistill(spark: SparkSession, sfDir: String): DataFrame = {
+    val coeffs = graft.ops.Corpus.distillCoeffStrings(spark, sfDir)
+    runToBatch(spark,
+        s => graft.ops.Corpus.distillScoreFrame(harnessDocStream(s, sfDir), coeffs),
+        "stream_distill", OutputMode.Append())
+      .orderBy("doc_id")
+  }
+
   /** stream_bm25: BM25 percolation at ingest — arriving documents are
     * scored against the STORED query workload (the Elasticsearch
     * percolator pattern: queries are the index, documents are the

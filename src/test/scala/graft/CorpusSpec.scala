@@ -290,4 +290,122 @@ class CorpusSpec extends SparkSpec {
       ("en", "middle", 1L, 1L),
       ("en", "tail", 1L, 1L)))
   }
+
+  // —— distillation: exact Cramer solve re-derived with BigInt ——
+
+  private lazy val distillDir: String = {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // ids 1..10: % 5 < 4 -> 8 train, 2 holdout (4, 9); varied length,
+    // stopword mix, and bigram repetition so the teacher has spread.
+    // doc 11 is a 1-token doc: no teacher, still servable by the student
+    writeTable(dir, "documents", Seq(
+      (1L, "the cat sat on the mat", "en", "s", 22L),
+      (2L, "the cat sat on a hat", "en", "s", 20L),
+      (3L, "a dog ran in the park", "en", "s", 21L),
+      (4L, "the dog sat in the park", "en", "s", 23L),
+      (5L, "word salad entropy maximal chaos", "en", "s", 32L),
+      (6L, "the cat sat on the mat again and again", "en", "s", 39L),
+      (7L, "a cat and a dog sat", "en", "s", 19L),
+      (8L, "the park is full of dogs", "en", "s", 24L),
+      (9L, "chaos reigns in the park of dogs", "en", "s", 32L),
+      (10L, "the mat sat on the cat", "en", "s", 22L),
+      (11L, "singleton", "en", "s", 9L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    dir
+  }
+
+  private def bigIntSolve(train: Seq[(Long, Long, Long)])
+    : (BigInt, BigInt, BigInt, BigInt) = {
+    val n = BigInt(train.length)
+    val s1 = train.map(t => BigInt(t._1)).sum
+    val s2 = train.map(t => BigInt(t._2)).sum
+    val s11 = train.map(t => BigInt(t._1) * t._1).sum
+    val s12 = train.map(t => BigInt(t._1) * t._2).sum
+    val s22 = train.map(t => BigInt(t._2) * t._2).sum
+    val sy = train.map(t => BigInt(t._3)).sum
+    val s1y = train.map(t => BigInt(t._1) * t._3).sum
+    val s2y = train.map(t => BigInt(t._2) * t._3).sum
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val b0n = sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      s2 * (s1y * s12 - s11 * s2y)
+    val b1n = n * (s1y * s22 - s2y * s12) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)
+    val b2n = n * (s11 * s2y - s12 * s1y) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)
+    (det, b0n, b1n, b2n)
+  }
+
+  // pred via the clamp-then-divide rule; all operands nonneg at the
+  // division, so BigInt / (trunc) == floor == both engines' int div
+  private def bigIntPred(c: (BigInt, BigInt, BigInt, BigInt),
+                         x1: Long, x2: Long): Long = {
+    val (det, b0n, b1n, b2n) = c
+    val num = b0n + b1n * x1 + b2n * x2
+    ((num.max(BigInt(0)).min(det * 1000)) / det).toLong
+  }
+
+  test("distill: Spark's decimal Cramer solve equals the exact BigInt solve") {
+    val (j, c) = Corpus.distillParts(spark, distillDir)
+    val jr = j.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    // split rule: doc_id % 5 < 4, and the 1-token doc never joins a teacher
+    assert(jr.count(_._5 == "train") === 8)
+    assert(jr.filter(_._5 == "holdout").map(_._1).sorted.toSeq === Seq(4L, 9L))
+    assert(!jr.exists(_._1 == 11L))
+    val expected = bigIntSolve(jr.filter(_._5 == "train")
+      .map(t => (t._2, t._3, t._4)).toSeq)
+    val cr = c.collect()(0)
+    val got = (BigInt(cr.getDecimal(0).toBigInteger), BigInt(cr.getDecimal(1).toBigInteger),
+      BigInt(cr.getDecimal(2).toBigInteger), BigInt(cr.getDecimal(3).toBigInteger))
+    assert(got === expected)
+    assert(expected._1 > 0, "Gram determinant must be positive")
+  }
+
+  test("distillFit: per-split MAE and micro coefficients match the rationals") {
+    val (j, _) = Corpus.distillParts(spark, distillDir)
+    val jr = j.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val cc = bigIntSolve(jr.filter(_._5 == "train").map(t => (t._2, t._3, t._4)).toSeq)
+    def microOf(num: BigInt): Long =
+      (if (num >= 0) (num * 1000000) / cc._1
+       else -((-num * 1000000) / cc._1)).toLong
+    val bySplit = jr.groupBy(_._5).map { case (s, rs) =>
+      val errs = rs.map(t => math.abs(bigIntPred(cc, t._2, t._3) - t._4))
+      val preds = rs.map(t => bigIntPred(cc, t._2, t._3))
+      s -> (rs.length.toLong, errs.sum / rs.length, preds.sum / rs.length,
+        rs.map(_._4).sum / rs.length)
+    }
+    val rows = Corpus.distillFit(spark, distillDir).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("holdout", "train"))
+    rows.foreach { r =>
+      val (n, mae, mp, ml) = bySplit(r.getString(0))
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) === mae)
+      assert(r.getLong(3) === mp)
+      assert(r.getLong(4) === ml)
+      assert(r.getLong(5) === microOf(cc._2))
+      assert(r.getLong(6) === microOf(cc._3))
+      assert(r.getLong(7) === microOf(cc._4))
+    }
+  }
+
+  test("distillScoreFrame: serving equals the fit's predictions, teacher-free docs included") {
+    val (j, _) = Corpus.distillParts(spark, distillDir)
+    val jr = j.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    val cc = bigIntSolve(jr.filter(_._5 == "train").map(t => (t._2, t._3, t._4)).toSeq)
+    val coeffs = Corpus.distillCoeffStrings(spark, distillDir)
+    assert(coeffs._1 === cc._1.toString)
+    val served = Corpus.distillScoreFrame(
+        GraftSession.table(spark, distillDir, "documents"), coeffs)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // every doc with tokens is scored — including the teacher-free 1-token doc
+    assert(served.keySet === (1L to 11L).toSet)
+    served.foreach { case (_, (x1, x2, pred)) =>
+      assert(pred === bigIntPred(cc, x1, x2))
+      assert(pred >= 0L && pred <= 1000L)
+    }
+  }
 }

@@ -51,6 +51,9 @@ class PlanShapeSpec extends SparkSpec {
       "mix_curriculum",
       // the padding audit's 1-row corpus-max broadcast
       "corpus_padding_audit",
+      // the distill fit's 1-row Cramer coefficient broadcast back onto
+      // the scored relation (det + 3 numerators, constant by design)
+      "mix_distill",
       "rel_dq_audit",
       // SemDeDup assigns cells through the same broadcast centroid
       // cross join as sim_ivf; the pair join itself is cell-keyed
