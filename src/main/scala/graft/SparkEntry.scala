@@ -260,6 +260,9 @@ object SparkEntry {
     // composed C4-style pass: gopher gate (narrow, first) -> passage
     // dedup over survivors -> per-source curation summary
     "pipeline_gopher" -> ((s, dir) => Dedup.gopherClean(s, dir)),
+    // filter-stack audit: pairwise confusion matrix of the three
+    // independent keep signals in one narrow pass + scalar rollup
+    "pipeline_rule_agreement" -> ((s, dir) => TextAnalysis.ruleAgreement(s, dir)),
     // source-pair containment matrix: per-window fanout bounded by the
     // source dimension (<= C(S,2) pair rows per window), never corpus
     "corpus_overlap" -> ((s, dir) => Dedup.sourceOverlap(s, dir)),
@@ -2142,6 +2145,66 @@ object SparkEntry {
         |  coalesce(kept.clean_md5, md5('')) AS clean_md5
         |FROM tot LEFT JOIN kept ON tot.doc_id = kept.doc_id
         |ORDER BY tot.doc_id""".stripMargin,
+    // rule-agreement audit: the three keep flags recomputed in one
+    // CTE chain, pairwise confusion sums, 3-row matrix via UNION ALL
+    "pipeline_rule_agreement" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    len(toks)::BIGINT AS n_words,
+         |    coalesce(list_sum(list_transform(toks, x -> length(x))), 0)::BIGINT AS char_mass,
+         |    len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha,
+         |    (length(text) - length(replace(text, '#', '')))::BIGINT AS n_hash,
+         |    ((length(text) - length(replace(text, '...', ''))) // 3)::BIGINT AS n_ellipsis,
+         |    len(list_intersect(toks, ['the','a','of','and','to','in','is','on']))::BIGINT AS n_stop_distinct,
+         |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on')))::BIGINT AS n_stop_occ,
+         |    coalesce(list_sum(list_transform(toks,
+         |      x -> ${h60("'w:' || x")} % 1001 - 500)), 0)::BIGINT AS cscore
+         |  FROM t),
+         |r AS (
+         |  SELECT doc_id, n_words, n_stop_distinct, n_stop_occ, cscore,
+         |    CASE WHEN n_words > 0 THEN char_mass * 1000 // n_words END AS mean_word_len_milli,
+         |    CASE WHEN n_words > 0 THEN n_alpha * 1000 // n_words END AS alpha_word_milli,
+         |    CASE WHEN n_words > 0 THEN (n_hash + n_ellipsis) * 1000 // n_words END AS symbol_milli
+         |  FROM m),
+         |f AS (
+         |  SELECT
+         |    CASE WHEN n_words >= 10 AND n_words <= 100000
+         |      AND mean_word_len_milli IS NOT NULL
+         |      AND mean_word_len_milli BETWEEN 3000 AND 10000
+         |      AND alpha_word_milli IS NOT NULL AND alpha_word_milli >= 800
+         |      AND symbol_milli IS NOT NULL AND symbol_milli < 100
+         |      AND n_stop_distinct >= 2 THEN 1 ELSE 0 END AS g,
+         |    CASE WHEN cscore >= 0 THEN 1 ELSE 0 END AS c,
+         |    CASE WHEN n_words >= 10 AND n_words <= 100000
+         |      AND n_stop_occ * 100 >= n_words THEN 1 ELSE 0 END AS q
+         |  FROM r),
+         |s AS (
+         |  SELECT count(*)::BIGINT AS n,
+         |    sum(g*c)::BIGINT AS gc11, sum(g*(1-c))::BIGINT AS gc10,
+         |    sum((1-g)*c)::BIGINT AS gc01,
+         |    sum(g*q)::BIGINT AS gq11, sum(g*(1-q))::BIGINT AS gq10,
+         |    sum((1-g)*q)::BIGINT AS gq01,
+         |    sum(c*q)::BIGINT AS cq11, sum(c*(1-q))::BIGINT AS cq10,
+         |    sum((1-c)*q)::BIGINT AS cq01
+         |  FROM f),
+         |p AS (
+         |  SELECT 'gopher' AS rule_a, 'classifier' AS rule_b,
+         |    gc11 AS n11, gc10 AS n10, gc01 AS n01,
+         |    n - gc11 - gc10 - gc01 AS n00 FROM s
+         |  UNION ALL SELECT 'gopher', 'quality', gq11, gq10, gq01,
+         |    n - gq11 - gq10 - gq01 FROM s
+         |  UNION ALL SELECT 'classifier', 'quality', cq11, cq10, cq01,
+         |    n - cq11 - cq10 - cq01 FROM s)
+         |SELECT rule_a, rule_b, n11::BIGINT AS n11, n10::BIGINT AS n10,
+         |  n01::BIGINT AS n01, n00::BIGINT AS n00,
+         |  ((1000 * (n11 + n00)) // (n11 + n10 + n01 + n00))::BIGINT AS agree_milli,
+         |  CASE WHEN n11 + n10 + n01 > 0
+         |    THEN ((1000 * n11) // (n11 + n10 + n01))::BIGINT END AS jaccard_milli
+         |FROM p ORDER BY rule_a, rule_b""".stripMargin,
     // composed pipeline: gopher keep-set feeds the passage-dedup CTEs,
     // rolled up per source
     "pipeline_gopher" ->

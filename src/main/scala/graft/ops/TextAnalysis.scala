@@ -1096,6 +1096,73 @@ object TextAnalysis {
   def classifierScore(spark: SparkSession, sfDir: String): DataFrame =
     classifierFrame(table(spark, sfDir, "documents")).orderBy("doc_id")
 
+  /** pipeline_rule_agreement: pairwise confusion matrix between the
+    * three INDEPENDENT keep/drop signals the pipeline can gate on —
+    * the Gopher structural rules ([[gopherRules]]' composite keep),
+    * the hashed-unigram classifier ([[classifierFrame]]'s score >= 0),
+    * and the stopword-density heuristic ([[qualityScore]]'s
+    * quality_keep). This is the audit a corpus build runs BEFORE
+    * committing to a filter stack at 100 TB: a pair that agrees
+    * everywhere means one signal is redundant compute; a pair that
+    * disagrees on a large mass marks exactly the documents to sample
+    * and adjudicate by hand. agree_milli (accuracy-style, includes
+    * both-drop) and jaccard_milli (keep-overlap only) are reported
+    * separately because prevalence skew makes raw agreement flatter
+    * than keep-set overlap.
+    *
+    * Scale shape: all three flags evaluate in ONE narrow per-row pass
+    * over the same token array (no joins between the signal
+    * relations), feed a single 10-sum map-side-combinable aggregation,
+    * and the 3-row matrix unfolds from that one row by a constant
+    * explode — nothing shuffles but the scalar rollup. Output:
+    * (rule_a, rule_b, n11, n10, n01, n00, agree_milli, jaccard_milli)
+    * with n11 = both keep, n10 = only rule_a, ordered by (rule_a,
+    * rule_b). jaccard_milli is NULL when neither rule keeps anything.
+    */
+  def ruleAgreement(spark: SparkSession, sfDir: String,
+                    minWords: Int = 10, maxWords: Int = 100000): DataFrame = {
+    val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val nTok = size(toks).cast("long")
+    val nStopOcc = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).cast("long")
+    val weight: Column => Column = t =>
+      OracleHash.h60(concat(lit("w:"), t)) % 1001L - 500L
+    val cscore = aggregate(toks, lit(0L), (acc, t) => acc + weight(t))
+    val gKeep = gopherColumns(minWords, maxWords).last
+    def pair(a: String, b: String, k: String, n: Column) = struct(
+      lit(a).as("rule_a"), lit(b).as("rule_b"),
+      col(s"${k}11").as("n11"), col(s"${k}10").as("n10"), col(s"${k}01").as("n01"),
+      (n - col(s"${k}11") - col(s"${k}10") - col(s"${k}01")).as("n00"))
+    table(spark, sfDir, "documents")
+      .select(
+        when(gKeep, 1L).otherwise(0L).as("g"),
+        when(cscore >= 0L, 1L).otherwise(0L).as("c"),
+        when(nTok >= minWords && nTok <= maxWords && nStopOcc * 100L >= nTok, 1L)
+          .otherwise(0L).as("q"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("g") * col("c")).as("gc11"),
+        sum(col("g") * (lit(1L) - col("c"))).as("gc10"),
+        sum((lit(1L) - col("g")) * col("c")).as("gc01"),
+        sum(col("g") * col("q")).as("gq11"),
+        sum(col("g") * (lit(1L) - col("q"))).as("gq10"),
+        sum((lit(1L) - col("g")) * col("q")).as("gq01"),
+        sum(col("c") * col("q")).as("cq11"),
+        sum(col("c") * (lit(1L) - col("q"))).as("cq10"),
+        sum((lit(1L) - col("c")) * col("q")).as("cq01"))
+      .select(explode(array(
+        pair("gopher", "classifier", "gc", col("n")),
+        pair("gopher", "quality", "gq", col("n")),
+        pair("classifier", "quality", "cq", col("n")))).as("r"))
+      .select(col("r.rule_a").as("rule_a"), col("r.rule_b").as("rule_b"),
+        col("r.n11").as("n11"), col("r.n10").as("n10"),
+        col("r.n01").as("n01"), col("r.n00").as("n00"))
+      .withColumn("agree_milli",
+        expr("(1000 * (n11 + n00)) div (n11 + n10 + n01 + n00)"))
+      .withColumn("jaccard_milli",
+        expr("CASE WHEN n11 + n10 + n01 > 0 THEN (1000 * n11) div (n11 + n10 + n01) END"))
+      .orderBy("rule_a", "rule_b")
+  }
+
   /** Composable classifier core over any (doc_id, text) frame — see
     * [[scrubFrame]] for the batch/streaming sharing rationale.
     */

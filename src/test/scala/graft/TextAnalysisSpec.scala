@@ -477,6 +477,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("HashAggregate"), plan)
   }
 
+  test("rule agreement: matrix counts equal the joined per-doc signal frames") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // spread across agree/disagree cells: stopword-free prose, dense
+    // stopwords, short docs, symbol-heavy docs
+    writeTable(dir, "documents", Seq(
+      (1L, "the cat sat on the mat and the dog sat too", "en", "s", 42L),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa", "en", "s", 56L),
+      (3L, "short doc", "en", "s", 9L),
+      (4L, "the a of and to in is on the a of and", "en", "s", 37L),
+      (5L, "symbols ### everywhere ### in ### this ### doc ### here ### now", "en", "s", 63L),
+      (6L, "a reasonable sentence with the usual mix of words in it", "en", "s", 55L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // expected flags from the three ORACLE-PINNED per-doc queries
+    val g = TextAnalysis.gopherRules(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("keep"))).toMap
+    val c = TextAnalysis.classifierScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val q = TextAnalysis.qualityScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+    def cells(a: Map[Long, Boolean], b: Map[Long, Boolean]) = {
+      val ids = a.keySet
+      (ids.count(i => a(i) && b(i)).toLong, ids.count(i => a(i) && !b(i)).toLong,
+        ids.count(i => !a(i) && b(i)).toLong, ids.count(i => !a(i) && !b(i)).toLong)
+    }
+    val expected = Map(
+      ("classifier", "quality") -> cells(c, q),
+      ("gopher", "classifier") -> cells(g, c),
+      ("gopher", "quality") -> cells(g, q))
+    val rows = TextAnalysis.ruleAgreement(spark, dir).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ===
+      expected.keys.toSeq.sorted)
+    rows.foreach { r =>
+      val (n11, n10, n01, n00) = expected((r.getString(0), r.getString(1)))
+      assert((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ===
+        ((n11, n10, n01, n00)), s"cells for ${r.getString(0)}/${r.getString(1)}")
+      assert(r.getLong(6) === 1000L * (n11 + n00) / (n11 + n10 + n01 + n00))
+      if (n11 + n10 + n01 > 0)
+        assert(r.getLong(7) === 1000L * n11 / (n11 + n10 + n01))
+      else assert(r.isNullAt(7))
+    }
+    // at least one disagreeing pair exists in this corpus, so the
+    // audit is not trivially diagonal
+    assert(rows.exists(r => r.getLong(3) + r.getLong(4) > 0))
+  }
+
   private implicit class MapOps(
       rows: Array[(Long, Long, Long, Long, Long, Boolean)]) {
     def toMap2: Map[Long, (Long, Long, Long, Long, Boolean)] =
