@@ -59,7 +59,26 @@ object GraftSession {
   /** Read one of the harness parquet tables under `sfDir`.
     * Plain `spark.read.parquet` so Catalyst keeps filter pushdown /
     * column pruning / partition-size splitting for free.
+    *
+    * `events.ts` is normalized to BIGINT epoch NANOS regardless of the
+    * physical type the harness generated: earlier rounds wrote parquet
+    * TIMESTAMP(NANOS) (read as BIGINT via nanosAsLong above), the
+    * current corpus writes TIMESTAMP(MICROS). EventWindows does exact
+    * integral arithmetic on the nanos form (doubles would lose
+    * precision at 1e18), so the micros form is widened exactly
+    * (us * 1000; under the UTC session the NTZ->LTZ cast is the
+    * identity instant). The conversion is a narrow projection over the
+    * scan — column pruning still reaches the footer, and nothing
+    * filters on raw `ts` below it.
     */
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampType) | Some(TimestampNTZType) =>
+        df.withColumn("ts", unix_micros(col("ts").cast("timestamp")) * 1000L)
+      case _ => df
+    }
+  }
 }
