@@ -1177,4 +1177,116 @@ object TextAnalysis {
         aggregate(col("toks"), lit(0L), (acc, t) => acc + weight(t)).as("score"))
       .withColumn("kept", col("score") >= 0L)
   }
+
+  // ——— PII detection & redaction ———
+
+  /** Detection patterns, shared VERBATIM with the DuckDB oracle (Java
+    * regex here, RE2 there — the subset used, ASCII character classes,
+    * bounded repetition and `\b` word boundaries, matches identically
+    * in both engines). Deliberately the standard curation-pipeline
+    * trio — emails, NANP-style phone fragments, dotted-quad IPs — the
+    * cheap high-precision shapes public corpus builds actually scrub
+    * before anything persists raw text.
+    */
+  val piiEmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiPhoneRe: String = "\\b\\d{3}-\\d{4}\\b"
+  val piiIpRe: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII test fixture: the harness corpus is synthetic word salad with
+    * no PII, so the registered query plants deterministic contact
+    * strings derived from doc_id before detecting them — known
+    * positives AND negatives while the input stays a pure projection
+    * of the harness table (the oracle derives the identical text).
+    * doc_id % 3 == 0 gains an email, % 5 == 0 a phone fragment,
+    * % 7 == 0 a dotted-quad, so coverage spans docs carrying 0..3
+    * kinds at once.
+    */
+  private[graft] def piiInjected(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-"),
+            lpad(((col("doc_id") * 7919) % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" host 10."), (col("doc_id") % 256).cast("string"), lit("."),
+            ((col("doc_id") * 31) % 256).cast("string"), lit("."),
+            ((col("doc_id") * 17) % 256).cast("string"))).otherwise(lit("")))
+        .as("text"))
+
+  /** text_pii: PII detection + redaction with audit — count each PII
+    * kind in the raw text, then mask every occurrence and prove the
+    * redacted document by md5 (the scrubFrame pattern: the text itself
+    * never ships). Mask order is part of the contract: emails first
+    * (so an address can never leave digit-dot residue for the IP
+    * pass), then IPs, then phones — the three patterns are mutually
+    * non-overlapping on any input once emails are gone.
+    *
+    * Pure per-row regex projection — no shuffle, stays in whole-stage
+    * codegen, embarrassingly parallel at 100 TB; the redaction stage a
+    * production ingest runs BEFORE the raw crawl persists anywhere.
+    *
+    * Output: (doc_id, n_emails, n_phones, n_ips, pii_total, masked_md5).
+    */
+  def piiFrame(docs: DataFrame): DataFrame = {
+    val masked = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("text"), lit(piiEmailRe), lit("<EMAIL>")),
+        lit(piiIpRe), lit("<IP>")),
+      lit(piiPhoneRe), lit("<PHONE>"))
+    docs
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(piiEmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(piiPhoneRe)).cast("long").as("n_phones"),
+        regexp_count(col("text"), lit(piiIpRe)).cast("long").as("n_ips"),
+        md5(masked).as("masked_md5"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("n_ips"),
+        (col("n_emails") + col("n_phones") + col("n_ips")).as("pii_total"),
+        col("masked_md5"))
+  }
+
+  /** Registered batch form of [[piiFrame]] over the injected corpus. */
+  def piiScan(spark: SparkSession, sfDir: String): DataFrame =
+    piiFrame(piiInjected(table(spark, sfDir, "documents"))).orderBy("doc_id")
+
+  /** vocab_growth: Heaps-law vocabulary growth audit — how fast the
+    * distinct-token vocabulary grows as the corpus is consumed in
+    * doc_id order, reported per corpus decile: new types per decile,
+    * cumulative types, and the token-occurrence volume that bought
+    * them. The canonical diminishing-returns curve a corpus build
+    * checks before paying for more crawl of the same sources (a
+    * flattening curve means new data is re-treading the vocabulary;
+    * tokenizer-vocab and OOV planning read the same curve).
+    *
+    * Scale shape: a token's FIRST bucket is `min(bucket)` over one
+    * hash aggregation on the token key (map-side combinable — NOT a
+    * sort or window over occurrences), the per-bucket occurrence count
+    * is a second aggregation on the ~10-row bucket key, and the only
+    * window runs over the |buckets| result rows. The corpus-max
+    * broadcast is one row. Linear in corpus size at any scale.
+    *
+    * Output: (bucket, n_tokens, n_new_types, cum_tokens, cum_types).
+    */
+  def vocabGrowth(spark: SparkSession, sfDir: String, buckets: Int = 10): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val toks = docs.select(col("doc_id"),
+      explode(filter(split(col("text"), " "), t => length(t) > 0)).as("token"))
+    val maxId = docs.agg(max(col("doc_id")).as("max_id"))
+    val bucketed = toks.crossJoin(broadcast(maxId))
+      .select(expr(s"(doc_id * $buckets) div (max_id + 1)").as("bucket"), col("token"))
+    val occ = bucketed.groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
+    val firstSeen = bucketed.groupBy("token").agg(min(col("bucket")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_new_types"))
+    val w = Window.partitionBy().orderBy("bucket") // |buckets| rows post-agg
+    occ.join(firstSeen, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("n_new_types"), lit(0L)).as("n_new_types"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_types", sum(col("n_new_types")).over(w))
+      .orderBy("bucket")
+  }
 }

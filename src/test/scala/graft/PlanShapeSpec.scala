@@ -51,6 +51,8 @@ class PlanShapeSpec extends SparkSpec {
       "mix_curriculum",
       // the padding audit's 1-row corpus-max broadcast
       "corpus_padding_audit",
+      // the Heaps-law audit's 1-row corpus-max broadcast (bucket edges)
+      "vocab_growth",
       // the distill fit's 1-row Cramer coefficient broadcast back onto
       // the scored relation (det + 3 numerators, constant by design)
       "mix_distill",

@@ -523,6 +523,60 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.exists(r => r.getLong(3) + r.getLong(4) > 0))
   }
 
+  test("pii: detect counts and masked md5 on hand-built contacts") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "reach me at bob.smith@corp.io or 555-1234 thanks"),
+      (2L, "server at 10.0.255.3 and backup 192.168.1.77"),
+      (3L, "no contact info here at all"),
+      (4L, "a@b.co next to 1.2.3.4 call 555-0000")
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.piiFrame(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).sortBy(_._1)
+    assert(rows.map(t => (t._1, t._2, t._3, t._4, t._5)) === Seq(
+      (1L, 1L, 1L, 0L, 2L), (2L, 0L, 0L, 2L, 2L),
+      (3L, 0L, 0L, 0L, 0L), (4L, 1L, 1L, 1L, 3L)))
+    assert(rows(0)._6 === md5Hex("reach me at <EMAIL> or <PHONE> thanks"))
+    assert(rows(2)._6 === md5Hex("no contact info here at all"))
+    assert(rows(3)._6 === md5Hex("<EMAIL> next to <IP> call <PHONE>"))
+  }
+
+  test("pii: injected fixture plants kinds by doc_id residues") {
+    import spark.implicits._
+    // 105 = 3*5*7 gains all three kinds; 11 gains none
+    val docs = Seq((105L, "base"), (11L, "plain")).toDF("doc_id", "text")
+    val rows = TextAnalysis.piiFrame(TextAnalysis.piiInjected(docs)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).sortBy(_._1)
+    assert(rows.map(t => (t._1, t._2, t._3, t._4, t._5)) ===
+      Seq((11L, 0L, 0L, 0L, 0L), (105L, 1L, 1L, 1L, 3L)))
+    // 105*7919 % 10000 = 1495; 105%256=105, 105*31%256=183, 105*17%256=249
+    assert(rows(1)._6 === md5Hex("base contact <EMAIL> call <PHONE> host <IP>"))
+    assert(rows(0)._6 === md5Hex("plain"))
+  }
+
+  test("vocab growth: new types per bucket and cumulative sums") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // max_id 9, 10 buckets -> bucket == doc_id; buckets 2..8 are empty
+    writeTable(dir, "documents", Seq(
+      (0L, "a b a", "en", "s", 5L),
+      (1L, "b c", "en", "s", 3L),
+      (9L, "a d", "en", "s", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = TextAnalysis.vocabGrowth(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(rows === Seq(
+      (0L, 3L, 2L, 3L, 2L),   // types a,b
+      (1L, 2L, 1L, 5L, 3L),   // new type c
+      (9L, 2L, 1L, 7L, 4L)))  // new type d (a already seen)
+  }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   private implicit class MapOps(
       rows: Array[(Long, Long, Long, Long, Long, Boolean)]) {
     def toMap2: Map[Long, (Long, Long, Long, Long, Boolean)] =
