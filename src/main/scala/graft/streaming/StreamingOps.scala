@@ -111,19 +111,28 @@ object StreamingOps {
   import org.apache.spark.sql.types._
 
   /** events.parquet as a file stream. File streams need an explicit
-    * schema; ts arrives as BIGINT nanos (nanosAsLong) and is converted
-    * to a proper event-time TIMESTAMP (micros, floor) for watermarking.
+    * schema, taken from a batch footer read of the same file so the
+    * stream tracks whichever physical `ts` the harness generated:
+    * BIGINT nanos (earlier rounds' TIMESTAMP(NANOS) under nanosAsLong,
+    * floored to micros) or TIMESTAMP(MICROS) (current corpus; the
+    * NTZ->LTZ cast is the identity instant under the UTC session).
+    * Either way downstream sees a proper event-time TIMESTAMP for
+    * watermarking. The footer read is driver-side metadata only — no
+    * job runs.
     */
-  def harnessEventStream(spark: SparkSession, sfDir: String): DataFrame =
+  def harnessEventStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val fileSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val eventTs = fileSchema("ts").dataType match {
+      case LongType => timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000L"))
+      case _        => col("ts").cast("timestamp")
+    }
     spark.readStream
-      .schema(StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType))))
+      .schema(fileSchema)
       // brace-glob: the file stream source needs a directory-rooted glob
       // (a bare file path fails the basePath-must-be-a-directory check)
       .parquet(s"$sfDir/{events.parquet}")
-      .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000L")))
+      .withColumn("ts", eventTs)
+  }
 
   /** documents.parquet as a file stream. */
   def harnessDocStream(spark: SparkSession, sfDir: String): DataFrame =
@@ -697,6 +706,20 @@ object StreamingOps {
     runToBatch(spark,
         s => graft.ops.TextAnalysis.scrubFrame(harnessDocStream(s, sfDir)),
         "stream_scrub", OutputMode.Append())
+      .orderBy("doc_id")
+
+  /** Stateless ingest-time PII redaction — the streaming twin of
+    * text_pii: detection + masking is a pure per-row regex projection,
+    * so the micro-batch plan IS the batch plan with no state store.
+    * This is the one stage a production ingest MUST run at the stream
+    * head — PII has to be gone before the raw crawl persists anywhere,
+    * which is exactly why the operator needs a streaming form at all.
+    */
+  def streamPii(spark: SparkSession, sfDir: String): DataFrame =
+    runToBatch(spark,
+        s => graft.ops.TextAnalysis.piiFrame(
+          graft.ops.TextAnalysis.piiInjected(harnessDocStream(s, sfDir))),
+        "stream_pii", OutputMode.Append())
       .orderBy("doc_id")
 
   /** Stateless ingest-time quality-classifier scoring — the streaming
