@@ -636,4 +636,84 @@ object Corpus {
         expr(s"least(1000 * ${d(det)}, greatest(CAST(0 AS DECIMAL(38,0)), " +
           s"${d(b0n)} + ${d(b1n)} * x1 + ${d(b2n)} * x2)) div ${d(det)}"))
   }
+
+  /** corpus_snapshot_diff: snapshot-over-snapshot corpus diff — the
+    * incremental-ingest audit a crawl pipeline runs when a new
+    * snapshot lands: per source, how many documents were added,
+    * removed, changed, or carried unchanged versus the previous
+    * snapshot. Content comparison is by md5, not text equality, so the
+    * join rows stay fixed-width. The two snapshots here are
+    * deterministic projections of the harness table (old = ids with
+    * doc_id % 10 != 7, new = ids with % 10 != 3, ids with % 10 == 5
+    * re-edited), giving every status a non-empty cohort while the
+    * oracle derives identical inputs.
+    *
+    * Scale shape: ONE full-outer join on doc_id (both sides shuffle on
+    * the id; in production both snapshots are bucketed by doc_id at
+    * write time and the join is exchange-free), a narrow status
+    * projection, and a rollup bounded by |sources| x 4 statuses. Both
+    * snapshot legs read the same base scan, so exchange reuse
+    * collapses the second scan under AQE.
+    */
+  def snapshotDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents").select("doc_id", "source", "text")
+    val prev = docs.filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"), col("source").as("source_old"),
+        md5(col("text")).as("h_old"))
+    val next = docs.filter(col("doc_id") % 10 =!= 3)
+      .select(col("doc_id"), col("source").as("source_new"),
+        md5(when(col("doc_id") % 10 === 5, concat(col("text"), lit(" rev2")))
+          .otherwise(col("text"))).as("h_new"))
+    prev.join(next, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("source_old"), col("source_new")).as("source"),
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "status")
+  }
+
+  /** mix_token_budget: token-budget allocator — given a total training
+    * budget of `budgetX` x the corpus token count, apportion it across
+    * sources by temperature-flattened weights (sqrt of source token
+    * counts, the temperatureMix recipe over TOKENS not docs) and cap
+    * repetition at `maxEpochsMilli` epochs per source (the
+    * data-constrained-scaling rule of thumb: past ~4 epochs, repeated
+    * tokens stop paying; Muennighoff et al. 2023). Reports what each
+    * source WANTS under the weights, what the epoch cap actually
+    * allows, and the shortfall the mix planner must re-apportion.
+    *
+    * All integer arithmetic; the one wide product (w_ppm x corpus
+    * total x budgetX ~ 1e6 x 1e14 x 2 at a 100 T-token corpus) runs in
+    * DECIMAL(38,0) so it cannot wrap a BIGINT — the accumulator
+    * discipline the CC convergence fix established. Plan is one
+    * aggregation over the tokenized corpus to |sources| rows; the
+    * windows run over those rows only.
+    *
+    * Output: (source, n_tokens, w_ppm, want_tokens, epochs_milli,
+    * alloc_tokens, shortfall).
+    */
+  def tokenBudget(spark: SparkSession, sfDir: String,
+                  budgetX: Long = 2L, maxEpochsMilli: Long = 4000L): DataFrame = {
+    val w = Window.partitionBy() // |sources| rows post-aggregate only
+    table(spark, sfDir, "documents")
+      .select(col("source"), TextAnalysis.wsTokenCount(col("text")).as("n"))
+      .groupBy("source").agg(sum(col("n")).as("n_tokens"))
+      .withColumn("s_milli",
+        floor(sqrt(col("n_tokens").cast("double")) * lit(1000d)).cast("long"))
+      .withColumn("tot_s", sum(col("s_milli")).over(w))
+      .withColumn("tot_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("w_ppm", expr("(1000000 * s_milli) div tot_s"))
+      .withColumn("want_tokens",
+        expr(s"(cast(w_ppm as decimal(38,0)) * tot_tokens * ${budgetX}L) div 1000000L"))
+      .withColumn("epochs_milli",
+        least(lit(maxEpochsMilli), expr("(want_tokens * 1000L) div n_tokens")))
+      .withColumn("alloc_tokens", expr("(n_tokens * epochs_milli) div 1000L"))
+      .select(col("source"), col("n_tokens"), col("w_ppm"), col("want_tokens"),
+        col("epochs_milli"), col("alloc_tokens"),
+        (col("want_tokens") - col("alloc_tokens")).as("shortfall"))
+      .orderBy("source")
+  }
 }

@@ -408,4 +408,40 @@ class CorpusSpec extends SparkSpec {
       assert(pred >= 0L && pred <= 1000L)
     }
   }
+
+  test("snapshotDiff: one cohort per status, hand-checked residues") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // %10 residues: 3 -> removed (absent from new), 7 -> added (absent
+    // from old), 5 -> changed (re-edited in new), 4 -> unchanged
+    writeTable(dir, "documents", Seq(
+      (3L, "x", "en", "s1", 1L), (7L, "y", "en", "s1", 1L),
+      (5L, "z", "en", "s2", 1L), (4L, "w", "en", "s2", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = Corpus.snapshotDiff(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows === Seq(
+      ("s1", "added", 1L), ("s1", "removed", 1L),
+      ("s2", "changed", 1L), ("s2", "unchanged", 1L)))
+  }
+
+  test("tokenBudget: exact integer allocation with the epoch cap") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // s1: 9 tokens, s2: 16 tokens -> s_milli 3000/4000, tot_s 7000
+    writeTable(dir, "documents", Seq(
+      (1L, "t t t t t t t t t", "en", "s1", 17L),
+      (2L, "u u u u u u u u u u u u u u u u", "en", "s2", 31L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = Corpus.tokenBudget(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    // w_ppm: (1e6*3000) div 7000 = 428571, (1e6*4000) div 7000 = 571428
+    // want: (w_ppm * 25 * 2) div 1e6 -> 21 / 28
+    // epochs: min(4000, 21000 div 9)=2333, min(4000, 28000 div 16)=1750
+    // alloc: 9*2333 div 1000 = 20, 16*1750 div 1000 = 28
+    assert(rows === Seq(
+      ("s1", 9L, 428571L, 21L, 2333L, 20L, 1L),
+      ("s2", 16L, 571428L, 28L, 1750L, 28L, 0L)))
+  }
 }
