@@ -231,6 +231,12 @@ object SparkEntry {
     // deny-list redaction with audit: blocklisted tokens masked per row
     // (no shuffle), scrubbed text proven by md5
     "text_scrub" -> ((s, dir) => TextAnalysis.scrubDocs(s, dir)),
+    // PII detection + redaction: regex trio (email/phone/IP) counted on
+    // the raw text, masked text proven by md5 — per-row, no shuffle
+    "text_pii" -> ((s, dir) => TextAnalysis.piiScan(s, dir)),
+    // Heaps-law vocabulary growth per corpus decile: new types, cum
+    // types, and the token volume that bought them
+    "vocab_growth" -> ((s, dir) => TextAnalysis.vocabGrowth(s, dir)),
     // hashed linear quality classifier (fastText-style stand-in): score
     // is one array fold per row — the model-based filter rung above the
     // gopher heuristics
@@ -463,6 +469,7 @@ object SparkEntry {
     // micro-batch maps with NO state store — same plans as the batch
     // forms, so they share the batch oracles
     "stream_scrub" -> ((s, dir) => StreamingOps.streamScrub(s, dir)),
+    "stream_pii" -> ((s, dir) => StreamingOps.streamPii(s, dir)),
     "stream_classifier" -> ((s, dir) => StreamingOps.streamClassifier(s, dir)),
     // ingest-time DSIR scoring: batch-derived ratio dimension shipped as
     // a map literal — stateless narrow fold, no stream-side join/shuffle
@@ -511,6 +518,12 @@ object SparkEntry {
     // padding-waste table across batching schemes: global cap vs
     // round-to-256 vs round-to-64 length buckets
     "corpus_padding_audit" -> ((s, dir) => Corpus.paddingAudit(s, dir)),
+    // snapshot-over-snapshot incremental-ingest diff: per-source
+    // added/removed/changed/unchanged via one full-outer join on doc_id
+    "corpus_snapshot_diff" -> ((s, dir) => Corpus.snapshotDiff(s, dir)),
+    // token-budget allocator: temperature weights over token counts,
+    // epoch-capped, DECIMAL(38,0) wide product — shortfall per source
+    "mix_token_budget" -> ((s, dir) => Corpus.tokenBudget(s, dir)),
     // —— explicit skew-mitigation shapes (result-identical to the plain
     //    forms; the PLAN is what differs — see each operator's doc) ——
     "urlcount_salted" -> ((s, dir) =>
@@ -1048,6 +1061,43 @@ object SparkEntry {
       |    t -> CASE WHEN t IN ('customer', 'spark', 'vector') THEN '[REDACTED]' ELSE t END),
       |    ' ')) AS redacted_md5
       |FROM toks ORDER BY doc_id""".stripMargin
+
+  /** PII detect + redact replay (mirror of TextAnalysis.piiFrame over
+    * the piiInjected fixture); shared by text_pii and its stateless
+    * streaming twin. The regex literals are the TextAnalysis pattern
+    * constants verbatim (interpolated, so the two sides cannot drift);
+    * DuckDB regexp_replace needs the explicit 'g' flag Spark applies by
+    * default, and occurrence counting is len(regexp_extract_all).
+    */
+  private lazy val piiOracle: String = {
+    import graft.ops.TextAnalysis.{piiEmailRe, piiIpRe, piiPhoneRe}
+    s"""WITH injected AS (
+       |  SELECT doc_id,
+       |    text ||
+       |    CASE WHEN doc_id % 3 = 0
+       |      THEN ' contact user' || doc_id::VARCHAR || '@example.com' ELSE '' END ||
+       |    CASE WHEN doc_id % 5 = 0
+       |      THEN ' call 555-' || lpad(((doc_id * 7919) % 10000)::VARCHAR, 4, '0')
+       |      ELSE '' END ||
+       |    CASE WHEN doc_id % 7 = 0
+       |      THEN ' host 10.' || (doc_id % 256)::VARCHAR || '.' ||
+       |        ((doc_id * 31) % 256)::VARCHAR || '.' || ((doc_id * 17) % 256)::VARCHAR
+       |      ELSE '' END AS text
+       |  FROM documents),
+       |counted AS (
+       |  SELECT doc_id,
+       |    len(regexp_extract_all(text, '$piiEmailRe'))::BIGINT AS n_emails,
+       |    len(regexp_extract_all(text, '$piiPhoneRe'))::BIGINT AS n_phones,
+       |    len(regexp_extract_all(text, '$piiIpRe'))::BIGINT AS n_ips,
+       |    md5(regexp_replace(regexp_replace(regexp_replace(text,
+       |      '$piiEmailRe', '<EMAIL>', 'g'),
+       |      '$piiIpRe', '<IP>', 'g'),
+       |      '$piiPhoneRe', '<PHONE>', 'g')) AS masked_md5
+       |  FROM injected)
+       |SELECT doc_id, n_emails, n_phones, n_ips,
+       |  (n_emails + n_phones + n_ips)::BIGINT AS pii_total, masked_md5
+       |FROM counted ORDER BY doc_id""".stripMargin
+  }
 
   /** Hashed-unigram linear classifier replay (mirror of
     * TextAnalysis.classifierFrame); shared by text_classifier and its
@@ -3227,6 +3277,69 @@ object SparkEntry {
     // twin produces the identical relation, so it shares the oracle
     "text_scrub" -> scrubOracle,
     "stream_scrub" -> scrubOracle,
+    // PII detect + redact: injected deterministic contacts, regex trio
+    // counted on raw text, masked text proven by md5; stateless
+    // streaming twin shares the oracle
+    "text_pii" -> piiOracle,
+    "stream_pii" -> piiOracle,
+    // Heaps-law growth: first bucket per token via min over one hash
+    // aggregation; cumulative sums over the |buckets| result rows
+    "vocab_growth" ->
+      """WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
+        |tok AS (
+        |  SELECT (doc_id * 10) // (max_id + 1) AS bucket,
+        |    unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS token
+        |  FROM documents, mx),
+        |occ AS (SELECT bucket, count(*)::BIGINT AS n_tokens FROM tok GROUP BY bucket),
+        |fs AS (SELECT token, min(bucket) AS bucket FROM tok GROUP BY token),
+        |nt AS (SELECT bucket, count(*)::BIGINT AS n_new_types FROM fs GROUP BY bucket)
+        |SELECT o.bucket, o.n_tokens,
+        |  coalesce(nt.n_new_types, 0)::BIGINT AS n_new_types,
+        |  sum(o.n_tokens) OVER (ORDER BY o.bucket)::BIGINT AS cum_tokens,
+        |  sum(coalesce(nt.n_new_types, 0)) OVER (ORDER BY o.bucket)::BIGINT AS cum_types
+        |FROM occ o LEFT JOIN nt USING (bucket) ORDER BY bucket""".stripMargin,
+    // snapshot diff: deterministic old/new snapshot projections, one
+    // full-outer join on doc_id, md5 content compare, per-source rollup
+    "corpus_snapshot_diff" ->
+      """WITH snap_old AS (
+        |  SELECT doc_id, source, md5(text) AS h FROM documents WHERE doc_id % 10 <> 7),
+        |snap_new AS (
+        |  SELECT doc_id, source,
+        |    md5(CASE WHEN doc_id % 10 = 5 THEN text || ' rev2' ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 10 <> 3),
+        |d AS (
+        |  SELECT coalesce(o.source, n.source) AS source,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN o.h <> n.h THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM snap_old o FULL OUTER JOIN snap_new n ON o.doc_id = n.doc_id)
+        |SELECT source, status, count(*)::BIGINT AS n_docs
+        |FROM d GROUP BY source, status ORDER BY source, status""".stripMargin,
+    // token-budget allocator: temperature weights over token counts
+    // (sqrt is IEEE-identical, as pipeline_mix_temperature), the wide
+    // product in HUGEINT mirroring Spark's DECIMAL(38,0), 4-epoch cap
+    "mix_token_budget" ->
+      """WITH c AS (
+        |  SELECT source,
+        |    sum(len(list_filter(string_split(text, ' '), t -> length(t) > 0)))::BIGINT
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |s AS (SELECT source, n_tokens,
+        |    floor(sqrt(n_tokens) * 1000)::BIGINT AS s_milli FROM c),
+        |t AS (SELECT source, n_tokens, s_milli,
+        |    sum(s_milli) OVER ()::BIGINT AS tot_s,
+        |    sum(n_tokens) OVER ()::BIGINT AS tot_tokens FROM s),
+        |p AS (SELECT source, n_tokens,
+        |    ((1000000 * s_milli) // tot_s)::BIGINT AS w_ppm, tot_tokens FROM t),
+        |q AS (SELECT source, n_tokens, w_ppm,
+        |    ((w_ppm::HUGEINT * tot_tokens * 2) // 1000000)::BIGINT AS want_tokens FROM p),
+        |e AS (SELECT source, n_tokens, w_ppm, want_tokens,
+        |    least(4000, (want_tokens * 1000) // n_tokens)::BIGINT AS epochs_milli FROM q)
+        |SELECT source, n_tokens, w_ppm, want_tokens, epochs_milli,
+        |  ((n_tokens * epochs_milli) // 1000)::BIGINT AS alloc_tokens,
+        |  (want_tokens - (n_tokens * epochs_milli) // 1000)::BIGINT AS shortfall
+        |FROM e ORDER BY source""".stripMargin,
     "stream_dsir" -> dsirOracle,
     // distilled-quality serving: per-doc clamp-then-divide prediction
     // with the SAME train-split rational coefficients as mix_distill
