@@ -205,6 +205,12 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) => TextAnalysis.repetitionScore(s, dir)),
     // deterministic hash-bucket train/val/test split, per-source report
     "sample_split" -> ((s, dir) => TextAnalysis.stratifiedSplit(s, dir)),
+    // cross-split exact-content leakage audit over the same hash-stable
+    // split: one content-hash aggregation, 3-row stack, no joins
+    "split_leakage" -> ((s, dir) => TextAnalysis.splitLeakage(s, dir)),
+    // source-concentration Lorenz curve + integer Gini (DECIMAL(38,0)
+    // rank-weighted accumulator)
+    "corpus_gini" -> ((s, dir) => Corpus.sourceGini(s, dir)),
     // eval-set (benchmark) leakage check: train docs sharing >= 3
     // distinct 3-grams with the held-out set (threshold chosen so the
     // check is NON-VACUOUS on the synthetic corpus: overlaps reach 4)
@@ -2124,6 +2130,58 @@ object SparkEntry {
          |       WHEN bucket = 98 THEN 'val' ELSE 'test' END AS split,
          |  count(*)::BIGINT AS n_docs
          |FROM b GROUP BY source, split ORDER BY source, split""".stripMargin,
+    // cross-split exact-content leakage: same split assignment as
+    // sample_split, conditional counts per content hash, 3-row unpivot
+    "split_leakage" ->
+      s"""WITH b AS (
+         |  SELECT md5(text) AS h,
+         |    CASE WHEN ${h60("doc_id::VARCHAR")} % 100 <= 97 THEN 'train'
+         |         WHEN ${h60("doc_id::VARCHAR")} % 100 = 98 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |ph AS (
+         |  SELECT h,
+         |    sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)::BIGINT AS n_train,
+         |    sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)::BIGINT AS n_val,
+         |    sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)::BIGINT AS n_test
+         |  FROM b GROUP BY h),
+         |agg AS (
+         |  SELECT
+         |    sum(CASE WHEN n_train > 0 AND n_val > 0 THEN 1 ELSE 0 END)::BIGINT AS c_tv,
+         |    sum(CASE WHEN n_train > 0 AND n_val > 0 THEN n_val ELSE 0 END)::BIGINT AS d_tv,
+         |    sum(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 ELSE 0 END)::BIGINT AS c_tt,
+         |    sum(CASE WHEN n_train > 0 AND n_test > 0 THEN n_test ELSE 0 END)::BIGINT AS d_tt,
+         |    sum(CASE WHEN n_val > 0 AND n_test > 0 THEN 1 ELSE 0 END)::BIGINT AS c_vt,
+         |    sum(CASE WHEN n_val > 0 AND n_test > 0 THEN n_test ELSE 0 END)::BIGINT AS d_vt
+         |  FROM ph)
+         |SELECT 'train_val' AS pair, c_tv AS n_shared_contents, d_tv AS n_leaked_docs FROM agg
+         |UNION ALL
+         |SELECT 'train_test', c_tt, d_tt FROM agg
+         |UNION ALL
+         |SELECT 'val_test', c_vt, d_vt FROM agg
+         |ORDER BY pair""".stripMargin,
+    // source-concentration audit: Lorenz cumulative shares + rank-form
+    // Gini; the rank-weighted sum runs in HUGEINT mirroring Spark's
+    // DECIMAL(38,0) accumulator
+    "corpus_gini" ->
+      """WITH c AS (
+        |  SELECT source,
+        |    sum(len(list_filter(string_split(text, ' '), t -> length(t) > 0)))::BIGINT
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |r AS (
+        |  SELECT source, n_tokens,
+        |    row_number() OVER (ORDER BY n_tokens ASC, source ASC)::BIGINT AS rk,
+        |    sum(n_tokens) OVER (ORDER BY n_tokens ASC, source ASC)::BIGINT AS cum_tokens,
+        |    sum(n_tokens) OVER ()::BIGINT AS tot_tokens,
+        |    count(*) OVER ()::BIGINT AS n_src
+        |  FROM c),
+        |g AS (SELECT *, sum(rk::HUGEINT * n_tokens) OVER () AS s1 FROM r)
+        |SELECT rk, source, n_tokens,
+        |  ((1000 * cum_tokens) // tot_tokens)::BIGINT AS cum_share_milli,
+        |  ((1000 * (2 * s1 - (n_src + 1)::HUGEINT * tot_tokens))
+        |    // (n_src::HUGEINT * tot_tokens))::BIGINT AS gini_milli
+        |FROM g ORDER BY rk""".stripMargin,
     "pipeline_decontaminate" ->
       s"""WITH $docShingles,
          |ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)

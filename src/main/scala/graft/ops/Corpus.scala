@@ -637,6 +637,42 @@ object Corpus {
           s"${d(b0n)} + ${d(b1n)} * x1 + ${d(b2n)} * x2)) div ${d(det)}"))
   }
 
+  /** corpus_gini: source-concentration audit — the Lorenz curve and
+    * Gini coefficient of token volume across sources, the
+    * data-governance number behind "is this corpus one crawl wearing
+    * five hats?". Sources rank ascending by token count; each row
+    * carries its cumulative share (the Lorenz curve a mix report
+    * plots) and the corpus-wide Gini in exact millis via the rank
+    * formula over ascending x:
+    *
+    *   gini_milli = floor(1000 * (2*sum(rk*x) - (n+1)*sum(x))
+    *                      / (n * sum(x)))
+    *
+    * The rank-weighted sum accumulates in DECIMAL(38,0) (HUGEINT in
+    * the oracle): at 1e5 sources x 1e14 tokens the plain BIGINT sum
+    * would wrap. Plan: one aggregation over the tokenized corpus to
+    * |sources| rows; every window runs over those rows only.
+    *
+    * Output: (rk, source, n_tokens, cum_share_milli, gini_milli).
+    */
+  def sourceGini(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy() // |sources| rows post-aggregate only
+    val wOrd = Window.partitionBy().orderBy(col("n_tokens").asc, col("source").asc)
+    table(spark, sfDir, "documents")
+      .select(col("source"), TextAnalysis.wsTokenCount(col("text")).as("n"))
+      .groupBy("source").agg(sum(col("n")).as("n_tokens"))
+      .withColumn("rk", row_number().over(wOrd).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wOrd))
+      .withColumn("tot_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("n_src", count(lit(1)).over(w))
+      .withColumn("s1", sum(expr("cast(rk * n_tokens as decimal(38,0))")).over(w))
+      .select(col("rk"), col("source"), col("n_tokens"),
+        expr("(1000 * cum_tokens) div tot_tokens").as("cum_share_milli"),
+        expr("""(1000 * (2 * s1 - cast(n_src + 1 as decimal(38,0)) * tot_tokens))
+                div (cast(n_src as decimal(38,0)) * tot_tokens)""").as("gini_milli"))
+      .orderBy("rk")
+  }
+
   /** corpus_snapshot_diff: snapshot-over-snapshot corpus diff — the
     * incremental-ingest audit a crawl pipeline runs when a new
     * snapshot lands: per source, how many documents were added,

@@ -139,6 +139,51 @@ object TextAnalysis {
       .orderBy("source", "split")
   }
 
+  /** split_leakage: cross-split contamination audit — for the SAME
+    * hash-stable split assignment as sample_split, count exact-dup
+    * document contents that appear on BOTH sides of each split pair.
+    * This is the bug-check every training pipeline runs on its
+    * held-out sets: a val/test doc whose exact content also sits in
+    * train silently inflates eval numbers, and row-level splitting
+    * cannot see it because the duplicates have different doc_ids.
+    * Reports, per split pair, how many distinct contents leak and how
+    * many docs of the later split are compromised.
+    *
+    * Scale shape: ONE map-side-combinable aggregation on the content
+    * hash (three conditional counts ride in the same pass), a scalar
+    * rollup, and a 3-row stack — linear at any corpus size, no joins.
+    *
+    * Output: (pair, n_shared_contents, n_leaked_docs).
+    */
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = OracleHash.h60(col("doc_id").cast("string")) % 100
+    val perHash = table(spark, sfDir, "documents")
+      .select(md5(col("text")).as("h"),
+        when(bucket <= 97, "train").when(bucket === 98, "val")
+          .otherwise("test").as("split"))
+      .groupBy("h")
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+    perHash
+      .agg(
+        sum(when(col("n_train") > 0 && col("n_val") > 0, 1L).otherwise(0L)).as("c_tv"),
+        sum(when(col("n_train") > 0 && col("n_val") > 0, col("n_val"))
+          .otherwise(0L)).as("d_tv"),
+        sum(when(col("n_train") > 0 && col("n_test") > 0, 1L).otherwise(0L)).as("c_tt"),
+        sum(when(col("n_train") > 0 && col("n_test") > 0, col("n_test"))
+          .otherwise(0L)).as("d_tt"),
+        sum(when(col("n_val") > 0 && col("n_test") > 0, 1L).otherwise(0L)).as("c_vt"),
+        sum(when(col("n_val") > 0 && col("n_test") > 0, col("n_test"))
+          .otherwise(0L)).as("d_vt"))
+      .selectExpr("""stack(3,
+        'train_val',  c_tv, d_tv,
+        'train_test', c_tt, d_tt,
+        'val_test',   c_vt, d_vt) AS (pair, n_shared_contents, n_leaked_docs)""")
+      .orderBy("pair")
+  }
+
   /** Context-window chunking — the step between corpus cleaning and
     * tokenization in a training pipeline: split each doc's token stream
     * into windows of `maxTokens` tokens advancing by a stride of

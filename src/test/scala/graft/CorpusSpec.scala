@@ -444,4 +444,20 @@ class CorpusSpec extends SparkSpec {
       ("s1", 9L, 428571L, 21L, 2333L, 20L, 1L),
       ("s2", 16L, 571428L, 28L, 1750L, 28L, 0L)))
   }
+
+  test("sourceGini: Lorenz shares and rank-form Gini, hand-computed") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // token counts 9 / 16: S=25, S1 = 1*9 + 2*16 = 41
+    // gini = floor(1000 * (2*41 - 3*25) / (2*25)) = 140
+    writeTable(dir, "documents", Seq(
+      (1L, "t t t t t t t t t", "en", "s1", 17L),
+      (2L, "u u u u u u u u u u u u u u u u", "en", "s2", 31L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = Corpus.sourceGini(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(rows === Seq(
+      (1L, "s1", 9L, 360L, 140L),
+      (2L, "s2", 16L, 1000L, 140L)))
+  }
 }

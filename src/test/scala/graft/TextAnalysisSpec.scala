@@ -573,6 +573,31 @@ class TextAnalysisSpec extends SparkSpec {
       (9L, 2L, 1L, 7L, 4L)))  // new type d (a already seen)
   }
 
+  test("split leakage: planted cross-split duplicates are counted per pair") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // recover the hash-split assignment to plant duplicates knowingly
+    val ids = (1L to 2000L).toDF("doc_id")
+      .select(col("doc_id"),
+        (graft.functions.OracleHash.h60(col("doc_id").cast("string")) % 100).as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val trainIds = ids.filter(_._2 <= 97).map(_._1)
+    val valId = ids.find(_._2 == 98).get._1
+    val testId = ids.find(_._2 == 99).get._1
+    val dir = tempSfDir()
+    writeTable(dir, "documents", Seq(
+      (trainIds(0), "dup A", "en", "s", 5L),
+      (valId, "dup A", "en", "s", 5L),       // train<->val leak
+      (trainIds(1), "dup B", "en", "s", 5L),
+      (testId, "dup B", "en", "s", 5L),      // train<->test leak
+      (trainIds(2), "clean", "en", "s", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = TextAnalysis.splitLeakage(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows === Seq(
+      ("train_test", 1L, 1L), ("train_val", 1L, 1L), ("val_test", 0L, 0L)))
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
