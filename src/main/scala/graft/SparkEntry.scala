@@ -541,6 +541,9 @@ object SparkEntry {
     // (the frequency member of the sketch family, like the HLL/GK gates)
     "urlcount_cms" -> ((s, dir) =>
       UrlCount.cmsHeavyHitters(table(s, dir, "documents"), "text")),
+    // URL canonicalization (scheme/www/tracking-param rules) + host
+    // rollup — the cleaning rung a crawl's URL list runs before counting
+    "urlcount_canonical" -> ((s, dir) => UrlCount.canonicalHosts(s, dir)),
     "ev_distinct_users" -> ((s, dir) => EventWindows.distinctUsersPerType(s, dir)),
 
     // —— SQL surface: the custom expression/aggregate toolkit invoked
@@ -3279,6 +3282,31 @@ object SparkEntry {
         |  WHERE length(token) > 0 GROUP BY token)
         |SELECT cnt, count(*)::BIGINT AS n_tokens
         |FROM c GROUP BY cnt ORDER BY cnt""".stripMargin,
+    // URL canonicalization: same fixture derivation, lowercase + strip
+    // scheme/www + drop query for page identity, tracking-param audit
+    "urlcount_canonical" ->
+      """WITH u AS (
+        |  SELECT lower(
+        |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+        |    source || '.example.COM/p/' || (doc_id % 50)::VARCHAR ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN '?utm_source=feed&id=' || (doc_id % 7)::VARCHAR
+        |      ELSE '?id=' || (doc_id % 7)::VARCHAR END) AS lu
+        |  FROM documents),
+        |c AS (
+        |  SELECT regexp_replace(regexp_replace(lu, '^https?://', ''), '^www\.', '')
+        |    AS nw, lu FROM u),
+        |p AS (
+        |  SELECT regexp_extract(nw, '^([^/?]+)', 1) AS host,
+        |    regexp_replace(nw, '\?.*$', '') AS page,
+        |    CASE WHEN len(regexp_extract_all(lu, '[?&](utm_[a-z]+|ref)=')) > 0
+        |      THEN 1 ELSE 0 END AS tracked
+        |  FROM c)
+        |SELECT host, count(*)::BIGINT AS n_urls,
+        |  count(DISTINCT page)::BIGINT AS n_pages,
+        |  sum(tracked)::BIGINT AS n_tracked
+        |FROM p GROUP BY host ORDER BY host""".stripMargin,
     // int8 quantization: all integer math on non-negative magnitudes
     // with the sign reapplied — trunc and floor division agree there,
     // and every product stays far below 2^53 so the double-division

@@ -191,4 +191,49 @@ object UrlCount {
       .groupBy("token").agg(count(lit(1)).as("cnt"))
       .groupBy("cnt").agg(count(lit(1)).as("n_tokens"))
       .orderBy("cnt")
+
+  /** urlcount_canonical: URL canonicalization + host rollup — the
+    * cleaning rung between a raw crawl's URL list and the counting
+    * family above. Real crawl URLs disagree on scheme case, www
+    * prefixes, and tracking parameters while naming the same page;
+    * counting raw strings over-counts every host. Canonicalization
+    * here: lowercase, strip scheme, strip leading www., drop the query
+    * string for page identity (the aggressive URL-dedup rule), and
+    * audit how many URLs carried tracking (utm_* / ref) parameters.
+    *
+    * The URL fixture is a deterministic projection of the documents
+    * table (the harness corpus has no URLs): host from `source`, path
+    * from doc_id residues, mixed-case scheme + www + tracking params
+    * by doc_id parity — so every canonicalization rule has positives
+    * and negatives and the oracle derives identical input.
+    *
+    * Per-row regex projection + one rollup on the host key — the same
+    * shape (and scale story) as tokenCounts: linear, map-side
+    * combinable, distinct-page counting two-phase on (host, page).
+    *
+    * Output: (host, n_urls, n_pages, n_tracked).
+    */
+  def canonicalHosts(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = graft.GraftSession.table(spark, sfDir, "documents")
+    val url = concat(
+      when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("http://")),
+      when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      col("source"), lit(".example.COM/p/"), (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("?utm_source=feed&id="), (col("doc_id") % 7).cast("string")))
+        .otherwise(concat(lit("?id="), (col("doc_id") % 7).cast("string"))))
+    val lowered = lower(url)
+    val noWww = regexp_replace(regexp_replace(lowered, "^https?://", ""),
+      "^www\\.", "")
+    docs.select(
+        regexp_extract(noWww, "^([^/?]+)", 1).as("host"),
+        regexp_replace(noWww, "\\?.*$", "").as("page"),
+        when(regexp_count(lowered, lit("[?&](utm_[a-z]+|ref)=")) > 0, 1L)
+          .otherwise(0L).as("tracked"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("page")).as("n_pages"),
+        sum(col("tracked")).as("n_tracked"))
+      .orderBy("host")
+  }
 }

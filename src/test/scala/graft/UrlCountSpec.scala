@@ -130,4 +130,20 @@ class UrlCountSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got === Seq((1L, 1L), (2L, 2L), (3L, 1L)))
   }
+
+  test("url canonicalization: scheme/www/query rules and tracking audit") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // id 6: HTTPS+WWW+utm (tracked); id 1: http, plain ?id; id 3: www, no utm
+    writeTable(dir, "documents", Seq(
+      (6L, "x", "en", "srcA", 1L),
+      (1L, "x", "en", "srcA", 1L),
+      (3L, "x", "en", "srcB", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = UrlCount.canonicalHosts(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows === Seq(
+      ("srca.example.com", 2L, 2L, 1L),   // pages /p/6 and /p/1
+      ("srcb.example.com", 1L, 1L, 0L)))
+  }
 }
