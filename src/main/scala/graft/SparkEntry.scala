@@ -286,6 +286,10 @@ object SparkEntry {
     // misses (big doc swallows the union)
     "dedup_containment" -> ((s, dir) => Dedup.ngramContainmentPairs(s, dir)),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minHashLsh(s, dir)),
+    // sketch-quality audit: estimated vs exact Jaccard over the SAME
+    // LSH candidates, rolled into 21 error bands — the k/bands tuning
+    // table a 100 TB dedup run reads before trusting the sketch
+    "dedup_minhash_calibration" -> ((s, dir) => Dedup.minhashCalibration(s, dir)),
     // production-path hash family (xxhash64) — not DuckDB-reproducible,
     // so no oracleSql entry: the driver records the weaker rows-only
     // check, and DedupSpec pins its semantics against the oracle variant
@@ -2387,6 +2391,49 @@ object SparkEntry {
          |SELECT doc_a, doc_b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // sketch-calibration replay: same sig/band/cand chain as the LSH
+    // oracle, exact Jaccard from shingle-set inter/union, integer error
+    // bands shifted so floor-division never sees a negative numerator
+    "dedup_minhash_calibration" ->
+      s"""WITH $repDocShingles,
+         |sig AS (
+         |  SELECT doc_id, i, min(${h60("i || ':' || shingle")}) AS mh
+         |  FROM sh, UNNEST(range(0, 16)) AS u(i)
+         |  GROUP BY doc_id, i),
+         |band AS (
+         |  SELECT doc_id, (i // 4) AS band, string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
+         |  FROM sig GROUP BY doc_id, (i // 4)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    ((1000 * sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)) // 16)::BIGINT
+         |      AS est_milli
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.doc_a
+         |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+         |  GROUP BY c.doc_a, c.doc_b),
+         |inter AS (
+         |  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS inter
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.doc_a
+         |  JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+         |  GROUP BY c.doc_a, c.doc_b),
+         |sz AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+         |ex AS (
+         |  SELECT e.doc_a, e.doc_b, e.est_milli,
+         |    ((1000 * coalesce(i.inter, 0))
+         |      // (za.sz + zb.sz - coalesce(i.inter, 0)))::BIGINT AS exact_milli
+         |  FROM est e
+         |  LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+         |  JOIN sz za ON za.doc_id = e.doc_a
+         |  JOIN sz zb ON zb.doc_id = e.doc_b)
+         |SELECT ((est_milli - exact_milli + 1000) // 100)::BIGINT AS err_band,
+         |  count(*)::BIGINT AS n_pairs,
+         |  (sum(abs(est_milli - exact_milli)) // count(*))::BIGINT AS mean_abs_err_milli
+         |FROM ex GROUP BY err_band ORDER BY err_band""".stripMargin,
     // compaction replay: folded = per-side band keys unioned; compacted
     // = the global-rep rebuild count (the semi-join keeps exactly the
     // rows a from-scratch rebuild would produce)

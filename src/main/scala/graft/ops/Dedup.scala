@@ -230,6 +230,71 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** dedup_minhash_calibration: sketch-quality audit — for every LSH
+    * candidate pair, compare the MinHash Jaccard ESTIMATE (sketch-slot
+    * agreement) against the EXACT shingle-set Jaccard, rolled up into
+    * error bands. This is the table that justifies (or indicts) the
+    * k/bands choice before a 100 TB dedup run trusts the sketch: a fat
+    * band far from zero error means k is too small for the corpus's
+    * similarity profile. "Measure, don't guess" applied to the sketch
+    * itself.
+    *
+    * All integer: est_milli = (1000 * agreeing slots) div k,
+    * exact_milli from inter/union counts, err_band =
+    * (est - exact + 1000) div 100 (shifted so floor-division never sees
+    * a negative numerator — `div` truncates toward zero, `//` floors).
+    *
+    * Scale shape: candidates come from the SAME band self-join as the
+    * LSH rung (bucket-mates only, representatives only — never
+    * all-pairs); exact intersections join shingles onto candidate PAIRS
+    * (cost = sum over pairs of shingle-set size, linear in candidate
+    * volume); the rollup is bounded at 21 bands. The HOF sketch compare
+    * is interpreted (CodegenFallback) but runs only on candidate pairs.
+    */
+  def minhashCalibration(spark: SparkSession, sfDir: String,
+                         shingleN: Int = 3, k: Int = 16,
+                         bands: Int = 4): DataFrame = {
+    val sh = shingles(representatives(table(spark, sfDir, "documents")), shingleN)
+      .localCheckpoint()
+    val r = k / bands
+    val sig = sh.groupBy("doc_id")
+      .agg(graft.functions.MinHashSketch.sketch(col("shingle"), k, "md5").as("sigs"))
+      .localCheckpoint()
+    val bandSig = sig
+      .withColumn("band", explode(array((0 until bands).map(lit(_)): _*)))
+      .withColumn("sig", array_join(
+        transform(slice(col("sigs"), col("band") * r + 1, lit(r)), _.cast("string")), ","))
+      .select("doc_id", "band", "sig")
+    val cand = bandSig.as("a").join(bandSig.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .localCheckpoint()
+    val est = cand
+      .join(sig.select(col("doc_id").as("doc_a"), col("sigs").as("sigs_a")), Seq("doc_a"))
+      .join(sig.select(col("doc_id").as("doc_b"), col("sigs").as("sigs_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"(1000 * size(filter(zip_with(sigs_a, sigs_b, (x, y) -> x = y), " +
+          s"a -> a))) div $k").as("est_milli"))
+    val inter = cand
+      .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"),
+        col("doc_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    est
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sz.select(col("doc_id").as("doc_a"), col("sz").as("sz_a")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("sz").as("sz_b")), Seq("doc_b"))
+      .withColumn("inter", coalesce(col("inter"), lit(0L)))
+      .withColumn("exact_milli", expr("(1000 * inter) div (sz_a + sz_b - inter)"))
+      .groupBy(expr("(est_milli - exact_milli + 1000) div 100").as("err_band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(abs(est_milli - exact_milli)) div count(1)").as("mean_abs_err_milli"))
+      .orderBy("err_band")
+  }
+
   // -------------------------------------------------------------------
   // Incremental dedup against a PERSISTED signature index — the shape a
   // production crawl pipeline runs daily: the corpus's minhash band

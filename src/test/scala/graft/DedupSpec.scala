@@ -408,4 +408,23 @@ class DedupSpec extends SparkSpec {
     // shared = 1, totals (A=2, B=1) -> containment = 1000*1 div 1 = 1000
     assert(rows === Seq(("srcA", "srcB", 1L, 2L, 1L, 1000L)))
   }
+
+  test("minhash calibration: near-dups band near zero error, disjoint docs never pair") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    val base = (1 to 30).map(i => s"w$i").mkString(" ")
+    writeTable(dir, "documents", Seq(
+      (1L, base + " tail1", "en", "s", 10L),
+      (2L, base + " tail2", "en", "s", 10L),   // near-dup of 1: high jaccard
+      (3L, (31 to 60).map(i => s"z$i").mkString(" "), "en", "s", 10L) // disjoint
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = Dedup.minhashCalibration(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // exactly the (1,2) candidate pair; its estimate sits within one
+    // band of the exact score (err_band 10 = zero-centered, +-1 band =
+    // +-200 milli of sketch noise at k=16)
+    assert(rows.map(_._2).sum === 1L)
+    assert(rows.forall { case (band, _, mae) =>
+      band >= 8L && band <= 12L && mae <= 250L })
+  }
 }
