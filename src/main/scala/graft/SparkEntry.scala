@@ -364,6 +364,9 @@ object SparkEntry {
     "sim_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
     // per-label centroid stats (order-independent integer accumulation)
     "emb_label_centroids" -> ((s, dir) => Similarity.labelCentroids(s, dir)),
+    // batch-hard triplet mining: hardest positive + hardest negative per
+    // strided anchor via one min/max-struct aggregation (no rank window)
+    "emb_triplet_mining" -> ((s, dir) => Similarity.tripletMining(s, dir)),
     // embedding health check: zero-vector detection + exact-integer
     // norm stats per label (cosine is undefined on zero norms)
     "emb_norm_audit" -> ((s, dir) => Similarity.normAudit(s, dir)),
@@ -2581,6 +2584,34 @@ object SparkEntry {
     "sim_bruteforce" -> bruteForceOracle,
     // graft_dot SQL-surface twin: identical relation by construction
     "sql_cosine" -> bruteForceOracle,
+    // batch-hard triplet mining: the min/max-struct extremes replayed as
+    // rank-1 rows of the two orderings (ties on vec_id both sides)
+    "emb_triplet_mining" ->
+      s"""WITH emb AS (
+         |  SELECT vec_id, label::BIGINT AS label, embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
+         |      FROM emb WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT q.q_id, q.q_label, e.label, e.vec_id AS n_id,
+         |    ${cosMilli("q.qv", "e.v")} AS cos_milli
+         |  FROM emb e JOIN q ON e.vec_id != q.q_id),
+         |posr AS (
+         |  SELECT q_id, n_id, cos_milli,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY cos_milli ASC, n_id ASC) AS rk
+         |  FROM scored WHERE label = q_label),
+         |negr AS (
+         |  SELECT q_id, n_id, cos_milli,
+         |    row_number() OVER (PARTITION BY q_id
+         |                       ORDER BY cos_milli DESC, n_id ASC) AS rk
+         |  FROM scored WHERE label != q_label)
+         |SELECT p.q_id, p.n_id AS pos_id, p.cos_milli AS pos_cos_milli,
+         |  n.n_id AS neg_id, n.cos_milli AS neg_cos_milli,
+         |  (p.cos_milli - n.cos_milli)::BIGINT AS margin_milli
+         |FROM posr p JOIN negr n USING (q_id)
+         |WHERE p.rk = 1 AND n.rk = 1
+         |ORDER BY q_id""".stripMargin,
     "sim_lsh_ann" ->
       s"""WITH $lshBucketsCte,
          |q AS (SELECT vec_id AS q_id, v AS qv, band, sig FROM bucketed),

@@ -477,6 +477,53 @@ object Similarity {
         expr("(s - pmod(s, n)) div n").as("mean_micros"))
       .orderBy("label", "i")
 
+  /** emb_triplet_mining: contrastive training-pair mining (the
+    * batch-hard recipe, Schroff et al. 2015 FaceNet §3.2 applied
+    * corpus-side): for each strided anchor, the hardest POSITIVE (the
+    * same-label vector with LOWEST cosine — the pull the loss must
+    * close) and the hardest NEGATIVE (the other-label vector with
+    * HIGHEST cosine — the push), with the margin between them. A
+    * negative margin marks a violated triplet: the signal that decides
+    * whether an embedding model needs another fine-tune round, and the
+    * mined pairs ARE its training data. This is the embedding-side twin
+    * of the teacher-student distillation rung: the corpus engine
+    * manufactures supervision, not just filters.
+    *
+    * Scale shape: identical to sim_bruteforce — the strided anchor set
+    * is bounded and broadcast, the corpus streams past once, and the
+    * per-anchor extremes are ONE min/max-struct aggregation (map-side
+    * combinable; no rank window, no per-anchor sort). Ties break on
+    * vec_id via the struct's second field. Anchors lacking a same-label
+    * or other-label counterpart are dropped (no denominator).
+    *
+    * Output: (q_id, pos_id, pos_cos_milli, neg_id, neg_cos_milli,
+    * margin_milli), ordered by q_id.
+    */
+  def tripletMining(spark: SparkSession, sfDir: String,
+                    stride: Int = 50): DataFrame = {
+    val emb = table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val anchors = emb.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"))
+    val scored = emb.join(broadcast(anchors), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("q_label"), col("label"),
+        col("vec_id").as("n_id"), cosMilli(col("qv"), col("v")).as("cos_milli"))
+    scored.groupBy("q_id")
+      .agg(
+        min(when(col("label") === col("q_label"),
+          struct(col("cos_milli"), col("n_id")))).as("pos"),
+        min(when(col("label") =!= col("q_label"),
+          struct((-col("cos_milli")).as("neg_cos"), col("n_id")))).as("neg"))
+      .filter(col("pos").isNotNull && col("neg").isNotNull)
+      .select(col("q_id"),
+        col("pos.n_id").as("pos_id"), col("pos.cos_milli").as("pos_cos_milli"),
+        col("neg.n_id").as("neg_id"), (-col("neg.neg_cos")).as("neg_cos_milli"))
+      .withColumn("margin_milli", col("pos_cos_milli") - col("neg_cos_milli"))
+      .orderBy("q_id")
+  }
+
   /** Scalar int8 quantization report — the vector-COMPRESSION rung of
     * the embedding family (ANN finds neighbors; quantization is how
     * 100 TB of float32 vectors fit storage/memory at 4x less): each

@@ -42,6 +42,9 @@ class PlanShapeSpec extends SparkSpec {
     val sanctioned = Set("sim_ivf", "sim_ivf_kmeans", "sim_ivf_indexed", "sim_recall",
       "urlcount_cms", "sql_cms", "emb_label_centroids",
       "sim_bruteforce", "sim_allpairs", "text_tfidf", "src_zorder",
+      // triplet mining broadcasts the same bounded strided anchor set
+      // as sim_bruteforce
+      "emb_triplet_mining",
       // bm25's 1-row (tot, n_docs) corpus-stats broadcast, the same
       // shape as tfidf's one-row corpus count (the indexed form reads
       // the same stats from its stored metadata table)

@@ -227,4 +227,21 @@ class SimilaritySpec extends SparkSpec {
       (0L, 1L, 2L, 8250000000000L),
       (0L, 2L, 1L, -16000000000000L)))
   }
+
+  test("triplet mining: hardest positive pulls, hardest negative pushes, exact margins") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "embeddings", Seq(
+      (0L, vec(0), 0),                 // anchor (0 % 50 == 0), label 0
+      (1L, vec(0), 0),                 // same-label exact dup: cos 1000
+      (2L, vec(1), 0),                 // same-label orthogonal: cos 0 -> hardest positive
+      (3L, mix(0, 1, 3f, 1f), 1),      // other label, cos 948 -> hardest negative
+      (4L, vec(2), 1)                  // other label, cos 0
+    ).toDF("vec_id", "embedding", "label"))
+    val rows = Similarity.tripletMining(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // cos(anchor, id3) = 3/sqrt(10) -> floor(948.68) = 948
+    assert(rows === Seq((0L, 2L, 0L, 3L, 948L, -948L)))
+  }
 }
