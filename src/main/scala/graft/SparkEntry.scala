@@ -483,6 +483,9 @@ object SparkEntry {
     // forms, so they share the batch oracles
     "stream_scrub" -> ((s, dir) => StreamingOps.streamScrub(s, dir)),
     "stream_pii" -> ((s, dir) => StreamingOps.streamPii(s, dir)),
+    // ingest-time canonical-host monitor: stateless per-row URL rules,
+    // Complete-mode rollup bounded by |hosts|
+    "stream_urlcount_canonical" -> ((s, dir) => StreamingOps.streamCanonicalHosts(s, dir)),
     "stream_classifier" -> ((s, dir) => StreamingOps.streamClassifier(s, dir)),
     // ingest-time DSIR scoring: batch-derived ratio dimension shipped as
     // a map literal — stateless narrow fold, no stream-side join/shuffle
@@ -3360,6 +3363,28 @@ object SparkEntry {
         |  WHERE length(token) > 0 GROUP BY token)
         |SELECT cnt, count(*)::BIGINT AS n_tokens
         |FROM c GROUP BY cnt ORDER BY cnt""".stripMargin,
+    // streaming canonical-host monitor: the batch oracle minus the
+    // distinct-page column (unsupported under a streaming rollup)
+    "stream_urlcount_canonical" ->
+      """WITH u AS (
+        |  SELECT lower(
+        |    CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'http://' END ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+        |    source || '.example.COM/p/' || (doc_id % 50)::VARCHAR ||
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN '?utm_source=feed&id=' || (doc_id % 7)::VARCHAR
+        |      ELSE '?id=' || (doc_id % 7)::VARCHAR END) AS lu
+        |  FROM documents),
+        |c AS (
+        |  SELECT regexp_replace(regexp_replace(lu, '^https?://', ''), '^www\.', '')
+        |    AS nw, lu FROM u),
+        |p AS (
+        |  SELECT regexp_extract(nw, '^([^/?]+)', 1) AS host,
+        |    CASE WHEN len(regexp_extract_all(lu, '[?&](utm_[a-z]+|ref)=')) > 0
+        |      THEN 1 ELSE 0 END AS tracked
+        |  FROM c)
+        |SELECT host, count(*)::BIGINT AS n_urls, sum(tracked)::BIGINT AS n_tracked
+        |FROM p GROUP BY host ORDER BY host""".stripMargin,
     // URL canonicalization: same fixture derivation, lowercase + strip
     // scheme/www + drop query for page identity, tracking-param audit
     "urlcount_canonical" ->

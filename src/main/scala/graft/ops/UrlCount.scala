@@ -213,8 +213,22 @@ object UrlCount {
     *
     * Output: (host, n_urls, n_pages, n_tracked).
     */
-  def canonicalHosts(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = graft.GraftSession.table(spark, sfDir, "documents")
+  def canonicalHosts(spark: SparkSession, sfDir: String): DataFrame =
+    canonicalUrls(graft.GraftSession.table(spark, sfDir, "documents"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("page")).as("n_pages"),
+        sum(col("tracked")).as("n_tracked"))
+      .orderBy("host")
+
+  /** The per-row canonicalization core over any (doc_id, source) frame —
+    * shared by the batch rollup and the streaming twin (which drops the
+    * distinct-page count: chaining a distinct aggregation under a
+    * streaming Complete-mode rollup is unsupported, and host-level
+    * n_urls/n_tracked is the ingest-monitor signal anyway).
+    * Output: (host, page, tracked).
+    */
+  private[graft] def canonicalUrls(docs: DataFrame): DataFrame = {
     val url = concat(
       when(col("doc_id") % 2 === 0, lit("HTTPS://")).otherwise(lit("http://")),
       when(col("doc_id") % 3 === 0, lit("WWW.")).otherwise(lit("")),
@@ -230,10 +244,5 @@ object UrlCount {
         regexp_replace(noWww, "\\?.*$", "").as("page"),
         when(regexp_count(lowered, lit("[?&](utm_[a-z]+|ref)=")) > 0, 1L)
           .otherwise(0L).as("tracked"))
-      .groupBy("host")
-      .agg(count(lit(1)).as("n_urls"),
-        countDistinct(col("page")).as("n_pages"),
-        sum(col("tracked")).as("n_tracked"))
-      .orderBy("host")
   }
 }

@@ -263,6 +263,21 @@ object StreamingOps {
         "stream_tokens", OutputMode.Complete())
       .orderBy("token")
 
+  /** Ingest-time URL canonicalization monitor — the streaming twin of
+    * urlcount_canonical's host rollup: the per-row canonicalization is
+    * stateless, and the Complete-mode rollup's state is bounded by the
+    * host count. Drops the batch form's distinct-page count (a distinct
+    * aggregation under a streaming rollup is unsupported); host-level
+    * n_urls/n_tracked is the signal an ingest monitor alerts on.
+    */
+  def streamCanonicalHosts(spark: SparkSession, sfDir: String): DataFrame =
+    runToBatch(spark,
+        s => graft.ops.UrlCount.canonicalUrls(harnessDocStream(s, sfDir))
+          .groupBy("host")
+          .agg(count(lit(1)).as("n_urls"), sum(col("tracked")).as("n_tracked")),
+        "stream_urls", OutputMode.Complete())
+      .orderBy("host")
+
   /** Streaming exact dedup: the stateful ingest-time variant of
     * Dedup.exact — dropDuplicates over the normalized-content key keeps
     * the FIRST arrival per key in the state store and suppresses the
