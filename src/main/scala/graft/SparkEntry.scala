@@ -234,6 +234,9 @@ object SparkEntry {
     // the index OUTLIVES the query: term-bucketed stored postings +
     // 1-row stats metadata; serving touches index tables only
     "text_bm25_indexed" -> ((s, dir) => TextAnalysis.bm25Indexed(s, dir)),
+    // hybrid retrieval: query-by-document BM25 + exact-cosine rankings
+    // fused with integer Reciprocal Rank Fusion over the top-k lists
+    "text_hybrid_rrf" -> ((s, dir) => TextAnalysis.hybridRrf(s, dir)),
     // deny-list redaction with audit: blocklisted tokens masked per row
     // (no shuffle), scrubbed text proven by md5
     "text_scrub" -> ((s, dir) => TextAnalysis.scrubDocs(s, dir)),
@@ -849,7 +852,12 @@ object SparkEntry {
     * unrolls the same formula over batch-collected artifacts;
     * TextAnalysisSpec pins the hand-computed values).
     */
-  private lazy val bm25ScoreCtes: String =
+  /** The corpus half of the BM25 oracle — inverted-index statistics
+    * shared by every BM25 replay regardless of where its query workload
+    * comes from (fixed VALUES for text_bm25/stream_bm25; the anchor
+    * documents' own terms for text_hybrid_rrf).
+    */
+  private lazy val bm25CorpusCtes: String =
     """WITH toks AS (
       |  SELECT doc_id,
       |    unnest(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS term
@@ -858,7 +866,10 @@ object SparkEntry {
       |dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY doc_id),
       |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
       |st AS (SELECT (SELECT count(*) FROM toks)::BIGINT AS tot,
-      |              (SELECT count(*) FROM documents)::BIGINT AS n_docs),
+      |              (SELECT count(*) FROM documents)::BIGINT AS n_docs)""".stripMargin
+
+  private lazy val bm25ScoreCtes: String =
+    s"""$bm25CorpusCtes,
       |q(query_id, term) AS (VALUES
       |  (0, 'spark'), (0, 'table'), (0, 'join'),
       |  (1, 'fast'), (1, 'scan'), (1, 'filter'),
@@ -2103,6 +2114,55 @@ object SparkEntry {
         |  FROM sc)
         |SELECT query_id, doc_id, score_micro, rk
         |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
+    // hybrid RRF: the bm25 corpus CTEs with the anchors' own distinct
+    // terms as the query workload (self-match excluded), the
+    // sim_bruteforce cosine replay, and an integer-division fuse over
+    // the two top-20 lists — every stage the exact mirror of the plan
+    "text_hybrid_rrf" ->
+      s"""$bm25CorpusCtes,
+        |q AS (
+        |  SELECT doc_id::BIGINT AS query_id,
+        |    unnest(list_distinct(list_filter(string_split(lower(text), ' '),
+        |      t -> length(t) > 0))) AS term
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |sc AS (
+        |  SELECT q.query_id, tf.doc_id,
+        |    sum((((2*n_docs - 2*df + 1) * 1000) // (2*df + 1))
+        |        * ((22000 * tf * tot) // (10*tot*tf + 3*tot + 9*dl*n_docs)))::BIGINT
+        |      AS score_micro
+        |  FROM q JOIN tf USING (term) JOIN df USING (term)
+        |    JOIN dl USING (doc_id) CROSS JOIN st
+        |  WHERE tf.doc_id <> q.query_id
+        |  GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score_micro DESC, doc_id::VARCHAR ASC) AS rk_lex
+        |  FROM sc QUALIFY rk_lex <= 20),
+        |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |qv AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
+        |semsc AS (
+        |  SELECT qv.q_id, e.vec_id AS n_id, ${cosMilli("qv.qv", "e.v")} AS cos_milli
+        |  FROM emb e CROSS JOIN qv WHERE e.vec_id != qv.q_id),
+        |sem AS (
+        |  SELECT q_id AS query_id, n_id AS doc_id,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY cos_milli DESC, n_id ASC) AS rk_sem
+        |  FROM semsc QUALIFY rk_sem <= 20),
+        |fused AS (
+        |  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+        |    coalesce(l.doc_id, s.doc_id) AS doc_id,
+        |    (coalesce(1000000 // (60 + l.rk_lex), 0)
+        |     + coalesce(1000000 // (60 + s.rk_sem), 0))::BIGINT AS rrf_micro
+        |  FROM lex l FULL OUTER JOIN sem s
+        |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
+        |ranked AS (
+        |  SELECT query_id, doc_id, rrf_micro,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY rrf_micro DESC, doc_id ASC)::BIGINT AS rk
+        |  FROM fused)
+        |SELECT query_id, doc_id, rrf_micro, rk
+        |FROM ranked WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
     // stored-index serving: identical relation to the inline scorer by
     // construction (same scoring tail; df = posting-list length)
     "text_bm25_indexed" ->

@@ -367,8 +367,16 @@ object TextAnalysis {
     * the bounded per-query top-k aggregate.
     */
   private def bm25Serve(postings: DataFrame, qdim: DataFrame,
-                        stats: DataFrame, k: Int): DataFrame = {
-    val scored = postings.join(qdim, "term")
+                        stats: DataFrame, k: Int,
+                        excludeSelf: Boolean = false): DataFrame = {
+    val joined = postings.join(qdim, "term")
+    // query-by-document workloads rank the anchor's own document first
+    // by construction; drop it BEFORE scoring so the top-k buffer never
+    // carries the degenerate self-match
+    val candidates =
+      if (excludeSelf) joined.filter(col("doc_id") =!= col("query_id"))
+      else joined
+    val scored = candidates
       .crossJoin(broadcast(stats))
       .withColumn("idf_milli",
         expr("((2*n_docs - 2*df + 1) * 1000) div (2*df + 1)"))
@@ -428,6 +436,73 @@ object TextAnalysis {
     val dft = pruned.groupBy("term").agg(count(lit(1)).as("df"))
     val qdim = broadcast(qterms.join(dft, "term"))
     bm25Serve(pruned, qdim, spark.table(statsName), k)
+  }
+
+  /** text_hybrid_rrf: hybrid retrieval — lexical BM25 and semantic
+    * cosine rankings fused with Reciprocal Rank Fusion (Cormack,
+    * Clarke & Buettcher 2009, "Reciprocal Rank Fusion outperforms
+    * Condorcet and individual Rank Learning Methods"). The
+    * related-document workload every RAG corpus build and
+    * retrieval-based decontamination pass runs: each anchor document
+    * (every `stride`-th doc, the same bounded strided workload as
+    * sim_bruteforce) retrieves its kList lexical neighbors
+    * (query-by-document BM25: the anchor's own terms are the query,
+    * self-match excluded) and its kList semantic neighbors (exact
+    * cosine from the anchor's embedding — ids are parallel across
+    * documents/embeddings), and the two rankings fuse as
+    *   rrf_micro = sum over lists containing d of 1e6 div (60 + rank)
+    * — integer division, so the fused score is exactly replayable (the
+    * float 1/(60+r) differs from this by a monotone rescale only; 60
+    * is the paper's k).
+    *
+    * Plan shape at 100 TB: the lexical half is the text_bm25 serving
+    * plan (postings pruned by the broadcast anchor-term dimension,
+    * bounded TopKTagAgg — one hot anchor never lands its candidates on
+    * one task); the semantic half is the sim_bruteforce scan (broadcast
+    * anchor vectors, one corpus pass — swap in the IVF probe for an
+    * approximate serving path, same output contract). The fuse itself
+    * touches ONLY the two top-k lists: a full-outer hash join on
+    * (query_id, doc_id) over <= |anchors| * kList rows per side, then a
+    * per-anchor window over <= 2*kList rows — bounded by the workload,
+    * never the corpus.
+    *
+    * Output: (query_id, doc_id, rrf_micro, rk), rk = 1..k by fused
+    * score desc / doc_id asc, ordered.
+    */
+  def hybridRrf(spark: SparkSession, sfDir: String, k: Int = 10,
+                kList: Int = 20, stride: Int = 50, rrfK: Int = 60): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val terms = docs.select(col("doc_id"),
+      explode(filter(split(lower(col("text")), " "), t => length(t) > 0)).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val postings = tf.join(dl, "doc_id")
+    val stats = terms.agg(count(lit(1)).as("tot"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // query-by-document: the anchors' OWN distinct terms are the query
+    // workload — bounded by |anchors|, broadcast like any bm25 qdim
+    val anchors = docs.filter(col("doc_id") % stride === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(filter(split(lower(col("text")), " "),
+          t => length(t) > 0))).as("term"))
+    val qdim = broadcast(anchors.join(dft, "term"))
+    val lex = bm25Serve(postings, qdim, stats, kList, excludeSelf = true)
+      .select(col("query_id"), col("doc_id"), col("rk").as("rk_lex"))
+    val sem = graft.ops.Similarity.bruteForceTopK(spark, sfDir, kList, stride)
+      .select(col("q_id").as("query_id"), col("n_id").as("doc_id"),
+        col("rk").as("rk_sem"))
+    val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr(s"1000000 div ($rrfK + rk_lex)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($rrfK + rk_sem)"), lit(0L)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_micro").desc, col("doc_id").asc)
+    fused.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("doc_id"), col("rrf_micro"),
+        col("rk").cast("long").as("rk"))
+      .orderBy("query_id", "rk")
   }
 
   /** Batch-side BM25 serving artifacts for the streaming percolator:

@@ -49,6 +49,10 @@ class PlanShapeSpec extends SparkSpec {
       // shape as tfidf's one-row corpus count (the indexed form reads
       // the same stats from its stored metadata table)
       "text_bm25", "text_bm25_indexed",
+      // hybrid RRF composes the text_bm25 stats broadcast AND the
+      // sim_bruteforce strided-anchor broadcast; the fuse join itself
+      // is a bounded hash join over the two top-k lists
+      "text_hybrid_rrf",
       // the curriculum schedule's 1-row (sum_q, total_tokens, n_src)
       // totals broadcast into the |sources|-row stats table
       "mix_curriculum",

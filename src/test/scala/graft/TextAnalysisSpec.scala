@@ -197,6 +197,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Seq((0L, 1L, 2491000L, 1L), (0L, 2L, 694200L, 2L)))
   }
 
+  test("hybrid rrf: lexical and semantic ranks fuse by exact integer reciprocal") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // anchors (stride 2) = docs 0 and 2; ids parallel across tables
+    writeTable(dir, "documents", Seq(
+      (0L, "cat dog", "en", "s", 7L),
+      (1L, "cat dog", "en", "s", 7L), // anchor 0's only lexical match
+      (2L, "bird", "en", "s", 4L),    // no lexical neighbor at all
+      (3L, "fish", "en", "s", 4L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    writeTable(dir, "embeddings", Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(0f, 1f, 0f, 0f), 0),
+      (2L, Seq(1f, 0f, 0f, 0f), 0), // cos(0,2) = 1000
+      (3L, Seq(0f, 0f, 1f, 0f), 0)
+    ).toDF("vec_id", "embedding", "label"))
+    val got = TextAnalysis.hybridRrf(spark, dir, k = 3, kList = 2, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // anchor 0: lex rk1 = doc1 (identical text; self excluded); sem rk1 =
+    //   doc2 (cos 1000), rk2 = doc1 (cos-0 tie broken by id asc, doc3 cut
+    //   at kList=2). doc1 = 1e6//61 + 1e6//62 = 16393 + 16129 = 32522;
+    //   doc2 = 16393 (sem-only).
+    // anchor 2: zero lexical candidates ('bird' appears nowhere else) —
+    //   pure-semantic fallback: doc0 rk1 = 16393, doc1 rk2 = 16129.
+    assert(got === Seq(
+      (0L, 1L, 32522L, 1L), (0L, 2L, 16393L, 2L),
+      (2L, 0L, 16393L, 1L), (2L, 1L, 16129L, 2L)))
+  }
+
   test("bpe pair counts: word-frequency-weighted adjacent pairs, ranked") {
     import spark.implicits._
     val dir = tempSfDir()
