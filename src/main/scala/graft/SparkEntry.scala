@@ -537,6 +537,9 @@ object SparkEntry {
     // padding-waste table across batching schemes: global cap vs
     // round-to-256 vs round-to-64 length buckets
     "corpus_padding_audit" -> ((s, dir) => Corpus.paddingAudit(s, dir)),
+    // concat-and-chunk packing into 2048-token windows over the
+    // epoch-0 shuffle order: per-shard prefix sums, never a global sort
+    "corpus_pack" -> ((s, dir) => Corpus.packPlan(s, dir)),
     // snapshot-over-snapshot incremental-ingest diff: per-source
     // added/removed/changed/unchanged via one full-outer join on doc_id
     "corpus_snapshot_diff" -> ((s, dir) => Corpus.snapshotDiff(s, dir)),
@@ -3679,6 +3682,30 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY epoch, shard
          |                     ORDER BY hkey, doc_id)::BIGINT AS pos
          |FROM s ORDER BY epoch, shard, pos""".stripMargin,
+    // concat-and-chunk packing: same epoch-0 hash order and hash-range
+    // shards as corpus_shuffle; prefix sums give each doc's span, the
+    // rollup counts windows, tail padding and boundary-straddling docs
+    "corpus_pack" ->
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split(lower(text), ' '), t -> length(t) > 0))::BIGINT AS n,
+         |    ${h60("'0:' || doc_id::VARCHAR")} AS hkey
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, n, hkey,
+         |    least(hkey // ${(1L << 60) / 8}, 7)::BIGINT AS shard
+         |  FROM d WHERE n > 0),
+         |c AS (
+         |  SELECT shard, doc_id, n,
+         |    sum(n) OVER (PARTITION BY shard ORDER BY hkey, doc_id
+         |                 ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_end
+         |  FROM s)
+         |SELECT shard, count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS total_tokens,
+         |  ((sum(n) + 2047) // 2048)::BIGINT AS n_windows,
+         |  (((sum(n) + 2047) // 2048) * 2048 - sum(n))::BIGINT AS pad_tokens,
+         |  sum(CASE WHEN (cum_end - n) // 2048 <> (cum_end - 1) // 2048
+         |      THEN 1 ELSE 0 END)::BIGINT AS n_boundary_docs
+         |FROM c GROUP BY shard ORDER BY shard""".stripMargin,
     "corpus_overlap" ->
       s"""WITH toks AS (
          |  SELECT source, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks

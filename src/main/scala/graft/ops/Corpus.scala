@@ -481,6 +481,59 @@ object Corpus {
       .orderBy("epoch", "shard", "pos")
   }
 
+  /** corpus_pack: concat-and-chunk sequence packing — the layout step
+    * that turns a shuffled corpus into fixed-length training windows
+    * (the GPT-style "pack documents back to back, slice every
+    * contextLen tokens" builder; the padding audit's 'global'/'bucket'
+    * schemes are what this replaces). Docs are ordered by the SAME
+    * epoch-0 seeded hash and contiguous hash-range shards as
+    * [[epochShuffle]], so the packed layout is the replayable training
+    * order; within a shard each doc occupies [cum_end - n, cum_end) in
+    * the concatenated token stream and windows are contextLen slices of
+    * it. Reported per shard: docs, tokens, windows (= ceil of the shard
+    * total — padding exists ONLY in the final window's tail), pad
+    * tokens, and how many docs straddle a window edge (the count that
+    * motivates boundary-aware attention masking; ~total/contextLen of
+    * them is inherent to concat packing).
+    *
+    * Scale shape: one shuffle keyed on shard; the prefix sum is a
+    * PER-SHARD window (shards are sized to one training file, so the
+    * partition is budget-bounded by construction — never a global
+    * sort); the rollup is map-side partial over |shards| rows.
+    *
+    * Output: (shard, n_docs, total_tokens, n_windows, pad_tokens,
+    * n_boundary_docs) ordered by shard.
+    */
+  def packPlan(spark: SparkSession, sfDir: String, contextLen: Long = 2048,
+               nShards: Int = 8): DataFrame = {
+    val width = (1L << 60) / nShards
+    val toksCol = filter(split(lower(col("text")), " "), t => length(t) > 0)
+    val d = table(spark, sfDir, "documents")
+      .select(col("doc_id"), size(toksCol).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .withColumn("hkey",
+        graft.functions.OracleHash.h60i(lit(0L), col("doc_id").cast("string")))
+      .withColumn("shard",
+        least(expr(s"hkey div ${width}L"), lit(nShards - 1L)).cast("long"))
+    val w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum_end", sum(col("n")).over(w))
+      .withColumn("first_w", expr(s"(cum_end - n) div ${contextLen}L"))
+      .withColumn("last_w", expr(s"(cum_end - 1) div ${contextLen}L"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        expr(s"(sum(n) + ${contextLen - 1}L) div ${contextLen}L")
+          .as("n_windows"),
+        sum(when(col("first_w") =!= col("last_w"), 1L).otherwise(0L))
+          .as("n_boundary_docs"))
+      .withColumn("pad_tokens",
+        col("n_windows") * contextLen - col("total_tokens"))
+      .select("shard", "n_docs", "total_tokens", "n_windows", "pad_tokens",
+        "n_boundary_docs")
+      .orderBy("shard")
+  }
+
   def writeShards(spark: SparkSession, sfDir: String, outDir: String,
                   tokensPerShard: Long = 2048): Unit =
     table(spark, sfDir, "documents")

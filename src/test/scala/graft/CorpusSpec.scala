@@ -221,6 +221,37 @@ class CorpusSpec extends SparkSpec {
     assert(again === rows)
   }
 
+  test("pack plan: accounting matches a plain-Scala replay of the shuffle order") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // doc i carries i tokens — spans differ, so small windows force
+    // boundary crossings
+    writeTable(dir, "documents", (1L to 40L).map(i =>
+      (i, (1L to i).map(_ => "w").mkString(" "), "en", "s", 2 * i)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val c = 16L
+    val got = Corpus.packPlan(spark, dir, contextLen = c, nShards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // independent replay: epochShuffle's epoch-0 (shard, pos) IS the
+    // pack order by construction; fold token counts per shard in Scala
+    val order = Corpus.epochShuffle(spark, dir, epochs = 1, nShards = 8).collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(1))) // (shard, pos, doc)
+    val expected = order.groupBy(_._1).toSeq.sortBy(_._1).map { case (shard, sh) =>
+      val ns = sh.sortBy(_._2).map(_._3) // token count of doc i = i
+      val cums = ns.scanLeft(0L)(_ + _).tail
+      val total = cums.last
+      val nWin = (total + c - 1) / c
+      val nBoundary = ns.zip(cums).count { case (n, end) =>
+        (end - n) / c != (end - 1) / c }
+      (shard, ns.length.toLong, total, nWin, nWin * c - total, nBoundary.toLong)
+    }
+    assert(got === expected)
+    // every shard must be populated and windows cover tokens exactly once
+    assert(got.map(_._1) === (0L to 7L))
+    assert(got.map(t => t._4 * c) === got.map(t => t._3 + t._5))
+  }
+
   test("padding audit: hand-computed waste under global and bucketed caps") {
     import spark.implicits._
     val dir = tempSfDir()
