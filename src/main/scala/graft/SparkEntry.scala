@@ -2123,11 +2123,14 @@ object SparkEntry {
     // the two top-20 lists — every stage the exact mirror of the plan
     "text_hybrid_rrf" ->
       s"""$bm25CorpusCtes,
+        |anchors AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 50 = 0
+        |  ORDER BY doc_id LIMIT 100),
         |q AS (
-        |  SELECT doc_id::BIGINT AS query_id,
-        |    unnest(list_distinct(list_filter(string_split(lower(text), ' '),
+        |  SELECT d.doc_id::BIGINT AS query_id,
+        |    unnest(list_distinct(list_filter(string_split(lower(d.text), ' '),
         |      t -> length(t) > 0))) AS term
-        |  FROM documents WHERE doc_id % 50 = 0),
+        |  FROM documents d JOIN anchors a ON d.doc_id = a.doc_id),
         |sc AS (
         |  SELECT q.query_id, tf.doc_id,
         |    sum((((2*n_docs - 2*df + 1) * 1000) // (2*df + 1))
@@ -2143,7 +2146,8 @@ object SparkEntry {
         |                       ORDER BY score_micro DESC, doc_id::VARCHAR ASC) AS rk_lex
         |  FROM sc QUALIFY rk_lex <= 20),
         |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        |qv AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
+        |qv AS (SELECT e.vec_id AS q_id, e.v AS qv
+        |       FROM emb e JOIN anchors a ON e.vec_id = a.doc_id),
         |semsc AS (
         |  SELECT qv.q_id, e.vec_id AS n_id, ${cosMilli("qv.qv", "e.v")} AS cos_milli
         |  FROM emb e CROSS JOIN qv WHERE e.vec_id != qv.q_id),

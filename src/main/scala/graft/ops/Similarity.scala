@@ -74,6 +74,29 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** Brute-force cosine top-k for a CALLER-SUPPLIED query-id frame
+    * (one `q_id` column, bounded by the caller — text_hybrid_rrf's
+    * absolute-size anchor set). Same plan as [[bruteForceTopK]]: the
+    * query vectors broadcast, the corpus scans once; ids absent from
+    * the embeddings table simply contribute no queries (inner join).
+    */
+  def bruteForceTopKFor(spark: SparkSession, sfDir: String,
+                        queryIds: DataFrame, k: Int = 10): DataFrame = {
+    val emb = embeddings(spark, sfDir)
+    val queries = emb.join(queryIds.select(col("q_id")),
+        col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("v").as("qv"))
+    val scored = emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosMilli(col("qv"), col("v")).as("cos_milli"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("cos_milli").desc, col("n_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("n_id"), col("cos_milli"))
+      .orderBy("q_id", "rk")
+  }
+
   /** All-pairs cosine over a FIXED-SIZE sample (exact verification stage
     * for embedding near-dup). Quadratic BY DESIGN — it exists to verify
     * the ANN/LSH rungs against ground truth — so the sample must be an

@@ -455,14 +455,22 @@ object TextAnalysis {
     * float 1/(60+r) differs from this by a monotone rescale only; 60
     * is the paper's k).
     *
-    * Plan shape at 100 TB: the lexical half is the text_bm25 serving
-    * plan (postings pruned by the broadcast anchor-term dimension,
-    * bounded TopKTagAgg — one hot anchor never lands its candidates on
-    * one task); the semantic half is the sim_bruteforce scan (broadcast
-    * anchor vectors, one corpus pass — swap in the IVF probe for an
-    * approximate serving path, same output contract). The fuse itself
+    * Plan shape at 100 TB: the anchor set is an ABSOLUTE size — the
+    * `nAnchors` smallest strided doc ids (TakeOrdered, the same
+    * discipline as sim_allpairs' fixed 500-id sample) — because a
+    * purely strided workload is corpus-PROPORTIONAL and turns
+    * fixed-workload serving into workload x corpus quadratic growth
+    * (measured: the 10x dup-heavy probe put replica ids on the stride
+    * and ran 51x before this bound). The lexical half is then the
+    * text_bm25 serving plan (postings pruned by the broadcast
+    * anchor-term dimension, bounded TopKTagAgg — one hot anchor never
+    * lands its candidates on one task); the semantic half is the
+    * sim_bruteforce scan over the SAME anchor ids (broadcast anchor
+    * vectors, one corpus pass — swap in the IVF probe for an
+    * approximate serving path, same output contract; anchors without a
+    * stored embedding fall back to lexical-only). The fuse itself
     * touches ONLY the two top-k lists: a full-outer hash join on
-    * (query_id, doc_id) over <= |anchors| * kList rows per side, then a
+    * (query_id, doc_id) over <= nAnchors * kList rows per side, then a
     * per-anchor window over <= 2*kList rows — bounded by the workload,
     * never the corpus.
     *
@@ -470,8 +478,11 @@ object TextAnalysis {
     * score desc / doc_id asc, ordered.
     */
   def hybridRrf(spark: SparkSession, sfDir: String, k: Int = 10,
-                kList: Int = 20, stride: Int = 50, rrfK: Int = 60): DataFrame = {
+                kList: Int = 20, stride: Int = 50, rrfK: Int = 60,
+                nAnchors: Int = 100): DataFrame = {
     val docs = table(spark, sfDir, "documents")
+    val anchorIds = docs.filter(col("doc_id") % stride === 0)
+      .select(col("doc_id").as("q_id")).orderBy("q_id").limit(nAnchors)
     val terms = docs.select(col("doc_id"),
       explode(filter(split(lower(col("text")), " "), t => length(t) > 0)).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -481,15 +492,15 @@ object TextAnalysis {
       .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // query-by-document: the anchors' OWN distinct terms are the query
-    // workload — bounded by |anchors|, broadcast like any bm25 qdim
-    val anchors = docs.filter(col("doc_id") % stride === 0)
+    // workload — bounded by nAnchors, broadcast like any bm25 qdim
+    val anchors = docs.join(anchorIds, col("doc_id") === col("q_id"))
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(filter(split(lower(col("text")), " "),
           t => length(t) > 0))).as("term"))
     val qdim = broadcast(anchors.join(dft, "term"))
     val lex = bm25Serve(postings, qdim, stats, kList, excludeSelf = true)
       .select(col("query_id"), col("doc_id"), col("rk").as("rk_lex"))
-    val sem = graft.ops.Similarity.bruteForceTopK(spark, sfDir, kList, stride)
+    val sem = graft.ops.Similarity.bruteForceTopKFor(spark, sfDir, anchorIds, kList)
       .select(col("q_id").as("query_id"), col("n_id").as("doc_id"),
         col("rk").as("rk_sem"))
     val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
