@@ -218,6 +218,10 @@ object SparkEntry {
     // bloom-prefiltered twin: same relation, the eval-set-too-big-to-
     // broadcast scale path (bloom sketch ships instead of the set)
     "pipeline_decontaminate_bloom" -> ((s, dir) => Dedup.decontaminateBloom(s, dir)),
+    // embedding-space complement: each train doc's closest eval item +
+    // leak flag — catches paraphrased leakage n-grams cannot see
+    "pipeline_decontaminate_semantic" ->
+      ((s, dir) => Similarity.semanticDecontaminate(s, dir)),
     // context-window chunking (64-token windows, 8-token overlap);
     // chunk content is proven by md5, not shipped
     "text_chunks" -> ((s, dir) => TextAnalysis.chunkDocs(s, dir)),
@@ -2271,6 +2275,25 @@ object SparkEntry {
          |GROUP BY s.doc_id
          |HAVING count(*) >= 3
          |ORDER BY doc_id""".stripMargin,
+    // semantic complement: best eval match per train vector over the
+    // bounded held-out set; leak flag is a column so the hash covers
+    // the whole scoring surface
+    "pipeline_decontaminate_semantic" ->
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |ev AS (SELECT vec_id AS eval_id, v AS ev FROM emb
+         |       WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 50),
+         |sc AS (
+         |  SELECT t.vec_id AS doc_id, e.eval_id,
+         |    ${cosMilli("t.v", "e.ev")} AS cos_milli
+         |  FROM emb t CROSS JOIN ev e WHERE t.vec_id % 97 != 0),
+         |best AS (
+         |  SELECT doc_id, eval_id, cos_milli,
+         |    row_number() OVER (PARTITION BY doc_id
+         |                       ORDER BY cos_milli DESC, eval_id ASC) AS rk
+         |  FROM sc)
+         |SELECT doc_id, eval_id AS best_eval_id, cos_milli,
+         |  (CASE WHEN cos_milli >= 400 THEN 1 ELSE 0 END)::BIGINT AS leaked
+         |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     // bloom twin: the exact-confirm join makes the relation identical to
     // pipeline_decontaminate — the bloom only pre-drops non-overlapping
     // train shingles, never a qualifying one

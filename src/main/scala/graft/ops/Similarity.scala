@@ -626,6 +626,50 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** pipeline_decontaminate_semantic: embedding-space decontamination —
+    * the semantic complement of Dedup.decontaminate's n-gram overlap
+    * gate: paraphrased or reformatted eval leakage shares no 3-gram but
+    * sits next to the eval item in embedding space, so modern corpus
+    * builds run BOTH checks before training. The eval suite is the
+    * same `% evalMod` held-out ids as the n-gram rung, bounded to an
+    * ABSOLUTE size (`maxEval` smallest — an eval benchmark is a fixed
+    * artifact; a corpus-proportional "eval set" would re-quadratize
+    * serving, the text_hybrid_rrf lesson). Every train vector scores
+    * against the broadcast eval set in one corpus scan; the audit emits
+    * each train doc's closest eval item and whether it clears the
+    * leak threshold — the drop list plus the evidence, never an empty
+    * relation (the flag is a column, not a filter, so the oracle hash
+    * covers the whole scoring surface).
+    *
+    * Scale shape: one broadcast of <= maxEval vectors, one narrow
+    * corpus scan, a per-train-vector window over <= maxEval rows (no
+    * corpus-keyed shuffle beyond the window's partitioning), linear at
+    * any corpus size.
+    *
+    * Output: (doc_id, best_eval_id, cos_milli, leaked) ordered by
+    * doc_id; leaked = 1 iff cos_milli >= threshMilli.
+    */
+  def semanticDecontaminate(spark: SparkSession, sfDir: String,
+                            evalMod: Int = 97, maxEval: Int = 50,
+                            threshMilli: Long = 400): DataFrame = {
+    val emb = embeddings(spark, sfDir)
+    val eval = emb.filter(col("vec_id") % evalMod === 0)
+      .orderBy("vec_id").limit(maxEval)
+      .select(col("vec_id").as("eval_id"), col("v").as("ev"))
+    val scored = emb.filter(col("vec_id") % evalMod =!= 0)
+      .crossJoin(broadcast(eval))
+      .select(col("vec_id").as("doc_id"), col("eval_id"),
+        cosMilli(col("v"), col("ev")).as("cos_milli"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("cos_milli").desc, col("eval_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("eval_id").as("best_eval_id"),
+        col("cos_milli"),
+        when(col("cos_milli") >= threshMilli, 1L).otherwise(0L).as("leaked"))
+      .orderBy("doc_id")
+  }
+
   /** sim_pq: product-quantization audit — the ANN-compression rung
     * beyond scalar int8 (`quantizeInt8Report`): split each 64-dim
     * vector into 8 subvectors of 8 dims, code each subvector by its

@@ -53,6 +53,9 @@ class PlanShapeSpec extends SparkSpec {
       // sim_bruteforce strided-anchor broadcast; the fuse join itself
       // is a bounded hash join over the two top-k lists
       "text_hybrid_rrf",
+      // semantic decontamination broadcasts the ABSOLUTE-size eval
+      // vector set (<= 50 rows) against one corpus scan
+      "pipeline_decontaminate_semantic",
       // the curriculum schedule's 1-row (sum_q, total_tokens, n_src)
       // totals broadcast into the |sources|-row stats table
       "mix_curriculum",

@@ -154,6 +154,21 @@ class SimilaritySpec extends SparkSpec {
     assert(rows === Seq((1L, 500000L, 1969L, 1969L), (2L, 0L, 0L, 0L)))
   }
 
+  test("semantic decontamination: best eval match with id tie-break, flag at threshold") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // evalMod 2 -> eval = even ids {0, 2}; train = odd ids {1, 3}
+    writeTable(dir, "embeddings", Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (2L, Seq(0f, 1f, 0f, 0f), 0),
+      (1L, Seq(1f, 0f, 0f, 0f), 0), // identical to eval 0: cos 1000, leaked
+      (3L, Seq(0f, 0f, 1f, 0f), 0)  // orthogonal to both: cos-0 tie -> eval 0
+    ).toDF("vec_id", "embedding", "label"))
+    val rows = Similarity.semanticDecontaminate(spark, dir, evalMod = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows === Seq((1L, 0L, 1000L, 1L), (3L, 0L, 0L, 0L)))
+  }
+
   test("semdedup: drops within-cell near-copies toward the smallest id; copies collapse first") {
     import spark.implicits._
     val dir = tempSfDir()
