@@ -494,6 +494,10 @@ object SparkEntry {
     // Complete-mode rollup bounded by |hosts|
     "stream_urlcount_canonical" -> ((s, dir) => StreamingOps.streamCanonicalHosts(s, dir)),
     "stream_classifier" -> ((s, dir) => StreamingOps.streamClassifier(s, dir)),
+    // ingest-time embedding-space leak gate: bounded eval vectors
+    // unrolled into one stateless projection per arrival
+    "stream_decontaminate_semantic" ->
+      ((s, dir) => StreamingOps.streamSemanticDecontaminate(s, dir)),
     // ingest-time DSIR scoring: batch-derived ratio dimension shipped as
     // a map literal — stateless narrow fold, no stream-side join/shuffle
     "stream_dsir" -> ((s, dir) => StreamingOps.streamDsir(s, dir)),
@@ -1246,6 +1250,30 @@ object SparkEntry {
          |  FROM r)
          |SELECT source, verdict, count(*)::BIGINT AS n_docs
          |FROM v GROUP BY source, verdict ORDER BY source, verdict""".stripMargin
+
+  /** Semantic decontamination replay: best eval match per train vector
+    * over the bounded held-out set (mirror of
+    * Similarity.semanticDecontaminate). Shared by the batch gate and
+    * the stateless unrolled ingest twin — identical relation by
+    * construction (same cos-desc/id-asc tie-break; SimilaritySpec pins
+    * stream-frame == batch equality).
+    */
+  private lazy val semanticDeconOracle: String =
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |ev AS (SELECT vec_id AS eval_id, v AS ev FROM emb
+       |       WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 50),
+       |sc AS (
+       |  SELECT t.vec_id AS doc_id, e.eval_id,
+       |    ${cosMilli("t.v", "e.ev")} AS cos_milli
+       |  FROM emb t CROSS JOIN ev e WHERE t.vec_id % 97 != 0),
+       |best AS (
+       |  SELECT doc_id, eval_id, cos_milli,
+       |    row_number() OVER (PARTITION BY doc_id
+       |                       ORDER BY cos_milli DESC, eval_id ASC) AS rk
+       |  FROM sc)
+       |SELECT doc_id, eval_id AS best_eval_id, cos_milli,
+       |  (CASE WHEN cos_milli >= 400 THEN 1 ELSE 0 END)::BIGINT AS leaked
+       |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin
 
   /** Brute-force cosine top-k replay (mirror of
     * Similarity.bruteForceTopK). Shared by the Column-API query
@@ -2278,22 +2306,10 @@ object SparkEntry {
     // semantic complement: best eval match per train vector over the
     // bounded held-out set; leak flag is a column so the hash covers
     // the whole scoring surface
-    "pipeline_decontaminate_semantic" ->
-      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |ev AS (SELECT vec_id AS eval_id, v AS ev FROM emb
-         |       WHERE vec_id % 97 = 0 ORDER BY vec_id LIMIT 50),
-         |sc AS (
-         |  SELECT t.vec_id AS doc_id, e.eval_id,
-         |    ${cosMilli("t.v", "e.ev")} AS cos_milli
-         |  FROM emb t CROSS JOIN ev e WHERE t.vec_id % 97 != 0),
-         |best AS (
-         |  SELECT doc_id, eval_id, cos_milli,
-         |    row_number() OVER (PARTITION BY doc_id
-         |                       ORDER BY cos_milli DESC, eval_id ASC) AS rk
-         |  FROM sc)
-         |SELECT doc_id, eval_id AS best_eval_id, cos_milli,
-         |  (CASE WHEN cos_milli >= 400 THEN 1 ELSE 0 END)::BIGINT AS leaked
-         |FROM best WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+    "pipeline_decontaminate_semantic" -> semanticDeconOracle,
+    // ingest twin: unrolled argmax over the same bounded eval artifact —
+    // identical relation by construction (shared tie-break), same oracle
+    "stream_decontaminate_semantic" -> semanticDeconOracle,
     // bloom twin: the exact-confirm join makes the relation identical to
     // pipeline_decontaminate — the bloom only pre-drops non-overlapping
     // train shingles, never a qualifying one

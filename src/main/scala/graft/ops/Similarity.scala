@@ -670,6 +670,43 @@ object Similarity {
       .orderBy("doc_id")
   }
 
+  /** The bounded eval-vector artifact for the streaming decontamination
+    * twin: <= maxEval (eval_id, vector) pairs — the same sanctioned
+    * driver-side pull discipline as the DSIR ratio map and the Bloom
+    * sketch (bounded by the eval benchmark's ABSOLUTE size, never the
+    * corpus).
+    */
+  private[graft] def evalVectors(spark: SparkSession, sfDir: String,
+      evalMod: Int = 97, maxEval: Int = 50): Seq[(Long, Seq[Double])] =
+    embeddings(spark, sfDir).filter(col("vec_id") % evalMod === 0)
+      .orderBy("vec_id").limit(maxEval).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+
+  /** The per-arrival scoring frame shared with the streaming twin: the
+    * bounded eval artifact is UNROLLED into one (neg-cos, eval_id)
+    * struct per eval vector and the best match picked with array_min —
+    * a single stateless narrow projection per row (no join, no shuffle,
+    * no window), exactly the ingest-time shape streamDsir uses for its
+    * ratio map. Struct order (neg asc, id asc) = (cos desc, id asc),
+    * the batch window's tie-break, so the relation is identical to
+    * [[semanticDecontaminate]] — proven by the shared oracle and the
+    * stream==batch spec.
+    */
+  private[graft] def semanticDeconFrame(emb: DataFrame,
+      eval: Seq[(Long, Seq[Double])], threshMilli: Long): DataFrame = {
+    val v = transform(col("embedding"), _.cast("double"))
+    val cands = eval.map { case (id, ev) =>
+      val evCol = array(ev.map(lit(_)): _*)
+      struct((cosMilli(v, evCol) * -1).as("neg"), lit(id).as("eval_id"))
+    }
+    emb.select(col("vec_id").as("doc_id"),
+        array_min(array(cands: _*)).as("best"))
+      .select(col("doc_id"), col("best.eval_id").as("best_eval_id"),
+        (col("best.neg") * -1).as("cos_milli"),
+        when((col("best.neg") * -1) >= threshMilli, 1L).otherwise(0L)
+          .as("leaked"))
+  }
+
   /** sim_pq: product-quantization audit — the ANN-compression rung
     * beyond scalar int8 (`quantizeInt8Report`): split each 64-dim
     * vector into 8 subvectors of 8 dims, code each subvector by its

@@ -143,6 +143,15 @@ object StreamingOps {
         StructField("n_chars", LongType))))
       .parquet(s"$sfDir/{documents.parquet}")
 
+  /** embeddings.parquet as a file stream. */
+  def harnessEmbStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream
+      .schema(StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType))))
+      .parquet(s"$sfDir/{embeddings.parquet}")
+
   /** State-partition count for the harness streaming queries. A
     * stateful operator's shuffle-partition count is FROZEN into its
     * state layout at query start, and every state partition carries its
@@ -761,6 +770,28 @@ object StreamingOps {
     runToBatch(spark,
         s => graft.ops.Corpus.dsirScoreFrame(harnessDocStream(s, sfDir), ratio),
         "stream_dsir", OutputMode.Append())
+      .orderBy("doc_id")
+  }
+
+  /** stream_decontaminate_semantic: ingest-time embedding-space leak
+    * gate — the streaming twin of Similarity.semanticDecontaminate, in
+    * the production serving shape: the <= 50-vector eval benchmark is
+    * pulled once from the batch side (bounded by the benchmark's
+    * ABSOLUTE size — the same fixed-size-pull discipline as the DSIR
+    * ratio map and the Bloom sketch) and unrolled into the plan, so
+    * each arriving embedding scores through one stateless narrow
+    * projection: no join, no shuffle, no state store. This is the gate
+    * that keeps paraphrased eval leakage out of a continuously-ingested
+    * corpus — it must run per arrival, which is exactly why the
+    * unrolled form exists.
+    */
+  def streamSemanticDecontaminate(spark: SparkSession, sfDir: String): DataFrame = {
+    val eval = graft.ops.Similarity.evalVectors(spark, sfDir)
+    runToBatch(spark,
+        s => graft.ops.Similarity.semanticDeconFrame(
+          harnessEmbStream(s, sfDir).filter(col("vec_id") % 97 =!= 0),
+          eval, 400L),
+        "stream_semdecon", OutputMode.Append())
       .orderBy("doc_id")
   }
 

@@ -167,6 +167,16 @@ class SimilaritySpec extends SparkSpec {
     val rows = Similarity.semanticDecontaminate(spark, dir, evalMod = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(rows === Seq((1L, 0L, 1000L, 1L), (3L, 0L, 0L, 0L)))
+    // the streaming twin's unrolled-argmax frame produces the identical
+    // relation over the same rows (shared tie-break)
+    import org.apache.spark.sql.functions.col
+    val eval = Similarity.evalVectors(spark, dir, evalMod = 2)
+    val unrolled = Similarity.semanticDeconFrame(
+        spark.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id") % 2 =!= 0), eval, 400L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(unrolled === rows)
   }
 
   test("semdedup: drops within-cell near-copies toward the smallest id; copies collapse first") {
