@@ -208,6 +208,9 @@ object SparkEntry {
     // cross-split exact-content leakage audit over the same hash-stable
     // split: one content-hash aggregation, 3-row stack, no joins
     "split_leakage" -> ((s, dir) => TextAnalysis.splitLeakage(s, dir)),
+    // fuzzy complement: jaccard near-dup pairs labeled with every
+    // copy's split membership per side + cross-split leak flag
+    "split_leakage_fuzzy" -> ((s, dir) => Dedup.fuzzySplitLeakage(s, dir)),
     // source-concentration Lorenz curve + integer Gini (DECIMAL(38,0)
     // rank-weighted accumulator)
     "corpus_gini" -> ((s, dir) => Corpus.sourceGini(s, dir)),
@@ -721,6 +724,36 @@ object SparkEntry {
   /** 60-bit md5-derived integer hash (mirror of OracleHash.h60). */
   private def h60(expr: String): String =
     s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
+
+  /** Jaccard near-dup pairs over exact-content representatives (mirror
+    * of Dedup.ngramJaccardPairs; final CTE `jp` = (doc_a, doc_b,
+    * jaccard_milli)). Shared by the pair rung itself (dedup_jaccard)
+    * and the fuzzy cross-split audit (split_leakage_fuzzy).
+    */
+  private lazy val jaccardPairsCtes: String =
+    s"""$repDocShingles,
+       |sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
+       |dfreq AS (SELECT shingle, count(*)::BIGINT AS df FROM sh GROUP BY shingle),
+       |rare AS (
+       |  SELECT s.doc_id, s.shingle
+       |  FROM sh s JOIN dfreq d ON s.shingle = d.shingle
+       |  WHERE d.df <= 50),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS n_inter
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY c.doc_a, c.doc_b),
+       |jp AS (
+       |  SELECT i.doc_a, i.doc_b,
+       |    floor(i.n_inter * 1000.0 / (za.sz + zb.sz - i.n_inter))::BIGINT AS jaccard_milli
+       |  FROM inter i
+       |  JOIN sizes za ON za.doc_id = i.doc_a
+       |  JOIN sizes zb ON zb.doc_id = i.doc_b
+       |  WHERE floor(i.n_inter * 1000.0 / (za.sz + zb.sz - i.n_inter)) >= 300)""".stripMargin
 
   /** Winnowing (k=8, w=4) oracle: gram hashes over the normalized text,
     * then per-position window minima, restricted to FULL windows
@@ -2643,29 +2676,44 @@ object SparkEntry {
          |WHERE bit_count(xor(sh_a, sh_b)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_jaccard" ->
-      s"""WITH $repDocShingles,
-         |sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM sh GROUP BY doc_id),
-         |dfreq AS (SELECT shingle, count(*)::BIGINT AS df FROM sh GROUP BY shingle),
-         |rare AS (
-         |  SELECT s.doc_id, s.shingle
-         |  FROM sh s JOIN dfreq d ON s.shingle = d.shingle
-         |  WHERE d.df <= 50),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
-         |inter AS (
-         |  SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS n_inter
-         |  FROM cand c
-         |  JOIN sh sa ON sa.doc_id = c.doc_a
-         |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-         |  GROUP BY c.doc_a, c.doc_b)
-         |SELECT i.doc_a, i.doc_b,
-         |  floor(i.n_inter * 1000.0 / (za.sz + zb.sz - i.n_inter))::BIGINT AS jaccard_milli
-         |FROM inter i
-         |JOIN sizes za ON za.doc_id = i.doc_a
-         |JOIN sizes zb ON zb.doc_id = i.doc_b
-         |WHERE floor(i.n_inter * 1000.0 / (za.sz + zb.sz - i.n_inter)) >= 300
+      s"""WITH $jaccardPairsCtes
+         |SELECT doc_a, doc_b, jaccard_milli FROM jp
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // fuzzy cross-split contamination: the jaccard pairs labeled with
+    // EVERY copy's split membership per side (collapse cannot hide a
+    // cross-split copy), leak flag when sides touch different splits
+    "split_leakage_fuzzy" ->
+      s"""WITH $jaccardPairsCtes,
+         |memb AS (
+         |  SELECT r.rep_id,
+         |    max(CASE WHEN s.split = 'train' THEN 1 ELSE 0 END)::BIGINT AS in_train,
+         |    max(CASE WHEN s.split = 'val' THEN 1 ELSE 0 END)::BIGINT AS in_val,
+         |    max(CASE WHEN s.split = 'test' THEN 1 ELSE 0 END)::BIGINT AS in_test
+         |  FROM repmap m JOIN reps r ON m.content_key = r.content_key
+         |  JOIN (
+         |    SELECT doc_id,
+         |      CASE WHEN ${h60("doc_id::VARCHAR")} % 100 <= 97 THEN 'train'
+         |           WHEN ${h60("doc_id::VARCHAR")} % 100 = 98 THEN 'val'
+         |           ELSE 'test' END AS split
+         |    FROM documents) s ON s.doc_id = m.doc_id
+         |  GROUP BY r.rep_id),
+         |lab AS (
+         |  SELECT rep_id, in_train, in_val, in_test,
+         |    concat_ws('+',
+         |      CASE WHEN in_train = 1 THEN 'train' END,
+         |      CASE WHEN in_val = 1 THEN 'val' END,
+         |      CASE WHEN in_test = 1 THEN 'test' END) AS splits
+         |  FROM memb)
+         |SELECT p.doc_a, p.doc_b, p.jaccard_milli,
+         |  a.splits AS splits_a, b.splits AS splits_b,
+         |  (CASE WHEN a.in_train * (b.in_val + b.in_test)
+         |           + a.in_val * (b.in_train + b.in_test)
+         |           + a.in_test * (b.in_train + b.in_val) > 0
+         |        THEN 1 ELSE 0 END)::BIGINT AS cross_split
+         |FROM jp p
+         |JOIN lab a ON a.rep_id = p.doc_a
+         |JOIN lab b ON b.rep_id = p.doc_b
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
     "dedup_embedding" ->
       s"""WITH $lshBucketsCte,
          |vreps AS (SELECT min(vec_id) AS vec_id FROM emb GROUP BY v),

@@ -599,6 +599,58 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** split_leakage_fuzzy: NEAR-dup contamination across the train/val/
+    * test split — the fuzzy complement of TextAnalysis.splitLeakage,
+    * which only sees EXACT content shared across splits: a lightly
+    * edited eval document (near-dup, not identical) inflates eval
+    * numbers just the same, and row-level split tooling cannot see it.
+    * Pairs come from the jaccard rung (over exact-content
+    * representatives — identical copies are the exact rung's domain);
+    * each side is then labeled with the split memberships of ALL copies
+    * of its content (a rep in train whose copy sits in val carries
+    * 'train+val'), so collapse never hides a cross-split copy. A pair
+    * leaks (`cross_split` = 1) iff some copy of content A and some copy
+    * of content B live in different splits.
+    *
+    * Scale shape: the jaccard ladder's bounded candidate/prune/exact
+    * chain unchanged, plus one membership aggregation keyed on rep_id
+    * (three conditional max flags ride one pass) hash-joined to the
+    * surviving pairs — pair volume, not corpus volume.
+    *
+    * Output: (doc_a, doc_b, jaccard_milli, splits_a, splits_b,
+    * cross_split), a < b by id, ordered.
+    */
+  def fuzzySplitLeakage(spark: SparkSession, sfDir: String,
+                        shingleN: Int = 3, maxDf: Int = 50,
+                        minJaccardMilli: Long = 300): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val pairs = ngramJaccardPairs(spark, sfDir, shingleN, maxDf, minJaccardMilli)
+    val bucket = h60(col("doc_id").cast("string")) % 100
+    val split = when(bucket <= 97, "train").when(bucket === 98, "val")
+      .otherwise("test")
+    val memb = exactDupMap(docs).select(col("rep_id"), split.as("split"))
+      .groupBy("rep_id")
+      .agg(max(when(col("split") === "train", 1L).otherwise(0L)).as("in_train"),
+        max(when(col("split") === "val", 1L).otherwise(0L)).as("in_val"),
+        max(when(col("split") === "test", 1L).otherwise(0L)).as("in_test"))
+      .withColumn("splits", concat_ws("+",
+        when(col("in_train") === 1, "train"),
+        when(col("in_val") === 1, "val"),
+        when(col("in_test") === 1, "test")))
+    val ma = memb.select(col("rep_id").as("doc_a"), col("splits").as("splits_a"),
+      col("in_train").as("tr_a"), col("in_val").as("va_a"), col("in_test").as("te_a"))
+    val mb = memb.select(col("rep_id").as("doc_b"), col("splits").as("splits_b"),
+      col("in_train").as("tr_b"), col("in_val").as("va_b"), col("in_test").as("te_b"))
+    pairs.join(ma, Seq("doc_a")).join(mb, Seq("doc_b"))
+      .withColumn("cross_split", when(
+        col("tr_a") * (col("va_b") + col("te_b"))
+          + col("va_a") * (col("tr_b") + col("te_b"))
+          + col("te_a") * (col("tr_b") + col("va_b")) > 0, 1L).otherwise(0L))
+      .select("doc_a", "doc_b", "jaccard_milli", "splits_a", "splits_b",
+        "cross_split")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** dedup_containment: directed n-gram CONTAINMENT pairs — score =
     * |inter| / min(|A|, |B|), i.e. how much of the SMALLER shingle set
     * lives inside the larger. Catches nested duplication (a quoted or

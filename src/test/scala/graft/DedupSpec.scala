@@ -301,6 +301,27 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("fuzzy split leakage: pair labels carry every copy's split; flag replays in Scala") {
+    // shared fixture: one pair (1,3); content of rep 1 has copies {1, 2}
+    def split(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val b = java.lang.Long.parseLong(md.take(15), 16) % 100
+      if (b <= 97) "train" else if (b == 98) "val" else "test"
+    }
+    val (sa, sb) = (Seq(1L, 2L).map(split).toSet, Seq(3L).map(split).toSet)
+    def label(s: Set[String]): String =
+      Seq("train", "val", "test").filter(s.contains).mkString("+")
+    val (la, lb) = (label(sa), label(sb))
+    // leak iff some copy of content A and some copy of content B live
+    // in different splits — the operator's flag formula verbatim
+    val expectCross = if (sa.exists(s => sb.exists(t => s != t))) 1L else 0L
+    val rows = Dedup.fuzzySplitLeakage(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getString(4), r.getLong(5))).toSeq
+    assert(rows === Seq((1L, 3L, 25L * 1000L / 31L, la, lb, expectCross)))
+  }
+
   test("e2e funnel: stages monotone, each equal to its standalone operator") {
     val rows = Dedup.curationFunnel(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toSeq
