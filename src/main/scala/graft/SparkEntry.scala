@@ -244,6 +244,9 @@ object SparkEntry {
     // hybrid retrieval: query-by-document BM25 + exact-cosine rankings
     // fused with integer Reciprocal Rank Fusion over the top-k lists
     "text_hybrid_rrf" -> ((s, dir) => TextAnalysis.hybridRrf(s, dir)),
+    // the production hybrid: same fuse, semantic side served from the
+    // IVF probe (nprobe cells) instead of the brute-force corpus scan
+    "text_hybrid_rrf_ann" -> ((s, dir) => TextAnalysis.hybridRrfAnn(s, dir)),
     // deny-list redaction with audit: blocklisted tokens masked per row
     // (no shuffle), scrubbed text proven by md5
     "text_scrub" -> ((s, dir) => TextAnalysis.scrubDocs(s, dir)),
@@ -724,6 +727,58 @@ object SparkEntry {
   /** 60-bit md5-derived integer hash (mirror of OracleHash.h60). */
   private def h60(expr: String): String =
     s"('0x' || substr(md5($expr), 1, 15))::BIGINT"
+
+  /** The hybrid retrieval oracle's shared head: BM25 corpus stats, the
+    * ABSOLUTE-size anchor workload, the query-by-document lexical ranks
+    * (self-match excluded), and the `emb` base relation — everything
+    * except the semantic ranking, which differs between the exact form
+    * (text_hybrid_rrf: brute-force scan) and the IVF-probed form
+    * (text_hybrid_rrf_ann).
+    */
+  private lazy val hybridLexCtes: String =
+    s"""$bm25CorpusCtes,
+       |anchors AS (
+       |  SELECT doc_id FROM documents WHERE doc_id % 50 = 0
+       |  ORDER BY doc_id LIMIT 100),
+       |q AS (
+       |  SELECT d.doc_id::BIGINT AS query_id,
+       |    unnest(list_distinct(list_filter(string_split(lower(d.text), ' '),
+       |      t -> length(t) > 0))) AS term
+       |  FROM documents d JOIN anchors a ON d.doc_id = a.doc_id),
+       |sc AS (
+       |  SELECT q.query_id, tf.doc_id,
+       |    sum((((2*n_docs - 2*df + 1) * 1000) // (2*df + 1))
+       |        * ((22000 * tf * tot) // (10*tot*tf + 3*tot + 9*dl*n_docs)))::BIGINT
+       |      AS score_micro
+       |  FROM q JOIN tf USING (term) JOIN df USING (term)
+       |    JOIN dl USING (doc_id) CROSS JOIN st
+       |  WHERE tf.doc_id <> q.query_id
+       |  GROUP BY 1, 2),
+       |lex AS (
+       |  SELECT query_id, doc_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY score_micro DESC, doc_id::VARCHAR ASC) AS rk_lex
+       |  FROM sc QUALIFY rk_lex <= 20),
+       |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)""".stripMargin
+
+  /** The hybrid retrieval oracle's shared tail: the integer RRF fuse of
+    * the `lex` and `sem` rank lists and the final per-anchor top-10.
+    */
+  private val hybridFuseTail: String =
+    """fused AS (
+      |  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+      |    coalesce(l.doc_id, s.doc_id) AS doc_id,
+      |    (coalesce(1000000 // (60 + l.rk_lex), 0)
+      |     + coalesce(1000000 // (60 + s.rk_sem), 0))::BIGINT AS rrf_micro
+      |  FROM lex l FULL OUTER JOIN sem s
+      |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
+      |ranked AS (
+      |  SELECT query_id, doc_id, rrf_micro,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY rrf_micro DESC, doc_id ASC)::BIGINT AS rk
+      |  FROM fused)
+      |SELECT query_id, doc_id, rrf_micro, rk
+      |FROM ranked WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
 
   /** Jaccard near-dup pairs over exact-content representatives (mirror
     * of Dedup.ngramJaccardPairs; final CTE `jp` = (doc_a, doc_b,
@@ -2187,30 +2242,7 @@ object SparkEntry {
     // sim_bruteforce cosine replay, and an integer-division fuse over
     // the two top-20 lists — every stage the exact mirror of the plan
     "text_hybrid_rrf" ->
-      s"""$bm25CorpusCtes,
-        |anchors AS (
-        |  SELECT doc_id FROM documents WHERE doc_id % 50 = 0
-        |  ORDER BY doc_id LIMIT 100),
-        |q AS (
-        |  SELECT d.doc_id::BIGINT AS query_id,
-        |    unnest(list_distinct(list_filter(string_split(lower(d.text), ' '),
-        |      t -> length(t) > 0))) AS term
-        |  FROM documents d JOIN anchors a ON d.doc_id = a.doc_id),
-        |sc AS (
-        |  SELECT q.query_id, tf.doc_id,
-        |    sum((((2*n_docs - 2*df + 1) * 1000) // (2*df + 1))
-        |        * ((22000 * tf * tot) // (10*tot*tf + 3*tot + 9*dl*n_docs)))::BIGINT
-        |      AS score_micro
-        |  FROM q JOIN tf USING (term) JOIN df USING (term)
-        |    JOIN dl USING (doc_id) CROSS JOIN st
-        |  WHERE tf.doc_id <> q.query_id
-        |  GROUP BY 1, 2),
-        |lex AS (
-        |  SELECT query_id, doc_id,
-        |    row_number() OVER (PARTITION BY query_id
-        |                       ORDER BY score_micro DESC, doc_id::VARCHAR ASC) AS rk_lex
-        |  FROM sc QUALIFY rk_lex <= 20),
-        |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""$hybridLexCtes,
         |qv AS (SELECT e.vec_id AS q_id, e.v AS qv
         |       FROM emb e JOIN anchors a ON e.vec_id = a.doc_id),
         |semsc AS (
@@ -2221,20 +2253,39 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY q_id
         |                       ORDER BY cos_milli DESC, n_id ASC) AS rk_sem
         |  FROM semsc QUALIFY rk_sem <= 20),
-        |fused AS (
-        |  SELECT coalesce(l.query_id, s.query_id) AS query_id,
-        |    coalesce(l.doc_id, s.doc_id) AS doc_id,
-        |    (coalesce(1000000 // (60 + l.rk_lex), 0)
-        |     + coalesce(1000000 // (60 + s.rk_sem), 0))::BIGINT AS rrf_micro
-        |  FROM lex l FULL OUTER JOIN sem s
-        |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id),
-        |ranked AS (
-        |  SELECT query_id, doc_id, rrf_micro,
-        |    row_number() OVER (PARTITION BY query_id
-        |                       ORDER BY rrf_micro DESC, doc_id ASC)::BIGINT AS rk
-        |  FROM fused)
-        |SELECT query_id, doc_id, rrf_micro, rk
-        |FROM ranked WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+        |$hybridFuseTail""".stripMargin,
+    // IVF-probed hybrid: the same lexical ranks and fuse, the semantic
+    // side re-ranked inside nprobe=2 probed cells (sim_ivf's quantizer)
+    "text_hybrid_rrf_ann" ->
+      s"""$hybridLexCtes,
+        |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0),
+        |cscored AS (
+        |  SELECT e.vec_id, e.v, c.c_id, ${cosMilli("e.v", "c.cv")} AS cs
+        |  FROM emb e CROSS JOIN cent c),
+        |assigned AS (
+        |  SELECT vec_id, v, c_id AS cell FROM (
+        |    SELECT vec_id, v, c_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id ASC) AS ark
+        |    FROM cscored) WHERE ark = 1),
+        |qv AS (SELECT e.vec_id AS q_id, e.v AS qv
+        |       FROM emb e JOIN anchors a ON e.vec_id = a.doc_id),
+        |probes AS (
+        |  SELECT q_id, cell FROM (
+        |    SELECT s.vec_id AS q_id, s.c_id AS cell,
+        |      row_number() OVER (PARTITION BY s.vec_id
+        |                         ORDER BY s.cs DESC, s.c_id ASC) AS prk
+        |    FROM cscored s JOIN qv ON s.vec_id = qv.q_id) WHERE prk <= 2),
+        |cand AS (
+        |  SELECT DISTINCT p.q_id, a.vec_id AS n_id,
+        |    ${cosMilli("q.qv", "a.v")} AS cos_milli
+        |  FROM probes p JOIN qv q USING (q_id) JOIN assigned a ON a.cell = p.cell
+        |  WHERE a.vec_id != p.q_id),
+        |sem AS (
+        |  SELECT q_id AS query_id, n_id AS doc_id,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY cos_milli DESC, n_id ASC) AS rk_sem
+        |  FROM cand QUALIFY rk_sem <= 20),
+        |$hybridFuseTail""".stripMargin,
     // stored-index serving: identical relation to the inline scorer by
     // construction (same scoring tail; df = posting-list length)
     "text_bm25_indexed" ->

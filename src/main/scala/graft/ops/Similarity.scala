@@ -244,6 +244,24 @@ object Similarity {
     ivfTopK(emb, broadcast(cent), col("vec_id") % centroidMod === 0, nprobe, k)
   }
 
+  /** IVF top-k for a CALLER-SUPPLIED query-id frame (one `q_id`
+    * column, bounded by the caller — the hybrid-RRF anchor set): the
+    * same assign/probe/re-rank core as [[ivfAnn]], with the query rows
+    * joined from the ids instead of a stride predicate. Ids absent from
+    * the embeddings table contribute no queries (inner join).
+    */
+  def ivfTopKFor(spark: SparkSession, sfDir: String, queryIds: DataFrame,
+                 centroidMod: Int = 50, nprobe: Int = 2,
+                 k: Int = 10): DataFrame = {
+    val emb = embeddings(spark, sfDir)
+    val cent = broadcast(emb.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv")))
+    val queries = emb.join(queryIds.select(col("q_id")),
+        col("vec_id") === col("q_id"))
+      .select(col("q_id"), col("v").as("qv"))
+    probeIndex(probeCells(queries, cent, nprobe), assignCells(emb, cent), k)
+  }
+
   /** Shared IVF core: assign each vector to its argmax-cosine cell, probe
     * each query's nprobe best cells, exact re-rank inside probed cells.
     * `cent` must be tiny (it is cross-joined broadcast); `isQuery`

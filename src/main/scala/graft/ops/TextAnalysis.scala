@@ -481,8 +481,53 @@ object TextAnalysis {
                 kList: Int = 20, stride: Int = 50, rrfK: Int = 60,
                 nAnchors: Int = 100): DataFrame = {
     val docs = table(spark, sfDir, "documents")
-    val anchorIds = docs.filter(col("doc_id") % stride === 0)
+    val anchorIds = hybridAnchorIds(docs, stride, nAnchors)
+    rrfFuse(
+      hybridLexRanks(docs, anchorIds, kList),
+      graft.ops.Similarity.bruteForceTopKFor(spark, sfDir, anchorIds, kList)
+        .select(col("q_id").as("query_id"), col("n_id").as("doc_id"),
+          col("rk").as("rk_sem")),
+      k, rrfK)
+  }
+
+  /** text_hybrid_rrf_ann: [[hybridRrf]] with the semantic side served
+    * APPROXIMATELY — the IVF probe (same quantizer and parameters as
+    * sim_ivf) replaces the brute-force corpus scan, which is the
+    * production hybrid at 100 TB: the lexical half already prunes to
+    * query-term postings, and the IVF half probes nprobe cells instead
+    * of scanning every vector, so neither retriever touches the whole
+    * corpus at query time. Same output contract; the fused ranking
+    * differs from the exact form only where IVF's probed cells miss a
+    * true neighbor (the recall trade sim_recall measures).
+    */
+  def hybridRrfAnn(spark: SparkSession, sfDir: String, k: Int = 10,
+                   kList: Int = 20, stride: Int = 50, rrfK: Int = 60,
+                   nAnchors: Int = 100, centroidMod: Int = 50,
+                   nprobe: Int = 2): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val anchorIds = hybridAnchorIds(docs, stride, nAnchors)
+    rrfFuse(
+      hybridLexRanks(docs, anchorIds, kList),
+      graft.ops.Similarity.ivfTopKFor(spark, sfDir, anchorIds,
+          centroidMod, nprobe, kList)
+        .select(col("q_id").as("query_id"), col("n_id").as("doc_id"),
+          col("rk").as("rk_sem")),
+      k, rrfK)
+  }
+
+  /** The ABSOLUTE-size anchor workload shared by both hybrid forms. */
+  private def hybridAnchorIds(docs: DataFrame, stride: Int,
+                              nAnchors: Int): DataFrame =
+    docs.filter(col("doc_id") % stride === 0)
       .select(col("doc_id").as("q_id")).orderBy("q_id").limit(nAnchors)
+
+  /** The lexical half: query-by-document BM25 ranks for the anchor set —
+    * the anchors' OWN distinct terms are the query workload, bounded by
+    * nAnchors and broadcast like any bm25 qdim. Output: (query_id,
+    * doc_id, rk_lex).
+    */
+  private def hybridLexRanks(docs: DataFrame, anchorIds: DataFrame,
+                             kList: Int): DataFrame = {
     val terms = docs.select(col("doc_id"),
       explode(filter(split(lower(col("text")), " "), t => length(t) > 0)).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -491,18 +536,21 @@ object TextAnalysis {
     val stats = terms.agg(count(lit(1)).as("tot"))
       .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    // query-by-document: the anchors' OWN distinct terms are the query
-    // workload — bounded by nAnchors, broadcast like any bm25 qdim
     val anchors = docs.join(anchorIds, col("doc_id") === col("q_id"))
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(filter(split(lower(col("text")), " "),
           t => length(t) > 0))).as("term"))
     val qdim = broadcast(anchors.join(dft, "term"))
-    val lex = bm25Serve(postings, qdim, stats, kList, excludeSelf = true)
+    bm25Serve(postings, qdim, stats, kList, excludeSelf = true)
       .select(col("query_id"), col("doc_id"), col("rk").as("rk_lex"))
-    val sem = graft.ops.Similarity.bruteForceTopKFor(spark, sfDir, anchorIds, kList)
-      .select(col("q_id").as("query_id"), col("n_id").as("doc_id"),
-        col("rk").as("rk_sem"))
+  }
+
+  /** The RRF fuse shared by both hybrid forms: touches ONLY the two
+    * top-k lists (full-outer hash join + per-anchor window over
+    * <= 2*kList rows — workload-bounded, never the corpus).
+    */
+  private def rrfFuse(lex: DataFrame, sem: DataFrame,
+                      k: Int, rrfK: Int): DataFrame = {
     val fused = lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf_micro",
         coalesce(expr(s"1000000 div ($rrfK + rk_lex)"), lit(0L)) +

@@ -53,6 +53,9 @@ class PlanShapeSpec extends SparkSpec {
       // sim_bruteforce strided-anchor broadcast; the fuse join itself
       // is a bounded hash join over the two top-k lists
       "text_hybrid_rrf",
+      // the IVF-probed form swaps the brute-force broadcast for the
+      // sim_ivf centroid broadcast — still bounded sides only
+      "text_hybrid_rrf_ann",
       // semantic decontamination broadcasts the ABSOLUTE-size eval
       // vector set (<= 50 rows) against one corpus scan
       "pipeline_decontaminate_semantic",

@@ -224,6 +224,12 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Seq(
       (0L, 1L, 32522L, 1L), (0L, 2L, 16393L, 2L),
       (2L, 0L, 16393L, 1L), (2L, 1L, 16129L, 2L)))
+    // IVF-probed form: with centroids {0, 2} and nprobe = 2 every cell
+    // is probed, so the approximate ranking equals the exact one
+    val ann = TextAnalysis.hybridRrfAnn(spark, dir, k = 3, kList = 2,
+        stride = 2, centroidMod = 2, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(ann === got)
   }
 
   test("bpe pair counts: word-frequency-weighted adjacent pairs, ranked") {
