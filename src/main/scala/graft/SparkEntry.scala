@@ -266,6 +266,10 @@ object SparkEntry {
     "pipeline_cascade" -> ((s, dir) => TextAnalysis.filterCascade(s, dir)),
     // —— deduplication ladder ——
     "dedup_exact" -> ((s, dir) => Dedup.exact(s, dir)),
+    // quality-aware survivor choice: same exact-content groups, but the
+    // kept variant is argmax(quality gate, raw length, -doc_id) via one
+    // max(struct) accumulator — map-side combinable, never a window
+    "dedup_best_rep" -> ((s, dir) => Dedup.bestRep(s, dir)),
     // exact-substring duplication report: per-doc fraction of 8-token
     // windows shared with ANY other doc — overlap at every alignment
     // (passage dedup only sees fixed-aligned blocks); windows hashed to
@@ -2429,6 +2433,34 @@ object SparkEntry {
         |  FROM documents)
         |SELECT content_key, min(doc_id)::BIGINT AS keep_doc_id, count(*)::BIGINT AS n_copies
         |FROM d GROUP BY content_key ORDER BY keep_doc_id""".stripMargin,
+    // quality-aware survivor: argmax restated as row_number over
+    // (q_keep DESC, n_chars_raw DESC, doc_id ASC) within the group
+    "dedup_best_rep" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_key,
+        |    length(text)::BIGINT AS n_chars_raw,
+        |    CASE WHEN len(toks) >= 10 AND len(toks) <= 100000
+        |      AND len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','on'))) * 100 >= len(toks)
+        |      THEN 1 ELSE 0 END::BIGINT AS q_keep
+        |  FROM (SELECT doc_id, text,
+        |          list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        |        FROM documents)),
+        |g AS (
+        |  SELECT content_key, count(*)::BIGINT AS n_copies,
+        |    min(doc_id)::BIGINT AS min_doc_id
+        |  FROM q GROUP BY content_key),
+        |sel AS (
+        |  SELECT content_key, doc_id, q_keep, n_chars_raw,
+        |    row_number() OVER (PARTITION BY content_key
+        |      ORDER BY q_keep DESC, n_chars_raw DESC, doc_id ASC) AS rk
+        |  FROM q)
+        |SELECT s.content_key, s.doc_id::BIGINT AS keep_doc_id, g.n_copies,
+        |  s.q_keep AS kept_q_keep, s.n_chars_raw AS kept_n_chars,
+        |  g.min_doc_id, (s.doc_id <> g.min_doc_id) AS diverges_from_min_id
+        |FROM sel s JOIN g USING (content_key)
+        |WHERE s.rk = 1
+        |ORDER BY keep_doc_id""".stripMargin,
     // passage dedup: same segmentation as text_chunks but non-overlapping
     // (stride = width = 32); first-occurrence-wins stated as row_number
     // over (doc_id, seg_idx); rebuilt text compared by md5

@@ -1348,4 +1348,58 @@ object Dedup {
         expr("(1000 * n_shared) div least(n_windows_a, n_windows_b)").as("containment_milli"))
       .orderBy("src_a", "src_b")
   }
+
+  /** dedup_best_rep: quality-aware representative selection — the
+    * production refinement of `exact`'s min-doc_id rule. Exact-content
+    * groups (same md5 of the case/whitespace-normalized text) still
+    * collapse to one survivor, but the survivor is the VARIANT with the
+    * best raw-text quality signals, not the accidental smallest id:
+    * normalization erases case and whitespace, so the group's members
+    * can differ in exactly the formatting a training corpus wants to
+    * keep intact (an all-caps scrape and its clean original normalize
+    * identically — keep the clean one). Selection key, lexicographic:
+    * quality_keep (the `text_quality` composite gate on the RAW text)
+    * desc, raw char length desc (the longest variant preserved the most
+    * original whitespace), doc_id asc as the deterministic tie-break.
+    *
+    * Scale shape: identical to `exact` — ONE shuffle on the 128-bit
+    * content key with map-side partial aggregation (the argmax rides a
+    * single max(struct(...)) accumulator, never a window; a window form
+    * would sort each group, this combines). Group sizes are duplicate
+    * cluster sizes (tiny), no skew risk; the quality signals are
+    * per-row narrow projections computed before the exchange.
+    *
+    * Output, one row per content group (`exact`'s relation enriched
+    * with the quality choice — singleton groups keep their only member,
+    * so the relation is never empty on a dup-free corpus):
+    * (content_key, keep_doc_id, n_copies, kept_q_keep, kept_n_chars,
+    * min_doc_id, diverges_from_min_id), ordered by keep_doc_id.
+    * `diverges_from_min_id` marks exactly the rows where quality-aware
+    * selection changed the outcome vs `exact`.
+    */
+  def bestRep(spark: SparkSession, sfDir: String): DataFrame = {
+    val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+    val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val nTok = size(toks).cast("long")
+    val nStop = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).cast("long")
+    val qKeep = (nTok >= 10 && nTok <= 100000 && nStop * lit(100) >= nTok)
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"), md5(norm).as("content_key"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        qKeep.cast("long").as("q_keep"))
+      .groupBy("content_key")
+      .agg(count(lit(1)).as("n_copies"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(struct(col("q_keep"), col("n_chars_raw"),
+          (-col("doc_id")).as("neg_id"))).as("k"))
+      .select(col("content_key"),
+        (-col("k.neg_id")).as("keep_doc_id"),
+        col("n_copies"),
+        col("k.q_keep").as("kept_q_keep"),
+        col("k.n_chars_raw").as("kept_n_chars"),
+        col("min_doc_id"))
+      .withColumn("diverges_from_min_id", col("keep_doc_id") =!= col("min_doc_id"))
+      .orderBy("keep_doc_id")
+  }
 }

@@ -48,6 +48,38 @@ class DedupSpec extends SparkSpec {
       (3L, 5L, 1L, 4L, 1L))) // punct strip folds in doc 4
   }
 
+  test("best-rep: survivor is the longest raw variant, flagged as diverging from min id") {
+    // docs 1/2 normalize together; both fail the quality gate (no
+    // stopwords), so raw length decides: doc 2 carries 4 extra raw chars.
+    // Singletons 3 and 4 keep themselves, non-diverging.
+    val rows = Dedup.bestRep(spark, sfDir).collect()
+    assert(rows.length === 3)
+    assert(rows.count(_.getAs[Boolean]("diverges_from_min_id")) === 1)
+    val r = rows.find(_.getAs[Long]("n_copies") === 2L).get
+    assert(r.getAs[Long]("keep_doc_id") === 2L)
+    assert(r.getAs[Long]("n_copies") === 2L)
+    assert(r.getAs[Long]("min_doc_id") === 1L)
+    assert(r.getAs[Boolean]("diverges_from_min_id"))
+  }
+
+  test("best-rep: quality gate outranks raw length and id order") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // 10 tokens, 8 stopwords -> the lowercase variant passes the gate;
+    // its SHOUTING copy has zero stopword hits (list is lowercase) and
+    // fails it, despite being longer AND smaller-id — gate wins
+    val good = "the a of and to in is on w1 w2"
+    writeTable(dir, "documents", Seq(
+      (10L, "  " + good.toUpperCase + "  ", "en", "s", good.length.toLong + 4),
+      (11L, good, "en", "s", good.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val r = Dedup.bestRep(spark, dir).collect().head
+    assert(r.getAs[Long]("keep_doc_id") === 11L)
+    assert(r.getAs[Long]("kept_q_keep") === 1L)
+    assert(r.getAs[Long]("min_doc_id") === 10L)
+    assert(r.getAs[Boolean]("diverges_from_min_id"))
+  }
+
   test("minhash LSH: exact dups collapse to the rep; near-dup of distinct content found") {
     val pairs = Dedup.minHashLsh(spark, sfDir, minEst = 0.3).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
