@@ -392,6 +392,10 @@ object SparkEntry {
     // corpus size); bit-identical vectors collapse to representatives
     // before pairing (the emb_exact_dups guard)
     "sim_semdedup" -> ((s, dir) => Similarity.semDedup(s, dir)),
+    // epsilon calibration for semdedup: per-threshold pair and drop
+    // counts from ONE pairing pass — bucketed histograms + a 10-row
+    // grid, never a per-threshold corpus re-scan
+    "sim_epsilon_sweep" -> ((s, dir) => Similarity.epsilonSweep(s, dir)),
     // product-quantization audit: sign-pattern codebooks (deterministic
     // one-step training), per-subspace reconstruction error — the
     // vector-compression rung beyond scalar int8 (sim_quantize)
@@ -3992,6 +3996,41 @@ object SparkEntry {
          |  FROM qual)
          |SELECT vec_id, cell, a_id AS keeper_id, cs AS cos_milli
          |FROM sel WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+    // epsilon sweep: the same cell/pair CTEs, then a naive grid
+    // left-join restatement of the histogram cumulation ("bucket >= tau"
+    // == "cs >= tau" since every tau is a bucket boundary)
+    "sim_epsilon_sweep" ->
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |vreps AS (SELECT min(vec_id) AS vec_id FROM emb GROUP BY v),
+         |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0),
+         |remb AS (SELECT * FROM emb WHERE vec_id IN (SELECT vec_id FROM vreps)),
+         |scored AS (
+         |  SELECT e.vec_id, e.v, c.c_id, ${cosMilli("e.v", "c.cv")} AS cs
+         |  FROM remb e CROSS JOIN cent c),
+         |assigned AS (
+         |  SELECT vec_id, v, c_id AS cell FROM (
+         |    SELECT vec_id, v, c_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id ASC) AS ark
+         |    FROM scored) WHERE ark = 1),
+         |pairs AS (
+         |  SELECT b.vec_id AS vec_id, ${cosMilli("a.v", "b.v")} AS cs
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id),
+         |grid AS (SELECT (100 * g)::BIGINT AS tau_milli FROM range(0, 10) t(g)),
+         |per AS (SELECT vec_id, max(cs) AS maxcs FROM pairs GROUP BY vec_id),
+         |nr AS (SELECT count(*)::BIGINT AS n_reps FROM assigned),
+         |pg AS (
+         |  SELECT g.tau_milli, count(p.cs)::BIGINT AS n_pairs_ge
+         |  FROM grid g LEFT JOIN pairs p ON p.cs >= g.tau_milli
+         |  GROUP BY g.tau_milli),
+         |dg AS (
+         |  SELECT g.tau_milli, count(p.maxcs)::BIGINT AS n_dropped
+         |  FROM grid g LEFT JOIN per p ON p.maxcs >= g.tau_milli
+         |  GROUP BY g.tau_milli)
+         |SELECT pg.tau_milli, pg.n_pairs_ge, dg.n_dropped, nr.n_reps,
+         |  ((1000 * dg.n_dropped) // nr.n_reps)::BIGINT AS drop_permille
+         |FROM pg JOIN dg USING (tau_milli) CROSS JOIN nr
+         |ORDER BY tau_milli""".stripMargin,
     // PQ replay: sign-pattern codes per 8-dim subspace, per-(sub, code,
     // dim) exact-floor-division means, per-subspace |err| rollup
     "sim_pq" ->

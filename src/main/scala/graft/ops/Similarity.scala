@@ -644,6 +644,64 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** sim_epsilon_sweep: SemDeDup threshold calibration — the curve a
+    * corpus build reads BEFORE committing to an epsilon: for each
+    * candidate cosine threshold, how many within-cell pairs clear it
+    * and how many documents the semantic dedup pass would drop. Without
+    * this sweep the epsilon is folklore; with it the drop rate is a
+    * measured dial (Abbas et al. tune epsilon per corpus exactly this
+    * way). Cells and pair scoring are IDENTICAL to `semDedup` (same
+    * centroids, same representative collapse, same cosMilli), so the
+    * chosen threshold transfers 1:1 to the production pass.
+    *
+    * Scale shape: pair generation is semDedup's — quadratic in CELL
+    * size only, representatives only. The sweep itself never re-scans
+    * pairs per threshold: pair cosines and per-victim best-neighbor
+    * cosines are bucketed once each (step-sized buckets, map-side
+    * partial counts, <= 2001/step + 1 groups), and the threshold grid
+    * expands against those bounded histograms plus a one-row rep-count
+    * aggregate. Bucket floor semantics make "bucket >= tau" equal
+    * "cs >= tau" exactly because every grid tau is a bucket boundary.
+    *
+    * Output: (tau_milli, n_pairs_ge, n_dropped, n_reps, drop_permille)
+    * for nTaus thresholds 0, step, 2*step, ...; ordered by tau_milli.
+    */
+  def epsilonSweep(spark: SparkSession, sfDir: String,
+                   centroidMod: Int = 50, nTaus: Int = 10,
+                   stepMilli: Long = 100L): DataFrame = {
+    val emb = embeddings(spark, sfDir)
+    val cent = emb.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val assigned = assignCells(vectorRepresentatives(emb), broadcast(cent))
+      .localCheckpoint() // one assignment pass: both pair sides + rep count
+    val a = assigned.select(col("cell"), col("vec_id").as("a_id"), col("v").as("av"))
+    val b = assigned.select(col("cell"), col("vec_id").as("b_id"), col("v").as("bv"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("b_id"), cosMilli(col("av"), col("bv")).as("cs"))
+      .localCheckpoint() // one pairing pass: pair histogram + per-victim max
+    def bucket(c: Column): Column =
+      floor(c.cast("double") / lit(stepMilli.toDouble)).cast("long")
+    val pairHist = pairs.groupBy(bucket(col("cs")).as("b"))
+      .agg(count(lit(1)).as("n"))
+    val vecHist = pairs.groupBy("b_id").agg(max(col("cs")).as("maxcs"))
+      .groupBy(bucket(col("maxcs")).as("b")).agg(count(lit(1)).as("n"))
+    val nReps = assigned.agg(count(lit(1)).as("n_reps"))
+    val grid = spark.range(nTaus)
+      .select((col("id") * stepMilli).cast("long").as("tau_milli"))
+    def cumGe(hist: DataFrame, out: String): DataFrame =
+      grid.join(broadcast(hist), col("b") * stepMilli >= col("tau_milli"), "left")
+        .groupBy("tau_milli")
+        .agg(coalesce(sum(col("n")), lit(0L)).cast("long").as(out))
+    cumGe(pairHist, "n_pairs_ge")
+      .join(cumGe(vecHist, "n_dropped"), Seq("tau_milli"))
+      .crossJoin(broadcast(nReps))
+      .select(col("tau_milli"), col("n_pairs_ge"), col("n_dropped"),
+        col("n_reps"),
+        expr("(1000 * n_dropped) div n_reps").as("drop_permille"))
+      .orderBy("tau_milli")
+  }
+
   /** pipeline_decontaminate_semantic: embedding-space decontamination —
     * the semantic complement of Dedup.decontaminate's n-gram overlap
     * gate: paraphrased or reformatted eval leakage shares no 3-gram but

@@ -73,6 +73,11 @@ class PlanShapeSpec extends SparkSpec {
       // SemDeDup assigns cells through the same broadcast centroid
       // cross join as sim_ivf; the pair join itself is cell-keyed
       "sim_semdedup",
+      // the epsilon sweep reuses semdedup's centroid broadcast, then
+      // expands a 10-row threshold grid against broadcast histograms
+      // of <= 21 buckets each plus a 1-row rep count — every
+      // nested-loop side is domain-bounded
+      "sim_epsilon_sweep",
       // the graft_dot SQL twin of sim_bruteforce: same broadcast
       // strided-query cross join as the Column-API form
       "sql_cosine")

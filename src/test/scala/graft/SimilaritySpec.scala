@@ -201,6 +201,33 @@ class SimilaritySpec extends SparkSpec {
       (50L, 50L, 3L, 1000L)))
   }
 
+  test("epsilon sweep: per-threshold pair/drop counts from one pairing pass") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // semdedup's fixture plus vec 13 (axis0+3*axis2: cell 0, cos 316 to
+    // axis0 members, 300 to vec 9) so the curve actually steps at 400
+    writeTable(dir, "embeddings", Seq(
+      (0L, vec(0), 0),
+      (50L, vec(1), 1),
+      (7L, (0 until 64).map(d => if (d == 0) 2.0f else 0.0f), 0),
+      (11L, (0 until 64).map(d => if (d == 0) 2.0f else 0.0f), 0), // copy: collapses
+      (9L, mix(0, 1, 3f, 1f), 0),
+      (13L, mix(0, 2, 1f, 3f), 0),
+      (3L, (0 until 64).map(d => if (d == 1) 5.0f else 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label"))
+    val rows = Similarity.epsilonSweep(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // reps {0,7,9,13} in cell 0, {3,50} in cell 50: pair cosines
+    // [1000,948,948,316,316,299,1000] (9.13 dot floors to 299 through
+    // the double norm product); per-victim maxima 7->1000, 9->948,
+    // 13->316, 50->1000; n_reps = 6
+    assert(rows === (0L to 900L by 100L).map { t =>
+      if (t <= 200L) (t, 7L, 4L, 6L, 666L)
+      else if (t == 300L) (t, 6L, 4L, 6L, 666L)
+      else (t, 4L, 3L, 6L, 500L)
+    })
+  }
+
   test("pq audit: sign codebook means and reconstruction error, hand-computed") {
     import spark.implicits._
     val dir = tempSfDir()
