@@ -214,6 +214,10 @@ object SparkEntry {
     // source-concentration Lorenz curve + integer Gini (DECIMAL(38,0)
     // rank-weighted accumulator)
     "corpus_gini" -> ((s, dir) => Corpus.sourceGini(s, dir)),
+    // mergeable per-source profile: per-shard HLL sketches unioned per
+    // source (one sketch per (source, shard) shuffled, never tokens);
+    // estimate gated in-plan vs exact, oracle expects the gate TRUE
+    "corpus_sketch_profile" -> ((s, dir) => Corpus.sketchProfile(s, dir)),
     // eval-set (benchmark) leakage check: train docs sharing >= 3
     // distinct 3-grams with the held-out set (threshold chosen so the
     // check is NON-VACUOUS on the synthetic corpus: overlaps reach 4)
@@ -2364,6 +2368,25 @@ object SparkEntry {
          |UNION ALL
          |SELECT 'val_test', c_vt, d_vt FROM agg
          |ORDER BY pair""".stripMargin,
+    // mergeable sketch profile: the oracle replays the exact side and
+    // the shard bookkeeping; the HLL union gate is expected TRUE
+    "corpus_sketch_profile" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id % 8 AS shard, t.tok AS token
+        |  FROM documents,
+        |    unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS t(tok)),
+        |ps AS (
+        |  SELECT source, shard, count(*)::BIGINT AS n
+        |  FROM toks GROUP BY source, shard),
+        |m AS (
+        |  SELECT source, count(*)::BIGINT AS n_shards, sum(n)::BIGINT AS n_tokens
+        |  FROM ps GROUP BY source),
+        |ex AS (
+        |  SELECT source, count(DISTINCT token)::BIGINT AS n_distinct_exact
+        |  FROM toks GROUP BY source)
+        |SELECT m.source, m.n_shards, m.n_tokens, ex.n_distinct_exact,
+        |  TRUE AS union_within_tolerance
+        |FROM m JOIN ex USING (source) ORDER BY source""".stripMargin,
     // source-concentration audit: Lorenz cumulative shares + rank-form
     // Gini; the rank-weighted sum runs in HUGEINT mirroring Spark's
     // DECIMAL(38,0) accumulator

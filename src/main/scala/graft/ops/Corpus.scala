@@ -805,4 +805,51 @@ object Corpus {
         (col("want_tokens") - col("alloc_tokens")).as("shortfall"))
       .orderBy("source")
   }
+
+  /** corpus_sketch_profile: the mergeable-sketch corpus profile — the
+    * ONLY shape per-source distinct-token stats can take at 100 TB.
+    * Exact distinct does not merge: two shards' distinct counts cannot
+    * be added, so a naive profile re-shuffles every token occurrence to
+    * one reducer per source. The production pattern profiles each shard
+    * INDEPENDENTLY into a fixed-size HLL sketch (Datasketches, the
+    * engine-portable format Spark 3.5+ exposes as hll_sketch_agg), then
+    * merges per-source with hll_union_agg — level 1 is embarrassingly
+    * parallel and resumable per shard, level 2 shuffles one ~2^lgK-byte
+    * sketch per (source, shard), not a token stream. The same persisted
+    * sketch column is how a profile folds in NEW shards without
+    * touching old ones (the dedup_incremental discipline applied to
+    * statistics).
+    *
+    * The exact side computed here is the test-scale AUDIT of that
+    * claim, same discipline as urlcount_approx_distinct's HLL++ gate
+    * and urlcount_cms: the union estimate is compared against exact
+    * count_distinct IN the plan and surfaced as a boolean the oracle
+    * expects TRUE — a drifting sketch fails the hash gate loudly. At
+    * production scale the exact branch is simply dropped.
+    *
+    * Output: (source, n_shards, n_tokens, n_distinct_exact,
+    * union_within_tolerance), ordered by source.
+    */
+  def sketchProfile(spark: SparkSession, sfDir: String,
+                    shards: Int = 8, lgK: Int = 12,
+                    tol: Double = 0.05): DataFrame = {
+    val toks = table(spark, sfDir, "documents")
+      .select(col("source"), pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+        explode(filter(split(col("text"), " "), t => length(t) > 0)).as("token"))
+    val perShard = toks.groupBy("source", "shard")
+      .agg(hll_sketch_agg(col("token"), lit(lgK)).as("sk"),
+        count(lit(1)).as("n"))
+    val merged = perShard.groupBy("source")
+      .agg(count(lit(1)).as("n_shards"),
+        sum(col("n")).cast("long").as("n_tokens"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = toks.groupBy("source")
+      .agg(count_distinct(col("token")).as("n_distinct_exact"))
+    merged.join(exact, Seq("source"))
+      .select(col("source"), col("n_shards"), col("n_tokens"),
+        col("n_distinct_exact"),
+        (abs(col("est") - col("n_distinct_exact")) <=
+          col("n_distinct_exact") * lit(tol)).as("union_within_tolerance"))
+      .orderBy("source")
+  }
 }

@@ -491,4 +491,22 @@ class CorpusSpec extends SparkSpec {
       (1L, "s1", 9L, 360L, 140L),
       (2L, "s2", 16L, 1000L, 140L)))
   }
+
+  test("sketchProfile: shard union dedups cross-shard tokens, gate true") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // source s1 spreads token "x" over BOTH shards (doc_id 0 and 1):
+    // a sum of per-shard distincts would say 4; the union must say 3
+    writeTable(dir, "documents", Seq(
+      (0L, "x a", "en", "s1", 3L),  // shard 0
+      (1L, "x b", "en", "s1", 3L),  // shard 1
+      (2L, "y y y", "en", "s2", 5L) // shard 2
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = Corpus.sketchProfile(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(rows === Seq(
+      ("s1", 2L, 4L, 3L, true),
+      ("s2", 1L, 3L, 1L, true)))
+  }
 }
