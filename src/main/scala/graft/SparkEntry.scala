@@ -238,6 +238,10 @@ object SparkEntry {
     // top-3 characteristic terms per doc by TF-IDF (exact-rational
     // integer idf — cross-engine deterministic, no float log)
     "text_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(s, dir)),
+    // PMI collocations: exact integral lift ranking (log-free, PMI
+    // order preserved), low-support guard before the unigram joins,
+    // distributed top-k — never a global sort
+    "text_pmi" -> ((s, dir) => TextAnalysis.pmiCollocations(s, dir)),
     // BM25 top-k retrieval: inverted index w/ length-carrying postings,
     // broadcast query-term dim, exact integer Robertson scoring, bounded
     // per-query top-k aggregate (no per-query window)
@@ -2236,6 +2240,30 @@ object SparkEntry {
         |  FROM scored)
         |SELECT doc_id, term, tf, df, score_milli, rk
         |FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    // PMI collocations: lift = c12*N1^2*1e6 // (N2*c1*c2) in HUGEINT,
+    // mirroring Spark's DECIMAL(38,0) floor division
+    "text_pmi" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |uni AS (SELECT t.tok AS w FROM toks, unnest(toks) AS t(tok)),
+        |uc AS (SELECT w, count(*)::BIGINT AS c FROM uni GROUP BY w),
+        |n1 AS (SELECT sum(c)::BIGINT AS n FROM uc),
+        |bg AS (
+        |  SELECT toks[i+1] AS w1, toks[i+2] AS w2
+        |  FROM toks, UNNEST(range(0, len(toks) - 1)) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |bc AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg GROUP BY w1, w2),
+        |n2 AS (SELECT sum(c12)::BIGINT AS n FROM bc)
+        |SELECT b.w1, b.w2, b.c12 AS n_pair, u1.c AS n_w1, u2.c AS n_w2,
+        |  ((b.c12::HUGEINT * n1.n * n1.n * 1000000)
+        |    // (n2.n::HUGEINT * u1.c * u2.c))::BIGINT AS lift_micro
+        |FROM bc b
+        |JOIN uc u1 ON u1.w = b.w1
+        |JOIN uc u2 ON u2.w = b.w2
+        |CROSS JOIN n1 CROSS JOIN n2
+        |WHERE b.c12 >= 5
+        |ORDER BY lift_micro DESC, w1, w2 LIMIT 100""".stripMargin,
     // BM25 mirror: exact-rational Robertson idf in millis, tf norm with
     // every fraction cleared by 10*tot (k1=1.2, b=0.75, avgdl=tot/N as
     // exact rationals), floor div both engines; ties doc_id::VARCHAR asc

@@ -1468,4 +1468,56 @@ object TextAnalysis {
       .withColumn("cum_types", sum(col("n_new_types")).over(w))
       .orderBy("bucket")
   }
+
+  /** text_pmi: collocation mining — the corpus's top word pairs by
+    * pointwise mutual information, the classic phrase-discovery signal
+    * (Church & Hanks 1990) a tokenizer build runs to decide which
+    * multi-word units deserve vocabulary slots, and a quality pass runs
+    * to spot templated co-occurrence. PMI = log of the lift
+    * c12·N1²/(N2·c1·c2); log is monotone, so ranking by the exact
+    * integral lift (micros, floor) needs no floating point and stays
+    * oracle-replayable. Pairs below `minCount` are dropped BEFORE the
+    * unigram joins — the standard low-support guard (PMI's known bias:
+    * hapax pairs score highest).
+    *
+    * Scale shape: two corpus scans (unigram and bigram explode), each
+    * into a map-side-combinable count aggregate; the bigram count table
+    * is materialized once and reused for its own total. Joins to the
+    * unigram table are key-shuffles on the word; the final top-k is
+    * TakeOrderedAndProject (per-partition heaps + one k-row merge),
+    * never a global sort or single-partition window. The decimal lift
+    * keeps exact integral ordering to ~1e10-token corpora; past that,
+    * swap the ranking to double log-PMI (same order within precision)
+    * — the support counts in the output stay exact either way.
+    *
+    * Output: top `k` rows (w1, w2, n_pair, n_w1, n_w2, lift_micro)
+    * ordered by (lift_micro desc, w1, w2).
+    */
+  def pmiCollocations(spark: SparkSession, sfDir: String,
+                      minCount: Long = 5, k: Int = 100): DataFrame = {
+    import graft.functions.ShingleColumns.wordShingles
+    val docs = table(spark, sfDir, "documents")
+    val uni = docs
+      .select(explode(wordShingles(col("text"), 1)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // reused: both per-word joins + the N1 total
+    val bigAll = docs
+      .select(explode(wordShingles(col("text"), 2)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // reused: the N2 total + the supported subset
+    val n1 = uni.agg(sum(col("c")).cast("long").as("n1"))
+    val n2 = bigAll.agg(sum(col("c12")).cast("long").as("n2"))
+    bigAll.filter(col("c12") >= minCount)
+      .select(split(col("bg"), " ").getItem(0).as("w1"),
+        split(col("bg"), " ").getItem(1).as("w2"), col("c12"))
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .select(col("w1"), col("w2"), col("c12").as("n_pair"),
+        col("c1").as("n_w1"), col("c2").as("n_w2"),
+        expr("(cast(c12 as decimal(38,0)) * n1 * n1 * 1000000) div " +
+          "(cast(n2 as decimal(38,0)) * c1 * c2)").as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

@@ -80,7 +80,10 @@ class PlanShapeSpec extends SparkSpec {
       "sim_epsilon_sweep",
       // the graft_dot SQL twin of sim_bruteforce: same broadcast
       // strided-query cross join as the Column-API form
-      "sql_cosine")
+      "sql_cosine",
+      // PMI's two 1-row corpus totals (N1, N2) broadcast onto the
+      // supported-pair table — the tfidf one-row-count shape twice
+      "text_pmi")
     val real = offenders.filterNot(o => sanctioned.exists(o.startsWith))
     assert(real.isEmpty, s"quadratic plan shapes found:\n${real.mkString("\n")}")
   }

@@ -642,4 +642,23 @@ class TextAnalysisSpec extends SparkSpec {
     def toMap2: Map[Long, (Long, Long, Long, Long, Boolean)] =
       rows.map(t => t._1 -> ((t._2, t._3, t._4, t._5, t._6))).toMap
   }
+
+  test("pmi collocations: exact integral lift ranking, hand-computed") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // tokens x3 y3 z2 -> N1=8; bigrams xy:3 yx:2 zz:1 -> N2=6
+    writeTable(dir, "documents", Seq(
+      (1L, "x y x y x y", "en", "s", 11L),
+      (2L, "z z", "en", "s", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = TextAnalysis.pmiCollocations(spark, dir, minCount = 1, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // lift_micro = c12*64*1e6 // (6*c1*c2): xy 192e6//54 = 3555555,
+    // zz 64e6//24 = 2666666, yx 128e6//54 = 2370370
+    assert(rows === Seq(
+      ("x", "y", 3L, 3L, 3L, 3555555L),
+      ("z", "z", 1L, 2L, 2L, 2666666L),
+      ("y", "x", 2L, 3L, 3L, 2370370L)))
+  }
 }
