@@ -515,6 +515,9 @@ object SparkEntry {
     // ingest-time canonical-host monitor: stateless per-row URL rules,
     // Complete-mode rollup bounded by |hosts|
     "stream_urlcount_canonical" -> ((s, dir) => StreamingOps.streamCanonicalHosts(s, dir)),
+    // ingest-time cardinality monitor: one fixed-size HLL sketch per
+    // source in the Complete-mode state, batch-gated vs exact distinct
+    "stream_sketch_profile" -> ((s, dir) => StreamingOps.streamSketchProfile(s, dir)),
     "stream_classifier" -> ((s, dir) => StreamingOps.streamClassifier(s, dir)),
     // ingest-time embedding-space leak gate: bounded eval vectors
     // unrolled into one stateless projection per arrival
@@ -3657,6 +3660,16 @@ object SparkEntry {
         |FROM c GROUP BY cnt ORDER BY cnt""".stripMargin,
     // streaming canonical-host monitor: the batch oracle minus the
     // distinct-page column (unsupported under a streaming rollup)
+    // streaming sketch profile: per-source token totals with the HLL
+    // union gate expected TRUE (the corpus_sketch_profile discipline)
+    "stream_sketch_profile" ->
+      """WITH toks AS (
+        |  SELECT source, t.tok AS token
+        |  FROM documents,
+        |    unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS t(tok))
+        |SELECT source, count(*)::BIGINT AS n_tokens,
+        |  TRUE AS union_within_tolerance
+        |FROM toks GROUP BY source ORDER BY source""".stripMargin,
     "stream_urlcount_canonical" ->
       """WITH u AS (
         |  SELECT lower(

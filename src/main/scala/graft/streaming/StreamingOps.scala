@@ -837,6 +837,43 @@ object StreamingOps {
       .orderBy("doc_id", "query_id")
   }
 
+  /** stream_sketch_profile: ingest-time cardinality monitoring — the
+    * streaming twin of corpus_sketch_profile's union level. Per-source
+    * token counts AND a Datasketches HLL sketch accumulate in the
+    * Complete-mode aggregation state: ONE fixed-size sketch per source,
+    * merged across micro-batches by the streaming aggregation itself —
+    * which is the whole point: exact distinct state grows with the
+    * token vocabulary (and a streaming distinct under a rollup is
+    * unsupported anyway, the canonical-host twin's lesson), while the
+    * sketch keeps per-key state at 2^lgK bytes forever. The batch gate
+    * then verifies the final sketch against exact count_distinct over
+    * the same files (the corpus_sketch_profile audit discipline) and
+    * surfaces the boolean the oracle expects TRUE.
+    *
+    * Output: (source, n_tokens, union_within_tolerance), ordered by
+    * source.
+    */
+  def streamSketchProfile(spark: SparkSession, sfDir: String,
+                          lgK: Int = 12, tol: Double = 0.05): DataFrame = {
+    def toks(df: DataFrame): DataFrame =
+      df.select(col("source"),
+        explode(filter(split(col("text"), " "), t => length(t) > 0)).as("token"))
+    val streamed = runToBatch(spark,
+        s => toks(harnessDocStream(s, sfDir))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_tokens"),
+            hll_sketch_agg(col("token"), lit(lgK)).as("sk")),
+        "stream_sketch", OutputMode.Complete())
+    val exact = toks(graft.GraftSession.table(spark, sfDir, "documents"))
+      .groupBy("source")
+      .agg(count_distinct(col("token")).as("nd"))
+    streamed.join(exact, Seq("source"))
+      .select(col("source"), col("n_tokens").cast("long").as("n_tokens"),
+        (abs(hll_sketch_estimate(col("sk")) - col("nd")) <=
+          col("nd") * lit(tol)).as("union_within_tolerance"))
+      .orderBy("source")
+  }
+
   /** stream_hot_users: windowed hot-key monitoring at ingest — the
     * streaming analog of rel_skew_audit: per 1 h event-time window, the
     * top-k users by event count, emitted exactly once when the

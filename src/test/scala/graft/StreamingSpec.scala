@@ -475,6 +475,21 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 9L, 1L)))
   }
 
+  test("streaming sketch profile matches the batch profile's totals and gate") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // token "x" spans both docs of s1: the state-store sketch union
+    // must dedup it (estimate 3, not 4) for the 5% gate to hold
+    writeTable(dir, "documents", Seq(
+      (0L, "x a", "en", "s1", 3L),
+      (1L, "x b", "en", "s1", 3L),
+      (2L, "y y y", "en", "s2", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = StreamingOps.streamSketchProfile(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSeq
+    assert(rows === Seq(("s1", 4L, true), ("s2", 3L, true)))
+  }
+
   test("restart from checkpoint: processed input is not re-ingested, new input is") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft-restart-in").toString
