@@ -518,6 +518,10 @@ object SparkEntry {
     // ingest-time cardinality monitor: one fixed-size HLL sketch per
     // source in the Complete-mode state, batch-gated vs exact distinct
     "stream_sketch_profile" -> ((s, dir) => StreamingOps.streamSketchProfile(s, dir)),
+    // ingest-time quality-aware dedup: the bestRep argmax accumulator
+    // as Complete-mode streaming state — a later better variant
+    // replaces the kept one, which first-wins dedup cannot do
+    "stream_best_rep" -> ((s, dir) => StreamingOps.streamBestRep(s, dir)),
     "stream_classifier" -> ((s, dir) => StreamingOps.streamClassifier(s, dir)),
     // ingest-time embedding-space leak gate: bounded eval vectors
     // unrolled into one stateless projection per arrival
@@ -701,6 +705,36 @@ object SparkEntry {
   )
 
   // Shared oracle fragments -------------------------------------------------
+
+  /** Quality-aware exact-dedup survivor (Dedup.bestRepFrame): shared by
+    * the batch query and its Complete-mode streaming twin, which
+    * produce the identical relation over the same files. */
+  private val bestRepOracle: String =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_key,
+      |    length(text)::BIGINT AS n_chars_raw,
+      |    CASE WHEN len(toks) >= 10 AND len(toks) <= 100000
+      |      AND len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','on'))) * 100 >= len(toks)
+      |      THEN 1 ELSE 0 END::BIGINT AS q_keep
+      |  FROM (SELECT doc_id, text,
+      |          list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+      |        FROM documents)),
+      |g AS (
+      |  SELECT content_key, count(*)::BIGINT AS n_copies,
+      |    min(doc_id)::BIGINT AS min_doc_id
+      |  FROM q GROUP BY content_key),
+      |sel AS (
+      |  SELECT content_key, doc_id, q_keep, n_chars_raw,
+      |    row_number() OVER (PARTITION BY content_key
+      |      ORDER BY q_keep DESC, n_chars_raw DESC, doc_id ASC) AS rk
+      |  FROM q)
+      |SELECT s.content_key, s.doc_id::BIGINT AS keep_doc_id, g.n_copies,
+      |  s.q_keep AS kept_q_keep, s.n_chars_raw AS kept_n_chars,
+      |  g.min_doc_id, (s.doc_id <> g.min_doc_id) AS diverges_from_min_id
+      |FROM sel s JOIN g USING (content_key)
+      |WHERE s.rk = 1
+      |ORDER BY keep_doc_id""".stripMargin
 
   /** Non-empty space-separated tokens of lowercased documents.text
     * (mirror of Dedup.shingles' case normalization). */
@@ -2493,32 +2527,7 @@ object SparkEntry {
         |FROM d GROUP BY content_key ORDER BY keep_doc_id""".stripMargin,
     // quality-aware survivor: argmax restated as row_number over
     // (q_keep DESC, n_chars_raw DESC, doc_id ASC) within the group
-    "dedup_best_rep" ->
-      """WITH q AS (
-        |  SELECT doc_id,
-        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_key,
-        |    length(text)::BIGINT AS n_chars_raw,
-        |    CASE WHEN len(toks) >= 10 AND len(toks) <= 100000
-        |      AND len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','on'))) * 100 >= len(toks)
-        |      THEN 1 ELSE 0 END::BIGINT AS q_keep
-        |  FROM (SELECT doc_id, text,
-        |          list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
-        |        FROM documents)),
-        |g AS (
-        |  SELECT content_key, count(*)::BIGINT AS n_copies,
-        |    min(doc_id)::BIGINT AS min_doc_id
-        |  FROM q GROUP BY content_key),
-        |sel AS (
-        |  SELECT content_key, doc_id, q_keep, n_chars_raw,
-        |    row_number() OVER (PARTITION BY content_key
-        |      ORDER BY q_keep DESC, n_chars_raw DESC, doc_id ASC) AS rk
-        |  FROM q)
-        |SELECT s.content_key, s.doc_id::BIGINT AS keep_doc_id, g.n_copies,
-        |  s.q_keep AS kept_q_keep, s.n_chars_raw AS kept_n_chars,
-        |  g.min_doc_id, (s.doc_id <> g.min_doc_id) AS diverges_from_min_id
-        |FROM sel s JOIN g USING (content_key)
-        |WHERE s.rk = 1
-        |ORDER BY keep_doc_id""".stripMargin,
+    "dedup_best_rep" -> bestRepOracle,
     // passage dedup: same segmentation as text_chunks but non-overlapping
     // (stride = width = 32); first-occurrence-wins stated as row_number
     // over (doc_id, seg_idx); rebuilt text compared by md5
@@ -3660,6 +3669,9 @@ object SparkEntry {
         |FROM c GROUP BY cnt ORDER BY cnt""".stripMargin,
     // streaming canonical-host monitor: the batch oracle minus the
     // distinct-page column (unsupported under a streaming rollup)
+    // streaming best-rep: the batch query's exact relation (shared
+    // oracle) — Complete-mode state replays every arrival
+    "stream_best_rep" -> bestRepOracle,
     // streaming sketch profile: per-source token totals with the HLL
     // union gate expected TRUE (the corpus_sketch_profile discipline)
     "stream_sketch_profile" ->

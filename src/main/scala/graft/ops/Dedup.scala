@@ -1377,14 +1377,23 @@ object Dedup {
     * `diverges_from_min_id` marks exactly the rows where quality-aware
     * selection changed the outcome vs `exact`.
     */
-  def bestRep(spark: SparkSession, sfDir: String): DataFrame = {
+  def bestRep(spark: SparkSession, sfDir: String): DataFrame =
+    bestRepFrame(table(spark, sfDir, "documents")).orderBy("keep_doc_id")
+
+  /** The selection core of `bestRep` on any (doc_id, text) frame,
+    * batch or streaming — the aggregate form works unchanged as a
+    * Complete-mode streaming aggregation (see
+    * StreamingOps.streamBestRep), which is why the argmax is an
+    * accumulator and not a window. Unordered.
+    */
+  private[graft] def bestRepFrame(docs: DataFrame): DataFrame = {
     val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
     val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
     val toks = filter(split(col("text"), " "), t => length(t) > 0)
     val nTok = size(toks).cast("long")
     val nStop = size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).cast("long")
     val qKeep = (nTok >= 10 && nTok <= 100000 && nStop * lit(100) >= nTok)
-    table(spark, sfDir, "documents")
+    docs
       .select(col("doc_id"), md5(norm).as("content_key"),
         length(col("text")).cast("long").as("n_chars_raw"),
         qKeep.cast("long").as("q_keep"))
@@ -1400,6 +1409,5 @@ object Dedup {
         col("k.n_chars_raw").as("kept_n_chars"),
         col("min_doc_id"))
       .withColumn("diverges_from_min_id", col("keep_doc_id") =!= col("min_doc_id"))
-      .orderBy("keep_doc_id")
   }
 }

@@ -837,6 +837,22 @@ object StreamingOps {
       .orderBy("doc_id", "query_id")
   }
 
+  /** stream_best_rep: ingest-time quality-aware dedup — the streaming
+    * twin of Dedup.bestRep, via the SAME aggregate core: the per-key
+    * argmax is a max(struct) accumulator, so it runs unchanged as a
+    * Complete-mode streaming aggregation whose state is ONE struct per
+    * distinct content key — a later, better variant of already-seen
+    * content replaces the kept one in state, which no first-wins
+    * dropDuplicates form can do. Like stream_dedup, this unbounded-key
+    * form is the oracle twin; production bounds eviction with the
+    * streamExactDedupBounded watermark discipline.
+    */
+  def streamBestRep(spark: SparkSession, sfDir: String): DataFrame =
+    runToBatch(spark,
+        s => graft.ops.Dedup.bestRepFrame(harnessDocStream(s, sfDir)),
+        "stream_best_rep", OutputMode.Complete())
+      .orderBy("keep_doc_id")
+
   /** stream_sketch_profile: ingest-time cardinality monitoring — the
     * streaming twin of corpus_sketch_profile's union level. Per-source
     * token counts AND a Datasketches HLL sketch accumulate in the

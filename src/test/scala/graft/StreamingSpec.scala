@@ -475,6 +475,24 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 9L, 1L)))
   }
 
+  test("streaming best-rep: a later better variant replaces the kept one in state") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // doc 9 arrives with the SAME normalized content as doc 5 but more
+    // raw chars: the state accumulator must swap the survivor to 9 —
+    // first-wins dropDuplicates would have frozen 5
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")
+    writeTable(dir, "documents", Seq(
+      (5L, base, "en", "s", base.length.toLong),
+      (9L, "  " + base + "  ", "en", "s", base.length.toLong + 4),
+      (7L, "solo doc", "en", "s", 8L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = StreamingOps.streamBestRep(spark, dir).collect()
+      .map(r => (r.getAs[Long]("keep_doc_id"), r.getAs[Long]("n_copies"),
+        r.getAs[Long]("min_doc_id"), r.getAs[Boolean]("diverges_from_min_id"))).toSeq
+    assert(rows === Seq((7L, 1L, 7L, false), (9L, 2L, 5L, true)))
+  }
+
   test("streaming sketch profile matches the batch profile's totals and gate") {
     import spark.implicits._
     val dir = tempSfDir()
