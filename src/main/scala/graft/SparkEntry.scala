@@ -218,6 +218,10 @@ object SparkEntry {
     // source (one sketch per (source, shard) shuffled, never tokens);
     // estimate gated in-plan vs exact, oracle expects the gate TRUE
     "corpus_sketch_profile" -> ((s, dir) => Corpus.sketchProfile(s, dir)),
+    // persisted profile store: source-bucketed sketch table + fold-in
+    // append; rollup reads co-located buckets (no store-side Exchange),
+    // union gated vs exact over the full corpus
+    "corpus_profile_refresh" -> ((s, dir) => Corpus.profileRefreshAudit(s, dir)),
     // eval-set (benchmark) leakage check: train docs sharing >= 3
     // distinct 3-grams with the held-out set (threshold chosen so the
     // check is NON-VACUOUS on the synthetic corpus: overlaps reach 4)
@@ -2450,6 +2454,25 @@ object SparkEntry {
         |  SELECT source, count(DISTINCT token)::BIGINT AS n_distinct_exact
         |  FROM toks GROUP BY source)
         |SELECT m.source, m.n_shards, m.n_tokens, ex.n_distinct_exact,
+        |  TRUE AS union_within_tolerance
+        |FROM m JOIN ex USING (source) ORDER BY source""".stripMargin,
+    // persisted profile: stored rows = one sketch per (source, shard,
+    // batch-half); union-over-store gate expected TRUE
+    "corpus_profile_refresh" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id % 8 AS shard, doc_id % 4 = 0 AS fresh, t.tok AS token
+        |  FROM documents,
+        |    unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS t(tok)),
+        |gs AS (
+        |  SELECT source, shard, fresh, count(*)::BIGINT AS n
+        |  FROM toks GROUP BY source, shard, fresh),
+        |m AS (
+        |  SELECT source, count(*)::BIGINT AS n_sketches, sum(n)::BIGINT AS n_tokens
+        |  FROM gs GROUP BY source),
+        |ex AS (
+        |  SELECT source, count(DISTINCT token)::BIGINT AS n_distinct_exact
+        |  FROM toks GROUP BY source)
+        |SELECT m.source, m.n_sketches, m.n_tokens, ex.n_distinct_exact,
         |  TRUE AS union_within_tolerance
         |FROM m JOIN ex USING (source) ORDER BY source""".stripMargin,
     // source-concentration audit: Lorenz cumulative shares + rank-form

@@ -833,12 +833,8 @@ object Corpus {
   def sketchProfile(spark: SparkSession, sfDir: String,
                     shards: Int = 8, lgK: Int = 12,
                     tol: Double = 0.05): DataFrame = {
-    val toks = table(spark, sfDir, "documents")
-      .select(col("source"), pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
-        explode(filter(split(col("text"), " "), t => length(t) > 0)).as("token"))
-    val perShard = toks.groupBy("source", "shard")
-      .agg(hll_sketch_agg(col("token"), lit(lgK)).as("sk"),
-        count(lit(1)).as("n"))
+    val toks = sourceTokens(table(spark, sfDir, "documents"), shards)
+    val perShard = shardSketches(toks, lgK)
     val merged = perShard.groupBy("source")
       .agg(count(lit(1)).as("n_shards"),
         sum(col("n")).cast("long").as("n_tokens"),
@@ -847,6 +843,67 @@ object Corpus {
       .agg(count_distinct(col("token")).as("n_distinct_exact"))
     merged.join(exact, Seq("source"))
       .select(col("source"), col("n_shards"), col("n_tokens"),
+        col("n_distinct_exact"),
+        (abs(col("est") - col("n_distinct_exact")) <=
+          col("n_distinct_exact") * lit(tol)).as("union_within_tolerance"))
+      .orderBy("source")
+  }
+
+  /** (source, shard, token) occurrences — the profile family's shared
+    * explode (shard = doc_id mod `shards`, the stand-in for the real
+    * ingest file split).
+    */
+  private def sourceTokens(docs: DataFrame, shards: Int): DataFrame =
+    docs.select(col("source"), pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+      explode(filter(split(col("text"), " "), t => length(t) > 0)).as("token"))
+
+  /** One HLL sketch + token count per (source, shard). */
+  private def shardSketches(toks: DataFrame, lgK: Int): DataFrame =
+    toks.groupBy("source", "shard")
+      .agg(hll_sketch_agg(col("token"), lit(lgK)).as("sk"),
+        count(lit(1)).as("n"))
+
+  /** corpus_profile_refresh: the PERSISTED profile lifecycle — what
+    * turns the sketch profile from a query into infrastructure. The
+    * per-shard sketches land in a parquet table BUCKETED BY SOURCE
+    * (Bucketed.writeBucketed, run-scoped name), a new batch's sketches
+    * fold in with appendBucketed — old shards' tokens are never re-read
+    * — and the per-source rollup reads co-located buckets, so the
+    * union aggregation plans with NO Exchange on the store side: the
+    * shuffle was paid once at ingest, the daily stats query pays none.
+    * This is dedup_index_refresh's build -> fold-in -> serve discipline
+    * applied to statistics, possible ONLY because sketches merge
+    * (exact distinct state cannot be folded in, it must be rebuilt).
+    *
+    * The audit half proves the fold-in lost nothing: the union over the
+    * folded store is gated against exact count_distinct over the FULL
+    * corpus (TRUE expected by the oracle). n_sketches counts stored
+    * rows per source — base and fold-in batches sketch the same
+    * (source, shard) keys separately, the redundancy a compaction pass
+    * (dedup_index_compact's semi-join discipline) would reclaim.
+    *
+    * Output: (source, n_sketches, n_tokens, n_distinct_exact,
+    * union_within_tolerance), ordered by source.
+    */
+  def profileRefreshAudit(spark: SparkSession, sfDir: String,
+                          shards: Int = 8, lgK: Int = 12, mod: Int = 4,
+                          tol: Double = 0.05, nBuckets: Int = 8): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val name = graft.sources.Bucketed.scopedName(spark, "graft_profile_store")
+    graft.sources.Bucketed.writeBucketed(spark,
+      shardSketches(sourceTokens(docs.filter(col("doc_id") % mod =!= 0), shards), lgK),
+      name, graft.sources.Bucketed.scopedPath(name), "source", nBuckets)
+    graft.sources.Bucketed.appendBucketed(spark,
+      shardSketches(sourceTokens(docs.filter(col("doc_id") % mod === 0), shards), lgK),
+      name, "source", nBuckets)
+    val merged = spark.table(name).groupBy("source")
+      .agg(count(lit(1)).as("n_sketches"),
+        sum(col("n")).cast("long").as("n_tokens"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = sourceTokens(docs, shards).groupBy("source")
+      .agg(count_distinct(col("token")).as("n_distinct_exact"))
+    merged.join(exact, Seq("source"))
+      .select(col("source"), col("n_sketches"), col("n_tokens"),
         col("n_distinct_exact"),
         (abs(col("est") - col("n_distinct_exact")) <=
           col("n_distinct_exact") * lit(tol)).as("union_within_tolerance"))

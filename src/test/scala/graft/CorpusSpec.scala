@@ -509,4 +509,29 @@ class CorpusSpec extends SparkSpec {
       ("s1", 2L, 4L, 3L, true),
       ("s2", 1L, 3L, 1L, true)))
   }
+
+  test("profileRefreshAudit: fold-in loses nothing; store rollup is exchange-free") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // doc 0 (0 % 4 == 0) arrives in the FOLD-IN batch; its token "x"
+    // also lives in base doc 1 — the union over the folded store must
+    // still dedup it for the gate to hold
+    writeTable(dir, "documents", Seq(
+      (0L, "x a", "en", "s1", 3L),
+      (1L, "x b", "en", "s1", 3L),
+      (2L, "y y y", "en", "s2", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = Corpus.profileRefreshAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(rows === Seq(
+      ("s1", 2L, 4L, 3L, true),
+      ("s2", 1L, 3L, 1L, true)))
+    // the serving rollup on the source-bucketed store plans with no
+    // Exchange: the shuffle was paid once at write time
+    val name = graft.sources.Bucketed.scopedName(spark, "graft_profile_store")
+    val rollup = spark.table(name).groupBy("source")
+      .agg(org.apache.spark.sql.functions.sum("n").as("t"))
+    assert(!rollup.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }
