@@ -310,6 +310,9 @@ object SparkEntry {
     // normalization-ladder audit: docs collapsed by each successive
     // canonicalization rung (raw/lower/ws/punct), one x4 narrow pass
     "dedup_normalization" -> ((s, dir) => Dedup.normalizationAudit(s, dir)),
+    // token-weighted ladder audit: tokens each rung reclaims (the
+    // number a budget allocator consumes), kept member via min(struct)
+    "dedup_reclaim" -> ((s, dir) => Dedup.reclaimAudit(s, dir)),
     // directed containment rung: |inter| / min(|A|,|B|) over
     // representatives — nested/quoted duplication symmetric jaccard
     // misses (big doc swallows the union)
@@ -3926,6 +3929,39 @@ object SparkEntry {
          |  ((n_docs - n_distinct)
          |    - coalesce(lag(n_docs - n_distinct) OVER (ORDER BY rung), 0))::BIGINT
          |    AS gain_vs_prev
+         |FROM p ORDER BY rung""".stripMargin,
+    // token-weighted ladder: per-(rung, key) kept member via min_by,
+    // token sums in BIGINT, 4-row lag
+    "dedup_reclaim" ->
+      s"""WITH kk AS (
+         |  SELECT doc_id,
+         |    len(list_filter(string_split(text, ' '), t -> length(t) > 0))::BIGINT AS n_tok,
+         |    text AS c0, lower(text) AS c1,
+         |    regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS c2
+         |  FROM documents),
+         |kk3 AS (
+         |  SELECT doc_id, n_tok, c0, c1, c2,
+         |    regexp_replace(c2, '[^a-z0-9 ]', '', 'g') AS c3
+         |  FROM kk),
+         |r AS (
+         |  SELECT 0::BIGINT AS rung, ${h60("c0")} AS hkey, doc_id, n_tok FROM kk3
+         |  UNION ALL SELECT 1, ${h60("c1")}, doc_id, n_tok FROM kk3
+         |  UNION ALL SELECT 2, ${h60("c2")}, doc_id, n_tok FROM kk3
+         |  UNION ALL SELECT 3, ${h60("c3")}, doc_id, n_tok FROM kk3),
+         |g AS (
+         |  SELECT rung, hkey, count(*)::BIGINT AS n, sum(n_tok)::BIGINT AS tok_sum,
+         |    min_by(n_tok, doc_id)::BIGINT AS kept_tok
+         |  FROM r GROUP BY rung, hkey),
+         |p AS (
+         |  SELECT rung, sum(n)::BIGINT AS n_docs, count(*)::BIGINT AS n_groups,
+         |    sum(tok_sum)::BIGINT AS tokens_total,
+         |    sum(tok_sum - kept_tok)::BIGINT AS tokens_reclaimed
+         |  FROM g GROUP BY rung)
+         |SELECT rung, n_docs, n_groups, (n_docs - n_groups)::BIGINT AS n_collapsible,
+         |  tokens_total, tokens_reclaimed,
+         |  (tokens_reclaimed
+         |    - coalesce(lag(tokens_reclaimed) OVER (ORDER BY rung), 0))::BIGINT
+         |    AS reclaim_gain_vs_prev
          |FROM p ORDER BY rung""".stripMargin,
     // padding audit mirror: identical integer round-up caps, 1-row max
     "corpus_padding_audit" ->

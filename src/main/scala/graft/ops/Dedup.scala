@@ -109,6 +109,53 @@ object Dedup {
       .orderBy("rung")
   }
 
+  /** dedup_reclaim: the TOKEN-weighted normalization-ladder audit —
+    * normalizationAudit counts collapsible documents per rung; this
+    * prices them: how many training tokens each rung actually reclaims
+    * (every group keeps its min-doc_id representative, every other
+    * member's raw tokens are reclaimed). Doc counts mislead capacity
+    * planning when duplicates skew long or short — the token number is
+    * the one a budget allocator (mix_token_budget) consumes.
+    *
+    * Scale shape: the same constant x4 rung explode, then ONE shuffle
+    * on (rung, 60-bit key) with map-side partial aggregation — the
+    * kept member rides a min(struct(doc_id, n_tok)) accumulator, never
+    * a window — and a 4-row rollup. The 4-row lag window is
+    * domain-bounded.
+    *
+    * Output: (rung, n_docs, n_groups, n_collapsible, tokens_total,
+    * tokens_reclaimed, reclaim_gain_vs_prev), ordered by rung.
+    */
+  def reclaimAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k1 = lower(col("text"))
+    val k2 = regexp_replace(trim(k1), "\\s+", " ")
+    val k3 = regexp_replace(k2, "[^a-z0-9 ]", "")
+    val nTok = size(filter(split(col("text"), " "), t => length(t) > 0)).cast("long")
+    val keyed = table(spark, sfDir, "documents")
+      .select(col("doc_id"), nTok.as("n_tok"), explode(array(
+        Seq(col("text"), k1, k2, k3).zipWithIndex.map { case (k, i) =>
+          struct(lit(i.toLong).as("rung"), graft.functions.OracleHash.h60(k).as("hkey"))
+        }: _*)).as("r"))
+      .select(col("r.rung").as("rung"), col("r.hkey").as("hkey"),
+        col("doc_id"), col("n_tok"))
+    val perGroup = keyed.groupBy("rung", "hkey")
+      .agg(count(lit(1)).as("n"), sum(col("n_tok")).as("tok_sum"),
+        min(struct(col("doc_id"), col("n_tok"))).as("kept"))
+    perGroup.groupBy("rung")
+      .agg(sum(col("n")).cast("long").as("n_docs"),
+        count(lit(1)).as("n_groups"),
+        sum(col("tok_sum")).cast("long").as("tokens_total"),
+        sum(col("tok_sum") - col("kept.n_tok")).cast("long").as("tokens_reclaimed"))
+      .withColumn("n_collapsible", col("n_docs") - col("n_groups"))
+      .withColumn("reclaim_gain_vs_prev",
+        col("tokens_reclaimed") -
+          coalesce(lag(col("tokens_reclaimed"), 1).over(Window.orderBy("rung")), lit(0L)))
+      .select(col("rung"), col("n_docs"), col("n_groups"), col("n_collapsible"),
+        col("tokens_total"), col("tokens_reclaimed"), col("reclaim_gain_vs_prev"))
+      .orderBy("rung")
+  }
+
   /** (doc_id, rep_id, n_copies): each doc mapped to the representative
     * (minimum doc_id) of its exact-content group — `exact`'s md5 grouping
     * as a per-doc map. One shuffle on the content key; both window

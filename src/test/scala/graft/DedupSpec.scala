@@ -48,6 +48,28 @@ class DedupSpec extends SparkSpec {
       (3L, 5L, 1L, 4L, 1L))) // punct strip folds in doc 4
   }
 
+  test("reclaim audit: token-weighted rung gains, kept member excluded") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", Seq(
+      (1L, "Hello  World", "en", "s", 12L),
+      (2L, "hello world", "en", "s", 11L),
+      (3L, "hello   world", "en", "s", 13L),
+      (4L, "hello, world!", "en", "s", 13L),
+      (5L, "hello world", "en", "s", 11L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = Dedup.reclaimAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    // every doc is 2 raw tokens; groups per rung as in the
+    // normalization-ladder spec, each group keeps its min-id member
+    assert(rows === Seq(
+      (0L, 5L, 4L, 1L, 10L, 2L, 2L),
+      (1L, 5L, 4L, 1L, 10L, 2L, 0L),
+      (2L, 5L, 2L, 3L, 10L, 6L, 4L),
+      (3L, 5L, 1L, 4L, 10L, 8L, 2L)))
+  }
+
   test("best-rep: survivor is the longest raw variant, flagged as diverging from min id") {
     // docs 1/2 normalize together; both fail the quality gate (no
     // stopwords), so raw length decides: doc 2 carries 4 extra raw chars.
