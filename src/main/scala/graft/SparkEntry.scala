@@ -313,6 +313,9 @@ object SparkEntry {
     // token-weighted ladder audit: tokens each rung reclaims (the
     // number a budget allocator consumes), kept member via min(struct)
     "dedup_reclaim" -> ((s, dir) => Dedup.reclaimAudit(s, dir)),
+    // crawl-health histogram: near-dup component sizes from the same
+    // clustering machinery, two map-side-combinable rollups on top
+    "dedup_cluster_sizes" -> ((s, dir) => Dedup.clusterSizeDistribution(s, dir)),
     // directed containment rung: |inter| / min(|A|,|B|) over
     // representatives — nested/quoted duplication symmetric jaccard
     // misses (big doc swallows the union)
@@ -3357,6 +3360,22 @@ object SparkEntry {
          |$expandClustersCte
          |SELECT doc_id::BIGINT AS doc_id, cluster_id::BIGINT AS cluster_id
          |FROM expanded ORDER BY doc_id""".stripMargin,
+    // size histogram over the same expanded components
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE $repDocShingles,
+         |$fuzzyEdgesCte,
+         |$clustersCte,
+         |$expandClustersCte,
+         |cs AS (
+         |  SELECT cluster_id, count(*)::BIGINT AS cluster_size
+         |  FROM expanded GROUP BY cluster_id),
+         |h AS (
+         |  SELECT cluster_size, count(*)::BIGINT AS n_clusters
+         |  FROM cs GROUP BY cluster_size)
+         |SELECT cluster_size, n_clusters,
+         |  (cluster_size * n_clusters)::BIGINT AS n_docs,
+         |  ((cluster_size - 1) * n_clusters)::BIGINT AS docs_removed
+         |FROM h ORDER BY cluster_size""".stripMargin,
     "pipeline_fuzzy" ->
       s"""WITH RECURSIVE $repDocShingles,
          |$fuzzyEdgesCte,

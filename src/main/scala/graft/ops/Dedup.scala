@@ -989,6 +989,31 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** dedup_cluster_sizes: the near-dup cluster-size distribution — the
+    * crawl-health metric read FIRST on a new corpus snapshot: a healthy
+    * crawl shows a long tail of small clusters; a template farm or SEO
+    * mirror network shows mass concentrated in a few giant components.
+    * The size histogram also prices the fuzzy rung the way
+    * dedup_reclaim prices the exact ladder: docs_removed = docs in
+    * clusters minus one survivor per cluster.
+    *
+    * Scale shape: nearDupClusters' full machinery (rep collapse, one
+    * shingle pass, banded candidates, label propagation), then two
+    * tiny aggregations — per-cluster sizes (shuffle keyed by cluster
+    * id, map-side combinable) and the size histogram (|distinct sizes|
+    * groups). Output: (cluster_size, n_clusters, n_docs,
+    * docs_removed), ordered by cluster_size.
+    */
+  def clusterSizeDistribution(spark: SparkSession, sfDir: String): DataFrame =
+    nearDupClusters(spark, sfDir)
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - lit(1)) * col("n_clusters")).as("docs_removed"))
+      .orderBy("cluster_size")
+
   /** The full corpus-cleaning ladder: quality gate -> exact dedup
     * (cleanCorpus) -> FUZZY dedup: among the surviving docs, keep one
     * doc per near-dup cluster (the smallest surviving doc_id; docs in no

@@ -230,6 +230,14 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("cluster sizes: one 3-doc component on the shared fixture") {
+    // docs {1, 2, 3} form the single near-dup cluster; doc 4 is in no
+    // cluster and no dup group, so it never appears
+    val rows = Dedup.clusterSizeDistribution(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows === Seq((3L, 1L, 3L, 2L)))
+  }
+
   test("hot-bucket guard: m identical docs yield O(m) clusters, not O(m^2) candidates") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
