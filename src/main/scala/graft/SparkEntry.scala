@@ -222,6 +222,9 @@ object SparkEntry {
     // append; rollup reads co-located buckets (no store-side Exchange),
     // union gated vs exact over the full corpus
     "corpus_profile_refresh" -> ((s, dir) => Corpus.profileRefreshAudit(s, dir)),
+    // store compaction: one sketch per (source, shard) by unioning the
+    // STORED sketches — no token re-read; compacted union gated vs exact
+    "corpus_profile_compact" -> ((s, dir) => Corpus.profileCompactAudit(s, dir)),
     // eval-set (benchmark) leakage check: train docs sharing >= 3
     // distinct 3-grams with the held-out set (threshold chosen so the
     // check is NON-VACUOUS on the synthetic corpus: overlaps reach 4)
@@ -2481,6 +2484,29 @@ object SparkEntry {
         |SELECT m.source, m.n_sketches, m.n_tokens, ex.n_distinct_exact,
         |  TRUE AS union_within_tolerance
         |FROM m JOIN ex USING (source) ORDER BY source""".stripMargin,
+    // profile compaction: before = one row per (source, shard,
+    // batch-half), after = one per (source, shard); gate expected TRUE
+    "corpus_profile_compact" ->
+      """WITH toks AS (
+        |  SELECT source, doc_id % 8 AS shard, doc_id % 3 = 0 AS fresh, t.tok AS token
+        |  FROM documents,
+        |    unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS t(tok)),
+        |gs AS (
+        |  SELECT source, shard, fresh, count(*)::BIGINT AS n
+        |  FROM toks GROUP BY source, shard, fresh),
+        |b AS (
+        |  SELECT source, count(*)::BIGINT AS n_sketches_before, sum(n)::BIGINT AS n_tokens
+        |  FROM gs GROUP BY source),
+        |a AS (
+        |  SELECT source, count(DISTINCT shard)::BIGINT AS n_sketches_after
+        |  FROM gs GROUP BY source),
+        |ex AS (
+        |  SELECT source, count(DISTINCT token)::BIGINT AS n_distinct_exact
+        |  FROM toks GROUP BY source)
+        |SELECT b.source, b.n_sketches_before, a.n_sketches_after, b.n_tokens,
+        |  ex.n_distinct_exact, TRUE AS union_within_tolerance
+        |FROM b JOIN a USING (source) JOIN ex USING (source)
+        |ORDER BY source""".stripMargin,
     // source-concentration audit: Lorenz cumulative shares + rank-form
     // Gini; the rank-weighted sum runs in HUGEINT mirroring Spark's
     // DECIMAL(38,0) accumulator

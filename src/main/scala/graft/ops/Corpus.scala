@@ -909,4 +909,56 @@ object Corpus {
           col("n_distinct_exact") * lit(tol)).as("union_within_tolerance"))
       .orderBy("source")
   }
+
+  /** corpus_profile_compact: the maintenance rung that completes the
+    * profile store's lifecycle (build -> fold-in -> COMPACT, the
+    * dedup_index_compact discipline for statistics). Repeated fold-ins
+    * accumulate one sketch row per (source, shard, batch); compaction
+    * rewrites the store to one sketch per (source, shard) by UNIONING
+    * the stored sketches themselves — no token is ever re-read, which
+    * is exactly the operation exact distinct state cannot support.
+    * With mod = 3 and shards = 8 the batch split interleaves shards,
+    * so base and fold-in batches genuinely collide on (source, shard)
+    * keys and compaction reclaims real rows.
+    *
+    * The audit emits before/after row counts per source and gates the
+    * COMPACTED store's union against exact count_distinct over the
+    * full corpus — proving the rewrite lost nothing.
+    *
+    * Output: (source, n_sketches_before, n_sketches_after, n_tokens,
+    * n_distinct_exact, union_within_tolerance), ordered by source.
+    */
+  def profileCompactAudit(spark: SparkSession, sfDir: String,
+                          shards: Int = 8, lgK: Int = 12, mod: Int = 3,
+                          tol: Double = 0.05, nBuckets: Int = 8): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val name = graft.sources.Bucketed.scopedName(spark, "graft_profile_store_cpt")
+    graft.sources.Bucketed.writeBucketed(spark,
+      shardSketches(sourceTokens(docs.filter(col("doc_id") % mod =!= 0), shards), lgK),
+      name, graft.sources.Bucketed.scopedPath(name), "source", nBuckets)
+    graft.sources.Bucketed.appendBucketed(spark,
+      shardSketches(sourceTokens(docs.filter(col("doc_id") % mod === 0), shards), lgK),
+      name, "source", nBuckets)
+    val store = spark.table(name)
+    val compacted = store.groupBy("source", "shard")
+      .agg(hll_union_agg(col("sk")).as("sk"), sum(col("n")).cast("long").as("n"))
+    val outName =
+      graft.sources.Bucketed.scopedName(spark, "graft_profile_store_cptd")
+    graft.sources.Bucketed.writeBucketed(spark, compacted,
+      outName, graft.sources.Bucketed.scopedPath(outName), "source", nBuckets)
+    val before = store.groupBy("source")
+      .agg(count(lit(1)).as("n_sketches_before"))
+    val after = spark.table(outName).groupBy("source")
+      .agg(count(lit(1)).as("n_sketches_after"),
+        sum(col("n")).cast("long").as("n_tokens"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = sourceTokens(docs, shards).groupBy("source")
+      .agg(count_distinct(col("token")).as("n_distinct_exact"))
+    before.join(after, Seq("source")).join(exact, Seq("source"))
+      .select(col("source"), col("n_sketches_before"), col("n_sketches_after"),
+        col("n_tokens"), col("n_distinct_exact"),
+        (abs(col("est") - col("n_distinct_exact")) <=
+          col("n_distinct_exact") * lit(tol)).as("union_within_tolerance"))
+      .orderBy("source")
+  }
 }

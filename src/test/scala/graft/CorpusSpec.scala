@@ -534,4 +534,23 @@ class CorpusSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("n").as("t"))
     assert(!rollup.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("profileCompactAudit: colliding batch halves compact to one sketch per shard") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // docs 1 (base) and 9 (fresh, 9 % 3 == 0) both land in s1 shard 1:
+    // before = 2 sketch rows, after = 1; the compacted union must still
+    // see tokens from BOTH batches ("x" dedups, "a"/"b" both count)
+    writeTable(dir, "documents", Seq(
+      (1L, "x a", "en", "s1", 3L),
+      (9L, "x b", "en", "s1", 3L),
+      (2L, "y y y", "en", "s2", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = Corpus.profileCompactAudit(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSeq
+    assert(rows === Seq(
+      ("s1", 2L, 1L, 4L, 3L, true),
+      ("s2", 1L, 1L, 3L, 1L, true)))
+  }
 }
