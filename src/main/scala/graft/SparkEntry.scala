@@ -130,6 +130,9 @@ object SparkEntry {
     // same-type activity per event — the frame family member ROWS
     // framing can't express; partitioned on a high-cardinality key
     "ev_range_frame" -> ((s, dir) => EventWindows.rangeFrameCounts(s, dir)),
+    // event-time disorder histogram: the measured distribution behind
+    // every watermark-delay choice in the streaming twins
+    "ev_lateness" -> ((s, dir) => EventWindows.latenessAudit(s, dir)),
     // explicit GROUPING SETS (the member between rollup and cube):
     // chosen aggregation levels with grouping() flags; pure SQL surface
     "rel_grouping_sets" -> ((s, dir) => {
@@ -1910,6 +1913,33 @@ object SparkEntry {
     "ev_daily_top_agg" -> dailyTopOracle,
     // the SQL-surface twin of the custom aggregate — same relation again
     "sql_topk" -> dailyTopOracle,
+    // disorder histogram: per-user running max over arrival order,
+    // fixed 6-bucket rollup, integer milli shares
+    "ev_lateness" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, (epoch_us(ts) // 1000000) AS tsec
+        |  FROM events),
+        |d AS (
+        |  SELECT greatest(0, coalesce(
+        |      max(tsec) OVER (PARTITION BY user_id ORDER BY event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - tsec,
+        |      0))::BIGINT AS disorder_s
+        |  FROM e),
+        |b AS (
+        |  SELECT CASE WHEN disorder_s = 0 THEN 0
+        |    WHEN disorder_s <= 60 THEN 1
+        |    WHEN disorder_s <= 300 THEN 2
+        |    WHEN disorder_s <= 900 THEN 3
+        |    WHEN disorder_s <= 3600 THEN 4
+        |    ELSE 5 END::BIGINT AS bucket, disorder_s
+        |  FROM d),
+        |h AS (
+        |  SELECT bucket, count(*)::BIGINT AS n_events,
+        |    max(disorder_s)::BIGINT AS max_disorder_s
+        |  FROM b GROUP BY bucket)
+        |SELECT bucket, n_events, max_disorder_s,
+        |  ((1000 * n_events) // sum(n_events) OVER ())::BIGINT AS share_milli
+        |FROM h ORDER BY bucket""".stripMargin,
     // RANGE frame: DuckDB spells the same value-based trailing window
     "ev_range_frame" ->
       """WITH e AS (

@@ -480,6 +480,45 @@ object EventWindows {
       .orderBy("event_id")
   }
 
+  /** ev_lateness: event-time disorder audit — THE input to choosing a
+    * watermark delay. For each event, disorder = how far its event time
+    * lags the maximum event time already seen in the same user's
+    * arrival order (arrival = event_id order, the ingest sequence);
+    * the histogram's tail share at each bound is exactly the fraction
+    * of events a watermark of that delay would drop as late. Every
+    * withWatermark in the streaming twins encodes a guess about this
+    * distribution; this query measures it.
+    *
+    * Scale shape: one user-keyed shuffle; the running max is a
+    * cumulative window WITHIN each user partition (no cross-user
+    * state), then a 6-bucket map-side-combinable histogram and a
+    * 6-row share window. Output: (bucket, n_events, max_disorder_s,
+    * share_milli), bucket bounds 0 / 60 / 300 / 900 / 3600 s, ordered.
+    */
+  def latenessAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val scored = table(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), tsec.as("tsec"))
+      .withColumn("disorder_s",
+        greatest(lit(0L), coalesce(max(col("tsec")).over(w) - col("tsec"), lit(0L))))
+    val wAll = Window.partitionBy() // <= 6 rows post-aggregate
+    scored
+      .withColumn("bucket",
+        when(col("disorder_s") === 0, 0L)
+          .when(col("disorder_s") <= 60, 1L)
+          .when(col("disorder_s") <= 300, 2L)
+          .when(col("disorder_s") <= 900, 3L)
+          .when(col("disorder_s") <= 3600, 4L)
+          .otherwise(5L))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_events"), max(col("disorder_s")).as("max_disorder_s"))
+      .withColumn("total", sum(col("n_events")).over(wAll))
+      .withColumn("share_milli", expr("(1000 * n_events) div total"))
+      .select(col("bucket"), col("n_events"), col("max_disorder_s"), col("share_milli"))
+      .orderBy("bucket")
+  }
+
   /** ev_daily_top_agg: the rank-per-group-keep-k relation re-expressed
     * with the custom TopKTagAgg aggregate instead of a window. The
     * window form exchanges every (day, type) row and SORTS each day

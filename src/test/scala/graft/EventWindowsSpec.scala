@@ -313,4 +313,25 @@ class EventWindowsSpec extends SparkSpec {
         r.getLong(4), r.getLong(5))).toSeq
     assert(rows2 === Seq(("view", 200L, 2L, 199L, 200L, 399L)))
   }
+
+  test("lateness audit: per-user disorder vs arrival order, hand-computed buckets") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "events", Seq(
+      (1L, ns(100), 1L, "c", 0.0, "p"),   // first arrival: 0
+      (2L, ns(50), 1L, "c", 0.0, "p"),    // 100-50 = 50  -> bucket 1
+      (3L, ns(2000), 1L, "c", 0.0, "p"),  // ahead: 0
+      (4L, ns(1000), 1L, "c", 0.0, "p"),  // 2000-1000    -> bucket 4
+      (5L, ns(10), 2L, "c", 0.0, "p"),    // 0 (other user untouched)
+      (6L, ns(4000), 2L, "c", 0.0, "p"),  // 0
+      (7L, ns(0), 2L, "c", 0.0, "p")      // 4000         -> bucket 5
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val rows = EventWindows.latenessAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows === Seq(
+      (0L, 4L, 0L, 571L),
+      (1L, 1L, 50L, 142L),
+      (4L, 1L, 1000L, 142L),
+      (5L, 1L, 4000L, 142L)))
+  }
 }
