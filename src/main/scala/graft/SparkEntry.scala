@@ -322,6 +322,9 @@ object SparkEntry {
     // crawl-health histogram: near-dup component sizes from the same
     // clustering machinery, two map-side-combinable rollups on top
     "dedup_cluster_sizes" -> ((s, dir) => Dedup.clusterSizeDistribution(s, dir)),
+    // measured LSH S-curve: candidate volume + precision per (bands,
+    // rows) split of ONE shared k=16 sketch
+    "dedup_banding_sweep" -> ((s, dir) => Dedup.bandingSweep(s, dir)),
     // directed containment rung: |inter| / min(|A|,|B|) over
     // representatives — nested/quoted duplication symmetric jaccard
     // misses (big doc swallows the union)
@@ -2771,6 +2774,45 @@ object SparkEntry {
          |SELECT doc_a, doc_b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // banding sweep replay: the LSH oracle's sig chain banded per
+    // config via i // r grouping; VALUES grid keeps empty configs
+    "dedup_banding_sweep" ->
+      s"""WITH $repDocShingles,
+         |sig AS (
+         |  SELECT doc_id, i, min(${h60("i || ':' || shingle")}) AS mh
+         |  FROM sh, UNNEST(range(0, 16)) AS u(i)
+         |  GROUP BY doc_id, i),
+         |cfg AS (SELECT bands::BIGINT AS bands, (16 // bands)::BIGINT AS rows_per_band
+         |  FROM (VALUES (16), (8), (4), (2)) c(bands)),
+         |bnd AS (
+         |  SELECT c.bands, s.doc_id, (s.i // (16 // c.bands)) AS band,
+         |    string_agg(s.mh::VARCHAR, ',' ORDER BY s.i) AS bsig
+         |  FROM sig s CROSS JOIN cfg c
+         |  GROUP BY c.bands, s.doc_id, (s.i // (16 // c.bands))),
+         |cand AS (
+         |  SELECT DISTINCT a.bands, a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bnd a JOIN bnd b ON a.bands = b.bands AND a.band = b.band
+         |    AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT c.bands, c.doc_a, c.doc_b,
+         |    ((1000 * sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)) // 16)::BIGINT
+         |      AS est_milli
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.doc_a
+         |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+         |  GROUP BY c.bands, c.doc_a, c.doc_b),
+         |agg AS (
+         |  SELECT bands, count(*)::BIGINT AS n_candidates,
+         |    sum(CASE WHEN est_milli >= 500 THEN 1 ELSE 0 END)::BIGINT AS n_kept_500
+         |  FROM est GROUP BY bands)
+         |SELECT f.bands, f.rows_per_band,
+         |  coalesce(a.n_candidates, 0)::BIGINT AS n_candidates,
+         |  coalesce(a.n_kept_500, 0)::BIGINT AS n_kept_500,
+         |  CASE WHEN coalesce(a.n_candidates, 0) > 0
+         |    THEN ((1000 * a.n_kept_500) // a.n_candidates)::BIGINT
+         |    ELSE NULL END AS precision_milli
+         |FROM cfg f LEFT JOIN agg a USING (bands)
+         |ORDER BY f.bands DESC""".stripMargin,
     // sketch-calibration replay: same sig/band/cand chain as the LSH
     // oracle, exact Jaccard from shingle-set inter/union, integer error
     // bands shifted so floor-division never sees a negative numerator

@@ -342,6 +342,69 @@ object Dedup {
       .orderBy("err_band")
   }
 
+  /** dedup_banding_sweep: the LSH S-curve measured — candidate volume
+    * and precision for every (bands, rows) split of the SAME k=16
+    * sketch. Theory says P(candidate) = 1-(1-s^r)^b; this table is the
+    * measured side a 100 TB run consults before committing: more,
+    * shorter bands (b=16, r=1) catch low-similarity pairs at the cost
+    * of candidate volume; fewer, longer bands (b=2, r=8) generate
+    * almost nothing but only at high similarity. n_kept_500 counts
+    * candidates surviving the working est >= 0.5 threshold, so
+    * precision_milli is the fraction of candidate work that was not
+    * wasted — the number that prices each config's verification stage.
+    *
+    * Scale shape: ONE sketch aggregation (checkpointed) feeds all four
+    * banding configs; each config is the standard band-bucket
+    * self-join over representatives (bucket-mates only, never
+    * all-pairs), est scored on the sketch arrays, then a 4-row rollup.
+    * Nested band splits make candidate sets monotone (an r=8 band
+    * match implies matches at every finer split), which the spec pins.
+    *
+    * Output: (bands, rows_per_band, n_candidates, n_kept_500,
+    * precision_milli — NULL when no candidates), ordered by bands desc.
+    */
+  def bandingSweep(spark: SparkSession, sfDir: String,
+                   shingleN: Int = 3, k: Int = 16,
+                   configs: Seq[Int] = Seq(16, 8, 4, 2)): DataFrame = {
+    val sig = shingles(representatives(table(spark, sfDir, "documents")), shingleN)
+      .groupBy("doc_id")
+      .agg(graft.functions.MinHashSketch.sketch(col("shingle"), k, "md5").as("sigs"))
+      .localCheckpoint() // one sketch pass feeds every banding config
+    val perCfg = configs.map { bands =>
+      val r = k / bands
+      val bandSig = sig
+        .withColumn("band", explode(array((0 until bands).map(lit(_)): _*)))
+        .withColumn("bsig", array_join(
+          transform(slice(col("sigs"), col("band") * r + 1, lit(r)), _.cast("string")), ","))
+        .select("doc_id", "band", "bsig")
+      bandSig.as("a").join(bandSig.as("b"),
+          col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .join(sig.select(col("doc_id").as("doc_a"), col("sigs").as("sigs_a")), Seq("doc_a"))
+        .join(sig.select(col("doc_id").as("doc_b"), col("sigs").as("sigs_b")), Seq("doc_b"))
+        .select(lit(bands.toLong).as("bands"),
+          expr(s"(1000 * size(filter(zip_with(sigs_a, sigs_b, (x, y) -> x = y), " +
+            s"a -> a))) div $k").as("est_milli"))
+    }
+    val counts = perCfg.reduce(_.unionAll(_))
+      .groupBy("bands")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when(col("est_milli") >= 500L, 1L).otherwise(0L)).as("n_kept_500"))
+    val grid = spark.range(1).select(explode(array(configs.map(b =>
+        struct(lit(b.toLong).as("bands"), lit((k / b).toLong).as("rows_per_band"))): _*)).as("c"))
+      .select(col("c.bands").as("bands"), col("c.rows_per_band").as("rows_per_band"))
+    grid.join(counts, Seq("bands"), "left")
+      .select(col("bands"), col("rows_per_band"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("n_kept_500"), lit(0L)).as("n_kept_500"))
+      .withColumn("precision_milli",
+        when(col("n_candidates") > 0, expr("(1000 * n_kept_500) div n_candidates"))
+          .otherwise(lit(null).cast("long")))
+      .orderBy(col("bands").desc)
+  }
+
   // -------------------------------------------------------------------
   // Incremental dedup against a PERSISTED signature index — the shape a
   // production crawl pipeline runs daily: the corpus's minhash band

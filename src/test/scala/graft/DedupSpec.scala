@@ -238,6 +238,21 @@ class DedupSpec extends SparkSpec {
     assert(rows === Seq((3L, 1L, 3L, 2L)))
   }
 
+  test("banding sweep: nested splits give monotone candidates; near-dup kept at b=4") {
+    val rows = Dedup.bandingSweep(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows.map(_._1) === Seq(16L, 8L, 4L, 2L))
+    assert(rows.map(t => t._1 * t._2) === Seq(16L, 16L, 16L, 16L))
+    // an r=8 band match implies matches at every finer split, so
+    // candidate counts are non-increasing as bands shrink
+    val cands = rows.map(_._3)
+    assert(cands.zip(cands.tail).forall { case (wide, narrow) => wide >= narrow })
+    assert(rows.forall(t => t._4 <= t._3))
+    // docs 1/3 differ in one word of 30 -> high jaccard: candidates at
+    // the default b=4 config (the minHashLsh spec finds the same pair)
+    assert(rows.find(_._1 == 4L).get._3 >= 1L)
+  }
+
   test("hot-bucket guard: m identical docs yield O(m) clusters, not O(m^2) candidates") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
