@@ -518,6 +518,9 @@ object SparkEntry {
     // corpus-LM fluency score: exact-rational mean bigram conditional
     // (the n-gram perplexity stand-in; big-to-big join on the bigram key)
     "text_lm_score" -> ((s, dir) => TextAnalysis.lmScore(s, dir)),
+    // held-out LM eval: train on %10!=0, score the rest with add-one
+    // smoothing — unseen bigrams get the floor, coverage surfaced
+    "text_lm_holdout" -> ((s, dir) => TextAnalysis.lmHoldout(s, dir)),
 
     // —— corpus management: source merge + training-shard packing ——
     "pipeline_priority_merge" -> ((s, dir) => Corpus.priorityMerge(s, dir)),
@@ -3645,6 +3648,38 @@ object SparkEntry {
         |  (sum(sc.cond_milli) // count(*))::BIGINT AS lm_milli
         |FROM bg g JOIN sc ON g.bigram = sc.bigram
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    // held-out LM: train-split counts, add-one smoothing with the
+    // train vocabulary size, coverage via seen-bigram count
+    "text_lm_holdout" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, array_to_string(toks[i+1:i+2], ' ') AS bigram,
+        |    toks[i+1] AS w1
+        |  FROM toks, UNNEST(range(0, len(toks) - 1)) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |tb AS (
+        |  SELECT bigram, count(*)::BIGINT AS c12
+        |  FROM bg WHERE doc_id % 10 <> 0 GROUP BY bigram),
+        |tu AS (
+        |  SELECT t.tok AS w1, count(*)::BIGINT AS c1
+        |  FROM toks, unnest(toks) AS t(tok)
+        |  WHERE doc_id % 10 <> 0 GROUP BY t.tok),
+        |v AS (SELECT count(*)::BIGINT AS v FROM tu),
+        |sc AS (
+        |  SELECT g.doc_id,
+        |    ((1000 * (coalesce(tb.c12, 0) + 1)) // (coalesce(tu.c1, 0) + v.v))::BIGINT
+        |      AS cond_milli,
+        |    CASE WHEN tb.c12 IS NOT NULL THEN 1 ELSE 0 END::BIGINT AS seen
+        |  FROM bg g
+        |  LEFT JOIN tb USING (bigram)
+        |  LEFT JOIN tu ON tu.w1 = g.w1
+        |  CROSS JOIN v
+        |  WHERE g.doc_id % 10 = 0)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams, sum(seen)::BIGINT AS n_seen,
+        |  (sum(cond_milli) // count(*))::BIGINT AS lm_milli
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // CCNet terciles: same LM CTEs, histogram-derived edges
     // (e_k = min lm with 3*cum >= k*n), bucket + roll up
     "mix_ccnet" ->

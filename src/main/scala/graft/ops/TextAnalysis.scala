@@ -1469,6 +1469,51 @@ object TextAnalysis {
       .orderBy("bucket")
   }
 
+  /** text_lm_holdout: held-out bigram LM scoring — the evaluation
+    * discipline `lmScore` lacks: lmScore trains and scores on the SAME
+    * corpus and silently drops unseen bigrams (inner join), so it
+    * cannot say how the model generalizes. Here the LM trains on the
+    * train split (doc_id % mod != 0) and scores the HELD-OUT docs with
+    * add-one smoothing: cond = (c12 + 1) / (c1 + V), V = train unigram
+    * vocabulary — every val bigram gets mass, unseen ones get the
+    * smoothed floor, and n_seen/n_bigrams surfaces the coverage the
+    * smoothing papered over. This is the fluency-scoring shape (CCNet
+    * et al.) a corpus build actually deploys: the scoring model is
+    * always trained elsewhere.
+    *
+    * Scale shape: train-side counts are two map-side-combinable
+    * aggregates; scoring is two key-shuffle LEFT joins (bigram, then
+    * first-word) plus a broadcast 1-row vocabulary size — linear in
+    * both splits, no self-joins. Integral milli math end to end.
+    *
+    * Output: (doc_id, n_bigrams, n_seen, lm_milli) for held-out docs
+    * with >= 1 bigram, ordered by doc_id.
+    */
+  def lmHoldout(spark: SparkSession, sfDir: String, mod: Int = 10): DataFrame = {
+    import graft.functions.ShingleColumns.wordShingles
+    val docs = table(spark, sfDir, "documents")
+    def bigrams(d: DataFrame): DataFrame =
+      d.select(col("doc_id"), explode(wordShingles(col("text"), 2)).as("bigram"))
+    val train = docs.filter(col("doc_id") % mod =!= 0)
+    val tb = bigrams(train).groupBy("bigram").agg(count(lit(1)).as("c12"))
+    val tu = train
+      .select(explode(wordShingles(col("text"), 1)).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = tu.agg(count(lit(1)).as("v"))
+    bigrams(docs.filter(col("doc_id") % mod === 0))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(tb, Seq("bigram"), "left")
+      .join(tu, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        expr("(1000 * (coalesce(c12, 0) + 1)) div (coalesce(c1, 0) + v)").as("cond_milli"),
+        when(col("c12").isNotNull, 1L).otherwise(0L).as("seen"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("seen")).as("n_seen"),
+        expr("sum(cond_milli) div count(1)").as("lm_milli"))
+      .orderBy("doc_id")
+  }
+
   /** text_pmi: collocation mining — the corpus's top word pairs by
     * pointwise mutual information, the classic phrase-discovery signal
     * (Church & Hanks 1990) a tokenizer build runs to decide which

@@ -83,7 +83,9 @@ class PlanShapeSpec extends SparkSpec {
       "sql_cosine",
       // PMI's two 1-row corpus totals (N1, N2) broadcast onto the
       // supported-pair table — the tfidf one-row-count shape twice
-      "text_pmi")
+      "text_pmi",
+      // the held-out LM's 1-row train-vocabulary-size broadcast
+      "text_lm_holdout")
     val real = offenders.filterNot(o => sanctioned.exists(o.startsWith))
     assert(real.isEmpty, s"quadratic plan shapes found:\n${real.mkString("\n")}")
   }

@@ -643,6 +643,22 @@ class TextAnalysisSpec extends SparkSpec {
       rows.map(t => t._1 -> ((t._2, t._3, t._4, t._5, t._6))).toMap
   }
 
+  test("holdout LM: add-one smoothing covers unseen bigrams, coverage surfaced") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // train (1, 2): unigrams a:2 b:3 c:1 -> V=3; bigrams ab:2 ba:1 bc:1
+    // val (10): "a b" seen -> (1000*3)//(2+3)=600; "b z" unseen ->
+    // (1000*1)//(3+3)=166; mean 383
+    writeTable(dir, "documents", Seq(
+      (1L, "a b a b", "en", "s", 7L),
+      (2L, "b c", "en", "s", 3L),
+      (10L, "a b z", "en", "s", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = TextAnalysis.lmHoldout(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows === Seq((10L, 2L, 1L, 383L)))
+  }
+
   test("pmi collocations: exact integral lift ranking, hand-computed") {
     import spark.implicits._
     val dir = tempSfDir()
