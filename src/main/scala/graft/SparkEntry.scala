@@ -294,6 +294,10 @@ object SparkEntry {
     // 60 bits before the shuffle, document frequency via one
     // count-over-partition pass, no self-join
     "dedup_substring" -> ((s, dir) => Dedup.substringDupReport(s, dir)),
+    // daily-ingest substring report: persisted (window, count) store
+    // bucketed on the hash, fresh batch folds in and probes the merged
+    // counts — old docs never re-read, equal to the full rebuild
+    "dedup_substring_refresh" -> ((s, dir) => Dedup.substringRefresh(s, dir)),
     // substring-duplication REMOVAL (Lee et al. ExactSubstr): excise
     // every 8-token span occurring >= 2 times corpus-wide, keep the
     // rest of the doc in order; rebuilt text proven by md5, per-doc
@@ -4206,6 +4210,24 @@ object SparkEntry {
          |  sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_windows,
          |  ((1000 * sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT) // count(*))::BIGINT AS dup_milli
          |FROM sh s JOIN df f USING (w)
+         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
+    // incremental replay: the SAME corpus-wide distinct-doc counts
+    // (disjoint batches sum to them), restricted to the fresh split
+    "dedup_substring_refresh" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    ${h60("array_to_string(toks[i+1:i+8], ' ')")} AS w
+         |  FROM toks, UNNEST(range(0, len(toks) - 7)) AS u(i)
+         |  WHERE len(toks) >= 8),
+         |df AS (SELECT w, count(*)::BIGINT AS n_docs FROM sh GROUP BY w)
+         |SELECT s.doc_id, count(*)::BIGINT AS n_windows,
+         |  sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_windows,
+         |  ((1000 * sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT) // count(*))::BIGINT AS dup_milli
+         |FROM sh s JOIN df f USING (w)
+         |WHERE s.doc_id % 4 = 0
          |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
     // span REMOVAL replay: total-occurrence window counts (within-doc
     // repeats included, per Lee et al.), a token is removed iff covered

@@ -1304,6 +1304,57 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** dedup_substring_refresh: the substring report against a PERSISTED
+    * window-frequency store — the daily-ingest form of
+    * [[substringDupReport]]. A full-corpus span scan is a once-per-
+    * snapshot cost; the daily case is "how duplicated is TODAY'S batch
+    * against everything already ingested". Because the report's window
+    * frequency is a distinct-DOC count and batches partition the docs,
+    * per-batch counts merge by plain SUM — so the store holds one
+    * (window-hash, count) row per batch, bucketed by the hash
+    * (Bucketed.writeBucketed, run-scoped), a new batch folds in with
+    * appendBucketed, and the merged count is a rollup that reads
+    * co-located buckets with no store-side Exchange. The fresh batch's
+    * (doc, window) relation is computed ONCE (checkpointed) and feeds
+    * both its fold-in counts and the probe.
+    *
+    * The output is the EXACT substringDupReport relation restricted to
+    * the fresh batch — structural equality with the full rebuild
+    * (disjoint doc sets sum to the corpus count), which is what the
+    * shared-semantics oracle verifies. Old docs' text is never re-read.
+    *
+    * Output: (doc_id, n_windows, n_dup_windows, dup_milli) for fresh
+    * (doc_id % mod == 0) docs with >= n tokens, ordered by doc_id.
+    */
+  def substringRefresh(spark: SparkSession, sfDir: String,
+                       n: Int = 8, mod: Int = 4,
+                       nBuckets: Int = 8): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    def windows(d: DataFrame): DataFrame = d
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleColumns.wordShingles(col("text"), n)).as("shingle"))
+      .select(col("doc_id"), h60(col("shingle")).as("w"))
+      .distinct()
+    val freshWins = windows(docs.filter(col("doc_id") % mod === 0))
+      .localCheckpoint() // one pass: fold-in counts + probe side
+    val name = graft.sources.Bucketed.scopedName(spark, "graft_window_store")
+    graft.sources.Bucketed.writeBucketed(spark,
+      windows(docs.filter(col("doc_id") % mod =!= 0))
+        .groupBy("w").agg(count(lit(1)).as("c")),
+      name, graft.sources.Bucketed.scopedPath(name), "w", nBuckets)
+    graft.sources.Bucketed.appendBucketed(spark,
+      freshWins.groupBy("w").agg(count(lit(1)).as("c")), name, "w", nBuckets)
+    val merged = spark.table(name).groupBy("w")
+      .agg(sum(col("c")).cast("long").as("n_occ"))
+    freshWins.join(merged, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("n_occ") >= 2L, 1L).otherwise(0L)).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        expr("(1000 * n_dup_windows) div n_windows").as("dup_milli"))
+      .orderBy("doc_id")
+  }
+
   /** dedup_substring_rewrite: exact-substring duplication REMOVAL — the
     * other half of Lee et al. 2022 ("Deduplicating Training Data"):
     * rather than dropping whole documents, EXCISE every n-token span

@@ -238,6 +238,28 @@ class DedupSpec extends SparkSpec {
     assert(rows === Seq((3L, 1L, 3L, 2L)))
   }
 
+  test("substring refresh: fresh batch probes merged store, fresh-fresh dups counted") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")   // base doc, 5 windows
+    val span = (3 to 10).map(i => s"w$i").mkString(" ")   // = base's window @3
+    val uniq = (1 to 8).map(i => s"z$i").mkString(" ")
+    writeTable(dir, "documents", Seq(
+      (1L, base, "en", "s", base.length.toLong),  // base split (1 % 4 != 0)
+      (4L, span, "en", "s", span.length.toLong),  // fresh: dup vs BASE
+      (8L, uniq, "en", "s", uniq.length.toLong),  // fresh: dup vs fresh 12
+      (12L, uniq, "en", "s", uniq.length.toLong)  // fresh: dup vs fresh 8
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = Dedup.substringRefresh(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // only fresh docs appear; cross-batch AND within-batch duplication
+    // both resolve against the merged counts
+    assert(rows === Seq(
+      (4L, 1L, 1L, 1000L),
+      (8L, 1L, 1L, 1000L),
+      (12L, 1L, 1L, 1000L)))
+  }
+
   test("banding sweep: nested splits give monotone candidates; near-dup kept at b=4") {
     val rows = Dedup.bandingSweep(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
