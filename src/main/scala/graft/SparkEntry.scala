@@ -548,6 +548,9 @@ object SparkEntry {
     // as Complete-mode streaming state — a later better variant
     // replaces the kept one, which first-wins dedup cannot do
     "stream_best_rep" -> ((s, dir) => StreamingOps.streamBestRep(s, dir)),
+    // streaming fold-in to the persisted profile store (foreachBatch +
+    // appendBucketed); audit gates the stored union vs exact
+    "stream_profile_fold" -> ((s, dir) => StreamingOps.streamProfileFold(s, dir)),
     "stream_classifier" -> ((s, dir) => StreamingOps.streamClassifier(s, dir)),
     // ingest-time embedding-space leak gate: bounded eval vectors
     // unrolled into one stateless projection per arrival
@@ -3854,6 +3857,16 @@ object SparkEntry {
     // streaming best-rep: the batch query's exact relation (shared
     // oracle) — Complete-mode state replays every arrival
     "stream_best_rep" -> bestRepOracle,
+    // streaming fold-in audit: totals + exact distinct + gate TRUE
+    "stream_profile_fold" ->
+      """WITH toks AS (
+        |  SELECT source, t.tok AS token
+        |  FROM documents,
+        |    unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS t(tok))
+        |SELECT source, count(*)::BIGINT AS n_tokens,
+        |  count(DISTINCT token)::BIGINT AS n_distinct_exact,
+        |  TRUE AS union_within_tolerance
+        |FROM toks GROUP BY source ORDER BY source""".stripMargin,
     // streaming sketch profile: per-source token totals with the HLL
     // union gate expected TRUE (the corpus_sketch_profile discipline)
     "stream_sketch_profile" ->

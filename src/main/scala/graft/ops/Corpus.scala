@@ -857,6 +857,14 @@ object Corpus {
     docs.select(col("source"), pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
       explode(filter(split(col("text"), " "), t => length(t) > 0)).as("token"))
 
+  /** Per-batch (source, shard) sketches straight from a docs frame —
+    * the unit the streaming fold-in (StreamingOps.streamProfileFold)
+    * appends to the persisted store per micro-batch.
+    */
+  private[graft] def shardSketchesOf(docs: DataFrame, shards: Int,
+                                     lgK: Int): DataFrame =
+    shardSketches(sourceTokens(docs, shards), lgK)
+
   /** One HLL sketch + token count per (source, shard). */
   private def shardSketches(toks: DataFrame, lgK: Int): DataFrame =
     toks.groupBy("source", "shard")

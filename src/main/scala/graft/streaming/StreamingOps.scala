@@ -837,6 +837,59 @@ object StreamingOps {
       .orderBy("doc_id", "query_id")
   }
 
+  /** stream_profile_fold: the streaming half of the persisted-profile
+    * loop — each micro-batch's (source, shard) HLL sketches are
+    * appended to the SAME bucketed store corpus_profile_refresh serves
+    * from, via foreachBatch + appendBucketed (the exactly-the-batch
+    * write discipline of streamWriteHashShards). This is how the store
+    * stays current in production: ingest folds sketches in
+    * continuously, the daily stats rollup reads co-located buckets,
+    * and compaction (corpus_profile_compact) reclaims the per-batch
+    * redundancy — none of which is possible with exact distinct state.
+    * The emitted audit excludes the store's row count (micro-batch
+    * boundaries are not deterministic) and gates the union against
+    * exact count_distinct over the same files.
+    *
+    * Output: (source, n_tokens, n_distinct_exact,
+    * union_within_tolerance), ordered by source.
+    */
+  def streamProfileFold(spark: SparkSession, sfDir: String,
+                        shards: Int = 8, lgK: Int = 12, tol: Double = 0.05,
+                        nBuckets: Int = 8): DataFrame = {
+    val name =
+      graft.sources.Bucketed.scopedName(spark, "graft_profile_store_stream")
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val q = harnessDocStream(spark, sfDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sk = graft.ops.Corpus.shardSketchesOf(batch, shards, lgK)
+        if (!spark.catalog.tableExists(name))
+          graft.sources.Bucketed.writeBucketed(spark, sk, name,
+            graft.sources.Bucketed.scopedPath(name), "source", nBuckets)
+        else
+          graft.sources.Bucketed.appendBucketed(spark, sk, name, "source", nBuckets)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    def toks(df: DataFrame): DataFrame =
+      df.select(col("source"),
+        explode(filter(split(col("text"), " "), t => length(t) > 0)).as("token"))
+    val merged = spark.table(name).groupBy("source")
+      .agg(sum(col("n")).cast("long").as("n_tokens"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = toks(graft.GraftSession.table(spark, sfDir, "documents"))
+      .groupBy("source")
+      .agg(count_distinct(col("token")).as("nd"))
+    merged.join(exact, Seq("source"))
+      .select(col("source"), col("n_tokens"), col("nd").as("n_distinct_exact"),
+        (abs(col("est") - col("nd")) <= col("nd") * lit(tol))
+          .as("union_within_tolerance"))
+      .orderBy("source")
+  }
+
   /** stream_best_rep: ingest-time quality-aware dedup — the streaming
     * twin of Dedup.bestRep, via the SAME aggregate core: the per-key
     * argmax is a max(struct) accumulator, so it runs unchanged as a

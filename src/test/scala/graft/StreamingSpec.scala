@@ -508,6 +508,22 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Seq(("s1", 4L, true), ("s2", 3L, true)))
   }
 
+  test("streaming profile fold-in: per-batch sketches land in the store, union gated") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", Seq(
+      (0L, "x a", "en", "s1", 3L),
+      (1L, "x b", "en", "s1", 3L),
+      (2L, "y y y", "en", "s2", 5L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = StreamingOps.streamProfileFold(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(rows === Seq(("s1", 4L, 3L, true), ("s2", 3L, 1L, true)))
+    // the store itself is queryable after the stream: bucketed rollup
+    val name = graft.sources.Bucketed.scopedName(spark, "graft_profile_store_stream")
+    assert(spark.table(name).count() >= 2L)
+  }
+
   test("restart from checkpoint: processed input is not re-ingested, new input is") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft-restart-in").toString
