@@ -551,6 +551,9 @@ object SparkEntry {
     // streaming fold-in to the persisted profile store (foreachBatch +
     // appendBucketed); audit gates the stored union vs exact
     "stream_profile_fold" -> ((s, dir) => StreamingOps.streamProfileFold(s, dir)),
+    // ingest-time span-dup probe vs the historical window store:
+    // array_distinct before explode (stateless), bucketed probe join
+    "stream_substring" -> ((s, dir) => StreamingOps.streamSubstringProbe(s, dir)),
     "stream_classifier" -> ((s, dir) => StreamingOps.streamClassifier(s, dir)),
     // ingest-time embedding-space leak gate: bounded eval vectors
     // unrolled into one stateless projection per arrival
@@ -3857,6 +3860,24 @@ object SparkEntry {
     // streaming best-rep: the batch query's exact relation (shared
     // oracle) — Complete-mode state replays every arrival
     "stream_best_rep" -> bestRepOracle,
+    // ingest probe replay: dup = window present in the % 4 != 0 split
+    "stream_substring" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+         |  FROM documents),
+         |sh AS (
+         |  SELECT DISTINCT doc_id,
+         |    ${h60("array_to_string(toks[i+1:i+8], ' ')")} AS w
+         |  FROM toks, UNNEST(range(0, len(toks) - 7)) AS u(i)
+         |  WHERE len(toks) >= 8),
+         |hist AS (SELECT DISTINCT w FROM sh WHERE doc_id % 4 <> 0)
+         |SELECT s.doc_id, count(*)::BIGINT AS n_windows,
+         |  sum(CASE WHEN h.w IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hist_dup,
+         |  ((1000 * sum(CASE WHEN h.w IS NOT NULL THEN 1 ELSE 0 END)::BIGINT)
+         |    // count(*))::BIGINT AS dup_milli
+         |FROM sh s LEFT JOIN hist h USING (w)
+         |WHERE s.doc_id % 4 = 0
+         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin,
     // streaming fold-in audit: totals + exact distinct + gate TRUE
     "stream_profile_fold" ->
       """WITH toks AS (

@@ -837,6 +837,56 @@ object StreamingOps {
       .orderBy("doc_id", "query_id")
   }
 
+  /** stream_substring: ingest-time span-duplication scoring against
+    * the HISTORICAL window store — the streaming probe half of
+    * dedup_substring_refresh: an arriving doc's n-token windows are
+    * flagged iff they already occur in the persisted store (built here
+    * from the % mod != 0 split, the "yesterday" discipline of
+    * stream_dedup_incremental); within-batch duplication is the batch
+    * fold-in's concern. Per-doc distinct windows come from
+    * array_distinct BEFORE the explode (stateless, no
+    * dropDuplicates state), the store probe is a stream-static left
+    * join on the bucketed side, and only the per-doc rollup is
+    * stateful (Complete mode, one row per arriving doc — the oracle
+    * twin caveat of the other Complete twins).
+    *
+    * Output: (doc_id, n_windows, n_hist_dup, dup_milli) for arriving
+    * (doc_id % mod == 0) docs with >= n tokens, ordered by doc_id.
+    */
+  def streamSubstringProbe(spark: SparkSession, sfDir: String,
+                           n: Int = 8, mod: Int = 4,
+                           nBuckets: Int = 8): DataFrame =
+    runToBatch(spark,
+        s => {
+          val name =
+            graft.sources.Bucketed.scopedName(s, "graft_window_store_stream")
+          val hist = graft.GraftSession.table(s, sfDir, "documents")
+            .filter(col("doc_id") % mod =!= 0)
+            .select(col("doc_id"), explode(
+              graft.functions.ShingleColumns.wordShingles(col("text"), n)).as("shingle"))
+            .select(col("doc_id"),
+              graft.functions.OracleHash.h60(col("shingle")).as("w"))
+            .distinct()
+            .groupBy("w").agg(count(lit(1)).as("c"))
+          graft.sources.Bucketed.writeBucketed(s, hist, name,
+            graft.sources.Bucketed.scopedPath(name), "w", nBuckets)
+          val idx = s.table(name).select(col("w"), lit(1L).as("hit"))
+          harnessDocStream(s, sfDir)
+            .filter(col("doc_id") % mod === 0)
+            .select(col("doc_id"), explode(array_distinct(
+              graft.functions.ShingleColumns.wordShingles(col("text"), n))).as("shingle"))
+            .select(col("doc_id"),
+              graft.functions.OracleHash.h60(col("shingle")).as("w"))
+            .join(idx, Seq("w"), "left")
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("n_windows"),
+              sum(coalesce(col("hit"), lit(0L))).as("n_hist_dup"))
+        },
+        "stream_substring", OutputMode.Complete())
+      .select(col("doc_id"), col("n_windows"), col("n_hist_dup"),
+        expr("(1000 * n_hist_dup) div n_windows").as("dup_milli"))
+      .orderBy("doc_id")
+
   /** stream_profile_fold: the streaming half of the persisted-profile
     * loop — each micro-batch's (source, shard) HLL sketches are
     * appended to the SAME bucketed store corpus_profile_refresh serves

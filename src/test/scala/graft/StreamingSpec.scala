@@ -508,6 +508,28 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Seq(("s1", 4L, true), ("s2", 3L, true)))
   }
 
+  test("streaming substring probe: arriving spans flagged vs history only") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    val base = (1 to 12).map(i => s"w$i").mkString(" ")  // history (1 % 4 != 0)
+    val span = (3 to 10).map(i => s"w$i").mkString(" ")  // = base window @3
+    val uniq = (1 to 8).map(i => s"z$i").mkString(" ")
+    writeTable(dir, "documents", Seq(
+      (1L, base, "en", "s", base.length.toLong),
+      (4L, span, "en", "s", span.length.toLong),  // arrives: dup vs history
+      (8L, uniq, "en", "s", uniq.length.toLong),  // arrives: fresh-fresh only
+      (12L, uniq, "en", "s", uniq.length.toLong)  //   -> NOT flagged here
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = StreamingOps.streamSubstringProbe(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // unlike dedup_substring_refresh, within-batch dups (8, 12) are NOT
+    // the probe's concern — only history hits flag
+    assert(rows === Seq(
+      (4L, 1L, 1L, 1000L),
+      (8L, 1L, 0L, 0L),
+      (12L, 1L, 0L, 0L)))
+  }
+
   test("streaming profile fold-in: per-batch sketches land in the store, union gated") {
     import spark.implicits._
     val dir = tempSfDir()
