@@ -427,6 +427,9 @@ object SparkEntry {
     // counts from ONE pairing pass — bucketed histograms + a 10-row
     // grid, never a per-threshold corpus re-scan
     "sim_epsilon_sweep" -> ((s, dir) => Similarity.epsilonSweep(s, dir)),
+    // quantizer load audit: per-cell counts/shares + 2x-fair-share hot
+    // flag over the exact sim_ivf assignment
+    "sim_ivf_balance" -> ((s, dir) => Similarity.ivfBalance(s, dir)),
     // product-quantization audit: sign-pattern codebooks (deterministic
     // one-step training), per-subspace reconstruction error — the
     // vector-compression rung beyond scalar int8 (sim_quantize)
@@ -4339,6 +4342,25 @@ object SparkEntry {
          |  FROM qual)
          |SELECT vec_id, cell, a_id AS keeper_id, cs AS cos_milli
          |FROM sel WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+    // cell-balance replay: full-corpus assignment (no rep collapse —
+    // the index serves every vector), count + share + 2x-share flag
+    "sim_ivf_balance" ->
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT e.vec_id, c.c_id, ${cosMilli("e.v", "c.cv")} AS cs
+         |  FROM emb e CROSS JOIN cent c),
+         |assigned AS (
+         |  SELECT vec_id, c_id AS cell FROM (
+         |    SELECT vec_id, c_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id ASC) AS ark
+         |    FROM scored) WHERE ark = 1),
+         |g AS (SELECT cell, count(*)::BIGINT AS n_vecs FROM assigned GROUP BY cell),
+         |t AS (SELECT sum(n_vecs)::BIGINT AS total, count(*)::BIGINT AS n_cells FROM g)
+         |SELECT g.cell, g.n_vecs,
+         |  ((1000 * g.n_vecs) // t.total)::BIGINT AS share_milli,
+         |  (g.n_vecs * t.n_cells >= t.total * 2) AS hot
+         |FROM g CROSS JOIN t ORDER BY cell""".stripMargin,
     // epsilon sweep: the same cell/pair CTEs, then a naive grid
     // left-join restatement of the histogram cumulation ("bucket >= tau"
     // == "cs >= tau" since every tau is a bucket boundary)

@@ -644,6 +644,38 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** sim_ivf_balance: IVF cell-balance audit — the first operational
+    * question asked of a quantizer before serving from it: probe
+    * latency is governed by the HOTTEST cells (a probe scans nprobe
+    * whole cells), and recall by the emptiest (a query whose true
+    * neighbors sit in a skeletal cell finds nothing). Per cell: vector
+    * count, corpus share, and a hot flag (cell holds >= 2x its fair
+    * share — the load-balance threshold a re-train or cell-split
+    * targets). Same centroids and assignment as sim_ivf, so the audit
+    * describes exactly the index the probes run against.
+    *
+    * Scale shape: the sim_ivf broadcast-centroid assignment (one
+    * corpus scan), a per-cell count (map-side combinable), and a
+    * |cells|-row share window — no pairing anywhere.
+    *
+    * Output: (cell, n_vecs, share_milli, hot), ordered by cell.
+    */
+  def ivfBalance(spark: SparkSession, sfDir: String,
+                 centroidMod: Int = 50): DataFrame = {
+    val emb = embeddings(spark, sfDir)
+    val cent = emb.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val w = Window.partitionBy() // |cells| rows post-aggregate
+    assignCells(emb, broadcast(cent))
+      .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
+      .withColumn("total", sum(col("n_vecs")).over(w))
+      .withColumn("n_cells", count(lit(1)).over(w))
+      .select(col("cell"), col("n_vecs"),
+        expr("(1000 * n_vecs) div total").as("share_milli"),
+        (col("n_vecs") * col("n_cells") >= col("total") * lit(2L)).as("hot"))
+      .orderBy("cell")
+  }
+
   /** sim_epsilon_sweep: SemDeDup threshold calibration — the curve a
     * corpus build reads BEFORE committing to an epsilon: for each
     * candidate cosine threshold, how many within-cell pairs clear it

@@ -73,6 +73,9 @@ class PlanShapeSpec extends SparkSpec {
       // SemDeDup assigns cells through the same broadcast centroid
       // cross join as sim_ivf; the pair join itself is cell-keyed
       "sim_semdedup",
+      // the balance audit is the sim_ivf centroid-broadcast assignment
+      // plus bounded rollups
+      "sim_ivf_balance",
       // the epsilon sweep reuses semdedup's centroid broadcast, then
       // expands a 10-row threshold grid against broadcast histograms
       // of <= 21 buckets each plus a 1-row rep count — every

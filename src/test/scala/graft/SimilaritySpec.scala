@@ -201,6 +201,24 @@ class SimilaritySpec extends SparkSpec {
       (50L, 50L, 3L, 1000L)))
   }
 
+  test("ivf balance: per-cell counts, shares, and the 2x fair-share hot flag") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // cells: 0 holds {0, 7, 9, 13} (4 vecs), 50 holds {50, 3} (2):
+    // fair share = 3, hot threshold = 6 -> neither hot; shares 666/333
+    writeTable(dir, "embeddings", Seq(
+      (0L, vec(0), 0),
+      (50L, vec(1), 1),
+      (7L, (0 until 64).map(d => if (d == 0) 2.0f else 0.0f), 0),
+      (9L, mix(0, 1, 3f, 1f), 0),
+      (13L, mix(0, 2, 1f, 3f), 0),
+      (3L, (0 until 64).map(d => if (d == 1) 5.0f else 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label"))
+    val rows = Similarity.ivfBalance(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(rows === Seq((0L, 4L, 666L, false), (50L, 2L, 333L, false)))
+  }
+
   test("epsilon sweep: per-threshold pair/drop counts from one pairing pass") {
     import spark.implicits._
     val dir = tempSfDir()
