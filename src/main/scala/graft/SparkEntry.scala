@@ -378,6 +378,9 @@ object SparkEntry {
     // full ladder: quality gate -> exact dedup -> fuzzy-cluster dedup
     // (keep the smallest surviving doc per near-dup component)
     "pipeline_fuzzy" -> ((s, dir) => Dedup.cleanCorpusFuzzy(s, dir)),
+    // the ladder with a quality-aware cluster survivor: longest raw
+    // member per cluster instead of the accidental min id
+    "pipeline_fuzzy_best" -> ((s, dir) => Dedup.cleanCorpusFuzzyBest(s, dir)),
     // the END-TO-END funnel: every ladder stage composed in one run,
     // exact survivor counts per stage (raw -> quality -> exact ->
     // fuzzy -> decontaminated -> sampled)
@@ -3518,6 +3521,41 @@ object SparkEntry {
          |  FROM lab)
          |SELECT doc_id::BIGINT AS doc_id, content_key
          |FROM win WHERE doc_id = keep_id ORDER BY doc_id""".stripMargin,
+    // best-survivor variant: identical chain, final selection by
+    // row_number over (raw length DESC, doc_id ASC) within the cluster
+    "pipeline_fuzzy_best" ->
+      s"""WITH RECURSIVE $repDocShingles,
+         |$fuzzyEdgesCte,
+         |$clustersCte,
+         |$expandClustersCte,
+         |pq AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS tk
+         |  FROM documents),
+         |pkept AS (
+         |  SELECT doc_id, text FROM pq
+         |  WHERE len(tk) >= 10 AND len(tk) <= 100000
+         |    AND len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is','on'))) * 100 >= len(tk)),
+         |pkeyed AS (
+         |  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_key
+         |  FROM pkept),
+         |surv AS (
+         |  SELECT min(doc_id) AS doc_id, content_key
+         |  FROM pkeyed GROUP BY content_key),
+         |lens AS (SELECT doc_id, length(text)::BIGINT AS n_chars_kept FROM documents),
+         |lab AS (
+         |  SELECT s.doc_id, s.content_key, l.n_chars_kept,
+         |    coalesce(c.cluster_id, s.doc_id) AS cid
+         |  FROM surv s
+         |  JOIN lens l USING (doc_id)
+         |  LEFT JOIN expanded c ON s.doc_id = c.doc_id),
+         |win AS (
+         |  SELECT doc_id, content_key, n_chars_kept,
+         |    row_number() OVER (PARTITION BY cid
+         |      ORDER BY n_chars_kept DESC, doc_id ASC) AS rk
+         |  FROM lab)
+         |SELECT doc_id::BIGINT AS doc_id, content_key, n_chars_kept
+         |FROM win WHERE rk = 1 ORDER BY doc_id""".stripMargin,
     // e2e funnel replay: the fuzzy chain's CTEs produce stages 2-4; the
     // decontamination overlap runs over its own (all-doc) shingle CTEs
     // (d-prefixed — repDocShingles' toks/sh are rep-restricted); stage 6

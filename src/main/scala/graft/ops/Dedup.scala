@@ -1095,6 +1095,37 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** pipeline_fuzzy_best: the full ladder with a QUALITY-AWARE cluster
+    * survivor — cleanCorpusFuzzy keeps the accidental smallest id per
+    * near-dup cluster; production keeps the most complete member. Among
+    * each cluster's quality-gate + exact-rung survivors (all already
+    * pass the gate, so the composite is decided), keep the LONGEST raw
+    * doc, doc_id ascending as the tie-break — near-dup clusters group
+    * truncated/mirrored variants of one page, and the longest member
+    * preserved the most content (the cluster-level analog of
+    * `bestRep`'s within-group choice; the exact rung's variant choice
+    * composes through it). Same machinery end to end, only the final
+    * selection differs; the emitted n_chars_kept is the audit column.
+    *
+    * Output: (doc_id, content_key, n_chars_kept), ordered by doc_id.
+    */
+  def cleanCorpusFuzzyBest(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val survivors = cleanCorpus(spark, sfDir)
+    val lens = table(spark, sfDir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars_kept"))
+    val clusters = nearDupClusters(spark, sfDir)
+    val w = Window.partitionBy("cid")
+      .orderBy(col("n_chars_kept").desc, col("doc_id").asc)
+    survivors.join(clusters, Seq("doc_id"), "left")
+      .withColumn("cid", coalesce(col("cluster_id"), col("doc_id")))
+      .join(lens, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("doc_id", "content_key", "n_chars_kept")
+      .orderBy("doc_id")
+  }
+
   /** Eval-set decontamination — the check every pre-training pipeline
     * must run: find training docs that share >= minOverlap distinct
     * n-grams with ANY document of the held-out eval set (benchmark

@@ -434,6 +434,26 @@ class DedupSpec extends SparkSpec {
     assert(m("4_fuzzy") === Dedup.cleanCorpusFuzzy(spark, sfDir).count())
   }
 
+  test("fuzzy-best: cluster survivor is the longest member, not the min id") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    val base = "the " + (1 to 29).map(i => s"w$i").mkString(" ")
+    val longer = base.replace("w15 ", "CHANGED ") + " extra1 extra2"
+    val other = "the " + (1 to 29).map(i => s"z$i").mkString(" ")
+    writeTable(dir, "documents", Seq(
+      (1L, base, "en", "s", base.length.toLong),
+      (3L, longer, "en", "s", longer.length.toLong),
+      (5L, other, "en", "s", other.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // min-id ladder keeps 1; the best variant keeps the LONGER doc 3
+    val minIds = Dedup.cleanCorpusFuzzy(spark, dir).collect()
+      .map(_.getLong(0)).toSeq
+    assert(minIds === Seq(1L, 5L))
+    val best = Dedup.cleanCorpusFuzzyBest(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(best === Seq((3L, longer.length.toLong), (5L, other.length.toLong)))
+  }
+
   test("containment: nested doc caught at full score where jaccard stays silent") {
     import spark.implicits._
     val dir = tempSfDir()
