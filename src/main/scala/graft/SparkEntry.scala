@@ -329,6 +329,8 @@ object SparkEntry {
     // measured LSH S-curve: candidate volume + precision per (bands,
     // rows) split of ONE shared k=16 sketch
     "dedup_banding_sweep" -> ((s, dir) => Dedup.bandingSweep(s, dir)),
+    // winnowing density vs the 2/(w+1) expectation, per window width
+    "text_winnow_audit" -> ((s, dir) => Dedup.winnowDensityAudit(s, dir)),
     // directed containment rung: |inter| / min(|A|,|B|) over
     // representatives — nested/quoted duplication symmetric jaccard
     // misses (big doc swallows the union)
@@ -924,6 +926,19 @@ object SparkEntry {
        |SELECT DISTINCT doc_id, fp FROM w
        |WHERE i <= n_grams - 3
        |ORDER BY doc_id, fp""".stripMargin
+
+  /** One per-w block of the winnow density audit: per-doc distinct
+    * fingerprint counts from the same gram CTE, full windows only. */
+  private def winnowAuditBlock(w: Int): String =
+    s"""SELECT ${w}::BIGINT AS w, doc_id, any_value(n_grams) AS n_grams,
+       |  count(DISTINCT fp)::BIGINT AS n_fps
+       |FROM (
+       |  SELECT doc_id, i, n_grams,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                 ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS fp
+       |  FROM g WHERE n_grams >= ${w}) t
+       |WHERE i <= n_grams - ${w - 1}
+       |GROUP BY doc_id""".stripMargin
 
   /** One side of the incremental-dedup oracle (suffix o = existing
     * corpus, n = new batch): documents under `pred` -> exact-content
@@ -3247,6 +3262,29 @@ object SparkEntry {
     "text_winnow" -> winnowOracle,
     // SQL-surface twins: same relations as their Column-API siblings
     "sql_winnow" -> winnowOracle,
+    // density sweep: the same gram CTE windowed per w, corpus rollup
+    "text_winnow_audit" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, i, ${h60("substr(norm, i::INT, 8)")} AS h,
+         |         (length(norm) - 7)::BIGINT AS n_grams
+         |  FROM d, UNNEST(range(1, length(norm) - 6)) AS u(i)
+         |  WHERE length(norm) >= 8),
+         |per AS (
+         |${winnowAuditBlock(2)}
+         |UNION ALL
+         |${winnowAuditBlock(4)}
+         |UNION ALL
+         |${winnowAuditBlock(8)}
+         |UNION ALL
+         |${winnowAuditBlock(16)})
+         |SELECT w, count(*)::BIGINT AS n_docs, sum(n_grams)::BIGINT AS n_grams,
+         |  sum(n_fps)::BIGINT AS n_fps,
+         |  ((1000 * sum(n_fps)) // sum(n_grams))::BIGINT AS density_milli,
+         |  (2000 // (w + 1))::BIGINT AS expected_milli
+         |FROM per GROUP BY w ORDER BY w""".stripMargin,
     // minhash sketch slot 0 = min over shingles of h60("0:" || shingle);
     // min is duplicate-insensitive, so the distinct docShingles CTE
     // matches the non-distinct SQL-side explode exactly

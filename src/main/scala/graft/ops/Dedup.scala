@@ -854,6 +854,46 @@ object Dedup {
       .orderBy("doc_id", "fp")
   }
 
+  /** text_winnow_audit: winnowing density measured against theory —
+    * Schleimer et al. prove a w-window scheme stores an expected
+    * 2/(w+1) of the gram hashes (random hashes) while guaranteeing
+    * every match of length >= k+w-1 shares a fingerprint. This sweep
+    * measures the realized density for several w over the SAME grams,
+    * which is how an index build picks w: density is storage cost,
+    * k+w-1 is the shortest match still guaranteed — and a measured
+    * density well BELOW the expectation flags repetitive text (runs of
+    * equal grams collapse to one fingerprint), making the audit a
+    * corpus-health signal too.
+    *
+    * Scale shape: one narrow pass per w (the native winnowFps
+    * expression, per-row array math, no shuffle before the 4-group
+    * rollup); n_fps counts DISTINCT minima per doc in-row via
+    * array_distinct. Output: (w, n_docs, n_grams, n_fps,
+    * density_milli, expected_milli = 2000 div (w+1)), ordered by w.
+    */
+  def winnowDensityAudit(spark: SparkSession, sfDir: String,
+                         k: Int = 8,
+                         ws: Seq[Int] = Seq(2, 4, 8, 16)): DataFrame = {
+    val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+    val base = table(spark, sfDir, "documents")
+      .select(col("doc_id"), norm.as("norm"))
+      .withColumn("n_grams", (length(col("norm")) - lit(k - 1)).cast("long"))
+    val perW = ws.map { w =>
+      base.filter(length(col("norm")) >= k + w - 1)
+        .select(lit(w.toLong).as("w"), col("n_grams"),
+          size(array_distinct(
+            graft.functions.ShingleColumns.winnowFps(col("norm"), k, w)))
+            .cast("long").as("n_fps"))
+    }.reduce(_.unionAll(_))
+    perW.groupBy("w")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_grams")).cast("long").as("n_grams"),
+        sum(col("n_fps")).cast("long").as("n_fps"))
+      .withColumn("density_milli", expr("(1000 * n_fps) div n_grams"))
+      .withColumn("expected_milli", expr("2000 div (w + 1)"))
+      .orderBy("w")
+  }
+
   /** End-to-end corpus cleaning — the composition an LLM data pipeline
     * actually runs over raw documents:
     *   1. quality gate (TextAnalysis.qualityScore's keep rule),

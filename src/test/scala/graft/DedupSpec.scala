@@ -454,6 +454,26 @@ class DedupSpec extends SparkSpec {
     assert(best === Seq((3L, longer.length.toLong), (5L, other.length.toLong)))
   }
 
+  test("winnow density: measured density falls with w, expectation column exact") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // aperiodic-ish 300-char string: quadratic residue walk over a-z
+    val s = (0 until 300).map(i => ('a' + ((i * i + 3 * i) % 26)).toChar).mkString
+    writeTable(dir, "documents", Seq(
+      (1L, s, "en", "s", 300L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = Dedup.winnowDensityAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(rows.map(_._1) === Seq(2L, 4L, 8L, 16L))
+    assert(rows.map(_._6) === Seq(666L, 400L, 222L, 117L)) // 2000 div (w+1)
+    assert(rows.forall(_._3 === 293L)) // 300 - 7 grams at every w
+    val dens = rows.map(_._5)
+    assert(dens.zip(dens.tail).forall { case (wide, narrow) => wide > narrow },
+      s"density not decreasing with w: $rows")
+    assert(rows.forall(r => r._4 <= r._3 && r._4 > 0))
+  }
+
   test("containment: nested doc caught at full score where jaccard stays silent") {
     import spark.implicits._
     val dir = tempSfDir()
