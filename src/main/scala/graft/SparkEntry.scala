@@ -331,6 +331,9 @@ object SparkEntry {
     "dedup_banding_sweep" -> ((s, dir) => Dedup.bandingSweep(s, dir)),
     // winnowing density vs the 2/(w+1) expectation, per window width
     "text_winnow_audit" -> ((s, dir) => Dedup.winnowDensityAudit(s, dir)),
+    // MOSS matching: pairs sharing >= 8 winnow fingerprints (local
+    // span evidence), stop-fp guard, posting-list-bounded pairing
+    "dedup_winnow_pairs" -> ((s, dir) => Dedup.winnowPairs(s, dir)),
     // directed containment rung: |inter| / min(|A|,|B|) over
     // representatives — nested/quoted duplication symmetric jaccard
     // misses (big doc swallows the union)
@@ -3262,6 +3265,34 @@ object SparkEntry {
     "text_winnow" -> winnowOracle,
     // SQL-surface twins: same relations as their Column-API siblings
     "sql_winnow" -> winnowOracle,
+    // MOSS pair replay: rep-restricted winnow CTE, df guard, fp join
+    "dedup_winnow_pairs" ->
+      s"""WITH $repMapCte,
+         |d AS (
+         |  SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+         |  FROM documents
+         |  WHERE doc_id IN (SELECT rep_id FROM reps)),
+         |g AS (
+         |  SELECT doc_id, i, ${h60("substr(norm, i::INT, 8)")} AS h,
+         |         length(norm) - 7 AS n_grams
+         |  FROM d, UNNEST(range(1, length(norm) - 6)) AS u(i)
+         |  WHERE length(norm) >= 11),
+         |wn AS (
+         |  SELECT doc_id, i, n_grams,
+         |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+         |  FROM g),
+         |fps AS (SELECT DISTINCT doc_id, fp FROM wn WHERE i <= n_grams - 3),
+         |rare AS (
+         |  SELECT fp FROM (SELECT fp, count(*) AS df FROM fps GROUP BY fp) t
+         |  WHERE df <= 50),
+         |pr AS (SELECT f.doc_id, f.fp FROM fps f JOIN rare r USING (fp))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  count(*)::BIGINT AS n_shared_fps
+         |FROM pr a JOIN pr b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY doc_a, doc_b
+         |HAVING count(*) >= 8
+         |ORDER BY doc_a, doc_b""".stripMargin,
     // density sweep: the same gram CTE windowed per w, corpus rollup
     "text_winnow_audit" ->
       s"""WITH d AS (

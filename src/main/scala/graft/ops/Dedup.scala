@@ -854,6 +854,49 @@ object Dedup {
       .orderBy("doc_id", "fp")
   }
 
+  /** dedup_winnow_pairs: MOSS-style matching over the winnowing
+    * fingerprints — the rung that actually CONSUMES what
+    * `winnowFingerprints` stores: docs sharing >= minShared selected
+    * fingerprints are near-dup candidates with LOCAL evidence (every
+    * shared fingerprint certifies a shared substring of >= k chars;
+    * the scheme guarantees any match of length >= k+w-1 is caught).
+    * This complements the shingle rungs: MinHash estimates GLOBAL
+    * set overlap, winnowing pinpoints shared spans at ~2/(w+1) the
+    * storage of full gram indexing.
+    *
+    * Scale shape: the standard posting-list discipline — fingerprints
+    * over exact-content representatives, hot fingerprints (document
+    * frequency > maxDf) dropped from pairing exactly like the
+    * stop-shingle guard (a boilerplate span shared by thousands of
+    * docs generates no candidate pairs), pairs only materialize
+    * inside a fingerprint's bounded posting list. One fp-keyed
+    * self-join, one pair aggregate.
+    *
+    * Output: (doc_a, doc_b, n_shared_fps) with doc_a < doc_b and
+    * n_shared_fps >= minShared, ordered.
+    */
+  def winnowPairs(spark: SparkSession, sfDir: String,
+                  k: Int = 8, w: Int = 4, minShared: Long = 8,
+                  maxDf: Int = 50): DataFrame = {
+    val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
+    val fps = representatives(table(spark, sfDir, "documents"))
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleColumns.winnowFps(norm, k, w)).as("fp"))
+      .distinct()
+      .localCheckpoint() // both self-join sides + the df guard
+    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("fp")
+    val pruned = fps.join(rare, Seq("fp"), "left_semi")
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .filter(col("n_shared_fps") >= minShared)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** text_winnow_audit: winnowing density measured against theory —
     * Schleimer et al. prove a w-window scheme stores an expected
     * 2/(w+1) of the gram hashes (random hashes) while guaranteeing

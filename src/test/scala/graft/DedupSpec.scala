@@ -454,6 +454,16 @@ class DedupSpec extends SparkSpec {
     assert(best === Seq((3L, longer.length.toLong), (5L, other.length.toLong)))
   }
 
+  test("winnow pairs: near-dups share local fingerprints; copies collapse first") {
+    // shared fixture: docs 1/3 differ by one word of 30 -> long shared
+    // prefix and suffix spans certify >= 8 shared fingerprints; doc 2
+    // (exact copy of 1) is collapsed before pairing; doc 4 is disjoint
+    val rows = Dedup.winnowPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.map(t => (t._1, t._2)) === Seq((1L, 3L)))
+    assert(rows.head._3 >= 8L)
+  }
+
   test("winnow density: measured density falls with w, expectation column exact") {
     import spark.implicits._
     val dir = tempSfDir()
