@@ -420,6 +420,9 @@ object SparkEntry {
     "sim_recall" -> ((s, dir) => Similarity.annRecall(s, dir)),
     // per-label centroid stats (order-independent integer accumulation)
     "emb_label_centroids" -> ((s, dir) => Similarity.labelCentroids(s, dir)),
+    // per-dim mean/var/min/max in integral micros: the embedding drift
+    // alarm and dead-dimension detector, |dims| rows at any scale
+    "emb_dim_stats" -> ((s, dir) => Similarity.dimStats(s, dir)),
     // batch-hard triplet mining: hardest positive + hardest negative per
     // strided anchor via one min/max-struct aggregation (no rank window)
     "emb_triplet_mining" -> ((s, dir) => Similarity.tripletMining(s, dir)),
@@ -4079,6 +4082,22 @@ object SparkEntry {
         |  sum(abs(v - recon))::BIGINT AS sum_err_micros,
         |  max(abs(v - recon))::BIGINT AS max_err_micros
         |FROM r GROUP BY vec_id, scale ORDER BY vec_id""".stripMargin,
+    // dim stats: same integerization; mean via the floor-div guard,
+    // variance via (n*sumsq - s^2) // n^2 in HUGEINT (nonneg numerator)
+    "emb_dim_stats" ->
+      """WITH e AS (
+        |  SELECT i, floor(embedding[(i + 1)::INT]::DOUBLE * 1000000)::BIGINT AS micros
+        |  FROM embeddings, UNNEST(range(0, len(embedding))) AS u(i)),
+        |g AS (
+        |  SELECT i::BIGINT AS i, count(*)::BIGINT AS n, sum(micros)::BIGINT AS s,
+        |    sum(micros::HUGEINT * micros) AS sq,
+        |    min(micros)::BIGINT AS min_micros, max(micros)::BIGINT AS max_micros
+        |  FROM e GROUP BY i)
+        |SELECT i, n,
+        |  ((s - ((s % n + n) % n)) // n)::BIGINT AS mean_micros,
+        |  ((n::HUGEINT * sq - s::HUGEINT * s) // (n::HUGEINT * n))::BIGINT AS var_micros2,
+        |  min_micros, max_micros
+        |FROM g ORDER BY i""".stripMargin,
     // centroid stats: per-element floor(v*1e6) integerization THEN the
     // integer sum — order-independent. Sums can be negative and BOTH
     // engines' integer division truncates toward zero, so both sides

@@ -518,6 +518,42 @@ object Similarity {
         expr("(s - pmod(s, n)) div n").as("mean_micros"))
       .orderBy("label", "i")
 
+  /** emb_dim_stats: per-dimension embedding distribution audit — the
+    * cheap drift alarm an embedding pipeline runs per snapshot: when
+    * the upstream encoder changes (version bump, quantization, a bad
+    * export), per-dimension means and variances shift long before any
+    * downstream metric notices, and a dimension with near-zero
+    * variance is dead weight every ANN distance pays for. All
+    * integral: micros per element, exact floor-division mean (the
+    * labelCentroids pmod discipline), variance via the
+    * (n*sumsq - s^2)/n^2 identity with DECIMAL(38,0) accumulators
+    * (the numerator is Cauchy-Schwarz nonnegative, so floor == trunc
+    * on both engines).
+    *
+    * Scale shape: one posexplode scan, one dim-keyed aggregate with
+    * map-side partials — |dims| output rows at any corpus size.
+    *
+    * Output: (i, n, mean_micros, var_micros2, min_micros, max_micros)
+    * per dimension, ordered by i.
+    */
+  def dimStats(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "embeddings")
+      .select(posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("i").cast("long").as("i"),
+        floor(col("v").cast("double") * lit(1000000L)).as("micros"))
+      .groupBy("i")
+      .agg(count(lit(1)).as("n"),
+        sum(col("micros")).as("s"),
+        sum((col("micros") * col("micros")).cast("decimal(38,0)")).as("sq"),
+        min(col("micros")).as("min_micros"),
+        max(col("micros")).as("max_micros"))
+      .select(col("i"), col("n"),
+        expr("(s - pmod(s, n)) div n").as("mean_micros"),
+        expr("(cast(n as decimal(38,0)) * sq - cast(s as decimal(38,0)) * s) " +
+          "div (cast(n as decimal(38,0)) * n)").as("var_micros2"),
+        col("min_micros"), col("max_micros"))
+      .orderBy("i")
+
   /** emb_triplet_mining: contrastive training-pair mining (the
     * batch-hard recipe, Schroff et al. 2015 FaceNet §3.2 applied
     * corpus-side): for each strided anchor, the hardest POSITIVE (the

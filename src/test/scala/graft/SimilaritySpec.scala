@@ -201,6 +201,23 @@ class SimilaritySpec extends SparkSpec {
       (50L, 50L, 3L, 1000L)))
   }
 
+  test("dim stats: integral mean/variance/extremes per dimension, hand-computed") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "embeddings", Seq(
+      (1L, Seq(0.5f, -0.5f), 0),
+      (2L, Seq(1.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label"))
+    val rows = Similarity.dimStats(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // dim 0: micros (500000, 1000000) -> mean 750000, var 62.5e9
+    // dim 1: micros (-500000, 0) -> floor mean -250000, var 62.5e9
+    assert(rows === Seq(
+      (0L, 2L, 750000L, 62500000000L, 500000L, 1000000L),
+      (1L, 2L, -250000L, 62500000000L, -500000L, 0L)))
+  }
+
   test("ivf balance: per-cell counts, shares, and the 2x fair-share hot flag") {
     import spark.implicits._
     val dir = tempSfDir()
