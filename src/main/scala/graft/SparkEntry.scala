@@ -334,6 +334,8 @@ object SparkEntry {
     // MOSS matching: pairs sharing >= 8 winnow fingerprints (local
     // span evidence), stop-fp guard, posting-list-bounded pairing
     "dedup_winnow_pairs" -> ((s, dir) => Dedup.winnowPairs(s, dir)),
+    // window-size calibration for substring dedup: dup fraction per n
+    "dedup_ngram_sweep" -> ((s, dir) => Dedup.ngramSweep(s, dir)),
     // directed containment rung: |inter| / min(|A|,|B|) over
     // representatives — nested/quoted duplication symmetric jaccard
     // misses (big doc swallows the union)
@@ -932,6 +934,19 @@ object SparkEntry {
        |SELECT DISTINCT doc_id, fp FROM w
        |WHERE i <= n_grams - 3
        |ORDER BY doc_id, fp""".stripMargin
+
+  /** One per-n block of the n-gram dup sweep: distinct-doc window
+    * counts -> occurrence totals, dup = windows seen in >= 2 docs. */
+  private def ngramSweepBlock(n: Int): String =
+    s"""SELECT ${n}::BIGINT AS n, sum(c)::BIGINT AS n_windows,
+       |  sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::BIGINT AS n_dup_windows
+       |FROM (
+       |  SELECT w, count(*)::BIGINT AS c FROM (
+       |    SELECT DISTINCT doc_id,
+       |      ${h60(s"array_to_string(toks[i+1:i+$n], ' ')")} AS w
+       |    FROM toks, UNNEST(range(0, len(toks) - ${n - 1})) AS u(i)
+       |    WHERE len(toks) >= ${n}) s
+       |  GROUP BY w) t""".stripMargin
 
   /** One per-w block of the winnow density audit: per-doc distinct
     * fingerprint counts from the same gram CTE, full windows only. */
@@ -3268,6 +3283,22 @@ object SparkEntry {
     "text_winnow" -> winnowOracle,
     // SQL-surface twins: same relations as their Column-API siblings
     "sql_winnow" -> winnowOracle,
+    // n sweep: per-n distinct-doc window counts, occurrence rollup
+    "dedup_ngram_sweep" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+         |  FROM documents),
+         |per AS (
+         |${ngramSweepBlock(2)}
+         |UNION ALL
+         |${ngramSweepBlock(4)}
+         |UNION ALL
+         |${ngramSweepBlock(8)}
+         |UNION ALL
+         |${ngramSweepBlock(16)})
+         |SELECT n, n_windows, n_dup_windows,
+         |  ((1000 * n_dup_windows) // n_windows)::BIGINT AS dup_permille
+         |FROM per ORDER BY n""".stripMargin,
     // MOSS pair replay: rep-restricted winnow CTE, df guard, fp join
     "dedup_winnow_pairs" ->
       s"""WITH $repMapCte,

@@ -854,6 +854,43 @@ object Dedup {
       .orderBy("doc_id", "fp")
   }
 
+  /** dedup_ngram_sweep: the window-size curve for substring dedup —
+    * the calibration behind the report/rewrite rungs' n choice: a
+    * small n over-flags (every common phrase counts as duplication), a
+    * large n under-flags (only long verbatim mirrors survive), and the
+    * knee of the measured curve is where a corpus build sets the dial
+    * (Lee et al. use 50 BPE tokens on real crawls; this synthetic
+    * corpus knees much lower). For each n: total window occurrences,
+    * occurrences of windows appearing in >= 2 docs, and the permille —
+    * all derivable from the per-window distinct-doc counts alone, no
+    * join-back.
+    *
+    * Scale shape: one shingle pass per n (constant fanout each), each
+    * into hashed distinct + a map-side-combinable count and a 1-row
+    * rollup; the 4 rows union.
+    *
+    * Output: (n, n_windows, n_dup_windows, dup_permille), ordered by n.
+    */
+  def ngramSweep(spark: SparkSession, sfDir: String,
+                 ns: Seq[Int] = Seq(2, 4, 8, 16)): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val perN = ns.map { n =>
+      docs.select(col("doc_id"),
+          explode(graft.functions.ShingleColumns.wordShingles(col("text"), n)).as("shingle"))
+        .select(col("doc_id"), h60(col("shingle")).as("w"))
+        .distinct()
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_distinct"),
+          sum(col("c")).cast("long").as("n_windows"),
+          sum(when(col("c") >= 2L, col("c")).otherwise(0L)).cast("long")
+            .as("n_dup_windows"))
+        .select(lit(n.toLong).as("n"), col("n_windows"), col("n_dup_windows"))
+    }.reduce(_.unionAll(_))
+    perN
+      .withColumn("dup_permille", expr("(1000 * n_dup_windows) div n_windows"))
+      .orderBy("n")
+  }
+
   /** dedup_winnow_pairs: MOSS-style matching over the winnowing
     * fingerprints — the rung that actually CONSUMES what
     * `winnowFingerprints` stores: docs sharing >= minShared selected

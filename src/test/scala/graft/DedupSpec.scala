@@ -454,6 +454,20 @@ class DedupSpec extends SparkSpec {
     assert(best === Seq((3L, longer.length.toLong), (5L, other.length.toLong)))
   }
 
+  test("ngram sweep: dup fraction falls as the window grows, hand-computed") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", Seq(
+      (1L, "a b c d", "en", "s", 7L),
+      (2L, "a b x y", "en", "s", 7L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // n=2: 6 window occurrences, "a b" in both docs -> 2 dup -> 333
+    // n=4: each doc is its own single window -> 0 dup
+    val rows = Dedup.ngramSweep(spark, dir, ns = Seq(2, 4)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows === Seq((2L, 6L, 2L, 333L), (4L, 2L, 0L, 0L)))
+  }
+
   test("winnow pairs: near-dups share local fingerprints; copies collapse first") {
     // shared fixture: docs 1/3 differ by one word of 30 -> long shared
     // prefix and suffix spans certify >= 8 shared fingerprints; doc 2
