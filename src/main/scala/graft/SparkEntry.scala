@@ -541,6 +541,10 @@ object SparkEntry {
     // held-out LM eval: train on %10!=0, score the rest with add-one
     // smoothing — unseen bigrams get the floor, coverage surfaced
     "text_lm_holdout" -> ((s, dir) => TextAnalysis.lmHoldout(s, dir)),
+    // interpolated Kneser-Ney (d=1, exact-integer): discounted ML +
+    // continuation-diversity mass — smoothing stats live on the
+    // |types| table, scoring is the same one big-to-big join
+    "text_lm_kn" -> ((s, dir) => TextAnalysis.kneserNeyScore(s, dir)),
 
     // —— corpus management: source merge + training-shard packing ——
     "pipeline_priority_merge" -> ((s, dir) => Corpus.priorityMerge(s, dir)),
@@ -3800,6 +3804,37 @@ object SparkEntry {
         |  FROM bs JOIN w1s ON split_part(bs.bigram, ' ', 1) = w1s.w1)
         |SELECT g.doc_id, count(*)::BIGINT AS n_bigrams,
         |  (sum(sc.cond_milli) // count(*))::BIGINT AS lm_milli
+        |FROM bg g JOIN sc ON g.bigram = sc.bigram
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+    // Kneser-Ney: same bigram stream; smoothing stats from the types
+    // table (c_w1 + distinct continuations per w1, distinct left
+    // contexts per w2, total types T), identical integer formula
+    "text_lm_kn" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, array_to_string(toks[i+1:i+2], ' ') AS bigram
+        |  FROM toks, UNNEST(range(0, len(toks) - 1)) AS u(i)
+        |  WHERE len(toks) >= 2),
+        |bs AS (
+        |  SELECT bigram, count(*)::BIGINT AS c12,
+        |    split_part(bigram, ' ', 1) AS w1,
+        |    split_part(bigram, ' ', 2) AS w2
+        |  FROM bg GROUP BY bigram),
+        |w1s AS (
+        |  SELECT w1, sum(c12)::BIGINT AS c_w1, count(*)::BIGINT AS n_fw
+        |  FROM bs GROUP BY w1),
+        |w2s AS (SELECT w2, count(*)::BIGINT AS n_bw FROM bs GROUP BY w2),
+        |ty AS (SELECT count(*)::BIGINT AS t_types FROM bs),
+        |sc AS (
+        |  SELECT bigram,
+        |    ((c12 - 1) * 1000) // c_w1 +
+        |      (((1000 * n_fw) // c_w1) * ((1000 * n_bw) // t_types)) // 1000
+        |      AS cond_milli
+        |  FROM bs JOIN w1s USING (w1) JOIN w2s USING (w2), ty)
+        |SELECT g.doc_id, count(*)::BIGINT AS n_bigrams,
+        |  (sum(sc.cond_milli) // count(*))::BIGINT AS kn_milli
         |FROM bg g JOIN sc ON g.bigram = sc.bigram
         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     // held-out LM: train-split counts, add-one smoothing with the

@@ -899,6 +899,62 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** text_lm_kn: interpolated Kneser-Ney bigram scoring (Kneser & Ney
+    * 1995; Chen & Goodman 1998) — the standard n-gram smoothing a real
+    * perplexity filter uses, where [[lmScore]] is raw ML and
+    * [[lmHoldout]] is add-one. Absolute discount d=1 keeps every term
+    * an exact integer (no float log/backoff drift between engines):
+    *
+    *   P_KN(w2|w1)·1000 ≈ cond_milli =
+    *       ((C(w1w2)-1)·1000) div C(w1·)                  [discounted ML]
+    *     + (λ_milli(w1) · p_cont_milli(w2)) div 1000       [interpolation]
+    *   λ_milli(w1)     = (1000·N1+(w1·)) div C(w1·)        [mass freed by d]
+    *   p_cont_milli(w2) = (1000·N1+(·w2)) div T            [continuation]
+    *
+    * with N1+(w1·) = distinct continuations of w1, N1+(·w2) = distinct
+    * left-contexts of w2, T = distinct bigram types. The continuation
+    * term is THE Kneser-Ney idea: a word that appears in many contexts
+    * ("york" appears often but almost only after "new") scores by how
+    * many contexts it follows, not how often — exactly the signal that
+    * separates templated boilerplate (high ML, low continuation
+    * diversity) from fluent text. Per-doc score = mean cond_milli over
+    * the doc's bigram occurrences, as in [[lmScore]], so the two rungs
+    * are directly comparable per document.
+    *
+    * Plan shape: the same ONE big-to-big join as lmScore (doc bigram
+    * occurrences vs the corpus bigram-stats table, AQE-skew-split on hot
+    * bigrams) — all smoothing stats (N1+ forward/backward, T) are
+    * aggregations OVER the |types|-sized stats table, never the
+    * occurrence stream, and T rides in as a broadcast scalar. At 100 TB
+    * the stats table is the reusable corpus artifact; scoring runs are
+    * one join + one per-doc aggregation.
+    */
+  def kneserNeyScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val bigrams = table(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleColumns.wordShingles(col("text"), 2)).as("bigram"))
+    val bs = bigrams.groupBy("bigram").agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+    // smoothing stats over the TYPES table (|types| rows, not occurrences)
+    val w1s = bs.groupBy("w1").agg(
+      sum(col("c12")).as("c_w1"), count(lit(1)).as("n_fw"))
+    val w2s = bs.groupBy("w2").agg(count(lit(1)).as("n_bw"))
+    val types = bs.agg(count(lit(1)).as("t_types"))
+    val scored = bs
+      .join(w1s, Seq("w1")).join(w2s, Seq("w2"))
+      .crossJoin(broadcast(types))
+      .withColumn("cond_milli",
+        expr("((c12 - 1) * 1000) div c_w1 + " +
+          "(((1000 * n_fw) div c_w1) * ((1000 * n_bw) div t_types)) div 1000"))
+      .select("bigram", "cond_milli")
+    bigrams.join(scored, Seq("bigram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("sum(cond_milli) div count(1)").as("kn_milli"))
+      .orderBy("doc_id")
+  }
+
   /** Content fingerprints: md5 of whitespace-normalized lowercased text
     * (exact-dup key) plus a 60-bit integer form for compact joins. The
     * rolling-hash winnowing variant lives in Dedup.winnowFingerprints.

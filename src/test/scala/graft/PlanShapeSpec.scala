@@ -88,7 +88,10 @@ class PlanShapeSpec extends SparkSpec {
       // supported-pair table — the tfidf one-row-count shape twice
       "text_pmi",
       // the held-out LM's 1-row train-vocabulary-size broadcast
-      "text_lm_holdout")
+      "text_lm_holdout",
+      // Kneser-Ney's 1-row bigram-type-count broadcast (T in the
+      // continuation term) onto the |types| stats table
+      "text_lm_kn")
     val real = offenders.filterNot(o => sanctioned.exists(o.startsWith))
     assert(real.isEmpty, s"quadratic plan shapes found:\n${real.mkString("\n")}")
   }

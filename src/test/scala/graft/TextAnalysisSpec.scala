@@ -282,6 +282,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Seq((1L, 3L, 777L), (2L, 1L, 333L)))
   }
 
+  test("kneser-ney: discounted ML + continuation mass, exact integers") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", Seq(
+      (1L, "a b a b", "en", "s", 7L),
+      (2L, "a c", "en", "s", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // types: "a b"(c12=2), "b a"(1), "a c"(1); T=3
+    // w1=a: c_w1=3, n_fw=2; w1=b: c_w1=1, n_fw=1
+    // n_bw = 1 for each of a, b, c
+    // cond("a b") = 1000 div 3 + ((2000 div 3)*(1000 div 3)) div 1000
+    //             = 333 + (666*333) div 1000 = 333 + 221 = 554
+    // cond("b a") = 0 + ((1000 div 1)*(333)) div 1000 = 333
+    // cond("a c") = 0 + 221 = 221
+    // doc1 = (554+333+554) div 3 = 480; doc2 = 221
+    val got = TextAnalysis.kneserNeyScore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((1L, 3L, 480L), (2L, 1L, 221L)))
+  }
+
   test("gopher rules: each rule rejects exactly its constructed offender") {
     import spark.implicits._
     val dir = tempSfDir()
