@@ -317,6 +317,10 @@ object SparkEntry {
     // source-pair containment matrix: per-window fanout bounded by the
     // source dimension (<= C(S,2) pair rows per window), never corpus
     "corpus_overlap" -> ((s, dir) => Dedup.sourceOverlap(s, dir)),
+    // KMV bottom-k sketch twin of corpus_overlap: k longs per source
+    // cross the wire (bounded top-k agg, no per-group sort); pairwise
+    // union/intersection estimated from the mergeable sketches alone
+    "corpus_kmv_overlap" -> ((s, dir) => Dedup.kmvSourceOverlap(s, dir)),
     // normalization-ladder audit: docs collapsed by each successive
     // canonicalization rung (raw/lower/ws/punct), one x4 narrow pass
     "dedup_normalization" -> ((s, dir) => Dedup.normalizationAudit(s, dir)),
@@ -4425,6 +4429,42 @@ object SparkEntry {
          |JOIN tot ta ON ta.source = s.src_a
          |JOIN tot tb ON tb.source = s.src_b
          |ORDER BY src_a, src_b""".stripMargin,
+    // KMV sketch twin: bottom-128 of the 32-bit window hashes per
+    // source (row_number replays the bounded aggregate), estimates via
+    // (k-1)*M // u_k with the under-filled-sketch exact branch
+    "corpus_kmv_overlap" ->
+      """WITH toks AS (
+        |  SELECT source, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |sw AS (
+        |  SELECT DISTINCT source,
+        |    ('0x' || substr(md5(array_to_string(toks[i+1:i+8], ' ')), 1, 8))::BIGINT AS w
+        |  FROM toks, UNNEST(range(0, len(toks) - 7)) AS u(i)
+        |  WHERE len(toks) >= 8),
+        |rk AS (
+        |  SELECT source, w, row_number() OVER (PARTITION BY source ORDER BY w) AS r
+        |  FROM sw),
+        |sk AS (
+        |  SELECT source, list_sort(list(w)) AS sk FROM rk WHERE r <= 128 GROUP BY source),
+        |es AS (
+        |  SELECT source, sk,
+        |    CASE WHEN len(sk) < 128 THEN len(sk)::BIGINT
+        |      ELSE (127 * 4294967296) // sk[128] END AS est
+        |  FROM sk),
+        |ux AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, a.est AS est_a, b.est AS est_b,
+        |    list_sort(list_distinct(a.sk || b.sk))[1:128] AS uk,
+        |    list_intersect(a.sk, b.sk) AS shared
+        |  FROM es a JOIN es b ON a.source < b.source),
+        |fin AS (
+        |  SELECT src_a, src_b, len(uk)::BIGINT AS k_used,
+        |    len(list_intersect(uk, shared))::BIGINT AS n_shared, est_a, est_b,
+        |    CASE WHEN len(uk) < 128 THEN len(uk)::BIGINT
+        |      ELSE (127 * 4294967296) // uk[128] END AS est_union
+        |  FROM ux)
+        |SELECT src_a, src_b, k_used, n_shared, est_a, est_b, est_union,
+        |  (n_shared * est_union) // k_used AS est_inter
+        |FROM fin ORDER BY src_a, src_b""".stripMargin,
     "dedup_substring" ->
       s"""WITH toks AS (
          |  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks

@@ -1686,6 +1686,77 @@ object Dedup {
       .orderBy("src_a", "src_b")
   }
 
+  /** corpus_kmv_overlap: the SKETCH twin of [[sourceOverlap]] — KMV
+    * (k-minimum-values, Bar-Yossef et al. 2002; Beyer et al. 2007
+    * "On synopses for distinct-value estimation") bottom-k sketches
+    * per source, with pairwise union/intersection estimates computed
+    * from the sketches alone. [[sourceOverlap]] is exact but pays a
+    * w-keyed self-join whose shuffle carries EVERY distinct window of
+    * every source; this rung ships k longs per source and estimates
+    * the same overlap structure — the cross-snapshot / cross-source
+    * audit shape a 100 TB corpus runs daily, where the exact join is a
+    * once-per-release verification.
+    *
+    * Estimator (all-integer; M = 2^32 is the h32 hash space):
+    *   distinct(S)  ≈ (k-1)·M div u_k       (u_k = k-th smallest hash)
+    *     ... exact |sketch| when the source has fewer than k windows
+    *   union: the k smallest of sketch(A) ∪ sketch(B) is EXACTLY the
+    *     KMV sketch of A ∪ B (closure under union — what makes KMV
+    *     mergeable), so the same estimator applies;
+    *   intersection ≈ (|shared within the union sketch| · est_union)
+    *     div k_used  (the Jaccard-from-sketch identity).
+    *
+    * Scale shape: one distinct on (source, h32) — the only corpus-sized
+    * shuffle — then the bounded [[graft.functions.TopKSketch]] aggregate
+    * (ord = −w keeps the k SMALLEST; partial top-k map-side, k entries
+    * per source cross the wire, no per-group sort). The pair stage is
+    * |sources|² rows of k-length array math. The 32-bit space trades
+    * ~100 expected collisions per 10^6 distinct windows (deterministic,
+    * oracle-identical) for overflow-free (k-1)·M products in BIGINT;
+    * production swaps h32 for xxhash64 into a 2^60 space with DECIMAL
+    * accumulators (see OracleHash's fastHash64 note).
+    *
+    * Output per source pair (src_a < src_b): k_used (union sketch
+    * fill), n_shared (shared values inside the union sketch), est_a,
+    * est_b (per-source distinct estimates), est_union, est_inter.
+    */
+  def kmvSourceOverlap(spark: SparkSession, sfDir: String,
+                       n: Int = 8, k: Int = 128): DataFrame = {
+    val M = 4294967296L // 2^32
+    val kmM = (k - 1).toLong * M
+    val sw = table(spark, sfDir, "documents")
+      .select(col("source"),
+        explode(graft.functions.ShingleColumns.wordShingles(col("text"), n)).as("shingle"))
+      .select(col("source"), graft.functions.OracleHash.h32(col("shingle")).as("w"))
+      .distinct()
+    // bottom-k per source: TopKTagAgg on ord = -w ranks smallest w first
+    val sk = sw
+      .groupBy("source")
+      .agg(graft.functions.TopKSketch.topK(negate(col("w")), col("w").cast("string"), k)
+        .as("tk"))
+      .select(col("source"),
+        transform(col("tk"), e => negate(e.getField("n"))).as("sk"))
+      .withColumn("est",
+        when(size(col("sk")) < k, size(col("sk")).cast("long"))
+          .otherwise(expr(s"${kmM}L div element_at(sk, $k)")))
+    sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+      .select(
+        col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.est").as("est_a"), col("b.est").as("est_b"),
+        slice(array_sort(array_distinct(concat(col("a.sk"), col("b.sk")))), 1, k).as("uk"),
+        array_intersect(col("a.sk"), col("b.sk")).as("shared"))
+      .withColumn("k_used", size(col("uk")).cast("long"))
+      .withColumn("n_shared",
+        size(array_intersect(col("uk"), col("shared"))).cast("long"))
+      .withColumn("est_union",
+        when(col("k_used") < k, col("k_used"))
+          .otherwise(expr(s"${kmM}L div element_at(uk, $k)")))
+      .withColumn("est_inter", expr("(n_shared * est_union) div k_used"))
+      .select("src_a", "src_b", "k_used", "n_shared",
+        "est_a", "est_b", "est_union", "est_inter")
+      .orderBy("src_a", "src_b")
+  }
+
   /** dedup_best_rep: quality-aware representative selection — the
     * production refinement of `exact`'s min-doc_id rule. Exact-content
     * groups (same md5 of the case/whitespace-normalized text) still

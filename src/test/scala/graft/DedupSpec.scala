@@ -593,6 +593,35 @@ class DedupSpec extends SparkSpec {
     assert(rows === Seq(("srcA", "srcB", 1L, 2L, 1L, 1000L)))
   }
 
+  test("kmv overlap: under-filled sketches are exact; estimator branch engages at k") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", Seq(
+      // same corpus as the exact-overlap test: A has 2 windows, B has
+      // 1 (shared with A), C is disjoint with 1
+      (1L, "t1 t2 t3 t4 t5 t6 t7 t8 t9", "en", "srcA", 26L),
+      (2L, "t1 t2 t3 t4 t5 t6 t7 t8", "en", "srcB", 23L),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8", "en", "srcC", 23L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // k=128 >> all counts: every sketch is the full set, so every
+    // estimate is EXACT (the under-filled branch) — including the
+    // union/intersection of each pair
+    val rows = Dedup.kmvSourceOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(rows === Seq(
+      ("srcA", "srcB", 2L, 1L, 2L, 1L, 2L, 1L),   // union {w1,w2}, inter {w1}
+      ("srcA", "srcC", 3L, 0L, 2L, 1L, 3L, 0L),
+      ("srcB", "srcC", 2L, 0L, 1L, 1L, 2L, 0L)))
+    // k=1 forces the estimator branch: k_used == 1 and the estimate is
+    // (k-1)*M div u_1 = 0 — degenerate but well-defined (no div-by-zero,
+    // no overflow); asserts the branch switches exactly at fill == k
+    val est = Dedup.kmvSourceOverlap(spark, dir, k = 1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(6))).toSeq
+    assert(est.forall { case (_, _, kUsed, _) => kUsed == 1L })
+    assert(est.forall { case (_, _, _, estU) => estU == 0L })
+  }
+
   test("minhash calibration: near-dups band near zero error, disjoint docs never pair") {
     import spark.implicits._
     val dir = tempSfDir()

@@ -91,7 +91,11 @@ class PlanShapeSpec extends SparkSpec {
       "text_lm_holdout",
       // Kneser-Ney's 1-row bigram-type-count broadcast (T in the
       // continuation term) onto the |types| stats table
-      "text_lm_kn")
+      "text_lm_kn",
+      // the KMV pair stage: |sources|-row sketch table (k longs per
+      // row) non-equi-joined against itself — both sides bounded
+      // aggregates by construction
+      "corpus_kmv_overlap")
     val real = offenders.filterNot(o => sanctioned.exists(o.startsWith))
     assert(real.isEmpty, s"quadratic plan shapes found:\n${real.mkString("\n")}")
   }
