@@ -429,6 +429,10 @@ object SparkEntry {
     // per-dim mean/var/min/max in integral micros: the embedding drift
     // alarm and dead-dimension detector, |dims| rows at any scale
     "emb_dim_stats" -> ((s, dir) => Similarity.dimStats(s, dir)),
+    // exact int8 Gram matrix (PCA/whitening step one): per-row upper
+    // triangle expanded in-row, ONE dim^2-key hash agg whose map-side
+    // partials make the shuffle constant in corpus size
+    "emb_gram" -> ((s, dir) => Similarity.int8Gram(s, dir)),
     // batch-hard triplet mining: hardest positive + hardest negative per
     // strided anchor via one min/max-struct aggregation (no rank window)
     "emb_triplet_mining" -> ((s, dir) => Similarity.tripletMining(s, dir)),
@@ -4152,6 +4156,32 @@ object SparkEntry {
         |  sum(abs(v - recon))::BIGINT AS sum_err_micros,
         |  max(abs(v - recon))::BIGINT AS max_err_micros
         |FROM r GROUP BY vec_id, scale ORDER BY vec_id""".stripMargin,
+    // Gram matrix over the same int8 quantization: lateral index pair
+    // (i <= j), products summed per cell — all exact integers
+    "emb_gram" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS vm
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, vm,
+        |    list_max(list_transform(vm, x -> abs(x))) AS scale
+        |  FROM e),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(vm, v -> CASE WHEN scale = 0 THEN 0
+        |      ELSE (CASE WHEN v < 0 THEN -1 ELSE 1 END) * ((abs(v) * 127) // scale)
+        |      END) AS q
+        |  FROM m),
+        |x AS (
+        |  SELECT i::BIGINT AS di, j::BIGINT AS dj,
+        |    q[(i + 1)::INT] * q[(j + 1)::INT] AS p
+        |  FROM q,
+        |    UNNEST(range(0, len(q))) AS gi(i),
+        |    UNNEST(range(0, len(q))) AS gj(j)
+        |  WHERE j >= i)
+        |SELECT di, dj, count(*)::BIGINT AS n_vecs, sum(p)::BIGINT AS g
+        |FROM x GROUP BY di, dj ORDER BY di, dj""".stripMargin,
     // dim stats: same integerization; mean via the floor-div guard,
     // variance via (n*sumsq - s^2) // n^2 in HUGEINT (nonneg numerator)
     "emb_dim_stats" ->

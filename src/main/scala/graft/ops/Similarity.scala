@@ -637,6 +637,51 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** emb_gram: exact Gram (uncentered covariance) matrix over the int8
+    * quantized embeddings — G[i,j] = Σ_v q_i(v)·q_j(v), upper triangle.
+    * The Gramian is the first artifact of every linear embedding-space
+    * analysis (PCA / whitening / low-rank energy audits: RowMatrix's
+    * computeGramianMatrix is this exact one-pass shape); quantizing to
+    * int8 FIRST ([[quantizeInt8Report]]'s scheme verbatim) makes every
+    * entry an exact integer both engines reproduce bit-for-bit, and is
+    * what a 100 TB deployment does anyway — the Gram of the compressed
+    * vectors audits the representation actually being served.
+    *
+    * Scale shape: each row expands to its dim(dim+1)/2 upper-triangle
+    * products in-row (nested indexed `transform` + one explode), then
+    * ONE hash aggregation on (di,dj) — 2,080 keys at dim 64 — whose
+    * map-side partials collapse every input partition to 2,080 rows
+    * before the exchange: the shuffle is O(partitions·dim²), constant
+    * in corpus size. Long bounds: |q|≤127 so each product ≤16,129 and
+    * the sum stays < 2^63 up to ~5·10^14 vectors. No joins, no window,
+    * nothing driver-side.
+    *
+    * Output: (di, dj, n_vecs, g) for 0 ≤ di ≤ dj < dim, ordered.
+    */
+  def int8Gram(spark: SparkSession, sfDir: String): DataFrame = {
+    val vm = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(1000000L)).cast("long"))
+    val scale = array_max(transform(col("vm"), abs(_)))
+    def sgn(c: Column): Column = when(c < 0L, -1L).otherwise(1L)
+    val q = transform(col("vm"), v =>
+      when(col("scale") === 0L, lit(0L))
+        .otherwise(sgn(v) * ((abs(v) * 127L) / col("scale")).cast("long")))
+    val dim = size(col("q"))
+    // per-row upper triangle: for each i, pair q(i) against q(i..dim-1)
+    val tri = flatten(transform(col("q"), (qi, i) =>
+      transform(slice(col("q"), i + lit(1), dim - i), (qj, jj) =>
+        struct(i.cast("long").as("di"), (i + jj).cast("long").as("dj"),
+          (qi * qj).as("p")))))
+    table(spark, sfDir, "embeddings")
+      .select(vm.as("vm"))
+      .withColumn("scale", scale)
+      .select(q.as("q"))
+      .select(explode(tri).as("t"))
+      .groupBy(col("t.di").as("di"), col("t.dj").as("dj"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("t.p")).as("g"))
+      .orderBy("di", "dj")
+  }
+
   /** sim_semdedup: SEMANTIC dedup — drop every vector that has a
     * sufficiently-cosine-similar, smaller-id neighbor in its own coarse
     * cell (SemDeDup, Abbas et al. 2023: cluster, then prune near-copies

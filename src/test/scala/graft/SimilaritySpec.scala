@@ -154,6 +154,23 @@ class SimilaritySpec extends SparkSpec {
     assert(rows === Seq((1L, 500000L, 1969L, 1969L), (2L, 0L, 0L, 0L)))
   }
 
+  test("int8 gram: exact upper-triangle products over quantized vectors") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "embeddings", Seq(
+      // q1 = [127, -63, 0] (scale 500000), q2 = [0, 0, 0] (scale-0 guard)
+      (1L, Seq(0.5f, -0.25f, 0.0f), 0),
+      (2L, Seq(0.0f, 0.0f, 0.0f), 0)
+    ).toDF("vec_id", "embedding", "label"))
+    val rows = Similarity.int8Gram(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // G = q1 q1^T only (q2 is zero): (0,0)=16129, (0,1)=-8001, (0,2)=0,
+    // (1,1)=3969, (1,2)=0, (2,2)=0; n_vecs counts BOTH rows per cell
+    assert(rows === Seq(
+      (0L, 0L, 2L, 16129L), (0L, 1L, 2L, -8001L), (0L, 2L, 2L, 0L),
+      (1L, 1L, 2L, 3969L), (1L, 2L, 2L, 0L), (2L, 2L, 2L, 0L)))
+  }
+
   test("semantic decontamination: best eval match with id tie-break, flag at threshold") {
     import spark.implicits._
     val dir = tempSfDir()
