@@ -433,6 +433,10 @@ object SparkEntry {
     // triangle expanded in-row, ONE dim^2-key hash agg whose map-side
     // partials make the shuffle constant in corpus size
     "emb_gram" -> ((s, dir) => Similarity.int8Gram(s, dir)),
+    // dominant principal direction by power iteration over the Gram:
+    // one corpus pass, then dim^2-row arithmetic per fixed step —
+    // exact-integer milli iterates the oracle replays as chained CTEs
+    "emb_pca_power" -> ((s, dir) => Similarity.pcaPower(s, dir)),
     // batch-hard triplet mining: hardest positive + hardest negative per
     // strided anchor via one min/max-struct aggregation (no rank window)
     "emb_triplet_mining" -> ((s, dir) => Similarity.tripletMining(s, dir)),
@@ -4182,6 +4186,59 @@ object SparkEntry {
         |  WHERE j >= i)
         |SELECT di, dj, count(*)::BIGINT AS n_vecs, sum(p)::BIGINT AS g
         |FROM x GROUP BY di, dj ORDER BY di, dj""".stripMargin,
+    // power iteration over the mean-scaled Gram: three chained CTE
+    // rounds, each a matrix-vector product + max-abs milli rescale;
+    // Spark div and DuckDB // both truncate toward zero, and the
+    // rescale sign-decomposes anyway
+    "emb_pca_power" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS vm
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, vm,
+        |    list_max(list_transform(vm, x -> abs(x))) AS scale
+        |  FROM e),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(vm, v -> CASE WHEN scale = 0 THEN 0
+        |      ELSE (CASE WHEN v < 0 THEN -1 ELSE 1 END) * ((abs(v) * 127) // scale)
+        |      END) AS q
+        |  FROM m),
+        |x AS (
+        |  SELECT i::BIGINT AS di, j::BIGINT AS dj,
+        |    q[(i + 1)::INT] * q[(j + 1)::INT] AS p
+        |  FROM q,
+        |    UNNEST(range(0, len(q))) AS gi(i),
+        |    UNNEST(range(0, len(q))) AS gj(j)
+        |  WHERE j >= i),
+        |gc AS (
+        |  SELECT di, dj, count(*)::BIGINT AS n_vecs, sum(p)::BIGINT AS g
+        |  FROM x GROUP BY di, dj),
+        |gm AS (
+        |  SELECT di AS i, dj AS j, g // n_vecs AS gm FROM gc
+        |  UNION ALL
+        |  SELECT dj AS i, di AS j, g // n_vecs AS gm FROM gc WHERE di <> dj),
+        |v0 AS (SELECT DISTINCT i AS j, 1000::BIGINT AS v FROM gm),
+        |s1 AS (SELECT i, sum(gm * v)::BIGINT AS num FROM gm JOIN v0 USING (j) GROUP BY i),
+        |m1 AS (SELECT max(abs(num)) AS mx FROM s1),
+        |v1 AS (SELECT i AS j, CASE WHEN mx = 0 THEN 0
+        |    ELSE (CASE WHEN num < 0 THEN -1 ELSE 1 END) * ((1000 * abs(num)) // mx)
+        |  END AS v FROM s1, m1),
+        |s2 AS (SELECT i, sum(gm * v)::BIGINT AS num FROM gm JOIN v1 USING (j) GROUP BY i),
+        |m2 AS (SELECT max(abs(num)) AS mx FROM s2),
+        |v2 AS (SELECT i AS j, CASE WHEN mx = 0 THEN 0
+        |    ELSE (CASE WHEN num < 0 THEN -1 ELSE 1 END) * ((1000 * abs(num)) // mx)
+        |  END AS v FROM s2, m2),
+        |s3 AS (SELECT i, sum(gm * v)::BIGINT AS num FROM gm JOIN v2 USING (j) GROUP BY i),
+        |m3 AS (SELECT max(abs(num)) AS mx FROM s3),
+        |v3 AS (SELECT i AS j, CASE WHEN mx = 0 THEN 0
+        |    ELSE (CASE WHEN num < 0 THEN -1 ELSE 1 END) * ((1000 * abs(num)) // mx)
+        |  END AS v FROM s3, m3)
+        |SELECT 1::BIGINT AS it, j::BIGINT AS dim_idx, v::BIGINT AS v_milli FROM v1
+        |UNION ALL SELECT 2, j, v FROM v2
+        |UNION ALL SELECT 3, j, v FROM v3
+        |ORDER BY it, dim_idx""".stripMargin,
     // dim stats: same integerization; mean via the floor-div guard,
     // variance via (n*sumsq - s^2) // n^2 in HUGEINT (nonneg numerator)
     "emb_dim_stats" ->

@@ -682,6 +682,58 @@ object Similarity {
       .orderBy("di", "dj")
   }
 
+  /** emb_pca_power: dominant principal direction of the embedding
+    * space by POWER ITERATION over the [[int8Gram]] Gramian — the
+    * anisotropy audit behind mean-centering / "all-but-the-top"
+    * post-processing (Mu & Viswanath 2018): a corpus whose vectors
+    * crowd one dominant direction wastes cosine resolution, and this
+    * rung surfaces that direction plus how fast iteration converges to
+    * it. All arithmetic is exact-integer so the oracle replays it:
+    * the Gram entry is mean-scaled (g div n_vecs, bounded by 127^2 =
+    * 16,129 at ANY corpus size — the rescale that keeps products in
+    * BIGINT forever), the vector lives in milli units, and each step
+    * rescales by the max-abs component. Signed integer division is
+    * safe here: Spark `div` and DuckDB `//` BOTH truncate toward zero
+    * (verified -7/2 -> -3 in each), and the rescale additionally
+    * sign-decomposes so every division runs on non-negative operands.
+    *
+    * Scale shape: ONE corpus pass (the Gram aggregation); everything
+    * after is dim^2-row arithmetic — each of the `iters` steps is a
+    * hash join of the 4,096-row mirrored Gram against the 64-row
+    * vector plus a 1-row max-abs broadcast. The Gram is
+    * localCheckpoint'd so iterations never re-touch the corpus, the
+    * same persisted-handle discipline as the CC/PageRank loops. No
+    * driver-side convergence action: the iteration count is fixed, so
+    * the whole loop is plan construction.
+    *
+    * Output: (it, dim_idx, v_milli) for it = 1..iters — successive
+    * normalized iterates; consecutive near-equal rows mean the
+    * spectral gap is large and the top direction is trustworthy.
+    */
+  def pcaPower(spark: SparkSession, sfDir: String, iters: Int = 3): DataFrame = {
+    val gU = int8Gram(spark, sfDir)
+      .withColumn("gm", expr("g div n_vecs"))
+    val full = gU.select(col("di").as("i"), col("dj").as("j"), col("gm"))
+      .unionAll(gU.filter(col("di") =!= col("dj"))
+        .select(col("dj").as("i"), col("di").as("j"), col("gm")))
+      .localCheckpoint()
+    val dims = full.select(col("i").as("j")).distinct()
+    var v = dims.withColumn("v", lit(1000L))
+    val steps = (1 to iters).map { it =>
+      val gv = full.join(v, Seq("j"))
+        .groupBy("i").agg(sum(col("gm") * col("v")).as("num"))
+      val mx = gv.agg(max(abs(col("num"))).as("mx"))
+      v = gv.crossJoin(broadcast(mx))
+        .select(col("i").as("j"),
+          when(col("mx") === 0L, lit(0L))
+            .otherwise(expr("(CASE WHEN num < 0 THEN -1 ELSE 1 END) * " +
+              "((1000 * abs(num)) div mx)")).as("v"))
+        .localCheckpoint()
+      v.select(lit(it.toLong).as("it"), col("j").as("dim_idx"), col("v").as("v_milli"))
+    }
+    steps.reduce(_.unionAll(_)).orderBy("it", "dim_idx")
+  }
+
   /** sim_semdedup: SEMANTIC dedup — drop every vector that has a
     * sufficiently-cosine-similar, smaller-id neighbor in its own coarse
     * cell (SemDeDup, Abbas et al. 2023: cluster, then prune near-copies

@@ -95,7 +95,10 @@ class PlanShapeSpec extends SparkSpec {
       // the KMV pair stage: |sources|-row sketch table (k longs per
       // row) non-equi-joined against itself — both sides bounded
       // aggregates by construction
-      "corpus_kmv_overlap")
+      "corpus_kmv_overlap",
+      // power iteration's per-step 1-row max-abs rescale broadcast
+      // onto the 64-row iterate
+      "emb_pca_power")
     val real = offenders.filterNot(o => sanctioned.exists(o.startsWith))
     assert(real.isEmpty, s"quadratic plan shapes found:\n${real.mkString("\n")}")
   }

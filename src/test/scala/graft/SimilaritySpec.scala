@@ -171,6 +171,26 @@ class SimilaritySpec extends SparkSpec {
       (1L, 1L, 2L, 3969L), (1L, 2L, 2L, 0L), (2L, 2L, 2L, 0L)))
   }
 
+  test("pca power: milli iterates converge toward the dominant direction") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "embeddings", Seq(
+      (1L, Seq(0.5f, 0.0f), 0),  // q = [127, 0]
+      (2L, Seq(0.5f, 0.25f), 0)  // q = [127, 63]
+    ).toDF("vec_id", "embedding", "label"))
+    // Gram: (0,0)=32258 (0,1)=8001 (1,1)=3969; gm = g div 2 =
+    // [[16129, 4000], [4000, 1984]]; v0 = [1000, 1000]
+    // it1: Gv = [20129000, 5984000] -> [1000, 297]
+    // it2: Gv = [17317000, 4589248] -> [1000, 265]
+    // it3: Gv = [17189000, 4525760] -> [1000, 263]  (dim 0 dominates)
+    val rows = Similarity.pcaPower(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows === Seq(
+      (1L, 0L, 1000L), (1L, 1L, 297L),
+      (2L, 0L, 1000L), (2L, 1L, 265L),
+      (3L, 0L, 1000L), (3L, 1L, 263L)))
+  }
+
   test("semantic decontamination: best eval match with id tie-break, flag at threshold") {
     import spark.implicits._
     val dir = tempSfDir()
