@@ -471,6 +471,10 @@ object SparkEntry {
     // —— multimodal columns ——
     "mm_meta" -> ((s, dir) => Multimodal.mediaMeta(s, dir)),
     "mm_frames" -> ((s, dir) => Multimodal.sampleFrames(s, dir)),
+    // scene segmentation over the sampled frames: per-media bounded
+    // windows (nFrames rows), payload projected to the frame byte
+    // BEFORE the shuffle — the shot-detection stage of video curation
+    "mm_scenes" -> ((s, dir) => Multimodal.sceneCuts(s, dir)),
     // REAL codec round-trip: deterministic PNGs rendered per row, then
     // decoded back with javax.imageio; the oracle states what a correct
     // decode must recover (dims + exact milli luma) from id arithmetic
@@ -3234,6 +3238,32 @@ object SparkEntry {
         |SELECT id, k, floor(k * total_frames / 4)::BIGINT AS frame_idx
         |FROM m, UNNEST(range(0, 4)) AS u(k)
         |ORDER BY id, k""".stripMargin,
+    // scene cuts: same frame sampling at 8, frame feature = payload
+    // byte at the sampled offset, cut where |delta| >= 30, scenes =
+    // runs between cuts
+    "mm_scenes" ->
+      """WITH m AS (
+        |  SELECT doc_id AS id, text, octet_length(encode(text))::BIGINT AS total
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |f AS (
+        |  SELECT id, k::BIGINT AS k,
+        |    ord(substr(text, (floor(k * total / 8) + 1)::INT, 1))::BIGINT AS feat
+        |  FROM m, UNNEST(range(0, 8)) AS u(k)),
+        |lg AS (
+        |  SELECT id, k, feat,
+        |    lag(feat) OVER (PARTITION BY id ORDER BY k) AS prev
+        |  FROM f),
+        |ct AS (
+        |  SELECT id, k,
+        |    CASE WHEN prev IS NULL OR abs(feat - prev) >= 30 THEN 1 ELSE 0 END AS cut
+        |  FROM lg),
+        |sc AS (
+        |  SELECT id, k,
+        |    sum(cut) OVER (PARTITION BY id ORDER BY k) - 1 AS scene_idx
+        |  FROM ct)
+        |SELECT id, scene_idx::BIGINT AS scene_idx, min(k)::BIGINT AS start_k,
+        |  max(k)::BIGINT AS end_k, count(*)::BIGINT AS n_frames
+        |FROM sc GROUP BY id, scene_idx ORDER BY id, scene_idx""".stripMargin,
     // the codec round-trip contract: a correct javax.imageio decode of
     // the generated PNG for id recovers w=id%31+2, h=id%17+2 and mean
     // luma exactly 1000*(id%256) milli (constant gray fill)

@@ -370,4 +370,51 @@ object Multimodal {
         floor(col("k") * col("total_frames") / nFrames).cast("long"))
       .select(col("id"), col("k").cast("long").as("k"), col("frame_idx"))
       .orderBy("id", "k")
+
+  /** mm_scenes: scene-boundary segmentation over the sampled frames —
+    * the shot-detection stage of a video curation pipeline (cut where
+    * consecutive frame features jump more than a threshold; each run
+    * between cuts is one scene, the unit a caption/filter model then
+    * scores). The per-frame "feature" here is REAL byte access into
+    * the payload at the sampled offset (the harness payload is UTF-8
+    * text, so the byte doubles as an oracle-checkable feature); a
+    * production decoder swaps in a per-frame embedding at the same
+    * seam without touching the segmentation plan.
+    *
+    * Scale shape: frame fan-out is the [[sampleFrames]] explode
+    * (nFrames rows per media item, payload never shuffled — the byte
+    * is projected out BEFORE the window); the lag/cut/scene-index
+    * windows partition by media id over exactly nFrames rows, so the
+    * per-partition sort is constant-size regardless of corpus scale.
+    * One shuffle on id, then the per-scene rollup reuses the same
+    * partitioning.
+    *
+    * Output: one row per detected scene — (id, scene_idx, start_k,
+    * end_k, n_frames), ordered.
+    */
+  def sceneCuts(spark: SparkSession, sfDir: String,
+                nFrames: Int = 8, threshold: Long = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val frames = mediaTable(spark, sfDir)
+      .filter(col("modality") === "image")
+      .withColumn("total_frames", octet_length(col("payload")).cast("long"))
+      .select(col("id"), col("total_frames"), col("payload"),
+        explode(sequence(lit(0), lit(nFrames - 1))).as("k"))
+      .withColumn("frame_idx",
+        floor(col("k") * col("total_frames") / nFrames).cast("long"))
+      .select(col("id"), col("k").cast("long").as("k"),
+        ascii(expr("substring(CAST(payload AS STRING), CAST(frame_idx + 1 AS INT), 1)"))
+          .cast("long").as("feat"))
+    val w = Window.partitionBy("id").orderBy("k")
+    frames
+      .withColumn("prev", lag(col("feat"), 1).over(w))
+      .withColumn("cut",
+        when(col("prev").isNull || abs(col("feat") - col("prev")) >= threshold, 1L)
+          .otherwise(0L))
+      .withColumn("scene_idx", sum(col("cut")).over(w) - 1L)
+      .groupBy("id", "scene_idx")
+      .agg(min(col("k")).as("start_k"), max(col("k")).as("end_k"),
+        count(lit(1)).as("n_frames"))
+      .orderBy("id", "scene_idx")
+  }
 }

@@ -125,4 +125,22 @@ class MultimodalSpec extends SparkSpec {
     // id 2: 8 bytes -> 0,2,4,6
     assert(rows.filter(_._1 == 2L).map(_._3) === Seq(0L, 2L, 4L, 6L))
   }
+
+  test("scene cuts: boundary exactly where the frame delta crosses threshold") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", Seq(
+      // 8 bytes: frames sample every byte; 'a'(97) -> ' '(32) jumps 65
+      // >= 30 at k=4 -> two scenes
+      (0L, "aaaa    ", "en", "s", 8L),
+      // adjacent letters: max delta 1 -> a single scene
+      (2L, "abcdefgh", "en", "s", 8L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = Multimodal.sceneCuts(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(rows === Seq(
+      (0L, 0L, 0L, 3L, 4L), (0L, 1L, 4L, 7L, 4L),
+      (2L, 0L, 0L, 7L, 8L)))
+  }
 }
