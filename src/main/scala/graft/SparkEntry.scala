@@ -274,6 +274,10 @@ object SparkEntry {
     // Heaps-law vocabulary growth per corpus decile: new types, cum
     // types, and the token volume that bought them
     "vocab_growth" -> ((s, dir) => TextAnalysis.vocabGrowth(s, dir)),
+    // vocab-sizing coverage curve: types collapse to frequency CLASSES
+    // (O(sqrt N) rows by Zipf) before the one bounded running sum;
+    // the p% boundary interpolates arithmetically within a class
+    "vocab_coverage" -> ((s, dir) => TextAnalysis.coverageCurve(s, dir)),
     // hashed linear quality classifier (fastText-style stand-in): score
     // is one array fold per row — the model-based filter rung above the
     // gopher heuristics
@@ -4336,6 +4340,34 @@ object SparkEntry {
         |  sum(o.n_tokens) OVER (ORDER BY o.bucket)::BIGINT AS cum_tokens,
         |  sum(coalesce(nt.n_new_types, 0)) OVER (ORDER BY o.bucket)::BIGINT AS cum_types
         |FROM occ o LEFT JOIN nt USING (bucket) ORDER BY bucket""".stripMargin,
+    // coverage curve: frequency-class rollup, running sums over the
+    // class table, arithmetic interpolation inside the boundary class;
+    // need = ceil(p*T/1e6) in HUGEINT
+    "vocab_coverage" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(string_split(text, ' '), t -> length(t) > 0)) AS token
+        |  FROM documents),
+        |tf AS (SELECT token, count(*)::BIGINT AS c FROM tok GROUP BY token),
+        |cls AS (SELECT c, count(*)::BIGINT AS n_types FROM tf GROUP BY c),
+        |cum AS (
+        |  SELECT c, n_types, c * n_types AS cls_toks,
+        |    sum(c * n_types) OVER (ORDER BY c DESC)::BIGINT AS cum_toks,
+        |    sum(n_types) OVER (ORDER BY c DESC)::BIGINT AS cum_types
+        |  FROM cls),
+        |tot AS (
+        |  SELECT max(cum_toks)::BIGINT AS t_tokens, max(cum_types)::BIGINT AS t_types
+        |  FROM cum),
+        |thr AS (SELECT unnest([500000, 900000, 990000])::BIGINT AS p),
+        |nd AS (
+        |  SELECT p, ((p::HUGEINT * t_tokens + 999999) // 1000000)::BIGINT AS need,
+        |    t_tokens, t_types
+        |  FROM thr, tot)
+        |SELECT p AS threshold_ppm, need AS need_tokens,
+        |  (cum_types - n_types
+        |    + ((need - (cum_toks - cls_toks) + c - 1) // c))::BIGINT AS n_types_needed,
+        |  t_types AS n_types_total, t_tokens AS n_tokens_total
+        |FROM nd JOIN cum ON cum_toks >= need AND (cum_toks - cls_toks) < need
+        |ORDER BY threshold_ppm""".stripMargin,
     // snapshot diff: deterministic old/new snapshot projections, one
     // full-outer join on doc_id, md5 content compare, per-source rollup
     "corpus_snapshot_diff" ->

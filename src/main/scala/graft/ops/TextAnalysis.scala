@@ -1525,6 +1525,57 @@ object TextAnalysis {
       .orderBy("bucket")
   }
 
+  /** vocab_coverage: how many vocabulary types cover p% of all token
+    * OCCURRENCES — the curve a tokenizer-vocab sizing decision reads
+    * (a 32k vocab is justified iff ~32k types cover ≈99% of the
+    * stream; the heavy Zipf head means the 50% point is often a few
+    * hundred types). Exact integers throughout.
+    *
+    * Scale shape — the trick is the FREQUENCY-CLASS rollup: ranking
+    * every type by count and prefix-summing would put |vocab| rows
+    * (10^8 at 100 TB) through one sort partition. Instead types
+    * collapse to their frequency CLASS first (groupBy c: distinct
+    * count VALUES number O(sqrt total) by Zipf — a few thousand at any
+    * corpus size), the single-partition running sum runs over that
+    * BOUNDED class table only (the shard_plan small-relation
+    * justification), and within a class types are interchangeable so
+    * the p% boundary interpolates arithmetically: types_needed =
+    * prev_types + ceil((need - prev_toks) / c). The need product
+    * p·T runs in DECIMAL(38,0) (HUGEINT in the oracle) — at 10^14
+    * tokens the BIGINT product would overflow.
+    *
+    * Output: (threshold_ppm, need_tokens, n_types_needed,
+    * n_types_total, n_tokens_total), one row per threshold.
+    */
+  def coverageCurve(spark: SparkSession, sfDir: String,
+                    thresholds: Seq[Long] = Seq(500000L, 900000L, 990000L)): DataFrame = {
+    val tf = table(spark, sfDir, "documents")
+      .select(explode(filter(split(col("text"), " "), t => length(t) > 0)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val cls = tf.groupBy("c").agg(count(lit(1)).as("n_types"))
+    val w = Window.partitionBy().orderBy(col("c").desc) // |classes| rows, bounded
+    val cum = cls
+      .withColumn("cls_toks", col("c") * col("n_types"))
+      .withColumn("cum_toks", sum(col("cls_toks")).over(w))
+      .withColumn("cum_types", sum(col("n_types")).over(w))
+      .withColumn("prev_toks", col("cum_toks") - col("cls_toks"))
+      .withColumn("prev_types", col("cum_types") - col("n_types"))
+    val tot = cum.agg(max(col("cum_toks")).as("t_tokens"),
+      max(col("cum_types")).as("t_types"))
+    spark.range(1)
+      .select(explode(array(thresholds.map(lit(_)): _*)).as("p"))
+      .crossJoin(broadcast(tot))
+      .withColumn("need",
+        expr("CAST((CAST(p AS DECIMAL(38,0)) * t_tokens + 999999) div 1000000 AS BIGINT)"))
+      .join(broadcast(cum),
+        col("cum_toks") >= col("need") && col("prev_toks") < col("need"))
+      .select(col("p").as("threshold_ppm"), col("need").as("need_tokens"),
+        (col("prev_types") + expr("(need - prev_toks + c - 1) div c"))
+          .as("n_types_needed"),
+        col("t_types").as("n_types_total"), col("t_tokens").as("n_tokens_total"))
+      .orderBy("threshold_ppm")
+  }
+
   /** text_lm_holdout: held-out bigram LM scoring — the evaluation
     * discipline `lmScore` lacks: lmScore trains and scores on the SAME
     * corpus and silently drops unseen bigrams (inner join), so it

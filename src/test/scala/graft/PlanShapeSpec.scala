@@ -98,7 +98,10 @@ class PlanShapeSpec extends SparkSpec {
       "corpus_kmv_overlap",
       // power iteration's per-step 1-row max-abs rescale broadcast
       // onto the 64-row iterate
-      "emb_pca_power")
+      "emb_pca_power",
+      // coverage curve: 3-row threshold literal range-joined against
+      // the broadcast frequency-class table (O(sqrt N) rows by Zipf)
+      "vocab_coverage")
     val real = offenders.filterNot(o => sanctioned.exists(o.startsWith))
     assert(real.isEmpty, s"quadratic plan shapes found:\n${real.mkString("\n")}")
   }

@@ -302,6 +302,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Seq((1L, 3L, 480L), (2L, 1L, 221L)))
   }
 
+  test("vocab coverage: class interpolation and ceil-need at the boundary") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", Seq(
+      (1L, "a a a a b b c d", "en", "s", 15L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // tf: a=4 b=2 c=1 d=1; classes (c desc): 4->1, 2->1, 1->2; T=8
+    // p=50%: need ceil(4.0)=4 -> 1 type (a alone)
+    // p=90%: need ceil(7.2)=8 -> all 4 types (7 of 8 is only 87.5%)
+    val rows = TextAnalysis.coverageCurve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(rows === Seq(
+      (500000L, 4L, 1L, 4L, 8L),
+      (900000L, 8L, 4L, 4L, 8L),
+      (990000L, 8L, 4L, 4L, 8L)))
+  }
+
   test("gopher rules: each rule rejects exactly its constructed offender") {
     import spark.implicits._
     val dir = tempSfDir()
