@@ -479,6 +479,10 @@ object SparkEntry {
     // windows (nFrames rows), payload projected to the frame byte
     // BEFORE the shuffle — the shot-detection stage of video curation
     "mm_scenes" -> ((s, dir) => Multimodal.sceneCuts(s, dir)),
+    // stateless streaming twin: a media item's frames all live in its
+    // one payload row, so the in-row array-HOF form needs no state
+    // store and no shuffle — shares the batch oracle
+    "stream_scenes" -> ((s, dir) => StreamingOps.streamScenes(s, dir)),
     // REAL codec round-trip: deterministic PNGs rendered per row, then
     // decoded back with javax.imageio; the oracle states what a correct
     // decode must recover (dims + exact milli luma) from id arithmetic
@@ -1330,6 +1334,34 @@ object SparkEntry {
     * by the batch query (text_scrub) and its stateless streaming twin
     * (stream_scrub) — identical relation by construction.
     */
+  /** Scene segmentation oracle — replays the WINDOW formulation of
+    * sceneCuts; shared by the batch query and the stateless in-row
+    * streaming twin (the two are row-for-row equal by construction).
+    */
+  private val scenesOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id AS id, text, octet_length(encode(text))::BIGINT AS total
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |f AS (
+      |  SELECT id, k::BIGINT AS k,
+      |    ord(substr(text, (floor(k * total / 8) + 1)::INT, 1))::BIGINT AS feat
+      |  FROM m, UNNEST(range(0, 8)) AS u(k)),
+      |lg AS (
+      |  SELECT id, k, feat,
+      |    lag(feat) OVER (PARTITION BY id ORDER BY k) AS prev
+      |  FROM f),
+      |ct AS (
+      |  SELECT id, k,
+      |    CASE WHEN prev IS NULL OR abs(feat - prev) >= 30 THEN 1 ELSE 0 END AS cut
+      |  FROM lg),
+      |sc AS (
+      |  SELECT id, k,
+      |    sum(cut) OVER (PARTITION BY id ORDER BY k) - 1 AS scene_idx
+      |  FROM ct)
+      |SELECT id, scene_idx::BIGINT AS scene_idx, min(k)::BIGINT AS start_k,
+      |  max(k)::BIGINT AS end_k, count(*)::BIGINT AS n_frames
+      |FROM sc GROUP BY id, scene_idx ORDER BY id, scene_idx""".stripMargin
+
   private val scrubOracle: String =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
@@ -3244,30 +3276,9 @@ object SparkEntry {
         |ORDER BY id, k""".stripMargin,
     // scene cuts: same frame sampling at 8, frame feature = payload
     // byte at the sampled offset, cut where |delta| >= 30, scenes =
-    // runs between cuts
-    "mm_scenes" ->
-      """WITH m AS (
-        |  SELECT doc_id AS id, text, octet_length(encode(text))::BIGINT AS total
-        |  FROM documents WHERE doc_id % 2 = 0),
-        |f AS (
-        |  SELECT id, k::BIGINT AS k,
-        |    ord(substr(text, (floor(k * total / 8) + 1)::INT, 1))::BIGINT AS feat
-        |  FROM m, UNNEST(range(0, 8)) AS u(k)),
-        |lg AS (
-        |  SELECT id, k, feat,
-        |    lag(feat) OVER (PARTITION BY id ORDER BY k) AS prev
-        |  FROM f),
-        |ct AS (
-        |  SELECT id, k,
-        |    CASE WHEN prev IS NULL OR abs(feat - prev) >= 30 THEN 1 ELSE 0 END AS cut
-        |  FROM lg),
-        |sc AS (
-        |  SELECT id, k,
-        |    sum(cut) OVER (PARTITION BY id ORDER BY k) - 1 AS scene_idx
-        |  FROM ct)
-        |SELECT id, scene_idx::BIGINT AS scene_idx, min(k)::BIGINT AS start_k,
-        |  max(k)::BIGINT AS end_k, count(*)::BIGINT AS n_frames
-        |FROM sc GROUP BY id, scene_idx ORDER BY id, scene_idx""".stripMargin,
+    // runs between cuts; the stateless streaming twin shares it
+    "mm_scenes" -> scenesOracle,
+    "stream_scenes" -> scenesOracle,
     // the codec round-trip contract: a correct javax.imageio decode of
     // the generated PNG for id recovers w=id%31+2, h=id%17+2 and mean
     // luma exactly 1000*(id%256) milli (constant gray fill)

@@ -43,10 +43,15 @@ object Multimodal {
     * column in parquet.
     */
   def mediaTable(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "documents")
-      .select(col("doc_id").as("id"),
-        (when(col("doc_id") % 2 === 0, "image").otherwise("video")).as("modality"),
-        encode(col("text"), "UTF-8").as("payload"))
+    mediaFrame(table(spark, sfDir, "documents"))
+
+  /** The mediaTable projection over ANY documents-shaped frame (static
+    * or streaming): (id, modality, payload BINARY).
+    */
+  def mediaFrame(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").as("id"),
+      (when(col("doc_id") % 2 === 0, "image").otherwise("video")).as("modality"),
+      encode(col("text"), "UTF-8").as("payload"))
 
   /** Deterministic REAL image corpus: one PNG per even doc_id, rendered
     * with java.awt + encoded by javax.imageio. Width, height and the
@@ -416,5 +421,49 @@ object Multimodal {
       .agg(min(col("k")).as("start_k"), max(col("k")).as("end_k"),
         count(lit(1)).as("n_frames"))
       .orderBy("id", "scene_idx")
+  }
+
+  /** [[sceneCuts]] computed ENTIRELY in-row — same relation, zero
+    * shuffle, zero window: all of a media item's frames live in its one
+    * payload row, so sampling, feature deltas, cut flags and the
+    * per-scene rollup are array HOFs over that row. This is what makes
+    * the STREAMING twin stateless (stream_scenes: a pure per-row
+    * projection, no state store) and it is also the better BATCH plan
+    * when scenes feed a later per-doc stage — the window form exists as
+    * the shape the shared oracle replays in SQL.
+    *
+    * Expects a media-shaped frame (id, modality, payload).
+    */
+  def sceneFrame(media: DataFrame,
+                 nFrames: Int = 8, threshold: Long = 30): DataFrame = {
+    val s = col("payload").cast("string")
+    val total = octet_length(col("payload")).cast("long")
+    media
+      .filter(col("modality") === "image")
+      .withColumn("feats",
+        transform(sequence(lit(0L), lit(nFrames - 1L)), k =>
+          ascii(s.substr((floor(k * total / nFrames) + 1L).cast("int"), lit(1)))
+            .cast("long")))
+      // cut(0) = 1; cut(k) = |feat(k) - feat(k-1)| >= threshold
+      .withColumn("cuts",
+        transform(col("feats"), (f, i) =>
+          when(i === 0, lit(1L)).otherwise(
+            when(abs(f - element_at(col("feats"), i)) >= threshold, 1L)
+              .otherwise(0L))))
+      // 0-based frame positions where a new scene starts
+      .withColumn("starts",
+        filter(transform(col("cuts"), (c, i) =>
+          when(c === 1L, i.cast("long")).otherwise(lit(-1L))), x => x >= 0L))
+      .withColumn("scene",
+        explode(transform(col("starts"), (st, i) =>
+          struct(i.cast("long").as("scene_idx"), st.as("start_k"),
+            // next scene's start - 1, or the last frame for the final
+            // scene (try_element_at: the lookup past the end is the
+            // expected signal, not an error)
+            coalesce(try_element_at(col("starts"), i + 2) - 1L, lit(nFrames - 1L))
+              .as("end_k")))))
+      .select(col("id"), col("scene.scene_idx").as("scene_idx"),
+        col("scene.start_k").as("start_k"), col("scene.end_k").as("end_k"),
+        (col("scene.end_k") - col("scene.start_k") + 1L).as("n_frames"))
   }
 }

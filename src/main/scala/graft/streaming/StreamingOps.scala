@@ -746,6 +746,21 @@ object StreamingOps {
         "stream_pii", OutputMode.Append())
       .orderBy("doc_id")
 
+  /** Stateless ingest-time scene segmentation — the streaming twin of
+    * mm_scenes. All of a media item's frames arrive in its ONE payload
+    * row, so the in-row sceneFrame formulation (array HOFs, no window)
+    * makes cut detection and the per-scene rollup a pure per-row
+    * projection: no state store, no shuffle, O(1) memory per row at
+    * any stream rate. Shares mm_scenes' oracle — the window form and
+    * the in-row form are row-for-row equal (MultimodalSpec pins it).
+    */
+  def streamScenes(spark: SparkSession, sfDir: String): DataFrame =
+    runToBatch(spark,
+        s => graft.ops.Multimodal.sceneFrame(
+          graft.ops.Multimodal.mediaFrame(harnessDocStream(s, sfDir))),
+        "stream_scenes", OutputMode.Append())
+      .orderBy("id", "scene_idx")
+
   /** Stateless ingest-time quality-classifier scoring — the streaming
     * twin of text_classifier; same zero-state per-row fold.
     */

@@ -142,5 +142,12 @@ class MultimodalSpec extends SparkSpec {
     assert(rows === Seq(
       (0L, 0L, 0L, 3L, 4L), (0L, 1L, 4L, 7L, 4L),
       (2L, 0L, 0L, 7L, 8L)))
+    // the in-row (stateless-streaming) formulation is row-for-row equal
+    // to the window formulation — the shared-oracle contract
+    val inline = Multimodal.sceneFrame(Multimodal.mediaTable(spark, dir))
+      .orderBy("id", "scene_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(inline === rows)
   }
 }
