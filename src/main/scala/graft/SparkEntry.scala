@@ -3250,12 +3250,27 @@ object SparkEntry {
          |    SELECT q_id, vec_id,
          |      row_number() OVER (PARTITION BY q_id ORDER BY s DESC, vec_id ASC) AS rk
          |    FROM pq_scored) WHERE rk <= 10),
+         |ivfpq_scored AS (
+         |  SELECT p.q_id, a.vec_id, sum(l.p)::BIGINT AS s
+         |  FROM iv_probes p
+         |  JOIN iv_assigned a ON a.cell = p.cell
+         |  JOIN codes k ON k.vec_id = a.vec_id
+         |  JOIN pq_lut l ON l.q_id = p.q_id AND l.sub = k.sub AND l.code = k.code
+         |  WHERE a.vec_id != p.q_id
+         |  GROUP BY p.q_id, a.vec_id),
+         |ivfpq AS (
+         |  SELECT q_id, vec_id AS n_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY s DESC, vec_id ASC) AS rk
+         |    FROM ivfpq_scored) WHERE rk <= 10),
          |m AS (
          |  SELECT 'ivf' AS method, (SELECT count(*) FROM bf JOIN ivf USING (q_id, n_id)) AS h
          |  UNION ALL
          |  SELECT 'lsh', (SELECT count(*) FROM bf JOIN lsh USING (q_id, n_id))
          |  UNION ALL
-         |  SELECT 'pq', (SELECT count(*) FROM bf JOIN pq USING (q_id, n_id)))
+         |  SELECT 'pq', (SELECT count(*) FROM bf JOIN pq USING (q_id, n_id))
+         |  UNION ALL
+         |  SELECT 'ivf_pq', (SELECT count(*) FROM bf JOIN ivfpq USING (q_id, n_id)))
          |SELECT method,
          |  (SELECT count(DISTINCT q_id) FROM bf)::BIGINT AS n_queries,
          |  h::BIGINT AS n_hits,

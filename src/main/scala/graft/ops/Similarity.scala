@@ -463,6 +463,10 @@ object Similarity {
       // 8-bits-per-subspace code (PQ trades recall for a 32x smaller
       // scan; the gate quantifies the trade per corpus)
       .union(recallOf("pq", pqAnn(spark, sfDir, queryMod = stride, k = k)))
+      // the PRODUCTION serving shape: PQ scoring inside the probed IVF
+      // cells — recall compounds both approximations (cell pruning AND
+      // code quantization), so it gets its own gate row
+      .union(recallOf("ivf_pq", ivfPqAnn(spark, sfDir, centroidMod = stride, k = k)))
       .orderBy("method")
   }
 

@@ -171,6 +171,12 @@ class SimilaritySpec extends SparkSpec {
       (1L, 1L, 2L, 3969L), (1L, 2L, 2L, 0L), (2L, 2L, 2L, 0L)))
   }
 
+  test("recall gate covers all four serving paths, composed path included") {
+    val methods = Similarity.annRecall(spark, clusteredDir).collect()
+      .map(_.getString(0)).toSeq
+    assert(methods === Seq("ivf", "ivf_pq", "lsh", "pq"))
+  }
+
   test("pca power: milli iterates converge toward the dominant direction") {
     import spark.implicits._
     val dir = tempSfDir()
