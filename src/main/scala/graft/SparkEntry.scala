@@ -122,6 +122,10 @@ object SparkEntry {
     // per-type top-1% trim audit (rank-based winsorization): exact
     // integer percentile cut, ties total by event_id
     "ev_outliers" -> ((s, dir) => EventWindows.outlierTrimAudit(s, dir)),
+    // robust twin: modified z-score (median/MAD) flagging — doubled
+    // medians keep the .5 interpolation integral, the 3.5 threshold
+    // multiplies out to pure integer products
+    "ev_mad_outliers" -> ((s, dir) => EventWindows.madOutliers(s, dir)),
     // the same top-k-per-day via the custom TopKTagAgg aggregate: no
     // per-day sort, k-entry buffers combine map-side — the shuffle
     // carries k rows per day instead of every (day, type) row
@@ -4943,6 +4947,29 @@ object SparkEntry {
         |  sum(v_milli)::BIGINT AS outlier_sum_milli
         |FROM r WHERE rk <= n_events // 100
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // MAD flagger: quantile_cont doubled to integers, flag rule as
+    // pure integer products (13490*dev2 > 35000*mad4)
+    "ev_mad_outliers" ->
+      """WITH e AS (
+        |  SELECT event_type, event_id, floor(value * 1000)::BIGINT AS v_milli
+        |  FROM events),
+        |md AS (
+        |  SELECT event_type, (2 * quantile_cont(v_milli, 0.5))::BIGINT AS med2
+        |  FROM e GROUP BY event_type),
+        |dv AS (
+        |  SELECT e.event_type, abs(e.v_milli * 2 - md.med2) AS dev2
+        |  FROM e JOIN md USING (event_type)),
+        |mad AS (
+        |  SELECT event_type, (2 * quantile_cont(dev2, 0.5))::BIGINT AS mad4
+        |  FROM dv GROUP BY event_type)
+        |SELECT d.event_type, count(*)::BIGINT AS n_events,
+        |  max(md.med2)::BIGINT AS med2, max(mad.mad4)::BIGINT AS mad4,
+        |  sum(CASE WHEN mad.mad4 > 0 AND d.dev2 * 13490 > mad.mad4 * 35000
+        |    THEN 1 ELSE 0 END)::BIGINT AS n_flagged,
+        |  max(CASE WHEN mad.mad4 > 0 THEN (1349 * d.dev2) // mad.mad4 END)::BIGINT
+        |    AS max_mz_milli
+        |FROM dv d JOIN md USING (event_type) JOIN mad USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
     // as-of replay: every order joined to the version valid at t - 1us
     // over the SAME dim CTE; first orders fall out of every interval
     "rel_scd2_asof" ->

@@ -588,4 +588,49 @@ object EventWindows {
         sum(col("v_milli")).as("outlier_sum_milli"))
       .orderBy("event_type")
   }
+
+  /** ev_mad_outliers: ROBUST outlier flagging by modified z-score
+    * (Iglewicz & Hoaglin 1993): flag x where
+    * |0.6745·(x − median) / MAD| > 3.5, with MAD the median absolute
+    * deviation. [[outlierTrimAudit]] trims a fixed top fraction — fine
+    * for budget capping, but a stddev/fraction rule is itself dragged
+    * by the outliers it hunts; median/MAD break down only past 50%
+    * contamination. All-integer cross-engine math: medians are carried
+    * DOUBLED (2·median of longs is exactly integral even when the
+    * interpolated median lands on .5), deviations dev2 = |2x − med2|
+    * and mad4 = 2·median(dev2) stay integers, and the flag rule
+    * multiplies out to 13490·dev2 > 35000·mad4 — no float division
+    * anywhere near the comparison.
+    *
+    * Scale shape: two aggregations over the bounded event-type
+    * dimension (each a per-group exact percentile — the same per-group
+    * sort cost the trim audit's rank already pays; a production run
+    * swaps in approx_percentile with the in-plan gate pattern
+    * text_len_quantiles demonstrates), each joined back broadcast.
+    * Per-row flagging is a narrow projection.
+    *
+    * Output per event_type: n_events, med2 (doubled median milli),
+    * mad4 (quadrupled MAD milli), n_flagged, max_mz_milli (largest
+    * modified z-score in milli; null when MAD = 0).
+    */
+  def madOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = table(spark, sfDir, "events")
+      .select(col("event_type"), col("event_id"),
+        floor(col("value") * 1000d).cast("long").as("v_milli"))
+    val med = ev.groupBy("event_type")
+      .agg((expr("percentile(v_milli, 0.5D)") * 2d).cast("long").as("med2"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("dev2", abs(col("v_milli") * 2L - col("med2")))
+    val mad = dev.groupBy("event_type")
+      .agg((expr("percentile(dev2, 0.5D)") * 2d).cast("long").as("mad4"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .withColumn("flagged",
+        col("mad4") > 0L && col("dev2") * 13490L > col("mad4") * 35000L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        max(col("med2")).as("med2"), max(col("mad4")).as("mad4"),
+        sum(when(col("flagged"), 1L).otherwise(0L)).as("n_flagged"),
+        max(when(col("mad4") > 0L, expr("(1349 * dev2) div mad4"))).as("max_mz_milli"))
+      .orderBy("event_type")
+  }
 }

@@ -314,6 +314,26 @@ class EventWindowsSpec extends SparkSpec {
     assert(rows2 === Seq(("view", 200L, 2L, 199L, 200L, 399L)))
   }
 
+  test("mad outliers: doubled-median integers, flag rule, even-count interpolation") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    val ev = Seq(("click", 1L, 1.0), ("click", 2L, 2.0), ("click", 3L, 3.0),
+      ("click", 4L, 4.0), ("click", 5L, 100.0),
+      ("view", 6L, 1.0), ("view", 7L, 2.0))
+    writeTable(dir, "events", ev.toDF("event_type", "event_id", "value"))
+    // click: med2=6000, dev2=[4000,2000,0,2000,194000], mad4=4000;
+    //   flag iff dev2*13490 > 4000*35000 -> only 194000; max mz =
+    //   1349*194000 div 4000 = 65426
+    // view (even count): med 1500 -> med2=3000 stays integral;
+    //   dev2=[1000,1000], mad4=2000, nothing flagged, mz=674
+    val rows = EventWindows.madOutliers(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(rows === Seq(
+      ("click", 5L, 6000L, 4000L, 1L, 65426L),
+      ("view", 2L, 3000L, 2000L, 0L, 674L)))
+  }
+
   test("lateness audit: per-user disorder vs arrival order, hand-computed buckets") {
     import spark.implicits._
     val dir = tempSfDir()
