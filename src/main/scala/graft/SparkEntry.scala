@@ -445,6 +445,10 @@ object SparkEntry {
     // one corpus pass, then dim^2-row arithmetic per fixed step —
     // exact-integer milli iterates the oracle replays as chained CTEs
     "emb_pca_power" -> ((s, dir) => Similarity.pcaPower(s, dir)),
+    // all-but-the-top audit: per-vector energy fraction along the
+    // converged direction — one more corpus pass with the 64-row
+    // direction and its norm riding as broadcasts
+    "emb_abtt" -> ((s, dir) => Similarity.abttAudit(s, dir)),
     // batch-hard triplet mining: hardest positive + hardest negative per
     // strided anchor via one min/max-struct aggregation (no rank window)
     "emb_triplet_mining" -> ((s, dir) => Similarity.tripletMining(s, dir)),
@@ -1338,6 +1342,57 @@ object SparkEntry {
     * by the batch query (text_scrub) and its stateless streaming twin
     * (stream_scrub) — identical relation by construction.
     */
+  /** Power-iteration CTE chain (int8 quantize -> mean-scaled Gram ->
+    * three matrix-vector rounds, exact integers) — shared by
+    * emb_pca_power (emits the iterates) and emb_abtt (projects each
+    * vector onto the converged direction v3).
+    */
+  private val pcaCtes: String =
+    """e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS vm
+      |  FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, vm,
+      |    list_max(list_transform(vm, x -> abs(x))) AS scale
+      |  FROM e),
+      |q AS (
+      |  SELECT vec_id,
+      |    list_transform(vm, v -> CASE WHEN scale = 0 THEN 0
+      |      ELSE (CASE WHEN v < 0 THEN -1 ELSE 1 END) * ((abs(v) * 127) // scale)
+      |      END) AS q
+      |  FROM m),
+      |x AS (
+      |  SELECT i::BIGINT AS di, j::BIGINT AS dj,
+      |    q[(i + 1)::INT] * q[(j + 1)::INT] AS p
+      |  FROM q,
+      |    UNNEST(range(0, len(q))) AS gi(i),
+      |    UNNEST(range(0, len(q))) AS gj(j)
+      |  WHERE j >= i),
+      |gc AS (
+      |  SELECT di, dj, count(*)::BIGINT AS n_vecs, sum(p)::BIGINT AS g
+      |  FROM x GROUP BY di, dj),
+      |gm AS (
+      |  SELECT di AS i, dj AS j, g // n_vecs AS gm FROM gc
+      |  UNION ALL
+      |  SELECT dj AS i, di AS j, g // n_vecs AS gm FROM gc WHERE di <> dj),
+      |v0 AS (SELECT DISTINCT i AS j, 1000::BIGINT AS v FROM gm),
+      |s1 AS (SELECT i, sum(gm * v)::BIGINT AS num FROM gm JOIN v0 USING (j) GROUP BY i),
+      |m1 AS (SELECT max(abs(num)) AS mx FROM s1),
+      |v1 AS (SELECT i AS j, CASE WHEN mx = 0 THEN 0
+      |    ELSE (CASE WHEN num < 0 THEN -1 ELSE 1 END) * ((1000 * abs(num)) // mx)
+      |  END AS v FROM s1, m1),
+      |s2 AS (SELECT i, sum(gm * v)::BIGINT AS num FROM gm JOIN v1 USING (j) GROUP BY i),
+      |m2 AS (SELECT max(abs(num)) AS mx FROM s2),
+      |v2 AS (SELECT i AS j, CASE WHEN mx = 0 THEN 0
+      |    ELSE (CASE WHEN num < 0 THEN -1 ELSE 1 END) * ((1000 * abs(num)) // mx)
+      |  END AS v FROM s2, m2),
+      |s3 AS (SELECT i, sum(gm * v)::BIGINT AS num FROM gm JOIN v2 USING (j) GROUP BY i),
+      |m3 AS (SELECT max(abs(num)) AS mx FROM s3),
+      |v3 AS (SELECT i AS j, CASE WHEN mx = 0 THEN 0
+      |    ELSE (CASE WHEN num < 0 THEN -1 ELSE 1 END) * ((1000 * abs(num)) // mx)
+      |  END AS v FROM s3, m3)""".stripMargin
+
   /** Scene segmentation oracle — replays the WINDOW formulation of
     * sceneCuts; shared by the batch query and the stateless in-row
     * streaming twin (the two are row-for-row equal by construction).
@@ -4255,54 +4310,29 @@ object SparkEntry {
     // Spark div and DuckDB // both truncate toward zero, and the
     // rescale sign-decomposes anyway
     "emb_pca_power" ->
-      """WITH e AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS vm
-        |  FROM embeddings),
-        |m AS (
-        |  SELECT vec_id, vm,
-        |    list_max(list_transform(vm, x -> abs(x))) AS scale
-        |  FROM e),
-        |q AS (
-        |  SELECT vec_id,
-        |    list_transform(vm, v -> CASE WHEN scale = 0 THEN 0
-        |      ELSE (CASE WHEN v < 0 THEN -1 ELSE 1 END) * ((abs(v) * 127) // scale)
-        |      END) AS q
-        |  FROM m),
-        |x AS (
-        |  SELECT i::BIGINT AS di, j::BIGINT AS dj,
-        |    q[(i + 1)::INT] * q[(j + 1)::INT] AS p
-        |  FROM q,
-        |    UNNEST(range(0, len(q))) AS gi(i),
-        |    UNNEST(range(0, len(q))) AS gj(j)
-        |  WHERE j >= i),
-        |gc AS (
-        |  SELECT di, dj, count(*)::BIGINT AS n_vecs, sum(p)::BIGINT AS g
-        |  FROM x GROUP BY di, dj),
-        |gm AS (
-        |  SELECT di AS i, dj AS j, g // n_vecs AS gm FROM gc
-        |  UNION ALL
-        |  SELECT dj AS i, di AS j, g // n_vecs AS gm FROM gc WHERE di <> dj),
-        |v0 AS (SELECT DISTINCT i AS j, 1000::BIGINT AS v FROM gm),
-        |s1 AS (SELECT i, sum(gm * v)::BIGINT AS num FROM gm JOIN v0 USING (j) GROUP BY i),
-        |m1 AS (SELECT max(abs(num)) AS mx FROM s1),
-        |v1 AS (SELECT i AS j, CASE WHEN mx = 0 THEN 0
-        |    ELSE (CASE WHEN num < 0 THEN -1 ELSE 1 END) * ((1000 * abs(num)) // mx)
-        |  END AS v FROM s1, m1),
-        |s2 AS (SELECT i, sum(gm * v)::BIGINT AS num FROM gm JOIN v1 USING (j) GROUP BY i),
-        |m2 AS (SELECT max(abs(num)) AS mx FROM s2),
-        |v2 AS (SELECT i AS j, CASE WHEN mx = 0 THEN 0
-        |    ELSE (CASE WHEN num < 0 THEN -1 ELSE 1 END) * ((1000 * abs(num)) // mx)
-        |  END AS v FROM s2, m2),
-        |s3 AS (SELECT i, sum(gm * v)::BIGINT AS num FROM gm JOIN v2 USING (j) GROUP BY i),
-        |m3 AS (SELECT max(abs(num)) AS mx FROM s3),
-        |v3 AS (SELECT i AS j, CASE WHEN mx = 0 THEN 0
-        |    ELSE (CASE WHEN num < 0 THEN -1 ELSE 1 END) * ((1000 * abs(num)) // mx)
-        |  END AS v FROM s3, m3)
-        |SELECT 1::BIGINT AS it, j::BIGINT AS dim_idx, v::BIGINT AS v_milli FROM v1
-        |UNION ALL SELECT 2, j, v FROM v2
-        |UNION ALL SELECT 3, j, v FROM v3
-        |ORDER BY it, dim_idx""".stripMargin,
+      s"""WITH $pcaCtes
+         |SELECT 1::BIGINT AS it, j::BIGINT AS dim_idx, v::BIGINT AS v_milli FROM v1
+         |UNION ALL SELECT 2, j, v FROM v2
+         |UNION ALL SELECT 3, j, v FROM v3
+         |ORDER BY it, dim_idx""".stripMargin,
+    // ABTT audit: per-vector energy fraction along the power-iterated
+    // dominant direction (HUGEINT for the ppm product)
+    "emb_abtt" ->
+      s"""WITH $pcaCtes,
+         |u AS (SELECT j AS d, v AS u FROM v3),
+         |uu AS (SELECT sum(u * u)::BIGINT AS uu FROM u),
+         |qx AS (
+         |  SELECT vec_id, i::BIGINT AS d, q[(i + 1)::INT] AS qd
+         |  FROM q, UNNEST(range(0, len(q))) AS ui(i)),
+         |qq AS (SELECT vec_id, sum(qd * qd)::BIGINT AS qq FROM qx GROUP BY vec_id),
+         |dt AS (
+         |  SELECT x.vec_id, sum(x.qd * u.u)::BIGINT AS dot_u
+         |  FROM qx x JOIN u ON u.d = x.d GROUP BY x.vec_id)
+         |SELECT d.vec_id, d.dot_u,
+         |  CASE WHEN qq.qq > 0 AND uu.uu > 0
+         |    THEN ((d.dot_u::HUGEINT * d.dot_u * 1000000) // (qq.qq::HUGEINT * uu.uu))::BIGINT
+         |    ELSE 0 END AS energy_ppm
+         |FROM dt d JOIN qq USING (vec_id), uu ORDER BY vec_id""".stripMargin,
     // dim stats: same integerization; mean via the floor-div guard,
     // variance via (n*sumsq - s^2) // n^2 in HUGEINT (nonneg numerator)
     "emb_dim_stats" ->

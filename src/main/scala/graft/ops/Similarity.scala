@@ -738,6 +738,59 @@ object Similarity {
     steps.reduce(_.unionAll(_)).orderBy("it", "dim_idx")
   }
 
+  /** emb_abtt: the "all-but-the-top" audit (Mu & Viswanath 2018) —
+    * for every vector, what fraction of its energy lies along the
+    * corpus's dominant direction ([[pcaPower]]'s converged iterate).
+    * ABTT post-processing subtracts that component because an
+    * anisotropic embedding space wastes cosine resolution; this audit
+    * is the per-vector signal that says whether the correction is
+    * worth applying and which vectors it would change most:
+    *
+    *   energy_ppm = (q·u)^2 · 10^6 div (|q|^2 · |u|^2)
+    *
+    * — exact cosine-squared in ppm, all integers (DECIMAL(38,0) /
+    * HUGEINT for the product: (q·u)^2 reaches ~6.6e13 and the ppm
+    * numerator would overflow BIGINT).
+    *
+    * Scale shape: one corpus pass builds the direction (the Gram +
+    * dim^2 iteration of pcaPower), then ONE more pass projects every
+    * vector — the 64-row direction and its 1-row norm ride along as
+    * broadcasts; the per-vector dot is a posexplode joined to the
+    * broadcast direction with map-side partial aggregation on vec_id.
+    *
+    * Output: (vec_id, dot_u, energy_ppm), ordered.
+    */
+  def abttAudit(spark: SparkSession, sfDir: String, iters: Int = 3): DataFrame = {
+    val u = pcaPower(spark, sfDir, iters)
+      .filter(col("it") === iters.toLong)
+      .select(col("dim_idx").as("d"), col("v_milli").as("u"))
+      .localCheckpoint()
+    val uu = u.agg(sum(col("u") * col("u")).as("uu"))
+    val vm = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(1000000L)).cast("long"))
+    val scale = array_max(transform(col("vm"), abs(_)))
+    def sgn(c: Column): Column = when(c < 0L, -1L).otherwise(1L)
+    val q = transform(col("vm"), v =>
+      when(col("scale") === 0L, lit(0L))
+        .otherwise(sgn(v) * ((abs(v) * 127L) / col("scale")).cast("long")))
+    table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), vm.as("vm"))
+      .withColumn("scale", scale)
+      .select(col("vec_id"), q.as("q"))
+      .withColumn("qq", aggregate(col("q"), lit(0L), (a, x) => a + x * x))
+      .select(col("vec_id"), col("qq"), posexplode(col("q")).as(Seq("pd", "qd")))
+      .join(broadcast(u), col("pd").cast("long") === col("d"))
+      .groupBy("vec_id")
+      .agg(max(col("qq")).as("qq"), sum(col("qd") * col("u")).as("dot_u"))
+      .crossJoin(broadcast(uu))
+      .select(col("vec_id"), col("dot_u"),
+        when(col("qq") > 0L && col("uu") > 0L,
+          expr("CAST((CAST(dot_u AS DECIMAL(38,0)) * dot_u * 1000000) div " +
+            "(qq * uu) AS BIGINT)"))
+          .otherwise(lit(0L)).as("energy_ppm"))
+      .orderBy("vec_id")
+  }
+
   /** sim_semdedup: SEMANTIC dedup — drop every vector that has a
     * sufficiently-cosine-similar, smaller-id neighbor in its own coarse
     * cell (SemDeDup, Abbas et al. 2023: cluster, then prune near-copies

@@ -101,7 +101,10 @@ class PlanShapeSpec extends SparkSpec {
       "emb_pca_power",
       // coverage curve: 3-row threshold literal range-joined against
       // the broadcast frequency-class table (O(sqrt N) rows by Zipf)
-      "vocab_coverage")
+      "vocab_coverage",
+      // ABTT composes pca_power's per-step rescale broadcast plus its
+      // own 1-row direction-norm broadcast onto the projection pass
+      "emb_abtt")
     val real = offenders.filterNot(o => sanctioned.exists(o.startsWith))
     assert(real.isEmpty, s"quadratic plan shapes found:\n${real.mkString("\n")}")
   }

@@ -195,6 +195,13 @@ class SimilaritySpec extends SparkSpec {
       (1L, 0L, 1000L), (1L, 1L, 297L),
       (2L, 0L, 1000L), (2L, 1L, 265L),
       (3L, 0L, 1000L), (3L, 1L, 263L)))
+    // ABTT on the same fixture: u = [1000, 263], uu = 1069169
+    // v1: q=[127,0], dot=127000, qq=16129
+    //   ppm = 127000^2*1e6 div (16129*1069169) = 935305
+    // v2: q=[127,63], dot=127000+63*263=143569, qq=20098 -> 959228
+    val ab = Similarity.abttAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(ab === Seq((1L, 127000L, 935305L), (2L, 143569L, 959228L)))
   }
 
   test("semantic decontamination: best eval match with id tie-break, flag at threshold") {
