@@ -93,6 +93,10 @@ object SparkEntry {
     // PageRank over the customer<->supplier trade graph: 3 rounds of
     // integral-rank propagation over a checkpointed static edge list
     "graph_pagerank" -> ((s, dir) => Graph.pageRank(s, dir)),
+    // exact triangle census of the co-supplier graph via the
+    // degree-ordered orientation (a star contributes zero oriented
+    // wedges); one audit row with the global clustering coefficient
+    "graph_triangles" -> ((s, dir) => Graph.triangleCensus(s, dir)),
     // set-operation family: churned/retained/new customer segments via
     // EXCEPT / INTERSECT over distinct year-activity key sets
     "rel_churn" -> ((s, dir) => Relational.customerChurnSetOps(s, dir)),
@@ -1952,6 +1956,36 @@ object SparkEntry {
         |  (CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
         |    // count(*))::BIGINT AS avg_cents
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // triangle census: same degree-ordered orientation, wedge self-join
+    // on the oriented low endpoint, EXISTS closure on the canonical
+    // edge set
+    "graph_triangles" ->
+      """WITH so AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.s AS u, b.s AS v
+        |  FROM so a JOIN so b ON a.ok = b.ok AND a.s < b.s),
+        |deg AS (
+        |  SELECT n, count(*)::BIGINT AS d
+        |  FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+        |  GROUP BY n),
+        |ed AS (
+        |  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS lo,
+        |         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS hi
+        |  FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v),
+        |w AS (
+        |  SELECT e1.hi AS u, e2.hi AS v
+        |  FROM ed e1 JOIN ed e2 ON e1.lo = e2.lo AND e1.hi < e2.hi),
+        |t AS (
+        |  SELECT count(*)::BIGINT AS n_triangles FROM w
+        |  WHERE EXISTS (SELECT 1 FROM e WHERE e.u = w.u AND e.v = w.v)),
+        |st AS (
+        |  SELECT count(*)::BIGINT AS n_nodes, (sum(d) / 2)::BIGINT AS n_edges,
+        |    sum((d * (d - 1)) // 2)::BIGINT AS n_wedges
+        |  FROM deg)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  CASE WHEN n_wedges > 0 THEN (3000 * n_triangles) // n_wedges
+        |    ELSE 0 END AS global_cc_milli
+        |FROM st, t""".stripMargin,
     // the oracle replays the integral-rank propagation as three chained
     // CTE rounds — same fixed-point formula, floor division throughout
     "graph_pagerank" ->

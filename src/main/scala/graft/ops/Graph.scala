@@ -129,4 +129,62 @@ object Graph {
     deg.unpersist(blocking = false)
     out
   }
+
+  /** graph_triangles: exact triangle census of the co-supplier graph
+    * (suppliers linked when they ship lines of the SAME order) — the
+    * third canonical graph workload next to PageRank and connected
+    * components, and the basis of the global clustering coefficient
+    * (how clique-ish the supply network is; a spam/collusion signal on
+    * entity graphs generally).
+    *
+    * Scale shape — the degree-ordered node-iterator (Schank & Wagner
+    * 2005): every edge is ORIENTED from its lower endpoint by
+    * (degree, id); a triangle then has exactly ONE node with both
+    * out-edges (its (deg,id)-minimum), so wedges = the self-join of
+    * the oriented edge list on that node, and each hub's fanout is
+    * bounded by its ORIENTED out-degree, O(sqrt |E|) — a star node
+    * contributes ZERO oriented wedges instead of deg^2. The closing
+    * check is one semi-join back to the canonical edge set. Edge
+    * building is per-order: order sizes are bounded (TPC-H <= 7
+    * lines), so the pair explode is linear in lineitem.
+    *
+    * Output (one audit row): n_nodes, n_edges, n_wedges (ALL wedges,
+    * sum d(d-1)/2 — the clustering-coefficient denominator),
+    * n_triangles, global_cc_milli = (3000 * tri) div wedges.
+    */
+  def triangleCensus(spark: SparkSession, sfDir: String): DataFrame = {
+    val so = table(spark, sfDir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
+      .distinct()
+    val e = so.as("a")
+      .join(so.as("b"), col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
+      .select(col("a.s").as("u"), col("b.s").as("v"))
+      .distinct()
+      .localCheckpoint() // one pass feeds degrees, orientation and closure
+    val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val ed = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+          .otherwise(col("v")).as("lo"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+          .otherwise(col("u")).as("hi"))
+    val tri = ed.as("e1")
+      .join(ed.as("e2"),
+        col("e1.lo") === col("e2.lo") && col("e1.hi") < col("e2.hi"))
+      .select(col("e1.hi").as("u"), col("e2.hi").as("v"))
+      // the wedge pair is ordered by id, matching e's canonical form
+      .join(e, Seq("u", "v"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      (sum(col("d")) / 2).cast("long").as("n_edges"),
+      sum(expr("(d * (d - 1)) div 2")).as("n_wedges"))
+    stats.crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") > 0L, expr("(3000 * n_triangles) div n_wedges"))
+          .otherwise(lit(0L)).as("global_cc_milli"))
+  }
 }

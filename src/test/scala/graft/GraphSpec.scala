@@ -53,4 +53,20 @@ class GraphSpec extends SparkSpec {
     val ranks = a.toMap
     assert(ranks(3L) > ranks(1L) && ranks(1L) === ranks(2L))
   }
+
+  test("triangle census: oriented wedge closure and classic cc denominator") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // order 10 ships from suppliers {1,2,3} (a triangle), order 20
+    // from {3,4} (a pendant edge); a duplicate line pins the distinct
+    writeTable(dir, "lineitem", Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L), (10L, 3L), (20L, 3L), (20L, 4L)
+    ).toDF("l_orderkey", "l_suppkey"))
+    // edges (1,2)(1,3)(2,3)(3,4); deg 1:2 2:2 3:3 4:1
+    // wedges = 1+1+3+0 = 5; triangles = 1; cc = 3000 div 5 = 600
+    val rows = Graph.triangleCensus(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(rows === Seq((4L, 4L, 5L, 1L, 600L)))
+  }
 }

@@ -104,7 +104,10 @@ class PlanShapeSpec extends SparkSpec {
       "vocab_coverage",
       // ABTT composes pca_power's per-step rescale broadcast plus its
       // own 1-row direction-norm broadcast onto the projection pass
-      "emb_abtt")
+      "emb_abtt",
+      // triangle census: the final audit row is two 1-row aggregates
+      // cross-joined (stats x triangle count)
+      "graph_triangles")
     val real = offenders.filterNot(o => sanctioned.exists(o.startsWith))
     assert(real.isEmpty, s"quadratic plan shapes found:\n${real.mkString("\n")}")
   }
