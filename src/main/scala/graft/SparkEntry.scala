@@ -118,6 +118,10 @@ object SparkEntry {
     // join-key skew pre-flight: per-key counts rolled into exact log2
     // bands (binary digit count, no float log) — the salt-or-not signal
     "rel_skew_audit" -> ((s, dir) => Relational.skewAudit(s, dir)),
+    // TPC-H Q21 shape: sole-late-supplier blame via one orderkey
+    // partitioning reused by the semi probe, the anti probe and the
+    // lateness join; distributed top-k
+    "rel_waiting_suppliers" -> ((s, dir) => Relational.waitingSuppliers(s, dir)),
     // —— event-time windows (batch analog of graft.streaming) ——
     "ev_tumbling" -> ((s, dir) => EventWindows.tumbling(s, dir)),
     "ev_sliding" -> ((s, dir) => EventWindows.sliding(s, dir)),
@@ -2015,6 +2019,24 @@ object SparkEntry {
         |  CASE WHEN node >= 1000000 THEN 'supplier' ELSE 'customer' END AS kind,
         |  r AS rank_micros
         |FROM r3 ORDER BY rank_micros DESC, node ASC LIMIT 20""".stripMargin,
+    // Q21 shape: per-(order, supplier) lateness, EXISTS another
+    // participant, NOT EXISTS another late one, blame rollup
+    "rel_waiting_suppliers" ->
+      """WITH so AS (
+        |  SELECT l.l_orderkey AS ok, l.l_suppkey AS s,
+        |    max(CASE WHEN epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)
+        |      > 60::BIGINT * 86400 * 1000000 THEN 1 ELSE 0 END) AS late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2),
+        |late AS (SELECT ok, s FROM so WHERE late = 1),
+        |blame AS (
+        |  SELECT l.ok, l.s FROM late l
+        |  WHERE EXISTS (SELECT 1 FROM so p WHERE p.ok = l.ok AND p.s <> l.s)
+        |    AND NOT EXISTS (SELECT 1 FROM late o WHERE o.ok = l.ok AND o.s <> l.s))
+        |SELECT sup.s_name, count(*)::BIGINT AS numwait
+        |FROM blame b JOIN supplier sup ON b.s = sup.s_suppkey
+        |GROUP BY sup.s_name
+        |ORDER BY numwait DESC, sup.s_name LIMIT 20""".stripMargin,
     // skew bands: floor(log2(cnt)) as binary digit count — DuckDB bin()
     // and Spark bin() render identically (no leading zeros)
     "rel_skew_audit" ->

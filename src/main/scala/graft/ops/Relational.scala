@@ -494,4 +494,49 @@ object Relational {
       .unionByName(profile(table(spark, sfDir, "events"), col("user_id"), "events.user_id"))
       .orderBy("relation", "band_log2")
   }
+
+  /** rel_waiting_suppliers: the TPC-H Q21 shape — suppliers who were
+    * the SOLE late shipper in a multi-supplier order (the harness
+    * schema has no commit/receipt dates, so "late" is shipped more
+    * than `delayDays` after the order date; the join composition, the
+    * point of Q21, is unchanged): a semi join proving another supplier
+    * participated, an anti join proving no OTHER supplier was late,
+    * then blame counts per supplier name.
+    *
+    * Scale shape: one orders⋈lineitem join computes lateness (both
+    * sides shuffle on orderkey — the partitioning every subsequent
+    * step reuses), then the semi and anti probes are co-partitioned
+    * orderkey joins against the small late/participant projections;
+    * the final rollup is |suppliers|-bounded and the top-k is a
+    * TakeOrdered, never a global sort.
+    *
+    * Output: (s_name, numwait) — top `topK` by (numwait desc, name).
+    */
+  def waitingSuppliers(spark: SparkSession, sfDir: String,
+                       delayDays: Int = 60, topK: Int = 20): DataFrame = {
+    val delayUs = delayDays.toLong * 86400L * 1000000L
+    val so = table(spark, sfDir, "lineitem")
+      .join(table(spark, sfDir, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"),
+        // NTZ -> UTC timestamp cast (session TZ is pinned UTC, same
+        // instant DuckDB's epoch_us sees)
+        (unix_micros(col("l_shipdate").cast("timestamp")) -
+          unix_micros(col("o_orderdate").cast("timestamp")) > delayUs).as("late"))
+      .groupBy("ok", "s")
+      .agg(max(col("late")).as("late")) // one row per (order, supplier)
+    val late = so.filter(col("late")).select("ok", "s")
+    late.as("l")
+      // another supplier participated in the order ...
+      .join(so.as("p").select(col("ok"), col("s").as("s2")),
+        col("l.ok") === col("p.ok") && col("l.s") =!= col("s2"), "left_semi")
+      // ... and none of the others was late
+      .join(late.as("o").select(col("ok"), col("s").as("s3")),
+        col("l.ok") === col("o.ok") && col("l.s") =!= col("s3"), "left_anti")
+      .join(table(spark, sfDir, "supplier"), col("s") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(topK)
+  }
 }

@@ -242,4 +242,27 @@ class RelationalSpec extends SparkSpec {
       ("orders.o_custkey", 0L, 2L, 2L, 1L),
       ("orders.o_custkey", 1L, 1L, 2L, 2L)))
   }
+
+  test("waiting suppliers: sole-late blame with semi and anti probes") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    def day(d: Long) = new java.sql.Timestamp(d * 86400000L)
+    writeTable(dir, "orders", Seq(
+      (1L, day(0)), (2L, day(0)), (3L, day(0))
+    ).toDF("o_orderkey", "o_orderdate"))
+    writeTable(dir, "lineitem", Seq(
+      // order 1: supplier 10 ships day 90 (late), 20 ships day 5 -> blame 10
+      (1L, 10L, day(90)), (1L, 20L, day(5)),
+      // order 2: both late -> nobody blamed (anti probe)
+      (2L, 10L, day(90)), (2L, 20L, day(91)),
+      // order 3: 10 late but SOLE participant -> no blame (semi probe)
+      (3L, 10L, day(90))
+    ).toDF("l_orderkey", "l_suppkey", "l_shipdate"))
+    writeTable(dir, "supplier", Seq(
+      (10L, "SupA", 1L, 0.0), (20L, "SupB", 1L, 0.0)
+    ).toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal"))
+    val rows = Relational.waitingSuppliers(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows === Seq(("SupA", 1L)))
+  }
 }
