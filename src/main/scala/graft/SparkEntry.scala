@@ -134,6 +134,9 @@ object SparkEntry {
     // medians keep the .5 interpolation integral, the 3.5 threshold
     // multiplies out to pure integer products
     "ev_mad_outliers" -> ((s, dir) => EventWindows.madOutliers(s, dir)),
+    // DAU/WAU stickiness: trailing-window distinct via bounded x7
+    // day-explode + hash distinct — no per-user window sort
+    "ev_stickiness" -> ((s, dir) => EventWindows.stickiness(s, dir)),
     // the same top-k-per-day via the custom TopKTagAgg aggregate: no
     // per-day sort, k-entry buffers combine map-side — the shuffle
     // carries k rows per day instead of every (day, type) row
@@ -2321,6 +2324,18 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
         |    AS n_cumulative_users
         |FROM daily ORDER BY day""".stripMargin,
+    // stickiness: same day bucketing; WAU via the x7 day-explode
+    "ev_stickiness" ->
+      """WITH du AS (
+        |  SELECT DISTINCT (epoch_us(ts) // 86400000000) * 86400 AS day, user_id
+        |  FROM events),
+        |dau AS (SELECT day, count(*)::BIGINT AS dau FROM du GROUP BY day),
+        |wx AS (
+        |  SELECT DISTINCT day + k * 86400 AS day, user_id
+        |  FROM du, UNNEST(range(0, 7)) AS u(k)),
+        |wau AS (SELECT day, count(*)::BIGINT AS wau FROM wx GROUP BY day)
+        |SELECT d.day, d.dau, w.wau, (1000 * d.dau) // w.wau AS stickiness_milli
+        |FROM dau d JOIN wau w USING (day) ORDER BY day""".stripMargin,
     "ev_retention" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id,

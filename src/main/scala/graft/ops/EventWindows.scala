@@ -305,6 +305,35 @@ object EventWindows {
       .orderBy("day")
   }
 
+  /** ev_stickiness: DAU/WAU per day — the engagement ratio every
+    * activity dashboard tracks ("what fraction of this week's users
+    * showed up today"). The trailing-window DISTINCT is the hard part
+    * at scale: a sliding count_distinct window would re-sort every
+    * user's history per day. Instead each (day, user) activity row is
+    * EXPLODED to the 7 window-end days it supports (bounded x7
+    * fanout), the distinct collapses (window_day, user) with map-side
+    * partials, and both counts are plain hash aggregations — no
+    * window function touches user-level data. The DAU inner join
+    * drops synthetic trailing window-ends past the last active day.
+    *
+    * Output: (day, dau, wau, stickiness_milli = 1000*dau div wau).
+    */
+  def stickiness(spark: SparkSession, sfDir: String): DataFrame = {
+    val du = table(spark, sfDir, "events")
+      .select(bucket(86400L).as("day"), col("user_id"))
+      .distinct()
+    val dau = du.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = du
+      .select(explode(sequence(lit(0L), lit(6L))).as("k"), col("day"), col("user_id"))
+      .select((col("day") + col("k") * 86400L).as("day"), col("user_id"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        expr("(1000 * dau) div wau").as("stickiness_milli"))
+      .orderBy("day")
+  }
+
   /** Retention cohorts: users grouped by first-activity WEEK, counted
     * as retained in each later week they were active — the (cohort,
     * offset) triangle behind every retention dashboard. ONE shuffle on

@@ -334,6 +334,23 @@ class EventWindowsSpec extends SparkSpec {
       ("view", 2L, 3000L, 2000L, 0L, 674L)))
   }
 
+  test("stickiness: DAU over trailing-7-day WAU, hand-computed") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    def dayNs(d: Long) = ns(d * 86400)
+    writeTable(dir, "events", Seq(
+      // day 0: users 1, 2 (user 1 twice — distinct collapses it)
+      (1L, dayNs(0), 1L, "c", 0.0, "p"),
+      (2L, dayNs(0), 1L, "c", 0.0, "p"),
+      (3L, dayNs(0), 2L, "c", 0.0, "p"),
+      // day 1: user 1 only; WAU still sees both from day 0
+      (4L, dayNs(1), 1L, "c", 0.0, "p")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val rows = EventWindows.stickiness(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows === Seq((0L, 2L, 2L, 1000L), (86400L, 1L, 2L, 500L)))
+  }
+
   test("lateness audit: per-user disorder vs arrival order, hand-computed buckets") {
     import spark.implicits._
     val dir = tempSfDir()
