@@ -82,6 +82,10 @@ object SparkEntry {
     // the predicate prunes at planning time (PartitionFilters, not
     // PushedFilters; PartitionedSpec pins the plan shape)
     "src_pruned_scan" -> ((s, dir) => graft.sources.Partitioned.prunedDocCounts(s, dir)),
+    // JSON-lines round-trip: write -> schema-pinned read-back ->
+    // per-source parity profile (count, char mass, XOR content
+    // checksum) whose oracle reads the ORIGINAL parquet
+    "src_json_roundtrip" -> ((s, dir) => graft.sources.JsonLines.jsonRoundTrip(s, dir)),
     // Z-order layout audit: per-bucket min-max spans of the natural vs
     // Morton-interleaved (custkey x day) layout — the multi-dimensional
     // file-skipping design check, all-integer bit math
@@ -1922,6 +1926,14 @@ object SparkEntry {
         |  sum(n_chars)::BIGINT AS sum_chars
         |FROM documents WHERE source IN ('src3', 'src7')
         |GROUP BY source, lang ORDER BY source, lang""".stripMargin,
+    // round-trip parity computed from the ORIGINAL table — any
+    // serializer mangle flips the checksum
+    "src_json_roundtrip" ->
+      """SELECT source, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS sum_chars,
+        |  bit_xor(('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 15))::BIGINT)
+        |    ::BIGINT AS content_xor
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     // same normalize/interleave/bucket arithmetic, DuckDB operator
     // spelling of the interleave (generated next to the Spark spelling
     // in graft.ops.Layout so the two can never drift)

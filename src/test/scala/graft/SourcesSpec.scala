@@ -76,4 +76,21 @@ class SourcesSpec extends SparkSpec {
     assert(scan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,2)]"), scan.take(1500))
     assert(filtered.collect().map(_.getString(1)).toSeq === Seq("fr"))
   }
+
+  test("JSON-lines round-trip: escapes/unicode lossless, parity profile matches") {
+    val dir = tempSfDir() + "/jsonl"
+    // text includes JSON-hostile content: quotes, backslash, unicode
+    import spark.implicits._
+    val tricky = docs.union(Seq(
+      (4L, "back\\slash and \"nested \\\" quote\" plus tab\tchar", "en", "src0", 46L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    tricky.write.json(dir)
+    val back = spark.read.schema(docSchema).json(dir)
+    assert(back.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      tricky.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+    // the registered query's parity contract: profile(read-back) ==
+    // profile(original) — checksum flips on any serializer mangle
+    assert(graft.sources.JsonLines.profile(back).collect().toSeq ===
+      graft.sources.JsonLines.profile(tricky).collect().toSeq)
+  }
 }
