@@ -1980,9 +1980,15 @@ object SparkEntry {
     // edge set
     "graph_triangles" ->
       """WITH so AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+        |no AS (SELECT s, count(*)::BIGINT AS n_orders FROM so GROUP BY s),
+        |ew AS (
+        |  SELECT a.s AS u, b.s AS v, count(*)::BIGINT AS shared
+        |  FROM so a JOIN so b ON a.ok = b.ok AND a.s < b.s
+        |  GROUP BY 1, 2),
         |e AS (
-        |  SELECT DISTINCT a.s AS u, b.s AS v
-        |  FROM so a JOIN so b ON a.ok = b.ok AND a.s < b.s),
+        |  SELECT u, v FROM ew
+        |  JOIN no nu ON nu.s = ew.u JOIN no nv ON nv.s = ew.v
+        |  WHERE (1000000 * shared) // least(nu.n_orders, nv.n_orders) >= 10000),
         |deg AS (
         |  SELECT n, count(*)::BIGINT AS d
         |  FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)

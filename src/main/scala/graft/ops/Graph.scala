@@ -137,6 +137,17 @@ object Graph {
     * (how clique-ish the supply network is; a spam/collusion signal on
     * entity graphs generally).
     *
+    * The edge rule is SCALE-INVARIANT: u and v are linked only when
+    * their shared-order count is at least `strengthPpm` of the
+    * smaller partner's own order count ("a regular partner appears in
+    * >= 1% of my orders"). An absolute co-occurrence threshold would
+    * drift with fact volume — double the order history and every
+    * casual pairing crosses it, densifying the graph toward complete
+    * (the synthetic corpus IS near-complete on raw co-occurrence);
+    * the ratio rule keeps edge semantics and census cost stable as
+    * facts grow, because shared counts and per-supplier totals scale
+    * together.
+    *
     * Scale shape — the degree-ordered node-iterator (Schank & Wagner
     * 2005): every edge is ORIENTED from its lower endpoint by
     * (degree, id); a triangle then has exactly ONE node with both
@@ -146,20 +157,28 @@ object Graph {
     * contributes ZERO oriented wedges instead of deg^2. The closing
     * check is one semi-join back to the canonical edge set. Edge
     * building is per-order: order sizes are bounded (TPC-H <= 7
-    * lines), so the pair explode is linear in lineitem.
+    * lines), so the pair explode is linear in lineitem; the vertex
+    * set is the supplier DIMENSION, so census cost is independent of
+    * fact growth by construction.
     *
     * Output (one audit row): n_nodes, n_edges, n_wedges (ALL wedges,
     * sum d(d-1)/2 — the clustering-coefficient denominator),
     * n_triangles, global_cc_milli = (3000 * tri) div wedges.
     */
-  def triangleCensus(spark: SparkSession, sfDir: String): DataFrame = {
+  def triangleCensus(spark: SparkSession, sfDir: String,
+                     strengthPpm: Long = 10000L): DataFrame = {
     val so = table(spark, sfDir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
       .distinct()
+    val no = so.groupBy("s").agg(count(lit(1)).as("n_orders"))
     val e = so.as("a")
       .join(so.as("b"), col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
-      .select(col("a.s").as("u"), col("b.s").as("v"))
-      .distinct()
+      .groupBy(col("a.s").as("u"), col("b.s").as("v"))
+      .agg(count(lit(1)).as("shared"))
+      .join(no.select(col("s").as("u"), col("n_orders").as("nu")), Seq("u"))
+      .join(no.select(col("s").as("v"), col("n_orders").as("nv")), Seq("v"))
+      .filter(expr(s"(1000000 * shared) div least(nu, nv) >= $strengthPpm"))
+      .select("u", "v")
       .localCheckpoint() // one pass feeds degrees, orientation and closure
     val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
