@@ -679,6 +679,9 @@ object SparkEntry {
     // snapshot-over-snapshot incremental-ingest diff: per-source
     // added/removed/changed/unchanged via one full-outer join on doc_id
     "corpus_snapshot_diff" -> ((s, dir) => Corpus.snapshotDiff(s, dir)),
+    // term-level drift movers between snapshots: add-one smoothed
+    // lift in DECIMAL/HUGEINT, support floor, TakeOrdered top-k
+    "corpus_term_drift" -> ((s, dir) => Corpus.termDrift(s, dir)),
     // token-budget allocator: temperature weights over token counts,
     // epoch-capped, DECIMAL(38,0) wide product — shortfall per source
     "mix_token_budget" -> ((s, dir) => Corpus.tokenBudget(s, dir)),
@@ -4535,6 +4538,32 @@ object SparkEntry {
         |  FROM snap_old o FULL OUTER JOIN snap_new n ON o.doc_id = n.doc_id)
         |SELECT source, status, count(*)::BIGINT AS n_docs
         |FROM d GROUP BY source, status ORDER BY source, status""".stripMargin,
+    // term drift: per-half term counts, full-outer on term, add-one
+    // smoothed lift in HUGEINT, support floor, top-k movers
+    "corpus_term_drift" ->
+      """WITH ta AS (
+        |  SELECT t.term, count(*)::BIGINT AS f_old
+        |  FROM documents,
+        |    unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS t(term)
+        |  WHERE doc_id % 2 = 0 GROUP BY t.term),
+        |tb AS (
+        |  SELECT t.term, count(*)::BIGINT AS f_new
+        |  FROM documents,
+        |    unnest(list_filter(string_split(text, ' '), x -> length(x) > 0)) AS t(term)
+        |  WHERE doc_id % 2 <> 0 GROUP BY t.term),
+        |j AS (
+        |  SELECT coalesce(ta.term, tb.term) AS term,
+        |    coalesce(f_old, 0) AS f_old, coalesce(f_new, 0) AS f_new
+        |  FROM ta FULL OUTER JOIN tb ON ta.term = tb.term),
+        |tot AS (
+        |  SELECT sum(f_old)::BIGINT AS t_old, sum(f_new)::BIGINT AS t_new,
+        |    count(*)::BIGINT AS v
+        |  FROM j)
+        |SELECT term, f_old, f_new,
+        |  (((f_old + 1)::HUGEINT * (t_new + v) * 1000)
+        |    // ((f_new + 1)::HUGEINT * (t_old + v)))::BIGINT AS lift_milli
+        |FROM j, tot WHERE f_old + f_new >= 20
+        |ORDER BY abs(lift_milli - 1000) DESC, term LIMIT 20""".stripMargin,
     // token-budget allocator: temperature weights over token counts
     // (sqrt is IEEE-identical, as pipeline_mix_temperature), the wide
     // product in HUGEINT mirroring Spark's DECIMAL(38,0), 4-epoch cap

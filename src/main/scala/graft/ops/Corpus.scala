@@ -764,6 +764,55 @@ object Corpus {
       .orderBy("source", "status")
   }
 
+  /** corpus_term_drift: term-level distribution drift between two
+    * corpus snapshots — the monitoring signal behind "did this crawl
+    * cycle change what the model will read": top movers by smoothed
+    * frequency lift, the per-term complement of [[snapshotDiff]]'s
+    * per-doc status counts. The harness derives its two snapshots
+    * deterministically (doc_id parity); production points the two
+    * sides at real snapshot directories with no plan change.
+    *
+    *   lift_milli = ((f_a+1) · (T_b+V) · 1000) div ((f_b+1) · (T_a+V))
+    *
+    * — add-one smoothed so terms present in only one snapshot get a
+    * finite, comparable lift; T are per-snapshot token masses, V the
+    * union vocabulary size (the classic smoothing denominators). The
+    * product runs in DECIMAL(38,0)/HUGEINT (f·T reaches ~1e28 at a
+    * 100 T-token corpus). A support floor keeps one-off typos from
+    * dominating the movers list.
+    *
+    * Scale shape: one tokenize+count per side (same shuffle key), a
+    * full-outer join on the term key (big-to-big, AQE-skew-split),
+    * scalar totals broadcast, and a TakeOrdered top-k — never a
+    * global sort.
+    *
+    * Output: top `k` terms by |lift − 1000| desc, term asc —
+    * (term, f_old, f_new, lift_milli).
+    */
+  def termDrift(spark: SparkSession, sfDir: String,
+                minSupport: Long = 20L, k: Int = 20): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    def tf(half: DataFrame): DataFrame = half
+      .select(explode(filter(split(col("text"), " "), t => length(t) > 0)).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("f"))
+    val fa = tf(docs.filter(col("doc_id") % 2 === 0)).withColumnRenamed("f", "f_old")
+    val fb = tf(docs.filter(col("doc_id") % 2 =!= 0)).withColumnRenamed("f", "f_new")
+    val joined = fa.join(fb, Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("f_old"), lit(0L)).as("f_old"),
+        coalesce(col("f_new"), lit(0L)).as("f_new"))
+    val tot = joined.agg(sum(col("f_old")).as("t_old"), sum(col("f_new")).as("t_new"),
+      count(lit(1)).as("v"))
+    joined.filter(col("f_old") + col("f_new") >= minSupport)
+      .crossJoin(broadcast(tot))
+      .withColumn("lift_milli",
+        expr("CAST((CAST(f_old + 1 AS DECIMAL(38,0)) * (t_new + v) * 1000) div " +
+          "(CAST(f_new + 1 AS DECIMAL(38,0)) * (t_old + v)) AS BIGINT)"))
+      .select("term", "f_old", "f_new", "lift_milli")
+      .orderBy(abs(col("lift_milli") - 1000L).desc, col("term"))
+      .limit(k)
+  }
+
   /** mix_token_budget: token-budget allocator — given a total training
     * budget of `budgetX` x the corpus token count, apportion it across
     * sources by temperature-flattened weights (sqrt of source token

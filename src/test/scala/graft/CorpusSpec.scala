@@ -456,6 +456,19 @@ class CorpusSpec extends SparkSpec {
       ("s2", "changed", 1L), ("s2", "unchanged", 1L)))
   }
 
+  test("termDrift: add-one smoothed lift, movers ordered by distance from 1000") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", Seq(
+      (0L, "a a b", "en", "s", 5L),   // old half: a=2 b=1, T=3
+      (1L, "a b b b", "en", "s", 7L)  // new half: a=1 b=3, T=4
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // V=2; lift(a) = (3*6*1000) div (2*5) = 1800; lift(b) = 12000 div 20 = 600
+    val rows = Corpus.termDrift(spark, dir, minSupport = 1L, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows === Seq(("a", 2L, 1L, 1800L), ("b", 1L, 3L, 600L)))
+  }
+
   test("tokenBudget: exact integer allocation with the epoch cap") {
     import spark.implicits._
     val dir = tempSfDir()

@@ -107,7 +107,10 @@ class PlanShapeSpec extends SparkSpec {
       "emb_abtt",
       // triangle census: the final audit row is two 1-row aggregates
       // cross-joined (stats x triangle count)
-      "graph_triangles")
+      "graph_triangles",
+      // term drift's 1-row totals broadcast (T_old, T_new, V) onto the
+      // joined term table — the tfidf one-row-count shape
+      "corpus_term_drift")
     val real = offenders.filterNot(o => sanctioned.exists(o.startsWith))
     assert(real.isEmpty, s"quadratic plan shapes found:\n${real.mkString("\n")}")
   }
