@@ -86,6 +86,9 @@ object SparkEntry {
     // per-source parity profile (count, char mass, XOR content
     // checksum) whose oracle reads the ORIGINAL parquet
     "src_json_roundtrip" -> ((s, dir) => graft.sources.JsonLines.jsonRoundTrip(s, dir)),
+    // streaming twin: foreachBatch JSON-lines file sink, then the
+    // same schema-pinned read-back parity profile — shared oracle
+    "stream_json_sink" -> ((s, dir) => StreamingOps.streamJsonSink(s, dir)),
     // Z-order layout audit: per-bucket min-max spans of the natural vs
     // Morton-interleaved (custkey x day) layout — the multi-dimensional
     // file-skipping design check, all-integer bit math
@@ -1411,6 +1414,17 @@ object SparkEntry {
       |    ELSE (CASE WHEN num < 0 THEN -1 ELSE 1 END) * ((1000 * abs(num)) // mx)
       |  END AS v FROM s3, m3)""".stripMargin
 
+  /** JSON round-trip parity oracle — the profile computed from the
+    * ORIGINAL parquet table; shared by the batch writer/reader pair
+    * and the streaming foreachBatch file-sink twin.
+    */
+  private val jsonParityOracle: String =
+    """SELECT source, count(*)::BIGINT AS n_docs,
+      |  sum(n_chars)::BIGINT AS sum_chars,
+      |  bit_xor(('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 15))::BIGINT)
+      |    ::BIGINT AS content_xor
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   /** Scene segmentation oracle — replays the WINDOW formulation of
     * sceneCuts; shared by the batch query and the stateless in-row
     * streaming twin (the two are row-for-row equal by construction).
@@ -1930,13 +1944,10 @@ object SparkEntry {
         |FROM documents WHERE source IN ('src3', 'src7')
         |GROUP BY source, lang ORDER BY source, lang""".stripMargin,
     // round-trip parity computed from the ORIGINAL table — any
-    // serializer mangle flips the checksum
-    "src_json_roundtrip" ->
-      """SELECT source, count(*)::BIGINT AS n_docs,
-        |  sum(n_chars)::BIGINT AS sum_chars,
-        |  bit_xor(('0x' || substr(md5(doc_id::VARCHAR || ':' || text), 1, 15))::BIGINT)
-        |    ::BIGINT AS content_xor
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // serializer mangle flips the checksum; the streaming file-sink
+    // twin shares it
+    "src_json_roundtrip" -> jsonParityOracle,
+    "stream_json_sink" -> jsonParityOracle,
     // same normalize/interleave/bucket arithmetic, DuckDB operator
     // spelling of the interleave (generated next to the Spark spelling
     // in graft.ops.Layout so the two can never drift)

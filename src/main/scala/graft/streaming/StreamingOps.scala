@@ -955,6 +955,40 @@ object StreamingOps {
       .orderBy("source")
   }
 
+  /** stream_json_sink: ingest-time JSON-lines FILE sink — the
+    * streaming twin of src_json_roundtrip. Each micro-batch appends
+    * its rows as JSON-lines files under a run-scoped directory
+    * (foreachBatch + append: the at-least-once file-sink discipline a
+    * raw-crawl landing zone runs); after the stream drains, the
+    * directory is read back through the schema-pinned json source and
+    * profiled — sharing the batch oracle, so the gate proves the
+    * streamed files carry EXACTLY the corpus (no dropped batch, no
+    * mangled escape, no duplicated write under AvailableNow replay).
+    */
+  def streamJsonSink(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = graft.sources.Bucketed.scopedPath(
+      graft.sources.Bucketed.scopedName(spark, "graft_jsonl_stream")) + "/documents"
+    val fs = new java.io.File(path)
+    if (fs.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(fs)
+    }
+    val q = harnessDocStream(spark, sfDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").json(path); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val schema = graft.GraftSession.table(spark, sfDir, "documents").schema
+    graft.sources.JsonLines.profile(spark.read.schema(schema).json(path))
+  }
+
   /** stream_best_rep: ingest-time quality-aware dedup — the streaming
     * twin of Dedup.bestRep, via the SAME aggregate core: the per-key
     * argmax is a max(struct) accumulator, so it runs unchanged as a

@@ -439,6 +439,13 @@ class StreamingSpec extends SparkSpec {
     val bCls = graft.ops.TextAnalysis.classifierScore(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
     assert(sCls === bCls)
+    // the JSON file-sink twin: streamed files carry exactly the corpus
+    val sink = StreamingOps.streamJsonSink(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val direct = graft.sources.JsonLines.profile(
+        spark.read.parquet(s"$sfDir/documents.parquet")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(sink === direct)
   }
 
   test("bm25 percolation twin equals the batch scorer's match relation") {
