@@ -183,6 +183,9 @@ object SparkEntry {
     "ev_funnel" -> ((s, dir) => EventWindows.funnel(s, dir)),
     // grouped HLL++ distinct users per type, in-plan ±5% gate vs exact
     "ev_approx_users" -> ((s, dir) => EventWindows.approxDistinctUsersPerType(s, dir)),
+    // mergeable quantile sketch with a tie-aware rank-space gate vs the
+    // exact disc quantiles (integral micros both sides)
+    "ev_approx_quantiles" -> ((s, dir) => EventWindows.approxQuantileGate(s, dir)),
     // growth curve: first-day-per-user rewrite of running distinct
     "ev_daily_new_users" -> ((s, dir) => EventWindows.dailyNewUsers(s, dir)),
     // retention triangle: (cohort week, offset) counts from (user, week) pairs
@@ -470,6 +473,11 @@ object SparkEntry {
     // batch-hard triplet mining: hardest positive + hardest negative per
     // strided anchor via one min/max-struct aggregation (no rank window)
     "emb_triplet_mining" -> ((s, dir) => Similarity.tripletMining(s, dir)),
+    // JL Rademacher projection (64 -> 16) over the int8 codes with a
+    // measured distortion audit on strided pairs — per-row integer
+    // multiply-adds against a constant-folded sign matrix, no shuffle
+    // before the bounded pair join
+    "emb_jl_project" -> ((s, dir) => Similarity.jlProjectionAudit(s, dir)),
     // embedding health check: zero-vector detection + exact-integer
     // norm stats per label (cosine is undefined on zero norms)
     "emb_norm_audit" -> ((s, dir) => Similarity.normAudit(s, dir)),
@@ -656,6 +664,10 @@ object SparkEntry {
     // per-source contribution cap via the bounded top-k aggregate: k
     // rows per source cross the shuffle, no per-source sort anywhere
     "pipeline_source_cap" -> ((s, dir) => Corpus.sourceCap(s, dir)),
+    // weighted bottom-k priority sampling per source (integer u div w
+    // priorities from the shared md5 family): the same bounded top-k
+    // aggregate — k rows per source cross the shuffle, reproducible draw
+    "sample_weighted" -> ((s, dir) => Corpus.weightedSample(s, dir)),
     // DSIR importance-resampling weights: one fused stats pass ->
     // <= 1024-row ratio table broadcast back -> shuffle-free scoring
     "mix_dsir" -> ((s, dir) => Corpus.dsirWeights(s, dir)),
@@ -688,6 +700,10 @@ object SparkEntry {
     // token-budget allocator: temperature weights over token counts,
     // epoch-capped, DECIMAL(38,0) wide product — shortfall per source
     "mix_token_budget" -> ((s, dir) => Corpus.tokenBudget(s, dir)),
+    // discrete-epoch allocation under geometric repeat decay: greedy
+    // marginal take over the bounded |sources| x maxEpochs candidate
+    // table; chained integer decay keeps values BIGINT-safe forever
+    "mix_epoch_repeat" -> ((s, dir) => Corpus.epochRepeatPlan(s, dir)),
     // —— explicit skew-mitigation shapes (result-identical to the plain
     //    forms; the PLAN is what differs — see each operator's doc) ——
     "urlcount_salted" -> ((s, dir) =>
@@ -2290,6 +2306,26 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact,
         |  TRUE AS within_tolerance
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // quantile sketch gate replay: the oracle recomputes the exact
+    // disc quantiles (value at the ceil-rank) and requires the in-plan
+    // rank-tolerance check to have passed
+    "ev_approx_quantiles" ->
+      """WITH e AS (
+        |  SELECT event_type, floor(value * 1000000)::BIGINT AS vm
+        |  FROM events WHERE value IS NOT NULL),
+        |n AS (SELECT event_type, count(*)::BIGINT AS n FROM e GROUP BY event_type),
+        |r AS (
+        |  SELECT event_type, vm,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY vm ASC) AS rk
+        |  FROM e),
+        |x AS (
+        |  SELECT n.event_type, p.pct::BIGINT AS pct, n.n,
+        |    (n.n * p.pct + 99) // 100 AS tr
+        |  FROM n, (VALUES (50), (90), (99)) AS p(pct))
+        |SELECT x.event_type, x.pct, x.n, r.vm AS exact_micros,
+        |  TRUE AS within_tolerance
+        |FROM x JOIN r ON r.event_type = x.event_type AND r.rk = x.tr
+        |ORDER BY x.event_type, x.pct""".stripMargin,
     // changelog compaction: the oracle states last-write-wins as a
     // rank-1 window at MICROS resolution, ties by event_id
     "ev_latest_state" ->
@@ -4408,6 +4444,48 @@ object SparkEntry {
         |  WHERE j >= i)
         |SELECT di, dj, count(*)::BIGINT AS n_vecs, sum(p)::BIGINT AS g
         |FROM x GROUP BY di, dj ORDER BY di, dj""".stripMargin,
+    // JL projection replay: the same int8 codes, the sign matrix from
+    // the shared md5 family (parity of h60("jl:j:i")), y via a
+    // (vec, j) cross-join aggregation, distances as integer list math
+    "emb_jl_project" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> floor(x::DOUBLE * 1000000)::BIGINT) AS vm
+        |  FROM embeddings),
+        |mm AS (
+        |  SELECT vec_id, vm,
+        |    list_max(list_transform(vm, x -> abs(x))) AS scale
+        |  FROM e),
+        |q AS (
+        |  SELECT vec_id,
+        |    list_transform(vm, v -> CASE WHEN scale = 0 THEN 0
+        |      ELSE (CASE WHEN v < 0 THEN -1 ELSE 1 END) * ((abs(v) * 127) // scale)
+        |      END) AS q
+        |  FROM mm),
+        |s AS (
+        |  SELECT j, i,
+        |    CASE WHEN ('0x' || substr(md5('jl:' || j || ':' || i), 1, 15))::BIGINT % 2 = 0
+        |         THEN 1 ELSE -1 END AS sgn
+        |  FROM UNNEST(range(0, 16)) AS tj(j), UNNEST(range(0, 64)) AS ti(i)),
+        |y AS (
+        |  SELECT vec_id, j, sum(sgn * q[(i + 1)::INT])::BIGINT AS yv
+        |  FROM q, s GROUP BY vec_id, j),
+        |yl AS (SELECT vec_id, list(yv ORDER BY j) AS y FROM y GROUP BY vec_id),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    a.q AS qa, b.q AS qb, ya.y AS ya, yb.y AS yb
+        |  FROM q a JOIN q b ON b.vec_id = a.vec_id + 1
+        |  JOIN yl ya ON ya.vec_id = a.vec_id
+        |  JOIN yl yb ON yb.vec_id = b.vec_id
+        |  WHERE a.vec_id % 50 = 0)
+        |SELECT vec_a, vec_b,
+        |  list_sum(list_transform(range(1, 65),
+        |    k -> (qa[k::INT] - qb[k::INT]) * (qa[k::INT] - qb[k::INT])))::BIGINT AS d2,
+        |  list_sum(list_transform(range(1, 17),
+        |    k -> (ya[k::INT] - yb[k::INT]) * (ya[k::INT] - yb[k::INT])))::BIGINT AS dp2,
+        |  CASE WHEN d2 = 0 THEN NULL
+        |       ELSE (1000 * dp2) // (16 * d2) END AS ratio_milli
+        |FROM p ORDER BY vec_a""".stripMargin,
     // power iteration over the mean-scaled Gram: three chained CTE
     // rounds, each a matrix-vector product + max-abs milli rescale;
     // Spark div and DuckDB // both truncate toward zero, and the
@@ -4599,6 +4677,33 @@ object SparkEntry {
         |  ((n_tokens * epochs_milli) // 1000)::BIGINT AS alloc_tokens,
         |  (want_tokens - (n_tokens * epochs_milli) // 1000)::BIGINT AS shortfall
         |FROM e ORDER BY source""".stripMargin,
+    // epoch-repeat replay: the same chained integer decay per epoch,
+    // one global greedy rank over the bounded candidate table
+    "mix_epoch_repeat" ->
+      """WITH c AS (
+        |  SELECT source,
+        |    sum(len(list_filter(string_split(text, ' '), t -> length(t) > 0)))::BIGINT
+        |      AS u_tokens
+        |  FROM documents GROUP BY source),
+        |b AS (SELECT source, u_tokens,
+        |    (SELECT sum(u_tokens) FROM c) * 2 AS budget FROM c),
+        |cand AS (
+        |  SELECT source, u_tokens, budget, e,
+        |    CASE WHEN e = 1 THEN u_tokens
+        |         WHEN e = 2 THEN ((u_tokens * 600) // 1000)
+        |         WHEN e = 3 THEN ((((u_tokens * 600) // 1000) * 600) // 1000)
+        |         ELSE ((((((u_tokens * 600) // 1000) * 600) // 1000) * 600) // 1000)
+        |    END AS v
+        |  FROM b, (VALUES (1), (2), (3), (4)) AS t(e)),
+        |r AS (
+        |  SELECT *, sum(u_tokens) OVER (ORDER BY v DESC, source ASC, e ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_raw
+        |  FROM cand)
+        |SELECT source, max(u_tokens)::BIGINT AS u_tokens,
+        |  sum(CASE WHEN cum_raw <= budget THEN 1 ELSE 0 END)::BIGINT AS epochs,
+        |  sum(CASE WHEN cum_raw <= budget THEN u_tokens ELSE 0 END)::BIGINT AS raw_tokens,
+        |  sum(CASE WHEN cum_raw <= budget THEN v ELSE 0 END)::BIGINT AS eff_tokens
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "stream_dsir" -> dsirOracle,
     // distilled-quality serving: per-doc clamp-then-divide prediction
     // with the SAME train-split rational coefficients as mix_distill
@@ -5067,6 +5172,22 @@ object SparkEntry {
         |  FROM documents)
         |SELECT source, n_docs::BIGINT AS n_docs, doc_id, rk::BIGINT AS rk
         |FROM ranked WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+    // weighted priority sampling replay: identical integer priorities
+    // (md5-hex prefix div weight), rank window per source
+    "sample_weighted" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, greatest(n_chars, 1) AS w,
+        |    ('0x' || substr(md5('samp:' || doc_id), 1, 15))::BIGINT
+        |      // greatest(n_chars, 1) AS prio
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, prio,
+        |    sum(w) OVER (PARTITION BY source) AS w_total,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY prio ASC, lpad(doc_id::VARCHAR, 12, '0') ASC) AS rk
+        |  FROM d)
+        |SELECT source, w_total::BIGINT AS w_total, rk::BIGINT AS rk, doc_id, prio
+        |FROM r WHERE rk <= 8 ORDER BY source, rk""".stripMargin,
     // ingest admission control replay: in-order arrival => admitted set
     // is exactly the k smallest ids per source
     "stream_source_cap" ->

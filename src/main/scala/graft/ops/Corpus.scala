@@ -218,6 +218,49 @@ object Corpus {
         (col("i") + 1).cast("long").as("rk"))
       .orderBy("source", "rk")
 
+  /** sample_weighted: weighted bottom-k priority sampling per source —
+    * the without-replacement weighted sampler (sequential Poisson /
+    * priority sampling: Ohlsson 1998, Duffield et al. 2007) a corpus
+    * build uses to draw a k-doc audit sample per source where LONGER
+    * documents are proportionally more likely to be picked: each doc
+    * gets priority u/w (u uniform, w its weight) and the k SMALLEST
+    * priorities win. Both halves are made exact-integer so the oracle
+    * replays them: u = h60("samp:" + doc_id) (the shared md5 family,
+    * uniform in [0, 2^60)), w = max(n_chars, 1), priority = u div w —
+    * heavier docs get smaller priorities, deterministic across runs,
+    * which also makes the sample REPRODUCIBLE (the property training
+    * pipelines need from every sampling stage).
+    *
+    * Scale shape: same bounded-aggregate discipline as [[sourceCap]] —
+    * TopKTagAgg keeps a k-entry buffer per source that combines
+    * map-side, so the shuffle carries k rows per source and no
+    * per-source sort ever runs (a rank-window form would sort every
+    * source's full doc list). The per-source total weight rides in the
+    * same aggregation: one shuffle, |sources| x k output rows. Ties
+    * (equal priority) break by doc_id via the zero-padded tag, total
+    * order in both engines.
+    *
+    * Output: (source, w_total, rk, doc_id, prio), rk = 1..k.
+    */
+  def weightedSample(spark: SparkSession, sfDir: String, k: Int = 8): DataFrame =
+    table(spark, sfDir, "documents")
+      .select(col("source"), col("doc_id"),
+        greatest(col("n_chars"), lit(1L)).as("w"),
+        graft.functions.OracleHash.h60(
+          concat(lit("samp:"), col("doc_id").cast("string"))).as("u"))
+      // exact integer division — a double `/` would round past 2^53
+      .select(col("source"), col("doc_id"), col("w"), expr("u div w").as("prio"))
+      .groupBy("source")
+      .agg(sum(col("w")).as("w_total"),
+        graft.functions.TopKSketch.topK(-col("prio"),
+          lpad(col("doc_id").cast("string"), 12, "0"), k).as("top"))
+      .select(col("source"), col("w_total"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("source"), col("w_total"),
+        (col("i") + 1).cast("long").as("rk"),
+        col("t.tag").cast("long").as("doc_id"),
+        (-col("t.n")).as("prio"))
+      .orderBy("source", "rk")
+
   /** mix_dsir: hashed-feature importance-resampling weights (the DSIR
     * recipe, Xie et al. 2023 "Data Selection for Language Models via
     * Importance Resampling"): score every document by how much its
@@ -852,6 +895,60 @@ object Corpus {
       .select(col("source"), col("n_tokens"), col("w_ppm"), col("want_tokens"),
         col("epochs_milli"), col("alloc_tokens"),
         (col("want_tokens") - col("alloc_tokens")).as("shortfall"))
+      .orderBy("source")
+  }
+
+  /** mix_epoch_repeat: discrete-epoch allocation under repeat decay —
+    * the data-constrained scaling recipe (Muennighoff et al. 2023:
+    * repeated epochs are worth progressively less) as a greedy marginal
+    * allocator. Each source's epoch e carries a marginal EFFECTIVE
+    * token value that decays geometrically,
+    * v_1 = U, v_e = (v_{e-1} * decayMilli) div 1000 — the chained
+    * integer form, NOT U * decay^(e-1) div 1000^(e-1) in one division:
+    * the chained value never exceeds U, so it is BIGINT-safe at any
+    * corpus size, while the closed form's numerator (U x 600^3) wraps
+    * past ~4e10-token sources. Epoch candidates are ranked by marginal
+    * value globally (ties: source, then epoch) and taken while the
+    * cumulative RAW token cost fits the budget (budgetX x corpus
+    * total). Marginals decrease in e per source, so the greedy take is
+    * prefix-closed per source (epoch e is never taken without e-1) and
+    * maximizes total effective tokens for the budget — fractional
+    * knapsack with equal per-epoch cost within a source.
+    *
+    * Scale shape: ONE aggregation over the tokenized corpus to
+    * |sources| rows; the explode (x maxEpochs) and the ranking window
+    * run over |sources| x maxEpochs rows only — the single-partition
+    * window is over the bounded candidate table, never the corpus
+    * (same stance as [[tokenBudget]]'s weight windows).
+    *
+    * Output: (source, u_tokens, epochs, raw_tokens, eff_tokens),
+    * ordered by source; epochs = 0 rows are kept (the audit must show
+    * which sources the budget shut out entirely).
+    */
+  def epochRepeatPlan(spark: SparkSession, sfDir: String,
+                      maxEpochs: Int = 4, decayMilli: Long = 600L,
+                      budgetX: Long = 2L): DataFrame = {
+    def vExpr(e: Int): String =
+      (2 to e).foldLeft("u_tokens")((s, _) => s"(($s * ${decayMilli}L) div 1000L)")
+    val vCase = (1 to maxEpochs)
+      .map(e => s"WHEN e = ${e}L THEN ${vExpr(e)}")
+      .mkString("CASE ", " ", " END")
+    val wAll = Window.partitionBy() // |sources| rows post-aggregate only
+    val wRank = Window.orderBy(col("v").desc, col("source").asc, col("e").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(spark, sfDir, "documents")
+      .select(col("source"), TextAnalysis.wsTokenCount(col("text")).as("n"))
+      .groupBy("source").agg(sum(col("n")).as("u_tokens"))
+      .withColumn("budget", sum(col("u_tokens")).over(wAll) * lit(budgetX))
+      .withColumn("e", explode(sequence(lit(1L), lit(maxEpochs.toLong))))
+      .withColumn("v", expr(vCase))
+      .withColumn("cum_raw", sum(col("u_tokens")).over(wRank))
+      .withColumn("take", col("cum_raw") <= col("budget"))
+      .groupBy("source")
+      .agg(max(col("u_tokens")).as("u_tokens"),
+        sum(when(col("take"), 1L).otherwise(0L)).as("epochs"),
+        sum(when(col("take"), col("u_tokens")).otherwise(0L)).as("raw_tokens"),
+        sum(when(col("take"), col("v")).otherwise(0L)).as("eff_tokens"))
       .orderBy("source")
   }
 

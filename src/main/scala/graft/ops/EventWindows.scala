@@ -284,6 +284,56 @@ object EventWindows {
           .as("within_tolerance"))
       .orderBy("event_type")
 
+  /** ev_approx_quantiles: mergeable quantile sketch gated in-plan
+    * against the exact disc quantiles — the distribution twin of
+    * [[approxDistinctUsersPerType]]. An exact per-group quantile needs
+    * a per-group SORT of every value (rank window); the scale path is
+    * `percentile_approx` (Greenwald–Khanna-style sketch: fixed-size
+    * summaries that merge map-side, rank error <= n/accuracy
+    * guaranteed), and this rung runs BOTH, emitting the exact value
+    * with an in-plan boolean proving the sketch landed within rank
+    * tolerance — the verification a pipeline runs at small scale
+    * before trusting the sketch alone at 100 TB.
+    *
+    * Values go to integral micros first so the exact side is
+    * drift-free across engines. The gate is RANK-space, not value
+    * space (value distance is meaningless without the local density),
+    * and tie-aware: the approx element's true rank is the interval
+    * [n_lt+1, n_le] (a hot tied value owns a rank RUN), so the gate
+    * checks that interval intersects [r - tol, r + tol] with
+    * tol = n div 100 + 1 — 10x the sketch's configured n/1000 bound.
+    *
+    * Output: (event_type, pct, n, exact_micros, within_tolerance)
+    * for pct in {50, 90, 99}, ordered.
+    */
+  def approxQuantileGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val pcts = Seq(50L, 90L, 99L)
+    val ev = table(spark, sfDir, "events").filter(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * lit(1000000d)).cast("long").as("vm"))
+    val approx = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        percentile_approx(col("vm"),
+          array(pcts.map(p => lit(p / 100.0)): _*), lit(1000)).as("qs"))
+    val wr = Window.partitionBy("event_type").orderBy(col("vm").asc)
+    ev.withColumn("rk", row_number().over(wr))
+      .join(broadcast(approx), Seq("event_type"))
+      .select(col("event_type"), col("vm"), col("rk"), col("n"),
+        posexplode(col("qs")).as(Seq("pi", "a")))
+      .withColumn("pct", element_at(typedlit(pcts), col("pi") + 1))
+      .withColumn("r", expr("(n * pct + 99) div 100"))
+      .groupBy("event_type", "pct")
+      .agg(max(col("n")).as("n"),
+        min(when(col("rk") === col("r"), col("vm"))).as("exact_micros"),
+        sum(when(col("vm") <= col("a"), 1L).otherwise(0L)).as("n_le"),
+        sum(when(col("vm") < col("a"), 1L).otherwise(0L)).as("n_lt"),
+        max(col("r")).as("r"))
+      .select(col("event_type"), col("pct"), col("n"), col("exact_micros"),
+        expr("n_le >= r - ((n div 100) + 1) AND n_lt <= r + ((n div 100) + 1)")
+          .as("within_tolerance"))
+      .orderBy("event_type", "pct")
+  }
+
   /** Daily new users and the cumulative user count — the growth curve.
     * "Distinct users so far" is NOT computable as a running window over
     * daily distinct counts (users repeat across days); the scalable

@@ -1222,4 +1222,80 @@ object Similarity {
         col("vec_id").as("n_id"), col("adc_micro2"))
       .orderBy("q_id", "rk")
   }
+
+  /** emb_jl_project: Johnson–Lindenstrauss random projection with a
+    * measured distance-distortion audit — the dimensionality-reduction
+    * rung that sits BEFORE the ANN family: projecting dim-64 vectors to
+    * m=16 with a Rademacher (±1) matrix (Achlioptas 2003,
+    * "Database-friendly random projections": ±1 entries satisfy the JL
+    * lemma with no Gaussian sampling, and the projection becomes integer
+    * add/subtract) shrinks every downstream index — LSH signatures, IVF
+    * assignment scans, PQ subspaces — by 4x while the lemma bounds the
+    * pairwise-distance distortion. This rung computes the projection AND
+    * measures the realized distortion on a strided pair sample, which is
+    * how a deployment picks m before committing the index build.
+    *
+    * Everything is exact-integer so the oracle replays it bit-for-bit:
+    * vectors are int8-quantized first ([[quantizeInt8Report]]'s scheme
+    * verbatim — the compressed representation a 100 TB deployment
+    * projects anyway), and the sign matrix is derived from the shared
+    * md5 hash family (sign(j,i) = parity of h60("jl:j:i")), evaluated
+    * driver-side ONCE into a constant-folded m x dim literal — per-row
+    * work is integer multiply-adds, never an md5. For Rademacher signs
+    * E[|y_a - y_b|^2] = m * |q_a - q_b|^2, so the audit reports
+    * ratio_milli = (1000 * dp2) div (m * d2) with 1000 = distortion-free.
+    *
+    * Scale shape: the projection is one narrow per-row pass (O(dim * m)
+    * in-row multiply-adds, no shuffle, no UDF); the audit joins the
+    * 1/stride anchor sample to its +1 neighbor on an equi-key — at any
+    * corpus size the audit side is a fixed fraction and AQE broadcasts
+    * the strided side. Long bounds: |q| <= 127 so |y_j| <= 64*127 and
+    * dp2 <= 16 * (2*8128)^2 ~ 4.2e9 per pair — BIGINT-safe forever.
+    *
+    * Output: (vec_a, vec_b, d2, dp2, ratio_milli) for anchors
+    * vec_id % stride == 0 paired with vec_id+1, ordered; ratio_milli is
+    * NULL when the quantized pair is identical (d2 = 0).
+    */
+  def jlProjectionAudit(spark: SparkSession, sfDir: String,
+                        m: Int = 16, dim: Int = 64,
+                        stride: Int = 50): DataFrame = {
+    // sign matrix via the cross-engine md5 family, folded to a literal:
+    // same value as h60("jl:j:i") % 2 (OracleHash.h60 = first 15 md5
+    // hex chars as a 60-bit integer), computed once on the driver
+    val signs: Seq[Seq[Long]] = (0 until m).map { j =>
+      (0 until dim).map { i =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"jl:$j:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1L else -1L
+      }
+    }
+    val vm = transform(col("embedding"),
+      x => floor(x.cast("double") * lit(1000000L)).cast("long"))
+    val scale = array_max(transform(col("vm"), abs(_)))
+    def sgn(c: Column): Column = when(c < 0L, -1L).otherwise(1L)
+    val q = transform(col("vm"), v =>
+      when(col("scale") === 0L, lit(0L))
+        .otherwise(sgn(v) * ((abs(v) * 127L) / col("scale")).cast("long")))
+    val proj = transform(typedlit(signs), row =>
+      aggregate(zip_with(row, col("q"), (s, qi) => s * qi), lit(0L), _ + _))
+    def sq(u: Column, v: Column): Column =
+      aggregate(zip_with(u, v, (x, y) => (x - y) * (x - y)), lit(0L), _ + _)
+    val base = table(spark, sfDir, "embeddings")
+      .select(col("vec_id"), vm.as("vm"))
+      .withColumn("scale", scale)
+      .select(col("vec_id"), q.as("q"))
+      .withColumn("y", proj)
+    val a = base.filter(col("vec_id") % stride === 0)
+      .select(col("vec_id").as("vec_a"), col("q").as("qa"), col("y").as("ya"))
+    val b = base.select(col("vec_id").as("vec_b"), col("q").as("qb"),
+      col("y").as("yb"))
+    a.join(b, col("vec_b") === col("vec_a") + lit(1L))
+      .select(col("vec_a"), col("vec_b"),
+        sq(col("qa"), col("qb")).as("d2"),
+        sq(col("ya"), col("yb")).as("dp2"))
+      .withColumn("ratio_milli",
+        when(col("d2") === 0L, lit(null).cast("long"))
+          .otherwise(expr(s"(1000 * dp2) div ($m * d2)")))
+      .orderBy("vec_a")
+  }
 }

@@ -566,4 +566,56 @@ class CorpusSpec extends SparkSpec {
       ("s1", 2L, 1L, 4L, 3L, true),
       ("s2", 1L, 1L, 3L, 1L, true)))
   }
+
+  test("weighted sample: k smallest u-div-w priorities per source, heavier docs favored") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // one source, 20 docs; doc 7 gets weight 1000000 so its priority
+    // (u div w) is near-certainly the smallest — the weighted draw must
+    // rank it first while the rest order by their own u div 1 hashes
+    writeTable(dir, "documents",
+      (1L to 20L).map(i =>
+        (i, "t", "en", "s0", if (i == 7L) 1000000L else 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = graft.ops.Corpus.weightedSample(spark, dir, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(rows.length === 3)
+    assert(rows.head._1 === "s0" && rows.head._2 === (19L + 1000000L))
+    assert(rows.head._4 === 7L) // rk 1 = the heavy doc
+    // priorities replay exactly: u div w with the shared md5 family
+    def h60(s: String): BigInt = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      BigInt(hex.substring(0, 15), 16)
+    }
+    assert(rows.head._5 === (h60("samp:7") / 1000000L).toLong)
+    // ranks are ordered by priority
+    assert(rows.map(_._5) === rows.map(_._5).sorted)
+  }
+
+  test("epoch repeat plan: chained decay marginals, prefix-closed greedy under the budget") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // two sources: s0 has 10 tokens/doc x 1 doc, s1 has 2 tokens.
+    // total = 12, budget = 24. marginals: s0: 10,6,3,1; s1: 2,1,0,0.
+    // greedy order: 10,6,3(cum 30>24 stop taking s0)...
+    // cum_raw order: s0e1=10, s0e2=20, s0e3=30x, s1e1=22, s1e2=24, then
+    // ... recompute precisely in the assert below
+    writeTable(dir, "documents", Seq(
+      (1L, "a b c d e f g h i j", "en", "s0", 19L),
+      (2L, "k l", "en", "s1", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = graft.ops.Corpus.epochRepeatPlan(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // marginals: s0: 10, 6, 3, 1; s1: 2, 1, 0, 0. budget = 2*12 = 24.
+    // ranked: s0e1(10) cum10, s0e2(6) cum20, s0e3(3) cum30 REJECT,
+    // s1e1(2) cum32 REJECT, ... all later cums only grow -> s0 takes 2
+    // epochs, s1 none (greedy is cumulative, not best-fit: the audit
+    // shows exactly what a budget pass would stream out)
+    assert(rows === Seq(
+      ("s0", 10L, 2L, 20L, 16L),
+      ("s1", 2L, 0L, 0L, 0L)))
+  }
 }

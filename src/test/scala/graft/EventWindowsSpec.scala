@@ -371,4 +371,25 @@ class EventWindowsSpec extends SparkSpec {
       (4L, 1L, 1000L, 142L),
       (5L, 1L, 4000L, 142L)))
   }
+
+  test("approx quantile gate: exact disc quantiles at the ceil rank, sketch within tolerance") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // type "a": values 1..100 -> exact p50/p90/p99 at ranks 50/90/99;
+    // type "b": all equal (hot tie run) — the tie-aware gate must pass
+    writeTable(dir, "events",
+      ((1 to 100).map(i => (i.toLong, ns(i.toLong), 1L, "a", i.toDouble, "p")) ++
+       (1 to 20).map(i => ((100 + i).toLong, ns(i.toLong), 2L, "b", 7.0, "p")))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val rows = EventWindows.approxQuantileGate(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(rows === Seq(
+      ("a", 50L, 100L, 50000000L, true),
+      ("a", 90L, 100L, 90000000L, true),
+      ("a", 99L, 100L, 99000000L, true),
+      ("b", 50L, 20L, 7000000L, true),
+      ("b", 90L, 20L, 7000000L, true),
+      ("b", 99L, 20L, 7000000L, true)))
+  }
 }

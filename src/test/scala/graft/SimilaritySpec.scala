@@ -381,4 +381,32 @@ class SimilaritySpec extends SparkSpec {
     // cos(anchor, id3) = 3/sqrt(10) -> floor(948.68) = 948
     assert(rows === Seq((0L, 2L, 0L, 3L, 948L, -948L)))
   }
+
+  test("JL projection audit: exact integer distances, identical pair -> NULL ratio") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "embeddings", Seq(
+      (0L, vec(0), 0), (1L, vec(1), 0),   // orthogonal unit pair
+      (50L, vec(2), 1), (51L, vec(2), 1), // identical pair: d2 = 0
+      (100L, vec(3), 0)                   // anchor with no +1 partner: dropped
+    ).toDF("vec_id", "embedding", "label"))
+    val rows = Similarity.jlProjectionAudit(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSeq
+    // recompute the Rademacher signs the operator derives (md5 parity,
+    // the h60 family) and the expected projected distance for the
+    // orthogonal pair: q = 127*e_axis, so dp2 = 127^2 * sum_j (s_j0 - s_j1)^2
+    def sign(j: Int, i: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl:$j:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1L else -1L
+    }
+    val dp2 = (0 until 16).map { j =>
+      val d = sign(j, 0) - sign(j, 1); 127L * 127L * d * d
+    }.sum
+    val d2 = 2L * 127L * 127L
+    assert(rows === Seq(
+      (0L, 1L, d2, dp2, Some((1000L * dp2) / (16L * d2))),
+      (50L, 51L, 0L, 0L, None)))
+  }
 }
