@@ -141,6 +141,10 @@ object SparkEntry {
     // medians keep the .5 interpolation integral, the 3.5 threshold
     // multiplies out to pure integer products
     "ev_mad_outliers" -> ((s, dir) => EventWindows.madOutliers(s, dir)),
+    // CUSUM drift alarm over daily volume: the recursive statistic in
+    // its two-window closed form (running sum minus running extremum),
+    // windows over the bounded |days| relation only
+    "ev_cusum" -> ((s, dir) => EventWindows.cusumDailyVolume(s, dir)),
     // DAU/WAU stickiness: trailing-window distinct via bounded x7
     // day-explode + hash distinct — no per-user window sort
     "ev_stickiness" -> ((s, dir) => EventWindows.stickiness(s, dir)),
@@ -655,6 +659,9 @@ object SparkEntry {
     // stateful per-source admission control: O(1) counter state admits
     // the first k arrivals per source in flight
     "stream_source_cap" -> ((s, dir) => StreamingOps.streamSourceCap(s, dir)),
+    // ingest-time weighted sampling: O(k) evicting winner state per
+    // source, bounded heap fold per batch (never a full-group buffer)
+    "stream_sample_weighted" -> ((s, dir) => StreamingOps.streamWeightedSample(s, dir)),
     // the cascade live: per-row verdicts, bounded (source, verdict)
     // rollup — shares the batch cascade's oracle
     "stream_cascade" -> ((s, dir) => StreamingOps.streamCascade(s, dir)),
@@ -5188,6 +5195,21 @@ object SparkEntry {
         |  FROM d)
         |SELECT source, w_total::BIGINT AS w_total, rk::BIGINT AS rk, doc_id, prio
         |FROM r WHERE rk <= 8 ORDER BY source, rk""".stripMargin,
+    // ingest weighted sampling replay: the final winner set equals the
+    // batch sampler's k smallest integer priorities per source
+    "stream_sample_weighted" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    ('0x' || substr(md5('samp:' || doc_id), 1, 15))::BIGINT
+        |      // greatest(n_chars, 1) AS prio
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, prio,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY prio ASC, doc_id ASC) AS rk
+        |  FROM d)
+        |SELECT source, rk::BIGINT AS rk, doc_id, prio
+        |FROM r WHERE rk <= 8 ORDER BY source, rk""".stripMargin,
     // ingest admission control replay: in-order arrival => admitted set
     // is exactly the k smallest ids per source
     "stream_source_cap" ->
@@ -5229,6 +5251,33 @@ object SparkEntry {
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     // MAD flagger: quantile_cont doubled to integers, flag rule as
     // pure integer products (13490*dev2 > 35000*mad4)
+    // CUSUM replay: same day buckets, same two-window closed form with
+    // the virtual zero prefix folded in via least/greatest
+    "ev_cusum" ->
+      """WITH d AS (
+        |  SELECT ((epoch_us(ts) // 1000000) // 86400) * 86400 AS day,
+        |    count(*)::BIGINT AS n_events
+        |  FROM events GROUP BY 1),
+        |m AS (
+        |  SELECT day, n_events,
+        |    (1000 * sum(n_events) OVER ()) // (count(*) OVER ()) AS mean_milli
+        |  FROM d),
+        |c AS (
+        |  SELECT day, n_events, mean_milli,
+        |    sum(n_events * 1000 - mean_milli) OVER (ORDER BY day ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM m),
+        |x AS (
+        |  SELECT day, n_events, mean_milli, cum,
+        |    cum - least(0, min(cum) OVER (ORDER BY day ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS up,
+        |    greatest(0, max(cum) OVER (ORDER BY day ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - cum AS dn
+        |  FROM c)
+        |SELECT day, n_events, up::BIGINT AS cusum_up_milli,
+        |  dn::BIGINT AS cusum_dn_milli,
+        |  (up > mean_milli * 3 OR dn > mean_milli * 3) AS alarm
+        |FROM x ORDER BY day""".stripMargin,
     "ev_mad_outliers" ->
       """WITH e AS (
         |  SELECT event_type, event_id, floor(value * 1000)::BIGINT AS v_milli

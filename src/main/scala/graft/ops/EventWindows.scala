@@ -334,6 +334,56 @@ object EventWindows {
       .orderBy("event_type", "pct")
   }
 
+  /** ev_cusum: CUSUM change-point detection over the daily event
+    * volume — the drift alarm behind "did the pipeline's input rate
+    * shift" (Page 1954). The textbook statistic is recursive
+    * (s_d = max(0, s_{d-1} + dev_d)), which looks like it needs a
+    * sequential scan; the closed form used here is the classic
+    * rewrite: the positive CUSUM equals the running sum of deviations
+    * minus its own running minimum (and the negative CUSUM is the
+    * running maximum minus the running sum) — two window functions,
+    * no recursion, exact.
+    *
+    * All integer: deviations are measured in milli-events against the
+    * global mean rate mean_milli = (1000 * total) div n_days, and the
+    * alarm fires when the positive/negative excursion exceeds
+    * `threshDays` x mean_milli (i.e. the cumulative surplus/deficit of
+    * `threshDays` average days).
+    *
+    * Scale shape: ONE aggregation over events to |days| rows (the
+    * shuffle key is the fixed-width day bucket; map-side combine does
+    * the heavy lifting); the windows — including the two 1-row global
+    * totals — run over the bounded |days| relation only, the
+    * [[dailyNewUsers]] stance. Output: (day, n_events, cusum_up_milli,
+    * cusum_dn_milli, alarm), ordered by day.
+    */
+  def cusumDailyVolume(spark: SparkSession, sfDir: String,
+                       threshDays: Long = 3L): DataFrame = {
+    val wAll = Window.partitionBy() // |days| rows post-aggregate only
+    val wPre = Window.orderBy(col("day").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    table(spark, sfDir, "events")
+      .select(bucket(86400L).as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_events"))
+      .withColumn("mean_milli",
+        expr("(1000 * sum(n_events) over ()) div (count(1) over ())"))
+      .withColumn("dev", col("n_events") * 1000L - col("mean_milli"))
+      .withColumn("cum", sum(col("dev")).over(wPre))
+      // the virtual empty prefix (cum_0 = 0) participates in the
+      // running extrema — least/greatest with 0 — otherwise day 1's
+      // own cum would anchor the excursion at zero
+      .withColumn("cusum_up_milli",
+        col("cum") - least(lit(0L), min(col("cum")).over(wPre)))
+      .withColumn("cusum_dn_milli",
+        greatest(lit(0L), max(col("cum")).over(wPre)) - col("cum"))
+      .withColumn("alarm",
+        col("cusum_up_milli") > col("mean_milli") * threshDays ||
+        col("cusum_dn_milli") > col("mean_milli") * threshDays)
+      .select(col("day"), col("n_events"), col("cusum_up_milli"),
+        col("cusum_dn_milli"), col("alarm"))
+      .orderBy("day")
+  }
+
   /** Daily new users and the cumulative user count — the growth curve.
     * "Distinct users so far" is NOT computable as a running window over
     * daily distinct counts (users repeat across days); the scalable

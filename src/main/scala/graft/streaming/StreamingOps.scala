@@ -1233,6 +1233,72 @@ object StreamingOps {
       .orderBy("source", "rk")
   }
 
+  case class SampArrival(source: String, doc_id: Long, prio: Long)
+  case class SampState(prios: List[Long], ids: List[Long])
+
+  /** stream_sample_weighted: the ingest-time twin of
+    * Corpus.weightedSample — maintain each source's k-smallest
+    * weighted priorities (u div w, the shared md5 family, computed
+    * IN-PLAN before the state operator so the state function never
+    * hashes) as documents arrive. Unlike [[streamSourceCap]]'s
+    * append-only admission, a later arrival with a smaller priority
+    * EVICTS a resident — so state carries the current k (prio, id)
+    * winners, still O(k) per source, and each batch's fold is a
+    * bounded max-heap pass over the iterator (O(batch * log k) time,
+    * O(k) memory — the same hot-source discipline as the cap twin:
+    * a million-row micro-batch never materializes on the task).
+    *
+    * Update-mode emission: each batch re-emits the source's current
+    * winner set. The harness rollup ranks ALL emitted rows per source
+    * by (prio, id) and keeps k — correct because an eventual winner is
+    * emitted in its admission batch and never beaten, and every
+    * non-winner emitted earlier ranks strictly worse than the k
+    * winners; the final relation is row-identical to the batch
+    * sampler's (minus the corpus-total column), so both share one
+    * oracle CTE shape.
+    *
+    * Output: (source, rk, doc_id, prio), rk = 1..min(k, arrivals).
+    */
+  def streamWeightedSample(spark: SparkSession, sfDir: String,
+                           k: Int = 8): DataFrame = {
+    import spark.implicits._
+    val emitted = runToBatch(spark,
+      s => harnessDocStream(s, sfDir)
+        .select(col("source"), col("doc_id"),
+          greatest(col("n_chars"), lit(1L)).as("w"),
+          graft.functions.OracleHash.h60(
+            concat(lit("samp:"), col("doc_id").cast("string"))).as("u"))
+        .select(col("source"), col("doc_id"), expr("u div w").as("prio"))
+        .as[SampArrival]
+        .groupByKey(_.source)
+        .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+          (src: String, rows: Iterator[SampArrival], state: GroupState[SampState]) =>
+            // max-heap of the current k best: worst-of-the-best on top
+            val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Long)]
+            state.getOption.foreach(st => st.prios.zip(st.ids).foreach(heap.enqueue(_)))
+            val lt = Ordering[(Long, Long)].lt _
+            rows.foreach { a =>
+              if (heap.size < k) heap.enqueue((a.prio, a.doc_id))
+              else if (lt((a.prio, a.doc_id), heap.head)) {
+                heap.dequeue(); heap.enqueue((a.prio, a.doc_id))
+              }
+            }
+            val winners = heap.toList.sorted
+            state.update(SampState(winners.map(_._1), winners.map(_._2)))
+            winners.iterator.map { case (p, id) => (src, id, p) }
+        }
+        .toDF("source", "doc_id", "prio"),
+      "stream_sample_weighted", OutputMode.Update())
+    val wr = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("prio").asc, col("doc_id").asc)
+    emitted.distinct()
+      .withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("rk").cast("long").as("rk"),
+        col("doc_id"), col("prio"))
+      .orderBy("source", "rk")
+  }
+
   /** Final per-user state of the mapGroupsWithState running totals. The
     * memory sink sees one Update row per (user, micro-batch); the final
     * state per user is the row with the highest event count (monotone).

@@ -372,6 +372,30 @@ class EventWindowsSpec extends SparkSpec {
       (5L, 1L, 4000L, 142L)))
   }
 
+  test("cusum closed form equals the recursive statistic, virtual zero prefix included") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // daily counts 1, 1, 4 -> mean_milli 2000, devs -1000, -1000, +2000
+    // recursion: up = 0, 0, 2000; dn = 1000, 2000, 0 (the d1 dn value
+    // is exactly what the missing cum_0 = 0 anchor would zero out)
+    val day = 86400L
+    writeTable(dir, "events", Seq(
+      (1L, ns(10), 1L, "c", 0.0, "p"),
+      (2L, ns(day + 10), 1L, "c", 0.0, "p"),
+      (3L, ns(2 * day + 10), 1L, "c", 0.0, "p"),
+      (4L, ns(2 * day + 20), 1L, "c", 0.0, "p"),
+      (5L, ns(2 * day + 30), 1L, "c", 0.0, "p"),
+      (6L, ns(2 * day + 40), 1L, "c", 0.0, "p")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val rows = EventWindows.cusumDailyVolume(spark, dir, threshDays = 1L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(rows === Seq(
+      (0L, 1L, 0L, 1000L, false),
+      (day, 1L, 0L, 2000L, false),     // dn = 2000 = 1x mean: not >
+      (2 * day, 4L, 2000L, 0L, false)))
+  }
+
   test("approx quantile gate: exact disc quantiles at the ceil rank, sketch within tolerance") {
     import spark.implicits._
     val dir = tempSfDir()

@@ -482,6 +482,23 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 9L, 1L)))
   }
 
+  test("streaming weighted sample: winner set equals the batch sampler, evictions included") {
+    import spark.implicits._
+    val sfDir = tempSfDir()
+    // heavy doc 7 must displace lighter residents regardless of arrival
+    // order; k=2 so at least one admitted-then-evicted doc exists
+    writeTable(sfDir, "documents",
+      (1L to 10L).map(i => (i, "t", "en", "a", if (i == 7L) 1000000L else 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = StreamingOps.streamWeightedSample(spark, sfDir, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // matches the batch sampler's kept set (minus its w_total column)
+    val batch = graft.ops.Corpus.weightedSample(spark, sfDir, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(rows === batch)
+    assert(rows.map(_._3).contains(7L)) // the heavy doc won a slot
+  }
+
   test("streaming best-rep: a later better variant replaces the kept one in state") {
     import spark.implicits._
     val dir = tempSfDir()
