@@ -129,6 +129,10 @@ object SparkEntry {
     // partitioning reused by the semi probe, the anti probe and the
     // lateness join; distributed top-k
     "rel_waiting_suppliers" -> ((s, dir) => Relational.waitingSuppliers(s, dir)),
+    // TPC-H Q17 shape: correlated avg-quantity subquery decorrelated to
+    // a per-part aggregate + broadcast brand probe; integer
+    // cross-multiplied threshold, decimal-exact money
+    "rel_small_qty_revenue" -> ((s, dir) => Relational.smallQuantityRevenue(s, dir)),
     // —— event-time windows (batch analog of graft.streaming) ——
     "ev_tumbling" -> ((s, dir) => EventWindows.tumbling(s, dir)),
     "ev_sliding" -> ((s, dir) => EventWindows.sliding(s, dir)),
@@ -525,6 +529,10 @@ object SparkEntry {
     // decoded back with javax.imageio; the oracle states what a correct
     // decode must recover (dims + exact milli luma) from id arithmetic
     "mm_decode" -> ((s, dir) => Multimodal.decodedImageFeatures(s, dir)),
+    // 8x8 average perceptual hash through the real encode->decode chain
+    // (patterned PNGs): per-row codec seam + 64 integer samples, no
+    // shuffle; the oracle replays the generator arithmetic bit-for-bit
+    "mm_phash" -> ((s, dir) => Multimodal.imageAHash(s, dir)),
     "mm_features" -> ((s, dir) => Multimodal.featureSummary(s, dir)),
     // REAL audio codec round-trip: deterministic WAVs rendered per row,
     // decoded back with javax.sound.sampled; the oracle states what a
@@ -2077,6 +2085,22 @@ object SparkEntry {
         |  CASE WHEN node >= 1000000 THEN 'supplier' ELSE 'customer' END AS kind,
         |  r AS rank_micros
         |FROM r3 ORDER BY rank_micros DESC, node ASC LIMIT 20""".stripMargin,
+    // Q17 shape: decorrelated per-part avg, integer cross-multiplied
+    // 0.2x threshold, decimal money sum surfaced as double
+    "rel_small_qty_revenue" ->
+      """WITH li AS (
+        |  SELECT l.l_partkey, l_quantity::BIGINT AS qty, l_extendedprice
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE p.p_brand = 'Brand#1'),
+        |a AS (
+        |  SELECT l_partkey, sum(qty)::BIGINT AS sum_qty,
+        |    count(*)::BIGINT AS n_lines
+        |  FROM li GROUP BY l_partkey)
+        |SELECT count(DISTINCT li.l_partkey)::BIGINT AS n_parts,
+        |  count(*)::BIGINT AS n_small_lines,
+        |  sum(li.l_extendedprice::DECIMAL(18,2))::DOUBLE AS small_revenue
+        |FROM li JOIN a ON li.l_partkey = a.l_partkey
+        |WHERE li.qty * 5 * a.n_lines < a.sum_qty""".stripMargin,
     // Q21 shape: per-(order, supplier) lateness, EXISTS another
     // participant, NOT EXISTS another late one, blame rollup
     "rel_waiting_suppliers" ->
@@ -3508,6 +3532,25 @@ object SparkEntry {
         |  (doc_id % 17 + 2)::BIGINT AS height,
         |  (1000 * (doc_id % 256))::BIGINT AS luma_milli
         |FROM documents WHERE doc_id % 2 = 0 ORDER BY id""".stripMargin,
+    // aHash replay: the same 8x8 nearest-neighbor grid, floor-mean
+    // threshold, and bit packing — pure generator arithmetic
+    "mm_phash" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id, (doc_id % 31 + 2) AS w, (doc_id % 17 + 2) AS h
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |s AS (
+        |  SELECT id, w, h, j,
+        |    ((id * 31 + (((j % 8) * w) // 8) * 7 + (((j // 8) * h) // 8) * 13)
+        |      % 256) AS v
+        |  FROM ids, UNNEST(range(0, 64)) AS t(j)),
+        |a AS (SELECT id, (sum(v) // 64) AS avg FROM s GROUP BY id)
+        |SELECT s.id, max(s.w)::BIGINT AS width, max(s.h)::BIGINT AS height,
+        |  sum(CASE WHEN s.j < 32 AND s.v > a.avg
+        |           THEN (1::BIGINT << s.j::INT) ELSE 0 END)::BIGINT AS ahash_lo,
+        |  sum(CASE WHEN s.j >= 32 AND s.v > a.avg
+        |           THEN (1::BIGINT << (s.j - 32)::INT) ELSE 0 END)::BIGINT AS ahash_hi
+        |FROM s JOIN a ON a.id = s.id
+        |GROUP BY s.id ORDER BY s.id""".stripMargin,
     // image dims from the REAL decode (id arithmetic per mm_decode);
     // video dims from the labeled stub (len-derived)
     "mm_features" ->

@@ -325,6 +325,94 @@ object Multimodal {
     decodeImages(spark, imageTable(spark, sfDir)).toDF()
       .orderBy("id")
 
+  /** Patterned sibling of [[imageTable]]: pixel gray
+    * (id*31 + x*7 + y*13) % 256 instead of the constant fill — the
+    * perceptual-hash rung needs images with internal structure (an
+    * average-hash of a constant image is degenerately all-zero). Same
+    * dimension formulas, same PNG encode path, same id-parity split.
+    */
+  def patternImageTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, sfDir, "documents")
+      .filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("id")).as[Long]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions(ids => ids.map(id => ImageRow(id, encodePatternPng(id))))
+      .toDF()
+  }
+
+  private def encodePatternPng(id: Long): Array[Byte] = {
+    val w = (id % 31 + 2).toInt
+    val h = (id % 17 + 2).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = ((id * 31L + x * 7L + y * 13L) % 256L).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** mm_phash: 8x8 average hash (aHash — the canonical cheap
+    * perceptual fingerprint behind image near-dup detection) computed
+    * through the REAL codec chain: encode the patterned PNGs, decode
+    * with javax.imageio, nearest-neighbor-sample an 8x8 grid
+    * (sx = jx*w div 8 — [[resizeExec]]'s floor source mapping), then
+    * bit j = sample_j > floor(mean of the 64 samples). The hash is
+    * emitted as two 32-bit halves so every value stays a non-negative
+    * BIGINT in both engines (a packed 64-bit hash would need the sign
+    * bit). The oracle replays the whole thing arithmetically from the
+    * generator formulas — codec drift, sampling-grid drift, or
+    * threshold drift all hash-mismatch.
+    *
+    * Scale shape: per-row decode + 64 integer samples behind the
+    * declared mapPartitions codec seam, no shuffle at all before the
+    * output sort. At 100 TB the hash column feeds the simhash-style
+    * banded pairing rung (hamming near-dups join on band chunks, never
+    * all-pairs) — the hash computation itself stays embarrassingly
+    * parallel.
+    *
+    * Output: (id, width, height, ahash_lo, ahash_hi), ordered by id.
+    */
+  def imageAHash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    patternImageTable(spark, sfDir).as[ImageRow].mapPartitions { rows =>
+      rows.map { r =>
+        val img = decodeOrFail(r.id, r.payload)
+        val w = img.getWidth
+        val h = img.getHeight
+        val s = new Array[Long](64)
+        var j = 0
+        while (j < 64) {
+          val sx = ((j % 8) * w) / 8
+          val sy = ((j / 8) * h) / 8
+          s(j) = (img.getRGB(sx, sy) & 0xff).toLong // gray: all channels equal
+          j += 1
+        }
+        val avg = s.sum / 64L
+        var lo = 0L
+        var hi = 0L
+        j = 0
+        while (j < 64) {
+          if (s(j) > avg) {
+            if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+          }
+          j += 1
+        }
+        (r.id, w.toLong, h.toLong, lo, hi)
+      }
+    }.toDF("id", "width", "height", "ahash_lo", "ahash_hi")
+      .orderBy("id")
+  }
+
   /** Decoded-feature aggregate: per modality, count + summed dimensions.
     * Image dims come from the REAL javax.imageio decode; video dims from
     * the labeled stub (the one codec-less modality).

@@ -495,6 +495,40 @@ object Relational {
       .orderBy("relation", "band_log2")
   }
 
+  /** rel_small_qty_revenue: the TPC-H Q17 shape — revenue locked in
+    * small-quantity orders of one brand's parts (lineitems whose
+    * quantity is below 20% of that part's average order quantity: the
+    * "would fit in existing shipments" audit). The point of Q17 is the
+    * correlated scalar subquery (avg per part); the scalable form
+    * DECORRELATES it into one per-part aggregate joined back, and the
+    * 0.2x-average threshold compares by integer cross-multiplication
+    * (qty * 5 * n_lines < sum_qty — l_quantity is integral-valued), so
+    * no float average exists anywhere.
+    *
+    * Scale shape: the brand filter prunes `part` to a tiny key set that
+    * BROADCASTS into the lineitem scan (no fact shuffle for the probe);
+    * the per-part avg is one aggregation over the pruned lineitems
+    * keyed on partkey, joined back co-partitioned. One wide stage
+    * total. Output: 1 row (n_parts, n_small_lines, small_revenue) —
+    * the decimal-exact money convention of [[pricingSummary]].
+    */
+  def smallQuantityRevenue(spark: SparkSession, sfDir: String,
+                           brand: String = "Brand#1"): DataFrame = {
+    val parts = table(spark, sfDir, "part")
+      .filter(col("p_brand") === brand).select("p_partkey")
+    val li = table(spark, sfDir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+        col("l_extendedprice"))
+    val avgQ = li.groupBy("l_partkey")
+      .agg(sum(col("qty")).as("sum_qty"), count(lit(1)).as("n_lines"))
+    li.join(avgQ, Seq("l_partkey"))
+      .filter(col("qty") * 5L * col("n_lines") < col("sum_qty"))
+      .agg(count_distinct(col("l_partkey")).as("n_parts"),
+        count(lit(1)).as("n_small_lines"),
+        dsum(col("l_extendedprice")).as("small_revenue"))
+  }
+
   /** rel_waiting_suppliers: the TPC-H Q21 shape — suppliers who were
     * the SOLE late shipper in a multi-supplier order (the harness
     * schema has no commit/receipt dates, so "late" is shipped more

@@ -150,4 +150,31 @@ class MultimodalSpec extends SparkSpec {
         r.getLong(4))).toSeq
     assert(inline === rows)
   }
+
+  test("aHash through the real codec chain equals the generator arithmetic") {
+    val rows = Multimodal.imageAHash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // replay the pattern + 8x8 floor-grid + floor-mean threshold in
+    // plain Scala — what the DuckDB oracle does; the decode path must
+    // land on exactly these bits
+    def expected(id: Long): (Long, Long, Long, Long, Long) = {
+      val w = id % 31 + 2
+      val h = id % 17 + 2
+      val s = (0 until 64).map { j =>
+        val sx = (j % 8) * w / 8
+        val sy = (j / 8) * h / 8
+        (id * 31 + sx * 7 + sy * 13) % 256
+      }
+      val avg = s.sum / 64
+      var lo = 0L; var hi = 0L
+      s.zipWithIndex.foreach { case (v, j) =>
+        if (v > avg) { if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32) }
+      }
+      (id, w, h, lo, hi)
+    }
+    assert(rows === Seq(expected(0L), expected(2L)))
+    // the patterned images are non-degenerate: some bits set
+    assert(rows.exists(r => r._4 != 0L || r._5 != 0L))
+  }
 }

@@ -265,4 +265,26 @@ class RelationalSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(rows === Seq(("SupA", 1L)))
   }
+
+  test("small-qty revenue: cross-multiplied 0.2x-avg threshold, brand scoped") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "part", Seq(
+      (1L, "p1", "Brand#1", "t", 1, 1.0),
+      (2L, "p2", "Brand#2", "t", 1, 1.0) // other brand: excluded
+    ).toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"))
+    writeTable(dir, "lineitem", Seq(
+      // part 1: qty 1, 10, 10 -> sum 21, n 3; small iff qty*15 < 21
+      (1L, 1.0, 5.25), (1L, 10.0, 99.0), (1L, 10.0, 99.0),
+      // part 2 would qualify (qty*3 < 4) but its brand is filtered out
+      (2L, 1.0, 77.0), (2L, 3.0, 1.0)
+    ).map { case (p, q, e) => (1L, p, 1L, 1, q, e, 0.0, 0.0, "N", "O",
+      new java.sql.Timestamp(0L)) }
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate"))
+    val rows = Relational.smallQuantityRevenue(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows === Seq((1L, 1L, 5.25)))
+  }
 }
