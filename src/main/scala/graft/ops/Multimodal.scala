@@ -382,7 +382,14 @@ object Multimodal {
     *
     * Output: (id, width, height, ahash_lo, ahash_hi), ordered by id.
     */
-  def imageAHash(spark: SparkSession, sfDir: String): DataFrame = {
+  def imageAHash(spark: SparkSession, sfDir: String): DataFrame =
+    aHashFrame(spark, sfDir).orderBy("id")
+
+  /** The aHash relation without the output sort — shared by
+    * [[imageAHash]] and the pairing rung (which checkpoints it so the
+    * decode chain runs ONCE, not once per join side).
+    */
+  private def aHashFrame(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     patternImageTable(spark, sfDir).as[ImageRow].mapPartitions { rows =>
       rows.map { r =>
@@ -410,7 +417,55 @@ object Multimodal {
         (r.id, w.toLong, h.toLong, lo, hi)
       }
     }.toDF("id", "width", "height", "ahash_lo", "ahash_hi")
-      .orderBy("id")
+  }
+
+  /** mm_phash_pairs: image near-duplicate pairs by aHash hamming
+    * distance — the banded pairing rung over [[imageAHash]], closing
+    * the multimodal dedup loop (crawled image corpora are MOSTLY
+    * re-hosted copies; pHash-bucket dedup is the standard first pass).
+    * Same chunk discipline as the text SimHash rung: the 64-bit hash
+    * splits into 4 x 16-bit bands, hamming <= 3 guarantees (pigeonhole)
+    * at least one band matches exactly, so candidates only materialize
+    * inside a band bucket — never all-pairs. Hot buckets (a chunk value
+    * shared by > maxDf images: think letterboxed black frames at crawl
+    * scale) are dropped from pairing entirely, the stop-shingle guard
+    * applied to pixels.
+    *
+    * The decoded hash frame is checkpointed once — the codec chain
+    * never runs twice. Verification is exact: bit_count of the XOR on
+    * both halves, <= maxHamming, over DISTINCT candidate pairs.
+    *
+    * Output: (id_a, id_b, hamming), ordered.
+    */
+  def aHashPairs(spark: SparkSession, sfDir: String,
+                 maxHamming: Int = 3, maxDf: Int = 100): DataFrame = {
+    val hs = aHashFrame(spark, sfDir)
+      .select("id", "ahash_lo", "ahash_hi").localCheckpoint()
+    val chunked = hs.select(col("id"), col("ahash_lo"), col("ahash_hi"),
+      posexplode(array(
+        col("ahash_lo").bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("ahash_lo"), 16).bitwiseAND(lit(0xFFFFL)),
+        col("ahash_hi").bitwiseAND(lit(0xFFFFL)),
+        shiftright(col("ahash_hi"), 16).bitwiseAND(lit(0xFFFFL)))).as(Seq("band", "chunk")))
+    val rare = chunked.groupBy("band", "chunk")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select("band", "chunk")
+    val pruned = chunked.join(rare, Seq("band", "chunk"), "left_semi")
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.ahash_lo").as("la"), col("a.ahash_hi").as("ha"),
+        col("b.ahash_lo").as("lb"), col("b.ahash_hi").as("hb"))
+      .distinct()
+      .withColumn("hamming",
+        (bit_count(col("la").bitwiseXOR(col("lb"))) +
+          bit_count(col("ha").bitwiseXOR(col("hb")))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+      .orderBy("id_a", "id_b")
   }
 
   /** Decoded-feature aggregate: per modality, count + summed dimensions.

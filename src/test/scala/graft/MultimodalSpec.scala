@@ -177,4 +177,38 @@ class MultimodalSpec extends SparkSpec {
     // the patterned images are non-degenerate: some bits set
     assert(rows.exists(r => r._4 != 0L || r._5 != 0L))
   }
+
+  test("aHash pairing: banded candidates find the exact-duplicate image, d<=3 verified") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // 134912 = lcm(31*17 dims, 256 pattern period)-aligned: its pattern
+    // image is IDENTICAL to id 0's -> a guaranteed hamming-0 pair
+    val ids = Seq(0L, 2L, 134912L)
+    writeTable(dir, "documents",
+      ids.map(i => (i, "t", "en", "s", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = Multimodal.aHashPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // brute-force replay over the generator-arithmetic hashes
+    def hash(id: Long): (Long, Long) = {
+      val w = id % 31 + 2; val h = id % 17 + 2
+      val s = (0 until 64).map { j =>
+        (id * 31 + ((j % 8) * w / 8) * 7 + ((j / 8) * h / 8) * 13) % 256
+      }
+      val avg = s.sum / 64
+      var lo = 0L; var hi = 0L
+      s.zipWithIndex.foreach { case (v, j) =>
+        if (v > avg) { if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32) }
+      }
+      (lo, hi)
+    }
+    val exp = (for {
+      a <- ids; b <- ids if a < b
+      (la, ha) = hash(a); (lb, hb) = hash(b)
+      d = java.lang.Long.bitCount(la ^ lb) + java.lang.Long.bitCount(ha ^ hb)
+      if d <= 3
+    } yield (a, b, d.toLong)).sorted
+    assert(rows === exp)
+    assert(rows.contains((0L, 134912L, 0L)))
+  }
 }
