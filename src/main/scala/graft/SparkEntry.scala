@@ -86,6 +86,9 @@ object SparkEntry {
     // per-source parity profile (count, char mass, XOR content
     // checksum) whose oracle reads the ORIGINAL parquet
     "src_json_roundtrip" -> ((s, dir) => graft.sources.JsonLines.jsonRoundTrip(s, dir)),
+    // CSV write -> multiLine read-back parity: RFC-4180 quoting with
+    // embedded newlines, gated by the same checksummed profile
+    "src_csv_roundtrip" -> ((s, dir) => graft.sources.JsonLines.csvRoundTrip(s, dir)),
     // streaming twin: foreachBatch JSON-lines file sink, then the
     // same schema-pinned read-back parity profile — shared oracle
     "stream_json_sink" -> ((s, dir) => StreamingOps.streamJsonSink(s, dir)),
@@ -1982,6 +1985,7 @@ object SparkEntry {
     // serializer mangle flips the checksum; the streaming file-sink
     // twin shares it
     "src_json_roundtrip" -> jsonParityOracle,
+    "src_csv_roundtrip" -> jsonParityOracle,
     "stream_json_sink" -> jsonParityOracle,
     // same normalize/interleave/bucket arithmetic, DuckDB operator
     // spelling of the interleave (generated next to the Spark spelling

@@ -43,4 +43,40 @@ object JsonLines {
           "conv(substring(md5(concat(CAST(doc_id AS STRING), ':', text)), 1, 15), 16, 10)" +
           " AS BIGINT))").as("content_xor"))
       .orderBy("source")
+
+  /** src_csv_roundtrip: the CSV twin of [[jsonRoundTrip]] — CSV is the
+    * interchange format whose QUOTING rules actually bite (embedded
+    * commas, double-quote escaping, and — the classic corpus killer —
+    * newlines inside quoted text fields splitting one record into
+    * two). The write uses standard RFC-4180 quoting; the read back
+    * sets `multiLine` because quoted embedded newlines are only legal
+    * under the whole-file parser — the default line-splitting reader
+    * would shear every multi-line document. Same checksummed parity
+    * profile, same oracle: the round trip must be lossless or the XOR
+    * flips.
+    *
+    * Scale note, stated honestly: `multiLine` CSV parses per FILE, not
+    * per line-split (a record boundary cannot be found mid-file), so
+    * read parallelism = file count. The write side controls that: this
+    * writer inherits the source partitioning (one file per input
+    * split), which is exactly how a production exchange keeps
+    * multiLine readable in parallel — many bounded files, never one
+    * giant CSV.
+    */
+  def csvRoundTrip(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = Bucketed.scopedPath(
+      Bucketed.scopedName(spark, "graft_csv")) + "/documents"
+    val docs = graft.GraftSession.table(spark, sfDir, "documents")
+    // empty-vs-null: bare CSV cannot tell "" from NULL — write empties
+    // as a quoted marker and point the reader's nullValue at a token
+    // that never occurs, or every empty doc silently comes back null
+    docs.write.mode("overwrite")
+      .option("header", "true").option("quoteAll", "true")
+      .option("emptyValue", "\"\"")
+      .csv(path)
+    profile(spark.read.schema(docs.schema)
+      .option("header", "true").option("multiLine", "true")
+      .option("nullValue", "\\N")
+      .csv(path))
+  }
 }

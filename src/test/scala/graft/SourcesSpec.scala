@@ -93,4 +93,21 @@ class SourcesSpec extends SparkSpec {
     assert(graft.sources.JsonLines.profile(back).collect().toSeq ===
       graft.sources.JsonLines.profile(tricky).collect().toSeq)
   }
+
+  test("CSV multiLine round-trip: quoted embedded newlines survive as ONE record") {
+    import spark.implicits._
+    val sf = tempSfDir()
+    // the corpus-killer case: a text field containing CR/LF — the
+    // line-splitting reader would shear this into two broken records
+    writeTable(sf, "documents", docs.union(Seq(
+      (4L, "line one\nline two\r\nline three", "en", "src0", 29L),
+      (5L, "quoted \"middle\" and,\ncomma", "fr", "src1", 26L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")))
+    val prof = graft.sources.JsonLines.csvRoundTrip(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val expect = graft.sources.JsonLines.profile(
+      spark.read.parquet(s"$sf/documents.parquet")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(prof === expect)
+  }
 }
