@@ -677,6 +677,9 @@ object SparkEntry {
     // ingest-time weighted sampling: O(k) evicting winner state per
     // source, bounded heap fold per batch (never a full-group buffer)
     "stream_sample_weighted" -> ((s, dir) => StreamingOps.streamWeightedSample(s, dir)),
+    // perceptual hashing at ingest: stateless per-row codec map, the
+    // append-only feed for the banded image-dedup index
+    "stream_phash" -> ((s, dir) => StreamingOps.streamImageAHash(s, dir)),
     // the cascade live: per-row verdicts, bounded (source, verdict)
     // rollup — shares the batch cascade's oracle
     "stream_cascade" -> ((s, dir) => StreamingOps.streamCascade(s, dir)),
@@ -726,6 +729,10 @@ object SparkEntry {
     // marginal take over the bounded |sources| x maxEpochs candidate
     // table; chained integer decay keeps values BIGINT-safe forever
     "mix_epoch_repeat" -> ((s, dir) => Corpus.epochRepeatPlan(s, dir)),
+    // Poisson-bootstrap CI for the mean doc length: B deterministic
+    // hash-weighted replicates + the exact point estimate on ONE pass,
+    // quantile band over the B-row replicate table
+    "corpus_bootstrap" -> ((s, dir) => Corpus.bootstrapMeanLength(s, dir)),
     // —— explicit skew-mitigation shapes (result-identical to the plain
     //    forms; the PLAN is what differs — see each operator's doc) ——
     "urlcount_salted" -> ((s, dir) =>
@@ -1456,6 +1463,27 @@ object SparkEntry {
     * ORIGINAL parquet table; shared by the batch writer/reader pair
     * and the streaming foreachBatch file-sink twin.
     */
+  /** aHash replay from the image-generator arithmetic — shared by the
+    * batch hash relation and its stateless streaming twin.
+    */
+  private val phashOracle: String =
+    """WITH ids AS (
+      |  SELECT doc_id AS id, (doc_id % 31 + 2) AS w, (doc_id % 17 + 2) AS h
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |s AS (
+      |  SELECT id, w, h, j,
+      |    ((id * 31 + (((j % 8) * w) // 8) * 7 + (((j // 8) * h) // 8) * 13)
+      |      % 256) AS v
+      |  FROM ids, UNNEST(range(0, 64)) AS t(j)),
+      |a AS (SELECT id, (sum(v) // 64) AS avg FROM s GROUP BY id)
+      |SELECT s.id, max(s.w)::BIGINT AS width, max(s.h)::BIGINT AS height,
+      |  sum(CASE WHEN s.j < 32 AND s.v > a.avg
+      |           THEN (1::BIGINT << s.j::INT) ELSE 0 END)::BIGINT AS ahash_lo,
+      |  sum(CASE WHEN s.j >= 32 AND s.v > a.avg
+      |           THEN (1::BIGINT << (s.j - 32)::INT) ELSE 0 END)::BIGINT AS ahash_hi
+      |FROM s JOIN a ON a.id = s.id
+      |GROUP BY s.id ORDER BY s.id""".stripMargin
+
   private val jsonParityOracle: String =
     """SELECT source, count(*)::BIGINT AS n_docs,
       |  sum(n_chars)::BIGINT AS sum_chars,
@@ -3541,24 +3569,10 @@ object SparkEntry {
         |  (1000 * (doc_id % 256))::BIGINT AS luma_milli
         |FROM documents WHERE doc_id % 2 = 0 ORDER BY id""".stripMargin,
     // aHash replay: the same 8x8 nearest-neighbor grid, floor-mean
-    // threshold, and bit packing — pure generator arithmetic
-    "mm_phash" ->
-      """WITH ids AS (
-        |  SELECT doc_id AS id, (doc_id % 31 + 2) AS w, (doc_id % 17 + 2) AS h
-        |  FROM documents WHERE doc_id % 2 = 0),
-        |s AS (
-        |  SELECT id, w, h, j,
-        |    ((id * 31 + (((j % 8) * w) // 8) * 7 + (((j // 8) * h) // 8) * 13)
-        |      % 256) AS v
-        |  FROM ids, UNNEST(range(0, 64)) AS t(j)),
-        |a AS (SELECT id, (sum(v) // 64) AS avg FROM s GROUP BY id)
-        |SELECT s.id, max(s.w)::BIGINT AS width, max(s.h)::BIGINT AS height,
-        |  sum(CASE WHEN s.j < 32 AND s.v > a.avg
-        |           THEN (1::BIGINT << s.j::INT) ELSE 0 END)::BIGINT AS ahash_lo,
-        |  sum(CASE WHEN s.j >= 32 AND s.v > a.avg
-        |           THEN (1::BIGINT << (s.j - 32)::INT) ELSE 0 END)::BIGINT AS ahash_hi
-        |FROM s JOIN a ON a.id = s.id
-        |GROUP BY s.id ORDER BY s.id""".stripMargin,
+    // threshold, and bit packing — pure generator arithmetic; the
+    // streaming twin streams the identical relation
+    "mm_phash" -> phashOracle,
+    "stream_phash" -> phashOracle,
     // banded hamming pairing replay over the arithmetic hashes: same
     // chunk split, df cap, distinct candidates, exact xor bit_count
     "mm_phash_pairs" ->
@@ -4775,6 +4789,35 @@ object SparkEntry {
         |  ((n_tokens * epochs_milli) // 1000)::BIGINT AS alloc_tokens,
         |  (want_tokens - (n_tokens * epochs_milli) // 1000)::BIGINT AS shortfall
         |FROM e ORDER BY source""".stripMargin,
+    // bootstrap replay: identical Poisson inverse-CDF weights from the
+    // md5 family, rank the replicate means, pick the p5/p95 band
+    "corpus_bootstrap" ->
+      """WITH x AS (
+        |  SELECT d.doc_id, d.n_chars, t.b,
+        |    ('0x' || substr(md5('boot:' || t.b || ':' || d.doc_id), 1, 15))::BIGINT
+        |      % 1000000 AS u
+        |  FROM documents d, UNNEST(range(1, 33)) AS t(b)),
+        |r AS (
+        |  SELECT b,
+        |    sum(CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+        |             WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+        |             WHEN u < 996340 THEN 4 ELSE 5 END) AS n_eff,
+        |    sum(n_chars * CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+        |             WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+        |             WHEN u < 996340 THEN 4 ELSE 5 END) AS mass
+        |  FROM x GROUP BY b HAVING sum(CASE WHEN u < 367879 THEN 0
+        |    WHEN u < 735759 THEN 1 WHEN u < 919699 THEN 2
+        |    WHEN u < 981012 THEN 3 WHEN u < 996340 THEN 4
+        |    ELSE 5 END) > 0),
+        |q AS (
+        |  SELECT (1000 * mass) // n_eff AS rep_mean,
+        |    row_number() OVER (ORDER BY (1000 * mass) // n_eff ASC, b ASC) AS rk
+        |  FROM r)
+        |SELECT 32::BIGINT AS n_resamples,
+        |  (SELECT (1000 * sum(n_chars)) // count(*) FROM documents)::BIGINT
+        |    AS mean_milli,
+        |  (SELECT rep_mean FROM q WHERE rk = 2)::BIGINT AS ci_lo_milli,
+        |  (SELECT rep_mean FROM q WHERE rk = 31)::BIGINT AS ci_hi_milli""".stripMargin,
     // epoch-repeat replay: the same chained integer decay per epoch,
     // one global greedy rank over the bounded candidate table
     "mix_epoch_repeat" ->

@@ -952,6 +952,69 @@ object Corpus {
       .orderBy("source")
   }
 
+  /** corpus_bootstrap: Poisson-bootstrap confidence interval for the
+    * corpus mean document length — the one-pass resampling scheme that
+    * works on a distributed corpus (Chamandy et al. 2012, "Estimating
+    * uncertainty for massive data streams": classic bootstrap resamples
+    * need the whole dataset per replicate; the Poisson approximation
+    * gives every row an INDEPENDENT per-replicate weight ~ Poisson(1),
+    * so all B replicates ride one scan). Weights are deterministic —
+    * the Poisson(1) inverse CDF applied to u = h60("boot:b:doc_id")
+    * % 1e6 with integral micro thresholds (P(0)=.367879, P<=1=.735759,
+    * P<=2=.919699, P<=3=.981012, P<=4=.996340, else 5) — so the draw is
+    * reproducible and the oracle replays it exactly.
+    *
+    * Scale shape: explode x B (bounded constant fanout) -> ONE hash
+    * aggregation on the B replicate keys (map-side partials collapse
+    * each input partition to B rows) -> rank over B rows. The quantile
+    * CI (percentile ranks over the sorted replicate means) never
+    * touches the corpus again.
+    *
+    * Output: 1 row (n_resamples, mean_milli, ci_lo_milli, ci_hi_milli):
+    * the full-corpus point estimate with the [p5, p95] band of the
+    * replicate means, all in integral milli chars-per-doc.
+    */
+  def bootstrapMeanLength(spark: SparkSession, sfDir: String,
+                          b: Int = 32): DataFrame = {
+    val u = pmod(graft.functions.OracleHash.h60(
+      concat(lit("boot:"), col("b").cast("string"), lit(":"),
+        col("doc_id").cast("string"))), lit(1000000L))
+    val wPois = when(u < 367879L, 0L).when(u < 735759L, 1L)
+      .when(u < 919699L, 2L).when(u < 981012L, 3L)
+      .when(u < 996340L, 4L).otherwise(5L)
+    // replicate 0 carries weight 1 everywhere = the exact point
+    // estimate, riding the SAME pass (no second corpus scan, and no
+    // 1-row-x-1-row join the plan sweep would flag)
+    val reps = table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("b", explode(sequence(lit(0L), lit(b.toLong))))
+      .withColumn("w", when(col("b") === 0L, 1L).otherwise(wPois))
+      .groupBy("b")
+      .agg(sum(col("w")).as("n_eff"),
+        sum(col("w") * col("n_chars")).as("mass"))
+      // a replicate can only draw zero mass on a toy corpus
+      // (P = 0.368^N) — dropped for div-safety, same guard the oracle
+      // applies; b=0 always survives (its weights are all 1)
+      .filter(col("n_eff") > 0L)
+      .withColumn("rep_mean", expr("(1000 * mass) div n_eff"))
+    val wAll = Window.partitionBy() // B+1 rows only
+    val loRank = math.max(1, math.ceil(0.05 * b).toInt)
+    val hiRank = math.max(1, math.ceil(0.95 * b).toInt)
+    reps
+      // replicates first (ranked by mean), the point-estimate row last
+      .withColumn("rk", row_number().over(Window.orderBy(
+        when(col("b") === 0L, 1).otherwise(0).asc,
+        col("rep_mean").asc, col("b").asc)))
+      .withColumn("lo",
+        max(when(col("rk") === loRank, col("rep_mean"))).over(wAll))
+      .withColumn("hi",
+        max(when(col("rk") === hiRank, col("rep_mean"))).over(wAll))
+      .filter(col("b") === 0L)
+      .select(lit(b.toLong).as("n_resamples"),
+        col("rep_mean").as("mean_milli"),
+        col("lo").as("ci_lo_milli"), col("hi").as("ci_hi_milli"))
+  }
+
   /** corpus_sketch_profile: the mergeable-sketch corpus profile — the
     * ONLY shape per-source distinct-token stats can take at 100 TB.
     * Exact distinct does not merge: two shards' distinct counts cannot

@@ -391,33 +391,43 @@ object Multimodal {
     */
   private def aHashFrame(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    patternImageTable(spark, sfDir).as[ImageRow].mapPartitions { rows =>
-      rows.map { r =>
-        val img = decodeOrFail(r.id, r.payload)
-        val w = img.getWidth
-        val h = img.getHeight
-        val s = new Array[Long](64)
-        var j = 0
-        while (j < 64) {
-          val sx = ((j % 8) * w) / 8
-          val sy = ((j / 8) * h) / 8
-          s(j) = (img.getRGB(sx, sy) & 0xff).toLong // gray: all channels equal
-          j += 1
-        }
-        val avg = s.sum / 64L
-        var lo = 0L
-        var hi = 0L
-        j = 0
-        while (j < 64) {
-          if (s(j) > avg) {
-            if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
-          }
-          j += 1
-        }
-        (r.id, w.toLong, h.toLong, lo, hi)
-      }
-    }.toDF("id", "width", "height", "ahash_lo", "ahash_hi")
+    patternImageTable(spark, sfDir).as[ImageRow]
+      .mapPartitions(rows => rows.map(aHashOfRow))
+      .toDF("id", "width", "height", "ahash_lo", "ahash_hi")
   }
+
+  /** Decode one patterned image and compute its aHash — the per-row
+    * core shared by the batch frame and the streaming twin (which
+    * encodes in the same call since its input is the bare id stream).
+    */
+  private[graft] def aHashOfRow(r: ImageRow): (Long, Long, Long, Long, Long) = {
+    val img = decodeOrFail(r.id, r.payload)
+    val w = img.getWidth
+    val h = img.getHeight
+    val s = new Array[Long](64)
+    var j = 0
+    while (j < 64) {
+      val sx = ((j % 8) * w) / 8
+      val sy = ((j / 8) * h) / 8
+      s(j) = (img.getRGB(sx, sy) & 0xff).toLong // gray: all channels equal
+      j += 1
+    }
+    val avg = s.sum / 64L
+    var lo = 0L
+    var hi = 0L
+    j = 0
+    while (j < 64) {
+      if (s(j) > avg) {
+        if (j < 32) lo |= 1L << j else hi |= 1L << (j - 32)
+      }
+      j += 1
+    }
+    (r.id, w.toLong, h.toLong, lo, hi)
+  }
+
+  /** Encode-then-hash for a bare id — the streaming twin's per-row op. */
+  private[graft] def aHashOfId(id: Long): (Long, Long, Long, Long, Long) =
+    aHashOfRow(ImageRow(id, encodePatternPng(id)))
 
   /** mm_phash_pairs: image near-duplicate pairs by aHash hamming
     * distance — the banded pairing rung over [[imageAHash]], closing

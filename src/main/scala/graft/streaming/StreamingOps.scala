@@ -1233,6 +1233,29 @@ object StreamingOps {
       .orderBy("source", "rk")
   }
 
+  /** stream_phash: perceptual hashing AT INGEST — the stateless
+    * streaming twin of Multimodal.imageAHash (encode + decode + 8x8
+    * average hash per arriving image id; no state, no watermark: a
+    * pure per-row codec map, which is exactly why image fingerprinting
+    * belongs at ingest — each micro-batch's hashes append straight to
+    * the store the banded pairing rung probes). Shares mm_phash's
+    * oracle: the streamed hash set must equal the batch relation.
+    */
+  def streamImageAHash(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runToBatch(spark,
+      s => {
+        import s.implicits._
+        harnessDocStream(s, sfDir)
+          .filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id")).as[Long]
+          .mapPartitions(ids => ids.map(graft.ops.Multimodal.aHashOfId))
+          .toDF("id", "width", "height", "ahash_lo", "ahash_hi")
+      },
+      "stream_phash", OutputMode.Append())
+      .orderBy("id")
+  }
+
   case class SampArrival(source: String, doc_id: Long, prio: Long)
   case class SampState(prios: List[Long], ids: List[Long])
 

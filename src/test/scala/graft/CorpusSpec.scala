@@ -618,4 +618,33 @@ class CorpusSpec extends SparkSpec {
       ("s0", 10L, 2L, 20L, 16L),
       ("s1", 2L, 0L, 0L, 0L)))
   }
+
+  test("bootstrap CI: deterministic Poisson weights replay exactly, point estimate exact") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // 20 docs: P(a replicate draws zero total weight) ~ 0.368^20 — the
+    // div-safety guard never fires, so the rank-2/31 band is stable
+    val docs = (1L to 20L).map(i => (i, i * 7L))
+    writeTable(dir, "documents",
+      docs.map { case (i, n) => (i, "t", "en", "s", n) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = graft.ops.Corpus.bootstrapMeanLength(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // full replay of the operator's math in plain Scala
+    def u(b: Long, id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"boot:$b:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (BigInt(hex.substring(0, 15), 16) % 1000000).toLong
+    }
+    def pois(x: Long): Long =
+      if (x < 367879) 0 else if (x < 735759) 1 else if (x < 919699) 2
+      else if (x < 981012) 3 else if (x < 996340) 4 else 5
+    val means = (1L to 32L).map { b =>
+      val ws = docs.map { case (id, n) => (pois(u(b, id)), n) }
+      val nEff = ws.map(_._1).sum
+      (1000L * ws.map { case (w, n) => w * n }.sum / nEff, b)
+    }.sorted
+    val point = 1000L * docs.map(_._2).sum / docs.length
+    assert(rows === Seq((32L, point, means(1)._1, means(30)._1)))
+  }
 }

@@ -499,6 +499,22 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(_._3).contains(7L)) // the heavy doc won a slot
   }
 
+  test("streaming phash: stateless ingest hashing equals the batch relation") {
+    import spark.implicits._
+    val sfDir = tempSfDir()
+    writeTable(sfDir, "documents",
+      Seq(0L, 1L, 2L, 4L).map(i => (i, "t", "en", "s", 1L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val streamed = StreamingOps.streamImageAHash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val batch = graft.ops.Multimodal.imageAHash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(streamed === batch)
+    assert(streamed.map(_._1) === Seq(0L, 2L, 4L)) // odd ids are not images
+  }
+
   test("streaming best-rep: a later better variant replaces the kept one in state") {
     import spark.implicits._
     val dir = tempSfDir()
