@@ -107,6 +107,10 @@ object SparkEntry {
     // degree-ordered orientation (a star contributes zero oriented
     // wedges); one audit row with the global clustering coefficient
     "graph_triangles" -> ((s, dir) => Graph.triangleCensus(s, dir)),
+    // k-core peel: fixed-round degeneracy decomposition over the same
+    // ratio-thresholded edge set, one degree agg + two semi-joins per
+    // round, edge lineage checkpointed flat
+    "graph_kcore" -> ((s, dir) => Graph.kCore(s, dir)),
     // set-operation family: churned/retained/new customer segments via
     // EXCEPT / INTERSECT over distinct year-activity key sets
     "rel_churn" -> ((s, dir) => Relational.customerChurnSetOps(s, dir)),
@@ -733,6 +737,9 @@ object SparkEntry {
     // hash-weighted replicates + the exact point estimate on ONE pass,
     // quantile band over the B-row replicate table
     "corpus_bootstrap" -> ((s, dir) => Corpus.bootstrapMeanLength(s, dir)),
+    // chi-square lang x source independence audit: one agg to the
+    // bounded cell table, DECIMAL(38,0) products, windows over cells
+    "corpus_chi2" -> ((s, dir) => Corpus.langSourceChi2(s, dir)),
     // —— explicit skew-mitigation shapes (result-identical to the plain
     //    forms; the PLAN is what differs — see each operator's doc) ——
     "urlcount_salted" -> ((s, dir) =>
@@ -2056,6 +2063,34 @@ object SparkEntry {
         |  (CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
         |    // count(*))::BIGINT AS avg_cents
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // k-core peel replay: three chained filter rounds over the same
+    // ratio-thresholded edge set, final degrees over the peeled graph
+    "graph_kcore" ->
+      """WITH so AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+        |no AS (SELECT s, count(*)::BIGINT AS n_orders FROM so GROUP BY s),
+        |ew AS (
+        |  SELECT a.s AS u, b.s AS v, count(*)::BIGINT AS shared
+        |  FROM so a JOIN so b ON a.ok = b.ok AND a.s < b.s
+        |  GROUP BY 1, 2),
+        |e0 AS (
+        |  SELECT u, v FROM ew
+        |  JOIN no nu ON nu.s = ew.u JOIN no nv ON nv.s = ew.v
+        |  WHERE (1000000 * shared) // least(nu.n_orders, nv.n_orders) >= 10000),
+        |s1 AS (SELECT n FROM (SELECT u AS n FROM e0 UNION ALL SELECT v FROM e0)
+        |       GROUP BY n HAVING count(*) >= 3),
+        |e1 AS (SELECT u, v FROM e0
+        |  WHERE u IN (SELECT n FROM s1) AND v IN (SELECT n FROM s1)),
+        |s2 AS (SELECT n FROM (SELECT u AS n FROM e1 UNION ALL SELECT v AS n FROM e1)
+        |       GROUP BY n HAVING count(*) >= 3),
+        |e2 AS (SELECT u, v FROM e1
+        |  WHERE u IN (SELECT n FROM s2) AND v IN (SELECT n FROM s2)),
+        |s3 AS (SELECT n FROM (SELECT u AS n FROM e2 UNION ALL SELECT v AS n FROM e2)
+        |       GROUP BY n HAVING count(*) >= 3),
+        |e3 AS (SELECT u, v FROM e2
+        |  WHERE u IN (SELECT n FROM s3) AND v IN (SELECT n FROM s3))
+        |SELECT node, count(*)::BIGINT AS d
+        |FROM (SELECT u AS node FROM e3 UNION ALL SELECT v AS node FROM e3)
+        |GROUP BY node ORDER BY node""".stripMargin,
     // triangle census: same degree-ordered orientation, wedge self-join
     // on the oriented low endpoint, EXISTS closure on the canonical
     // edge set
@@ -4789,6 +4824,29 @@ object SparkEntry {
         |  ((n_tokens * epochs_milli) // 1000)::BIGINT AS alloc_tokens,
         |  (want_tokens - (n_tokens * epochs_milli) // 1000)::BIGINT AS shortfall
         |FROM e ORDER BY source""".stripMargin,
+    // chi-square replay: same floors, HUGEINT for the squared products
+    "corpus_chi2" ->
+      """WITH cells AS (
+        |  SELECT lang, source, count(*)::BIGINT AS o
+        |  FROM documents GROUP BY lang, source),
+        |m AS (
+        |  SELECT lang, source, o,
+        |    sum(o) OVER (PARTITION BY lang) AS r,
+        |    sum(o) OVER (PARTITION BY source) AS c,
+        |    sum(o) OVER () AS n
+        |  FROM cells),
+        |x AS (
+        |  SELECT lang, source, o,
+        |    ((1000 * r::HUGEINT * c) // n)::BIGINT AS e_milli
+        |  FROM m),
+        |y AS (
+        |  SELECT lang, source, o, e_milli,
+        |    (((1000 * o::HUGEINT - e_milli) * (1000 * o::HUGEINT - e_milli))
+        |      // (1000 * greatest(e_milli, 1)))::BIGINT AS chi2_milli
+        |  FROM x)
+        |SELECT lang, source, o AS n_obs, e_milli, chi2_milli,
+        |  sum(chi2_milli) OVER ()::BIGINT AS chi2_total_milli
+        |FROM y ORDER BY lang, source""".stripMargin,
     // bootstrap replay: identical Poisson inverse-CDF weights from the
     // md5 family, rank the replicate means, pick the p5/p95 band
     "corpus_bootstrap" ->

@@ -1015,6 +1015,49 @@ object Corpus {
         col("lo").as("ci_lo_milli"), col("hi").as("ci_hi_milli"))
   }
 
+  /** corpus_chi2: chi-square independence audit of the lang x source
+    * contingency table — the drift monitor behind "did one crawl start
+    * pulling a different language mix" (a shifted cell shows up as a
+    * large contribution long before eyeballing histograms does). Per
+    * observed cell: expected count under independence
+    * e_milli = (1000 * row_total * col_total) div N and the cell's
+    * chi-square contribution ((1000*o - e_milli)^2) div (1000 *
+    * e_milli), both integral so the oracle replays them. The products
+    * run in DECIMAL(38,0) — row x col totals square the corpus size,
+    * and (1000*o - e)^2 squares it again: the BIGINT-safe accumulator
+    * discipline, not a result cast. A replicated total column (over
+    * the bounded cell table) gives the drift scalar. Zero-observed
+    * cells are NOT listed (their contribution is just e_milli; at
+    * corpus scale every populated stratum appears, and missing strata
+    * are the coverage audit's job) — the statistic is over observed
+    * cells, stated plainly.
+    *
+    * Scale shape: ONE aggregation over documents to |langs x sources|
+    * rows; margins, expectations and the total are windows over that
+    * bounded cell table only.
+    *
+    * Output: (lang, source, n_obs, e_milli, chi2_milli,
+    * chi2_total_milli), ordered.
+    */
+  def langSourceChi2(spark: SparkSession, sfDir: String): DataFrame = {
+    val wAll = Window.partitionBy()
+    table(spark, sfDir, "documents")
+      .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+      .withColumn("r", sum(col("o")).over(Window.partitionBy("lang")))
+      .withColumn("c", sum(col("o")).over(Window.partitionBy("source")))
+      .withColumn("n", sum(col("o")).over(wAll))
+      .withColumn("e_milli",
+        expr("CAST((1000 * CAST(r AS DECIMAL(38,0)) * c) div n AS BIGINT)"))
+      .withColumn("chi2_milli", expr(
+        "CAST(((1000 * CAST(o AS DECIMAL(38,0)) - e_milli) * " +
+          "(1000 * CAST(o AS DECIMAL(38,0)) - e_milli)) div " +
+          "(1000 * greatest(e_milli, 1L)) AS BIGINT)"))
+      .withColumn("chi2_total_milli", sum(col("chi2_milli")).over(wAll))
+      .select(col("lang"), col("source"), col("o").as("n_obs"),
+        col("e_milli"), col("chi2_milli"), col("chi2_total_milli"))
+      .orderBy("lang", "source")
+  }
+
   /** corpus_sketch_profile: the mergeable-sketch corpus profile — the
     * ONLY shape per-source distinct-token stats can take at 100 TB.
     * Exact distinct does not merge: two shards' distinct counts cannot

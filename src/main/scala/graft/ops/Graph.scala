@@ -165,13 +165,20 @@ object Graph {
     * sum d(d-1)/2 — the clustering-coefficient denominator),
     * n_triangles, global_cc_milli = (3000 * tri) div wedges.
     */
-  def triangleCensus(spark: SparkSession, sfDir: String,
-                     strengthPpm: Long = 10000L): DataFrame = {
+  /** The scale-invariant co-supplier edge set shared by the triangle
+    * census and the k-core peel: u < v canonical pairs whose shared
+    * order count is >= strengthPpm of the smaller partner's own order
+    * count (see [[triangleCensus]] for why a RATIO rule, not an
+    * absolute threshold). Returned localCheckpoint'd — every caller
+    * reads it multiple times.
+    */
+  private def coSupplierEdges(spark: SparkSession, sfDir: String,
+                              strengthPpm: Long): DataFrame = {
     val so = table(spark, sfDir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
       .distinct()
     val no = so.groupBy("s").agg(count(lit(1)).as("n_orders"))
-    val e = so.as("a")
+    so.as("a")
       .join(so.as("b"), col("a.ok") === col("b.ok") && col("a.s") < col("b.s"))
       .groupBy(col("a.s").as("u"), col("b.s").as("v"))
       .agg(count(lit(1)).as("shared"))
@@ -179,7 +186,13 @@ object Graph {
       .join(no.select(col("s").as("v"), col("n_orders").as("nv")), Seq("v"))
       .filter(expr(s"(1000000 * shared) div least(nu, nv) >= $strengthPpm"))
       .select("u", "v")
-      .localCheckpoint() // one pass feeds degrees, orientation and closure
+      .localCheckpoint()
+  }
+
+  def triangleCensus(spark: SparkSession, sfDir: String,
+                     strengthPpm: Long = 10000L): DataFrame = {
+    // one pass feeds degrees, orientation and closure
+    val e = coSupplierEdges(spark, sfDir, strengthPpm)
     val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("d"))
     val ed = e
@@ -205,5 +218,43 @@ object Graph {
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
         when(col("n_wedges") > 0L, expr("(3000 * n_triangles) div n_wedges"))
           .otherwise(lit(0L)).as("global_cc_milli"))
+  }
+
+  /** graph_kcore: k-core peeling over the co-supplier graph — the
+    * degeneracy decomposition behind "who is in the densely connected
+    * trading core" (and, on document/entity graphs generally, the
+    * spam-farm and boilerplate-cluster detector: a k-core survives
+    * only if every member keeps k qualified partners AFTER weak nodes
+    * drop out, which no star or chain can fake). Each round recomputes
+    * degrees over the surviving subgraph and drops nodes below k; the
+    * round count is FIXED (the [[pageRank]] fixed-iteration contract —
+    * the oracle replays rounds as chained CTEs), so the output is the
+    * `rounds`-step peel, converged iff a round removes nothing.
+    *
+    * Scale shape: the iterative-loop discipline of connectedComponents
+    * — the edge set localCheckpoint's per round (lineage stays flat),
+    * each round is one bounded degree aggregation plus two semi-joins
+    * on node ids, and resident state is the current edge table only.
+    * Node ids never leave the plan; nothing collects.
+    *
+    * Output: (node, d) for nodes with >= 1 surviving edge after the
+    * peel, d = degree in the peeled subgraph, ordered by node.
+    */
+  def kCore(spark: SparkSession, sfDir: String, k: Int = 3,
+            rounds: Int = 3, strengthPpm: Long = 10000L): DataFrame = {
+    var e = coSupplierEdges(spark, sfDir, strengthPpm)
+    for (_ <- 1 to rounds) {
+      val surv = e.select(explode(array(col("u"), col("v"))).as("n"))
+        .groupBy("n").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+        .select("n")
+        .localCheckpoint()
+      e = e.join(surv.select(col("n").as("u")), Seq("u"), "left_semi")
+        .join(surv.select(col("n").as("v")), Seq("v"), "left_semi")
+        .localCheckpoint()
+    }
+    e.select(explode(array(col("u"), col("v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+      .orderBy("node")
   }
 }

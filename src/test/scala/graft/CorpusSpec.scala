@@ -647,4 +647,28 @@ class CorpusSpec extends SparkSpec {
     val point = 1000L * docs.map(_._2).sum / docs.length
     assert(rows === Seq((32L, point, means(1)._1, means(30)._1)))
   }
+
+  test("chi2 drift audit: hand-computed 2x2 contingency contributions and total") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // counts: en/s0=30, en/s1=10, fr/s0=10, fr/s1=50 -> N=100,
+    // r_en=40 r_fr=60 c_s0=40 c_s1=60; e_milli: 16000/24000/24000/36000;
+    // contribs: 196e6/(1000*e) -> 12, 8, 8, 5; total 33
+    val rows0 =
+      (1 to 30).map(i => (i.toLong, "en", "s0")) ++
+      (31 to 40).map(i => (i.toLong, "en", "s1")) ++
+      (41 to 50).map(i => (i.toLong, "fr", "s0")) ++
+      (51 to 100).map(i => (i.toLong, "fr", "s1"))
+    writeTable(dir, "documents",
+      rows0.map { case (i, l, s) => (i, "t", l, s, 1L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = graft.ops.Corpus.langSourceChi2(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(rows === Seq(
+      ("en", "s0", 30L, 16000L, 12L, 33L),
+      ("en", "s1", 10L, 24000L, 8L, 33L),
+      ("fr", "s0", 10L, 24000L, 8L, 33L),
+      ("fr", "s1", 50L, 36000L, 5L, 33L)))
+  }
 }

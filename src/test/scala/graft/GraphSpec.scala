@@ -69,4 +69,19 @@ class GraphSpec extends SparkSpec {
         r.getLong(4))).toSeq
     assert(rows === Seq((4L, 4L, 5L, 1L, 600L)))
   }
+
+  test("k-core peel: pendant chain drops, the clique survives with its core degrees") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // order 1 = K4 over suppliers {1,2,3,4}; order 2 attaches 5 to 4;
+    // order 3 attaches 6 to 5 -> degrees 1:3 2:3 3:3 4:4 5:2 6:1.
+    // k=3 round 1 peels 5 and 6; the remaining K4 is stable at d=3.
+    writeTable(dir, "lineitem", Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L), (1L, 4L),
+      (2L, 4L), (2L, 5L), (3L, 5L), (3L, 6L)
+    ).toDF("l_orderkey", "l_suppkey"))
+    val rows = Graph.kCore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
+  }
 }
