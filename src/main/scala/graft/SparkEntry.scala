@@ -196,6 +196,10 @@ object SparkEntry {
     // funnel: view -> click -> purchase progression counted with k
     // chained running-min windows over ONE shuffle (no joins back)
     "ev_funnel" -> ((s, dir) => EventWindows.funnel(s, dir)),
+    // conversion-window funnel: same single-Exchange window-chain plan,
+    // the hour bound is one more predicate in each layer
+    "ev_funnel_windowed" -> ((s, dir) =>
+      EventWindows.funnel(s, dir, windowUs = Some(3600L * 1000000L))),
     // grouped HLL++ distinct users per type, in-plan ±5% gate vs exact
     "ev_approx_users" -> ((s, dir) => EventWindows.approxDistinctUsersPerType(s, dir)),
     // mergeable quantile sketch with a tie-aware rank-space gate vs the
@@ -740,6 +744,10 @@ object SparkEntry {
     // chi-square lang x source independence audit: one agg to the
     // bounded cell table, DECIMAL(38,0) products, windows over cells
     "corpus_chi2" -> ((s, dir) => Corpus.langSourceChi2(s, dir)),
+    // n-gram novelty between snapshots: per-side distinct on (n, hash)
+    // keys (grams never shuffle as strings), one anti-join per the
+    // shared key, |ns|-row rollup
+    "corpus_ngram_novelty" -> ((s, dir) => Corpus.ngramNovelty(s, dir)),
     // —— explicit skew-mitigation shapes (result-identical to the plain
     //    forms; the PLAN is what differs — see each operator's doc) ——
     "urlcount_salted" -> ((s, dir) =>
@@ -2395,6 +2403,30 @@ object SparkEntry {
         |t3 AS (
         |  SELECT e.user_id, min(e.tus) AS t FROM e JOIN t2 ON e.user_id = t2.user_id
         |  WHERE e.event_type = 'purchase' AND e.tus >= t2.t GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT 1::BIGINT AS step_idx, 'view' AS step, count(*)::BIGINT AS n_users FROM t1
+        |  UNION ALL
+        |  SELECT 2::BIGINT, 'click', count(*)::BIGINT FROM t2
+        |  UNION ALL
+        |  SELECT 3::BIGINT, 'purchase', count(*)::BIGINT FROM t3)
+        |ORDER BY step_idx""".stripMargin,
+    // windowed funnel replay: the same chained min-aggregations with
+    // the 1-hour bound on each conversion hop
+    "ev_funnel_windowed" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |t1 AS (
+        |  SELECT user_id, min(tus) AS t FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (
+        |  SELECT e.user_id, min(e.tus) AS t FROM e JOIN t1 ON e.user_id = t1.user_id
+        |  WHERE e.event_type = 'click' AND e.tus >= t1.t
+        |    AND e.tus <= t1.t + 3600000000 GROUP BY e.user_id),
+        |t3 AS (
+        |  SELECT e.user_id, min(e.tus) AS t FROM e JOIN t2 ON e.user_id = t2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.tus >= t2.t
+        |    AND e.tus <= t2.t + 3600000000 GROUP BY e.user_id)
         |SELECT * FROM (
         |  SELECT 1::BIGINT AS step_idx, 'view' AS step, count(*)::BIGINT AS n_users FROM t1
         |  UNION ALL
@@ -4824,6 +4856,30 @@ object SparkEntry {
         |  ((n_tokens * epochs_milli) // 1000)::BIGINT AS alloc_tokens,
         |  (want_tokens - (n_tokens * epochs_milli) // 1000)::BIGINT AS shortfall
         |FROM e ORDER BY source""".stripMargin,
+    // novelty replay: same lowercased word n-grams, hashed distinct
+    // sides, anti-join per n
+    "corpus_ngram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT t.doc_id, nn.n,
+        |    ('0x' || substr(md5(array_to_string(toks[i+1:i+nn.n], ' ')), 1, 15))::BIGINT AS w
+        |  FROM toks t, (VALUES (1), (3), (8)) AS nn(n),
+        |    UNNEST(range(0, len(toks) - nn.n + 1)) AS u(i)
+        |  WHERE len(toks) >= nn.n),
+        |old AS (SELECT DISTINCT n, w FROM g WHERE doc_id % 10 <> 7),
+        |neu AS (SELECT DISTINCT n, w FROM g WHERE doc_id % 10 <> 3),
+        |co AS (SELECT n, count(*)::BIGINT AS grams_old FROM old GROUP BY n),
+        |cn AS (SELECT n, count(*)::BIGINT AS grams_new FROM neu GROUP BY n),
+        |nv AS (SELECT n, count(*)::BIGINT AS novel
+        |       FROM neu ANTI JOIN old USING (n, w) GROUP BY n)
+        |SELECT cn.n::BIGINT AS n, co.grams_old, cn.grams_new,
+        |  coalesce(nv.novel, 0)::BIGINT AS novel,
+        |  ((1000000 * coalesce(nv.novel, 0)) // cn.grams_new)::BIGINT AS novel_ppm
+        |FROM cn JOIN co ON co.n = cn.n LEFT JOIN nv ON nv.n = cn.n
+        |ORDER BY n""".stripMargin,
     // chi-square replay: same floors, HUGEINT for the squared products
     "corpus_chi2" ->
       """WITH cells AS (

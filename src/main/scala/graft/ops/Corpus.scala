@@ -807,6 +807,49 @@ object Corpus {
       .orderBy("source", "status")
   }
 
+  /** corpus_ngram_novelty: what fraction of the NEW snapshot's n-grams
+    * were never seen in the old one — the freshness signal behind
+    * "does this crawl cycle actually add trainable content, or is it
+    * re-crawl" (Muennighoff's data-constrained regime makes novel-token
+    * share the quantity that matters). Counts DISTINCT word n-grams per
+    * side (hashed to the shared 60-bit family — the shuffle carries
+    * (n, int64), never gram strings, the substring-rung discipline) and
+    * anti-joins new against old per n. Snapshots derive from the same
+    * doc_id-parity split as [[snapshotDiff]]; production points the two
+    * sides at real snapshot directories.
+    *
+    * Scale shape: one tokenize+explode per side -> per-side distinct on
+    * the (n, hash) key (map-side combinable), one anti-join on the same
+    * key (big-to-big, AQE-skew-split), and a |n-grams-sizes|-row
+    * rollup. Linear in corpus token count for each of the ns.
+    *
+    * Output: (n, grams_old, grams_new, novel, novel_ppm), one row per
+    * n-gram size, ordered by n.
+    */
+  def ngramNovelty(spark: SparkSession, sfDir: String,
+                   ns: Seq[Int] = Seq(1, 3, 8)): DataFrame = {
+    val docs = table(spark, sfDir, "documents").select("doc_id", "text")
+    def side(f: org.apache.spark.sql.Column): DataFrame =
+      ns.map { n =>
+        docs.filter(f)
+          .select(lit(n.toLong).as("n"),
+            explode(graft.functions.ShingleColumns.wordShingles(col("text"), n))
+              .as("shingle"))
+          .select(col("n"), graft.functions.OracleHash.h60(col("shingle")).as("w"))
+      }.reduce(_.unionAll(_)).distinct()
+    val old = side(col("doc_id") % 10 =!= 7)
+    val neu = side(col("doc_id") % 10 =!= 3)
+    val novel = neu.join(old, Seq("n", "w"), "left_anti")
+      .groupBy("n").agg(count(lit(1)).as("novel"))
+    val counts = neu.groupBy("n").agg(count(lit(1)).as("grams_new"))
+      .join(old.groupBy("n").agg(count(lit(1)).as("grams_old")), Seq("n"))
+    counts.join(novel, Seq("n"), "left_outer")
+      .select(col("n"), col("grams_old"), col("grams_new"),
+        coalesce(col("novel"), lit(0L)).as("novel"))
+      .withColumn("novel_ppm", expr("(1000000 * novel) div grams_new"))
+      .orderBy("n")
+  }
+
   /** corpus_term_drift: term-level distribution drift between two
     * corpus snapshots — the monitoring signal behind "did this crawl
     * cycle change what the model will read": top movers by smoothed

@@ -227,9 +227,19 @@ object EventWindows {
     * events at any k, no join back, no per-user explosion.
     *
     * Output: (step_idx, step, n_users) — the classic funnel table.
+    *
+    * `windowUs` (ev_funnel_windowed) bounds each conversion: step k
+    * counts only within windowUs of the user's step-(k-1) reach time —
+    * the "converted within the hour" form every growth dashboard
+    * reports alongside the unbounded funnel. Semantics are the
+    * EARLIEST-CHAIN greedy (each step's reach is the min qualified
+    * time given the previous step's reach), matching the oracle's
+    * chained min-aggregation form; the plan is unchanged — the bound
+    * is one more predicate inside the same window layers.
     */
   def funnel(spark: SparkSession, sfDir: String,
-             steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+             steps: Seq[String] = Seq("view", "click", "purchase"),
+             windowUs: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty)
     val sidx = steps.zipWithIndex
       .foldLeft(lit(Int.MaxValue)) { case (acc, (s, i)) =>
@@ -245,9 +255,13 @@ object EventWindows {
       .orderBy(col("tus").asc, col("sidx").asc, col("event_id").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withReach = steps.zipWithIndex.foldLeft(ev) { case (df, (s, i)) =>
+      val inWindow = windowUs
+        .map(us => col("tus") <= col(s"c${i - 1}") + lit(us))
+        .getOrElse(lit(true))
       val candidate =
         if (i == 0) when(col("event_type") === s, col("tus"))
-        else when(col("event_type") === s && col(s"c${i - 1}").isNotNull, col("tus"))
+        else when(col("event_type") === s && col(s"c${i - 1}").isNotNull &&
+          inWindow, col("tus"))
       df.withColumn(s"c$i", min(candidate).over(w))
     }
     val perUser = withReach.groupBy("user_id")

@@ -671,4 +671,20 @@ class CorpusSpec extends SparkSpec {
       ("fr", "s0", 10L, 24000L, 8L, 33L),
       ("fr", "s1", 50L, 36000L, 5L, 33L)))
   }
+
+  test("ngram novelty: anti-joined distinct grams between the parity snapshots") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // old side (id%10 != 7): docs 3, 10 -> unigrams {a, b}
+    // new side (id%10 != 3): docs 7, 10 -> unigrams {a, b, c}; novel {c}
+    writeTable(dir, "documents", Seq(
+      (3L, "a b", "en", "s", 3L),
+      (7L, "b c", "en", "s", 3L),
+      (10L, "a b", "en", "s", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = graft.ops.Corpus.ngramNovelty(spark, dir, ns = Seq(1)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(rows === Seq((1L, 2L, 3L, 1L, 333333L)))
+  }
 }

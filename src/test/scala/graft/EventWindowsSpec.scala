@@ -372,6 +372,28 @@ class EventWindowsSpec extends SparkSpec {
       (5L, 1L, 4000L, 142L)))
   }
 
+  test("windowed funnel: conversion counts only within the bound of the previous reach") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "events", Seq(
+      // user 1: click 30s after the view -> converts under a 60s bound
+      (1L, ns(10), 1L, "view", 1.0, "p"),
+      (2L, ns(40), 1L, "click", 1.0, "p"),
+      // user 2: click 300s after the view -> outside the bound
+      (3L, ns(10), 2L, "view", 1.0, "p"),
+      (4L, ns(310), 2L, "click", 1.0, "p"),
+      // user 3: a LATER view would enable the click, but semantics are
+      // earliest-chain (min view anchors the window) -> no conversion
+      (5L, ns(10), 3L, "view", 1.0, "p"),
+      (6L, ns(250), 3L, "view", 1.0, "p"),
+      (7L, ns(280), 3L, "click", 1.0, "p")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val rows = EventWindows.funnel(spark, dir,
+        steps = Seq("view", "click"), windowUs = Some(60L * 1000000L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows === Seq((1L, "view", 3L), (2L, "click", 1L)))
+  }
+
   test("cusum closed form equals the recursive statistic, virtual zero prefix included") {
     import spark.implicits._
     val dir = tempSfDir()
