@@ -432,6 +432,10 @@ object SparkEntry {
     // over exact-content representatives -> connected components
     // (min-label propagation) -> membership expanded back to every copy
     "dedup_clusters" -> ((s, dir) => Dedup.nearDupClusters(s, dir)),
+    // the same resolution via Kiveris et al.'s large-star/small-star
+    // contraction — O(log n) rounds vs propagation's O(diameter); both
+    // algorithms hash-compare against one recursive-CTE oracle
+    "dedup_clusters_twostar" -> ((s, dir) => Dedup.nearDupClustersTwoStar(s, dir)),
     // composed cleaning pipeline: quality gate -> exact dedup survivors
     "pipeline_clean" -> ((s, dir) => Dedup.cleanCorpus(s, dir)),
     // full ladder: quality gate -> exact dedup -> fuzzy-cluster dedup
@@ -1865,6 +1869,20 @@ object SparkEntry {
       |  JOIN reps r USING (content_key)
       |  LEFT JOIN clusters c ON c.doc_id = r.rep_id
       |  WHERE c.cluster_id IS NOT NULL OR r.n_copies >= 2)""".stripMargin
+
+  /** The near-dup cluster relation's ground truth — algorithm-agnostic
+    * (recursive transitive closure, min reachable id per component), so
+    * it serves BOTH registered resolutions: min-label propagation
+    * (`dedup_clusters`) and the large-star/small-star contraction
+    * (`dedup_clusters_twostar`).
+    */
+  private lazy val clustersOracle: String =
+    s"""WITH RECURSIVE $repDocShingles,
+       |$fuzzyEdgesCte,
+       |$clustersCte,
+       |$expandClustersCte
+       |SELECT doc_id::BIGINT AS doc_id, cluster_id::BIGINT AS cluster_id
+       |FROM expanded ORDER BY doc_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -4026,13 +4044,10 @@ object SparkEntry {
     // connected components: DuckDB replays the pair graph as a recursive
     // transitive closure (tiny at oracle scale); Spark's min-label
     // propagation converges to the same (doc, min-reachable-id) relation
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE $repDocShingles,
-         |$fuzzyEdgesCte,
-         |$clustersCte,
-         |$expandClustersCte
-         |SELECT doc_id::BIGINT AS doc_id, cluster_id::BIGINT AS cluster_id
-         |FROM expanded ORDER BY doc_id""".stripMargin,
+    "dedup_clusters" -> clustersOracle,
+    // same ground truth for the star-contraction algorithm: the oracle
+    // is algorithm-agnostic (transitive closure + min id per component)
+    "dedup_clusters_twostar" -> clustersOracle,
     // size histogram over the same expanded components
     "dedup_cluster_sizes" ->
       s"""WITH RECURSIVE $repDocShingles,

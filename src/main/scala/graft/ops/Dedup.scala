@@ -1126,6 +1126,130 @@ object Dedup {
     out
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * contractions (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
+    * "Connected Components in MapReduce and Beyond", SoCC 2014 — the
+    * Two-Phase algorithm): the O(log n)-ROUND alternative to
+    * [[connectedComponents]]' min-label propagation. Propagation pays
+    * one round per unit of graph DIAMETER; a chain-like topology
+    * (mirror-of-a-mirror-of-a-mirror duplication is exactly this) makes
+    * the round count linear in chain length, each round a full shuffle.
+    * The star contractions hook whole subtrees directly onto their
+    * minimum in one step, so tree heights collapse geometrically and
+    * round count is logarithmic in component size REGARDLESS of
+    * diameter — the published worst-case fix for CC at cluster scale
+    * (TwoStarSpec measures it: a 64-node chain converges in <= 8 star
+    * rounds where propagation needs 63).
+    *
+    * Each star op is ONE bounded per-node min-aggregation plus ONE hash
+    * join of that |nodes|-row min table back onto the edge list — the
+    * neighbor list of a hot node is never collected; the only per-node
+    * state crossing a shuffle is its current min.
+    *
+    *   large-star(u): m = min(N(u) ∪ {u}); re-attach every STRICTLY
+    *     LARGER neighbor v > u to m (computed over the symmetric view);
+    *   small-star(u): on the canonical large→small orientation,
+    *     m = min of u's smaller neighbors; attach each of them and u
+    *     itself to m.
+    *
+    * Loop discipline deliberately DIFFERS from connectedComponents: the
+    * edge set itself evolves (no static checkpointed side), and each
+    * star references the current edge table twice (min aggregation +
+    * join back), so lineage would double per round without a hard cut —
+    * every round localCheckpoint's its result instead of persisting.
+    * The checkpoint-block residency tradeoff documented on the CC loop
+    * is bounded here BY THE ALGORITHM: rounds are O(log n) (not
+    * O(diameter)), and the edge set contracts toward one row per
+    * non-root node, so at most a handful of shrinking edge tables are
+    * ever resident.
+    *
+    * Convergence is EXACT successive-round set equality (equal counts +
+    * empty left-anti on the canonical, distinct sets) — star rounds do
+    * not shrink per-node labels monotonically, so the labelSum scalar
+    * invariant does not apply. At the fixed point each component is a
+    * single star centered at its minimum id (paper, Thm 1-3), so the
+    * final label table is one min-aggregation over the star edges.
+    *
+    * Input/output contract identical to [[connectedComponents]]:
+    * (doc_a, doc_b) pairs in, (doc_id, cluster_id = component min) out
+    * for every node appearing in some pair. TwoStarSpec pins equality
+    * with the propagation form on chain, star, two-component and
+    * self-loop graphs; `dedup_clusters_twostar` shares
+    * `dedup_clusters`' recursive-CTE oracle.
+    */
+  def connectedComponentsTwoStar(pairs: DataFrame, maxIters: Int = 50): DataFrame =
+    twoStarWithRounds(pairs, maxIters)._1
+
+  /** [[connectedComponentsTwoStar]] plus the round count it took —
+    * package-visible so TwoStarSpec can pin the logarithmic-round claim
+    * on a high-diameter graph. */
+  private[graft] def twoStarWithRounds(pairs: DataFrame,
+                                       maxIters: Int = 50): (DataFrame, Int) = {
+    val spark = pairs.sparkSession
+    val sessionParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val nEdges = pairs.count() * 2
+    // edge-volume-sized width via explicit repartition only (the
+    // connectedComponents ConcurrencySpec contract — never conf.set)
+    val parts = math.max(1L, math.min(sessionParts.toLong,
+      (nEdges + 99999L) / 100000L)).toInt
+    // every input node, for singleton/root labeling at the end
+    val nodes = pairs.select(col("doc_a").as("n"))
+      .union(pairs.select(col("doc_b").as("n")))
+      .distinct()
+      .localCheckpoint()
+    // canonical (hi > lo) distinct start set; input self-pairs drop
+    // (their nodes stay in `nodes` and label themselves)
+    var cur = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("hi"),
+        least(col("doc_a"), col("doc_b")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+      .repartition(parts, col("hi"))
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      // LARGE-STAR over the symmetric view
+      val sym = cur.select(col("hi").as("u"), col("lo").as("v"))
+        .union(cur.select(col("lo").as("u"), col("hi").as("v")))
+      val lmins = sym.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      val ls = sym.join(lmins, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+        .localCheckpoint()
+      // SMALL-STAR on the canonical orientation: all of hi's neighbors
+      // here are < hi, so m = min(lo) needs no least() with hi
+      val smins = ls.groupBy("hi").agg(min(col("lo")).as("m"))
+      val ss = ls.join(smins, Seq("hi"))
+        .select(col("lo").as("a"), col("m").as("b"))
+        .union(smins.select(col("hi").as("a"), col("m").as("b")))
+        .select(greatest(col("a"), col("b")).as("hi"),
+          least(col("a"), col("b")).as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+        .localCheckpoint()
+      converged = ss.count() == cur.count() &&
+        ss.join(cur, Seq("hi", "lo"), "left_anti").isEmpty
+      cur = ss
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsTwoStar did not converge in $maxIters rounds " +
+          "— a non-star edge set would yield wrong cluster ids; " +
+          "raise maxIters (rounds are O(log n), so this indicates a bug)")
+    // star fixed point: every canonical edge points member -> root
+    val lab = cur.groupBy(col("hi").as("mem")).agg(min(col("lo")).as("root"))
+    val out = nodes.join(lab, nodes("n") === lab("mem"), "left")
+      .select(col("n").as("doc_id"),
+        coalesce(col("root"), col("n")).as("cluster_id"))
+      .orderBy("doc_id")
+      .localCheckpoint()
+    (out, it)
+  }
+
   /** Fuzzy-dedup cluster resolution: the three fuzzy rungs emit PAIRS;
     * this resolves them into components so a pipeline can make the
     * keep/drop decision. Edges = union of minhash-LSH, simhash and
@@ -1146,7 +1270,23 @@ object Dedup {
     * Output: (doc_id, cluster_id) for every doc that is an exact copy of
     * another doc or whose content is fuzzy-paired, ordered by doc_id.
     */
-  def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+  def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    nearDupClustersVia(spark, sfDir, connectedComponents(_))
+
+  /** dedup_clusters_twostar: [[nearDupClusters]] with the component
+    * resolution swapped for [[connectedComponentsTwoStar]] — same rungs,
+    * same rep collapse/expansion, same output relation (the registered
+    * query shares dedup_clusters' oracle, so the driver hash-compares
+    * the two algorithms against the same recursive-CTE ground truth).
+    * This is the resolution a 100 TB corpus build would actually run:
+    * crawl duplication graphs contain long mirror chains, and the star
+    * contraction's round count is independent of them.
+    */
+  def nearDupClustersTwoStar(spark: SparkSession, sfDir: String): DataFrame =
+    nearDupClustersVia(spark, sfDir, connectedComponentsTwoStar(_))
+
+  private def nearDupClustersVia(spark: SparkSession, sfDir: String,
+                                 cc: DataFrame => DataFrame): DataFrame = {
     val docs = table(spark, sfDir, "documents")
     // narrow (doc_id, rep_id, n_copies) map, materialized once: feeds the
     // rep filter now and the membership expansion after clustering
@@ -1162,7 +1302,7 @@ object Dedup {
       .union(ngramJaccardPairsFromShingles(sh).select("doc_a", "doc_b"))
       .distinct()
       .localCheckpoint()
-    val repClusters = connectedComponents(pairs)
+    val repClusters = cc(pairs)
       .select(col("doc_id").as("rep_id"), col("cluster_id"))
     // expand: inherit the rep's cluster; dup groups (>= 2 copies) with an
     // unclustered rep become their own component keyed by the rep
