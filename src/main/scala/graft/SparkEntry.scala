@@ -111,6 +111,10 @@ object SparkEntry {
     // ratio-thresholded edge set, one degree agg + two semi-joins per
     // round, edge lineage checkpointed flat
     "graph_kcore" -> ((s, dir) => Graph.kCore(s, dir)),
+    // deterministic synchronous label-propagation communities (most
+    // frequent neighbor label, ties to the smallest) — finds the dense
+    // GROUPS where k-core finds the core and components reachability
+    "graph_communities" -> ((s, dir) => Graph.communities(s, dir)),
     // set-operation family: churned/retained/new customer segments via
     // EXCEPT / INTERSECT over distinct year-activity key sets
     "rel_churn" -> ((s, dir) => Relational.customerChurnSetOps(s, dir)),
@@ -2117,6 +2121,41 @@ object SparkEntry {
         |SELECT node, count(*)::BIGINT AS d
         |FROM (SELECT u AS node FROM e3 UNION ALL SELECT v AS node FROM e3)
         |GROUP BY node ORDER BY node""".stripMargin,
+    // LPA replay: three chained vote/argmax rounds over the same
+    // ratio-thresholded edge set; tie order (cnt DESC, label ASC)
+    // mirrors max(struct(cnt, -label))
+    "graph_communities" ->
+      """WITH so AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS s FROM lineitem),
+        |no AS (SELECT s, count(*)::BIGINT AS n_orders FROM so GROUP BY s),
+        |ew AS (
+        |  SELECT a.s AS u, b.s AS v, count(*)::BIGINT AS shared
+        |  FROM so a JOIN so b ON a.ok = b.ok AND a.s < b.s
+        |  GROUP BY 1, 2),
+        |e AS (
+        |  SELECT u, v FROM ew
+        |  JOIN no nu ON nu.s = ew.u JOIN no nv ON nv.s = ew.v
+        |  WHERE (1000000 * shared) // least(nu.n_orders, nv.n_orders) >= 10000),
+        |sym AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+        |l0 AS (SELECT DISTINCT src AS n, src AS label FROM sym),
+        |v1 AS (SELECT src, label, count(*)::BIGINT AS cnt
+        |       FROM sym JOIN l0 ON sym.dst = l0.n GROUP BY 1, 2),
+        |l1 AS (SELECT src AS n, label FROM (
+        |  SELECT src, label,
+        |    row_number() OVER (PARTITION BY src ORDER BY cnt DESC, label ASC) AS rk
+        |  FROM v1) WHERE rk = 1),
+        |v2 AS (SELECT src, label, count(*)::BIGINT AS cnt
+        |       FROM sym JOIN l1 ON sym.dst = l1.n GROUP BY 1, 2),
+        |l2 AS (SELECT src AS n, label FROM (
+        |  SELECT src, label,
+        |    row_number() OVER (PARTITION BY src ORDER BY cnt DESC, label ASC) AS rk
+        |  FROM v2) WHERE rk = 1),
+        |v3 AS (SELECT src, label, count(*)::BIGINT AS cnt
+        |       FROM sym JOIN l2 ON sym.dst = l2.n GROUP BY 1, 2),
+        |l3 AS (SELECT src AS n, label FROM (
+        |  SELECT src, label,
+        |    row_number() OVER (PARTITION BY src ORDER BY cnt DESC, label ASC) AS rk
+        |  FROM v3) WHERE rk = 1)
+        |SELECT n AS node, label AS community FROM l3 ORDER BY node""".stripMargin,
     // triangle census: same degree-ordered orientation, wedge self-join
     // on the oriented low endpoint, EXISTS closure on the canonical
     // edge set

@@ -84,4 +84,20 @@ class GraphSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(rows === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
   }
+
+  test("LPA communities: barbell graph splits into its two triangles") {
+    import spark.implicits._
+    // two triangles {1,2,3} and {4,5,6} bridged by 3-4. Hand-computed
+    // synchronous rounds (most frequent neighbor label, ties to min):
+    //   r1: 1->2 2->1 3->1 4->3 5->4 6->4
+    //   r2: 1->1 2->1 3->1 4->4 5->3 6->3
+    //   r3: 1->1 2->1 3->1 4->3 5->3 6->3
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L)).toDF("u", "v")
+      .localCheckpoint()
+    val rows = Graph.communitiesFromEdges(e, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows === Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 3L), (5L, 3L), (6L, 3L)))
+  }
 }
