@@ -513,6 +513,10 @@ object SparkEntry {
     // corpus size); bit-identical vectors collapse to representatives
     // before pairing (the emb_exact_dups guard)
     "sim_semdedup" -> ((s, dir) => Similarity.semDedup(s, dir)),
+    // cell-local kNN graph over representatives: each vector's k best
+    // same-cell peers by exact cosine — the batch primitive clustering
+    // and graph-based dedup consume
+    "sim_knn_graph" -> ((s, dir) => Similarity.knnGraph(s, dir)),
     // epsilon calibration for semdedup: per-threshold pair and drop
     // counts from ONE pairing pass — bucketed histograms + a 10-row
     // grid, never a per-threshold corpus re-scan
@@ -5345,6 +5349,31 @@ object SparkEntry {
          |  ((1000 * g.n_vecs) // t.total)::BIGINT AS share_milli,
          |  (g.n_vecs * t.n_cells >= t.total * 2) AS hot
          |FROM g CROSS JOIN t ORDER BY cell""".stripMargin,
+    // kNN graph: the semdedup cell/rep CTEs, all ordered same-cell
+    // pairs scored, rank window cut at k=5
+    "sim_knn_graph" ->
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |vreps AS (SELECT min(vec_id) AS vec_id FROM emb GROUP BY v),
+         |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0),
+         |remb AS (SELECT * FROM emb WHERE vec_id IN (SELECT vec_id FROM vreps)),
+         |scored AS (
+         |  SELECT e.vec_id, e.v, c.c_id, ${cosMilli("e.v", "c.cv")} AS cs
+         |  FROM remb e CROSS JOIN cent c),
+         |assigned AS (
+         |  SELECT vec_id, v, c_id AS cell FROM (
+         |    SELECT vec_id, v, c_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id ASC) AS ark
+         |    FROM scored) WHERE ark = 1),
+         |nbrs AS (
+         |  SELECT a.vec_id AS src, b.vec_id AS n_id, ${cosMilli("a.v", "b.v")} AS cos_milli
+         |  FROM assigned a JOIN assigned b
+         |    ON a.cell = b.cell AND a.vec_id != b.vec_id),
+         |ranked AS (
+         |  SELECT src, n_id, cos_milli,
+         |    row_number() OVER (PARTITION BY src ORDER BY cos_milli DESC, n_id ASC) AS rk
+         |  FROM nbrs)
+         |SELECT src AS vec_id, rk, n_id, cos_milli
+         |FROM ranked WHERE rk <= 5 ORDER BY vec_id, rk""".stripMargin,
     // epsilon sweep: the same cell/pair CTEs, then a naive grid
     // left-join restatement of the histogram cumulation ("bucket >= tau"
     // == "cs >= tau" since every tau is a bucket boundary)

@@ -834,6 +834,48 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** sim_knn_graph: k-nearest-neighbor GRAPH construction over the
+    * embedding corpus — the batch primitive semantic clustering,
+    * graph-based dedup and HNSW-style index builds all consume (each
+    * wants "every vector's k closest peers", not one query's top-k).
+    * Neighbors are cell-local: the same coarse quantizer the ANN family
+    * pays for (`assignCells`, the sim_ivf strided centroids) buckets
+    * the corpus, and each representative keeps its k best same-cell
+    * peers by exact cosine — the SemDeDup clustering discipline (Abbas
+    * et al. 2023) applied to graph building.
+    *
+    * Scale shape: identical to [[semDedup]] — bit-identical vectors
+    * collapse to representatives BEFORE pairing, the self-join is
+    * quadratic in CELL size only (expected cell size is fixed by
+    * construction as the corpus grows), and AQE splits residual hot
+    * cells. The per-source top-k runs as a row_number window whose
+    * partitions are bounded by cell size — never a corpus-wide sort.
+    * Vectors alone in their cell emit no rows (an honest recall gap the
+    * ivfBalance audit prices; production raises nprobe or re-trains).
+    *
+    * Output: (vec_id, rk, n_id, cos_milli) — each representative's
+    * ranked neighbor list, rk 1..k, ties on cosine broken by id.
+    */
+  def knnGraph(spark: SparkSession, sfDir: String,
+               centroidMod: Int = 50, k: Int = 5): DataFrame = {
+    val emb = embeddings(spark, sfDir)
+    val cent = emb.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val assigned = assignCells(vectorRepresentatives(emb), broadcast(cent))
+    val a = assigned.select(col("cell"), col("vec_id").as("src"), col("v").as("sv"))
+    val b = assigned.select(col("cell"), col("vec_id").as("n_id"), col("v").as("nv"))
+    val scored = a.join(b, Seq("cell"))
+      .filter(col("src") =!= col("n_id"))
+      .select(col("src"), col("n_id"), cosMilli(col("sv"), col("nv")).as("cos_milli"))
+    val w = Window.partitionBy("src")
+      .orderBy(col("cos_milli").desc, col("n_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("src").as("vec_id"), col("rk").cast("long").as("rk"),
+        col("n_id"), col("cos_milli"))
+      .orderBy("vec_id", "rk")
+  }
+
   /** sim_ivf_balance: IVF cell-balance audit — the first operational
     * question asked of a quantizer before serving from it: probe
     * latency is governed by the HOTTEST cells (a probe scans nprobe

@@ -409,4 +409,25 @@ class SimilaritySpec extends SparkSpec {
       (0L, 1L, d2, dp2, Some((1000L * dp2) / (16L * d2))),
       (50L, 51L, 0L, 0L, None)))
   }
+
+  test("knn graph: ranked cell-local neighbors, duplicates collapsed first") {
+    import spark.implicits._
+    // dedicated fixture: only id 0 is a centroid (ids 1-3 are not % 50),
+    // so all representatives share one cell and the cell-local graph is
+    // the exact complete ranked graph. id 1 is bit-identical to 0 and
+    // must collapse out before pairing.
+    val dir = tempSfDir()
+    writeTable(dir, "embeddings", Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0),
+      (1L, Seq(1f, 0f, 0f, 0f), 0),  // duplicate of 0
+      (2L, Seq(3f, 1f, 0f, 0f), 0),  // cos w/ 0 = 3/sqrt(10) -> 948
+      (3L, Seq(0f, 1f, 0f, 0f), 1)   // cos w/ 0 = 0; w/ 2 = 316
+    ).toDF("vec_id", "embedding", "label"))
+    val rows = Similarity.knnGraph(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows === Seq(
+      (0L, 1L, 2L, 948L), (0L, 2L, 3L, 0L),
+      (2L, 1L, 0L, 948L), (2L, 2L, 3L, 316L),
+      (3L, 1L, 2L, 316L), (3L, 2L, 0L, 0L)))
+  }
 }
