@@ -440,6 +440,9 @@ object SparkEntry {
     // contraction — O(log n) rounds vs propagation's O(diameter); both
     // algorithms hash-compare against one recursive-CTE oracle
     "dedup_clusters_twostar" -> ((s, dir) => Dedup.nearDupClustersTwoStar(s, dir)),
+    // SoftDedup: per-doc training weight = 1000 div near-dup cluster
+    // size — duplicated content counts once in expectation, no removal
+    "dedup_soft_weights" -> ((s, dir) => Dedup.softDedupWeights(s, dir)),
     // composed cleaning pipeline: quality gate -> exact dedup survivors
     "pipeline_clean" -> ((s, dir) => Dedup.cleanCorpus(s, dir)),
     // full ladder: quality gate -> exact dedup -> fuzzy-cluster dedup
@@ -4091,6 +4094,24 @@ object SparkEntry {
     // same ground truth for the star-contraction algorithm: the oracle
     // is algorithm-agnostic (transitive closure + min id per component)
     "dedup_clusters_twostar" -> clustersOracle,
+    // SoftDedup weights: the expanded components' sizes joined back to
+    // every document, factor 1 where unclustered
+    "dedup_soft_weights" ->
+      s"""WITH RECURSIVE $repDocShingles,
+         |$fuzzyEdgesCte,
+         |$clustersCte,
+         |$expandClustersCte,
+         |cs AS (
+         |  SELECT cluster_id, count(*)::BIGINT AS cluster_n
+         |  FROM expanded GROUP BY cluster_id),
+         |dd AS (
+         |  SELECT m.doc_id, coalesce(c.cluster_n, 1)::BIGINT AS dup_factor
+         |  FROM repmap m
+         |  LEFT JOIN expanded e ON e.doc_id = m.doc_id
+         |  LEFT JOIN cs c ON c.cluster_id = e.cluster_id)
+         |SELECT doc_id::BIGINT AS doc_id, dup_factor,
+         |  (1000 // dup_factor)::BIGINT AS weight_milli
+         |FROM dd ORDER BY doc_id""".stripMargin,
     // size histogram over the same expanded components
     "dedup_cluster_sizes" ->
       s"""WITH RECURSIVE $repDocShingles,

@@ -1337,6 +1337,36 @@ object Dedup {
         ((col("cluster_size") - lit(1)) * col("n_clusters")).as("docs_removed"))
       .orderBy("cluster_size")
 
+  /** dedup_soft_weights: duplication-aware TRAINING WEIGHTS instead of
+    * removal (the SoftDedup recipe, He et al. 2024: hard dedup throws
+    * away the signal that duplicated text is often popular/high-quality
+    * text; down-weighting each copy by its cluster's size keeps every
+    * document in the mix while making each duplicated CONTENT count
+    * once in expectation). The duplication factor is the size of the
+    * doc's near-dup cluster from [[nearDupClusters]] — which already
+    * covers both exact copies (expanded through the rep map) and fuzzy
+    * variants — defaulting to 1 for unclustered docs;
+    * weight_milli = 1000 div dup_factor, so a cluster's total weight is
+    * ~1000 regardless of how many near-copies the crawl found.
+    *
+    * Scale shape: the clusters machinery plus one map-side-combinable
+    * size aggregate and two joins keyed on doc/cluster ids — nothing
+    * new shuffles document text. Output: (doc_id, dup_factor,
+    * weight_milli) for every document, ordered.
+    */
+  def softDedupWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val clusters = nearDupClusters(spark, sfDir).localCheckpoint()
+    val sizes = clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_n"))
+    table(spark, sfDir, "documents").select("doc_id")
+      .join(clusters, Seq("doc_id"), "left")
+      .join(sizes, Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_n"), lit(1L)).as("dup_factor"))
+      .withColumn("weight_milli", expr("1000 div dup_factor"))
+      .orderBy("doc_id")
+  }
+
   /** The full corpus-cleaning ladder: quality gate -> exact dedup
     * (cleanCorpus) -> FUZZY dedup: among the surviving docs, keep one
     * doc per near-dup cluster (the smallest surviving doc_id; docs in no

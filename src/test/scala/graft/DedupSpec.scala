@@ -238,6 +238,15 @@ class DedupSpec extends SparkSpec {
     assert(rows === Seq((3L, 1L, 3L, 2L)))
   }
 
+  test("soft-dedup weights: cluster members split ~1000, singletons keep it") {
+    // docs {1,2,3} share the 3-doc cluster -> factor 3, weight 333;
+    // doc 4 is unclustered -> factor 1, weight 1000
+    val rows = Dedup.softDedupWeights(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows === Seq((1L, 3L, 333L), (2L, 3L, 333L),
+      (3L, 3L, 333L), (4L, 1L, 1000L)))
+  }
+
   test("substring refresh: fresh batch probes merged store, fresh-fresh dups counted") {
     import spark.implicits._
     val dir = tempSfDir()
