@@ -140,6 +140,12 @@ object SparkEntry {
     // partitioning reused by the semi probe, the anti probe and the
     // lateness join; distributed top-k
     "rel_waiting_suppliers" -> ((s, dir) => Relational.waitingSuppliers(s, dir)),
+    // TPC-H Q8 shape: supplier-nation revenue share per year inside one
+    // region x part-type market; exact ppm shares, no float money
+    "rel_market_share" -> ((s, dir) => Relational.marketShare(s, dir)),
+    // TPC-H Q22 shape: above-average-balance customers with no orders
+    // (1-row stats broadcast + cross-multiplied compare + anti join)
+    "rel_idle_customers" -> ((s, dir) => Relational.idleCustomers(s, dir)),
     // TPC-H Q17 shape: correlated avg-quantity subquery decorrelated to
     // a per-part aggregate + broadcast brand probe; integer
     // cross-multiplied threshold, decimal-exact money
@@ -2262,6 +2268,51 @@ object SparkEntry {
         |FROM blame b JOIN supplier sup ON b.s = sup.s_suppkey
         |GROUP BY sup.s_name
         |ORDER BY numwait DESC, sup.s_name LIMIT 20""".stripMargin,
+    // Q8 market share: integral units = cents x (100 - discount pct),
+    // HUGEINT accumulation mirrors the DECIMAL(38,0) sums
+    "rel_market_share" ->
+      """WITH market AS (
+        |  SELECT c_custkey FROM customer
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        |sn AS (
+        |  SELECT s_suppkey, n_name FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey),
+        |f AS (
+        |  SELECT year(o_orderdate)::BIGINT AS o_year, sn.n_name,
+        |    (CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      * (100 - CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)))::HUGEINT
+        |      AS units
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN market ON o_custkey = c_custkey
+        |  JOIN sn ON l_suppkey = s_suppkey),
+        |g AS (
+        |  SELECT o_year, n_name, count(*)::BIGINT AS n_items,
+        |    sum(units) AS units
+        |  FROM f GROUP BY 1, 2)
+        |SELECT o_year, n_name, n_items,
+        |  ((1000000 * units) // sum(units) OVER (PARTITION BY o_year))::BIGINT
+        |    AS share_ppm
+        |FROM g ORDER BY o_year, n_name""".stripMargin,
+    // Q22: the same cross-multiplied average compare, NOT EXISTS anti
+    "rel_idle_customers" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents
+        |  FROM customer),
+        |st AS (
+        |  SELECT count(*)::BIGINT AS n_pos, sum(bal_cents)::BIGINT AS sum_pos
+        |  FROM cust WHERE bal_cents > 0)
+        |SELECT c_mktsegment, count(*)::BIGINT AS n_custs,
+        |  sum(bal_cents)::BIGINT AS total_bal_cents
+        |FROM cust CROSS JOIN st
+        |WHERE bal_cents * n_pos > sum_pos
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     // skew bands: floor(log2(cnt)) as binary digit count — DuckDB bin()
     // and Spark bin() render identically (no leading zeros)
     "rel_skew_audit" ->

@@ -573,4 +573,96 @@ object Relational {
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(topK)
   }
+
+  /** rel_market_share: the TPC-H Q8 shape — within one MARKET (orders
+    * from customers of one region, lines of one part type), each
+    * SUPPLIER NATION's yearly revenue share. Q8's point is the 6-table
+    * star with two independent nation lookups (customer-side for the
+    * market filter, supplier-side for the share dimension) — the same
+    * dimension table joined twice in different roles.
+    *
+    * Exact-integer money: a line's discounted revenue is carried as
+    * price_cents * (100 - discount_pct) — both factors exact BIGINTs
+    * (prices have 2 decimals, discounts are whole percents) — and
+    * accumulated in DECIMAL(38,0) so a 100 TB year cannot wrap;
+    * share_ppm = (1,000,000 * nation_units) div year_units is then
+    * bit-identical on any engine, no float revenue anywhere.
+    *
+    * Scale shape: every dimension (pruned part keys, market customer
+    * keys, supplier->nation map) BROADCASTS into the fact scan; the
+    * only fact-sized shuffle is lineitem⋈orders on orderkey. The share
+    * window runs over the |years x nations| aggregate rows, never the
+    * facts. Output: (o_year, n_name, n_items, share_ppm), ordered.
+    */
+  def marketShare(spark: SparkSession, sfDir: String,
+                  region: String = "ASIA", ptype: String = "PROMO"): DataFrame = {
+    val nat = table(spark, sfDir, "nation")
+    val marketCust = table(spark, sfDir, "customer")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(table(spark, sfDir, "region")
+        .filter(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val suppNation = table(spark, sfDir, "supplier")
+      .join(broadcast(nat.select(col("n_nationkey").as("sn_key"), col("n_name"))),
+        col("s_nationkey") === col("sn_key"))
+      .select(col("s_suppkey"), col("n_name"))
+    val units = ((col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long") *
+      (lit(100L) - (col("l_discount").cast("decimal(18,2)") * 100).cast("long")))
+    val byNation = table(spark, sfDir, "lineitem")
+      .join(broadcast(table(spark, sfDir, "part")
+        .filter(col("p_type") === ptype).select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(table(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(marketCust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"), col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(units.cast("decimal(38,0)")).as("units"))
+    val w = Window.partitionBy("o_year")
+    byNation
+      .withColumn("total", sum(col("units")).over(w))
+      .select(col("o_year"), col("n_name"), col("n_items"),
+        expr("(1000000 * units) div total").as("share_ppm"))
+      .orderBy("o_year", "n_name")
+  }
+
+  /** rel_idle_customers: the TPC-H Q22 shape — wealthy-but-idle
+    * accounts: customers whose balance exceeds the average over
+    * positive-balance customers yet who have placed no orders SINCE
+    * `since` (the synthetic corpus gives every customer some ancient
+    * order, so absolute never-ordered is vacuous — recency-idle is
+    * both non-vacuous and the realistic churn form), rolled up per
+    * market segment. Q22's two structural points survive the schema
+    * translation intact: a GLOBAL scalar subquery feeding the per-row
+    * filter, and an anti join proving order absence.
+    *
+    * The scalar average is DECORRELATED the [[smallQuantityRevenue]]
+    * way — no float average exists: the 1-row (n_pos, sum_pos) cents
+    * aggregate broadcasts, and "bal > avg" compares by integer
+    * cross-multiplication (bal_cents * n_pos > sum_pos).
+    *
+    * Scale shape: one customer scan feeds both the 1-row stats
+    * aggregate and the filter; the anti join probes the distinct
+    * order-customer keys co-partitioned on custkey; the rollup is
+    * |segments|-bounded. Output: (c_mktsegment, n_custs,
+    * total_bal_cents), ordered.
+    */
+  def idleCustomers(spark: SparkSession, sfDir: String,
+                    since: String = "2000-01-01"): DataFrame = {
+    val cust = table(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"),
+        (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("bal_cents"))
+    val stats = cust.filter(col("bal_cents") > 0L)
+      .agg(count(lit(1)).as("n_pos"), sum(col("bal_cents")).as("sum_pos"))
+    cust.crossJoin(broadcast(stats))
+      .filter(col("bal_cents") * col("n_pos") > col("sum_pos"))
+      .join(table(spark, sfDir, "orders")
+        .filter(col("o_orderdate") >= lit(since).cast("timestamp"))
+        .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_custs"), sum(col("bal_cents")).as("total_bal_cents"))
+      .orderBy("c_mktsegment")
+  }
 }

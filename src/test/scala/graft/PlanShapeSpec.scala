@@ -73,6 +73,9 @@ class PlanShapeSpec extends SparkSpec {
       // SemDeDup assigns cells through the same broadcast centroid
       // cross join as sim_ivf; the pair join itself is cell-keyed
       "sim_semdedup",
+      // the kNN graph reuses that same centroid-broadcast assignment;
+      // its neighbor join is cell-keyed, never all-pairs
+      "sim_knn_graph",
       // the balance audit is the sim_ivf centroid-broadcast assignment
       // plus bounded rollups
       "sim_ivf_balance",
@@ -110,7 +113,10 @@ class PlanShapeSpec extends SparkSpec {
       "graph_triangles",
       // term drift's 1-row totals broadcast (T_old, T_new, V) onto the
       // joined term table — the tfidf one-row-count shape
-      "corpus_term_drift")
+      "corpus_term_drift",
+      // Q22's 1-row (n_pos, sum_pos) balance-stats broadcast onto the
+      // customer scan — the decorrelated scalar subquery, tfidf shape
+      "rel_idle_customers")
     val real = offenders.filterNot(o => sanctioned.exists(o.startsWith))
     assert(real.isEmpty, s"quadratic plan shapes found:\n${real.mkString("\n")}")
   }
