@@ -569,6 +569,9 @@ object SparkEntry {
     // aHash (pigeonhole-complete at d<=3), hot chunks dropped, the
     // decode chain checkpointed once
     "mm_phash_pairs" -> ((s, dir) => Multimodal.aHashPairs(s, dir)),
+    // those pairs resolved into components via the star contraction —
+    // the whole-cluster view image keep/drop decisions need
+    "mm_phash_clusters" -> ((s, dir) => Multimodal.aHashClusters(s, dir)),
     "mm_features" -> ((s, dir) => Multimodal.featureSummary(s, dir)),
     // REAL audio codec round-trip: deterministic WAVs rendered per row,
     // decoded back with javax.sound.sampled; the oracle states what a
@@ -1886,6 +1889,51 @@ object SparkEntry {
       |  JOIN reps r USING (content_key)
       |  LEFT JOIN clusters c ON c.doc_id = r.rep_id
       |  WHERE c.cluster_id IS NOT NULL OR r.n_copies >= 2)""".stripMargin
+
+  /** aHash banded-pairing replay (mirror of Multimodal.aHashPairs over
+    * the arithmetic image fixture): same chunk split, df cap, distinct
+    * candidates, exact xor bit_count. Ends in CTE `pp(id_a, id_b,
+    * hamming)` — the hamming <= 3 near-dup pair relation — shared by
+    * the pair listing and the cluster closure.
+    */
+  private val phashPairsCte =
+    """ids AS (
+      |  SELECT doc_id AS id, (doc_id % 31 + 2) AS w, (doc_id % 17 + 2) AS h
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |s AS (
+      |  SELECT id, w, h, j,
+      |    ((id * 31 + (((j % 8) * w) // 8) * 7 + (((j // 8) * h) // 8) * 13)
+      |      % 256) AS v
+      |  FROM ids, UNNEST(range(0, 64)) AS t(j)),
+      |a AS (SELECT id, (sum(v) // 64) AS avg FROM s GROUP BY id),
+      |hh AS (
+      |  SELECT s.id,
+      |    sum(CASE WHEN s.j < 32 AND s.v > a.avg
+      |             THEN (1::BIGINT << s.j::INT) ELSE 0 END)::BIGINT AS lo,
+      |    sum(CASE WHEN s.j >= 32 AND s.v > a.avg
+      |             THEN (1::BIGINT << (s.j - 32)::INT) ELSE 0 END)::BIGINT AS hi
+      |  FROM s JOIN a ON a.id = s.id GROUP BY s.id),
+      |c AS (
+      |  SELECT id, lo, hi, b.band,
+      |    CASE b.band WHEN 0 THEN lo & 65535
+      |                WHEN 1 THEN (lo >> 16) & 65535
+      |                WHEN 2 THEN hi & 65535
+      |                ELSE (hi >> 16) & 65535 END AS chunk
+      |  FROM hh, (VALUES (0), (1), (2), (3)) AS b(band)),
+      |rare AS (
+      |  SELECT band, chunk FROM c GROUP BY band, chunk
+      |  HAVING count(*) <= 100),
+      |p AS (
+      |  SELECT DISTINCT x.id AS id_a, y.id AS id_b,
+      |    x.lo AS la, x.hi AS ha, y.lo AS lb, y.hi AS hb
+      |  FROM c x JOIN rare r ON x.band = r.band AND x.chunk = r.chunk
+      |  JOIN c y ON y.band = x.band AND y.chunk = x.chunk AND x.id < y.id),
+      |pp AS (
+      |  SELECT id_a, id_b,
+      |    (bit_count(xor(la, lb)::BIGINT) + bit_count(xor(ha, hb)::BIGINT))::BIGINT
+      |      AS hamming
+      |  FROM p
+      |  WHERE bit_count(xor(la, lb)::BIGINT) + bit_count(xor(ha, hb)::BIGINT) <= 3)""".stripMargin
 
   /** The near-dup cluster relation's ground truth — algorithm-agnostic
     * (recursive transitive closure, min reachable id per component), so
@@ -3758,43 +3806,22 @@ object SparkEntry {
     // banded hamming pairing replay over the arithmetic hashes: same
     // chunk split, df cap, distinct candidates, exact xor bit_count
     "mm_phash_pairs" ->
-      """WITH ids AS (
-        |  SELECT doc_id AS id, (doc_id % 31 + 2) AS w, (doc_id % 17 + 2) AS h
-        |  FROM documents WHERE doc_id % 2 = 0),
-        |s AS (
-        |  SELECT id, w, h, j,
-        |    ((id * 31 + (((j % 8) * w) // 8) * 7 + (((j // 8) * h) // 8) * 13)
-        |      % 256) AS v
-        |  FROM ids, UNNEST(range(0, 64)) AS t(j)),
-        |a AS (SELECT id, (sum(v) // 64) AS avg FROM s GROUP BY id),
-        |hh AS (
-        |  SELECT s.id,
-        |    sum(CASE WHEN s.j < 32 AND s.v > a.avg
-        |             THEN (1::BIGINT << s.j::INT) ELSE 0 END)::BIGINT AS lo,
-        |    sum(CASE WHEN s.j >= 32 AND s.v > a.avg
-        |             THEN (1::BIGINT << (s.j - 32)::INT) ELSE 0 END)::BIGINT AS hi
-        |  FROM s JOIN a ON a.id = s.id GROUP BY s.id),
-        |c AS (
-        |  SELECT id, lo, hi, b.band,
-        |    CASE b.band WHEN 0 THEN lo & 65535
-        |                WHEN 1 THEN (lo >> 16) & 65535
-        |                WHEN 2 THEN hi & 65535
-        |                ELSE (hi >> 16) & 65535 END AS chunk
-        |  FROM hh, (VALUES (0), (1), (2), (3)) AS b(band)),
-        |rare AS (
-        |  SELECT band, chunk FROM c GROUP BY band, chunk
-        |  HAVING count(*) <= 100),
-        |p AS (
-        |  SELECT DISTINCT x.id AS id_a, y.id AS id_b,
-        |    x.lo AS la, x.hi AS ha, y.lo AS lb, y.hi AS hb
-        |  FROM c x JOIN rare r ON x.band = r.band AND x.chunk = r.chunk
-        |  JOIN c y ON y.band = x.band AND y.chunk = x.chunk AND x.id < y.id)
-        |SELECT id_a, id_b,
-        |  (bit_count(xor(la, lb)::BIGINT) + bit_count(xor(ha, hb)::BIGINT))::BIGINT
-        |    AS hamming
-        |FROM p
-        |WHERE bit_count(xor(la, lb)::BIGINT) + bit_count(xor(ha, hb)::BIGINT) <= 3
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $phashPairsCte
+         |SELECT id_a, id_b, hamming FROM pp ORDER BY id_a, id_b""".stripMargin,
+    // image near-dup clusters: the same pair relation closed
+    // transitively, min reachable id per component (algorithm-agnostic
+    // ground truth for the star-contraction resolution)
+    "mm_phash_clusters" ->
+      s"""WITH RECURSIVE $phashPairsCte,
+         |pedges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pp
+         |  UNION SELECT id_b AS src, id_a AS dst FROM pp),
+         |preach(src, dst) AS (
+         |  SELECT src, dst FROM pedges
+         |  UNION
+         |  SELECT r.src, e.dst FROM preach r JOIN pedges e ON r.dst = e.src)
+         |SELECT src AS id, least(src, min(dst))::BIGINT AS cluster_id
+         |FROM preach GROUP BY src ORDER BY id""".stripMargin,
     // image dims from the REAL decode (id arithmetic per mm_decode);
     // video dims from the labeled stub (len-derived)
     "mm_features" ->

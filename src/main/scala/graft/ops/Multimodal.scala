@@ -478,6 +478,30 @@ object Multimodal {
       .orderBy("id_a", "id_b")
   }
 
+  /** mm_phash_clusters: image near-duplicate CLUSTERS — the banded
+    * aHash pairs ([[aHashPairs]]) resolved into components, completing
+    * the image-dedup loop the way dedup_clusters completes the text
+    * one (a re-hosted image usually has MANY copies; the keep/drop
+    * decision needs the whole component, not pairwise edges). Runs the
+    * large-star/small-star contraction (Dedup.connectedComponentsTwoStar)
+    * — re-hosting chains (site A copies B copies C) are exactly the
+    * high-diameter topology the star rounds flatten in O(log n).
+    *
+    * Scale shape: the pairing rung's cost dominates (banded, df-capped,
+    * representatives of the decode); the contraction then runs over
+    * near-dup edges only. Output: (id, cluster_id = component-minimum
+    * image id) for every paired image, ordered.
+    */
+  def aHashClusters(spark: SparkSession, sfDir: String,
+                    maxHamming: Int = 3, maxDf: Int = 100): DataFrame = {
+    val pairs = aHashPairs(spark, sfDir, maxHamming, maxDf)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      .localCheckpoint()
+    graft.ops.Dedup.connectedComponentsTwoStar(pairs)
+      .select(col("doc_id").as("id"), col("cluster_id"))
+      .orderBy("id")
+  }
+
   /** Decoded-feature aggregate: per modality, count + summed dimensions.
     * Image dims come from the REAL javax.imageio decode; video dims from
     * the labeled stub (the one codec-less modality).
