@@ -577,6 +577,9 @@ object SparkEntry {
     // decoded back with javax.sound.sampled; the oracle states what a
     // correct decode recovers (sample count, rate, |amplitude| stats)
     "mm_audio_decode" -> ((s, dir) => Multimodal.decodedAudioFeatures(s, dir)),
+    // sign-of-delta frame-energy fingerprint off the real decode — the
+    // 3-integer row ingest persists so matching never re-decodes
+    "mm_audio_fingerprint" -> ((s, dir) => Multimodal.audioFingerprints(s, dir)),
     "mm_resize" -> ((s, dir) => Multimodal.resizePlan(s, dir)),
     // the resample EXECUTED: decode -> nearest-neighbor to the planned
     // box -> re-encode -> decode the OUTPUT; constant-fill sources make
@@ -3851,6 +3854,29 @@ object SparkEntry {
         |SELECT id, n AS n_samples, 8000::BIGINT AS sample_rate,
         |  sum(v)::BIGINT AS sum_abs, max(v)::BIGINT AS peak_abs
         |FROM s GROUP BY id, n ORDER BY id""".stripMargin,
+    // fingerprint replay from the generator's sample arithmetic: frame
+    // of sample i = (8*i) // n, energy rise bits, earliest-peak argmax
+    "mm_audio_fingerprint" ->
+      """WITH a AS (
+        |  SELECT doc_id AS id, (doc_id % 100 + 8)::BIGINT AS n
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |s AS (
+        |  SELECT id, n, i, abs((id * 31 + i * 7) % 65536 - 32768)::BIGINT AS v
+        |  FROM a, UNNEST(range(0, n)) AS u(i)),
+        |fr AS (
+        |  SELECT id, ((8 * i) // n)::INT AS f, sum(v)::BIGINT AS e
+        |  FROM s GROUP BY id, ((8 * i) // n)),
+        |fp AS (
+        |  SELECT x.id,
+        |    sum(CASE WHEN y.e > x.e THEN (1::BIGINT << x.f) ELSE 0 END)::BIGINT AS fp
+        |  FROM fr x JOIN fr y ON y.id = x.id AND y.f = x.f + 1
+        |  GROUP BY x.id),
+        |pk AS (
+        |  SELECT id, f::BIGINT AS peak_frame FROM (
+        |    SELECT id, f, row_number() OVER (PARTITION BY id ORDER BY e DESC, f ASC) AS rk
+        |    FROM fr) WHERE rk = 1)
+        |SELECT id, coalesce(fp, 0)::BIGINT AS fp, peak_frame
+        |FROM pk LEFT JOIN fp USING (id) ORDER BY id""".stripMargin,
     // executed resample chain: output dims are the plan's box, and a
     // correct nearest-neighbor resample of a constant-gray source
     // preserves mean luma exactly through the re-encode/re-decode

@@ -306,6 +306,61 @@ object Multimodal {
     decodeAudio(spark, audioTable(spark, sfDir)).toDF()
       .orderBy("id")
 
+  case class AudioFingerprint(id: Long, fp: Long, peak_frame: Long)
+
+  /** mm_audio_fingerprint: compact audio fingerprint off the REAL
+    * decode — the audio twin of [[imageAHash]]'s ingest-time hashing
+    * stage. Each clip's PCM splits into 8 equal-share frames
+    * (frame of sample i = (8*i) div n); frame energy = sum |sample|;
+    * the fingerprint bit j says energy rose from frame j to j+1 (the
+    * sign-of-delta discipline production audio fingerprints build on,
+    * reduced to its integer-exact core — no FFT, so the oracle can
+    * replay every bit from the generator's sample arithmetic), plus
+    * the loudest frame's index (ties to the earliest). Extraction is
+    * one pass over the samples inside the declared codec seam; the
+    * emitted row is 3 integers per clip regardless of clip length —
+    * what an ingest pipeline persists so matching never re-decodes.
+    *
+    * Output: (id, fp, peak_frame), ordered by id.
+    */
+  def audioFingerprints(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val out = audioTable(spark, sfDir).as[AudioRow].mapPartitions { rows =>
+      rows.map { r =>
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val f = ais.getFormat
+        require(f.getSampleSizeInBits == 16 && f.getChannels == 1 &&
+          !f.isBigEndian &&
+          f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          s"unexpected audio format for id ${r.id}: $f")
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        val e = new Array[Long](8)
+        var i = 0
+        while (i < n) {
+          val s = (bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)
+          e((8 * i) / n) += math.abs(s.toLong)
+          i += 1
+        }
+        var fp = 0L
+        var j = 0
+        while (j < 7) {
+          if (e(j + 1) > e(j)) fp |= (1L << j)
+          j += 1
+        }
+        var pf = 0
+        j = 1
+        while (j < 8) {
+          if (e(j) > e(pf)) pf = j
+          j += 1
+        }
+        AudioFingerprint(r.id, fp, pf.toLong)
+      }
+    }
+    out.toDF().orderBy("id")
+  }
+
   /** Metadata pass that never touches a decoder: byte length + content
     * hash straight off the BINARY column (pure codegen, oracle-checkable).
     */
