@@ -162,6 +162,9 @@ object SparkEntry {
     // medians keep the .5 interpolation integral, the 3.5 threshold
     // multiplies out to pure integer products
     "ev_mad_outliers" -> ((s, dir) => EventWindows.madOutliers(s, dir)),
+    // hour-of-day seasonal baseline + held-out deviation audit — the
+    // seasonality conditioning CUSUM/MAD population stats cannot see
+    "ev_seasonal" -> ((s, dir) => EventWindows.seasonalAudit(s, dir)),
     // CUSUM drift alarm over daily volume: the recursive statistic in
     // its two-window closed form (running sum minus running extremum),
     // windows over the bounded |days| relation only
@@ -694,6 +697,9 @@ object SparkEntry {
     // ingest-time DSIR scoring: batch-derived ratio dimension shipped as
     // a map literal — stateless narrow fold, no stream-side join/shuffle
     "stream_dsir" -> ((s, dir) => StreamingOps.streamDsir(s, dir)),
+    // per-arrival seasonal anomaly flag vs the broadcast hour-of-day
+    // baseline: stateless stream-static join, Append
+    "stream_seasonal" -> ((s, dir) => StreamingOps.streamSeasonal(s, dir)),
     // ingest-time BPE tokenization: trained merges as plan literals —
     // the broadcast-tokenizer serving shape, stateless append
     "stream_bpe_encode" -> ((s, dir) => StreamingOps.streamBpeEncode(s, dir)),
@@ -1937,6 +1943,27 @@ object SparkEntry {
       |      AS hamming
       |  FROM p
       |  WHERE bit_count(xor(la, lb)::BIGINT) + bit_count(xor(ha, hb)::BIGINT) <= 3)""".stripMargin
+
+  /** Seasonal-baseline CTEs (mirror of EventWindows.seasonalBaseline /
+    * seasonalScoreFrame): `sb(event_type, hod, n_train, baseline_milli)`
+    * over the %10!=0 train split, `ssc` = the held-out split scored
+    * against it (alert = value above 2x the bucket mean). Shared by the
+    * batch rollup audit and the per-arrival streaming twin.
+    */
+  private val seasonalCte =
+    """sb AS (
+      |  SELECT event_type, hour(ts)::BIGINT AS hod, count(*)::BIGINT AS n_train,
+      |    (sum(floor(value * 1000)::BIGINT) // count(*))::BIGINT AS baseline_milli
+      |  FROM events WHERE event_id % 10 != 0
+      |  GROUP BY 1, 2),
+      |ssc AS (
+      |  SELECT event_id, e.event_type, hour(e.ts)::BIGINT AS hod,
+      |    floor(e.value * 1000)::BIGINT AS v_milli, b.baseline_milli,
+      |    (b.baseline_milli > 0 AND
+      |     floor(e.value * 1000)::BIGINT > 2 * b.baseline_milli) AS alert
+      |  FROM events e JOIN sb b
+      |    ON e.event_type = b.event_type AND hour(e.ts) = b.hod
+      |  WHERE event_id % 10 = 0)""".stripMargin
 
   /** The near-dup cluster relation's ground truth — algorithm-agnostic
     * (recursive transitive closure, min reachable id per component), so
@@ -5734,6 +5761,22 @@ object SparkEntry {
         |  dn::BIGINT AS cusum_dn_milli,
         |  (up > mean_milli * 3 OR dn > mean_milli * 3) AS alarm
         |FROM x ORDER BY day""".stripMargin,
+    // seasonal family: train-split hour-of-day means, held-out scoring
+    "ev_seasonal" ->
+      s"""WITH $seasonalCte
+         |SELECT b.event_type, b.hod, b.n_train, b.baseline_milli,
+         |  coalesce(r.n_eval, 0)::BIGINT AS n_eval,
+         |  coalesce(r.n_alerts, 0)::BIGINT AS n_alerts
+         |FROM sb b LEFT JOIN (
+         |  SELECT event_type, hod, count(*)::BIGINT AS n_eval,
+         |    sum(CASE WHEN alert THEN 1 ELSE 0 END)::BIGINT AS n_alerts
+         |  FROM ssc GROUP BY 1, 2) r
+         |  ON r.event_type = b.event_type AND r.hod = b.hod
+         |ORDER BY b.event_type, b.hod""".stripMargin,
+    "stream_seasonal" ->
+      s"""WITH $seasonalCte
+         |SELECT event_id, event_type, hod, v_milli, baseline_milli, alert
+         |FROM ssc ORDER BY event_id""".stripMargin,
     "ev_mad_outliers" ->
       """WITH e AS (
         |  SELECT event_type, event_id, floor(value * 1000)::BIGINT AS v_milli

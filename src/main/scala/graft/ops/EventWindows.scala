@@ -756,6 +756,83 @@ object EventWindows {
     * mad4 (quadrupled MAD milli), n_flagged, max_mz_milli (largest
     * modified z-score in milli; null when MAD = 0).
     */
+  /** Per-(event_type, hour-of-day) baseline table for the seasonal
+    * anomaly family: the %10!=0 train split's event count and floored
+    * mean value in millis (the text_lm_holdout split discipline). At
+    * most |types| x 24 rows — always broadcastable, which is the whole
+    * design: a seasonal profile must ship to the scorer, not be joined
+    * fact-to-fact. Values are non-negative in this domain, so the
+    * BIGINT div mean is engine-identical (no negative-floor divergence).
+    */
+  /** Hour-of-day from either ts encoding: the batch `table` helper
+    * normalizes ts to BIGINT epoch-nanos, the streaming harness keeps a
+    * TIMESTAMP — hour() on a UTC-pinned session equals the integer form
+    * exactly (epoch is positive, so plain div floors).
+    */
+  private def hourOfDay(df: DataFrame): Column =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("((ts div 1000000000) div 3600) % 24").cast("long")
+      case _ => hour(col("ts")).cast("long")
+    }
+
+  private[graft] def seasonalBaseline(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = table(spark, sfDir, "events")
+    ev.filter(col("event_id") % 10 =!= 0)
+      .select(col("event_type"), hourOfDay(ev).as("hod"),
+        floor(col("value") * 1000d).cast("long").as("v_milli"))
+      .groupBy("event_type", "hod")
+      .agg(count(lit(1)).as("n_train"),
+        expr("sum(v_milli) div count(1)").as("baseline_milli"))
+  }
+
+  /** Score frame shared by the batch audit and the streaming twin:
+    * held-out (%10==0) events joined to the broadcast baseline on
+    * (type, hour), alert = value above 2x the bucket's seasonal mean.
+    * Inner join by design: a bucket absent from training has no
+    * baseline to score against (production falls back to a type-global
+    * mean; the absence is visible in the audit's left join).
+    */
+  private[graft] def seasonalScoreFrame(ev: DataFrame, baseline: DataFrame): DataFrame =
+    ev.filter(col("event_id") % 10 === 0)
+      .select(col("event_id"), col("event_type"),
+        hourOfDay(ev).as("hod"),
+        floor(col("value") * 1000d).cast("long").as("v_milli"))
+      .join(broadcast(baseline.select("event_type", "hod", "baseline_milli")),
+        Seq("event_type", "hod"))
+      .select(col("event_id"), col("event_type"), col("hod"), col("v_milli"),
+        col("baseline_milli"),
+        (col("baseline_milli") > 0L &&
+          col("v_milli") > col("baseline_milli") * 2L).as("alert"))
+
+  /** ev_seasonal: seasonality-conditioned anomaly audit — the detector
+    * CUSUM ([[cusumAlarm]]) and MAD ([[madOutliers]]) cannot be: both
+    * treat a type's values as one population, so a metric with a daily
+    * rhythm (traffic peaks every evening) either drowns alerts in
+    * expected peaks or misses a midnight spike that would be normal at
+    * noon. Conditioning the baseline on hour-of-day is the standard
+    * first seasonal correction. Train/score on the deterministic
+    * held-out split, roll up per bucket.
+    *
+    * Scale shape: one fact pass builds the bounded (|types| x 24)
+    * baseline, a second scores the held-out split against it BROADCAST
+    * — no fact-to-fact join, rollup map-side combinable. Output:
+    * (event_type, hod, n_train, baseline_milli, n_eval, n_alerts),
+    * ordered; eval counts 0 where the eval split never hit the bucket.
+    */
+  def seasonalAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = seasonalBaseline(spark, sfDir).localCheckpoint()
+    val rollup = seasonalScoreFrame(table(spark, sfDir, "events"), base)
+      .groupBy("event_type", "hod")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("alert"), 1L).otherwise(0L)).as("n_alerts"))
+    base.join(rollup, Seq("event_type", "hod"), "left")
+      .select(col("event_type"), col("hod"), col("n_train"), col("baseline_milli"),
+        coalesce(col("n_eval"), lit(0L)).as("n_eval"),
+        coalesce(col("n_alerts"), lit(0L)).as("n_alerts"))
+      .orderBy("event_type", "hod")
+  }
+
   def madOutliers(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = table(spark, sfDir, "events")
       .select(col("event_type"), col("event_id"),

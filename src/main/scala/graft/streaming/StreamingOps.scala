@@ -779,6 +779,32 @@ object StreamingOps {
     * map literal, so arriving documents score through a narrow per-row
     * token fold: no join, no shuffle, no state on the stream side.
     */
+  /** stream_seasonal: seasonality-conditioned anomaly flagging AT
+    * INGEST — the streaming twin of EventWindows.seasonalAudit's
+    * scoring half, in the production shape: the bounded
+    * (|types| x 24)-row hour-of-day baseline is built batch-side (a
+    * seasonal profile refreshes per snapshot, not per event) and rides
+    * the plan as a broadcast stream-static join, so each arriving
+    * held-out event scores in flight — no stream-side shuffle, no
+    * state store, Append mode. The batch relation over the same
+    * held-out split is the oracle.
+    */
+  def streamSeasonal(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = graft.ops.EventWindows.seasonalBaseline(spark, sfDir)
+      .collect().toSeq
+    runToBatch(spark,
+        s => {
+          import s.implicits._
+          val baseDf = base.map(r =>
+            (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+            .toDF("event_type", "hod", "n_train", "baseline_milli")
+          graft.ops.EventWindows.seasonalScoreFrame(
+            harnessEventStream(s, sfDir), baseDf)
+        },
+        "stream_seasonal", OutputMode.Append())
+      .orderBy("event_id")
+  }
+
   def streamDsir(spark: SparkSession, sfDir: String): DataFrame = {
     val ratio = graft.ops.Corpus.dsirRatioTable(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
