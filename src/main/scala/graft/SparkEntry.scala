@@ -103,6 +103,9 @@ object SparkEntry {
     // PageRank over the customer<->supplier trade graph: 3 rounds of
     // integral-rank propagation over a checkpointed static edge list
     "graph_pagerank" -> ((s, dir) => Graph.pageRank(s, dir)),
+    // HITS hubs/authorities on the directed customer->supplier graph:
+    // integral power iteration, floor-div rescale each half-step
+    "graph_hits" -> ((s, dir) => Graph.hits(s, dir)),
     // exact triangle census of the co-supplier graph via the
     // degree-ordered orientation (a star contributes zero oriented
     // wedges); one audit row with the global clustering coefficient
@@ -1944,6 +1947,24 @@ object SparkEntry {
       |  FROM p
       |  WHERE bit_count(xor(la, lb)::BIGINT) + bit_count(xor(ha, hb)::BIGINT) <= 3)""".stripMargin
 
+  /** One HITS round as CTEs (mirror of Graph.hitsFromPairs' loop body):
+    * given h{k-1}(c, score), derive a{k} and h{k} — raw sums over the
+    * `so` pair list, floor-div rescale to max 1,000,000 in HUGEINT.
+    */
+  private def hitsRound(k: Int): String =
+    s"""a${k}r AS (
+       |  SELECT s, sum(h.score) AS raw FROM so JOIN h${k - 1} h USING (c)
+       |  GROUP BY s),
+       |a$k AS (
+       |  SELECT s, (1000000::HUGEINT * raw) // (SELECT max(raw) FROM a${k}r)
+       |    AS score FROM a${k}r),
+       |h${k}r AS (
+       |  SELECT c, sum(a.score) AS raw FROM so JOIN a$k a USING (s)
+       |  GROUP BY c),
+       |h$k AS (
+       |  SELECT c, (1000000::HUGEINT * raw) // (SELECT max(raw) FROM h${k}r)
+       |    AS score FROM h${k}r)""".stripMargin
+
   /** Seasonal-baseline CTEs (mirror of EventWindows.seasonalBaseline /
     * seasonalScoreFrame): `sb(event_type, hod, n_train, baseline_milli)`
     * over the %10!=0 train split, `ssc` = the held-out split scored
@@ -2212,6 +2233,25 @@ object SparkEntry {
         |SELECT node, count(*)::BIGINT AS d
         |FROM (SELECT u AS node FROM e3 UNION ALL SELECT v AS node FROM e3)
         |GROUP BY node ORDER BY node""".stripMargin,
+    // HITS replay: three chained (auth, hub) rounds, HUGEINT sums,
+    // floor-div rescale, top-10 per role
+    "graph_hits" ->
+      s"""WITH so AS (
+         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+         |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+         |h0 AS (SELECT DISTINCT c, 1000000::HUGEINT AS score FROM so),
+         |${hitsRound(1)},
+         |${hitsRound(2)},
+         |${hitsRound(3)},
+         |ta AS (
+         |  SELECT 'authority' AS kind, s AS node, score::BIGINT AS score_micros
+         |  FROM a3 ORDER BY score DESC, s ASC LIMIT 10),
+         |th AS (
+         |  SELECT 'hub' AS kind, c AS node, score::BIGINT AS score_micros
+         |  FROM h3 ORDER BY score DESC, c ASC LIMIT 10)
+         |SELECT kind, node, score_micros
+         |FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
+         |ORDER BY kind, score_micros DESC, node""".stripMargin,
     // LPA replay: three chained vote/argmax rounds over the same
     // ratio-thresholded edge set; tie order (cnt DESC, label ASC)
     // mirrors max(struct(cnt, -label))

@@ -258,6 +258,88 @@ object Graph {
       .orderBy("node")
   }
 
+  /** graph_hits: HITS hubs & authorities (Kleinberg 1999) over the
+    * DIRECTED customer->supplier trade graph — the second canonical
+    * link-analysis algorithm next to [[pageRank]], and the one that
+    * answers a different question: PageRank ranks global influence on a
+    * symmetric walk; HITS separates the two ROLES of a bipartite
+    * market (a hub customer buys from many good suppliers; an
+    * authority supplier is bought from by many good hubs — mutually
+    * recursive by definition, which is why one score cannot express
+    * it).
+    *
+    * Fixed-point iteration in exact integers: hub_0 = 1,000,000;
+    * auth = sum of linked hubs, hub = sum of linked (rescaled) auths,
+    * each rescaled to max 1,000,000 by floor division after every
+    * half-step (the power-iteration normalization, integral so the
+    * oracle replays it as chained CTEs — the emb_pca_power rescale
+    * discipline). Sums and the rescale product accumulate in
+    * DECIMAL(38,0): 1e6-scale scores times 1e12-edge hubs would wrap a
+    * BIGINT.
+    *
+    * Scale shape: the [[pageRankFromPairs]] loop contract — the edge
+    * list is repartitioned once and checkpointed; each half-step is one
+    * co-partitioned join of the bounded score table plus one map-side-
+    * combinable sum; the 1-row max broadcasts back (never a collect).
+    *
+    * Output: (kind, node, score_micros) — top `topK` suppliers by
+    * authority and customers by hub score, (score desc, node asc).
+    */
+  def hits(spark: SparkSession, sfDir: String,
+           iters: Int = 3, topK: Int = 10): DataFrame = {
+    val pairs = table(spark, sfDir, "orders")
+      .join(table(spark, sfDir, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    val (hub, auth) = hitsFromPairs(pairs, iters)
+    val top = auth.select(lit("authority").as("kind"), col("s").as("node"),
+        col("score").as("score_micros"))
+      .orderBy(col("score_micros").desc, col("node").asc).limit(topK)
+      .unionByName(
+        hub.select(lit("hub").as("kind"), col("c").as("node"),
+          col("score").as("score_micros"))
+          .orderBy(col("score_micros").desc, col("node").asc).limit(topK))
+    top.orderBy(col("kind"), col("score_micros").desc, col("node").asc)
+  }
+
+  /** Core HITS rounds over an arbitrary (c, s) pair list — package-
+    * visible so GraphSpec can pin an independent exact-integer replay.
+    * Returns (hub(c, score), auth(s, score)), scores in micros.
+    */
+  private[graft] def hitsFromPairs(pairs: DataFrame,
+                                   iters: Int): (DataFrame, DataFrame) = {
+    val sessionParts = pairs.sparkSession.conf
+      .get("spark.sql.shuffle.partitions")
+    val p = pairs.localCheckpoint()
+    val nEdges = p.count()
+    val parts = math.max(1L, math.min(sessionParts.toLong,
+      (nEdges + 99999L) / 100000L)).toInt
+    val edges = p.repartition(parts, col("c")).localCheckpoint()
+    def rescaled(df: DataFrame, key: String): DataFrame = {
+      val mx = df.agg(max(col("raw")).as("mx"))
+      df.crossJoin(broadcast(mx))
+        .select(col(key),
+          expr("(1000000 * cast(raw as decimal(38,0))) div mx").as("score"))
+    }
+    var hub = edges.select("c").distinct()
+      .withColumn("score", lit(1000000L))
+    var auth: DataFrame = null
+    for (i <- 1 to iters) {
+      auth = rescaled(
+        edges.join(hub, Seq("c"))
+          .groupBy("s")
+          .agg(sum(col("score").cast("decimal(38,0)")).as("raw")), "s")
+        .localCheckpoint()
+      hub = rescaled(
+        edges.join(auth, Seq("s"))
+          .groupBy("c")
+          .agg(sum(col("score").cast("decimal(38,0)")).as("raw")), "c")
+        .localCheckpoint()
+    }
+    (hub, auth)
+  }
+
   /** graph_communities: community detection via SYNCHRONOUS label
     * propagation (Raghavan, Albert & Kumara 2007) over the co-supplier
     * graph — the fourth graph workload next to PageRank, components and

@@ -85,6 +85,32 @@ class GraphSpec extends SparkSpec {
     assert(rows === Seq((1L, 3L), (2L, 3L), (3L, 3L), (4L, 3L)))
   }
 
+  test("HITS: matches an independent exact-integer replay on a toy market") {
+    import spark.implicits._
+    // c1 buys from {s1, s2}, c2 from {s1}, c3 from {s2, s3}
+    val pairs = Seq((1L, 10L), (1L, 20L), (2L, 10L), (3L, 20L), (3L, 30L))
+      .toDF("c", "s").localCheckpoint()
+    val (hub, auth) = Graph.hitsFromPairs(pairs, 3)
+    val gotH = hub.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val gotA = auth.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent replay with BigInt maps — same formulas, no Spark
+    val edges = Seq((1L, 10L), (1L, 20L), (2L, 10L), (3L, 20L), (3L, 30L))
+    var h = edges.map(_._1).distinct.map(_ -> BigInt(1000000)).toMap
+    var a = Map.empty[Long, BigInt]
+    for (_ <- 1 to 3) {
+      val ar = edges.groupBy(_._2).map { case (s, es) =>
+        s -> es.map(e => h(e._1)).sum }
+      val amx = ar.values.max
+      a = ar.map { case (s, v) => s -> (BigInt(1000000) * v / amx) }
+      val hr = edges.groupBy(_._1).map { case (c, es) =>
+        c -> es.map(e => a(e._2)).sum }
+      val hmx = hr.values.max
+      h = hr.map { case (c, v) => c -> (BigInt(1000000) * v / hmx) }
+    }
+    assert(gotH === h.map { case (k, v) => k -> v.toLong })
+    assert(gotA === a.map { case (k, v) => k -> v.toLong })
+  }
+
   test("LPA communities: barbell graph splits into its two triangles") {
     import spark.implicits._
     // two triangles {1,2,3} and {4,5,6} bridged by 3-4. Hand-computed

@@ -111,6 +111,9 @@ class PlanShapeSpec extends SparkSpec {
       // triangle census: the final audit row is two 1-row aggregates
       // cross-joined (stats x triangle count)
       "graph_triangles",
+      // HITS' per-half-step 1-row max rescale broadcast onto the
+      // bounded score table — the emb_pca_power shape
+      "graph_hits",
       // term drift's 1-row totals broadcast (T_old, T_new, V) onto the
       // joined term table — the tfidf one-row-count shape
       "corpus_term_drift",
