@@ -532,6 +532,9 @@ object SparkEntry {
     // same-cell peers by exact cosine — the batch primitive clustering
     // and graph-based dedup consume
     "sim_knn_graph" -> ((s, dir) => Similarity.knnGraph(s, dir)),
+    // recall-vs-nprobe S-curve from ONE candidate pass (prk fan-out),
+    // gated against the exact brute-force truth — the IVF tuning table
+    "sim_nprobe_sweep" -> ((s, dir) => Similarity.nprobeSweep(s, dir)),
     // epsilon calibration for semdedup: per-threshold pair and drop
     // counts from ONE pairing pass — bucketed histograms + a 10-row
     // grid, never a per-threshold corpus re-scan
@@ -5541,6 +5544,53 @@ object SparkEntry {
          |  ((1000 * g.n_vecs) // t.total)::BIGINT AS share_milli,
          |  (g.n_vecs * t.n_cells >= t.total * 2) AS hot
          |FROM g CROSS JOIN t ORDER BY cell""".stripMargin,
+    // nprobe sweep: probe-ranked candidates fan out to covering sweep
+    // points, per-point top-k vs the brute-force truth
+    "sim_nprobe_sweep" ->
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT e.vec_id, e.v, c.c_id, ${cosMilli("e.v", "c.cv")} AS cs
+         |  FROM emb e CROSS JOIN cent c),
+         |assigned AS (
+         |  SELECT vec_id, v, c_id AS cell FROM (
+         |    SELECT vec_id, v, c_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id ASC) AS ark
+         |    FROM scored) WHERE ark = 1),
+         |probes AS (
+         |  SELECT q_id, cell, prk FROM (
+         |    SELECT vec_id AS q_id, c_id AS cell,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id ASC) AS prk
+         |    FROM scored WHERE vec_id % 50 = 0) WHERE prk <= 4),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
+         |cand AS (
+         |  SELECT p.q_id, p.prk, a.vec_id AS n_id, ${cosMilli("qq.qv", "a.v")} AS cs
+         |  FROM probes p JOIN q qq USING (q_id) JOIN assigned a ON a.cell = p.cell
+         |  WHERE a.vec_id != p.q_id),
+         |grid AS (
+         |  SELECT q_id, n_id, cs, np::BIGINT AS np
+         |  FROM cand, UNNEST(range(prk, 5)) AS u(np)),
+         |topk AS (
+         |  SELECT np, q_id, n_id FROM (
+         |    SELECT np, q_id, n_id,
+         |      row_number() OVER (PARTITION BY np, q_id ORDER BY cs DESC, n_id ASC) AS rk
+         |    FROM grid) WHERE rk <= 10),
+         |truth AS (
+         |  SELECT q_id, n_id FROM (
+         |    SELECT q.q_id, e.vec_id AS n_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${cosMilli("q.qv", "e.v")} DESC, e.vec_id ASC) AS rk
+         |    FROM q CROSS JOIN emb e WHERE e.vec_id != q.q_id) WHERE rk <= 10),
+         |nq AS (SELECT count(DISTINCT q_id)::BIGINT AS n_queries FROM truth),
+         |hits AS (
+         |  SELECT np, count(*)::BIGINT AS n_hits
+         |  FROM topk t
+         |  WHERE EXISTS (SELECT 1 FROM truth x
+         |                WHERE x.q_id = t.q_id AND x.n_id = t.n_id)
+         |  GROUP BY np)
+         |SELECT np AS nprobe, n_queries, n_hits,
+         |  ((1000 * n_hits) // (10 * n_queries))::BIGINT AS recall_milli
+         |FROM hits CROSS JOIN nq ORDER BY nprobe""".stripMargin,
     // kNN graph: the semdedup cell/rep CTEs, all ordered same-cell
     // pairs scored, rank window cut at k=5
     "sim_knn_graph" ->

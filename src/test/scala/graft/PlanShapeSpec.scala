@@ -76,6 +76,10 @@ class PlanShapeSpec extends SparkSpec {
       // the kNN graph reuses that same centroid-broadcast assignment;
       // its neighbor join is cell-keyed, never all-pairs
       "sim_knn_graph",
+      // the nprobe sweep composes the centroid broadcast, the
+      // brute-force truth's strided-query broadcast, and a 1-row
+      // query-count broadcast — all bounded sides
+      "sim_nprobe_sweep",
       // the balance audit is the sim_ivf centroid-broadcast assignment
       // plus bounded rollups
       "sim_ivf_balance",
