@@ -455,6 +455,9 @@ object SparkEntry {
     // SoftDedup: per-doc training weight = 1000 div near-dup cluster
     // size — duplicated content counts once in expectation, no removal
     "dedup_soft_weights" -> ((s, dir) => Dedup.softDedupWeights(s, dir)),
+    // duplication x quality co-occurrence lift per source — the audit
+    // behind quality-gate-first vs dedup-first pipeline order
+    "dedup_quality_lift" -> ((s, dir) => Dedup.qualityDupLift(s, dir)),
     // composed cleaning pipeline: quality gate -> exact dedup survivors
     "pipeline_clean" -> ((s, dir) => Dedup.cleanCorpus(s, dir)),
     // full ladder: quality gate -> exact dedup -> fuzzy-cluster dedup
@@ -4268,6 +4271,54 @@ object SparkEntry {
     // same ground truth for the star-contraction algorithm: the oracle
     // is algorithm-agnostic (transitive closure + min id per component)
     "dedup_clusters_twostar" -> clustersOracle,
+    // duplication x quality lift: clusters chain + gopher keep flag,
+    // per-source margins, HUGEINT lift numerator
+    "dedup_quality_lift" ->
+      s"""WITH RECURSIVE $repDocShingles,
+         |$fuzzyEdgesCte,
+         |$clustersCte,
+         |$expandClustersCte,
+         |gt AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split(text, ' '), x -> length(x) > 0) AS gtoks
+         |  FROM documents),
+         |gm AS (
+         |  SELECT doc_id,
+         |    len(gtoks)::BIGINT AS n_words,
+         |    coalesce(list_sum(list_transform(gtoks, x -> length(x))), 0)::BIGINT AS char_mass,
+         |    len(list_filter(gtoks, x -> regexp_matches(x, '[a-z]')))::BIGINT AS n_alpha,
+         |    (length(text) - length(replace(text, '#', '')))::BIGINT AS n_hash,
+         |    ((length(text) - length(replace(text, '...', ''))) // 3)::BIGINT AS n_ellipsis,
+         |    len(list_intersect(gtoks, ['the','a','of','and','to','in','is','on']))::BIGINT AS n_stop
+         |  FROM documents JOIN gt USING (doc_id)),
+         |gk AS (
+         |  SELECT doc_id,
+         |    coalesce(n_words >= 10 AND n_words <= 100000
+         |     AND (CASE WHEN n_words > 0
+         |          THEN char_mass * 1000 // n_words END) BETWEEN 3000 AND 10000
+         |     AND (CASE WHEN n_words > 0
+         |          THEN n_alpha * 1000 // n_words END) >= 800
+         |     AND (CASE WHEN n_words > 0
+         |          THEN (n_hash + n_ellipsis) * 1000 // n_words END) < 100
+         |     AND n_stop >= 2, false) AS keep
+         |  FROM gm),
+         |j AS (
+         |  SELECT d.source, gk.keep, (e.doc_id IS NOT NULL) AS is_dup
+         |  FROM documents d
+         |  JOIN gk ON gk.doc_id = d.doc_id
+         |  LEFT JOIN (SELECT DISTINCT doc_id FROM expanded) e
+         |    ON e.doc_id = d.doc_id),
+         |g AS (
+         |  SELECT source, count(*)::BIGINT AS n_docs,
+         |    sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+         |    sum(CASE WHEN NOT keep THEN 1 ELSE 0 END)::BIGINT AS n_lowq,
+         |    sum(CASE WHEN is_dup AND NOT keep THEN 1 ELSE 0 END)::BIGINT AS n_both
+         |  FROM j GROUP BY source)
+         |SELECT source, n_docs, n_dup, n_lowq, n_both,
+         |  CASE WHEN n_dup > 0 AND n_lowq > 0
+         |    THEN ((1000 * n_both::HUGEINT * n_docs) // (n_dup * n_lowq))::BIGINT
+         |  END AS lift_milli
+         |FROM g ORDER BY source""".stripMargin,
     // SoftDedup weights: the expanded components' sizes joined back to
     // every document, factor 1 where unclustered
     "dedup_soft_weights" ->

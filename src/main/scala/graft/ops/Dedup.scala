@@ -1337,6 +1337,41 @@ object Dedup {
         ((col("cluster_size") - lit(1)) * col("n_clusters")).as("docs_removed"))
       .orderBy("cluster_size")
 
+  /** dedup_quality_lift: does duplication CONCENTRATE in low-quality
+    * documents? — the cross-family crawl-health audit read before
+    * choosing pipeline order: if near-dup membership and Gopher-gate
+    * failure co-occur far above independence (lift >> 1000 milli), the
+    * cheap quality gate should run FIRST and the expensive fuzzy rung
+    * only over survivors; at independence (~1000) order is a pure cost
+    * decision. Per source: doc counts, dup-member counts, gate-failure
+    * counts, their overlap, and the observed/expected co-occurrence
+    * lift in millis — numerator in DECIMAL(38,0) (1000 x n_both x
+    * n_docs wraps a BIGINT at crawl scale).
+    *
+    * Scale shape: the clusters machinery plus the gopher projection
+    * (both already priced by their own queries), one doc_id-keyed join
+    * each, one |sources|-bounded rollup. Output: (source, n_docs,
+    * n_dup, n_lowq, n_both, lift_milli — NULL when either margin is
+    * empty), ordered.
+    */
+  def qualityDupLift(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents").select("doc_id", "source")
+    val gate = TextAnalysis.gopherRules(spark, sfDir).select("doc_id", "keep")
+    val dup = nearDupClusters(spark, sfDir)
+      .select(col("doc_id")).withColumn("is_dup", lit(true))
+    docs.join(gate, Seq("doc_id"))
+      .join(dup, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),
+        sum(when(!col("keep"), 1L).otherwise(0L)).as("n_lowq"),
+        sum(when(col("is_dup") && !col("keep"), 1L).otherwise(0L)).as("n_both"))
+      .withColumn("lift_milli",
+        when(col("n_dup") > 0L && col("n_lowq") > 0L,
+          expr("(1000 * cast(n_both as decimal(38,0)) * n_docs) div (n_dup * n_lowq)")))
+      .orderBy("source")
+  }
+
   /** dedup_soft_weights: duplication-aware TRAINING WEIGHTS instead of
     * removal (the SoftDedup recipe, He et al. 2024: hard dedup throws
     * away the signal that duplicated text is often popular/high-quality
