@@ -584,6 +584,9 @@ object SparkEntry {
     // those pairs resolved into components via the star contraction —
     // the whole-cluster view image keep/drop decisions need
     "mm_phash_clusters" -> ((s, dir) => Multimodal.aHashClusters(s, dir)),
+    // the image curation funnel in one audit row (arrived -> paired ->
+    // clusters -> dropped -> kept), composed from the same machinery
+    "mm_media_funnel" -> ((s, dir) => Multimodal.mediaFunnel(s, dir)),
     "mm_features" -> ((s, dir) => Multimodal.featureSummary(s, dir)),
     // REAL audio codec round-trip: deterministic WAVs rendered per row,
     // decoded back with javax.sound.sampled; the oracle states what a
@@ -3898,6 +3901,26 @@ object SparkEntry {
          |  SELECT r.src, e.dst FROM preach r JOIN pedges e ON r.dst = e.src)
          |SELECT src AS id, least(src, min(dst))::BIGINT AS cluster_id
          |FROM preach GROUP BY src ORDER BY id""".stripMargin,
+    // media funnel: counts over the same pair CTEs + transitive closure
+    "mm_media_funnel" ->
+      s"""WITH RECURSIVE $phashPairsCte,
+         |pedges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pp
+         |  UNION SELECT id_b AS src, id_a AS dst FROM pp),
+         |preach(src, dst) AS (
+         |  SELECT src, dst FROM pedges
+         |  UNION
+         |  SELECT r.src, e.dst FROM preach r JOIN pedges e ON r.dst = e.src),
+         |cl AS (
+         |  SELECT src AS id, least(src, min(dst)) AS cluster_id
+         |  FROM preach GROUP BY src),
+         |ni AS (SELECT count(*)::BIGINT AS n_images FROM documents WHERE doc_id % 2 = 0),
+         |st AS (SELECT count(*)::BIGINT AS n_paired,
+         |              count(DISTINCT cluster_id)::BIGINT AS n_clusters FROM cl)
+         |SELECT n_images, n_paired, n_clusters,
+         |  (n_paired - n_clusters)::BIGINT AS n_dropped,
+         |  (n_images - (n_paired - n_clusters))::BIGINT AS n_kept
+         |FROM ni CROSS JOIN st""".stripMargin,
     // image dims from the REAL decode (id arithmetic per mm_decode);
     // video dims from the labeled stub (len-derived)
     "mm_features" ->

@@ -557,6 +557,30 @@ object Multimodal {
       .orderBy("id")
   }
 
+  /** mm_media_funnel: the image-side CURATION FUNNEL in one audit row —
+    * what [[graft.ops.Dedup.curationFunnel]] (pipeline_e2e) is for text: how
+    * many images arrived, how many near-dup-paired, how many clusters
+    * they form, how many a keep-one-per-cluster pass drops, how many
+    * survive. The numbers a crawl report leads with, derived from the
+    * SAME machinery the standalone queries price (decode -> aHash ->
+    * banded pairs -> star-contraction clusters), composed rather than
+    * reimplemented.
+    *
+    * Output: 1 row (n_images, n_paired, n_clusters, n_dropped, n_kept).
+    */
+  def mediaFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    val clusters = aHashClusters(spark, sfDir).localCheckpoint()
+    val nImages = table(spark, sfDir, "documents")
+      .filter(col("doc_id") % 2 === 0)
+      .agg(count(lit(1)).as("n_images"))
+    val stats = clusters.agg(count(lit(1)).as("n_paired"),
+      count_distinct(col("cluster_id")).as("n_clusters"))
+    nImages.crossJoin(broadcast(stats))
+      .select(col("n_images"), col("n_paired"), col("n_clusters"),
+        (col("n_paired") - col("n_clusters")).as("n_dropped"),
+        (col("n_images") - (col("n_paired") - col("n_clusters"))).as("n_kept"))
+  }
+
   /** Decoded-feature aggregate: per modality, count + summed dimensions.
     * Image dims come from the REAL javax.imageio decode; video dims from
     * the labeled stub (the one codec-less modality).

@@ -118,6 +118,9 @@ class PlanShapeSpec extends SparkSpec {
       // HITS' per-half-step 1-row max rescale broadcast onto the
       // bounded score table — the emb_pca_power shape
       "graph_hits",
+      // the media funnel's final audit row: two 1-row aggregates
+      // cross-joined — the graph_triangles shape
+      "mm_media_funnel",
       // term drift's 1-row totals broadcast (T_old, T_new, V) onto the
       // joined term table — the tfidf one-row-count shape
       "corpus_term_drift",
