@@ -263,6 +263,9 @@ object SparkEntry {
     // int8 quantization audit: exact integer scale/dequant error report
     "sim_quantize" -> ((s, dir) => Similarity.quantizeInt8Report(s, dir)),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(s, dir)),
+    // declared-vs-inferred language confusion matrix with zero-evidence
+    // counts — the calibration table before trusting langid as a filter
+    "text_langid_confusion" -> ((s, dir) => TextAnalysis.langIdConfusion(s, dir)),
     "text_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
     // intra-doc repeated-n-gram ratio (boilerplate/spam quality signal)
     "text_repetition" -> ((s, dir) => TextAnalysis.repetitionScore(s, dir)),
@@ -2978,6 +2981,31 @@ object SparkEntry {
         |  FROM d)
         |SELECT doc_id, labeled_lang, best.lang AS pred_lang, (-best.neg)::BIGINT AS pred_hits
         |FROM scored ORDER BY doc_id""".stripMargin,
+    // confusion rollup over the same scored CTE, per-labeled-lang
+    // row shares in millis
+    "text_langid_confusion" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    list_sort([
+        |      {'neg': -len(list_filter(toks, t -> t IN ('der','und','die','nicht','das'))), 'lang': 'de'},
+        |      {'neg': -len(list_filter(toks, t -> t IN ('the','and','of','to','is'))), 'lang': 'en'},
+        |      {'neg': -len(list_filter(toks, t -> t IN ('el','la','los','que','de'))), 'lang': 'es'},
+        |      {'neg': -len(list_filter(toks, t -> t IN ('le','la','les','et','est'))), 'lang': 'fr'},
+        |      {'neg': -len(list_filter(toks, t -> t IN ('的','是','不','了','在'))), 'lang': 'zh'}
+        |    ])[1] AS best
+        |  FROM d),
+        |g AS (
+        |  SELECT labeled_lang, best.lang AS pred_lang, count(*)::BIGINT AS n_docs,
+        |    sum(CASE WHEN -best.neg = 0 THEN 1 ELSE 0 END)::BIGINT AS n_zero_evidence
+        |  FROM scored GROUP BY 1, 2)
+        |SELECT labeled_lang, pred_lang, n_docs, n_zero_evidence,
+        |  ((1000 * n_docs) // sum(n_docs) OVER (PARTITION BY labeled_lang))::BIGINT
+        |    AS row_milli
+        |FROM g ORDER BY labeled_lang, pred_lang""".stripMargin,
     "text_repetition" ->
       s"""WITH toks AS ($docToks),
          |g AS (

@@ -97,6 +97,31 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** text_langid_confusion: declared-vs-inferred language CONFUSION
+    * MATRIX — the calibration table read before trusting [[langId]]'s
+    * heuristic as a filter: a production corpus carries a declared
+    * `lang` (crawl metadata, often wrong), the n-gram detector infers
+    * one, and routing/filtering decisions need to know WHERE they
+    * disagree and how much of the disagreement rests on zero evidence
+    * (no stopword hit at all — the detector's "don't know", which the
+    * argmax silently turns into its tie-break language).
+    *
+    * Per (labeled, predicted) cell: doc count, zero-evidence count, and
+    * the cell's share of its labeled language's docs in millis (the
+    * per-row normalization a confusion matrix is read by). Scale shape:
+    * the per-row langId projection plus one |langs|^2-bounded rollup
+    * and a window over those bounded rows. Output ordered by
+    * (labeled_lang, pred_lang).
+    */
+  def langIdConfusion(spark: SparkSession, sfDir: String): DataFrame =
+    langId(spark, sfDir)
+      .groupBy("labeled_lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pred_hits") === 0L, 1L).otherwise(0L)).as("n_zero_evidence"))
+      .withColumn("row_milli",
+        expr("(1000 * n_docs) div sum(n_docs) over (partition by labeled_lang)"))
+      .orderBy("labeled_lang", "pred_lang")
+
   /** Intra-document repetition (a Gopher/C4-family quality signal): the
     * fraction of n-gram OCCURRENCES that repeat an earlier occurrence in
     * the same doc, in exact thousandths — rep_milli = floor((total -
