@@ -280,6 +280,9 @@ object SparkEntry {
     // source-concentration Lorenz curve + integer Gini (DECIMAL(38,0)
     // rank-weighted accumulator)
     "corpus_gini" -> ((s, dir) => Corpus.sourceGini(s, dir)),
+    // Simpson concentration + effective group count (source and lang):
+    // the diversity denominator a mix report actually needs
+    "corpus_simpson" -> ((s, dir) => Corpus.simpsonDiversity(s, dir)),
     // mergeable per-source profile: per-shard HLL sketches unioned per
     // source (one sketch per (source, shard) shuffled, never tokens);
     // estimate gated in-plan vs exact, oracle expects the gate TRUE
@@ -548,6 +551,9 @@ object SparkEntry {
     // quantizer load audit: per-cell counts/shares + 2x-fair-share hot
     // flag over the exact sim_ivf assignment
     "sim_ivf_balance" -> ((s, dir) => Similarity.ivfBalance(s, dir)),
+    // label purity per quantizer cell — the coherence audit beside the
+    // balance audit; a coin-flip cell makes cell-local ops untrustworthy
+    "emb_cell_purity" -> ((s, dir) => Similarity.cellPurity(s, dir)),
     // product-quantization audit: sign-pattern codebooks (deterministic
     // one-step training), per-subspace reconstruction error — the
     // vector-compression rung beyond scalar int8 (sim_quantize)
@@ -3256,6 +3262,24 @@ object SparkEntry {
     // source-concentration audit: Lorenz cumulative shares + rank-form
     // Gini; the rank-weighted sum runs in HUGEINT mirroring Spark's
     // DECIMAL(38,0) accumulator
+    // Simpson: HUGEINT pair products per dimension, 2-row union
+    "corpus_simpson" ->
+      """WITH s1 AS (
+        |  SELECT 'source' AS dim, count(*)::BIGINT AS n FROM documents GROUP BY source),
+        |s2 AS (
+        |  SELECT 'lang' AS dim, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+        |u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2),
+        |g AS (
+        |  SELECT dim, count(*)::BIGINT AS n_groups, sum(n)::BIGINT AS n_docs,
+        |    sum(n::HUGEINT * (n - 1)) AS pairs_same
+        |  FROM u GROUP BY dim)
+        |SELECT dim, n_groups, n_docs,
+        |  ((1000000 * pairs_same) // (n_docs::HUGEINT * (n_docs - 1)))::BIGINT
+        |    AS simpson_ppm,
+        |  CASE WHEN pairs_same > 0
+        |    THEN ((1000 * n_docs::HUGEINT * (n_docs - 1)) // pairs_same)::BIGINT
+        |  END AS effective_milli
+        |FROM g ORDER BY dim""".stripMargin,
     "corpus_gini" ->
       """WITH c AS (
         |  SELECT source,
@@ -5646,6 +5670,32 @@ object SparkEntry {
          |  ((1000 * g.n_vecs) // t.total)::BIGINT AS share_milli,
          |  (g.n_vecs * t.n_cells >= t.total * 2) AS hot
          |FROM g CROSS JOIN t ORDER BY cell""".stripMargin,
+    // cell purity: the shared assignment CTE + label join, argmax by
+    // (cnt, -label) mirrored as (cnt DESC, label ASC)
+    "emb_cell_purity" ->
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v, label::BIGINT AS label
+         |            FROM embeddings),
+         |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT e.vec_id, e.label, c.c_id, ${cosMilli("e.v", "c.cv")} AS cs
+         |  FROM emb e CROSS JOIN cent c),
+         |assigned AS (
+         |  SELECT vec_id, label, c_id AS cell FROM (
+         |    SELECT vec_id, label, c_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id ASC) AS ark
+         |    FROM scored) WHERE ark = 1),
+         |cl AS (
+         |  SELECT cell, label, count(*)::BIGINT AS cnt
+         |  FROM assigned GROUP BY cell, label),
+         |best AS (
+         |  SELECT cell, label AS top_label, cnt AS n_top FROM (
+         |    SELECT cell, label, cnt,
+         |      row_number() OVER (PARTITION BY cell ORDER BY cnt DESC, label ASC) AS rk
+         |    FROM cl) WHERE rk = 1),
+         |sz AS (SELECT cell, sum(cnt)::BIGINT AS n_vecs FROM cl GROUP BY cell)
+         |SELECT cell, n_vecs, top_label, n_top,
+         |  ((1000 * n_top) // n_vecs)::BIGINT AS purity_milli
+         |FROM sz JOIN best USING (cell) ORDER BY cell""".stripMargin,
     // nprobe sweep: probe-ranked candidates fan out to covering sweep
     // points, per-point top-k vs the brute-force truth
     "sim_nprobe_sweep" ->

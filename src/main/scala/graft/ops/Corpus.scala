@@ -769,6 +769,37 @@ object Corpus {
       .orderBy("rk")
   }
 
+  /** corpus_simpson: Simpson concentration + effective group count per
+    * grouping dimension (source and lang) — the diversity companion to
+    * [[sourceGini]]: Gini orders the Lorenz curve, Simpson answers the
+    * sampling question directly ("the probability two randomly drawn
+    * docs share a source"), and its reciprocal is the EFFECTIVE number
+    * of sources — the honest denominator for "how diverse is this mix"
+    * when a few giants dominate (20 nominal sources can behave like 3).
+    * Exact integers throughout: lambda_ppm = 1e6 * sum n_i(n_i-1) div
+    * (N(N-1)), effective_milli = 1000 * N(N-1) div sum n_i(n_i-1) —
+    * all products in DECIMAL(38,0) (1e12-doc groups square to 1e24).
+    *
+    * Scale shape: one map-side-combinable count per (dim, group), then
+    * all math over the |groups|-bounded rows. Output: (dim, n_groups,
+    * n_docs, simpson_ppm, effective_milli), 2 rows.
+    */
+  def simpsonDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    def oneDim(dim: String): DataFrame =
+      docs.groupBy(col(dim).as("g")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_groups"), sum(col("n")).as("n_docs"),
+          sum(expr("cast(n as decimal(38,0)) * (n - 1)")).as("pairs_same"))
+        .select(lit(dim).as("dim"), col("n_groups"), col("n_docs"),
+          expr("""(1000000 * pairs_same)
+                  div (cast(n_docs as decimal(38,0)) * (n_docs - 1))""")
+            .as("simpson_ppm"),
+          when(col("pairs_same") > 0,
+            expr("""(1000 * cast(n_docs as decimal(38,0)) * (n_docs - 1))
+                    div pairs_same""")).as("effective_milli"))
+    oneDim("source").unionByName(oneDim("lang")).orderBy("dim")
+  }
+
   /** corpus_snapshot_diff: snapshot-over-snapshot corpus diff — the
     * incremental-ingest audit a crawl pipeline runs when a new
     * snapshot lands: per source, how many documents were added,

@@ -932,6 +932,42 @@ object Similarity {
       .orderBy("vec_id", "rk")
   }
 
+  /** emb_cell_purity: label purity per quantizer cell — the clustering
+    * QUALITY audit beside [[ivfBalance]]'s load audit: balance says the
+    * cells are evenly sized, purity says they are semantically
+    * coherent (vectors sharing a cell share a label). A pure, balanced
+    * quantizer is what makes cell-local operations (SemDeDup pruning,
+    * the kNN graph, IVF recall) trustworthy; a cell at coin-flip
+    * purity says its members are strangers and everything cell-local
+    * under-delivers there. Per cell: size, majority label (ties to the
+    * smallest), its count, purity in millis.
+    *
+    * Scale shape: the sim_ivf broadcast-centroid assignment, one
+    * id-keyed label join, one (cell, label) map-side-combinable count,
+    * argmax via max(struct) over the bounded per-cell label rows —
+    * never a window over vectors. Output ordered by cell.
+    */
+  def cellPurity(spark: SparkSession, sfDir: String,
+                 centroidMod: Int = 50): DataFrame = {
+    val raw = table(spark, sfDir, "embeddings")
+    val emb = embeddings(spark, sfDir)
+    val cent = emb.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    assignCells(emb, broadcast(cent))
+      .join(raw.select(col("vec_id"), col("label").cast("long").as("label")),
+        Seq("vec_id"))
+      .groupBy("cell", "label")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("cell")
+      .agg(sum(col("cnt")).as("n_vecs"),
+        max(struct(col("cnt"), (-col("label")).as("neg"))).as("best"))
+      .select(col("cell"), col("n_vecs"),
+        (-col("best.neg")).as("top_label"),
+        col("best.cnt").as("n_top"),
+        expr("(1000 * best.cnt) div n_vecs").as("purity_milli"))
+      .orderBy("cell")
+  }
+
   /** sim_ivf_balance: IVF cell-balance audit — the first operational
     * question asked of a quantizer before serving from it: probe
     * latency is governed by the HOTTEST cells (a probe scans nprobe

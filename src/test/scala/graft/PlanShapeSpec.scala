@@ -83,6 +83,9 @@ class PlanShapeSpec extends SparkSpec {
       // the balance audit is the sim_ivf centroid-broadcast assignment
       // plus bounded rollups
       "sim_ivf_balance",
+      // the purity audit is the same assignment plus a label join and
+      // bounded per-cell rollups
+      "emb_cell_purity",
       // the epsilon sweep reuses semdedup's centroid broadcast, then
       // expands a 10-row threshold grid against broadcast histograms
       // of <= 21 buckets each plus a 1-row rep count — every
