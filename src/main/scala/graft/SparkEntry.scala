@@ -479,6 +479,9 @@ object SparkEntry {
     // —— similarity search ——
     "sim_bruteforce" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "sim_lsh_ann" -> ((s, dir) => Similarity.lshAnn(s, dir)),
+    // multiprobe LSH: each query also probes every hamming-1 neighbor
+    // bucket — recall without more hash tables
+    "sim_lsh_multiprobe" -> ((s, dir) => Similarity.lshMultiprobe(s, dir)),
     "sim_ivf" -> ((s, dir) => Similarity.ivfAnn(s, dir)),
     // trained-quantizer IVF (2 Lloyd rounds over the strided seeds) — the
     // learned centroids are not oracle-replayable, so rows-only here;
@@ -3790,6 +3793,25 @@ object SparkEntry {
          |  SELECT DISTINCT q.q_id, b.vec_id AS n_id, ${cosMilli("q.qv", "b.v")} AS cos_milli
          |  FROM bucketed b JOIN q ON b.band = q.band AND b.sig = q.sig
          |  WHERE b.vec_id != q.q_id),
+         |ranked AS (
+         |  SELECT q_id, n_id, cos_milli,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos_milli DESC, n_id ASC) AS rk
+         |  FROM cand)
+         |SELECT q_id, rk, n_id, cos_milli FROM ranked WHERE rk <= 10
+         |ORDER BY q_id, rk""".stripMargin,
+    // multiprobe: the same bucket CTEs with the (nBits+1)-way probe
+    // signature fan-out per band
+    "sim_lsh_multiprobe" ->
+      s"""WITH $lshBucketsCte,
+         |probes AS (
+         |  SELECT vec_id AS q_id, v AS qv, band,
+         |    CASE WHEN f = -1 THEN sig
+         |         ELSE xor(sig, (1::BIGINT << f)) END AS sig
+         |  FROM bucketed, UNNEST([-1, 0, 1, 2, 3, 4, 5, 6, 7]) AS u(f)),
+         |cand AS (
+         |  SELECT DISTINCT p.q_id, b.vec_id AS n_id, ${cosMilli("p.qv", "b.v")} AS cos_milli
+         |  FROM bucketed b JOIN probes p ON b.band = p.band AND b.sig = p.sig
+         |  WHERE b.vec_id != p.q_id),
          |ranked AS (
          |  SELECT q_id, n_id, cos_milli,
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos_milli DESC, n_id ASC) AS rk

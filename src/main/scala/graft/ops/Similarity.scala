@@ -495,6 +495,46 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** sim_lsh_multiprobe: multiprobe LSH ANN (Lv et al. 2007) — the
+    * recall lever that does NOT cost more hash tables: besides its own
+    * bucket, each query probes every bucket at hamming distance 1 from
+    * its signature (flip each of the nBits plane signs), because a
+    * near-neighbor that missed the bucket most likely sits just across
+    * ONE hyperplane. Candidate reach grows (nBits+1)x per band while
+    * the stored index is unchanged — the standard trade against
+    * doubling nBands when memory, not query CPU, is the binding
+    * constraint at 100 TB.
+    *
+    * Scale shape: identical to [[lshAnn]] with a 36-row probe fan-out
+    * per query (nBands x (nBits+1)) joined on the same bucket key; the
+    * per-query top-k window is bounded by candidate volume. Output:
+    * (q_id, rk, n_id, cos_milli) — the lshAnn relation with strictly
+    * more reach (SimilaritySpec pins recall >= single-probe on the
+    * shared fixture).
+    */
+  def lshMultiprobe(spark: SparkSession, sfDir: String,
+                    nBits: Int = 8, nBands: Int = 4, k: Int = 10,
+                    dim: Int = 64): DataFrame = {
+    val bucketed = lshBuckets(spark, sfDir, nBits, nBands, dim)
+    val probes = bucketed
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("band"), col("sig"))
+      .withColumn("f", explode(array((Seq(-1) ++ (0 until nBits)).map(lit(_)): _*)))
+      .select(col("q_id"), col("qv"), col("band"),
+        when(col("f") === -1, col("sig"))
+          .otherwise(expr("sig ^ shiftleft(cast(1 as bigint), f)")).as("sig"))
+    val cand = bucketed.join(probes, Seq("band", "sig"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosMilli(col("qv"), col("v")).as("cos_milli"))
+      .distinct()
+    val w = Window.partitionBy("q_id").orderBy(col("cos_milli").desc, col("n_id").asc)
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("n_id"), col("cos_milli"))
+      .orderBy("q_id", "rk")
+  }
+
   /** Per-label centroid statistics — the embedding-column monitoring
     * aggregate (class balance + per-dimension means: distribution-drift
     * detection, IVF seeding diagnostics, embedding-version regression

@@ -410,6 +410,27 @@ class SimilaritySpec extends SparkSpec {
       (50L, 51L, 0L, 0L, None)))
   }
 
+  test("multiprobe LSH: pointwise recall dominance over single-probe") {
+    // multiprobe's candidate set is a superset (the exact-signature
+    // probe is one of its probes), so after the k-cut its ranked list
+    // must dominate POINTWISE: at every (query, rank) the multiprobe
+    // cosine is >= the single-probe cosine (plain set-subset is the
+    // wrong invariant — better candidates legitimately evict weaker
+    // ones from the top-k). On sf0.001 the hamming-1 probes must also
+    // fill ranks single-probe starved (strictly more rows).
+    val dir = "/root/testdata/sf0.001"
+    val single = Similarity.lshAnn(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val multi = Similarity.lshMultiprobe(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val regressions = single.filter { case (key, cs) =>
+      !multi.get(key).exists(_ >= cs) }
+    assert(regressions.isEmpty,
+      s"multiprobe scored worse at: ${regressions.take(5)}")
+    assert(multi.size > single.size,
+      s"multiprobe filled no extra ranks (${multi.size} vs ${single.size})")
+  }
+
   test("knn graph: ranked cell-local neighbors, duplicates collapsed first") {
     import spark.implicits._
     // dedicated fixture: only id 0 is a centroid (ids 1-3 are not % 50),
