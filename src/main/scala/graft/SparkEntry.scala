@@ -168,6 +168,9 @@ object SparkEntry {
     // hour-of-day seasonal baseline + held-out deviation audit — the
     // seasonality conditioning CUSUM/MAD population stats cannot see
     "ev_seasonal" -> ((s, dir) => EventWindows.seasonalAudit(s, dir)),
+    // A/B readout: md5-coin arm split, per-arm conversion, treatment
+    // lift with a one-pass Poisson-bootstrap CI over users
+    "ev_ab_lift" -> ((s, dir) => EventWindows.abLift(s, dir)),
     // CUSUM drift alarm over daily volume: the recursive statistic in
     // its two-window closed form (running sum minus running extremum),
     // windows over the bounded |days| relation only
@@ -6025,6 +6028,58 @@ object SparkEntry {
         |  dn::BIGINT AS cusum_dn_milli,
         |  (up > mean_milli * 3 OR dn > mean_milli * 3) AS alarm
         |FROM x ORDER BY day""".stripMargin,
+    // A/B readout: same md5 coin, same one-pass Poisson ladder per
+    // user, replicate diffs ranked for the 90% CI
+    "ev_ab_lift" ->
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    sum(CASE WHEN event_type = 'purchase'
+         |        THEN floor(value * 1000)::BIGINT ELSE 0 END)::BIGINT AS conv
+         |  FROM events GROUP BY user_id),
+         |pa AS (
+         |  SELECT user_id, conv, ${h60("'ab:' || user_id")} % 2 AS arm FROM pu),
+         |x AS (
+         |  SELECT conv, arm, t.b,
+         |    ${h60("'abboot:' || t.b || ':' || user_id")} % 1000000 AS u
+         |  FROM pa, UNNEST(range(1, 33)) AS t(b)),
+         |r AS (
+         |  SELECT b, arm,
+         |    sum(CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+         |             WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+         |             WHEN u < 996340 THEN 4 ELSE 5 END) AS n_eff,
+         |    sum(conv * CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+         |             WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+         |             WHEN u < 996340 THEN 4 ELSE 5 END) AS conv_eff
+         |  FROM x GROUP BY b, arm
+         |  HAVING sum(CASE WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+         |             WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+         |             WHEN u < 996340 THEN 4 ELSE 5 END) > 0),
+         |rb AS (
+         |  SELECT b,
+         |    max(CASE WHEN arm = 0 THEN conv_eff // n_eff END) AS cv_c,
+         |    max(CASE WHEN arm = 1 THEN conv_eff // n_eff END) AS cv_t
+         |  FROM r GROUP BY b
+         |  HAVING max(CASE WHEN arm = 0 THEN n_eff END) IS NOT NULL
+         |     AND max(CASE WHEN arm = 1 THEN n_eff END) IS NOT NULL),
+         |q AS (
+         |  SELECT cv_t - cv_c AS diff_milli,
+         |    row_number() OVER (ORDER BY cv_t - cv_c ASC, b ASC) AS rk
+         |  FROM rb),
+         |pt AS (
+         |  SELECT
+         |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n_control,
+         |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n_treat,
+         |    sum(CASE WHEN arm = 0 THEN conv ELSE 0 END)
+         |      // sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS cvc,
+         |    sum(CASE WHEN arm = 1 THEN conv ELSE 0 END)
+         |      // sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS cvt
+         |  FROM pa)
+         |SELECT n_control, n_treat, cvc::BIGINT AS mean_control_milli,
+         |  cvt::BIGINT AS mean_treat_milli, (cvt - cvc)::BIGINT AS diff_milli,
+         |  (SELECT diff_milli FROM q WHERE rk = 2)::BIGINT AS ci_lo_milli,
+         |  (SELECT diff_milli FROM q WHERE rk = 31)::BIGINT AS ci_hi_milli,
+         |  32::BIGINT AS n_resamples
+         |FROM pt""".stripMargin,
     // seasonal family: train-split hour-of-day means, held-out scoring
     "ev_seasonal" ->
       s"""WITH $seasonalCte

@@ -756,6 +756,69 @@ object EventWindows {
     * mad4 (quadrupled MAD milli), n_flagged, max_mz_milli (largest
     * modified z-score in milli; null when MAD = 0).
     */
+  /** ev_ab_lift: A/B experiment readout — the analytics workload every
+    * event pipeline grows into: users deterministically split into
+    * control/treatment by an md5 coin on user_id (the
+    * pipeline_mix_sample assignment discipline — reproducible, no
+    * stored assignment table), per-arm metric = mean purchase VALUE
+    * per user in millis (binary conversion saturates on this corpus —
+    * every user purchases — and a value metric is what revenue
+    * experiments read anyway), and the treatment-minus-control
+    * difference with a Poisson-bootstrap 90% CI over USERS (the
+    * corpus_bootstrap one-pass recipe: replicate 0 carries weight 1
+    * everywhere and IS the point estimate; resampling units are users
+    * because users, not events, are independent).
+    *
+    * Scale shape: one user-keyed conversion rollup, one (B+1)-way
+    * explode over the |users| rows (NOT the events), per-(replicate,
+    * arm) map-side-combinable sums, then all CI math over the bounded
+    * B+1-row table. Output: 1 row (n_control, n_treat,
+    * conv_control_milli, conv_treat_milli, diff_milli, ci_lo_milli,
+    * ci_hi_milli, n_resamples).
+    */
+  def abLift(spark: SparkSession, sfDir: String, b: Int = 32): DataFrame = {
+    val perUser = table(spark, sfDir, "events")
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase",
+        floor(col("value") * 1000d).cast("long")).otherwise(0L)).as("conv"))
+      .withColumn("arm", graft.functions.OracleHash.h60(
+        concat(lit("ab:"), col("user_id").cast("string"))) % 2L)
+    val u = graft.functions.OracleHash.h60(
+      concat(lit("abboot:"), col("b").cast("string"), lit(":"),
+        col("user_id").cast("string"))) % 1000000L
+    val wPois = when(u < 367879L, 0L).when(u < 735759L, 1L)
+      .when(u < 919699L, 2L).when(u < 981012L, 3L)
+      .when(u < 996340L, 4L).otherwise(5L)
+    val byB = perUser
+      .withColumn("b", explode(sequence(lit(0L), lit(b.toLong))))
+      .withColumn("w", when(col("b") === 0L, 1L).otherwise(wPois))
+      .groupBy("b", "arm")
+      .agg(sum(col("w")).as("n_eff"), sum(col("w") * col("conv")).as("conv_eff"))
+      .filter(col("n_eff") > 0L)
+      .withColumn("mean_milli", expr("conv_eff div n_eff"))
+      .groupBy("b")
+      .agg(max(when(col("arm") === 0L, col("n_eff"))).as("n_c"),
+        max(when(col("arm") === 0L, col("mean_milli"))).as("cv_c"),
+        max(when(col("arm") === 1L, col("n_eff"))).as("n_t"),
+        max(when(col("arm") === 1L, col("mean_milli"))).as("cv_t"))
+      .filter(col("n_c").isNotNull && col("n_t").isNotNull)
+      .withColumn("diff_milli", col("cv_t") - col("cv_c"))
+    val loRank = math.max(1, math.ceil(0.05 * b).toInt)
+    val hiRank = math.max(1, math.ceil(0.95 * b).toInt)
+    val wAll = Window.partitionBy() // B+1 rows only
+    byB
+      .withColumn("rk", row_number().over(Window.orderBy(
+        when(col("b") === 0L, 1).otherwise(0).asc,
+        col("diff_milli").asc, col("b").asc)))
+      .withColumn("lo", max(when(col("rk") === loRank, col("diff_milli"))).over(wAll))
+      .withColumn("hi", max(when(col("rk") === hiRank, col("diff_milli"))).over(wAll))
+      .filter(col("b") === 0L)
+      .select(col("n_c").as("n_control"), col("n_t").as("n_treat"),
+        col("cv_c").as("mean_control_milli"), col("cv_t").as("mean_treat_milli"),
+        col("diff_milli"), col("lo").as("ci_lo_milli"), col("hi").as("ci_hi_milli"),
+        lit(b.toLong).as("n_resamples"))
+  }
+
   /** Per-(event_type, hour-of-day) baseline table for the seasonal
     * anomaly family: the %10!=0 train split's event count and floored
     * mean value in millis (the text_lm_holdout split discipline). At
