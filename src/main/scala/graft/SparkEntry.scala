@@ -286,6 +286,9 @@ object SparkEntry {
     // Simpson concentration + effective group count (source and lang):
     // the diversity denominator a mix report actually needs
     "corpus_simpson" -> ((s, dir) => Corpus.simpsonDiversity(s, dir)),
+    // k-anonymity over (source, lang, length band): combos under k
+    // docs re-identify members — the metadata-side governance audit
+    "corpus_kanon" -> ((s, dir) => Corpus.kAnonymity(s, dir)),
     // mergeable per-source profile: per-shard HLL sketches unioned per
     // source (one sketch per (source, shard) shuffled, never tokens);
     // estimate gated in-plan vs exact, oracle expects the gate TRUE
@@ -3268,6 +3271,17 @@ object SparkEntry {
     // source-concentration audit: Lorenz cumulative shares + rank-form
     // Gini; the rank-weighted sum runs in HUGEINT mirroring Spark's
     // DECIMAL(38,0) accumulator
+    // k-anonymity: quasi-id combo counts, risky flag, global risk
+    // share riding every bounded row
+    "corpus_kanon" ->
+      """WITH g AS (
+        |  SELECT source, lang, (n_chars // 500)::BIGINT AS len_band,
+        |    count(*)::BIGINT AS n_docs
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT source, lang, len_band, n_docs, (n_docs < 5) AS risky,
+        |  ((1000 * sum(CASE WHEN n_docs < 5 THEN n_docs ELSE 0 END) OVER ())
+        |    // sum(n_docs) OVER ())::BIGINT AS risk_share_milli
+        |FROM g ORDER BY source, lang, len_band""".stripMargin,
     // Simpson: HUGEINT pair products per dimension, 2-row union
     "corpus_simpson" ->
       """WITH s1 AS (

@@ -769,6 +769,36 @@ object Corpus {
       .orderBy("rk")
   }
 
+  /** corpus_kanon: k-anonymity audit over the corpus's quasi-identifier
+    * tuple (source, lang, length band) — the governance question asked
+    * before releasing corpus statistics or samples: a combination
+    * shared by fewer than k documents re-identifies its members when
+    * joined with any outside knowledge of those attributes (Sweeney's
+    * k-anonymity, applied at the corpus-metadata grain; the text-level
+    * leak is [[graft.ops.TextAnalysis.piiScan]]'s concern — this is
+    * the METADATA side both audits are needed for). Per combination:
+    * size and a risky flag (n < k); the trailing 1-row-style summary
+    * columns (share of docs at risk, in millis) ride every row via a
+    * window over the bounded combo table so the output stays one
+    * uniform grain.
+    *
+    * Scale shape: one map-side-combinable count over the quasi-id
+    * tuple, everything else over the |sources x langs x bands|-bounded
+    * rows. Output: (source, lang, len_band, n_docs, risky,
+    * risk_share_milli), ordered.
+    */
+  def kAnonymity(spark: SparkSession, sfDir: String, k: Int = 5,
+                 bandChars: Int = 500): DataFrame =
+    table(spark, sfDir, "documents")
+      .groupBy(col("source"), col("lang"),
+        expr(s"n_chars div ${bandChars}L").as("len_band"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("risky", col("n_docs") < k.toLong)
+      .withColumn("risk_share_milli",
+        expr("(1000 * sum(case when risky then n_docs else 0 end) over ()) " +
+          "div sum(n_docs) over ()"))
+      .orderBy("source", "lang", "len_band")
+
   /** corpus_simpson: Simpson concentration + effective group count per
     * grouping dimension (source and lang) — the diversity companion to
     * [[sourceGini]]: Gini orders the Lorenz curve, Simpson answers the
