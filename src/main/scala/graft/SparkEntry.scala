@@ -470,6 +470,9 @@ object SparkEntry {
     // duplication x quality co-occurrence lift per source — the audit
     // behind quality-gate-first vs dedup-first pipeline order
     "dedup_quality_lift" -> ((s, dir) => Dedup.qualityDupLift(s, dir)),
+    // Venn decomposition of the near-dup pair graph by detecting rung:
+    // a rung with an empty exclusive cell is pure cost
+    "dedup_rung_overlap" -> ((s, dir) => Dedup.rungOverlap(s, dir)),
     // composed cleaning pipeline: quality gate -> exact dedup survivors
     "pipeline_clean" -> ((s, dir) => Dedup.cleanCorpus(s, dir)),
     // full ladder: quality gate -> exact dedup -> fuzzy-cluster dedup
@@ -4385,6 +4388,22 @@ object SparkEntry {
     // same ground truth for the star-contraction algorithm: the oracle
     // is algorithm-agnostic (transitive closure + min id per component)
     "dedup_clusters_twostar" -> clustersOracle,
+    // rung Venn: the three per-rung pair CTEs tagged and merged
+    "dedup_rung_overlap" ->
+      s"""WITH $repDocShingles,
+         |$fuzzyEdgesCte,
+         |fl AS (
+         |  SELECT doc_a, doc_b,
+         |    max(m) AS m, max(s) AS s, max(j) AS j
+         |  FROM (
+         |    SELECT doc_a, doc_b, 1 AS m, 0 AS s, 0 AS j FROM mh_pairs
+         |    UNION ALL SELECT doc_a, doc_b, 0, 1, 0 FROM sh_pairs
+         |    UNION ALL SELECT doc_a, doc_b, 0, 0, 1 FROM jc_pairs)
+         |  GROUP BY doc_a, doc_b)
+         |SELECT (m = 1) AS in_minhash, (s = 1) AS in_simhash,
+         |  (j = 1) AS in_jaccard, count(*)::BIGINT AS n_pairs
+         |FROM fl GROUP BY 1, 2, 3
+         |ORDER BY in_minhash, in_simhash, in_jaccard""".stripMargin,
     // duplication x quality lift: clusters chain + gopher keep flag,
     // per-source margins, HUGEINT lift numerator
     "dedup_quality_lift" ->

@@ -1337,6 +1337,43 @@ object Dedup {
         ((col("cluster_size") - lit(1)) * col("n_clusters")).as("docs_removed"))
       .orderBy("cluster_size")
 
+  /** dedup_rung_overlap: which fuzzy rung EARNS ITS COST — the Venn
+    * decomposition of the near-dup pair graph by detecting rung
+    * (MinHash-LSH / SimHash / n-gram Jaccard). A pair found by all
+    * three is insurance; a Venn cell owned exclusively by one rung is
+    * that rung's marginal recall, and a rung with an empty exclusive
+    * cell is pure cost at this corpus's duplication profile — the
+    * first table read before dropping or retuning a rung on a 100 TB
+    * run (where each rung is a full banding pass).
+    *
+    * Scale shape: the shared rep-collapse + ONE shingle pass feeds all
+    * three rungs (the nearDupClusters discipline), each rung's pairs
+    * are representatives only, and the overlap rollup is
+    * pairs-then-8-rows: union the tagged pair sets, max the tags per
+    * pair, count per tag combination. Output: (in_minhash, in_simhash,
+    * in_jaccard, n_pairs), ordered.
+    */
+  def rungOverlap(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val dupMap = exactDupMap(docs).localCheckpoint()
+    val repDocs = docs.join(
+      dupMap.filter(col("doc_id") === col("rep_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val sh = shingles(repDocs).localCheckpoint()
+    def tagged(pairs: DataFrame, m: Int, s: Int, j: Int): DataFrame =
+      pairs.select(col("doc_a"), col("doc_b"),
+        lit(m).as("m"), lit(s).as("s"), lit(j).as("j"))
+    tagged(minHashLshFromShingles(sh).select("doc_a", "doc_b"), 1, 0, 0)
+      .union(tagged(simHashPairsFromShingles(sh).select("doc_a", "doc_b"), 0, 1, 0))
+      .union(tagged(ngramJaccardPairsFromShingles(sh).select("doc_a", "doc_b"), 0, 0, 1))
+      .groupBy("doc_a", "doc_b")
+      .agg(max(col("m")).as("m"), max(col("s")).as("s"), max(col("j")).as("j"))
+      .groupBy((col("m") === 1).as("in_minhash"), (col("s") === 1).as("in_simhash"),
+        (col("j") === 1).as("in_jaccard"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("in_minhash", "in_simhash", "in_jaccard")
+  }
+
   /** dedup_quality_lift: does duplication CONCENTRATE in low-quality
     * documents? — the cross-family crawl-health audit read before
     * choosing pipeline order: if near-dup membership and Gopher-gate
