@@ -149,6 +149,9 @@ object SparkEntry {
     // TPC-H Q22 shape: above-average-balance customers with no orders
     // (1-row stats broadcast + cross-multiplied compare + anti join)
     "rel_idle_customers" -> ((s, dir) => Relational.idleCustomers(s, dir)),
+    // right-to-be-forgotten impact audit: manifest + two-hop cascade
+    // (customer -> orders -> lineitems), broadcast semi probes only
+    "rel_forget_sweep" -> ((s, dir) => Relational.forgetSweep(s, dir)),
     // TPC-H Q17 shape: correlated avg-quantity subquery decorrelated to
     // a per-part aggregate + broadcast brand probe; integer
     // cross-multiplied threshold, decimal-exact money
@@ -2445,6 +2448,33 @@ object SparkEntry {
         |  ((1000000 * units) // sum(units) OVER (PARTITION BY o_year))::BIGINT
         |    AS share_ppm
         |FROM g ORDER BY o_year, n_name""".stripMargin,
+    // forget sweep: per-relation deletion reach incl. the order ->
+    // lineitem cascade
+    "rel_forget_sweep" ->
+      """WITH delc AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+        |delo AS (SELECT o_orderkey FROM orders
+        |         WHERE o_custkey IN (SELECT c_custkey FROM delc)),
+        |u AS (
+        |  SELECT 'customer' AS relation, count(*)::BIGINT AS n_rows,
+        |    sum(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_deleted
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'orders', count(*)::BIGINT,
+        |    sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM delc)
+        |        THEN 1 ELSE 0 END)::BIGINT
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem', count(*)::BIGINT,
+        |    sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM delo)
+        |        THEN 1 ELSE 0 END)::BIGINT
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'events', count(*)::BIGINT,
+        |    sum(CASE WHEN user_id % 97 = 0 THEN 1 ELSE 0 END)::BIGINT
+        |  FROM events)
+        |SELECT relation, n_rows, n_deleted,
+        |  ((1000 * n_deleted) // n_rows)::BIGINT AS share_milli
+        |FROM u ORDER BY relation""".stripMargin,
     // Q22: the same cross-multiplied average compare, NOT EXISTS anti
     "rel_idle_customers" ->
       """WITH cust AS (

@@ -627,6 +627,50 @@ object Relational {
       .orderBy("o_year", "n_name")
   }
 
+  /** rel_forget_sweep: right-to-be-forgotten IMPACT AUDIT — given a
+    * deletion manifest of customers (here the deterministic %97 set,
+    * the eval-set-manifest discipline), how many rows each relation
+    * loses, INCLUDING the cascade: deleting a customer removes their
+    * orders, and those orders' lineitems — the two-hop reach a naive
+    * per-table key scan misses, and the number a deletion job must
+    * reconcile against after running. The events stream is swept by
+    * the same manifest rule on user_id (stream-side identity).
+    *
+    * Scale shape: the manifest and its one-hop order-key projection
+    * both broadcast (a GDPR batch is bounded); lineitem's cascade
+    * probe is a broadcast semi-join keyed on orderkey — no fact
+    * shuffle anywhere; per-relation counts are map-side combinable and
+    * union to 4 rows. Output: (relation, n_rows, n_deleted,
+    * share_milli), ordered by relation.
+    */
+  def forgetSweep(spark: SparkSession, sfDir: String, mod: Int = 97): DataFrame = {
+    val delCust = table(spark, sfDir, "customer")
+      .filter(col("c_custkey") % mod === 0).select("c_custkey")
+    val delOrders = table(spark, sfDir, "orders")
+      .join(broadcast(delCust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .select("o_orderkey")
+    def audit(rel: String, df: DataFrame, hit: Column): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          sum(when(hit, 1L).otherwise(0L)).as("n_deleted"))
+        .select(lit(rel).as("relation"), col("n_rows"), col("n_deleted"),
+          expr("(1000 * n_deleted) div n_rows").as("share_milli"))
+    val cust = audit("customer", table(spark, sfDir, "customer"),
+      col("c_custkey") % mod === 0)
+    val ord = audit("orders", table(spark, sfDir, "orders")
+        .join(broadcast(delCust), col("o_custkey") === col("c_custkey"), "left")
+        .withColumn("hit", col("c_custkey").isNotNull),
+      col("hit"))
+    val li = audit("lineitem", table(spark, sfDir, "lineitem")
+        .join(broadcast(delOrders.withColumnRenamed("o_orderkey", "del_ok")),
+          col("l_orderkey") === col("del_ok"), "left")
+        .withColumn("hit", col("del_ok").isNotNull),
+      col("hit"))
+    val ev = audit("events", table(spark, sfDir, "events"),
+      col("user_id") % mod === 0)
+    cust.unionByName(ord).unionByName(li).unionByName(ev)
+      .orderBy("relation")
+  }
+
   /** rel_idle_customers: the TPC-H Q22 shape — wealthy-but-idle
     * accounts: customers whose balance exceeds the average over
     * positive-balance customers yet who have placed no orders SINCE
