@@ -3849,10 +3849,28 @@ object SparkEntry {
          |  FROM cand)
          |SELECT q_id, rk, n_id, cos_milli FROM ranked WHERE rk <= 10
          |ORDER BY q_id, rk""".stripMargin,
-    // multiprobe: the same bucket CTEs with the (nBits+1)-way probe
-    // signature fan-out per band
+    // multiprobe: the bucket chain restricted to exact-content
+    // representatives, then the (nBits+1)-way probe fan-out per band
     "sim_lsh_multiprobe" ->
-      s"""WITH $lshBucketsCte,
+      s"""WITH planes AS (
+         |  SELECT band, bit, d,
+         |         (${h60("band || ':' || bit || ':' || d")})::DOUBLE / power(2, 59) - 1.0 AS comp
+         |  FROM range(0, 4) tb(band), range(0, 8) ti(bit), range(0, 64) td(d)),
+         |plane AS (
+         |  SELECT band, bit, list(comp ORDER BY d) AS pl
+         |  FROM planes GROUP BY band, bit),
+         |emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |vreps AS (SELECT min(vec_id) AS vec_id FROM emb GROUP BY v),
+         |remb AS (SELECT * FROM emb WHERE vec_id IN (SELECT vec_id FROM vreps)),
+         |sigs AS (
+         |  SELECT e.vec_id, p.band,
+         |         sum(CASE WHEN list_dot_product(p.pl, e.v) > 0
+         |             THEN (1::BIGINT << p.bit) ELSE 0::BIGINT END)::BIGINT AS sig
+         |  FROM remb e CROSS JOIN plane p
+         |  GROUP BY e.vec_id, p.band),
+         |bucketed AS (
+         |  SELECT s.vec_id, s.band, s.sig, e.v
+         |  FROM sigs s JOIN remb e USING (vec_id)),
          |probes AS (
          |  SELECT vec_id AS q_id, v AS qv, band,
          |    CASE WHEN f = -1 THEN sig

@@ -505,21 +505,33 @@ object Similarity {
     * doubling nBands when memory, not query CPU, is the binding
     * constraint at 100 TB.
     *
-    * Scale shape: identical to [[lshAnn]] with a 36-row probe fan-out
-    * per query (nBands x (nBits+1)) joined on the same bucket key; the
-    * per-query top-k window is bounded by candidate volume. Output:
-    * (q_id, rk, n_id, cos_milli) — the lshAnn relation with strictly
-    * more reach (SimilaritySpec pins recall >= single-probe on the
-    * shared fixture).
+    * Runs over exact-content REPRESENTATIVES on both sides (the
+    * dedup_embedding discipline): identical vectors share identical
+    * signatures, so a dup-heavy corpus multiplies every bucket AND
+    * every query by its copy count — measured 98x at the 10x
+    * dup-replica probe before the collapse, ~1x after (copies add
+    * nothing an identical vector didn't already contribute; they
+    * inherit their representative's neighbor list through
+    * emb_exact_dups, the production serve-over-dedup shape).
+    *
+    * Scale shape: the lshAnn bucket join with a 36-row probe fan-out
+    * per representative (nBands x (nBits+1)); the per-query top-k
+    * window is bounded by candidate volume. `maxFlips = 0` degrades to
+    * the exact-signature probe on the same representative corpus —
+    * the controlled baseline SimilaritySpec uses to pin POINTWISE
+    * recall dominance (per-rank cosine never worse, more ranks
+    * filled). Output: (q_id, rk, n_id, cos_milli).
     */
   def lshMultiprobe(spark: SparkSession, sfDir: String,
                     nBits: Int = 8, nBands: Int = 4, k: Int = 10,
-                    dim: Int = 64): DataFrame = {
-    val bucketed = lshBuckets(spark, sfDir, nBits, nBands, dim)
+                    dim: Int = 64, maxFlips: Int = 8): DataFrame = {
+    val bucketed = lshBucketsFrom(
+      vectorRepresentatives(embeddings(spark, sfDir)), nBits, nBands, dim)
     val probes = bucketed
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("band"), col("sig"))
-      .withColumn("f", explode(array((Seq(-1) ++ (0 until nBits)).map(lit(_)): _*)))
+      .withColumn("f", explode(array(
+        (Seq(-1) ++ (0 until math.min(nBits, maxFlips))).map(lit(_)): _*)))
       .select(col("q_id"), col("qv"), col("band"),
         when(col("f") === -1, col("sig"))
           .otherwise(expr("sig ^ shiftleft(cast(1 as bigint), f)")).as("sig"))

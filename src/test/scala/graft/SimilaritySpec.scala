@@ -411,15 +411,16 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("multiprobe LSH: pointwise recall dominance over single-probe") {
-    // multiprobe's candidate set is a superset (the exact-signature
-    // probe is one of its probes), so after the k-cut its ranked list
+    // multiprobe's candidate set is a superset of the exact-signature
+    // probe's ON THE SAME representative corpus (maxFlips = 0 degrades
+    // to exactly that baseline), so after the k-cut its ranked list
     // must dominate POINTWISE: at every (query, rank) the multiprobe
     // cosine is >= the single-probe cosine (plain set-subset is the
     // wrong invariant — better candidates legitimately evict weaker
     // ones from the top-k). On sf0.001 the hamming-1 probes must also
     // fill ranks single-probe starved (strictly more rows).
     val dir = "/root/testdata/sf0.001"
-    val single = Similarity.lshAnn(spark, dir).collect()
+    val single = Similarity.lshMultiprobe(spark, dir, maxFlips = 0).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
     val multi = Similarity.lshMultiprobe(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
