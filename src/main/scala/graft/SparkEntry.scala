@@ -174,6 +174,9 @@ object SparkEntry {
     // A/B readout: md5-coin arm split, per-arm conversion, treatment
     // lift with a one-pass Poisson-bootstrap CI over users
     "ev_ab_lift" -> ((s, dir) => EventWindows.abLift(s, dir)),
+    // first-view -> first-purchase latency, exact rank percentiles —
+    // the number that prices attribution windows
+    "ev_conversion_latency" -> ((s, dir) => EventWindows.conversionLatency(s, dir)),
     // CUSUM drift alarm over daily volume: the recursive statistic in
     // its two-window closed form (running sum minus running extremum),
     // windows over the bounded |days| relation only
@@ -6109,6 +6112,35 @@ object SparkEntry {
         |  dn::BIGINT AS cusum_dn_milli,
         |  (up > mean_milli * 3 OR dn > mean_milli * 3) AS alarm
         |FROM x ORDER BY day""".stripMargin,
+    // conversion latency: conditional mins in one user pass, exact
+    // ceil-rank percentile cuts over the converting users
+    "ev_conversion_latency" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) // 1000000 AS tsec FROM events),
+        |fv AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN tsec END) AS first_view
+        |  FROM ev GROUP BY user_id),
+        |lat AS (
+        |  SELECT e.user_id, min(e.tsec) - f.first_view AS lat_sec
+        |  FROM ev e JOIN fv f USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND f.first_view IS NOT NULL
+        |    AND e.tsec >= f.first_view
+        |  GROUP BY e.user_id, f.first_view),
+        |r AS (
+        |  SELECT lat_sec,
+        |    row_number() OVER (ORDER BY lat_sec ASC, user_id ASC) AS rk,
+        |    count(*) OVER () AS n
+        |  FROM lat)
+        |SELECT
+        |  (SELECT count(*)::BIGINT FROM fv WHERE first_view IS NOT NULL) AS n_viewers,
+        |  (SELECT count(*)::BIGINT FROM lat) AS n_converted,
+        |  (SELECT max(CASE WHEN (rk-1)*100 < n*50 AND rk*100 >= n*50
+        |              THEN lat_sec END) FROM r)::BIGINT AS p50_sec,
+        |  (SELECT max(CASE WHEN (rk-1)*100 < n*90 AND rk*100 >= n*90
+        |              THEN lat_sec END) FROM r)::BIGINT AS p90_sec,
+        |  (SELECT max(CASE WHEN (rk-1)*100 < n*99 AND rk*100 >= n*99
+        |              THEN lat_sec END) FROM r)::BIGINT AS p99_sec""".stripMargin,
     // A/B readout: same md5 coin, same one-pass Poisson ladder per
     // user, replicate diffs ranked for the 90% CI
     "ev_ab_lift" ->

@@ -756,6 +756,56 @@ object EventWindows {
     * mad4 (quadrupled MAD milli), n_flagged, max_mz_milli (largest
     * modified z-score in milli; null when MAD = 0).
     */
+  /** ev_conversion_latency: time-to-convert distribution — per user
+    * who both viewed and purchased, the latency from FIRST view to the
+    * first purchase AT-OR-AFTER it, rolled into exact rank-based
+    * percentiles (p50/p90/p99 via the ev_outliers integer cut — no
+    * interpolation, so any engine replays it) plus the never-converted
+    * count. The product-analytics companion to the funnel: the funnel
+    * says HOW MANY make it through, this says HOW LONG the edge takes
+    * — the number that prices attribution windows and cache TTLs.
+    *
+    * Scale shape: one user-keyed rollup computes both first-view and
+    * first-purchase-after-view (conditional min over the same pass, no
+    * self-join), then the percentile cut runs as ONE global sort of
+    * the |converting users| latency rows (rank = ceil(q * n / 100),
+    * ties by user for determinism). Output: 1 row (n_viewers,
+    * n_converted, p50_sec, p90_sec, p99_sec).
+    */
+  def conversionLatency(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = table(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr(s"ts div 1000000000").as("tsec"))
+    val perUser = ev
+      .groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("tsec"))).as("first_view"))
+    val lat = ev.filter(col("event_type") === "purchase")
+      .join(perUser.filter(col("first_view").isNotNull), Seq("user_id"))
+      .filter(col("tsec") >= col("first_view"))
+      .groupBy("user_id", "first_view")
+      .agg(min(col("tsec")).as("first_purch"))
+      .select(col("user_id"), (col("first_purch") - col("first_view")).as("lat_sec"))
+    val n = Window.partitionBy()
+    val ranked = lat
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("lat_sec").asc, col("user_id").asc)))
+      .withColumn("n_conv", count(lit(1)).over(n))
+    def pct(p: Int): Column =
+      max(when(col("rk") * 100L === col("n_conv") * p ||
+        (col("rk") * 100L > col("n_conv") * p &&
+          (col("rk") - 1L) * 100L < col("n_conv") * p), col("lat_sec"))).over(n)
+    val viewers = perUser.filter(col("first_view").isNotNull)
+      .agg(count(lit(1)).as("n_viewers"))
+    ranked
+      .withColumn("p50", pct(50)).withColumn("p90", pct(90)).withColumn("p99", pct(99))
+      .filter(col("rk") === 1L)
+      .select(col("n_conv").as("n_converted"),
+        col("p50").as("p50_sec"), col("p90").as("p90_sec"), col("p99").as("p99_sec"))
+      .crossJoin(broadcast(viewers))
+      .select(col("n_viewers"), col("n_converted"),
+        col("p50_sec"), col("p90_sec"), col("p99_sec"))
+  }
+
   /** ev_ab_lift: A/B experiment readout — the analytics workload every
     * event pipeline grows into: users deterministically split into
     * control/treatment by an md5 coin on user_id (the
