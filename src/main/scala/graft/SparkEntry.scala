@@ -177,6 +177,9 @@ object SparkEntry {
     // first-view -> first-purchase latency, exact rank percentiles —
     // the number that prices attribution windows
     "ev_conversion_latency" -> ((s, dir) => EventWindows.conversionLatency(s, dir)),
+    // minimal detectable effect (squared, exact integers) + whether
+    // the observed lift clears it — underpowered tests read as noise
+    "ev_ab_power" -> ((s, dir) => EventWindows.abPower(s, dir)),
     // CUSUM drift alarm over daily volume: the recursive statistic in
     // its two-window closed form (running sum minus running extremum),
     // windows over the bounded |days| relation only
@@ -6112,6 +6115,45 @@ object SparkEntry {
         |  dn::BIGINT AS cusum_dn_milli,
         |  (up > mean_milli * 3 OR dn > mean_milli * 3) AS alarm
         |FROM x ORDER BY day""".stripMargin,
+    // power: HUGEINT variance identity per arm, (n-1)-pooled, squared
+    // MDE compared against the squared observed diff
+    "ev_ab_power" ->
+      s"""WITH pu AS (
+         |  SELECT user_id,
+         |    sum(CASE WHEN event_type = 'purchase'
+         |        THEN floor(value * 1000)::BIGINT ELSE 0 END)::BIGINT AS conv
+         |  FROM events GROUP BY user_id),
+         |pa AS (
+         |  SELECT user_id, conv, ${h60("'ab:' || user_id")} % 2 AS arm FROM pu),
+         |a AS (
+         |  SELECT arm, count(*)::BIGINT AS n, sum(conv::HUGEINT) AS s,
+         |    sum(conv::HUGEINT * conv) AS ss
+         |  FROM pa GROUP BY arm),
+         |v AS (
+         |  SELECT arm, n, (n * ss - s * s) // (n::HUGEINT * n) AS v, s // n AS mean
+         |  FROM a),
+         |w AS (
+         |  SELECT
+         |    max(CASE WHEN arm = 0 THEN n END) AS n_c,
+         |    max(CASE WHEN arm = 1 THEN n END) AS n_t,
+         |    max(CASE WHEN arm = 0 THEN v END) AS v_c,
+         |    max(CASE WHEN arm = 1 THEN v END) AS v_t,
+         |    max(CASE WHEN arm = 0 THEN mean END) AS m_c,
+         |    max(CASE WHEN arm = 1 THEN mean END) AS m_t
+         |  FROM v),
+         |p AS (
+         |  SELECT n_c, n_t,
+         |    ((n_c - 1) * v_c + (n_t - 1) * v_t) // (n_c + n_t - 2) AS vp,
+         |    m_t - m_c AS diff
+         |  FROM w)
+         |SELECT n_c::BIGINT AS n_control, n_t::BIGINT AS n_treat,
+         |  vp::BIGINT AS var_pooled_milli2,
+         |  ((784 * vp::HUGEINT * (n_c + n_t)) // (100 * n_c::HUGEINT * n_t))::BIGINT
+         |    AS mde2_milli2,
+         |  diff::BIGINT AS diff_milli,
+         |  (diff * diff >= (784 * vp::HUGEINT * (n_c + n_t))
+         |    // (100 * n_c::HUGEINT * n_t)) AS detectable
+         |FROM p""".stripMargin,
     // conversion latency: conditional mins in one user pass, exact
     // ceil-rank percentile cuts over the converting users
     "ev_conversion_latency" ->

@@ -826,13 +826,18 @@ object EventWindows {
     * conv_control_milli, conv_treat_milli, diff_milli, ci_lo_milli,
     * ci_hi_milli, n_resamples).
     */
-  def abLift(spark: SparkSession, sfDir: String, b: Int = 32): DataFrame = {
-    val perUser = table(spark, sfDir, "events")
+  /** Per-user experiment frame shared by [[abLift]] and [[abPower]]:
+    * (user_id, conv = summed purchase value in millis, arm). */
+  private def abPerUser(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "events")
       .groupBy("user_id")
       .agg(sum(when(col("event_type") === "purchase",
         floor(col("value") * 1000d).cast("long")).otherwise(0L)).as("conv"))
       .withColumn("arm", graft.functions.OracleHash.h60(
         concat(lit("ab:"), col("user_id").cast("string"))) % 2L)
+
+  def abLift(spark: SparkSession, sfDir: String, b: Int = 32): DataFrame = {
+    val perUser = abPerUser(spark, sfDir)
     val u = graft.functions.OracleHash.h60(
       concat(lit("abboot:"), col("b").cast("string"), lit(":"),
         col("user_id").cast("string"))) % 1000000L
@@ -867,6 +872,49 @@ object EventWindows {
         col("cv_c").as("mean_control_milli"), col("cv_t").as("mean_treat_milli"),
         col("diff_milli"), col("lo").as("ci_lo_milli"), col("hi").as("ci_hi_milli"),
         lit(b.toLong).as("n_resamples"))
+  }
+
+  /** ev_ab_power: minimal-detectable-effect readout for the
+    * [[abLift]] experiment — the question asked BEFORE reading the
+    * lift: at these arm sizes and this variance, what's the smallest
+    * true effect this test could even see (alpha 0.05, power 80%:
+    * mde = 2.80 * sqrt(var_pooled * (1/n_c + 1/n_t)))? Everything
+    * stays exact-integer by carrying the SQUARE: mde2_milli2 =
+    * (784 * var_pooled * (n_c + n_t)) div (100 * n_c * n_t), per-arm
+    * variance via the (n*ss - s^2) div n^2 identity in DECIMAL(38,0)
+    * (milli values square to 1e12 per user), pooled with (n-1)
+    * weights. The final row also judges the observed lift against it:
+    * detectable = diff^2 >= mde2 — underpowered experiments read as
+    * noise, which is the report's whole point.
+    *
+    * Scale shape: one user rollup, one 2-row per-arm aggregate, all
+    * math on those rows. Output: 1 row (n_control, n_treat,
+    * var_pooled_milli2, mde2_milli2, diff_milli, detectable).
+    */
+  def abPower(spark: SparkSession, sfDir: String): DataFrame = {
+    val arms = abPerUser(spark, sfDir)
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n"),
+        sum(col("conv").cast("decimal(38,0)")).as("s"),
+        sum(expr("cast(conv as decimal(38,0)) * conv")).as("ss"))
+      .withColumn("v", expr("(n * ss - s * s) div (cast(n as decimal(38,0)) * n)"))
+      .withColumn("mean", expr("s div n"))
+    arms.agg(
+        max(when(col("arm") === 0L, col("n"))).as("n_c"),
+        max(when(col("arm") === 1L, col("n"))).as("n_t"),
+        max(when(col("arm") === 0L, col("v"))).as("v_c"),
+        max(when(col("arm") === 1L, col("v"))).as("v_t"),
+        max(when(col("arm") === 0L, col("mean"))).as("m_c"),
+        max(when(col("arm") === 1L, col("mean"))).as("m_t"))
+      .withColumn("var_pooled_milli2",
+        expr("((n_c - 1) * v_c + (n_t - 1) * v_t) div (n_c + n_t - 2)"))
+      .withColumn("mde2_milli2",
+        expr("""(784 * cast(var_pooled_milli2 as decimal(38,0)) * (n_c + n_t))
+                div (100 * cast(n_c as decimal(38,0)) * n_t)"""))
+      .withColumn("diff_milli", col("m_t") - col("m_c"))
+      .select(col("n_c").as("n_control"), col("n_t").as("n_treat"),
+        col("var_pooled_milli2"), col("mde2_milli2"), col("diff_milli"),
+        (col("diff_milli") * col("diff_milli") >= col("mde2_milli2")).as("detectable"))
   }
 
   /** Per-(event_type, hour-of-day) baseline table for the seasonal
