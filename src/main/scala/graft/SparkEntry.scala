@@ -482,6 +482,9 @@ object SparkEntry {
     // Venn decomposition of the near-dup pair graph by detecting rung:
     // a rung with an empty exclusive cell is pure cost
     "dedup_rung_overlap" -> ((s, dir) => Dedup.rungOverlap(s, dir)),
+    // fold the fresh batch's probe pairs into stored cluster labels via
+    // contraction + star-merge; the oracle IS the full rebuild
+    "dedup_clusters_incremental" -> ((s, dir) => Dedup.incrementalClusters(s, dir)),
     // composed cleaning pipeline: quality gate -> exact dedup survivors
     "pipeline_clean" -> ((s, dir) => Dedup.cleanCorpus(s, dir)),
     // full ladder: quality gate -> exact dedup -> fuzzy-cluster dedup
@@ -1845,7 +1848,10 @@ object SparkEntry {
     * docShingles; prefixed names (mh_/sh_/jc_) keep the three rungs'
     * CTEs from colliding when composed into one query.
     */
-  private val fuzzyEdgesCte =
+  /** The MinHash-LSH rung alone (mh_sig -> mh_pairs) — split out so the
+    * incremental-cluster oracle can close over JUST this rung (the one
+    * the persisted band index serves). */
+  private val minhashPairsCte =
     s"""mh_sig AS (
        |  SELECT doc_id, i, min(${h60("i || ':' || shingle")}) AS mh
        |  FROM sh, UNNEST(range(0, 16)) AS u(i)
@@ -1863,7 +1869,10 @@ object SparkEntry {
        |  JOIN mh_sig sa ON sa.doc_id = c.doc_a
        |  JOIN mh_sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
        |  GROUP BY c.doc_a, c.doc_b
-       |  HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)::DOUBLE / 16 >= 0.5),
+       |  HAVING sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)::DOUBLE / 16 >= 0.5)""".stripMargin
+
+  private val fuzzyEdgesCte =
+    s"""$minhashPairsCte,
        |sh_hv AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h FROM sh),
        |sh_ws AS (
        |  SELECT doc_id, j, sum(((h // CAST(power(2, j) AS BIGINT)) % 2) * 2 - 1)::BIGINT AS wsum
@@ -4442,6 +4451,21 @@ object SparkEntry {
     // same ground truth for the star-contraction algorithm: the oracle
     // is algorithm-agnostic (transitive closure + min id per component)
     "dedup_clusters_twostar" -> clustersOracle,
+    // incremental clusters: the oracle is the FULL REBUILD over the
+    // minhash rung — transitive closure + min reachable id — so the
+    // hash compare proves the contraction merge equals it
+    "dedup_clusters_incremental" ->
+      s"""WITH RECURSIVE $repDocShingles,
+         |$minhashPairsCte,
+         |medges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM mh_pairs
+         |  UNION SELECT doc_b AS src, doc_a AS dst FROM mh_pairs),
+         |mreach(src, dst) AS (
+         |  SELECT src, dst FROM medges
+         |  UNION
+         |  SELECT r.src, e.dst FROM mreach r JOIN medges e ON r.dst = e.src)
+         |SELECT src AS doc_id, least(src, min(dst))::BIGINT AS cluster_id
+         |FROM mreach GROUP BY src ORDER BY doc_id""".stripMargin,
     // rung Venn: the three per-rung pair CTEs tagged and merged
     "dedup_rung_overlap" ->
       s"""WITH $repDocShingles,

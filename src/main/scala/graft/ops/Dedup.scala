@@ -1337,6 +1337,79 @@ object Dedup {
         ((col("cluster_size") - lit(1)) * col("n_clusters")).as("docs_removed"))
       .orderBy("cluster_size")
 
+  /** dedup_clusters_incremental: fold a fresh batch's near-dup pairs
+    * into STORED component labels without recomputing history — the
+    * cluster-level completion of the dedup_incremental story: the band
+    * index answers "which pairs touch the new batch"; this answers
+    * "what do the clusters look like NOW", touching only components
+    * the new edges reach. At 100 TB a daily batch's probe pairs are a
+    * sliver of the graph, so re-running CC over everything to relabel
+    * 0.1% of components is the cost this op deletes.
+    *
+    * Mechanics (and why it is EXACT): stored labels are component-min
+    * ids over the history's pairs; new edges CONTRACT through them
+    * (each endpoint replaced by its stored root, unlabeled endpoints
+    * stay themselves), and components of the contracted graph merge
+    * via [[connectedComponentsTwoStar]] — CC of a graph equals CC of
+    * (contracted components + new edges), and min-label composition
+    * holds because stored roots ARE their components' minima. Old
+    * nodes re-root through the (root -> merged root) map; nodes the
+    * history never labeled join directly. The ORACLE is the full
+    * rebuild (transitive closure over ALL the rung's pairs), so the
+    * driver's hash compare proves merged == rebuilt every run.
+    *
+    * History/batch split: reps with doc_id % 10 == 0 are "today's
+    * batch" (the held-out-split discipline); the rung is MinHash-LSH —
+    * the one the persisted band index serves. Output: (doc_id,
+    * cluster_id) over every minhash-paired representative, ordered.
+    */
+  def incrementalClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = table(spark, sfDir, "documents")
+    val dupMap = exactDupMap(docs).localCheckpoint()
+    val repDocs = docs.join(
+      dupMap.filter(col("doc_id") === col("rep_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val sh = shingles(repDocs).localCheckpoint()
+    val pairs = minHashLshFromShingles(sh).select("doc_a", "doc_b")
+      .localCheckpoint()
+    incrementalClustersFromPairs(pairs, _ % 10 === 0)
+  }
+
+  /** [[incrementalClusters]]' pair-level core — package-visible so
+    * DedupSpec can pin the contraction mechanics on a toy graph
+    * (bridging edge merges two stored components; untouched components
+    * keep their labels). `isNew` marks the fresh batch's node ids.
+    */
+  private[graft] def incrementalClustersFromPairs(
+      pairs: DataFrame, isNew: Column => Column): DataFrame = {
+    val oldPairs = pairs
+      .filter(!isNew(col("doc_a")) && !isNew(col("doc_b")))
+      .localCheckpoint()
+    // the store: labels the history batch job persisted
+    val stored = connectedComponentsTwoStar(oldPairs)
+      .select(col("doc_id"), col("cluster_id").as("root"))
+      .localCheckpoint()
+    // today's probe pairs (band-index reach: any pair touching the batch)
+    val probe = pairs.filter(isNew(col("doc_a")) || isNew(col("doc_b")))
+    val contracted = probe
+      .join(stored.select(col("doc_id").as("doc_a"), col("root").as("ra")),
+        Seq("doc_a"), "left")
+      .join(stored.select(col("doc_id").as("doc_b"), col("root").as("rb")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("ra"), col("doc_a")).as("doc_a"),
+        coalesce(col("rb"), col("doc_b")).as("doc_b"))
+      .localCheckpoint()
+    // merge ONLY the touched roots/new nodes
+    val merged = connectedComponentsTwoStar(contracted).localCheckpoint()
+    val reroot = merged.select(col("doc_id").as("root"),
+      col("cluster_id").as("new_root"))
+    val oldFinal = stored.join(reroot, Seq("root"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_root"), col("root")).as("cluster_id"))
+    val freshFinal = merged.join(stored.select("doc_id"), Seq("doc_id"), "left_anti")
+    oldFinal.unionByName(freshFinal).orderBy("doc_id")
+  }
+
   /** dedup_rung_overlap: which fuzzy rung EARNS ITS COST — the Venn
     * decomposition of the near-dup pair graph by detecting rung
     * (MinHash-LSH / SimHash / n-gram Jaccard). A pair found by all

@@ -238,6 +238,26 @@ class DedupSpec extends SparkSpec {
     assert(rows === Seq((3L, 1L, 3L, 2L)))
   }
 
+  test("incremental clusters: bridge edge merges stored components, rest untouched") {
+    import spark.implicits._
+    // history (ids not %10): comp {1,2,3} root 1, comp {11,12} root 11,
+    // comp {31,32} root 31 (untouched). Fresh batch node 20 bridges the
+    // first two comps; fresh node 40 pairs only with unlabeled old 41.
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (11L, 12L), (31L, 32L), // history
+      (3L, 20L), (20L, 11L),                      // bridge via new 20
+      (40L, 41L)                                  // new 40 with unlabeled old 41
+    ).toDF("doc_a", "doc_b").localCheckpoint()
+    val got = Dedup.incrementalClustersFromPairs(pairs, _ % 10 === 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 11L -> 1L, 12L -> 1L,
+      20L -> 1L, 31L -> 31L, 32L -> 31L, 40L -> 40L, 41L -> 40L))
+    // and it equals the full rebuild
+    val rebuild = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === rebuild)
+  }
+
   test("soft-dedup weights: cluster members split ~1000, singletons keep it") {
     // docs {1,2,3} share the 3-doc cluster -> factor 3, weight 333;
     // doc 4 is unclustered -> factor 1, weight 1000
