@@ -152,6 +152,12 @@ object SparkEntry {
     // right-to-be-forgotten impact audit: manifest + two-hop cascade
     // (customer -> orders -> lineitems), broadcast semi probes only
     "rel_forget_sweep" -> ((s, dir) => Relational.forgetSweep(s, dir)),
+    // sweep-line interval stabbing: open-order depth from +1/-1
+    // boundary deltas + one bounded running-sum window
+    "rel_open_orders" -> ((s, dir) => Relational.openOrderDepth(s, dir)),
+    // recency/frequency/monetary features + churn label in one user
+    // rollup — the feature vector churn/LTV models train on
+    "ev_rfm" -> ((s, dir) => EventWindows.rfmFeatures(s, dir)),
     // TPC-H Q17 shape: correlated avg-quantity subquery decorrelated to
     // a per-part aggregate + broadcast brand probe; integer
     // cross-multiplied threshold, decimal-exact money
@@ -2463,6 +2469,35 @@ object SparkEntry {
         |  ((1000000 * units) // sum(units) OVER (PARTITION BY o_year))::BIGINT
         |    AS share_ppm
         |FROM g ORDER BY o_year, n_name""".stripMargin,
+    // sweep line: per-day boundary deltas, one running sum
+    "rel_open_orders" ->
+      """WITH b AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS day, 1::BIGINT AS d
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT epoch_us(o_orderdate) // 86400000000 + 30, -1::BIGINT
+        |  FROM orders),
+        |g AS (SELECT day, sum(d)::BIGINT AS delta FROM b GROUP BY day)
+        |SELECT day, delta,
+        |  sum(delta) OVER (ORDER BY day)::BIGINT AS n_open
+        |FROM g ORDER BY day""".stripMargin,
+    // RFM: one user rollup against the broadcast corpus max day
+    "ev_rfm" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    (epoch_us(ts) // 1000000) // 86400 AS day,
+        |    floor(value * 1000)::BIGINT AS v_milli
+        |  FROM events),
+        |mx AS (SELECT max(day) AS corpus_max_day FROM ev),
+        |g AS (
+        |  SELECT user_id, max(day) AS last_day, count(*)::BIGINT AS frequency,
+        |    sum(CASE WHEN event_type = 'purchase' THEN v_milli ELSE 0 END)::BIGINT
+        |      AS monetary_milli
+        |  FROM ev GROUP BY user_id)
+        |SELECT user_id, (corpus_max_day - last_day)::BIGINT AS recency_days,
+        |  frequency, monetary_milli,
+        |  (corpus_max_day - last_day > 90) AS churned
+        |FROM g CROSS JOIN mx ORDER BY user_id""".stripMargin,
     // forget sweep: per-relation deletion reach incl. the order ->
     // lineitem cascade
     "rel_forget_sweep" ->

@@ -756,6 +756,40 @@ object EventWindows {
     * mad4 (quadrupled MAD milli), n_flagged, max_mz_milli (largest
     * modified z-score in milli; null when MAD = 0).
     */
+  /** ev_rfm: recency / frequency / monetary feature build — the
+    * feature-engineering stage churn and LTV models actually train on,
+    * and the canonical "turn a raw event stream into a per-entity
+    * feature vector" shape: recency = days since the user's last
+    * activity measured against the CORPUS max day (broadcast 1-row —
+    * wall-clock "today" would make the result non-replayable),
+    * frequency = event count, monetary = summed purchase value in
+    * millis, plus the standard churn label (no activity in the last
+    * `churnDays`). One user-keyed rollup computes all four; nothing
+    * else touches the facts.
+    *
+    * Output: (user_id, recency_days, frequency, monetary_milli,
+    * churned), ordered by user_id.
+    */
+  def rfmFeatures(spark: SparkSession, sfDir: String,
+                  churnDays: Int = 90): DataFrame = {
+    val ev = table(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("(ts div 1000000000) div 86400").as("day"),
+        floor(col("value") * 1000d).cast("long").as("v_milli"))
+    val maxDay = ev.agg(max(col("day")).as("corpus_max_day"))
+    ev.groupBy("user_id")
+      .agg(max(col("day")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(when(col("event_type") === "purchase", col("v_milli"))
+          .otherwise(0L)).as("monetary_milli"))
+      .crossJoin(broadcast(maxDay))
+      .select(col("user_id"),
+        (col("corpus_max_day") - col("last_day")).as("recency_days"),
+        col("frequency"), col("monetary_milli"),
+        (col("corpus_max_day") - col("last_day") > churnDays.toLong).as("churned"))
+      .orderBy("user_id")
+  }
+
   /** ev_conversion_latency: time-to-convert distribution — per user
     * who both viewed and purchased, the latency from FIRST view to the
     * first purchase AT-OR-AFTER it, rolled into exact rank-based

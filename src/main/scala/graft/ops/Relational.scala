@@ -627,6 +627,36 @@ object Relational {
       .orderBy("o_year", "n_name")
   }
 
+  /** rel_open_orders: concurrent-open-order depth over time — the
+    * SWEEP-LINE pattern (interval stabbing): each order is an interval
+    * [orderdate, orderdate + holdDays), and "how many are open on day
+    * d" is the running sum of +1/-1 boundary events — the shape behind
+    * every concurrency/occupancy/inventory-level question, and the one
+    * join-free way to answer it (the naive day x interval join is
+    * |days| x |orders|). Depth changes only at boundaries, so the
+    * output is one row per boundary day with the depth holding until
+    * the next row.
+    *
+    * Scale shape: two boundary events per order collapse map-side to
+    * one (+n start, -n end) delta per DAY before the single ordered
+    * running-sum window over the |days|-bounded rows. Facts cross the
+    * shuffle as |distinct days| deltas, never as orders. Output:
+    * (day, delta, n_open), ordered by day.
+    */
+  def openOrderDepth(spark: SparkSession, sfDir: String,
+                     holdDays: Int = 30): DataFrame = {
+    val ord = table(spark, sfDir, "orders")
+      .select(expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        .as("start_day"))
+    val events = ord.select(col("start_day").as("day"), lit(1L).as("d"))
+      .unionByName(ord.select((col("start_day") + holdDays.toLong).as("day"),
+        lit(-1L).as("d")))
+    events.groupBy("day").agg(sum(col("d")).as("delta"))
+      .withColumn("n_open",
+        sum(col("delta")).over(Window.orderBy("day")))
+      .orderBy("day")
+  }
+
   /** rel_forget_sweep: right-to-be-forgotten IMPACT AUDIT — given a
     * deletion manifest of customers (here the deterministic %97 set,
     * the eval-set-manifest discipline), how many rows each relation

@@ -124,6 +124,12 @@ class PlanShapeSpec extends SparkSpec {
       // the media funnel's final audit row: two 1-row aggregates
       // cross-joined — the graph_triangles shape
       "mm_media_funnel",
+      // RFM's 1-row corpus-max-day broadcast onto the user rollup —
+      // the vocab_growth bucket-edge shape
+      "ev_rfm",
+      // conversion latency's 1-row viewer-count broadcast onto the
+      // single percentile row
+      "ev_conversion_latency",
       // term drift's 1-row totals broadcast (T_old, T_new, V) onto the
       // joined term table — the tfidf one-row-count shape
       "corpus_term_drift",
