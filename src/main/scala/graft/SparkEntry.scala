@@ -158,6 +158,9 @@ object SparkEntry {
     // recency/frequency/monetary features + churn label in one user
     // rollup — the feature vector churn/LTV models train on
     "ev_rfm" -> ((s, dir) => EventWindows.rfmFeatures(s, dir)),
+    // the same features maintained as Complete-mode streaming state —
+    // the feature-store serving shape; shares ev_rfm's oracle
+    "stream_rfm" -> ((s, dir) => StreamingOps.streamRfm(s, dir)),
     // TPC-H Q17 shape: correlated avg-quantity subquery decorrelated to
     // a per-part aggregate + broadcast brand probe; integer
     // cross-multiplied threshold, decimal-exact money
@@ -243,6 +246,9 @@ object SparkEntry {
     "ev_daily_new_users" -> ((s, dir) => EventWindows.dailyNewUsers(s, dir)),
     // retention triangle: (cohort week, offset) counts from (user, week) pairs
     "ev_retention" -> ((s, dir) => EventWindows.retentionCohorts(s, dir)),
+    // cohort LTV: weekly + cumulative purchase revenue per cohort —
+    // the payback table beside the retention triangle
+    "ev_cohort_revenue" -> ((s, dir) => EventWindows.cohortRevenue(s, dir)),
     // semi-structured: typed from_json parse of props, per-type stats
     "ev_props" -> ((s, dir) => EventWindows.propsStats(s, dir)),
     // changelog compaction: last-write-wins via max(struct), no window
@@ -2019,6 +2025,27 @@ object SparkEntry {
        |  SELECT c, (1000000::HUGEINT * raw) // (SELECT max(raw) FROM h${k}r)
        |    AS score FROM h${k}r)""".stripMargin
 
+  /** RFM feature relation (mirror of EventWindows.rfmFeatures AND the
+    * Complete-mode streaming twin, which maintains the identical
+    * per-user state): recency vs the corpus max day, frequency,
+    * monetary, churn label. */
+  private lazy val rfmOracle: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_type,
+      |    (epoch_us(ts) // 1000000) // 86400 AS day,
+      |    floor(value * 1000)::BIGINT AS v_milli
+      |  FROM events),
+      |mx AS (SELECT max(day) AS corpus_max_day FROM ev),
+      |g AS (
+      |  SELECT user_id, max(day) AS last_day, count(*)::BIGINT AS frequency,
+      |    sum(CASE WHEN event_type = 'purchase' THEN v_milli ELSE 0 END)::BIGINT
+      |      AS monetary_milli
+      |  FROM ev GROUP BY user_id)
+      |SELECT user_id, (corpus_max_day - last_day)::BIGINT AS recency_days,
+      |  frequency, monetary_milli,
+      |  (corpus_max_day - last_day > 90) AS churned
+      |FROM g CROSS JOIN mx ORDER BY user_id""".stripMargin
+
   /** Seasonal-baseline CTEs (mirror of EventWindows.seasonalBaseline /
     * seasonalScoreFrame): `sb(event_type, hod, n_train, baseline_milli)`
     * over the %10!=0 train split, `ssc` = the held-out split scored
@@ -2481,23 +2508,10 @@ object SparkEntry {
         |SELECT day, delta,
         |  sum(delta) OVER (ORDER BY day)::BIGINT AS n_open
         |FROM g ORDER BY day""".stripMargin,
-    // RFM: one user rollup against the broadcast corpus max day
-    "ev_rfm" ->
-      """WITH ev AS (
-        |  SELECT user_id, event_type,
-        |    (epoch_us(ts) // 1000000) // 86400 AS day,
-        |    floor(value * 1000)::BIGINT AS v_milli
-        |  FROM events),
-        |mx AS (SELECT max(day) AS corpus_max_day FROM ev),
-        |g AS (
-        |  SELECT user_id, max(day) AS last_day, count(*)::BIGINT AS frequency,
-        |    sum(CASE WHEN event_type = 'purchase' THEN v_milli ELSE 0 END)::BIGINT
-        |      AS monetary_milli
-        |  FROM ev GROUP BY user_id)
-        |SELECT user_id, (corpus_max_day - last_day)::BIGINT AS recency_days,
-        |  frequency, monetary_milli,
-        |  (corpus_max_day - last_day > 90) AS churned
-        |FROM g CROSS JOIN mx ORDER BY user_id""".stripMargin,
+    // RFM: one user rollup against the broadcast corpus max day; the
+    // Complete-mode streaming twin maintains the identical relation
+    "ev_rfm" -> rfmOracle,
+    "stream_rfm" -> rfmOracle,
     // forget sweep: per-relation deletion reach incl. the order ->
     // lineitem cascade
     "rel_forget_sweep" ->
@@ -2893,6 +2907,28 @@ object SparkEntry {
         |FROM uw JOIN c ON uw.user_id = c.user_id
         |GROUP BY c.cohort_week, week_offset
         |ORDER BY cohort_week, week_offset""".stripMargin,
+    // cohort LTV: the retention cohort CTE + purchase rollup + bounded
+    // cumulative window
+    "ev_cohort_revenue" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type,
+        |    (epoch_us(ts) // 604800000000) * 604800 AS week,
+        |    floor(value * 1000)::BIGINT AS v_milli
+        |  FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id),
+        |wk AS (
+        |  SELECT user_id, week, sum(v_milli)::BIGINT AS rev
+        |  FROM ev WHERE event_type = 'purchase' GROUP BY user_id, week),
+        |g AS (
+        |  SELECT c.cohort_week, (wk.week - c.cohort_week) // 604800 AS week_offset,
+        |    count(DISTINCT wk.user_id)::BIGINT AS n_buyers,
+        |    sum(wk.rev)::BIGINT AS revenue_milli
+        |  FROM wk JOIN c ON wk.user_id = c.user_id
+        |  GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, n_buyers, revenue_milli,
+        |  sum(revenue_milli) OVER (PARTITION BY cohort_week
+        |    ORDER BY week_offset)::BIGINT AS cum_revenue_milli
+        |FROM g ORDER BY cohort_week, week_offset""".stripMargin,
     "ev_props" ->
       """SELECT event_type, count(*)::BIGINT AS n,
         |  sum(CASE WHEN json_extract_string(props, '$.k') IS NULL

@@ -470,6 +470,41 @@ object EventWindows {
       .agg(count(lit(1)).as("n_users"))
       .orderBy("cohort_week", "week_offset")
 
+  /** ev_cohort_revenue: cohort LIFETIME-VALUE curve — what
+    * [[retentionCohorts]] is to activity, this is to money: per
+    * (cohort week, week offset), the purchase revenue that cohort's
+    * users generated that week and the running cumulative per cohort —
+    * the payback-period table acquisition spend is judged against
+    * (retention says users came back; LTV says whether they paid for
+    * themselves).
+    *
+    * Scale shape: one user-keyed pass derives each user's cohort (min
+    * active week, the retention discipline — the per-user week set is
+    * bounded by the corpus's week span) and joins it back broadcast
+    * onto the per-(user, week) revenue rollup keyed on user_id; the
+    * cumulative window runs over the |cohorts x offsets|-bounded rows
+    * only. Output: (cohort_week, week_offset, n_buyers, revenue_milli,
+    * cum_revenue_milli), ordered.
+    */
+  def cohortRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = table(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type"), bucket(604800L).as("week"),
+        floor(col("value") * 1000d).cast("long").as("v_milli"))
+    val cohorts = ev.groupBy("user_id")
+      .agg(min(col("week")).as("cohort_week"))
+    val weekly = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "week")
+      .agg(count(lit(1)).as("n_purch"), sum(col("v_milli")).as("rev"))
+    val w = Window.partitionBy("cohort_week").orderBy("week_offset")
+    weekly.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        ((col("week") - col("cohort_week")) / 604800L).cast("long").as("week_offset"))
+      .agg(count_distinct(col("user_id")).as("n_buyers"),
+        sum(col("rev")).as("revenue_milli"))
+      .withColumn("cum_revenue_milli", sum(col("revenue_milli")).over(w))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** Semi-structured path: parse the `props` JSON string column with a
     * TYPED schema (`from_json` — schema-on-read that stays inside
     * codegen; `get_json_object` re-parses per extraction, and a UDF

@@ -805,6 +805,38 @@ object StreamingOps {
       .orderBy("event_id")
   }
 
+  /** stream_rfm: the RFM feature store maintained AT INGEST — the
+    * streaming twin of EventWindows.rfmFeatures in the feature-store
+    * serving shape: per-user (last day, frequency, monetary) state
+    * lives in one Complete-mode aggregation that every arrival
+    * updates, so the model-serving read is always current; the
+    * recency/churn derivation against the corpus max day is a
+    * stateless projection on the result (the max day is a batch-side
+    * 1-row pull — the DSIR fixed-size-artifact discipline — because a
+    * streaming global max would chain a second stateful aggregation
+    * for a constant). Shares ev_rfm's oracle.
+    */
+  def streamRfm(spark: SparkSession, sfDir: String, churnDays: Int = 90): DataFrame = {
+    val maxDay = graft.GraftSession.table(spark, sfDir, "events")
+      .agg(max(expr("(ts div 1000000000) div 86400"))).head().getLong(0)
+    runToBatch(spark,
+        s => harnessEventStream(s, sfDir)
+          .select(col("user_id"), col("event_type"),
+            expr("(unix_micros(ts) div 1000000) div 86400").as("day"),
+            floor(col("value") * 1000d).cast("long").as("v_milli"))
+          .groupBy("user_id")
+          .agg(max(col("day")).as("last_day"),
+            count(lit(1)).as("frequency"),
+            sum(when(col("event_type") === "purchase", col("v_milli"))
+              .otherwise(0L)).as("monetary_milli")),
+        "stream_rfm", OutputMode.Complete())
+      .select(col("user_id"),
+        (lit(maxDay) - col("last_day")).as("recency_days"),
+        col("frequency"), col("monetary_milli"),
+        (lit(maxDay) - col("last_day") > churnDays.toLong).as("churned"))
+      .orderBy("user_id")
+  }
+
   def streamDsir(spark: SparkSession, sfDir: String): DataFrame = {
     val ratio = graft.ops.Corpus.dsirRatioTable(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
