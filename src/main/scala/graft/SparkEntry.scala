@@ -249,6 +249,9 @@ object SparkEntry {
     // cohort LTV: weekly + cumulative purchase revenue per cohort —
     // the payback table beside the retention triangle
     "ev_cohort_revenue" -> ((s, dir) => EventWindows.cohortRevenue(s, dir)),
+    // linear multi-touch attribution: exact value-conserving integer
+    // split across in-window touches, remainder to the earliest
+    "ev_attribution_linear" -> ((s, dir) => EventWindows.linearAttribution(s, dir)),
     // semi-structured: typed from_json parse of props, per-type stats
     "ev_props" -> ((s, dir) => EventWindows.propsStats(s, dir)),
     // changelog compaction: last-write-wins via max(struct), no window
@@ -2907,6 +2910,38 @@ object SparkEntry {
         |FROM uw JOIN c ON uw.user_id = c.user_id
         |GROUP BY c.cohort_week, week_offset
         |ORDER BY cohort_week, week_offset""".stripMargin,
+    // linear attribution: plain range join (oracle scale), same rank
+    // order and remainder policy; shares sum back to purchase values
+    "ev_attribution_linear" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS tus,
+        |    floor(value * 1000)::BIGINT AS v
+        |  FROM events),
+        |t AS (SELECT user_id, event_type AS channel, event_id AS t_id, tus AS t_tus
+        |      FROM ev WHERE event_type IN ('view', 'click')),
+        |p AS (SELECT event_id AS p_id, user_id, tus AS p_tus, v AS v_milli
+        |      FROM ev WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT p.p_id, p.v_milli, t.channel, t.t_tus, t.t_id
+        |  FROM p JOIN t ON t.user_id = p.user_id
+        |    AND t.t_tus >= p.p_tus - 604800000000 AND t.t_tus <= p.p_tus),
+        |r AS (
+        |  SELECT p_id, v_milli, channel,
+        |    row_number() OVER (PARTITION BY p_id ORDER BY t_tus, t_id) AS rk,
+        |    count(*) OVER (PARTITION BY p_id) AS n
+        |  FROM c),
+        |s AS (SELECT channel,
+        |        v_milli // n + CASE WHEN rk <= v_milli % n THEN 1 ELSE 0 END AS share
+        |      FROM r),
+        |a AS (SELECT channel, count(*)::BIGINT AS n_touches,
+        |        sum(share)::BIGINT AS attributed_milli
+        |      FROM s GROUP BY channel),
+        |d AS (SELECT 'direct' AS channel, count(*)::BIGINT AS n_touches,
+        |        coalesce(sum(v_milli), 0)::BIGINT AS attributed_milli
+        |      FROM p WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.p_id = p.p_id))
+        |SELECT channel, n_touches, attributed_milli
+        |FROM (SELECT * FROM a UNION ALL SELECT * FROM d)
+        |ORDER BY channel""".stripMargin,
     // cohort LTV: the retention cohort CTE + purchase rollup + bounded
     // cumulative window
     "ev_cohort_revenue" ->

@@ -791,6 +791,64 @@ object EventWindows {
     * mad4 (quadrupled MAD milli), n_flagged, max_mz_milli (largest
     * modified z-score in milli; null when MAD = 0).
     */
+  /** ev_attribution_linear: LINEAR multi-touch attribution — each
+    * purchase's value splits EQUALLY across the user's view/click
+    * touches within the lookback window, the fairness middle ground
+    * between last-touch ([[asOfAttribution]]'s shape) and first-touch.
+    * The split is exact and value-CONSERVING in integers: every touch
+    * gets value div n, and the remainder goes one milli at a time to
+    * the EARLIEST touches ((ts, event_id) order) — sum of shares
+    * reconstructs the purchase value exactly, so channel totals add up
+    * to total attributed revenue by construction. Purchases with no
+    * in-window touch credit a 'direct' channel.
+    *
+    * Scale shape: the [[intervalJoin]] bucketing discipline — equi-join
+    * on (user, lookback-width bucket) with 2x purchase replication
+    * bounds candidates by temporal neighbors; the per-purchase rank
+    * window is bounded by a user's in-window touches. Output:
+    * (channel, n_touches, attributed_milli), ordered by channel.
+    */
+  def linearAttribution(spark: SparkSession, sfDir: String,
+                        lookbackSec: Long = 604800L): DataFrame = {
+    val lUs = lookbackSec * 1000000L
+    val ev = table(spark, sfDir, "events")
+    def toBucket(tusCol: String): String =
+      s"(($tusCol - pmod($tusCol, ${lUs}L)) div ${lUs}L)"
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("t_user"), col("event_type").as("channel"),
+        col("event_id").as("t_id"), expr(floorDiv("ts", 1000L)).as("t_tus"))
+      .withColumn("bucket", expr(toBucket("t_tus")))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id"),
+        expr(floorDiv("ts", 1000L)).as("p_tus"),
+        floor(col("value") * 1000d).cast("long").as("v_milli"))
+    val pReplicated = purchases
+      .withColumn("b0", expr(toBucket("p_tus")))
+      .withColumn("bucket", explode(array(col("b0") - 1, col("b0"))))
+      .drop("b0")
+    val cand = pReplicated.join(touches,
+      pReplicated("user_id") === touches("t_user") &&
+        pReplicated("bucket") === touches("bucket") &&
+        touches("t_tus") >= pReplicated("p_tus") - lUs &&
+        touches("t_tus") <= pReplicated("p_tus"))
+    val wr = Window.partitionBy("p_id").orderBy(col("t_tus").asc, col("t_id").asc)
+    val shares = cand
+      .withColumn("rk", row_number().over(wr))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("p_id")))
+      .select(col("channel"),
+        (expr("v_milli div n") +
+          when(col("rk") <= expr("v_milli % n"), 1L).otherwise(0L)).as("share"))
+    val attributed = shares.groupBy("channel")
+      .agg(count(lit(1)).as("n_touches"), sum(col("share")).as("attributed_milli"))
+    // 'direct' = purchases whose window held no touch: anti join on p_id
+    val touched = cand.select(col("p_id")).distinct()
+    val directRow = purchases.join(touched, Seq("p_id"), "left_anti")
+      .agg(count(lit(1)).as("n_touches"), sum(col("v_milli")).as("attributed_milli"))
+      .select(lit("direct").as("channel"), col("n_touches"),
+        coalesce(col("attributed_milli"), lit(0L)).as("attributed_milli"))
+    attributed.unionByName(directRow).orderBy("channel")
+  }
+
   /** ev_rfm: recency / frequency / monetary feature build — the
     * feature-engineering stage churn and LTV models actually train on,
     * and the canonical "turn a raw event stream into a per-entity
