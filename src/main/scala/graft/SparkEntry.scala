@@ -161,6 +161,9 @@ object SparkEntry {
     // the same features maintained as Complete-mode streaming state —
     // the feature-store serving shape; shares ev_rfm's oracle
     "stream_rfm" -> ((s, dir) => StreamingOps.streamRfm(s, dir)),
+    // last-touch attribution at ingest: O(1) last-view state per user,
+    // purchases emit their attribution row in flight
+    "stream_attribution" -> ((s, dir) => StreamingOps.streamAttribution(s, dir)),
     // TPC-H Q17 shape: correlated avg-quantity subquery decorrelated to
     // a per-part aggregate + broadcast brand probe; integer
     // cross-multiplied threshold, decimal-exact money
@@ -2028,6 +2031,26 @@ object SparkEntry {
        |  SELECT c, (1000000::HUGEINT * raw) // (SELECT max(raw) FROM h${k}r)
        |    AS score FROM h${k}r)""".stripMargin
 
+  /** As-of attribution relation (mirror of EventWindows.asOfAttribution
+    * AND the per-user last-view state machine streaming twin). */
+  private lazy val asofOracle: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS tus,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase
+      |  FROM events WHERE event_type IN ('view', 'purchase')),
+      |marked AS (
+      |  SELECT event_id, user_id, tus, is_purchase,
+      |    last_value(CASE WHEN is_purchase = 0
+      |                    THEN {'vt': tus, 'vid': event_id} END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id
+      |            ORDER BY tus ASC, is_purchase ASC, event_id ASC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv
+      |  FROM ev)
+      |SELECT event_id AS purchase_event_id, user_id, tus AS purchase_tus,
+      |  lv.vid AS view_event_id, lv.vt AS view_tus,
+      |  tus - lv.vt AS lag_us
+      |FROM marked WHERE is_purchase = 1 ORDER BY purchase_event_id""".stripMargin
+
   /** RFM feature relation (mirror of EventWindows.rfmFeatures AND the
     * Complete-mode streaming twin, which maintains the identical
     * per-user state): recency vs the corpus max day, frequency,
@@ -2717,23 +2740,9 @@ object SparkEntry {
     // (total order: ts, views-before-purchases, event_id) — DuckDB's
     // native ASOF JOIN leaves equal-ts ties implementation-defined, so
     // the oracle spells the window out instead
-    "ev_asof_attribution" ->
-      """WITH ev AS (
-        |  SELECT event_id, user_id, epoch_us(ts) AS tus,
-        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_purchase
-        |  FROM events WHERE event_type IN ('view', 'purchase')),
-        |marked AS (
-        |  SELECT event_id, user_id, tus, is_purchase,
-        |    last_value(CASE WHEN is_purchase = 0
-        |                    THEN {'vt': tus, 'vid': event_id} END IGNORE NULLS)
-        |      OVER (PARTITION BY user_id
-        |            ORDER BY tus ASC, is_purchase ASC, event_id ASC
-        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv
-        |  FROM ev)
-        |SELECT event_id AS purchase_event_id, user_id, tus AS purchase_tus,
-        |  lv.vid AS view_event_id, lv.vt AS view_tus,
-        |  tus - lv.vt AS lag_us
-        |FROM marked WHERE is_purchase = 1 ORDER BY purchase_event_id""".stripMargin,
+    "ev_asof_attribution" -> asofOracle,
+    // the stateful ingest twin maintains the identical relation
+    "stream_attribution" -> asofOracle,
     // batch interval join: the oracle states the relation as the plain
     // theta-join — the bucketed equi-join must produce exactly it
     "ev_interval_join" ->

@@ -647,6 +647,59 @@ object StreamingOps {
       .orderBy("step_idx")
   }
 
+  case class AttrEvent(user_id: Long, tus: Long, event_id: Long, is_purchase: Int)
+  case class AttrLastView(vt: Long, vid: Long)
+  case class AttrOut(purchase_event_id: Long, user_id: Long, purchase_tus: Long,
+                     view_event_id: Option[Long], view_tus: Option[Long],
+                     lag_us: Option[Long])
+
+  /** stream_attribution: last-touch attribution AT INGEST — the
+    * streaming twin of EventWindows.asOfAttribution, and the shape an
+    * ad platform actually serves it in: a per-user
+    * flatMapGroupsWithState machine whose entire state is the ONE last
+    * view (timestamp, id) — O(1) per user, no window, no join — and
+    * every arriving purchase emits its attribution row in flight,
+    * including the no-prior-view case with NULL view columns (the
+    * batch relation keeps those purchases, so the twin must too). Each
+    * micro-batch's per-user slice is restored to the batch total order
+    * (tus, is_purchase, event_id) before folding — the streamFunnel
+    * in-order-replay contract; an out-of-order source would buffer
+    * under a watermark first. Shares ev_asof_attribution's oracle.
+    */
+  def streamAttribution(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    runToBatch(spark,
+        s => {
+          import s.implicits._
+          harnessEventStream(s, sfDir)
+            .filter(col("event_type").isin("view", "purchase"))
+            .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+              col("event_id"),
+              (col("event_type") === "purchase").cast("int").as("is_purchase"))
+            .as[AttrEvent]
+            .groupByKey(_.user_id)
+            .flatMapGroupsWithState(OutputMode.Append(),
+              GroupStateTimeout.NoTimeout()) {
+              (uid: Long, rows: Iterator[AttrEvent],
+               state: GroupState[AttrLastView]) =>
+                val sorted = rows.toSeq
+                  .sortBy(e => (e.tus, e.is_purchase, e.event_id))
+                var lv = state.getOption
+                val out = Seq.newBuilder[AttrOut]
+                sorted.foreach { e =>
+                  if (e.is_purchase == 0) lv = Some(AttrLastView(e.tus, e.event_id))
+                  else out += AttrOut(e.event_id, uid, e.tus,
+                    lv.map(_.vid), lv.map(_.vt), lv.map(v => e.tus - v.vt))
+                }
+                lv.foreach(state.update)
+                out.result().iterator
+            }
+            .toDF()
+        },
+        "stream_attribution", OutputMode.Append())
+      .orderBy("purchase_event_id")
+  }
+
   case class TransEvent(user_id: Long, tus: Long, event_id: Long, event_type: String)
   case class TransLast(tus: Long, event_id: Long, tpe: String)
 
