@@ -596,6 +596,9 @@ object SparkEntry {
     // label purity per quantizer cell — the coherence audit beside the
     // balance audit; a coin-flip cell makes cell-local ops untrustworthy
     "emb_cell_purity" -> ((s, dir) => Similarity.cellPurity(s, dir)),
+    // membership audit closing the quantizer triad: vectors whose best
+    // cell barely wants them (defective/novel inputs a retrain needs)
+    "emb_ood_audit" -> ((s, dir) => Similarity.oodAudit(s, dir)),
     // product-quantization audit: sign-pattern codebooks (deterministic
     // one-step training), per-subspace reconstruction error — the
     // vector-compression rung beyond scalar int8 (sim_quantize)
@@ -5921,6 +5924,30 @@ object SparkEntry {
          |  ((1000 * g.n_vecs) // t.total)::BIGINT AS share_milli,
          |  (g.n_vecs * t.n_cells >= t.total * 2) AS hot
          |FROM g CROSS JOIN t ORDER BY cell""".stripMargin,
+    // OOD: same argmax assignment keeping the best cosine, bounded
+    // per-cell rollup with an argmin worst member
+    "emb_ood_audit" ->
+      s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0),
+         |scored AS (
+         |  SELECT e.vec_id, c.c_id, ${cosMilli("e.v", "c.cv")} AS cs
+         |  FROM emb e CROSS JOIN cent c),
+         |assigned AS (
+         |  SELECT vec_id, c_id AS cell, cs FROM (
+         |    SELECT vec_id, c_id, cs,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id ASC) AS ark
+         |    FROM scored) WHERE ark = 1),
+         |worst AS (
+         |  SELECT cell, cs AS worst_cos_milli, vec_id AS worst_vec_id FROM (
+         |    SELECT cell, cs, vec_id,
+         |      row_number() OVER (PARTITION BY cell ORDER BY cs ASC, vec_id ASC) AS rk
+         |    FROM assigned) WHERE rk = 1)
+         |SELECT cell, count(*)::BIGINT AS n_vecs,
+         |  sum(CASE WHEN a.cs < 200 THEN 1 ELSE 0 END)::BIGINT AS n_ood,
+         |  max(w.worst_cos_milli)::BIGINT AS worst_cos_milli,
+         |  max(w.worst_vec_id)::BIGINT AS worst_vec_id
+         |FROM assigned a JOIN worst w USING (cell)
+         |GROUP BY cell ORDER BY cell""".stripMargin,
     // cell purity: the shared assignment CTE + label join, argmax by
     // (cnt, -label) mirrored as (cnt DESC, label ASC)
     "emb_cell_purity" ->

@@ -1020,6 +1020,43 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** emb_ood_audit: out-of-distribution vector detection — the third
+    * leg of the quantizer triad ([[ivfBalance]] = load, [[cellPurity]]
+    * = coherence, this = MEMBERSHIP): a vector whose cosine to its OWN
+    * best centroid is below `tauMilli` belongs to no cell the
+    * quantizer knows — a defective embedding (bad export, wrong
+    * encoder version) or genuinely novel content, and either way the
+    * input a retrain wants surfaced. Per cell: member count, OOD
+    * count, worst member's cosine and id (argmin via min(struct) —
+    * never a window over vectors).
+    *
+    * Scale shape: the sim_ivf broadcast-centroid assignment already
+    * computes the best-cell cosine; this rides the same max(struct)
+    * aggregation and adds one bounded per-cell rollup. Output: (cell,
+    * n_vecs, n_ood, worst_cos_milli, worst_vec_id), ordered by cell.
+    */
+  def oodAudit(spark: SparkSession, sfDir: String,
+               centroidMod: Int = 50, tauMilli: Long = 200L): DataFrame = {
+    val emb = embeddings(spark, sfDir)
+    val cent = emb.filter(col("vec_id") % centroidMod === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"),
+        struct(cosMilli(col("v"), col("cv")).as("cs"),
+          (-col("c_id")).as("neg_c")).as("sc"))
+      .groupBy("vec_id")
+      .agg(max(col("sc")).as("best"))
+      .select(col("vec_id"), (-col("best.neg_c")).as("cell"),
+        col("best.cs").as("cs"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("cs") < tauMilli, 1L).otherwise(0L)).as("n_ood"),
+        min(struct(col("cs").as("cs"), col("vec_id").as("vid"))).as("w"))
+      .select(col("cell"), col("n_vecs"), col("n_ood"),
+        col("w.cs").as("worst_cos_milli"), col("w.vid").as("worst_vec_id"))
+      .orderBy("cell")
+  }
+
   /** sim_ivf_balance: IVF cell-balance audit — the first operational
     * question asked of a quantizer before serving from it: probe
     * latency is governed by the HOTTEST cells (a probe scans nprobe

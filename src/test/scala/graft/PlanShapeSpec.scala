@@ -86,6 +86,9 @@ class PlanShapeSpec extends SparkSpec {
       // the purity audit is the same assignment plus a label join and
       // bounded per-cell rollups
       "emb_cell_purity",
+      // the OOD audit is the same centroid-broadcast assignment plus
+      // bounded per-cell rollups
+      "emb_ood_audit",
       // the epsilon sweep reuses semdedup's centroid broadcast, then
       // expands a 10-row threshold grid against broadcast histograms
       // of <= 21 buckets each plus a 1-row rep count — every
