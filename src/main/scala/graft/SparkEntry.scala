@@ -316,6 +316,12 @@ object SparkEntry {
     // k-anonymity over (source, lang, length band): combos under k
     // docs re-identify members — the metadata-side governance audit
     "corpus_kanon" -> ((s, dir) => Corpus.kAnonymity(s, dir)),
+    // per-source integrity manifest: order-independent content
+    // checksum + counts — the snapshot-transfer validation table
+    "corpus_manifest" -> ((s, dir) => Corpus.sourceManifest(s, dir)),
+    // inter-arrival regularity bot detection: exact gap variance via
+    // the n*ss - s^2 identity, metronome users flagged
+    "ev_bot_audit" -> ((s, dir) => EventWindows.botAudit(s, dir)),
     // mergeable per-source profile: per-shard HLL sketches unioned per
     // source (one sketch per (source, shard) shuffled, never tokens);
     // estimate gated in-plan vs exact, oracle expects the gate TRUE
@@ -3437,6 +3443,34 @@ object SparkEntry {
     // source-concentration audit: Lorenz cumulative shares + rank-form
     // Gini; the rank-weighted sum runs in HUGEINT mirroring Spark's
     // DECIMAL(38,0) accumulator
+    // manifest: commutative modular content-hash sum per source
+    "corpus_manifest" ->
+      s"""SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS n_chars,
+         |  (sum((${h60("text")})::HUGEINT) % 2305843009213693952)::BIGINT
+         |    AS content_sum
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // bot audit: per-user lag gaps, HUGEINT variance identity
+    "ev_bot_audit" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |g AS (
+        |  SELECT user_id,
+        |    tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS gap
+        |  FROM ev),
+        |a AS (
+        |  SELECT user_id, count(*)::BIGINT AS n_gaps,
+        |    sum(gap::HUGEINT) AS s, sum(gap::HUGEINT * gap) AS ss
+        |  FROM g WHERE gap IS NOT NULL GROUP BY user_id
+        |  HAVING count(*) >= 9),
+        |v AS (
+        |  SELECT user_id, n_gaps, s,
+        |    ((n_gaps * ss - s * s) // (n_gaps::HUGEINT * n_gaps)) AS var_us2
+        |  FROM a)
+        |SELECT user_id, n_gaps,
+        |  ((s // n_gaps) // 1000000)::BIGINT AS mean_gap_sec,
+        |  (var_us2 // 1000000000000)::BIGINT AS var_gap_sec2,
+        |  (var_us2 // 1000000000000 < 3600) AS bot
+        |FROM v ORDER BY user_id""".stripMargin,
     // k-anonymity: quasi-id combo counts, risky flag, global risk
     // share riding every bounded row
     "corpus_kanon" ->

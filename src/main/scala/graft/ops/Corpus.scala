@@ -799,6 +799,30 @@ object Corpus {
           "div sum(n_docs) over ()"))
       .orderBy("source", "lang", "len_band")
 
+  /** corpus_manifest: per-source integrity manifest — the checksum
+    * table a snapshot transfer or mirror is validated against: doc
+    * count, byte mass, and an ORDER-INDEPENDENT content checksum (sum
+    * of 60-bit content hashes mod 2^61 — commutative, so partitioning
+    * and arrival order cannot change it, and any single-document
+    * corruption moves it). The same row works as the publish-side
+    * manifest and the receive-side recomputation; a mismatch names the
+    * source to re-pull without any doc-level diff.
+    *
+    * Scale shape: one narrow projection + one map-side-combinable
+    * rollup per source; the modular sum rides in DECIMAL(38,0) before
+    * the mod so 1e12 docs x 2^60 cannot wrap. Output: (source, n_docs,
+    * n_chars, content_sum), ordered.
+    */
+  def sourceManifest(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+      .select(col("source"), col("n_chars"),
+        graft.functions.OracleHash.h60(col("text")).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+        expr("cast(sum(cast(h as decimal(38,0))) % 2305843009213693952 as bigint)")
+          .as("content_sum"))
+      .orderBy("source")
+
   /** corpus_simpson: Simpson concentration + effective group count per
     * grouping dimension (source and lang) — the diversity companion to
     * [[sourceGini]]: Gini orders the Lorenz curve, Simpson answers the

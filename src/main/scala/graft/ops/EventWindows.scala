@@ -791,6 +791,49 @@ object EventWindows {
     * mad4 (quadrupled MAD milli), n_flagged, max_mz_milli (largest
     * modified z-score in milli; null when MAD = 0).
     */
+  /** ev_bot_audit: automation detection by inter-arrival REGULARITY —
+    * humans are bursty, schedulers are metronomes: a user whose
+    * event-gap variance sits near zero over enough events is a cron
+    * job, scraper or replay, the traffic every analytics table above
+    * wants excluded. Per user with >= `minEvents`: gap count, mean gap,
+    * gap variance via the exact (n*ss - s^2) div n^2 identity in
+    * DECIMAL(38,0) (microsecond gaps square past BIGINT), and the bot
+    * flag (variance below `tauSec2` seconds^2, scaled). Gaps come from
+    * one lag window over the user's own events — the rel_order_gaps
+    * cadence shape on the event stream.
+    *
+    * Output: (user_id, n_gaps, mean_gap_sec, var_gap_sec2, bot),
+    * ordered by user_id.
+    */
+  def botAudit(spark: SparkSession, sfDir: String, minEvents: Int = 10,
+               tauSec2: Long = 3600L): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("tus").asc, col("event_id").asc)
+    table(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr(floorDiv("ts", 1000L)).as("tus"))
+      .withColumn("gap", col("tus") - lag(col("tus"), 1).over(w))
+      .filter(col("gap").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap").cast("decimal(38,0)")).as("s"),
+        sum(expr("cast(gap as decimal(38,0)) * gap")).as("ss"))
+      .filter(col("n_gaps") >= (minEvents - 1).toLong)
+      // the us^2 variance itself exceeds BIGINT (~3e21 on this corpus),
+      // so the s^2 downscale folds into ONE decimal division — `div`'s
+      // LongType result is only materialized at seconds^2 scale
+      // (floor(floor(x/a)/b) == floor(x/(a*b)) for non-negative x, and
+      // the numerator is Cauchy-Schwarz non-negative)
+      .withColumn("var_gap_sec2",
+        expr("""(n_gaps * ss - s * s)
+                div (cast(n_gaps as decimal(38,0)) * n_gaps * 1000000000000)"""))
+      .select(col("user_id"), col("n_gaps"),
+        expr("(s div n_gaps) div 1000000").as("mean_gap_sec"),
+        col("var_gap_sec2"))
+      .withColumn("bot", col("var_gap_sec2") < tauSec2)
+      .orderBy("user_id")
+  }
+
   /** ev_attribution_linear: LINEAR multi-touch attribution — each
     * purchase's value splits EQUALLY across the user's view/click
     * touches within the lookback window, the fairness middle ground
