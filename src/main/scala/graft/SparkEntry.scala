@@ -296,6 +296,9 @@ object SparkEntry {
     // declared-vs-inferred language confusion matrix with zero-evidence
     // counts — the calibration table before trusting langid as a filter
     "text_langid_confusion" -> ((s, dir) => TextAnalysis.langIdConfusion(s, dir)),
+    // per-source type-token + hapax ratios: collapsed TTR marks
+    // template text, inflated hapax marks OCR noise
+    "text_lexical_richness" -> ((s, dir) => TextAnalysis.lexicalRichness(s, dir)),
     "text_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(s, dir)),
     // intra-doc repeated-n-gram ratio (boilerplate/spam quality signal)
     "text_repetition" -> ((s, dir) => TextAnalysis.repetitionScore(s, dir)),
@@ -3168,6 +3171,21 @@ object SparkEntry {
         |  FROM d)
         |SELECT doc_id, labeled_lang, best.lang AS pred_lang, (-best.neg)::BIGINT AS pred_hits
         |FROM scored ORDER BY doc_id""".stripMargin,
+    // lexical richness: (source, token) counts then per-source rollup
+    "text_lexical_richness" ->
+      """WITH t AS (
+        |  SELECT source, unnest(list_filter(string_split(lower(text), ' '),
+        |    x -> length(x) > 0)) AS token
+        |  FROM documents),
+        |g AS (SELECT source, token, count(*)::BIGINT AS n FROM t GROUP BY 1, 2),
+        |r AS (
+        |  SELECT source, sum(n)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+        |    sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax
+        |  FROM g GROUP BY source)
+        |SELECT source, n_tokens, n_types, n_hapax,
+        |  ((1000 * n_types) // n_tokens)::BIGINT AS ttr_milli,
+        |  ((1000 * n_hapax) // n_types)::BIGINT AS hapax_milli
+        |FROM r ORDER BY source""".stripMargin,
     // confusion rollup over the same scored CTE, per-labeled-lang
     // row shares in millis
     "text_langid_confusion" ->

@@ -97,6 +97,37 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** text_lexical_richness: per-source type-token and hapax ratios —
+    * the lexical-richness QA line a corpus report carries next to the
+    * Gopher structural gates: machine-generated or template text shows
+    * a collapsed type-token ratio (few types re-used many times), while
+    * OCR noise and mojibake inflate hapax share (many once-seen
+    * "types" that are really errors); both ends of the band are review
+    * queues. Exact integer millis over one tokenize pass.
+    *
+    * Scale shape: one (source, token) aggregation with map-side
+    * partials (the urlcount_zipf shuffle shape), then per-source
+    * rollups over the |sources x types| rows — a hot token collapses
+    * to one partial per partition before the exchange. Output:
+    * (source, n_tokens, n_types, n_hapax, ttr_milli, hapax_milli),
+    * ordered.
+    */
+  def lexicalRichness(spark: SparkSession, sfDir: String): DataFrame =
+    table(spark, sfDir, "documents")
+      .select(col("source"),
+        explode(filter(split(lower(col("text")), " "),
+          t => length(t) > 0)).as("token"))
+      .groupBy("source", "token")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("source")
+      .agg(sum(col("n")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("n") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+        expr("(1000 * n_types) div n_tokens").as("ttr_milli"),
+        expr("(1000 * n_hapax) div n_types").as("hapax_milli"))
+      .orderBy("source")
+
   /** text_langid_confusion: declared-vs-inferred language CONFUSION
     * MATRIX — the calibration table read before trusting [[langId]]'s
     * heuristic as a filter: a production corpus carries a declared
