@@ -322,6 +322,9 @@ object SparkEntry {
     // per-source integrity manifest: order-independent content
     // checksum + counts — the snapshot-transfer validation table
     "corpus_manifest" -> ((s, dir) => Corpus.sourceManifest(s, dir)),
+    // the same manifest maintained as Complete-mode streaming state —
+    // commutative sums merge order-free; shares the batch oracle
+    "stream_manifest" -> ((s, dir) => StreamingOps.streamManifest(s, dir)),
     // inter-arrival regularity bot detection: exact gap variance via
     // the n*ss - s^2 identity, metronome users flagged
     "ev_bot_audit" -> ((s, dir) => EventWindows.botAudit(s, dir)),
@@ -2043,6 +2046,14 @@ object SparkEntry {
        |  SELECT c, (1000000::HUGEINT * raw) // (SELECT max(raw) FROM h${k}r)
        |    AS score FROM h${k}r)""".stripMargin
 
+  /** Per-source manifest relation (mirror of Corpus.sourceManifest AND
+    * the Complete-mode streaming twin). */
+  private lazy val manifestOracle: String =
+    s"""SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS n_chars,
+       |  (sum((${h60("text")})::HUGEINT) % 2305843009213693952)::BIGINT
+       |    AS content_sum
+       |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   /** As-of attribution relation (mirror of EventWindows.asOfAttribution
     * AND the per-user last-view state machine streaming twin). */
   private lazy val asofOracle: String =
@@ -3461,12 +3472,10 @@ object SparkEntry {
     // source-concentration audit: Lorenz cumulative shares + rank-form
     // Gini; the rank-weighted sum runs in HUGEINT mirroring Spark's
     // DECIMAL(38,0) accumulator
-    // manifest: commutative modular content-hash sum per source
-    "corpus_manifest" ->
-      s"""SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS n_chars,
-         |  (sum((${h60("text")})::HUGEINT) % 2305843009213693952)::BIGINT
-         |    AS content_sum
-         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // manifest: commutative modular content-hash sum per source; the
+    // Complete-mode ingest twin maintains the identical relation
+    "corpus_manifest" -> manifestOracle,
+    "stream_manifest" -> manifestOracle,
     // bot audit: per-user lag gaps, HUGEINT variance identity
     "ev_bot_audit" ->
       """WITH ev AS (

@@ -858,6 +858,27 @@ object StreamingOps {
       .orderBy("event_id")
   }
 
+  /** stream_manifest: the per-source integrity manifest maintained AT
+    * INGEST — the publish-side half of Corpus.sourceManifest's
+    * story: because the content checksum is a COMMUTATIVE modular sum,
+    * it is exactly the shape Complete-mode streaming state merges
+    * without ordering concerns (the same mergeability argument as the
+    * HLL sketch profiles), so the manifest a transfer validates
+    * against is always current as documents arrive. Shares the batch
+    * oracle.
+    */
+  def streamManifest(spark: SparkSession, sfDir: String): DataFrame =
+    runToBatch(spark,
+        s => harnessDocStream(s, sfDir)
+          .select(col("source"), col("n_chars"),
+            graft.functions.OracleHash.h60(col("text")).as("h"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+            expr("cast(sum(cast(h as decimal(38,0))) % 2305843009213693952 as bigint)")
+              .as("content_sum")),
+        "stream_manifest", OutputMode.Complete())
+      .orderBy("source")
+
   /** stream_rfm: the RFM feature store maintained AT INGEST — the
     * streaming twin of EventWindows.rfmFeatures in the feature-store
     * serving shape: per-user (last day, frequency, monetary) state
