@@ -122,16 +122,85 @@ object StreamingOps {
     */
   def harnessEventStream(spark: SparkSession, sfDir: String): DataFrame = {
     val fileSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val eventTs = fileSchema("ts").dataType match {
-      case LongType => timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000L"))
-      case _        => col("ts").cast("timestamp")
-    }
     spark.readStream
       .schema(fileSchema)
       // brace-glob: the file stream source needs a directory-rooted glob
       // (a bare file path fails the basePath-must-be-a-directory check)
       .parquet(s"$sfDir/{events.parquet}")
-      .withColumn("ts", eventTs)
+      .withColumn("ts", eventTsNormalized(fileSchema))
+  }
+
+  private def eventTsNormalized(fileSchema: StructType) =
+    fileSchema("ts").dataType match {
+      case LongType => timestamp_micros(expr("(ts - pmod(ts, 1000L)) div 1000L"))
+      case _        => col("ts").cast("timestamp")
+    }
+
+  /** Sentinel identity of the end-of-stream heartbeat row (below). */
+  val heartbeatUserId: Long = -1L
+  // 2200-01-01T00:00:00Z — beyond any harness corpus event time, so the
+  // heartbeat's watermark update provably passes every real event.
+  private val heartbeatEpochSec = 7258118400L
+
+  private val heartbeatWritten = scala.collection.mutable.Set[String]()
+
+  /** One-row parquet directory holding the heartbeat event (user_id -1,
+    * event_type "view", ts far future), written once per application per
+    * events-schema variant. The batch write runs on the shared
+    * SparkContext; the lock serializes first-writers across the
+    * concurrently-started streaming twins.
+    */
+  private def heartbeatDir(spark: SparkSession, fileSchema: StructType): String = {
+    val dir = "target/streaming-heartbeat/" +
+      s"${spark.sparkContext.applicationId}/" +
+      java.lang.Integer.toHexString(fileSchema.json.hashCode)
+    heartbeatWritten.synchronized {
+      if (!heartbeatWritten.contains(dir)) {
+        val values: Seq[Any] = fileSchema.fields.toSeq.map { f =>
+          (f.name, f.dataType) match {
+            case ("ts", LongType) => heartbeatEpochSec * 1000000000L // nanos variant
+            case ("ts", TimestampNTZType) =>
+              java.time.LocalDateTime.ofEpochSecond(heartbeatEpochSec, 0,
+                java.time.ZoneOffset.UTC)
+            case ("ts", _) =>
+              java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(heartbeatEpochSec))
+            case ("user_id", _)   => heartbeatUserId
+            case ("event_id", _)  => -1L
+            case ("event_type", _) => "view"
+            case _ => null
+          }
+        }
+        spark.createDataFrame(
+            java.util.Arrays.asList(org.apache.spark.sql.Row.fromSeq(values)),
+            fileSchema)
+          .coalesce(1).write.mode("overwrite").parquet(dir)
+        heartbeatWritten += dir
+      }
+    }
+    dir
+  }
+
+  /** `harnessEventStream` plus a far-future heartbeat row from a side
+    * file source — stream-close punctuation. A watermark only advances
+    * on DATA, so a finite replay with delay `d` leaves its final `d` of
+    * events below the watermark forever: buffered state never drains and
+    * the run can't match a whole-corpus batch oracle. The heartbeat is
+    * the standard fix (Flink calls it a punctuation; Kafka pipelines
+    * emit broker heartbeats for exactly this): one sentinel whose event
+    * time exceeds every real event by more than the delay, so the final
+    * watermark passes the whole corpus. The sentinel carries user_id -1
+    * and must be swallowed by the consuming state function — it is kept
+    * OUT of the pre-state filters deliberately, because a predicate that
+    * excluded it could legally be pushed below the watermark node by the
+    * optimizer, and then the watermark would never advance.
+    */
+  def harnessEventStreamFlushed(spark: SparkSession, sfDir: String): DataFrame = {
+    val fileSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val ts = eventTsNormalized(fileSchema)
+    val hb = spark.readStream.schema(fileSchema)
+      .parquet(heartbeatDir(spark, fileSchema))
+      .withColumn("ts", ts)
+    harnessEventStream(spark, sfDir).unionByName(hb)
   }
 
   /** documents.parquet as a file stream. */
@@ -579,63 +648,61 @@ object StreamingOps {
       .orderBy("content_key")
   }
 
-  case class FunnelEvent(user_id: Long, sidx: Int, tus: Long, event_id: Long)
-  case class FunnelReach(reach: List[Long])
+  case class FunnelEvent(user_id: Long, sidx: Int, tus: Long, event_id: Long,
+                         ts: java.sql.Timestamp)
+  case class FunnelOooState(reach: List[Long], buf: List[FunnelEvent])
 
-  /** Streaming funnel — the ingest-time twin of EventWindows.funnel: a
-    * per-user flatMapGroupsWithState depth machine. State is the list
-    * of reach times of the steps completed so far; each micro-batch's
-    * arrivals are sorted by the SAME total order the batch operator
-    * uses ((tus, step-priority, event_id) — equal-ts steps chain,
-    * earlier steps first) and folded through the transition "step k
-    * counts iff k steps are done and its time is >= the last reach
-    * time". Because events are processed in sorted order, the first
-    * qualifying occurrence IS the min — the state stays exactly the
-    * batch operator's running-min column vector.
+  /** Watermark-gated buffer step shared by the out-of-order stateful
+    * twins: new arrivals the watermark has already passed are dropped as
+    * LATE (the same contract the built-in stateful operators apply to
+    * aggregations and dedup — disorder beyond the watermark delay is
+    * out of contract); the rest join the buffer; buffered events whose
+    * event time the watermark has now passed become RIPE and are
+    * released for folding, everything else stays buffered. Returns
+    * (ripe, pending). Event times are micros, the watermark is Spark's
+    * millisecond clock, so ripeness compares floor(tus/1000) <= wm.
+    */
+  private def splitRipe[E](buf: List[E], arrivals: Iterator[E], wmMs: Long,
+                           tusOf: E => Long): (List[E], List[E]) = {
+    val kept = buf ++ arrivals.filter(e => tusOf(e) / 1000L > wmMs)
+    kept.partition(e => tusOf(e) / 1000L <= wmMs)
+  }
+
+  /** Streaming funnel — the ingest-time twin of EventWindows.funnel,
+    * OUT-OF-ORDER TOLERANT: a per-user flatMapGroupsWithState machine
+    * with event-time-timeout watermark semantics. Arrivals are BUFFERED
+    * in state until the watermark (max event time - 2h) passes their
+    * event time; ripe events are then folded in the batch operator's
+    * total order ((tus, step-priority, event_id) — equal-ts steps
+    * chain, earlier steps first) through the transition "step k counts
+    * iff k steps are done and its time is >= the last reach time".
+    * Because ripe events fold in global event-time order regardless of
+    * arrival order or micro-batch split, the folded state is exactly
+    * the batch operator's running-min column vector — the in-order
+    * replay assumption the pre-r10 form carried is gone, and no state
+    * function materializes its per-batch group slice (arrivals stream
+    * into the buffer; only the ripe slice — bounded by the watermark
+    * window — is ever sorted).
     *
-    * Each batch emits every touched user's current depth (Update mode);
-    * the harness then rolls the final depths into the classic
-    * (step_idx, step, n_users) table, which the BATCH funnel's oracle
-    * must reproduce exactly. Cross-batch caveat, stated honestly: the
-    * fold is exact when micro-batches respect event-time order (true
-    * for the file-replay harness and for any in-order source); an
-    * out-of-order source needs watermark-delayed finalization — buffer
-    * events in state until the watermark passes, then fold — the same
-    * EventTimeTimeout skeleton as the bounded dedup twins.
-    *
-    * State is O(k) longs per user — bounded by construction, no
-    * timeout needed for correctness (a production deployment still
-    * sets one to retire dormant users).
+    * Timeout discipline: any group holding a buffer re-arms an
+    * event-time timeout just past the current watermark, so the fold
+    * resumes whenever the watermark advances even if the user goes
+    * quiet. The harness replay closes the stream with the heartbeat
+    * sentinel (`harnessEventStreamFlushed`), whose far-future event
+    * time drives the final watermark past the whole corpus — every
+    * buffer drains and the final depths land on the BATCH funnel's
+    * oracle relation exactly. State is O(events within one watermark
+    * window) per user plus O(k) folded longs — the delay is the
+    * explicit knob trading disorder tolerance for state size; a
+    * production deployment additionally sets a retirement TTL for
+    * dormant users.
     */
   def streamFunnel(spark: SparkSession, sfDir: String,
                    steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
-    import spark.implicits._
-    val sidx = steps.zipWithIndex
-      .foldLeft(lit(Int.MaxValue)) { case (acc, (s, i)) =>
-        when(col("event_type") === s, lit(i)).otherwise(acc)
-      }
-    val k = steps.length
     val perUser = runToBatch(spark,
-      s => harnessEventStream(s, sfDir)
-        .filter(col("event_type").isin(steps.map(st => st: Any): _*))
-        .select(col("user_id"), sidx.cast("int").as("sidx"),
-          unix_micros(col("ts")).as("tus"), col("event_id"))
-        .as[FunnelEvent]
-        .groupByKey(_.user_id)
-        .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-          (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelReach]) =>
-            val sorted = rows.toSeq.sortBy(e => (e.tus, e.sidx, e.event_id))
-            val reach = sorted.foldLeft(
-              state.getOption.map(_.reach).getOrElse(Nil)) { (r, e) =>
-              if (r.length < k && e.sidx == r.length &&
-                  (r.isEmpty || e.tus >= r.last)) r :+ e.tus else r
-            }
-            state.update(FunnelReach(reach))
-            Iterator.single((uid, reach.length.toLong))
-        }
-        .toDF("user_id", "depth"),
+      s => funnelDepths(harnessEventStreamFlushed(s, sfDir), steps),
       "stream_funnel", OutputMode.Update())
-    // final depth per user (last batch wins = max: depth only grows),
+    // final depth per user (last emission wins = max: depth only grows),
     // unrolled into the cumulative funnel table
     perUser.groupBy("user_id").agg(max(col("depth")).as("depth"))
       .filter(col("depth") > 0)
@@ -647,100 +714,150 @@ object StreamingOps {
       .orderBy("step_idx")
   }
 
-  case class AttrEvent(user_id: Long, tus: Long, event_id: Long, is_purchase: Int)
+  /** The funnel state machine over a prepared (heartbeat-carrying)
+    * event stream: emits (user_id, depth) whenever a user's fold
+    * advances. Factored out so tests can drive it from their own
+    * multi-file out-of-order replays.
+    */
+  def funnelDepths(events: DataFrame,
+                   steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val sidx = steps.zipWithIndex
+      .foldLeft(lit(Int.MaxValue)) { case (acc, (s, i)) =>
+        when(col("event_type") === s, lit(i)).otherwise(acc)
+      }
+    val k = steps.length
+    events
+      .withWatermark("ts", "2 hours")
+      // the heartbeat is admitted explicitly: the optimizer may push
+      // this filter below the watermark node, and a predicate that
+      // dropped the sentinel there would freeze the watermark
+      .filter(col("event_type").isin(steps.map(st => st: Any): _*) ||
+        col("user_id") === lit(heartbeatUserId))
+      // ts rides along untouched: the watermark tag lives on that
+      // attribute and the stateful operator requires it in its input
+      .select(col("user_id"), sidx.cast("int").as("sidx"),
+        unix_micros(col("ts")).as("tus"), col("event_id"), col("ts"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelOooState]) =>
+          if (uid == heartbeatUserId) { rows.foreach(_ => ()); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            val st = state.getOption.getOrElse(FunnelOooState(Nil, Nil))
+            val (ripe, pending) = splitRipe[FunnelEvent](st.buf, rows, wm, _.tus)
+            val reach = ripe.sortBy(e => (e.tus, e.sidx, e.event_id))
+              .foldLeft(st.reach) { (r, e) =>
+                if (r.length < k && e.sidx == r.length &&
+                    (r.isEmpty || e.tus >= r.last)) r :+ e.tus else r
+              }
+            state.update(FunnelOooState(reach, pending))
+            if (pending.nonEmpty) state.setTimeoutTimestamp(wm + 1L)
+            if (ripe.nonEmpty) Iterator.single((uid, reach.length.toLong))
+            else Iterator.empty
+          }
+      }
+      .toDF("user_id", "depth")
+  }
+
+  case class AttrEvent(user_id: Long, tus: Long, event_id: Long, is_purchase: Int,
+                       ts: java.sql.Timestamp)
   case class AttrLastView(vt: Long, vid: Long)
   case class AttrOut(purchase_event_id: Long, user_id: Long, purchase_tus: Long,
                      view_event_id: Option[Long], view_tus: Option[Long],
                      lag_us: Option[Long])
 
+  case class AttrOooState(last: Option[AttrLastView], buf: List[AttrEvent])
+
   /** stream_attribution: last-touch attribution AT INGEST — the
-    * streaming twin of EventWindows.asOfAttribution, and the shape an
-    * ad platform actually serves it in: a per-user
-    * flatMapGroupsWithState machine whose entire state is the ONE last
-    * view (timestamp, id) — O(1) per user, no window, no join — and
-    * every arriving purchase emits its attribution row in flight,
-    * including the no-prior-view case with NULL view columns (the
-    * batch relation keeps those purchases, so the twin must too). Each
-    * micro-batch's per-user slice is restored to the batch total order
-    * (tus, is_purchase, event_id) before folding — the streamFunnel
-    * in-order-replay contract; an out-of-order source would buffer
-    * under a watermark first. Shares ev_asof_attribution's oracle.
+    * streaming twin of EventWindows.asOfAttribution, OUT-OF-ORDER
+    * TOLERANT via the same watermark-buffered EventTimeTimeout machine
+    * as streamFunnel: arrivals buffer in state until the watermark
+    * passes them, then fold in the batch total order (tus,
+    * views-before-purchases, event_id) — views update the carried
+    * last-view, purchases emit their attribution row, including the
+    * no-prior-view case with NULL view columns (the batch relation
+    * keeps those purchases, so the twin must too). Folded state beyond
+    * the buffer is still the ONE last view — O(1) — and the buffer is
+    * bounded by the watermark window; emission is exactly-once per
+    * purchase (Append mode), deferred by at most the watermark delay —
+    * the standard correctness/latency trade of event-time processing.
+    * The harness heartbeat drives the final watermark past the corpus
+    * so the run lands on ev_asof_attribution's whole-corpus oracle.
     */
   def streamAttribution(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     runToBatch(spark,
-        s => {
-          import s.implicits._
-          harnessEventStream(s, sfDir)
-            .filter(col("event_type").isin("view", "purchase"))
-            .select(col("user_id"), unix_micros(col("ts")).as("tus"),
-              col("event_id"),
-              (col("event_type") === "purchase").cast("int").as("is_purchase"))
-            .as[AttrEvent]
-            .groupByKey(_.user_id)
-            .flatMapGroupsWithState(OutputMode.Append(),
-              GroupStateTimeout.NoTimeout()) {
-              (uid: Long, rows: Iterator[AttrEvent],
-               state: GroupState[AttrLastView]) =>
-                val sorted = rows.toSeq
-                  .sortBy(e => (e.tus, e.is_purchase, e.event_id))
-                var lv = state.getOption
-                val out = Seq.newBuilder[AttrOut]
-                sorted.foreach { e =>
-                  if (e.is_purchase == 0) lv = Some(AttrLastView(e.tus, e.event_id))
-                  else out += AttrOut(e.event_id, uid, e.tus,
-                    lv.map(_.vid), lv.map(_.vt), lv.map(v => e.tus - v.vt))
-                }
-                lv.foreach(state.update)
-                out.result().iterator
-            }
-            .toDF()
-        },
+        s => attributionRows(harnessEventStreamFlushed(s, sfDir)),
         "stream_attribution", OutputMode.Append())
       .orderBy("purchase_event_id")
   }
 
-  case class TransEvent(user_id: Long, tus: Long, event_id: Long, event_type: String)
+  /** The attribution state machine over a prepared (heartbeat-carrying)
+    * event stream; factored out for out-of-order replay tests.
+    */
+  def attributionRows(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .filter(col("event_type").isin("view", "purchase") ||
+        col("user_id") === lit(heartbeatUserId))
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_id"),
+        (col("event_type") === "purchase").cast("int").as("is_purchase"),
+        col("ts"))
+      .as[AttrEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[AttrEvent], state: GroupState[AttrOooState]) =>
+          if (uid == heartbeatUserId) { rows.foreach(_ => ()); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            val st = state.getOption.getOrElse(AttrOooState(None, Nil))
+            val (ripe, pending) = splitRipe[AttrEvent](st.buf, rows, wm, _.tus)
+            var lv = st.last
+            val out = Seq.newBuilder[AttrOut]
+            ripe.sortBy(e => (e.tus, e.is_purchase, e.event_id)).foreach { e =>
+              if (e.is_purchase == 0) lv = Some(AttrLastView(e.tus, e.event_id))
+              else out += AttrOut(e.event_id, uid, e.tus,
+                lv.map(_.vid), lv.map(_.vt), lv.map(v => e.tus - v.vt))
+            }
+            state.update(AttrOooState(lv, pending))
+            if (pending.nonEmpty) state.setTimeoutTimestamp(wm + 1L)
+            out.result().iterator
+          }
+      }
+      .toDF()
+  }
+
+  case class TransEvent(user_id: Long, tus: Long, event_id: Long, event_type: String,
+                        ts: java.sql.Timestamp)
   case class TransLast(tus: Long, event_id: Long, tpe: String)
 
+  case class TransOooState(last: Option[TransLast], buf: List[TransEvent])
+
   /** Streaming Markov transitions — the ingest-time twin of
-    * EventWindows.eventTransitions: a per-user flatMapGroupsWithState
-    * machine whose state is the ONE last-seen event (time, id, type).
-    * Each micro-batch's arrivals are sorted by the batch operator's
-    * total order (tus, event_id) and zipped against the carried last
-    * event, emitting one (prev_type, next_type) pair per consecutive
-    * step; the pairs accumulate in the sink and the harness collapses
-    * them to the same counts + integral ppm row-rate table the batch
-    * operator produces, so the two share one oracle.
-    *
-    * Same in-order caveat as streamFunnel: exact when micro-batches
-    * respect event-time order (the file-replay harness and any
-    * in-order source); an out-of-order source buffers in state until
-    * the watermark passes. State is O(1) per user — one (long, long,
-    * string) regardless of history length, the key property that makes
-    * per-user sequence features viable at ingest on an unbounded
-    * stream.
+    * EventWindows.eventTransitions, OUT-OF-ORDER TOLERANT via the same
+    * watermark-buffered EventTimeTimeout machine as streamFunnel:
+    * arrivals buffer in state until the watermark passes them, then
+    * the ripe slice is folded in the batch operator's total order
+    * (tus, event_id), zipped against the carried last-seen event, and
+    * one (prev_type, next_type) pair is emitted per consecutive step;
+    * the pairs accumulate in the sink and the harness collapses them
+    * to the same counts + integral ppm row-rate table the batch
+    * operator produces, so the two share one oracle (the heartbeat
+    * sentinel drives the final watermark past the corpus so every
+    * buffer drains). Folded state beyond the buffer is O(1) per user —
+    * one (long, long, string) regardless of history length — and the
+    * buffer is bounded by the watermark window, the explicit
+    * disorder-tolerance/state-size knob.
     */
   def streamTransitions(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val emitted = runToBatch(spark,
-      s => harnessEventStream(s, sfDir)
-        .select(col("user_id"), unix_micros(col("ts")).as("tus"),
-          col("event_id"), col("event_type"))
-        .as[TransEvent]
-        .groupByKey(_.user_id)
-        .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-          (uid: Long, rows: Iterator[TransEvent], state: GroupState[TransLast]) =>
-            val sorted = rows.toSeq.sortBy(e => (e.tus, e.event_id))
-            val carried = state.getOption
-            val seq = carried.map(l => TransEvent(uid, l.tus, l.event_id, l.tpe))
-              .toSeq ++ sorted
-            val last = seq.last
-            state.update(TransLast(last.tus, last.event_id, last.event_type))
-            seq.iterator.zip(seq.iterator.drop(1))
-              .map { case (a, b) => (a.event_type, b.event_type) }
-        }
-        .toDF("prev_type", "next_type"),
+      s => transitionPairs(harnessEventStreamFlushed(s, sfDir)),
       "stream_transitions", OutputMode.Update())
     emitted.groupBy("prev_type", "next_type")
       .agg(count(lit(1)).as("n"))
@@ -749,6 +866,40 @@ object StreamingOps {
       .select(col("prev_type"), col("next_type"), col("n"),
         expr("(1000000 * n) div row_total").as("rate_ppm"))
       .orderBy("prev_type", "next_type")
+  }
+
+  /** The transition state machine over a prepared (heartbeat-carrying)
+    * event stream: emits one (prev_type, next_type) pair per
+    * consecutive ripe step; factored out for out-of-order replay tests.
+    */
+  def transitionPairs(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .select(col("user_id"), unix_micros(col("ts")).as("tus"),
+        col("event_id"), col("event_type"), col("ts"))
+      .as[TransEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[TransEvent], state: GroupState[TransOooState]) =>
+          if (uid == heartbeatUserId) { rows.foreach(_ => ()); Iterator.empty }
+          else {
+            val wm = state.getCurrentWatermarkMs()
+            val st = state.getOption.getOrElse(TransOooState(None, Nil))
+            val (ripe, pending) = splitRipe[TransEvent](st.buf, rows, wm, _.tus)
+            val seq = st.last
+              .map(l => TransEvent(uid, l.tus, l.event_id, l.tpe, null))
+              .toList ++ ripe.sortBy(e => (e.tus, e.event_id))
+            val last = seq.lastOption.map(e =>
+              TransLast(e.tus, e.event_id, e.event_type)).orElse(st.last)
+            state.update(TransOooState(last, pending))
+            if (pending.nonEmpty) state.setTimeoutTimestamp(wm + 1L)
+            seq.iterator.zip(seq.iterator.drop(1))
+              .map { case (a, b) => (a.event_type, b.event_type) }
+          }
+      }
+      .toDF("prev_type", "next_type")
   }
 
   /** Ingest-time mix sampling — the streaming twin of Corpus.mixSample,

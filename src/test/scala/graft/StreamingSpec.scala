@@ -408,6 +408,97 @@ class StreamingSpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("out-of-order replay: funnel/attribution/transitions match batch across shuffled micro-batches") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    // events spanning 0.2h-5h with a 2h watermark delay; micro-batch
+    // files deliberately violate event-time order (each file's
+    // earliest event predates the previous file's latest by up to
+    // ~1.5h — inside the delay, so nothing is out of contract)
+    val all = Seq(
+      (1L, ts(720), 1L, "view", 1.0),
+      (2L, ts(1800), 1L, "click", 1.0),
+      (3L, ts(5400), 1L, "purchase", 1.0),
+      (4L, ts(1900), 2L, "click", 1.0),
+      (5L, ts(2000), 2L, "view", 1.0),
+      (6L, ts(10800), 2L, "purchase", 1.0),
+      (7L, ts(3600), 3L, "view", 1.0),
+      (8L, ts(5400), 3L, "click", 1.0),
+      (9L, ts(18000), 3L, "purchase", 1.0),
+      (10L, ts(1800), 4L, "purchase", 1.0),
+      (11L, ts(1800), 5L, "view", 1.0),
+      (12L, ts(1800), 5L, "click", 1.0),
+      (13L, ts(1800), 5L, "purchase", 1.0))
+    val files = Seq(
+      Seq(2L, 4L, 5L, 7L, 10L, 12L, 13L), // batch 1: mid events first
+      Seq(1L, 6L, 11L),                   // batch 2: 0.2h arrives AFTER 1h
+      Seq(3L, 8L, 9L),                    // batch 3: 1.5h after 3h
+      Seq(-1L))                           // heartbeat closes the stream
+    val byId = all.map(e => e._1 -> e).toMap
+    val srcDir = Files.createTempDirectory("graft-ooo-src")
+    files.zipWithIndex.foreach { case (ids, i) =>
+      val rows = ids.map {
+        case -1L => (-1L, new Timestamp(7258118400L * 1000L), -1L, "view", 0.0)
+        case id  => byId(id)
+      }
+      val tmp = Files.createTempDirectory("graft-ooo-part")
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+      val dest = srcDir.resolve(f"f$i%02d.parquet")
+      Files.copy(part, dest)
+      assert(dest.toFile.setLastModified(1700000000000L + i * 10000L))
+    }
+    def replay(): DataFrame = spark.readStream
+      .schema(StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+    // the batch side sees only the real events, in one tidy table
+    val sfDir = tempSfDir()
+    writeTable(sfDir, "events",
+      all.toDF("event_id", "ts", "user_id", "event_type", "value"))
+
+    // funnel: roll emitted (user, depth) updates to final max-depth
+    val qf = StreamingOps.runToMemory(
+      StreamingOps.funnelDepths(replay()), "ooo_funnel", OutputMode.Update())
+    try {
+      val depths = spark.table("ooo_funnel").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+      val got = (1 to 3).map(k => depths.values.count(_ >= k).toLong)
+      val batch = graft.ops.EventWindows.funnel(spark, sfDir).collect()
+        .map(_.getLong(2)).toSeq
+      assert(got === batch && got === Seq(4L, 3L, 3L))
+    } finally qf.stop()
+
+    // attribution: appended rows are exactly the batch as-of relation
+    val qa = StreamingOps.runToMemory(
+      StreamingOps.attributionRows(replay()), "ooo_attr", OutputMode.Append())
+    try {
+      val got = spark.table("ooo_attr")
+        .select("purchase_event_id", "user_id", "purchase_tus",
+          "view_event_id", "view_tus", "lag_us")
+        .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+      val batch = graft.ops.EventWindows.asOfAttribution(spark, sfDir)
+        .collect().map(_.toSeq)
+      assert(got.toSeq === batch.toSeq)
+    } finally qa.stop()
+
+    // transitions: emitted pairs collapse to the batch matrix
+    val qt = StreamingOps.runToMemory(
+      StreamingOps.transitionPairs(replay()), "ooo_trans", OutputMode.Update())
+    try {
+      val pairs = spark.table("ooo_trans").as[(String, String)].collect()
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val batch = graft.ops.EventWindows.eventTransitions(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(pairs === batch)
+    } finally qt.stop()
+  }
+
   test("streaming mix sample equals the batch sampler (stateless hash decisions)") {
     import spark.implicits._
     val sfDir = tempSfDir()
