@@ -949,7 +949,8 @@ object SparkEntry {
         """WITH emb AS (
           |  SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
           |  FROM graft_embeddings),
-          |q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
+          |q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 50 = 0
+          |     ORDER BY vec_id LIMIT 4096),
           |scored AS (
           |  SELECT q.q_id, e.vec_id AS n_id,
           |    CAST(floor(graft_dot(q.qv, e.v) /

@@ -55,13 +55,29 @@ object Similarity {
     table(spark, sfDir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
 
+  /** Absolute row cap for every frame this file BROADCASTS into a
+    * nested-loop join. Strided (`vec_id % m == 0`) selections are
+    * corpus-PROPORTIONAL — fine as probe workloads, wrong as broadcast
+    * build sides at 100 TB (N/m vectors do not fit in an executor at
+    * any m you'd pick) — so each one is additionally capped at the
+    * `broadcastCap` smallest ids (deterministic TakeOrdered). The cap
+    * binds at no harness scale (strided sets are <= 40 rows at sf0.1
+    * and FIXED under the 10x replication scheme), so every oracle
+    * replays the bare stride unchanged; at production scale it is the
+    * structural guarantee PlanShapeSpec verifies IN the plan:
+    * broadcast bytes stay O(cap x dim), never O(corpus / stride).
+    */
+  private val broadcastCap = 4096
+  private def capped(df: DataFrame): DataFrame =
+    df.orderBy("vec_id").limit(broadcastCap)
+
   /** Brute-force cosine top-k: every `stride`-th vector queries the whole
     * corpus. Query side is tiny -> broadcast; corpus is scanned once.
     */
   def bruteForceTopK(spark: SparkSession, sfDir: String,
                      k: Int = 10, stride: Int = 50): DataFrame = {
     val emb = embeddings(spark, sfDir)
-    val queries = emb.filter(col("vec_id") % stride === 0)
+    val queries = capped(emb.filter(col("vec_id") % stride === 0))
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val scored = emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("n_id"),
@@ -113,6 +129,9 @@ object Similarity {
     val emb = embeddings(spark, sfDir)
       .orderBy("vec_id").limit(maxSample) // TakeOrdered: O(maxSample) per partition
       .localCheckpoint()
+      .limit(maxSample) // re-bounds the sample in-plan: the checkpoint
+      // hides the TakeOrdered behind an RDD scan, and the self-join
+      // below must stay provably bounded to the plan sweep
     val a = emb.select(col("vec_id").as("vec_a"), col("v").as("va"))
       .repartition(col("vec_a"))
     val b = emb.select(col("vec_id").as("vec_b"), col("v").as("vb"))
@@ -239,7 +258,7 @@ object Similarity {
   def ivfAnn(spark: SparkSession, sfDir: String,
              centroidMod: Int = 50, nprobe: Int = 2, k: Int = 10): DataFrame = {
     val emb = embeddings(spark, sfDir)
-    val cent = emb.filter(col("vec_id") % centroidMod === 0)
+    val cent = capped(emb.filter(col("vec_id") % centroidMod === 0))
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     ivfTopK(emb, broadcast(cent), col("vec_id") % centroidMod === 0, nprobe, k)
   }
@@ -254,7 +273,7 @@ object Similarity {
                  centroidMod: Int = 50, nprobe: Int = 2,
                  k: Int = 10): DataFrame = {
     val emb = embeddings(spark, sfDir)
-    val cent = broadcast(emb.filter(col("vec_id") % centroidMod === 0)
+    val cent = broadcast(capped(emb.filter(col("vec_id") % centroidMod === 0))
       .select(col("vec_id").as("c_id"), col("v").as("cv")))
     val queries = emb.join(queryIds.select(col("q_id")),
         col("vec_id") === col("q_id"))
@@ -341,7 +360,7 @@ object Similarity {
   def ivfIndexed(spark: SparkSession, sfDir: String,
                  centroidMod: Int = 50, nprobe: Int = 2, k: Int = 10): DataFrame = {
     val emb = embeddings(spark, sfDir)
-    val cent = emb.filter(col("vec_id") % centroidMod === 0)
+    val cent = capped(emb.filter(col("vec_id") % centroidMod === 0))
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     val name = graft.sources.Bucketed.scopedName(spark, "graft_ivf_index")
     graft.sources.Bucketed.writeBucketed(spark,
@@ -369,7 +388,7 @@ object Similarity {
                      centroidMod: Int = 50, nprobe: Int = 2, k: Int = 10,
                      mod: Int = 10): DataFrame = {
     val emb = embeddings(spark, sfDir)
-    val cent = emb.filter(col("vec_id") % centroidMod === 0)
+    val cent = capped(emb.filter(col("vec_id") % centroidMod === 0))
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     val name = graft.sources.Bucketed.scopedName(spark, "graft_ivf_index_grow")
     graft.sources.Bucketed.writeBucketed(spark,
@@ -408,12 +427,14 @@ object Similarity {
                    centroidMod: Int = 50, rounds: Int = 2,
                    nprobe: Int = 2, k: Int = 10): DataFrame = {
     val emb = embeddings(spark, sfDir).localCheckpoint() // read once, used every round
-    var cent = emb.filter(col("vec_id") % centroidMod === 0)
+    var cent = capped(emb.filter(col("vec_id") % centroidMod === 0))
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
       .localCheckpoint()
     var r = 0
     while (r < rounds) {
-      val assigned = emb.crossJoin(broadcast(cent))
+      // .limit re-bounds the checkpointed round output in-plan (the
+      // checkpoint hides the per-cell aggregate behind an RDD scan)
+      val assigned = emb.crossJoin(broadcast(cent.limit(broadcastCap)))
         .select(col("vec_id"),
           struct(cosMilli(col("v"), col("cv")).as("cs"),
             (-col("c_id")).as("neg_c"), col("v").as("v")).as("sc"))
@@ -431,7 +452,8 @@ object Similarity {
         .localCheckpoint()
       r += 1
     }
-    ivfTopK(emb, broadcast(cent), col("vec_id") % centroidMod === 0, nprobe, k)
+    ivfTopK(emb, broadcast(cent.limit(broadcastCap)),
+      col("vec_id") % centroidMod === 0, nprobe, k)
   }
 
   /** Driver-checked ANN quality (VERDICT r4 missing #2): recall@k of the
@@ -637,7 +659,7 @@ object Similarity {
     val emb = table(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("label").cast("long").as("label"),
         transform(col("embedding"), _.cast("double")).as("v"))
-    val anchors = emb.filter(col("vec_id") % stride === 0)
+    val anchors = capped(emb.filter(col("vec_id") % stride === 0))
       .select(col("vec_id").as("q_id"), col("label").as("q_label"),
         col("v").as("qv"))
     val scored = emb.join(broadcast(anchors), col("vec_id") =!= col("q_id"))
@@ -869,7 +891,7 @@ object Similarity {
   def semDedup(spark: SparkSession, sfDir: String,
                centroidMod: Int = 50, tauMilli: Long = 400): DataFrame = {
     val emb = embeddings(spark, sfDir)
-    val cent = emb.filter(col("vec_id") % centroidMod === 0)
+    val cent = capped(emb.filter(col("vec_id") % centroidMod === 0))
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     val assigned = assignCells(vectorRepresentatives(emb), broadcast(cent))
     val a = assigned.select(col("cell"), col("vec_id").as("a_id"), col("v").as("av"))
@@ -908,7 +930,7 @@ object Similarity {
   def nprobeSweep(spark: SparkSession, sfDir: String, centroidMod: Int = 50,
                   maxNprobe: Int = 4, k: Int = 10): DataFrame = {
     val emb = embeddings(spark, sfDir)
-    val cent = broadcast(emb.filter(col("vec_id") % centroidMod === 0)
+    val cent = broadcast(capped(emb.filter(col("vec_id") % centroidMod === 0))
       .select(col("vec_id").as("c_id"), col("v").as("cv")))
     val assigned = assignCells(emb, cent)
     val queries = emb.filter(col("vec_id") % centroidMod === 0)
@@ -967,7 +989,7 @@ object Similarity {
   def knnGraph(spark: SparkSession, sfDir: String,
                centroidMod: Int = 50, k: Int = 5): DataFrame = {
     val emb = embeddings(spark, sfDir)
-    val cent = emb.filter(col("vec_id") % centroidMod === 0)
+    val cent = capped(emb.filter(col("vec_id") % centroidMod === 0))
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     val assigned = assignCells(vectorRepresentatives(emb), broadcast(cent))
     val a = assigned.select(col("cell"), col("vec_id").as("src"), col("v").as("sv"))
@@ -1003,7 +1025,7 @@ object Similarity {
                  centroidMod: Int = 50): DataFrame = {
     val raw = table(spark, sfDir, "embeddings")
     val emb = embeddings(spark, sfDir)
-    val cent = emb.filter(col("vec_id") % centroidMod === 0)
+    val cent = capped(emb.filter(col("vec_id") % centroidMod === 0))
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     assignCells(emb, broadcast(cent))
       .join(raw.select(col("vec_id"), col("label").cast("long").as("label")),
@@ -1038,7 +1060,7 @@ object Similarity {
   def oodAudit(spark: SparkSession, sfDir: String,
                centroidMod: Int = 50, tauMilli: Long = 200L): DataFrame = {
     val emb = embeddings(spark, sfDir)
-    val cent = emb.filter(col("vec_id") % centroidMod === 0)
+    val cent = capped(emb.filter(col("vec_id") % centroidMod === 0))
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     emb.crossJoin(broadcast(cent))
       .select(col("vec_id"),
@@ -1076,7 +1098,7 @@ object Similarity {
   def ivfBalance(spark: SparkSession, sfDir: String,
                  centroidMod: Int = 50): DataFrame = {
     val emb = embeddings(spark, sfDir)
-    val cent = emb.filter(col("vec_id") % centroidMod === 0)
+    val cent = capped(emb.filter(col("vec_id") % centroidMod === 0))
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     val w = Window.partitionBy() // |cells| rows post-aggregate
     assignCells(emb, broadcast(cent))
@@ -1115,7 +1137,7 @@ object Similarity {
                    centroidMod: Int = 50, nTaus: Int = 10,
                    stepMilli: Long = 100L): DataFrame = {
     val emb = embeddings(spark, sfDir)
-    val cent = emb.filter(col("vec_id") % centroidMod === 0)
+    val cent = capped(emb.filter(col("vec_id") % centroidMod === 0))
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     val assigned = assignCells(vectorRepresentatives(emb), broadcast(cent))
       .localCheckpoint() // one assignment pass: both pair sides + rep count
@@ -1405,7 +1427,7 @@ object Similarity {
                centroidMod: Int = 50, nprobe: Int = 2, k: Int = 10,
                nSub: Int = 8, subDim: Int = 8): DataFrame = {
     val emb = embeddings(spark, sfDir)
-    val cent = emb.filter(col("vec_id") % centroidMod === 0)
+    val cent = capped(emb.filter(col("vec_id") % centroidMod === 0))
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     val (comps, codebook) = pqCompsAndBook(spark, sfDir, nSub, subDim)
     // ingest: assign cells, attach each vector's nSub codes, store the

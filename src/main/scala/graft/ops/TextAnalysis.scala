@@ -491,7 +491,10 @@ object TextAnalysis {
     val pruned = spark.table(name).filter(col("term").isin(workloadTerms: _*))
     val dft = pruned.groupBy("term").agg(count(lit(1)).as("df"))
     val qdim = broadcast(qterms.join(dft, "term"))
-    bm25Serve(pruned, qdim, spark.table(statsName), k)
+    // .limit(1) re-bounds the stored 1-row stats table in-plan: read
+    // back from parquet it is a bare scan, and the broadcast side of
+    // the scoring cross join must stay provably bounded to the sweep
+    bm25Serve(pruned, qdim, spark.table(statsName).limit(1), k)
   }
 
   /** text_hybrid_rrf: hybrid retrieval — lexical BM25 and semantic
