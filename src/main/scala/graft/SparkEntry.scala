@@ -534,9 +534,10 @@ object SparkEntry {
     // bucket — recall without more hash tables
     "sim_lsh_multiprobe" -> ((s, dir) => Similarity.lshMultiprobe(s, dir)),
     "sim_ivf" -> ((s, dir) => Similarity.ivfAnn(s, dir)),
-    // trained-quantizer IVF (2 Lloyd rounds over the strided seeds) — the
-    // learned centroids are not oracle-replayable, so rows-only here;
-    // SimilaritySpec pins recall@10 against brute-force ground truth
+    // trained-quantizer IVF (2 Lloyd rounds over the strided seeds) —
+    // exact integer-micro centroid means make the training loop
+    // oracle-replayable as chained CTEs (kmeansOracle); SimilaritySpec
+    // additionally pins recall@10 against brute-force ground truth
     "sim_ivf_kmeans" -> ((s, dir) => Similarity.ivfAnnKMeans(s, dir)),
     // the index OUTLIVES the query: cell assignments written bucketed by
     // cell once, probes read the stored posting lists (no re-assignment
@@ -1233,6 +1234,70 @@ object SparkEntry {
     * assignment, nprobe=2 probing, exact re-rank, orderings made total
     * by the (cos desc, id asc) tie-break everywhere.
     */
+  /** One Lloyd round as CTEs (mirror of Similarity.ivfAnnKMeans's loop
+    * body): given cent{k}(c_id, cv), assign every vector to its argmax
+    * cosMilli cell (ties to the smallest c_id), then cent{k+1} is the
+    * per-cell elementwise mean in EXACT integer micros — floor(x*1e6)
+    * per component, summed in HUGEINT, explicit floor division by the
+    * cell count, back to DOUBLE as one IEEE division. Every step
+    * matches the Spark loop op-for-op, so the learned centroids are
+    * bit-identical across engines.
+    */
+  private def kmeansRound(k: Int): String =
+    s"""sc$k AS (
+       |  SELECT e.vec_id, e.v, c.c_id, ${cosMilli("e.v", "c.cv")} AS cs
+       |  FROM emb e CROSS JOIN cent$k c),
+       |asg$k AS (
+       |  SELECT v, c_id AS cell FROM (
+       |    SELECT vec_id, v, c_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id ASC) AS ark
+       |    FROM sc$k) WHERE ark = 1),
+       |dim$k AS (
+       |  SELECT cell, i,
+       |    sum(CAST(floor(v[i+1] * 1000000) AS HUGEINT)) AS sm,
+       |    count(*)::HUGEINT AS n
+       |  FROM asg$k, UNNEST(range(0, len(v))) AS u$k(i)
+       |  GROUP BY cell, i),
+       |cent${k + 1} AS (
+       |  SELECT cell AS c_id,
+       |    array_agg(((sm - (((sm % n) + n) % n)) // n)::DOUBLE / 1000000.0
+       |              ORDER BY i) AS cv
+       |  FROM dim$k GROUP BY cell)""".stripMargin
+
+  /** sim_ivf_kmeans replay: two chained Lloyd rounds (the strided seeds
+    * refined twice), then the standard IVF assign/probe/re-rank tail
+    * over the TRAINED centroids — the ivfOracle tail with cent := cent2.
+    */
+  private lazy val kmeansOracle: String =
+    s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent0 AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0),
+       |${kmeansRound(0)},
+       |${kmeansRound(1)},
+       |scored AS (
+       |  SELECT e.vec_id, e.v, c.c_id, ${cosMilli("e.v", "c.cv")} AS cs
+       |  FROM emb e CROSS JOIN cent2 c),
+       |assigned AS (
+       |  SELECT vec_id, v, c_id AS cell FROM (
+       |    SELECT vec_id, v, c_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id ASC) AS ark
+       |    FROM scored) WHERE ark = 1),
+       |probes AS (
+       |  SELECT q_id, cell FROM (
+       |    SELECT vec_id AS q_id, c_id AS cell,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, c_id ASC) AS prk
+       |    FROM scored WHERE vec_id % 50 = 0) WHERE prk <= 2),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
+       |cand AS (
+       |  SELECT DISTINCT p.q_id, a.vec_id AS n_id, ${cosMilli("q.qv", "a.v")} AS cos_milli
+       |  FROM probes p JOIN q USING (q_id) JOIN assigned a ON a.cell = p.cell
+       |  WHERE a.vec_id != p.q_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, cos_milli,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cos_milli DESC, n_id ASC) AS rk
+       |  FROM cand)
+       |SELECT q_id, rk, n_id, cos_milli FROM ranked WHERE rk <= 10
+       |ORDER BY q_id, rk""".stripMargin
+
   private lazy val ivfOracle: String =
     s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
        |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0),
@@ -4092,6 +4157,9 @@ object SparkEntry {
     // nprobe=2 probing, exact re-rank — orderings made total by the
     // (cos desc, id asc) tie-break everywhere
     "sim_ivf" -> ivfOracle,
+    // trained quantizer: the full Lloyd loop replays as chained CTEs
+    // (exact integer-micro means), then the same probe tail
+    "sim_ivf_kmeans" -> kmeansOracle,
     // the indexed variant persists the identical assignment and probes
     // the stored table — same quantizer, same parameters, so the same
     // replay is the oracle (the INDEX is what changed, not the answer)

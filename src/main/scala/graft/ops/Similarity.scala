@@ -416,12 +416,13 @@ object Similarity {
     * cycle, with no driver-side collect at all.
     *
     * Determinism: cell assignment uses the integer cosMilli with id
-    * tie-break (total), and the centroid means accumulate in DECIMAL
-    * (associative, partition-order independent) before narrowing to
-    * DOUBLE — so the learned centroids, and therefore the results, are
-    * identical run to run. Registered rows-only (a DuckDB oracle would
-    * have to replay every Lloyd round; SimilaritySpec instead pins
-    * recall@10 against bruteForceTopK ground truth).
+    * tie-break (total), and the centroid means are EXACT integer-micro
+    * floor divisions (associative, partition-order independent) — so
+    * the learned centroids, and therefore the results, are identical
+    * run to run AND replayable by the DuckDB oracle, which chains the
+    * Lloyd rounds as CTEs (the BPE/PageRank/HITS replay pattern);
+    * SimilaritySpec additionally pins recall@10 against bruteForceTopK
+    * ground truth.
     */
   def ivfAnnKMeans(spark: SparkSession, sfDir: String,
                    centroidMod: Int = 50, rounds: Int = 2,
@@ -441,11 +442,23 @@ object Similarity {
         .groupBy("vec_id")
         .agg(max(col("sc")).as("best"))
         .select((-col("best.neg_c")).as("cell"), col("best.v").as("v"))
-      // per-cell elementwise mean; empty cells drop out naturally
+      // per-cell elementwise mean in EXACT integer micros; empty cells
+      // drop out naturally. Components quantize to floor(x * 1e6) and
+      // the mean is an explicit floor division (a - pmod(a, n)) / n —
+      // every step is exact integer (or a single IEEE double op) in
+      // BOTH engines, so the DuckDB oracle replays the full training
+      // loop as chained CTEs (the BPE/PageRank/HITS replay pattern).
+      // The 1e-6 centroid quantization is far below any cosine the
+      // 1e-3 cosMilli surface can distinguish.
       cent = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .select(col("cell"), col("pos"),
+          floor(col("x") * lit(1000000.0)).cast("decimal(38,0)").as("xm"))
         .groupBy("cell", "pos")
-        .agg((sum(col("x").cast("decimal(30,15)")) / count(lit(1))).cast("double").as("m"))
+        .agg(sum(col("xm")).as("sm"), count(lit(1)).as("n"))
+        .select(col("cell"), col("pos"),
+          (((col("sm") - pmod(col("sm"), col("n"))) / col("n"))
+            .cast("long").cast("double") / lit(1000000.0)).as("m"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell").as("c_id"), transform(col("pm"), p => p.getField("m")).as("cv"))
