@@ -449,6 +449,41 @@ object TextAnalysis {
       .orderBy("query_id", "rk")
   }
 
+  /** Build-once-per-run BM25 index store (VERDICT r9 #6): the bucketed
+    * postings table (term, doc_id, tf, dl) plus the 1-row (tot, n_docs)
+    * stats table, keyed by (application, sfDir). The FIRST caller in a
+    * run pays the corpus tokenize + tf/dl aggregation and writes both
+    * tables; every later caller reads the stored relations — so
+    * text_bm25_indexed, both hybrid-RRF forms and the streaming
+    * percolator's artifact pull share ONE index build per run, the way
+    * one search deployment serves many query workloads from one
+    * index. Returns (postingsTable, statsTable) catalog names.
+    */
+  private val bm25Stores = scala.collection.mutable.Map[String, (String, String)]()
+  private[graft] def bm25Store(spark: SparkSession, sfDir: String): (String, String) =
+    bm25Stores.synchronized {
+      val key = spark.sparkContext.applicationId + "|" + sfDir
+      bm25Stores.getOrElseUpdate(key, {
+        val docs = table(spark, sfDir, "documents")
+        val terms = docs.select(col("doc_id"),
+          explode(filter(split(lower(col("text")), " "), t => length(t) > 0)).as("term"))
+        val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val suffix = Integer.toHexString(sfDir.hashCode & 0x7fffffff)
+        val name = graft.sources.Bucketed.scopedName(spark, s"graft_bm25_index_$suffix")
+        graft.sources.Bucketed.writeBucketed(spark, tf.join(dl, "doc_id"),
+          name, graft.sources.Bucketed.scopedPath(name), "term", 8)
+        val statsName = graft.sources.Bucketed.scopedName(spark, s"graft_bm25_stats_$suffix")
+        spark.sql(s"DROP TABLE IF EXISTS $statsName")
+        terms.agg(count(lit(1)).as("tot"))
+          .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+          .write.format("parquet")
+          .option("path", graft.sources.Bucketed.scopedPath(statsName))
+          .mode("overwrite").saveAsTable(statsName)
+        (name, statsName)
+      })
+    }
+
   /** text_bm25_indexed: the inverted index OUTLIVES the query — the
     * retrieval analog of `sim_ivf_indexed`'s stored posting lists.
     * Build once: (term, doc_id, tf, dl) postings written as parquet
@@ -469,21 +504,7 @@ object TextAnalysis {
   def bm25Indexed(spark: SparkSession, sfDir: String,
                   queries: Seq[(Long, String)] = defaultBm25Queries,
                   k: Int = 5): DataFrame = {
-    val docs = table(spark, sfDir, "documents")
-    val terms = docs.select(col("doc_id"),
-      explode(filter(split(lower(col("text")), " "), t => length(t) > 0)).as("term"))
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val name = graft.sources.Bucketed.scopedName(spark, "graft_bm25_index")
-    graft.sources.Bucketed.writeBucketed(spark, tf.join(dl, "doc_id"),
-      name, graft.sources.Bucketed.scopedPath(name), "term", 8)
-    val statsName = graft.sources.Bucketed.scopedName(spark, "graft_bm25_stats")
-    spark.sql(s"DROP TABLE IF EXISTS $statsName")
-    terms.agg(count(lit(1)).as("tot"))
-      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
-      .write.format("parquet")
-      .option("path", graft.sources.Bucketed.scopedPath(statsName))
-      .mode("overwrite").saveAsTable(statsName)
+    val (name, statsName) = bm25Store(spark, sfDir)
     // —— serving: stored postings + stored metadata only ——
     val qterms = bm25QueryTerms(spark, queries)
     val workloadTerms = queries.flatMap(_._2.toLowerCase.split(" "))
@@ -542,7 +563,7 @@ object TextAnalysis {
     val docs = table(spark, sfDir, "documents")
     val anchorIds = hybridAnchorIds(docs, stride, nAnchors)
     rrfFuse(
-      hybridLexRanks(docs, anchorIds, kList),
+      hybridLexRanks(spark, sfDir, docs, anchorIds, kList),
       graft.ops.Similarity.bruteForceTopKFor(spark, sfDir, anchorIds, kList)
         .select(col("q_id").as("query_id"), col("n_id").as("doc_id"),
           col("rk").as("rk_sem")),
@@ -566,7 +587,7 @@ object TextAnalysis {
     val docs = table(spark, sfDir, "documents")
     val anchorIds = hybridAnchorIds(docs, stride, nAnchors)
     rrfFuse(
-      hybridLexRanks(docs, anchorIds, kList),
+      hybridLexRanks(spark, sfDir, docs, anchorIds, kList),
       graft.ops.Similarity.ivfTopKFor(spark, sfDir, anchorIds,
           centroidMod, nprobe, kList)
         .select(col("q_id").as("query_id"), col("n_id").as("doc_id"),
@@ -585,22 +606,23 @@ object TextAnalysis {
     * nAnchors and broadcast like any bm25 qdim. Output: (query_id,
     * doc_id, rk_lex).
     */
-  private def hybridLexRanks(docs: DataFrame, anchorIds: DataFrame,
+  private def hybridLexRanks(spark: SparkSession, sfDir: String,
+                             docs: DataFrame, anchorIds: DataFrame,
                              kList: Int): DataFrame = {
-    val terms = docs.select(col("doc_id"),
-      explode(filter(split(lower(col("text")), " "), t => length(t) > 0)).as("term"))
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val postings = tf.join(dl, "doc_id")
-    val stats = terms.agg(count(lit(1)).as("tot"))
-      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
-    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // the STORED index serves the lexical half (bm25Store: postings +
+    // stats built once per run) — only the <= nAnchors anchor texts are
+    // re-read to derive the query-term workload; df per term is the
+    // stored posting-list length, no corpus tokenize runs here
+    val (name, statsName) = bm25Store(spark, sfDir)
+    val postings = spark.table(name)
+    val dft = postings.groupBy("term").agg(count(lit(1)).as("df"))
     val anchors = docs.join(anchorIds, col("doc_id") === col("q_id"))
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(filter(split(lower(col("text")), " "),
           t => length(t) > 0))).as("term"))
     val qdim = broadcast(anchors.join(dft, "term"))
-    bm25Serve(postings, qdim, stats, kList, excludeSelf = true)
+    bm25Serve(postings, qdim, spark.table(statsName).limit(1), kList,
+        excludeSelf = true)
       .select(col("query_id"), col("doc_id"), col("rk").as("rk_lex"))
   }
 
@@ -634,19 +656,20 @@ object TextAnalysis {
     */
   private[graft] def bm25Artifacts(spark: SparkSession, sfDir: String,
       queries: Seq[(Long, String)]): (Seq[(Long, String, Long)], Long, Long) = {
-    val docs = table(spark, sfDir, "documents")
-    val terms = docs.select(col("doc_id"),
-      explode(filter(split(lower(col("text")), " "), t => length(t) > 0)).as("term"))
+    // served from the build-once bm25Store: df per workload term is the
+    // stored posting-list length (bucket-pruned IN scan), the corpus
+    // scalars come from the stored 1-row stats table — no corpus
+    // tokenize runs on the artifact pull
+    val (name, statsName) = bm25Store(spark, sfDir)
     val qts: Seq[(Long, String)] = queries.flatMap { case (qid, qtext) =>
       qtext.toLowerCase.split(" ").filter(_.nonEmpty).distinct.map(qid -> _)
     }
     val workloadTerms = qts.map(_._2).distinct
-    val dfMap = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    val dfMap = spark.table(name)
       .filter(col("term").isin(workloadTerms: _*))
+      .groupBy("term").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val st = terms.agg(count(lit(1)).as("tot"))
-      .crossJoin(docs.agg(count(lit(1)).as("n_docs"))).collect().head
+    val st = spark.table(statsName).collect().head
     val (tot, nDocs) = (st.getLong(0), st.getLong(1))
     val qdim = qts.collect { case (qid, t) if dfMap.contains(t) =>
       val df = dfMap(t)
