@@ -966,13 +966,18 @@ object EventWindows {
           (col("rk") - 1L) * 100L < col("n_conv") * p), col("lat_sec"))).over(n)
     val viewers = perUser.filter(col("first_view").isNotNull)
       .agg(count(lit(1)).as("n_viewers"))
-    ranked
+    // the output row derives from the viewers aggregate (1 row always),
+    // with the percentile row LEFT-joined on — so a corpus where nobody
+    // converts still emits (n_viewers, 0, NULL, NULL, NULL) exactly
+    // like the oracle's scalar-subquery form, instead of 0 rows
+    val pctRow = ranked
       .withColumn("p50", pct(50)).withColumn("p90", pct(90)).withColumn("p99", pct(99))
       .filter(col("rk") === 1L)
-      .select(col("n_conv").as("n_converted"),
+      .select(col("n_conv"),
         col("p50").as("p50_sec"), col("p90").as("p90_sec"), col("p99").as("p99_sec"))
-      .crossJoin(broadcast(viewers))
-      .select(col("n_viewers"), col("n_converted"),
+    viewers.join(pctRow, lit(true), "left")
+      .select(col("n_viewers"),
+        coalesce(col("n_conv"), lit(0L)).as("n_converted"),
         col("p50_sec"), col("p90_sec"), col("p99_sec"))
   }
 
@@ -1035,8 +1040,15 @@ object EventWindows {
       .withColumn("rk", row_number().over(Window.orderBy(
         when(col("b") === 0L, 1).otherwise(0).asc,
         col("diff_milli").asc, col("b").asc)))
-      .withColumn("lo", max(when(col("rk") === loRank, col("diff_milli"))).over(wAll))
-      .withColumn("hi", max(when(col("rk") === hiRank, col("diff_milli"))).over(wAll))
+      // the b=0 point estimate always sorts LAST, so replicate ranks
+      // match a replicates-only ranking — but if >= 2 replicates drop
+      // (an arm with zero Poisson weight) the point estimate itself can
+      // land on hiRank; the b != 0 guard makes that case yield NULL
+      // bounds exactly like the oracle's replicates-only rank
+      .withColumn("lo", max(when(col("rk") === loRank && col("b") =!= 0L,
+        col("diff_milli"))).over(wAll))
+      .withColumn("hi", max(when(col("rk") === hiRank && col("b") =!= 0L,
+        col("diff_milli"))).over(wAll))
       .filter(col("b") === 0L)
       .select(col("n_c").as("n_control"), col("n_t").as("n_treat"),
         col("cv_c").as("mean_control_milli"), col("cv_t").as("mean_treat_milli"),

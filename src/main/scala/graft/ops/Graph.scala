@@ -278,9 +278,11 @@ object Graph {
     * BIGINT.
     *
     * Scale shape: the [[pageRankFromPairs]] loop contract — the edge
-    * list is repartitioned once and checkpointed; each half-step is one
-    * co-partitioned join of the bounded score table plus one map-side-
-    * combinable sum; the 1-row max broadcasts back (never a collect).
+    * list is checkpointed once PER HALF-STEP KEY (a c-partitioned and
+    * an s-partitioned copy, the CSR/CSC duplication); each half-step is
+    * then one co-partitioned join of the bounded score table plus one
+    * map-side-combinable sum; the 1-row max broadcasts back (never a
+    * collect).
     *
     * Output: (kind, node, score_micros) — top `topK` suppliers by
     * authority and customers by hub score, (score desc, node asc).
@@ -315,24 +317,32 @@ object Graph {
     val nEdges = p.count()
     val parts = math.max(1L, math.min(sessionParts.toLong,
       (nEdges + 99999L) / 100000L)).toInt
-    val edges = p.repartition(parts, col("c")).localCheckpoint()
+    // TWO checkpointed edge copies, one per half-step join key: the
+    // auth step joins hubs on c, the hub step joins auths on s — a
+    // single c-partitioned copy would re-exchange the full edge list
+    // on s EVERY round (ADVICE r9); pre-partitioning each copy once
+    // makes every half-step one co-partitioned join of the bounded
+    // score table, paid-for-once edge layout (2x edge storage, the
+    // standard CSR/CSC duplication of every graph engine).
+    val edgesByC = p.repartition(parts, col("c")).localCheckpoint()
+    val edgesByS = p.repartition(parts, col("s")).localCheckpoint()
     def rescaled(df: DataFrame, key: String): DataFrame = {
       val mx = df.agg(max(col("raw")).as("mx"))
       df.crossJoin(broadcast(mx))
         .select(col(key),
           expr("(1000000 * cast(raw as decimal(38,0))) div mx").as("score"))
     }
-    var hub = edges.select("c").distinct()
+    var hub = edgesByC.select("c").distinct()
       .withColumn("score", lit(1000000L))
     var auth: DataFrame = null
     for (i <- 1 to iters) {
       auth = rescaled(
-        edges.join(hub, Seq("c"))
+        edgesByC.join(hub, Seq("c"))
           .groupBy("s")
           .agg(sum(col("score").cast("decimal(38,0)")).as("raw")), "s")
         .localCheckpoint()
       hub = rescaled(
-        edges.join(auth, Seq("s"))
+        edgesByS.join(auth, Seq("s"))
           .groupBy("c")
           .agg(sum(col("score").cast("decimal(38,0)")).as("raw")), "c")
         .localCheckpoint()

@@ -438,4 +438,21 @@ class EventWindowsSpec extends SparkSpec {
       ("b", 90L, 20L, 7000000L, true),
       ("b", 99L, 20L, 7000000L, true)))
   }
+
+  test("conversion latency: nobody converts still yields one NULL-percentile row") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    // viewers exist, purchases don't — the report must still emit its
+    // single row (n_viewers, 0, NULL, NULL, NULL), not an empty frame
+    writeTable(dir, "events", Seq(
+      (1L, ns(10L), 1L, "view", 1.0, "p"),
+      (2L, ns(20L), 2L, "view", 1.0, "p"),
+      (3L, ns(30L), 2L, "click", 1.0, "p"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val rows = EventWindows.conversionLatency(spark, dir).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getLong(0) === 2L && r.getLong(1) === 0L &&
+      r.isNullAt(2) && r.isNullAt(3) && r.isNullAt(4))
+  }
 }
