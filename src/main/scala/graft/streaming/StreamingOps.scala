@@ -1020,15 +1020,24 @@ object StreamingOps {
     */
   def streamManifest(spark: SparkSession, sfDir: String): DataFrame =
     runToBatch(spark,
-        s => harnessDocStream(s, sfDir)
-          .select(col("source"), col("n_chars"),
-            graft.functions.OracleHash.h60(col("text")).as("h"))
-          .groupBy("source")
-          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
-            expr("cast(sum(cast(h as decimal(38,0))) % 2305843009213693952 as bigint)")
-              .as("content_sum")),
+        s => manifestFrame(harnessDocStream(s, sfDir)),
         "stream_manifest", OutputMode.Complete())
       .orderBy("source")
+
+  /** The manifest aggregation over a prepared document stream — every
+    * accumulator commutative (count, sum, modular h60 sum), so the
+    * result is micro-batch-split invariant; factored out so the
+    * boundary-invariance replay spec can drive it under different
+    * file-to-batch splits.
+    */
+  private[graft] def manifestFrame(docs: DataFrame): DataFrame =
+    docs
+      .select(col("source"), col("n_chars"),
+        graft.functions.OracleHash.h60(col("text")).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+        expr("cast(sum(cast(h as decimal(38,0))) % 2305843009213693952 as bigint)")
+          .as("content_sum"))
 
   /** stream_rfm: the RFM feature store maintained AT INGEST — the
     * streaming twin of EventWindows.rfmFeatures in the feature-store
@@ -1045,15 +1054,7 @@ object StreamingOps {
     val maxDay = graft.GraftSession.table(spark, sfDir, "events")
       .agg(max(expr("(ts div 1000000000) div 86400"))).head().getLong(0)
     runToBatch(spark,
-        s => harnessEventStream(s, sfDir)
-          .select(col("user_id"), col("event_type"),
-            expr("(unix_micros(ts) div 1000000) div 86400").as("day"),
-            floor(col("value") * 1000d).cast("long").as("v_milli"))
-          .groupBy("user_id")
-          .agg(max(col("day")).as("last_day"),
-            count(lit(1)).as("frequency"),
-            sum(when(col("event_type") === "purchase", col("v_milli"))
-              .otherwise(0L)).as("monetary_milli")),
+        s => rfmStateFrame(harnessEventStream(s, sfDir)),
         "stream_rfm", OutputMode.Complete())
       .select(col("user_id"),
         (lit(maxDay) - col("last_day")).as("recency_days"),
@@ -1061,6 +1062,22 @@ object StreamingOps {
         (lit(maxDay) - col("last_day") > churnDays.toLong).as("churned"))
       .orderBy("user_id")
   }
+
+  /** The per-user RFM state aggregation over a prepared event stream —
+    * max/count/conditional-sum accumulators, all commutative, so the
+    * state is micro-batch-split invariant; factored out for the
+    * boundary-invariance replay spec.
+    */
+  private[graft] def rfmStateFrame(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), col("event_type"),
+        expr("(unix_micros(ts) div 1000000) div 86400").as("day"),
+        floor(col("value") * 1000d).cast("long").as("v_milli"))
+      .groupBy("user_id")
+      .agg(max(col("day")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(when(col("event_type") === "purchase", col("v_milli"))
+          .otherwise(0L)).as("monetary_milli"))
 
   def streamDsir(spark: SparkSession, sfDir: String): DataFrame = {
     val ratio = graft.ops.Corpus.dsirRatioTable(spark, sfDir).collect()

@@ -499,6 +499,71 @@ class StreamingSpec extends SparkSpec {
     } finally qt.stop()
   }
 
+  test("micro-batch-boundary invariance: manifest/rfm/best_rep identical under different splits") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    // the Complete-mode twins claim their accumulators are commutative
+    // (count / sum / max / modular-sum / argmax-struct) — pin it by
+    // replaying the SAME rows under two different file-to-batch splits
+    // and requiring bit-identical final state
+    def writeSplit(dfs: Seq[DataFrame]): String = {
+      val srcDir = Files.createTempDirectory("graft-split-src")
+      dfs.zipWithIndex.foreach { case (df, i) =>
+        val tmp = Files.createTempDirectory("graft-split-part")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+        val dest = srcDir.resolve(f"f$i%02d.parquet")
+        Files.copy(part, dest)
+        assert(dest.toFile.setLastModified(1700000000000L + i * 10000L))
+      }
+      srcDir.toString
+    }
+    def run(frame: DataFrame => DataFrame, schema: StructType,
+            dir: String, name: String): Seq[Seq[Any]] = {
+      val src = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+      val q = StreamingOps.runToMemory(frame(src), name, OutputMode.Complete())
+      try spark.table(name).collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+      finally q.stop()
+    }
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val evSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType)))
+    val words = "the data of a corpus and more tokens to fill in is on " * 2
+    val docs = (1L to 9L).map(i =>
+      (i, s"$words doc ${i % 3}", "en", s"src${i % 2}", 10L + i))
+    val events = (1L to 12L).map(i =>
+      (i, ts(i * 4000), i % 4, if (i % 3 == 0) "purchase" else "view", i * 1.5))
+    val docSplitA = Seq(docs.take(7), docs.drop(7))
+    val docSplitB = Seq(docs.take(3), docs.slice(3, 6), docs.drop(6))
+    val evSplitA = Seq(events.take(9), events.drop(9))
+    val evSplitB = Seq(events.take(4), events.slice(4, 8), events.drop(8))
+    def docDf(rows: Seq[(Long, String, String, String, Long)]) =
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+    def evDf(rows: Seq[(Long, Timestamp, Long, String, Double)]) =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    for ((frame, nm) <- Seq(
+        (StreamingOps.manifestFrame _, "split_manifest"),
+        ((d: DataFrame) => graft.ops.Dedup.bestRepFrame(d), "split_bestrep"))) {
+      val a = run(frame, docSchema, writeSplit(docSplitA.map(docDf)), s"${nm}_a")
+      val b = run(frame, docSchema, writeSplit(docSplitB.map(docDf)), s"${nm}_b")
+      assert(a === b, s"$nm diverged across splits")
+      assert(a.nonEmpty)
+    }
+    val ra = run(StreamingOps.rfmStateFrame _, evSchema,
+      writeSplit(evSplitA.map(evDf)), "split_rfm_a")
+    val rb = run(StreamingOps.rfmStateFrame _, evSchema,
+      writeSplit(evSplitB.map(evDf)), "split_rfm_b")
+    assert(ra === rb && ra.nonEmpty, "rfm state diverged across splits")
+  }
+
   test("streaming mix sample equals the batch sampler (stateless hash decisions)") {
     import spark.implicits._
     val sfDir = tempSfDir()
