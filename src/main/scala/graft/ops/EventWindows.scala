@@ -937,44 +937,53 @@ object EventWindows {
     *
     * Scale shape: one user-keyed rollup computes both first-view and
     * first-purchase-after-view (conditional min over the same pass, no
-    * self-join), then the percentile cut runs as ONE global sort of
-    * the |converting users| latency rows (rank = ceil(q * n / 100),
-    * ties by user for determinism). Output: 1 row (n_viewers,
-    * n_converted, p50_sec, p90_sec, p99_sec).
+    * self-join), then the percentile cut ranks the |converting users|
+    * latency rows by a DISTRIBUTED range-partitioned sort +
+    * zipWithIndex (per-partition offsets from one partition-size count
+    * job — global contiguous ranks with every partition working in
+    * parallel; the partitionless row_number window this replaces moved
+    * every latency row to ONE task), rank = ceil(q * n / 100), ties by
+    * user for determinism. The count rides in as a broadcast 1-row
+    * aggregate, and the cut itself is a plain map-side-combinable
+    * conditional-max aggregate. Output: 1 row (n_viewers, n_converted,
+    * p50_sec, p90_sec, p99_sec).
     */
   def conversionLatency(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
     val ev = table(spark, sfDir, "events")
       .select(col("user_id"), col("event_type"),
         expr(s"ts div 1000000000").as("tsec"))
     val perUser = ev
       .groupBy("user_id")
       .agg(min(when(col("event_type") === "view", col("tsec"))).as("first_view"))
+    // checkpointed: the rank assignment's extra partition-size job and
+    // the count aggregate both re-read this rollup otherwise
     val lat = ev.filter(col("event_type") === "purchase")
       .join(perUser.filter(col("first_view").isNotNull), Seq("user_id"))
       .filter(col("tsec") >= col("first_view"))
       .groupBy("user_id", "first_view")
       .agg(min(col("tsec")).as("first_purch"))
       .select(col("user_id"), (col("first_purch") - col("first_view")).as("lat_sec"))
-    val n = Window.partitionBy()
-    val ranked = lat
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("lat_sec").asc, col("user_id").asc)))
-      .withColumn("n_conv", count(lit(1)).over(n))
+      .localCheckpoint()
+    val ranked = lat.orderBy(col("lat_sec").asc, col("user_id").asc)
+      .select(col("lat_sec")).as[Long].rdd
+      .zipWithIndex.map { case (v, i) => (v, i + 1L) }
+      .toDF("lat_sec", "rk")
+      .crossJoin(broadcast(lat.agg(count(lit(1)).as("n_conv"))))
     def pct(p: Int): Column =
       max(when(col("rk") * 100L === col("n_conv") * p ||
         (col("rk") * 100L > col("n_conv") * p &&
-          (col("rk") - 1L) * 100L < col("n_conv") * p), col("lat_sec"))).over(n)
+          (col("rk") - 1L) * 100L < col("n_conv") * p), col("lat_sec")))
     val viewers = perUser.filter(col("first_view").isNotNull)
       .agg(count(lit(1)).as("n_viewers"))
     // the output row derives from the viewers aggregate (1 row always),
-    // with the percentile row LEFT-joined on — so a corpus where nobody
-    // converts still emits (n_viewers, 0, NULL, NULL, NULL) exactly
-    // like the oracle's scalar-subquery form, instead of 0 rows
+    // with the percentile row LEFT-joined on; an empty latency frame
+    // aggregates to one all-NULL row, so a corpus where nobody converts
+    // still emits (n_viewers, 0, NULL, NULL, NULL) exactly like the
+    // oracle's scalar-subquery form
     val pctRow = ranked
-      .withColumn("p50", pct(50)).withColumn("p90", pct(90)).withColumn("p99", pct(99))
-      .filter(col("rk") === 1L)
-      .select(col("n_conv"),
-        col("p50").as("p50_sec"), col("p90").as("p90_sec"), col("p99").as("p99_sec"))
+      .agg(max(col("n_conv")).as("n_conv"), pct(50).as("p50_sec"),
+        pct(90).as("p90_sec"), pct(99).as("p99_sec"))
     viewers.join(pctRow, lit(true), "left")
       .select(col("n_viewers"),
         coalesce(col("n_conv"), lit(0L)).as("n_converted"),
