@@ -32,15 +32,26 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    limit_s = float(sys.argv[3]) if len(sys.argv) > 3 else 0.0
     timings, errors = {}, {}
     t_suite = time.monotonic()
     for name in sorted(oracle):
         t0 = time.monotonic()
+        watchdog = None
+        if limit_s > 0:
+            import threading
+            watchdog = threading.Timer(limit_s, con.interrupt)
+            watchdog.start()
         try:
             rows = con.sql(oracle[name]).fetchall()
             timings[name] = (time.monotonic() - t0, len(rows))
+            print(f"  q {name} {timings[name][0]:.2f}s", flush=True)
         except Exception as e:
             errors[name] = str(e)[:200]
+            print(f"  q {name} FAIL after {time.monotonic()-t0:.1f}s: {errors[name][:80]}", flush=True)
+        finally:
+            if watchdog:
+                watchdog.cancel()
     suite_s = time.monotonic() - t_suite
     fams = defaultdict(float)
     for name, (s, _) in timings.items():
