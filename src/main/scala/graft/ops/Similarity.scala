@@ -213,9 +213,10 @@ object Similarity {
                               nBits: Int, nBands: Int, dim: Int): DataFrame =
     lshBucketsFrom(embeddings(spark, sfDir), nBits, nBands, dim)
 
-  /** lshBuckets over a caller-supplied (vec_id, v) frame — lets the
-    * near-dup rung band representatives while ANN keeps the full corpus
-    * (collapsing the corpus would change which ids a query can return).
+  /** lshBuckets over a caller-supplied (vec_id, v) frame — the near-dup
+    * rung, the multiprobe rung and (since r10) lshAnn all band
+    * representatives; lshAnn expands copies back afterwards so its
+    * full-corpus id contract survives the collapse.
     */
   private[ops] def lshBucketsFrom(emb: DataFrame,
                                   nBits: Int, nBands: Int, dim: Int): DataFrame = {
@@ -507,24 +508,84 @@ object Similarity {
 
   /** Random-hyperplane LSH ANN: `nBits`-bit sign signature per band,
     * candidates = same (band, signature) bucket, exact cosine re-rank
-    * within bucket, top-k per query.
+    * within bucket, top-k per query. Every vector is a query; the
+    * output relation is over the FULL corpus, duplicates included.
     *
     * Hyperplanes are pseudo-random but deterministic: component d of
     * plane (band,bit) = h60("band:bit:d") scaled to [-1,1). Deterministic
     * => reproducible across runs AND expressible to the oracle.
+    *
+    * Scale shape: computed over exact-content REPRESENTATIVES and
+    * expanded back to copies EXACTLY — unlike the multiprobe rung
+    * (whose registered contract is the rep corpus), this query's
+    * contract is the full corpus, and the expansion reconstructs it
+    * without approximation. Identical vectors share identical
+    * signatures, so (q, n) collide iff (rep(q), rep(n)) collide — the
+    * candidate SET is a function of reps alone; a dup-heavy corpus
+    * multiplies every bucket AND every query by its copy count, so the
+    * pre-collapse bucket join grew with copies SQUARED inside each
+    * bucket (measured 26.6x at the 10x dup-replica bench, the suite's
+    * worst ratio). Exactness of the reconstruction, both by the
+    * (cos_milli DESC, n_id ASC) rank order:
+    *  - per colliding rep pair only the n-rep's k smallest copy ids
+    *    can reach the top-k (equal cos => smaller ids dominate), so
+    *    each rep carries its k+1 smallest copies (k for cross-rep,
+    *    +1 to absorb self-exclusion on the same-rep path);
+    *  - a rep outside the rep-level top-k (ranked cos DESC, rep_id
+    *    ASC — rep_id IS the min copy id) cannot contribute: each of
+    *    the k reps ahead of it contributes >= 1 strictly-better
+    *    neighbor (greater cos, or equal cos with min id below the
+    *    dropped rep's minimum).
+    * Candidate volume per query after expansion is <= k*(k+1) + k+1
+    * rows — the final per-query rank window is O(k^2)-bounded, and
+    * every shuffle is linear in |reps| or |corpus|, never in copy
+    * pairs. Copies inherit their representative's neighbor list at
+    * equal cost to serving any other row — the serve-over-dedup shape.
     */
   def lshAnn(spark: SparkSession, sfDir: String,
              nBits: Int = 8, nBands: Int = 4, k: Int = 10, dim: Int = 64): DataFrame = {
-    val bucketed = lshBuckets(spark, sfDir, nBits, nBands, dim)
+    val emb = embeddings(spark, sfDir)
+    val reps = vectorRepresentatives(emb)
+      .select(col("vec_id").as("rep_id"), col("v")).localCheckpoint()
+    // every vector with its representative: one shuffle on the vector value
+    val copies = emb.join(reps.withColumnRenamed("rep_id", "r_id"), Seq("v"))
+      .select(col("r_id").as("rep_id"), col("vec_id")).localCheckpoint()
+    // k+1 smallest copy ids per rep — a per-key bounded cut (linear local
+    // sort per rep; only these ids can ever appear in any top-k)
+    val wCopy = Window.partitionBy("rep_id").orderBy(col("vec_id").asc)
+    val topCopies = copies.withColumn("cn", row_number().over(wCopy))
+      .filter(col("cn") <= k + 1)
+      .groupBy("rep_id")
+      .agg(sort_array(collect_list(col("vec_id"))).as("copy_ids"))
+    // rep-level LSH candidates — the quadratic-in-copies join now runs
+    // over distinct vectors only
+    val bucketed = lshBucketsFrom(reps.withColumnRenamed("rep_id", "vec_id"),
+      nBits, nBands, dim)
     val q = bucketed
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("band"), col("sig"))
-    val cand = bucketed.join(q,
-        Seq("band", "sig")).filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"),
+      .select(col("vec_id").as("q_rep"), col("v").as("qv"), col("band"), col("sig"))
+    val repCand = bucketed.join(q, Seq("band", "sig"))
+      .filter(col("vec_id") =!= col("q_rep"))
+      .select(col("q_rep"), col("vec_id").as("n_rep"),
         cosMilli(col("qv"), col("v")).as("cos_milli"))
       .distinct() // a pair can collide in several bands; score is deterministic
+    val wRep = Window.partitionBy("q_rep").orderBy(col("cos_milli").desc, col("n_rep").asc)
+    val repTopK = repCand.withColumn("rr", row_number().over(wRep))
+      .filter(col("rr") <= k).select("q_rep", "n_rep", "cos_milli")
+    // same-rep neighbors score as the rep's self-cosine — the identical
+    // expression the pre-collapse pair computed on two equal arrays
+    val selfCos = reps.select(col("rep_id"),
+      cosMilli(col("v"), col("v")).as("cos_milli"))
+    val queries = copies.select(col("vec_id").as("q_id"), col("rep_id").as("q_rep"))
+    val crossN = queries.join(repTopK, Seq("q_rep"))
+      .join(topCopies.withColumnRenamed("rep_id", "n_rep"), Seq("n_rep"))
+      .select(col("q_id"), explode(col("copy_ids")).as("n_id"), col("cos_milli"))
+    val sameN = queries
+      .join(topCopies.withColumnRenamed("rep_id", "q_rep"), Seq("q_rep"))
+      .join(selfCos.withColumnRenamed("rep_id", "q_rep"), Seq("q_rep"))
+      .select(col("q_id"), explode(col("copy_ids")).as("n_id"), col("cos_milli"))
+      .filter(col("n_id") =!= col("q_id"))
     val w = Window.partitionBy("q_id").orderBy(col("cos_milli").desc, col("n_id").asc)
-    cand.withColumn("rk", row_number().over(w))
+    crossN.unionAll(sameN).withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk").cast("long").as("rk"), col("n_id"), col("cos_milli"))
       .orderBy("q_id", "rk")
