@@ -591,6 +591,31 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** The pre-collapse lshAnn form — full-corpus bucket join, copies
+    * pairing quadratically — kept ONLY as the equivalence reference for
+    * SimilaritySpec's dup-heavy corpus test: the rep-collapsed lshAnn
+    * must reproduce this relation bit-for-bit (it is also what the
+    * registered DuckDB oracle encodes, but the harness corpora carry no
+    * duplicate vectors, so the spec supplies the corpus that exercises
+    * the expansion paths).
+    */
+  private[graft] def lshAnnNaive(spark: SparkSession, sfDir: String,
+      nBits: Int = 8, nBands: Int = 4, k: Int = 10, dim: Int = 64): DataFrame = {
+    val bucketed = lshBuckets(spark, sfDir, nBits, nBands, dim)
+    val q = bucketed
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("band"), col("sig"))
+    val cand = bucketed.join(q, Seq("band", "sig"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        cosMilli(col("qv"), col("v")).as("cos_milli"))
+      .distinct()
+    val w = Window.partitionBy("q_id").orderBy(col("cos_milli").desc, col("n_id").asc)
+    cand.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk").cast("long").as("rk"), col("n_id"), col("cos_milli"))
+      .orderBy("q_id", "rk")
+  }
+
   /** sim_lsh_multiprobe: multiprobe LSH ANN (Lv et al. 2007) — the
     * recall lever that does NOT cost more hash tables: besides its own
     * bucket, each query probes every bucket at hamming distance 1 from

@@ -66,6 +66,34 @@ class SimilaritySpec extends SparkSpec {
     assert(dups === Seq((1L, 2L), (3L, 1L), (9L, 1L)))
   }
 
+  test("LSH ANN: rep-collapsed form equals the naive full-corpus join on a dup-heavy corpus") {
+    import spark.implicits._
+    // the harness corpora carry no duplicate vectors, so the gate never
+    // exercises lshAnn's copy-expansion paths — this corpus does: four
+    // distinct directions with 15, 14, 3 and 1 copies (15 > k+1 = 11
+    // forces the per-rep copy-list truncation; interleaved ids force
+    // the ascending-id tie-breaks), plus a near-axis vector bridging
+    // buckets. Equivalence must be bit-for-bit.
+    val dir = tempSfDir()
+    val base = Seq(vec(0), vec(1), vec(2), mix(0, 1, 3f, 1f))
+    val copiesPer = Seq(15, 14, 3, 1)
+    val rows = for {
+      (v, g) <- base.zipWithIndex
+      c <- 0 until copiesPer(g)
+    } yield ((c.toLong * 7L + g.toLong) * 10L + g.toLong, v, g) // interleaved ids
+    writeTable(dir, "embeddings", rows.toDF("vec_id", "embedding", "label"))
+    val k = 10
+    val got = Similarity.lshAnn(spark, dir, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val want = Similarity.lshAnnNaive(spark, dir, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.size === want.size)
+    assert(got === want)
+    // sanity: every query emits exactly k rows (33 vectors, every bucket
+    // holds >= its rep's 14+ same-direction copies)
+    assert(got.groupBy(_._1).forall(_._2.size == k))
+  }
+
   test("LSH ANN: duplicate is rank-1 neighbor of its twin") {
     val rows = Similarity.lshAnn(spark, sfDir, k = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
