@@ -33,7 +33,31 @@ object TextShingles {
     * Returns an empty array when fewer than n tokens exist (the SQL
     * filter(size >= n) equivalent: explode emits nothing).
     */
-  def computeShingles(text: UTF8String, n: Int): GenericArrayData = {
+  def computeShingles(text: UTF8String, n: Int): GenericArrayData =
+    computeShingles(text, n, false)
+
+  /** As above; `dedup = true` additionally keeps only the FIRST
+    * occurrence of each shingle (one hash-set pass in-row — O(m), where
+    * Spark's own array_distinct over a STRING array falls back to an
+    * O(m^2) pairwise scan). A doc's shingles all originate in its one
+    * source row, so this IS the (doc_id, shingle) DISTINCT the dedup
+    * ladder needs, computed with no exchange.
+    */
+  def computeShingles(text: UTF8String, n: Int, dedup: Boolean): GenericArrayData = {
+    if (dedup) {
+      val all = computeShingles(text, n, false)
+      val m = all.numElements()
+      if (m == 0) return all
+      val seen = new java.util.LinkedHashSet[Any](m * 2)
+      var i = 0
+      while (i < m) { seen.add(all.array(i)); i += 1 }
+      if (seen.size == m) return all
+      val out = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var j = 0
+      while (it.hasNext) { out(j) = it.next(); j += 1 }
+      return new GenericArrayData(out)
+    }
     // Locale.ROOT: locale-independent Unicode folding, matching DuckDB's
     // lower(). UTF8String.toLowerCase would fall back to the DEFAULT JVM
     // locale for non-ASCII input (a Turkish-locale JVM folds I -> ı and
@@ -155,7 +179,8 @@ object TextShingles {
 }
 
 /** `word_shingles(text, n)` — see TextShingles.computeShingles. */
-case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
+case class WordShinglesExpr(child: Expression, n: Int,
+                            dedup: Boolean = false) extends UnaryExpression {
   require(n > 0)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
@@ -163,9 +188,9 @@ case class WordShinglesExpr(child: Expression, n: Int) extends UnaryExpression {
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(s"$prettyName requires STRING")
   override protected def nullSafeEval(v: Any): Any =
-    TextShingles.computeShingles(v.asInstanceOf[UTF8String], n)
+    TextShingles.computeShingles(v.asInstanceOf[UTF8String], n, dedup)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.TextShingles.computeShingles($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextShingles.computeShingles($c, $n, $dedup)")
   override protected def withNewChildInternal(newChild: Expression): WordShinglesExpr =
     copy(child = newChild)
 }
@@ -208,6 +233,10 @@ object ShingleColumns {
   def wordShingles(text: Column, n: Int): Column =
     GraftExpressionBridge.column(
       WordShinglesExpr(GraftExpressionBridge.expression(text), n))
+  /** First-occurrence-distinct shingles (in-row hash-set dedup). */
+  def wordShinglesDistinct(text: Column, n: Int): Column =
+    GraftExpressionBridge.column(
+      WordShinglesExpr(GraftExpressionBridge.expression(text), n, dedup = true))
   def winnowFps(norm: Column, k: Int, w: Int): Column =
     GraftExpressionBridge.column(
       WinnowFpsExpr(GraftExpressionBridge.expression(norm), k, w))

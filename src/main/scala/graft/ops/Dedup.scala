@@ -47,11 +47,28 @@ object Dedup {
     * codegen'd via static call) — the transform/sequence/slice
     * formulation it replaces is interpreted per element; semantics are
     * identical (DedupSpec + every dedup oracle pins them).
+    *
+    * The distinct is computed IN-ROW (the expression's hash-set dedup
+    * pass, O(tokens) — NOT array_distinct, which is O(m^2) for string
+    * arrays): every shingle of a doc originates in that doc's single
+    * source row, so (doc_id, shingle) dedup is within-row by
+    * construction and needs no dedup exchange — the `.distinct()` this
+    * replaces shipped every raw shingle string (~3x corpus bytes for
+    * n = 3) through a corpus-wide shuffle to dedup sets that never left
+    * their row. The one exchange kept is a repartition of the COMPACT
+    * doc rows (1x corpus bytes, BEFORE the explode): it spreads the
+    * downstream per-shingle sketch hashing across the full shuffle
+    * parallelism even when the scan yields few splits, and because it
+    * hashes on doc_id, every `groupBy("doc_id")` sketch consumer
+    * aggregates co-partitioned, exchange-free. Net vs the old plan:
+    * one 1x-byte exchange replaces a 3x-byte exchange plus the sketch
+    * aggregate's own shuffle.
     */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"),
-        explode(graft.functions.ShingleColumns.wordShingles(col("text"), n)).as("shingle"))
-      .distinct()
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(graft.functions.ShingleColumns.wordShinglesDistinct(col("text"), n))
+          .as("shingle"))
 
   /** 1. Exact dedup: group by md5 of normalized text, keep the smallest
     * doc_id as canonical. One shuffle on the 128-bit key; group sizes are
@@ -1728,11 +1745,12 @@ object Dedup {
     * differ). Passage dedup (`passageDedup`) removes FIXED-ALIGNED
     * blocks; this rung measures overlap at EVERY alignment.
     *
-    * Scale shape: windows are hashed to 60-bit integers BEFORE the
-    * per-doc distinct (the string really does leave the plan at the
-    * projection — the distinct shuffle carries (doc_id, int64) rows, not
-    * n-token strings; this also matches the oracle, whose DISTINCT is on
-    * the hash). Window occurrence counts come from a map-side-combinable
+    * Scale shape: windows are hashed to 60-bit integers inside the
+    * per-row transform and deduplicated IN-ROW (array_distinct — a
+    * doc's windows all come from its one source row, so the per-doc
+    * DISTINCT needs no exchange at all; the string never leaves its
+    * row, matching the oracle, whose DISTINCT is on the hash). Window
+    * occurrence counts come from a map-side-combinable
     * `groupBy(w).count()` joined back onto the shingle stream — NOT a
     * count-over-partition window: window functions get no partial
     * aggregation, so a hot boilerplate n-gram appearing in a few
@@ -1740,13 +1758,10 @@ object Dedup {
     * the hash aggregate, a hot window costs one partial count per input
     * partition plus a single merged row; the join back is hash-to-hash
     * on `w` where the count side has exactly one row per distinct
-    * window. All three shuffles carry (doc_id, hash) pairs only: linear
-    * in corpus token count at any scale. The distinct subtree feeds both
-    * the count side and the probe side; the two subplans are identical,
-    * so exchange reuse collapses the second scan (verified: the adaptive
-    * final plan carries a ReusedExchange over the distinct's exchange —
-    * AQE applies the reuse at stage materialization, so it only shows
-    * post-execution). Exact duplicate
+    * window. Both shuffles carry (doc_id, hash) pairs only: linear
+    * in corpus token count at any scale. The window frame feeds both
+    * the count side and the probe side, so it is materialized once
+    * (localCheckpoint) rather than re-scanned per consumer. Exact duplicate
     * documents intentionally participate (their spans ARE duplicated
     * text); they cost group-size increments, not quadratic pairs.
     *
@@ -1755,11 +1770,18 @@ object Dedup {
     */
   def substringDupReport(spark: SparkSession, sfDir: String,
                          n: Int = 8): DataFrame = {
+    // h60 applies inside the per-row transform and the per-doc distinct
+    // is in-row too (a doc's windows all come from its one source row),
+    // so the first exchange this frame feeds carries (doc_id, int64)
+    // rows with no corpus-wide dedup shuffle before it; materialized
+    // once because BOTH the count side and the probe side consume it
+    // (the dedup shuffle whose exchange AQE used to reuse is gone)
     val sh = table(spark, sfDir, "documents")
       .select(col("doc_id"),
-        explode(graft.functions.ShingleColumns.wordShingles(col("text"), n)).as("shingle"))
-      .select(col("doc_id"), h60(col("shingle")).as("w"))
-      .distinct()
+        explode(array_distinct(transform(
+          graft.functions.ShingleColumns.wordShingles(col("text"), n),
+          s => h60(s)))).as("w"))
+      .localCheckpoint()
     val wCounts = sh.groupBy("w").agg(count(lit(1)).as("n_occ"))
     sh.join(wCounts, Seq("w"))
       .groupBy("doc_id")
@@ -1874,8 +1896,7 @@ object Dedup {
     // posexplode: pos = 0-based start token index of each window;
     // wordShingles lowercases + tokenizes exactly like `toks` above.
     // localCheckpoint: sh feeds BOTH the occurrence count and the
-    // semi-join probe, and (unlike the report, where the two subtrees
-    // are identical and exchange reuse fires) the two consumers here
+    // semi-join probe, and the two consumers
     // diverge before any common exchange — without materialization the
     // scan + per-window md5 (the dominant CPU) runs twice. One
     // materialization costs the same IO class as the shuffle write it
