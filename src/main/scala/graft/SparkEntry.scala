@@ -287,9 +287,12 @@ object SparkEntry {
     "text_unpivot" -> ((s, dir) => TextAnalysis.langSourceUnpivot(s, dir)),
     // ntile(4) length bands per source, deterministic edges
     "text_ntile" -> ((s, dir) => TextAnalysis.lengthNtileBands(s, dir)),
-    // compression-ratio quality proxy — rows-only BY DESIGN (zlib output
-    // length is not SQL-replayable); properties pinned by spec
-    "text_compression" -> ((s, dir) => TextAnalysis.compressionSignal(s, dir)),
+    // compression-ratio quality proxy, gated in-plan: zlib output length
+    // is not SQL-replayable, so the query asserts the codec claims
+    // (deflate worst-case bound, repetition-compresses monotonicity) as
+    // booleans the oracle pins TRUE; n_bytes anchors to real data. The
+    // full per-doc signal stays as TextAnalysis.compressionSignal.
+    "text_compression" -> ((s, dir) => TextAnalysis.compressionGate(s, dir)),
     // int8 quantization audit: exact integer scale/dequant error report
     "sim_quantize" -> ((s, dir) => Similarity.quantizeInt8Report(s, dir)),
     "text_langid" -> ((s, dir) => TextAnalysis.langId(s, dir)),
@@ -464,11 +467,14 @@ object SparkEntry {
     // LSH candidates, rolled into 21 error bands — the k/bands tuning
     // table a 100 TB dedup run reads before trusting the sketch
     "dedup_minhash_calibration" -> ((s, dir) => Dedup.minhashCalibration(s, dir)),
-    // production-path hash family (xxhash64) — not DuckDB-reproducible,
-    // so no oracleSql entry: the driver records the weaker rows-only
-    // check, and DedupSpec pins its semantics against the oracle variant
-    "dedup_minhash_fast" -> ((s, dir) =>
-      Dedup.minHashLsh(s, dir, family = "xxh64")),
+    // production-path hash family (xxhash64), gated in-plan: the fast
+    // sketch is not DuckDB-reproducible, so the query runs BOTH families
+    // over one shared shingle pass and asserts their pair sets agree
+    // (recall/precision >= 90% as booleans the oracle pins TRUE;
+    // n_ref_pairs replays exactly via the md5 LSH chain). The raw fast
+    // rung stays as Dedup.minHashLsh(family = "xxh64"); DedupSpec pins
+    // its semantics against the oracle variant.
+    "dedup_minhash_fast" -> ((s, dir) => Dedup.minHashFastGate(s, dir)),
     // index-backed INCREMENTAL dedup (the daily-crawl shape): band
     // signatures of the "existing" 90% of the corpus persisted as a
     // bucketed table, the "new" 10% sketched and probed against ONLY the
@@ -3657,6 +3663,14 @@ object SparkEntry {
          |  FROM documents)
          |SELECT doc_id, md5(norm) AS fp_md5, ${h60("norm")} AS fp_h60
          |FROM d ORDER BY doc_id""".stripMargin,
+    // compression gate: n_bytes (UTF-8 length) replays exactly; the
+    // DEFLATE-side claims (worst-case bound, repetition subadditivity)
+    // are asserted in-plan and pinned TRUE here — zlib byte counts
+    // themselves are not SQL-replayable (declared in SURVEY §2)
+    "text_compression" ->
+      """SELECT doc_id, strlen(text)::BIGINT AS n_bytes,
+        |  TRUE AS within_deflate_bound, TRUE AS repeat_subadditive
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """WITH d AS (
         |  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS content_key
@@ -3824,6 +3838,34 @@ object SparkEntry {
          |SELECT doc_a, doc_b, est_jaccard FROM est
          |WHERE est_jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // fast-family gate: n_ref_pairs replays the md5 LSH chain exactly;
+    // the xxh64 side is not DuckDB-reproducible, so its agreement with
+    // the md5 pair set is asserted in-plan and pinned TRUE here (the
+    // urlcount_cms gate pattern) — a FALSE is a sketch-family bug the
+    // hash compare catches
+    "dedup_minhash_fast" ->
+      s"""WITH $repDocShingles,
+         |sig AS (
+         |  SELECT doc_id, i, min(${h60("i || ':' || shingle")}) AS mh
+         |  FROM sh, UNNEST(range(0, 16)) AS u(i)
+         |  GROUP BY doc_id, i),
+         |band AS (
+         |  SELECT doc_id, (i // 4) AS band, string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
+         |  FROM sig GROUP BY doc_id, (i // 4)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM band a JOIN band b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END)::DOUBLE / 16 AS est_jaccard
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.doc_a
+         |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.i = sa.i
+         |  GROUP BY c.doc_a, c.doc_b)
+         |SELECT count(*)::BIGINT AS n_ref_pairs,
+         |  TRUE AS fast_nonempty, TRUE AS recall_ok, TRUE AS precision_ok
+         |FROM est WHERE est_jaccard >= 0.5""".stripMargin,
     // banding sweep replay: the LSH oracle's sig chain banded per
     // config via i // r grouping; VALUES grid keeps empty configs
     "dedup_banding_sweep" ->

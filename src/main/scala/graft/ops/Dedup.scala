@@ -294,6 +294,51 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** dedup_minhash_fast gate: runs the PRODUCTION hash family (xxh64,
+    * codegen'd, ~10x cheaper than the md5-derived oracle family) and the
+    * oracle family over the SAME shingle frame, then verifies in-plan
+    * that the two LSH rungs agree on the pair set. The xxh64 sketch
+    * itself is not DuckDB-reproducible (no xxhash64 there), so the raw
+    * fast pairs can't be hash-compared — instead the CLAIMS about them
+    * are: the oracle replays the md5 chain for `n_ref_pairs` and asserts
+    * the three gate booleans TRUE (the urlcount_cms / text_len_quantiles
+    * pattern). A FALSE from the Spark side is a real sketch-family bug
+    * the hash compare must catch.
+    *
+    * Thresholds: recall/precision >= 90% between the two families'
+    * OUTPUT pair sets (both post-est-filter). Both families band the
+    * same k=16 sketch geometry over the same shingles, so a true
+    * near-dup pair (est >= 0.5 under one family) collides under the
+    * other with the same banding probability — measured agreement on
+    * the synthetic corpus is 100% at sf0.001/0.01/0.1; 90% leaves room
+    * for genuine borderline-pair family noise without masking breakage.
+    *
+    * Scale shape: ONE corpus scan + shingle pass (localCheckpoint)
+    * feeds both rungs; each rung is the audited bucketed LSH (never
+    * all-pairs); the compare joins two pair sets of candidate volume,
+    * then three 1-row aggregates cross-join (1-row broadcasts).
+    */
+  def minHashFastGate(spark: SparkSession, sfDir: String,
+                      shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                      minEst: Double = 0.5): DataFrame = {
+    val sh = shingles(representatives(table(spark, sfDir, "documents")), shingleN)
+      .localCheckpoint()
+    val ref = minHashLshFromShingles(sh, k, bands, minEst, "md5")
+      .select("doc_a", "doc_b")
+    val fast = minHashLshFromShingles(sh, k, bands, minEst, "xxh64")
+      .select("doc_a", "doc_b")
+    val common = ref.join(fast, Seq("doc_a", "doc_b"), "left_semi")
+    val nRef = ref.agg(count(lit(1)).as("n_ref_pairs"))
+    val nFast = fast.agg(count(lit(1)).as("n_fast"))
+    val nCommon = common.agg(count(lit(1)).as("n_common"))
+    nRef.crossJoin(nFast).crossJoin(nCommon)
+      .select(
+        col("n_ref_pairs"),
+        (col("n_fast") > 0).as("fast_nonempty"),
+        (col("n_common") * 10 >= col("n_ref_pairs") * 9).as("recall_ok"),
+        (col("n_common") * 10 >= col("n_fast") * 9).as("precision_ok"))
+  }
+
   /** dedup_minhash_calibration: sketch-quality audit — for every LSH
     * candidate pair, compare the MinHash Jaccard ESTIMATE (sketch-slot
     * agreement) against the EXACT shingle-set Jaccard, rolled up into

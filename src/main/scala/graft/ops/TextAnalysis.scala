@@ -1294,6 +1294,61 @@ object TextAnalysis {
       }.toDF().orderBy("doc_id")
   }
 
+  case class CompressionGateRow(doc_id: Long, n_bytes: Long,
+                                within_deflate_bound: Boolean,
+                                repeat_subadditive: Boolean)
+
+  /** text_compression gate: the oracle-checkable form of
+    * `compressionSignal`. DEFLATE output length is a
+    * zlib-implementation fact no SQL oracle can replay, so instead of
+    * shipping raw byte counts the query asserts the CLAIMS a correct
+    * codec seam must satisfy, per doc, as booleans the oracle pins TRUE
+    * (the urlcount_cms gate pattern):
+    *
+    *  - `within_deflate_bound`: 0 < compressed <= n_bytes + 5 bytes per
+    *    16 KiB stored block + 6 bytes zlib wrapper — DEFLATE's
+    *    documented incompressible-input worst case (RFC 1950/1951
+    *    stored-block framing). A zero or an over-bound length means the
+    *    drain loop or the reused Deflater state is broken.
+    *  - `repeat_subadditive`: deflate(text || text) < 2*deflate(text)
+    *    — repetition compresses (LZ77 back-references cover the second
+    *    copy), the monotonicity property that makes the ratio usable as
+    *    a boilerplate/quality signal at all. Holds for every doc
+    *    including empty (header overhead is shared, not doubled).
+    *
+    * `n_bytes` (UTF-8 length) is exactly replayable (DuckDB strlen) and
+    * keeps the compare anchored to real per-doc data, not just literals.
+    *
+    * Same init-once-per-partition Deflater seam + task-completion-
+    * listener release as `compressionSignal` (which stays the
+    * full-signal library surface; TextAnalysisSpec pins its values).
+    */
+  def compressionGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(6)
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => deflater.end()))
+        val buf = new Array[Byte](1 << 16)
+        def deflatedLen(in: Array[Byte]): Long = {
+          deflater.reset(); deflater.setInput(in); deflater.finish()
+          var total = 0L
+          while (!deflater.finished()) total += deflater.deflate(buf)
+          total
+        }
+        rows.map { case (id, text) =>
+          val in = text.getBytes("UTF-8")
+          val single = deflatedLen(in)
+          val doubled = deflatedLen(in ++ in)
+          val bound = in.length.toLong + (in.length / 16384 + 1) * 5 + 6
+          CompressionGateRow(id, in.length.toLong,
+            single > 0 && single <= bound, doubled < 2 * single)
+        }
+      }.toDF().orderBy("doc_id")
+  }
+
   def fingerprints(spark: SparkSession, sfDir: String): DataFrame = {
     val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
     table(spark, sfDir, "documents")

@@ -126,6 +126,17 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keys.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("minhash fast gate: families agree on the fixture, anchor count matches the md5 rung") {
+    val r = Dedup.minHashFastGate(spark, sfDir, minEst = 0.3).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_ref_pairs") ===
+      Dedup.minHashLsh(spark, sfDir, minEst = 0.3).count())
+    assert(row.getAs[Boolean]("fast_nonempty"))
+    assert(row.getAs[Boolean]("recall_ok"))
+    assert(row.getAs[Boolean]("precision_ok"))
+  }
+
   test("MinHashSketchAgg equals the explode-by-k formulation signature-for-signature") {
     import org.apache.spark.sql.functions._
     val sh = Dedup.shingles(

@@ -469,6 +469,33 @@ class TextAnalysisSpec extends SparkSpec {
       one(0).getLong(2), one(0).getLong(3))))
   }
 
+  test("compression gate: bound and subadditivity hold for empty, boilerplate, and incompressible docs") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    val boiler = Seq.fill(60)("same words repeated").mkString(" ")
+    // LCG-scrambled chars: near-incompressible, stresses the stored-block bound
+    val noisy = {
+      var x = 123456789L
+      (1 to 20000).map { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        (33 + math.floorMod(x >>> 33, 94)).toChar
+      }.mkString
+    }
+    writeTable(dir, "documents", Seq(
+      (1L, "", "en", "s", 0L),
+      (2L, boiler, "en", "s", boiler.length.toLong),
+      (3L, noisy, "en", "s", noisy.length.toLong)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val rows = TextAnalysis.compressionGate(spark, dir).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_deflate_bound"), s"bound failed: $r")
+      assert(r.getAs[Boolean]("repeat_subadditive"), s"subadditivity failed: $r")
+    }
+    assert(rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bytes")).toMap
+      === Map(1L -> 0L, 2L -> boiler.length.toLong, 3L -> noisy.length.toLong))
+  }
+
   test("scrub: deny-listed tokens mask out; audit counts and md5 are exact") {
     import spark.implicits._
     val dir = tempSfDir()
