@@ -71,6 +71,30 @@ object GraftSession {
     * scan — column pruning still reaches the footer, and nothing
     * filters on raw `ts` below it.
     */
+  /** Content fingerprint of a table directory/file: md5 over the sorted
+    * (path, length, mtime) listing via the Hadoop FileSystem API (so it
+    * works on a distributed FS, not just local disk). Used to key the
+    * build-once-per-run artifact stores (BM25 index, BPE merge table):
+    * keying on the PATH alone would silently serve a stale artifact if
+    * the corpus at that path is regenerated within one application
+    * (long-lived session, tests reusing a directory) — the fingerprint
+    * makes regeneration a cache miss instead (ADVICE r10).
+    */
+  def contentFingerprint(spark: SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return "absent"
+    val it = fs.listFiles(p, true)
+    val entries = scala.collection.mutable.ArrayBuffer[String]()
+    while (it.hasNext) {
+      val st = it.next()
+      entries += s"${st.getPath}:${st.getLen}:${st.getModificationTime}"
+    }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(entries.sorted.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, unix_micros}
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}

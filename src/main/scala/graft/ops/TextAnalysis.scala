@@ -462,7 +462,11 @@ object TextAnalysis {
   private val bm25Stores = scala.collection.mutable.Map[String, (String, String)]()
   private[graft] def bm25Store(spark: SparkSession, sfDir: String): (String, String) =
     bm25Stores.synchronized {
-      val key = spark.sparkContext.applicationId + "|" + sfDir
+      // keyed on the corpus CONTENT fingerprint, not just the path: a
+      // corpus regenerated at the same path within one application is a
+      // cache miss, not a stale serve (ADVICE r10)
+      val key = spark.sparkContext.applicationId + "|" + sfDir + "|" +
+        graft.GraftSession.contentFingerprint(spark, s"$sfDir/documents.parquet")
       bm25Stores.getOrElseUpdate(key, {
         val docs = table(spark, sfDir, "documents")
         val terms = docs.select(col("doc_id"),
@@ -798,8 +802,30 @@ object TextAnalysis {
     * into a narrow per-document projection as plan literals. m bounded
     * one-row driver actions (see the bpeTrain docstring).
     */
+  /** Train-once-per-run BPE merge store (the bm25Store pattern applied
+    * to the tokenizer): training is deterministic given the corpus, and
+    * every consumer of a trained tokenizer — encode, fertility,
+    * coverage, growth, the streaming twin — applies the SAME merge
+    * table, exactly as a production tokenizer is trained once and its
+    * merges shipped to every pipeline stage. The first caller per
+    * (application, corpus content, m) pays the m training rounds; later
+    * callers fold the cached merges straight into their encode
+    * projection as plan literals. Keyed on the corpus CONTENT
+    * fingerprint so a regenerated corpus retrains instead of serving
+    * stale merges (ADVICE r10; tests regenerate temp corpora freely).
+    */
+  private val bpeMergeStores =
+    scala.collection.mutable.Map[String, Seq[(Long, String, String, Long)]]()
   private[graft] def bpeTrainMerges(spark: SparkSession, sfDir: String,
-                                    m: Int): Seq[(Long, String, String, Long)] = {
+                                    m: Int): Seq[(Long, String, String, Long)] =
+    bpeMergeStores.synchronized {
+      val key = spark.sparkContext.applicationId + "|" + sfDir + "|" + m + "|" +
+        graft.GraftSession.contentFingerprint(spark, s"$sfDir/documents.parquet")
+      bpeMergeStores.getOrElseUpdate(key, bpeTrainMergesUncached(spark, sfDir, m))
+    }
+
+  private def bpeTrainMergesUncached(spark: SparkSession, sfDir: String,
+                                     m: Int): Seq[(Long, String, String, Long)] = {
     import org.apache.spark.sql.DataFrame
     val chars = transform(sequence(lit(1), length(col("word"))),
       i => col("word").substr(i, lit(1)))
