@@ -937,27 +937,28 @@ object EventWindows {
     *
     * Scale shape: one user-keyed rollup computes both first-view and
     * first-purchase-after-view (conditional min over the same pass, no
-    * self-join), then the percentile cut ranks the |converting users|
-    * latency rows by a DISTRIBUTED range-partitioned sort +
-    * zipWithIndex (per-partition offsets from one partition-size count
-    * job — global contiguous ranks with every partition working in
-    * parallel; the partitionless row_number window this replaces moved
-    * every latency row to ONE task), rank = ceil(q * n / 100), ties by
-    * user for determinism. The count rides in as a broadcast 1-row
-    * aggregate, and the cut itself is a plain map-side-combinable
-    * conditional-max aggregate. Output: 1 row (n_viewers, n_converted,
-    * p50_sec, p90_sec, p99_sec).
+    * self-join), then the percentile cut works on the CUMULATIVE
+    * DISTRIBUTION over DISTINCT latency values: group latencies to
+    * (value, count) — parallel, collapses ties — and prefix-sum the
+    * counts with the shard_plan two-level split (per-bucket window
+    * parallel across value-range buckets; the single-partition window
+    * runs only over the tiny bucket-subtotal relation). The value at
+    * rank ceil(q*n/100) is then min(value | cum*100 >= n*q) — a plain
+    * map-side-combinable conditional-min aggregate. No RDD conversion,
+    * no partitionless window, no corpus-sized single task; the whole
+    * query stays in Tungsten codegen. The count rides in as a broadcast
+    * 1-row aggregate. Output: 1 row (n_viewers, n_converted, p50_sec,
+    * p90_sec, p99_sec).
     */
   def conversionLatency(spark: SparkSession, sfDir: String): DataFrame = {
-    import spark.implicits._
     val ev = table(spark, sfDir, "events")
       .select(col("user_id"), col("event_type"),
         expr(s"ts div 1000000000").as("tsec"))
     val perUser = ev
       .groupBy("user_id")
       .agg(min(when(col("event_type") === "view", col("tsec"))).as("first_view"))
-    // checkpointed: the rank assignment's extra partition-size job and
-    // the count aggregate both re-read this rollup otherwise
+    // checkpointed: the distribution rollup and the count aggregate
+    // both re-read this rollup otherwise
     val lat = ev.filter(col("event_type") === "purchase")
       .join(perUser.filter(col("first_view").isNotNull), Seq("user_id"))
       .filter(col("tsec") >= col("first_view"))
@@ -965,15 +966,23 @@ object EventWindows {
       .agg(min(col("tsec")).as("first_purch"))
       .select(col("user_id"), (col("first_purch") - col("first_view")).as("lat_sec"))
       .localCheckpoint()
-    val ranked = lat.orderBy(col("lat_sec").asc, col("user_id").asc)
-      .select(col("lat_sec")).as[Long].rdd
-      .zipWithIndex.map { case (v, i) => (v, i + 1L) }
-      .toDF("lat_sec", "rk")
+    val cnt = lat.groupBy("lat_sec").agg(count(lit(1)).as("c"))
+      .withColumn("bucket", expr("lat_sec div 1024"))
+    val withinW = Window.partitionBy("bucket").orderBy("lat_sec")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val offsetW = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = cnt.groupBy("bucket").agg(sum(col("c")).as("bucket_count"))
+      .withColumn("bucket_offset",
+        coalesce(sum(col("bucket_count")).over(offsetW), lit(0L)))
+      .select("bucket", "bucket_offset")
+    val ranked = cnt
+      .withColumn("cum_in", sum(col("c")).over(withinW))
+      .join(broadcast(offsets), Seq("bucket"))
+      .withColumn("cum", col("bucket_offset") + col("cum_in"))
       .crossJoin(broadcast(lat.agg(count(lit(1)).as("n_conv"))))
     def pct(p: Int): Column =
-      max(when(col("rk") * 100L === col("n_conv") * p ||
-        (col("rk") * 100L > col("n_conv") * p &&
-          (col("rk") - 1L) * 100L < col("n_conv") * p), col("lat_sec")))
+      min(when(col("cum") * 100L >= col("n_conv") * p, col("lat_sec")))
     val viewers = perUser.filter(col("first_view").isNotNull)
       .agg(count(lit(1)).as("n_viewers"))
     // the output row derives from the viewers aggregate (1 row always),
