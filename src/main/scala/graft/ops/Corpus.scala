@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GraftSession.table
+import graft.Materialize.MaterializeOps
 
 /** Corpus-management operators: the steps a multi-source training-data
   * pipeline runs AROUND cleaning — merging sources by trust, and packing
@@ -379,7 +380,7 @@ object Corpus {
     val scored = TextAnalysis.lmScore(spark, sfDir)
       .join(table(spark, sfDir, "documents").select(col("doc_id"), col("lang")),
         Seq("doc_id"))
-      .localCheckpoint()
+      .materialized
     val dist = scored.groupBy("lang", "lm_milli").agg(count(lit(1)).as("cnt"))
     val cum = dist.withColumn("cum",
       sum(col("cnt")).over(Window.partitionBy("lang").orderBy("lm_milli")))
@@ -624,7 +625,7 @@ object Corpus {
     val j = feats.join(lm, Seq("doc_id"))
       .withColumn("split",
         when(col("doc_id") % 5 < 4, lit("train")).otherwise(lit("holdout")))
-      .localCheckpoint()
+      .materialized
     val dec = "decimal(38,0)"
     val s = j.filter(col("split") === "train").agg(
       count(lit(1)).cast(dec).as("n"),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.GraftSession.table
 import graft.functions.OracleHash._
+import graft.Materialize.MaterializeOps
 
 /** Deduplication operators for LLM training data, at the four standard
   * rungs of the exact->fuzzy ladder:
@@ -26,15 +27,16 @@ import graft.functions.OracleHash._
   *  - hashes are md5-derived for oracle parity (see OracleHash); swap to
   *    xxhash64 in production for ~10x hash throughput.
   *  - shared intermediates (shingle sets, minhash signatures, sketches)
-  *    are materialized ONCE via localCheckpoint before any self-join.
-  *    Without it, Catalyst re-derives the full upstream pipeline for
-  *    EACH side of every self-join — the DAG cost multiplies 4-10x (the
-  *    dedup suite measured 468s -> ~20s at sf0.1 from this one change).
-  *    localCheckpoint blocks are freed by the ContextCleaner when the
-  *    plan is garbage-collected, so a long-lived session running many
-  *    queries back-to-back does not accumulate resident cache entries.
-  *    On a multi-executor cluster, swap for persist(MEMORY_AND_DISK) +
-  *    reliable checkpoint if executor loss must be recoverable.
+  *    are materialized ONCE via the graft.Materialize seam before any
+  *    self-join. Without it, Catalyst re-derives the full upstream
+  *    pipeline for EACH side of every self-join — the DAG cost
+  *    multiplies 4-10x (the dedup suite measured 468s -> ~20s at sf0.1
+  *    from this one change). The seam is localCheckpoint by default
+  *    (blocks freed by the ContextCleaner as plans are collected) and
+  *    flips to persist(MEMORY_AND_DISK) + reliable checkpoint under
+  *    `spark.graft.reliableCheckpoint=true` for multi-executor clusters
+  *    where executor loss must be recoverable mid-run
+  *    (CheckpointSeamSpec proves both modes result-identical).
   */
 object Dedup {
 
@@ -267,7 +269,7 @@ object Dedup {
     // and both sides of the scoring join
     val sig = sh.groupBy("doc_id")
       .agg(graft.functions.MinHashSketch.sketch(col("shingle"), k, family).as("sigs"))
-      .localCheckpoint()
+      .materialized
     // band key: the r consecutive minhashes of the band, joined exact
     val bandSig = sig
       .withColumn("band", explode(array((0 until bands).map(lit(_)): _*)))
@@ -322,7 +324,7 @@ object Dedup {
                       shingleN: Int = 3, k: Int = 16, bands: Int = 4,
                       minEst: Double = 0.5): DataFrame = {
     val sh = shingles(representatives(table(spark, sfDir, "documents")), shingleN)
-      .localCheckpoint()
+      .materialized
     val ref = minHashLshFromShingles(sh, k, bands, minEst, "md5")
       .select("doc_a", "doc_b")
     val fast = minHashLshFromShingles(sh, k, bands, minEst, "xxh64")
@@ -364,11 +366,11 @@ object Dedup {
                          shingleN: Int = 3, k: Int = 16,
                          bands: Int = 4): DataFrame = {
     val sh = shingles(representatives(table(spark, sfDir, "documents")), shingleN)
-      .localCheckpoint()
+      .materialized
     val r = k / bands
     val sig = sh.groupBy("doc_id")
       .agg(graft.functions.MinHashSketch.sketch(col("shingle"), k, "md5").as("sigs"))
-      .localCheckpoint()
+      .materialized
     val bandSig = sig
       .withColumn("band", explode(array((0 until bands).map(lit(_)): _*)))
       .withColumn("sig", array_join(
@@ -379,7 +381,7 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .localCheckpoint()
+      .materialized
     val est = cand
       .join(sig.select(col("doc_id").as("doc_a"), col("sigs").as("sigs_a")), Seq("doc_a"))
       .join(sig.select(col("doc_id").as("doc_b"), col("sigs").as("sigs_b")), Seq("doc_b"))
@@ -431,7 +433,7 @@ object Dedup {
     val sig = shingles(representatives(table(spark, sfDir, "documents")), shingleN)
       .groupBy("doc_id")
       .agg(graft.functions.MinHashSketch.sketch(col("shingle"), k, "md5").as("sigs"))
-      .localCheckpoint() // one sketch pass feeds every banding config
+      .materialized // one sketch pass feeds every banding config
     val perCfg = configs.map { bands =>
       val r = k / bands
       val bandSig = sig
@@ -668,7 +670,7 @@ object Dedup {
     // recompute the whole shingle->sketch pipeline for each side
     val hs = sh.groupBy("doc_id")
       .agg(graft.functions.SimHashSketch.sketch(col("shingle")).as("simhash"))
-      .localCheckpoint()
+      .materialized
     val nChunks = maxHamming + 1
     val chunkBits = 32 / nChunks // 8 bits per chunk for d=3
     val chunked = hs.withColumn("c", explode(array((0 until nChunks).map(lit(_)): _*)))
@@ -720,7 +722,7 @@ object Dedup {
     // the embedding rung
     ngramJaccardPairsFromShingles(
       shingles(representatives(table(spark, sfDir, "documents")), shingleN)
-        .localCheckpoint(),
+        .materialized,
       maxDf, minJaccardMilli)
 
   /** ngramJaccardPairs over a pre-computed, ALREADY-MATERIALIZED
@@ -729,9 +731,9 @@ object Dedup {
     */
   def ngramJaccardPairsFromShingles(sh: DataFrame, maxDf: Int = 50,
                                     minJaccardMilli: Long = 300): DataFrame = {
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df")).localCheckpoint()
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df")).materialized
     val rare = sh.join(dfreq.filter(col("df") <= maxDf), Seq("shingle"))
-      .select("doc_id", "shingle").localCheckpoint()
+      .select("doc_id", "shingle").materialized
     // stage 1: candidate pairs + rare-intersection size in one aggregation
     val interRare = rare.as("a").join(rare.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -743,7 +745,7 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("sz"),
         sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("n_hot"))
-      .localCheckpoint()
+      .materialized
     val sa = stats.select(col("doc_id").as("doc_a"),
       col("sz").as("sz_a"), col("n_hot").as("hot_a"))
     val sb = stats.select(col("doc_id").as("doc_b"),
@@ -756,7 +758,7 @@ object Dedup {
       .filter(col("inter_ub") * 1000 >=
         lit(minJaccardMilli) * (col("sz_a") + col("sz_b") - col("inter_ub")))
       .select("doc_a", "doc_b", "sz_a", "sz_b")
-      .localCheckpoint()
+      .materialized
     // stage 3: exact intersection over the FULL shingle sets, survivors only
     val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
@@ -841,7 +843,7 @@ object Dedup {
                             minContMilli: Long = 500): DataFrame =
     ngramContainmentFromShingles(
       shingles(representatives(table(spark, sfDir, "documents")), shingleN)
-        .localCheckpoint(),
+        .materialized,
       maxDf, minContMilli)
 
   /** Containment over a pre-computed, ALREADY-MATERIALIZED (doc_id,
@@ -850,9 +852,9 @@ object Dedup {
     */
   def ngramContainmentFromShingles(sh: DataFrame, maxDf: Int = 50,
                                    minContMilli: Long = 500): DataFrame = {
-    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df")).localCheckpoint()
+    val dfreq = sh.groupBy("shingle").agg(count(lit(1)).as("df")).materialized
     val rare = sh.join(dfreq.filter(col("df") <= maxDf), Seq("shingle"))
-      .select("doc_id", "shingle").localCheckpoint()
+      .select("doc_id", "shingle").materialized
     val interRare = rare.as("a").join(rare.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -861,7 +863,7 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("sz"),
         sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("n_hot"))
-      .localCheckpoint()
+      .materialized
     val sa = stats.select(col("doc_id").as("doc_a"),
       col("sz").as("sz_a"), col("n_hot").as("hot_a"))
     val sb = stats.select(col("doc_id").as("doc_b"),
@@ -873,7 +875,7 @@ object Dedup {
       .filter(col("inter_ub") * 1000 >=
         lit(minContMilli) * least(col("sz_a"), col("sz_b")))
       .select("doc_a", "doc_b", "sz_a", "sz_b")
-      .localCheckpoint()
+      .materialized
     val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
     val shB = sh.select(col("doc_id").as("doc_b"), col("shingle"))
     val inter = surv.select("doc_a", "doc_b")
@@ -982,7 +984,7 @@ object Dedup {
       .select(col("doc_id"),
         explode(graft.functions.ShingleColumns.winnowFps(norm, k, w)).as("fp"))
       .distinct()
-      .localCheckpoint() // both self-join sides + the df guard
+      .materialized // both self-join sides + the df guard
     val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select("fp")
@@ -1125,7 +1127,7 @@ object Dedup {
       // (big, static) edge side is exchanged ONCE total instead of once
       // per propagation round — only the (small) label table moves
       .repartition(parts, col("dst"))
-      .localCheckpoint() // static across rounds; computed once
+      .materialized // static across rounds; computed once
     // The loop uses persist/unpersist, NOT localCheckpoint: checkpoint
     // blocks are only freed when the ContextCleaner notices the plan got
     // GC'd, so a per-round checkpoint leaks one materialized label table
@@ -1183,7 +1185,7 @@ object Dedup {
     // flatten the result so the last persisted table can be released now
     // rather than held for the caller's (lazy) lifetime
     val out = labels.select(col("doc_id"), col("label").as("cluster_id"))
-      .localCheckpoint()
+      .materialized
     pinned.unpersist()
     out
   }
@@ -1258,7 +1260,7 @@ object Dedup {
     val nodes = pairs.select(col("doc_a").as("n"))
       .union(pairs.select(col("doc_b").as("n")))
       .distinct()
-      .localCheckpoint()
+      .materialized
     // canonical (hi > lo) distinct start set; input self-pairs drop
     // (their nodes stay in `nodes` and label themselves)
     var cur = pairs
@@ -1267,7 +1269,7 @@ object Dedup {
       .filter(col("hi") =!= col("lo"))
       .distinct()
       .repartition(parts, col("hi"))
-      .localCheckpoint()
+      .materialized
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -1280,7 +1282,7 @@ object Dedup {
         .select(col("v").as("hi"), col("m").as("lo"))
         .filter(col("hi") =!= col("lo"))
         .distinct()
-        .localCheckpoint()
+        .materialized
       // SMALL-STAR on the canonical orientation: all of hi's neighbors
       // here are < hi, so m = min(lo) needs no least() with hi
       val smins = ls.groupBy("hi").agg(min(col("lo")).as("m"))
@@ -1291,7 +1293,7 @@ object Dedup {
           least(col("a"), col("b")).as("lo"))
         .filter(col("hi") =!= col("lo"))
         .distinct()
-        .localCheckpoint()
+        .materialized
       converged = ss.count() == cur.count() &&
         ss.join(cur, Seq("hi", "lo"), "left_anti").isEmpty
       cur = ss
@@ -1308,7 +1310,7 @@ object Dedup {
       .select(col("n").as("doc_id"),
         coalesce(col("root"), col("n")).as("cluster_id"))
       .orderBy("doc_id")
-      .localCheckpoint()
+      .materialized
     (out, it)
   }
 
@@ -1352,18 +1354,18 @@ object Dedup {
     val docs = table(spark, sfDir, "documents")
     // narrow (doc_id, rep_id, n_copies) map, materialized once: feeds the
     // rep filter now and the membership expansion after clustering
-    val dupMap = exactDupMap(docs).localCheckpoint()
+    val dupMap = exactDupMap(docs).materialized
     val repDocs = docs.join(
       dupMap.filter(col("doc_id") === col("rep_id")).select("doc_id"),
       Seq("doc_id"), "left_semi")
     // ONE corpus scan + shingle pass feeds all three rungs (each rung
     // standalone re-derives it; composed, that would be 3 scans)
-    val sh = shingles(repDocs).localCheckpoint()
+    val sh = shingles(repDocs).materialized
     val pairs = minHashLshFromShingles(sh).select("doc_a", "doc_b")
       .union(simHashPairsFromShingles(sh).select("doc_a", "doc_b"))
       .union(ngramJaccardPairsFromShingles(sh).select("doc_a", "doc_b"))
       .distinct()
-      .localCheckpoint()
+      .materialized
     val repClusters = cc(pairs)
       .select(col("doc_id").as("rep_id"), col("cluster_id"))
     // expand: inherit the rep's cluster; dup groups (>= 2 copies) with an
@@ -1427,13 +1429,13 @@ object Dedup {
     */
   def incrementalClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = table(spark, sfDir, "documents")
-    val dupMap = exactDupMap(docs).localCheckpoint()
+    val dupMap = exactDupMap(docs).materialized
     val repDocs = docs.join(
       dupMap.filter(col("doc_id") === col("rep_id")).select("doc_id"),
       Seq("doc_id"), "left_semi")
-    val sh = shingles(repDocs).localCheckpoint()
+    val sh = shingles(repDocs).materialized
     val pairs = minHashLshFromShingles(sh).select("doc_a", "doc_b")
-      .localCheckpoint()
+      .materialized
     incrementalClustersFromPairs(pairs, _ % 10 === 0)
   }
 
@@ -1446,11 +1448,11 @@ object Dedup {
       pairs: DataFrame, isNew: Column => Column): DataFrame = {
     val oldPairs = pairs
       .filter(!isNew(col("doc_a")) && !isNew(col("doc_b")))
-      .localCheckpoint()
+      .materialized
     // the store: labels the history batch job persisted
     val stored = connectedComponentsTwoStar(oldPairs)
       .select(col("doc_id"), col("cluster_id").as("root"))
-      .localCheckpoint()
+      .materialized
     // today's probe pairs (band-index reach: any pair touching the batch)
     val probe = pairs.filter(isNew(col("doc_a")) || isNew(col("doc_b")))
     val contracted = probe
@@ -1460,9 +1462,9 @@ object Dedup {
         Seq("doc_b"), "left")
       .select(coalesce(col("ra"), col("doc_a")).as("doc_a"),
         coalesce(col("rb"), col("doc_b")).as("doc_b"))
-      .localCheckpoint()
+      .materialized
     // merge ONLY the touched roots/new nodes
-    val merged = connectedComponentsTwoStar(contracted).localCheckpoint()
+    val merged = connectedComponentsTwoStar(contracted).materialized
     val reroot = merged.select(col("doc_id").as("root"),
       col("cluster_id").as("new_root"))
     val oldFinal = stored.join(reroot, Seq("root"), "left")
@@ -1490,11 +1492,11 @@ object Dedup {
     */
   def rungOverlap(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = table(spark, sfDir, "documents")
-    val dupMap = exactDupMap(docs).localCheckpoint()
+    val dupMap = exactDupMap(docs).materialized
     val repDocs = docs.join(
       dupMap.filter(col("doc_id") === col("rep_id")).select("doc_id"),
       Seq("doc_id"), "left_semi")
-    val sh = shingles(repDocs).localCheckpoint()
+    val sh = shingles(repDocs).materialized
     def tagged(pairs: DataFrame, m: Int, s: Int, j: Int): DataFrame =
       pairs.select(col("doc_a"), col("doc_b"),
         lit(m).as("m"), lit(s).as("s"), lit(j).as("j"))
@@ -1562,7 +1564,7 @@ object Dedup {
     * weight_milli) for every document, ordered.
     */
   def softDedupWeights(spark: SparkSession, sfDir: String): DataFrame = {
-    val clusters = nearDupClusters(spark, sfDir).localCheckpoint()
+    val clusters = nearDupClusters(spark, sfDir).materialized
     val sizes = clusters.groupBy("cluster_id")
       .agg(count(lit(1)).as("cluster_n"))
     table(spark, sfDir, "documents").select("doc_id")
@@ -1826,7 +1828,7 @@ object Dedup {
         explode(array_distinct(transform(
           graft.functions.ShingleColumns.wordShingles(col("text"), n),
           s => h60(s)))).as("w"))
-      .localCheckpoint()
+      .materialized
     val wCounts = sh.groupBy("w").agg(count(lit(1)).as("n_occ"))
     sh.join(wCounts, Seq("w"))
       .groupBy("doc_id")
@@ -1869,7 +1871,7 @@ object Dedup {
       .select(col("doc_id"), h60(col("shingle")).as("w"))
       .distinct()
     val freshWins = windows(docs.filter(col("doc_id") % mod === 0))
-      .localCheckpoint() // one pass: fold-in counts + probe side
+      .materialized // one pass: fold-in counts + probe side
     val name = graft.sources.Bucketed.scopedName(spark, "graft_window_store")
     graft.sources.Bucketed.writeBucketed(spark,
       windows(docs.filter(col("doc_id") % mod =!= 0))
@@ -1950,7 +1952,7 @@ object Dedup {
         posexplode(graft.functions.ShingleColumns.wordShingles(col("text"), n)))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         h60(col("col")).as("w"))
-      .localCheckpoint()
+      .materialized
     val dupW = sh.groupBy("w").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2L).select("w")
     val starts = sh.join(dupW, Seq("w"), "left_semi")
@@ -2002,10 +2004,10 @@ object Dedup {
     val quality = TextAnalysis.qualityScore(spark, sfDir)
       .filter(col("quality_keep")).select("doc_id")
     val exact = cleanCorpus(spark, sfDir).select("doc_id")
-    val fuzzy = cleanCorpusFuzzy(spark, sfDir).select("doc_id").localCheckpoint()
+    val fuzzy = cleanCorpusFuzzy(spark, sfDir).select("doc_id").materialized
     val flagged = decontaminate(spark, sfDir, evalMod).select("doc_id")
     val decon = fuzzy.filter(col("doc_id") % evalMod =!= 0)
-      .join(flagged, Seq("doc_id"), "left_anti").localCheckpoint()
+      .join(flagged, Seq("doc_id"), "left_anti").materialized
     val sampled = decon
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .filter(Corpus.mixToss < Corpus.mixRate)
@@ -2052,7 +2054,7 @@ object Dedup {
         explode(graft.functions.ShingleColumns.wordShingles(col("text"), n)).as("shingle"))
       .select(col("source"), h60(col("shingle")).as("w"))
       .distinct()
-      .localCheckpoint() // one pass for both the join sides and totals
+      .materialized // one pass for both the join sides and totals
     val totals = sw.groupBy("source").agg(count(lit(1)).as("n_windows"))
     sw.as("a")
       .join(sw.as("b"),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GraftSession.table
+import graft.Materialize.MaterializeOps
 
 /** Event-time window aggregation over the `events` table — the batch
   * analog of the streaming module (graft.streaming.StreamingOps runs the
@@ -965,7 +966,7 @@ object EventWindows {
       .groupBy("user_id", "first_view")
       .agg(min(col("tsec")).as("first_purch"))
       .select(col("user_id"), (col("first_purch") - col("first_view")).as("lat_sec"))
-      .localCheckpoint()
+      .materialized
     val cnt = lat.groupBy("lat_sec").agg(count(lit(1)).as("c"))
       .withColumn("bucket", expr("lat_sec div 1024"))
     val withinW = Window.partitionBy("bucket").orderBy("lat_sec")
@@ -1182,7 +1183,7 @@ object EventWindows {
     * ordered; eval counts 0 where the eval split never hit the bucket.
     */
   def seasonalAudit(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = seasonalBaseline(spark, sfDir).localCheckpoint()
+    val base = seasonalBaseline(spark, sfDir).materialized
     val rollup = seasonalScoreFrame(table(spark, sfDir, "events"), base)
       .groupBy("event_type", "hod")
       .agg(count(lit(1)).as("n_eval"),

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.GraftSession.table
+import graft.Materialize.MaterializeOps
 
 /** Iterative graph analytics over relationship tables.
   *
@@ -15,8 +16,11 @@ import graft.GraftSession.table
   * workload, PageRank, in the same bounded-state shape:
   *
   *  - the edge list is static: repartitioned on the per-round join key
-  *    ONCE and localCheckpoint'd, so each round shuffles only the small
-  *    per-node rank table, never the edges;
+  *    ONCE and materialized through the graft.Materialize seam
+  *    (localCheckpoint locally; reliable checkpoint under
+  *    `spark.graft.reliableCheckpoint=true` on a cluster), so each
+  *    round shuffles only the small per-node rank table, never the
+  *    edges;
   *  - per-round state is two rank tables (current persisted, previous
   *    unpersisted) — resident state is O(|nodes|) regardless of rounds;
   *  - rank arithmetic is integral (micro-units, floor division), so the
@@ -87,7 +91,7 @@ object Graph {
     // materialize the pair derivation ONCE: it feeds the edge-count
     // (partition sizing) and BOTH symmetrize branches — without the
     // checkpoint the producing join would run three times
-    val p = pairs.localCheckpoint()
+    val p = pairs.materialized
     val sym = p.select(col("c").as("src"), col("s").as("dst"))
       .unionByName(p.select(col("s").as("src"), col("c").as("dst")))
     val nEdges = p.count() * 2
@@ -98,7 +102,7 @@ object Graph {
     // queries; VERDICT r6 #1, ConcurrencySpec). The per-round contrib
     // join co-partitions to the edge side's width automatically; the
     // rank re-aggregation runs at session width with AQE coalescing.
-    val edges = sym.repartition(parts, col("src")).localCheckpoint()
+    val edges = sym.repartition(parts, col("src")).materialized
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
       .persist()
@@ -124,7 +128,7 @@ object Graph {
       }
       ranks = next
     }
-    val out = ranks.localCheckpoint()
+    val out = ranks.materialized
     if (pinned != null) pinned.unpersist()
     deg.unpersist(blocking = false)
     out
@@ -186,7 +190,7 @@ object Graph {
       .join(no.select(col("s").as("v"), col("n_orders").as("nv")), Seq("v"))
       .filter(expr(s"(1000000 * shared) div least(nu, nv) >= $strengthPpm"))
       .select("u", "v")
-      .localCheckpoint()
+      .materialized
   }
 
   def triangleCensus(spark: SparkSession, sfDir: String,
@@ -248,10 +252,10 @@ object Graph {
         .groupBy("n").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k)
         .select("n")
-        .localCheckpoint()
+        .materialized
       e = e.join(surv.select(col("n").as("u")), Seq("u"), "left_semi")
         .join(surv.select(col("n").as("v")), Seq("v"), "left_semi")
-        .localCheckpoint()
+        .materialized
     }
     e.select(explode(array(col("u"), col("v"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("d"))
@@ -313,7 +317,7 @@ object Graph {
                                    iters: Int): (DataFrame, DataFrame) = {
     val sessionParts = pairs.sparkSession.conf
       .get("spark.sql.shuffle.partitions")
-    val p = pairs.localCheckpoint()
+    val p = pairs.materialized
     val nEdges = p.count()
     val parts = math.max(1L, math.min(sessionParts.toLong,
       (nEdges + 99999L) / 100000L)).toInt
@@ -324,8 +328,8 @@ object Graph {
     // makes every half-step one co-partitioned join of the bounded
     // score table, paid-for-once edge layout (2x edge storage, the
     // standard CSR/CSC duplication of every graph engine).
-    val edgesByC = p.repartition(parts, col("c")).localCheckpoint()
-    val edgesByS = p.repartition(parts, col("s")).localCheckpoint()
+    val edgesByC = p.repartition(parts, col("c")).materialized
+    val edgesByS = p.repartition(parts, col("s")).materialized
     def rescaled(df: DataFrame, key: String): DataFrame = {
       val mx = df.agg(max(col("raw")).as("mx"))
       df.crossJoin(broadcast(mx))
@@ -340,12 +344,12 @@ object Graph {
         edgesByC.join(hub, Seq("c"))
           .groupBy("s")
           .agg(sum(col("score").cast("decimal(38,0)")).as("raw")), "s")
-        .localCheckpoint()
+        .materialized
       hub = rescaled(
         edgesByS.join(auth, Seq("s"))
           .groupBy("c")
           .agg(sum(col("score").cast("decimal(38,0)")).as("raw")), "c")
-        .localCheckpoint()
+        .materialized
     }
     (hub, auth)
   }
@@ -391,7 +395,7 @@ object Graph {
   private[graft] def communitiesFromEdges(e: DataFrame, rounds: Int): DataFrame = {
     val sym = e.select(col("u").as("src"), col("v").as("dst"))
       .union(e.select(col("v").as("src"), col("u").as("dst")))
-      .localCheckpoint()
+      .materialized
     // the symmetric view lists every node as src at least once
     var labels = sym.select(col("src").as("n")).distinct()
       .withColumn("label", col("n"))

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.GraftSession.table
+import graft.Materialize.MaterializeOps
 
 /** Multimodal column handling: images/audio/video as opaque BINARY
   * columns plus typed metadata, with the decode/feature stage isolated
@@ -505,7 +506,7 @@ object Multimodal {
   def aHashPairs(spark: SparkSession, sfDir: String,
                  maxHamming: Int = 3, maxDf: Int = 100): DataFrame = {
     val hs = aHashFrame(spark, sfDir)
-      .select("id", "ahash_lo", "ahash_hi").localCheckpoint()
+      .select("id", "ahash_lo", "ahash_hi").materialized
     val chunked = hs.select(col("id"), col("ahash_lo"), col("ahash_hi"),
       posexplode(array(
         col("ahash_lo").bitwiseAND(lit(0xFFFFL)),
@@ -551,7 +552,7 @@ object Multimodal {
                     maxHamming: Int = 3, maxDf: Int = 100): DataFrame = {
     val pairs = aHashPairs(spark, sfDir, maxHamming, maxDf)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-      .localCheckpoint()
+      .materialized
     graft.ops.Dedup.connectedComponentsTwoStar(pairs)
       .select(col("doc_id").as("id"), col("cluster_id"))
       .orderBy("id")
@@ -569,7 +570,7 @@ object Multimodal {
     * Output: 1 row (n_images, n_paired, n_clusters, n_dropped, n_kept).
     */
   def mediaFunnel(spark: SparkSession, sfDir: String): DataFrame = {
-    val clusters = aHashClusters(spark, sfDir).localCheckpoint()
+    val clusters = aHashClusters(spark, sfDir).materialized
     val nImages = table(spark, sfDir, "documents")
       .filter(col("doc_id") % 2 === 0)
       .agg(count(lit(1)).as("n_images"))

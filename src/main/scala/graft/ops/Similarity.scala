@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GraftSession.table
 import graft.functions.OracleHash
+import graft.Materialize.MaterializeOps
 
 /** Similarity search over the `embeddings` table (ARRAY<FLOAT>, 64-dim).
   *
@@ -128,7 +129,7 @@ object Similarity {
   def allPairsCosine(spark: SparkSession, sfDir: String, maxSample: Int = 500): DataFrame = {
     val emb = embeddings(spark, sfDir)
       .orderBy("vec_id").limit(maxSample) // TakeOrdered: O(maxSample) per partition
-      .localCheckpoint()
+      .materialized
       .limit(maxSample) // re-bounds the sample in-plan: the checkpoint
       // hides the TakeOrdered behind an RDD scan, and the self-join
       // below must stay provably bounded to the plan sweep
@@ -232,7 +233,7 @@ object Similarity {
         explode(array((0 until nBands).map(b =>
           struct(lit(b).as("band"), col(s"sig_$b").as("sig"))): _*)).as("bk"))
       .select(col("vec_id"), col("v"), col("bk.band").as("band"), col("bk.sig").as("sig"))
-      .localCheckpoint()
+      .materialized
   }
 
   /** IVF-style ANN: a coarse quantizer partitions the corpus into cells,
@@ -428,10 +429,10 @@ object Similarity {
   def ivfAnnKMeans(spark: SparkSession, sfDir: String,
                    centroidMod: Int = 50, rounds: Int = 2,
                    nprobe: Int = 2, k: Int = 10): DataFrame = {
-    val emb = embeddings(spark, sfDir).localCheckpoint() // read once, used every round
+    val emb = embeddings(spark, sfDir).materialized // read once, used every round
     var cent = capped(emb.filter(col("vec_id") % centroidMod === 0))
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
-      .localCheckpoint()
+      .materialized
     var r = 0
     while (r < rounds) {
       // .limit re-bounds the checkpointed round output in-plan (the
@@ -463,7 +464,7 @@ object Similarity {
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell").as("c_id"), transform(col("pm"), p => p.getField("m")).as("cv"))
-        .localCheckpoint()
+        .materialized
       r += 1
     }
     ivfTopK(emb, broadcast(cent.limit(broadcastCap)),
@@ -482,7 +483,7 @@ object Similarity {
                 k: Int = 10, stride: Int = 50): DataFrame = {
     // ground truth is reused by both method branches — materialize once
     val truth = bruteForceTopK(spark, sfDir, k, stride)
-      .select(col("q_id"), col("n_id")).localCheckpoint()
+      .select(col("q_id"), col("n_id")).materialized
     def recallOf(method: String, ann: DataFrame): DataFrame =
       truth
         .join(ann.select(col("q_id"), col("n_id")).withColumn("hit", lit(1L)),
@@ -546,10 +547,10 @@ object Similarity {
              nBits: Int = 8, nBands: Int = 4, k: Int = 10, dim: Int = 64): DataFrame = {
     val emb = embeddings(spark, sfDir)
     val reps = vectorRepresentatives(emb)
-      .select(col("vec_id").as("rep_id"), col("v")).localCheckpoint()
+      .select(col("vec_id").as("rep_id"), col("v")).materialized
     // every vector with its representative: one shuffle on the vector value
     val copies = emb.join(reps.withColumnRenamed("rep_id", "r_id"), Seq("v"))
-      .select(col("r_id").as("rep_id"), col("vec_id")).localCheckpoint()
+      .select(col("r_id").as("rep_id"), col("vec_id")).materialized
     // k+1 smallest copy ids per rep — a per-key bounded cut (linear local
     // sort per rep; only these ids can ever appear in any top-k)
     val wCopy = Window.partitionBy("rep_id").orderBy(col("vec_id").asc)
@@ -893,7 +894,7 @@ object Similarity {
     val full = gU.select(col("di").as("i"), col("dj").as("j"), col("gm"))
       .unionAll(gU.filter(col("di") =!= col("dj"))
         .select(col("dj").as("i"), col("di").as("j"), col("gm")))
-      .localCheckpoint()
+      .materialized
     val dims = full.select(col("i").as("j")).distinct()
     var v = dims.withColumn("v", lit(1000L))
     val steps = (1 to iters).map { it =>
@@ -905,7 +906,7 @@ object Similarity {
           when(col("mx") === 0L, lit(0L))
             .otherwise(expr("(CASE WHEN num < 0 THEN -1 ELSE 1 END) * " +
               "((1000 * abs(num)) div mx)")).as("v"))
-        .localCheckpoint()
+        .materialized
       v.select(lit(it.toLong).as("it"), col("j").as("dim_idx"), col("v").as("v_milli"))
     }
     steps.reduce(_.unionAll(_)).orderBy("it", "dim_idx")
@@ -937,7 +938,7 @@ object Similarity {
     val u = pcaPower(spark, sfDir, iters)
       .filter(col("it") === iters.toLong)
       .select(col("dim_idx").as("d"), col("v_milli").as("u"))
-      .localCheckpoint()
+      .materialized
     val uu = u.agg(sum(col("u") * col("u")).as("uu"))
     val vm = transform(col("embedding"),
       x => floor(x.cast("double") * lit(1000000L)).cast("long"))
@@ -1239,13 +1240,13 @@ object Similarity {
     val cent = capped(emb.filter(col("vec_id") % centroidMod === 0))
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     val assigned = assignCells(vectorRepresentatives(emb), broadcast(cent))
-      .localCheckpoint() // one assignment pass: both pair sides + rep count
+      .materialized // one assignment pass: both pair sides + rep count
     val a = assigned.select(col("cell"), col("vec_id").as("a_id"), col("v").as("av"))
     val b = assigned.select(col("cell"), col("vec_id").as("b_id"), col("v").as("bv"))
     val pairs = a.join(b, Seq("cell"))
       .filter(col("a_id") < col("b_id"))
       .select(col("b_id"), cosMilli(col("av"), col("bv")).as("cs"))
-      .localCheckpoint() // one pairing pass: pair histogram + per-victim max
+      .materialized // one pairing pass: pair histogram + per-victim max
     def bucket(c: Column): Column =
       floor(c.cast("double") / lit(stepMilli.toDouble)).cast("long")
     val pairHist = pairs.groupBy(bucket(col("cs")).as("b"))

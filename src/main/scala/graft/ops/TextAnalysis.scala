@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.GraftSession.table
 import graft.functions.OracleHash
+import graft.Materialize.MaterializeOps
 
 /** Text-analysis operators for an LLM training-data pipeline: token
   * counting, quality scoring, language ID, document fingerprinting.
@@ -1815,11 +1816,11 @@ object TextAnalysis {
     val uni = docs
       .select(explode(wordShingles(col("text"), 1)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
-      .localCheckpoint() // reused: both per-word joins + the N1 total
+      .materialized // reused: both per-word joins + the N1 total
     val bigAll = docs
       .select(explode(wordShingles(col("text"), 2)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c12"))
-      .localCheckpoint() // reused: the N2 total + the supported subset
+      .materialized // reused: the N2 total + the supported subset
     val n1 = uni.agg(sum(col("c")).cast("long").as("n1"))
     val n2 = bigAll.agg(sum(col("c12")).cast("long").as("n2"))
     bigAll.filter(col("c12") >= minCount)
