@@ -1276,7 +1276,7 @@ object SparkEntry {
     */
   private lazy val kmeansOracle: String =
     s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |cent0 AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0),
+       |cent0 AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 4096),
        |${kmeansRound(0)},
        |${kmeansRound(1)},
        |scored AS (
@@ -1306,7 +1306,7 @@ object SparkEntry {
 
   private lazy val ivfOracle: String =
     s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0),
+       |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 4096),
        |scored AS (
        |  SELECT e.vec_id, e.v, c.c_id, ${cosMilli("e.v", "c.cv")} AS cs
        |  FROM emb e CROSS JOIN cent c),
@@ -1907,7 +1907,7 @@ object SparkEntry {
     */
   private lazy val bruteForceOracle: String =
     s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 4096),
        |scored AS (
        |  SELECT q.q_id, e.vec_id AS n_id, ${cosMilli("q.qv", "e.v")} AS cos_milli
        |  FROM emb e CROSS JOIN q
@@ -3382,7 +3382,7 @@ object SparkEntry {
     // side re-ranked inside nprobe=2 probed cells (sim_ivf's quantizer)
     "text_hybrid_rrf_ann" ->
       s"""$hybridLexCtes,
-        |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0),
+        |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 4096),
         |cscored AS (
         |  SELECT e.vec_id, e.v, c.c_id, ${cosMilli("e.v", "c.cv")} AS cs
         |  FROM emb e CROSS JOIN cent c),
@@ -4117,7 +4117,7 @@ object SparkEntry {
          |  SELECT vec_id, label::BIGINT AS label, embedding::DOUBLE[] AS v
          |  FROM embeddings),
          |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv
-         |      FROM emb WHERE vec_id % 50 = 0),
+         |      FROM emb WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 4096),
          |scored AS (
          |  SELECT q.q_id, q.q_label, e.label, e.vec_id AS n_id,
          |    ${cosMilli("q.qv", "e.v")} AS cos_milli
@@ -4212,7 +4212,7 @@ object SparkEntry {
     // hits counted per method — integers, so the compare is exact
     "sim_recall" ->
       s"""WITH $lshBucketsCte,
-         |q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 50 = 0),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 4096),
          |bf_scored AS (
          |  SELECT q.q_id, e.vec_id AS n_id, ${cosMilli("q.qv", "e.v")} AS cos_milli
          |  FROM emb e CROSS JOIN q WHERE e.vec_id != q.q_id),
@@ -4232,7 +4232,7 @@ object SparkEntry {
          |    SELECT q_id, n_id,
          |      row_number() OVER (PARTITION BY q_id ORDER BY cos_milli DESC, n_id ASC) AS rk
          |    FROM lsh_cand) WHERE rk <= 10),
-         |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0),
+         |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 4096),
          |iv_scored AS (
          |  SELECT e.vec_id, e.v, c.c_id, ${cosMilli("e.v", "c.cv")} AS cs
          |  FROM emb e CROSS JOIN cent c),
@@ -6055,7 +6055,7 @@ object SparkEntry {
     "sim_semdedup" ->
       s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |vreps AS (SELECT min(vec_id) AS vec_id FROM emb GROUP BY v),
-         |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0),
+         |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 4096),
          |remb AS (SELECT * FROM emb WHERE vec_id IN (SELECT vec_id FROM vreps)),
          |scored AS (
          |  SELECT e.vec_id, e.v, c.c_id, ${cosMilli("e.v", "c.cv")} AS cs
@@ -6081,7 +6081,7 @@ object SparkEntry {
     // the index serves every vector), count + share + 2x-share flag
     "sim_ivf_balance" ->
       s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0),
+         |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 4096),
          |scored AS (
          |  SELECT e.vec_id, c.c_id, ${cosMilli("e.v", "c.cv")} AS cs
          |  FROM emb e CROSS JOIN cent c),
@@ -6100,7 +6100,7 @@ object SparkEntry {
     // per-cell rollup with an argmin worst member
     "emb_ood_audit" ->
       s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0),
+         |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 4096),
          |scored AS (
          |  SELECT e.vec_id, c.c_id, ${cosMilli("e.v", "c.cv")} AS cs
          |  FROM emb e CROSS JOIN cent c),
@@ -6125,7 +6125,7 @@ object SparkEntry {
     "emb_cell_purity" ->
       s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v, label::BIGINT AS label
          |            FROM embeddings),
-         |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0),
+         |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 4096),
          |scored AS (
          |  SELECT e.vec_id, e.label, c.c_id, ${cosMilli("e.v", "c.cv")} AS cs
          |  FROM emb e CROSS JOIN cent c),
@@ -6150,7 +6150,7 @@ object SparkEntry {
     // points, per-point top-k vs the brute-force truth
     "sim_nprobe_sweep" ->
       s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0),
+         |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 4096),
          |scored AS (
          |  SELECT e.vec_id, e.v, c.c_id, ${cosMilli("e.v", "c.cv")} AS cs
          |  FROM emb e CROSS JOIN cent c),
@@ -6198,7 +6198,7 @@ object SparkEntry {
     "sim_knn_graph" ->
       s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |vreps AS (SELECT min(vec_id) AS vec_id FROM emb GROUP BY v),
-         |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0),
+         |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 4096),
          |remb AS (SELECT * FROM emb WHERE vec_id IN (SELECT vec_id FROM vreps)),
          |scored AS (
          |  SELECT e.vec_id, e.v, c.c_id, ${cosMilli("e.v", "c.cv")} AS cs
@@ -6224,7 +6224,7 @@ object SparkEntry {
     "sim_epsilon_sweep" ->
       s"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
          |vreps AS (SELECT min(vec_id) AS vec_id FROM emb GROUP BY v),
-         |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0),
+         |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 4096),
          |remb AS (SELECT * FROM emb WHERE vec_id IN (SELECT vec_id FROM vreps)),
          |scored AS (
          |  SELECT e.vec_id, e.v, c.c_id, ${cosMilli("e.v", "c.cv")} AS cs
@@ -6291,7 +6291,7 @@ object SparkEntry {
     // scored by the per-query (sub, code) partial-dot table
     "sim_ivf_pq" ->
       s"""WITH $pqCtes,
-         |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0),
+         |cent AS (SELECT vec_id AS c_id, v AS cv FROM emb WHERE vec_id % 50 = 0 ORDER BY vec_id LIMIT 4096),
          |cscore AS (
          |  SELECT e.vec_id, c.c_id, ${cosMilli("e.v", "c.cv")} AS cs
          |  FROM emb e CROSS JOIN cent c),

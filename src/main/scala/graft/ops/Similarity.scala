@@ -63,10 +63,14 @@ object Similarity {
     * any m you'd pick) — so each one is additionally capped at the
     * `broadcastCap` smallest ids (deterministic TakeOrdered). The cap
     * binds at no harness scale (strided sets are <= 40 rows at sf0.1
-    * and FIXED under the 10x replication scheme), so every oracle
-    * replays the bare stride unchanged; at production scale it is the
-    * structural guarantee PlanShapeSpec verifies IN the plan:
-    * broadcast bytes stay O(cap x dim), never O(corpus / stride).
+    * and FIXED under the 10x replication scheme), and every capped
+    * frame's DuckDB oracle mirrors the exact ORDER BY vec_id LIMIT
+    * (ADVICE r10) so Spark and oracle stay aligned even at a scale
+    * where it DOES bind; at production scale it is the structural
+    * guarantee PlanShapeSpec verifies IN the plan: broadcast bytes stay
+    * O(cap x dim), never O(corpus / stride). Query-side strides that
+    * are NOT broadcast (probe workloads flowing through shuffled joins)
+    * stay uncapped, and their oracles replay the bare stride.
     */
   private val broadcastCap = 4096
   private def capped(df: DataFrame): DataFrame =
@@ -1483,7 +1487,12 @@ object Similarity {
       .groupBy("q_id", "sub", "code")
       .agg(sum(col("qm") * col("cm")).as("p"))
     val vecCodes = comps.select(col("vec_id"), col("sub"), col("code")).distinct()
-    val scored = vecCodes.join(broadcast(lut), Seq("sub", "code"))
+    // NO broadcast hint on the LUT: it is QUERY-proportional (|queries|
+    // x sub x code rows), so forcing it into executor memory is exactly
+    // the unbounded-broadcast shape capped() exists to prevent. The
+    // (sub, code) equi-join lets AQE pick broadcast when the workload is
+    // small and a shuffled join when it is not.
+    val scored = vecCodes.join(lut, Seq("sub", "code"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy("q_id", "vec_id")
       .agg(sum(col("p")).as("adc_micro2"), count(lit(1)).as("n_sub"))
@@ -1553,7 +1562,9 @@ object Similarity {
       .select("q_id", "cell")
     val scored = probes.join(spark.table(name), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
-      .join(broadcast(lut), Seq("q_id", "sub", "code"))
+      // no broadcast hint: the LUT is query-proportional (see pqAnn) —
+      // AQE broadcasts it only while the workload actually fits
+      .join(lut, Seq("q_id", "sub", "code"))
       .groupBy("q_id", "vec_id")
       .agg(sum(col("p")).as("adc_micro2"), count(lit(1)).as("n_sub"))
       // every stored code is in the codebook by construction, so each of

@@ -151,7 +151,11 @@ object StreamingOps {
     * concurrently-started streaming twins.
     */
   private def heartbeatDir(spark: SparkSession, fileSchema: StructType): String = {
-    val dir = "target/streaming-heartbeat/" +
+    // rooted under java.io.tmpdir (the Bucketed.scopedPath pattern), not
+    // a cwd-relative path: a run launched from another working directory
+    // — or one whose default FS is distributed — must still create and
+    // read the side source at the same resolved location (ADVICE r10)
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-streaming-heartbeat/" +
       s"${spark.sparkContext.applicationId}/" +
       java.lang.Integer.toHexString(fileSchema.json.hashCode)
     heartbeatWritten.synchronized {
@@ -661,10 +665,18 @@ object StreamingOps {
     * released for folding, everything else stays buffered. Returns
     * (ripe, pending). Event times are micros, the watermark is Spark's
     * millisecond clock, so ripeness compares floor(tus/1000) <= wm.
+    *
+    * Boundary contract (ADVICE r10): an arrival whose event-time ms
+    * EQUALS the current watermark is kept — Spark's built-in stateful
+    * operators drop only rows strictly older than the watermark, and an
+    * in-contract source may deliver an event late by exactly the delay.
+    * Such a boundary arrival is immediately ripe (the partition below
+    * releases it this batch), so it folds in event-time order with the
+    * rest of the ripe slice instead of being silently discarded.
     */
   private def splitRipe[E](buf: List[E], arrivals: Iterator[E], wmMs: Long,
                            tusOf: E => Long): (List[E], List[E]) = {
-    val kept = buf ++ arrivals.filter(e => tusOf(e) / 1000L > wmMs)
+    val kept = buf ++ arrivals.filter(e => tusOf(e) / 1000L >= wmMs)
     kept.partition(e => tusOf(e) / 1000L <= wmMs)
   }
 
