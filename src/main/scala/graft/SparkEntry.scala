@@ -396,6 +396,17 @@ object SparkEntry {
     // is one array fold per row — the model-based filter rung above the
     // gopher heuristics
     "text_classifier" -> ((s, dir) => TextAnalysis.classifierScore(s, dir)),
+    // TRAINED quality classifier (rule distillation): standardized
+    // integer quality signals, 6 unrolled fixed-point LMS steps — one
+    // materialized feature pass, then 1-row gradient aggregates; the
+    // oracle replays the exact weight trajectory
+    "text_classifier_train" -> ((s, dir) => TextAnalysis.classifierTrain(s, dir)),
+    // rank-sum ROC AUC over the trained scorer: the window runs over
+    // the score HISTOGRAM (value-domain-bounded), never the corpus
+    "text_classifier_auc" -> ((s, dir) => TextAnalysis.classifierAuc(s, dir)),
+    // operating-point sweep: 11 thresholds from ONE conditional-sum
+    // aggregate, unfolded by a constant explode
+    "text_classifier_pr" -> ((s, dir) => TextAnalysis.classifierPr(s, dir)),
     // ordered filter cascade with attribution: first failing rule per
     // doc (lang -> gopher x5 -> classifier), per-source histogram; one
     // per-row projection, zero shuffles before the rollup
@@ -1781,6 +1792,166 @@ object SparkEntry {
        |  coalesce(list_sum(list_transform(toks,
        |    t -> ${h60("'w:' || t")} % 1001 - 500)), 0) >= 0 AS kept
        |FROM toks ORDER BY doc_id""".stripMargin
+
+  /** Trained-classifier CTE chain (mirror of TextAnalysis.classifier
+    * Features/classifierTrained): raw integer quality signals -> one
+    * stats row -> standardized milli z-scores -> classifierIters
+    * unrolled fixed-point LMS steps. Ends with `feats` (f0..f8, y) and
+    * `cw{iters}` (the final 1-row micro-weight vector). Every signed
+    * division is sign-decomposed abs-// because DuckDB floors where
+    * Spark truncates; on non-negative operands they agree. Dimension
+    * count / iteration count / learning rate come from the SAME
+    * constants the Spark operators use.
+    */
+  private def classifierSgnDiv(a: String, b: String): String =
+    s"(CASE WHEN ($a) < 0 THEN -1 ELSE 1 END) * (abs($a) // ($b))"
+
+  private lazy val classifierTrainCtes: String = {
+    val nd = TextAnalysis.classifierDims      // 9 = 8 signals + bias
+    val iters = TextAnalysis.classifierIters  // 6
+    val lrDen = TextAnalysis.classifierLrDen  // 4
+    val stop = "('the','a','of','and','to','in','is','on')"
+    val sig = 0 until (nd - 1)
+    // HUGEINT, not DECIMAL: DuckDB's `//` on DECIMAL operands degrades
+    // to DOUBLE float division (measured); on HUGEINT it floors, which
+    // is what Spark's `div` over DECIMAL(38,0) does on these
+    // non-negative operands
+    val stats = sig.map(d =>
+      s"CAST(sum(r$d::HUGEINT) AS HUGEINT) AS s$d, " +
+        s"CAST(sum(r$d::HUGEINT * r$d) AS HUGEINT) AS q$d")
+      .mkString(",\n       |    ")
+    val zs = sig.map { d =>
+      val mean = s"(s$d // n)"
+      val std = s"greatest(CAST(floor(sqrt(CAST((n * q$d - s$d * s$d) // (n * n) " +
+        s"AS DOUBLE))) AS BIGINT), 1)"
+      s"CAST(${classifierSgnDiv(s"(r$d - $mean) * 1000", std)} AS BIGINT) AS f$d"
+    }.mkString(",\n       |    ")
+    val head =
+      s"""cd0 AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split(text, ' '), t -> length(t) > 0) AS toks
+         |  FROM documents),
+         |craw AS (
+         |  SELECT doc_id,
+         |    (1000 * len(list_filter(toks, t -> t IN $stop))) // len(toks) AS r0,
+         |    (1000 * (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))) // greatest(length(text), 1) AS r1,
+         |    (1000 * (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))) // greatest(length(text), 1) AS r2,
+         |    (100 * length(text)) // len(toks) AS r3,
+         |    (1000 * len(list_distinct(toks))) // len(toks) AS r4,
+         |    (1000 * len(list_filter(toks, t -> length(t) <= 2))) // len(toks) AS r5,
+         |    (1000 * len(list_filter(toks, t -> length(t) >= 8))) // len(toks) AS r6,
+         |    (1000 * (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))) // greatest(length(text), 1) AS r7,
+         |    CASE WHEN len(toks) >= 10 AND len(toks) <= 100000 AND
+         |      100 * len(list_filter(toks, t -> t IN $stop)) >= len(toks)
+         |    THEN 1000 ELSE 0 END::BIGINT AS y
+         |  FROM cd0 WHERE len(toks) > 0),
+         |cstats AS (
+         |  SELECT greatest(count(*), 1)::HUGEINT AS n,
+         |    $stats
+         |  FROM craw),
+         |feats AS (
+         |  SELECT doc_id,
+         |    $zs,
+         |    1000::BIGINT AS f8, y
+         |  FROM craw, cstats)""".stripMargin
+    val w0 = "cw0 AS (SELECT " +
+      (0 until nd).map(d => s"0::BIGINT AS w$d").mkString(", ") + ")"
+    val steps = (1 to iters).flatMap { it =>
+      val prev = s"cw${it - 1}"
+      val pred = classifierSgnDiv(
+        (0 until nd).map(d => s"$prev.w$d * f$d").mkString(" + "), "1000000")
+      val gs = (0 until nd).map(d =>
+        s"CAST(sum(($pred - y)::HUGEINT * f$d) AS HUGEINT) AS g$d")
+        .mkString(",\n       |    ")
+      val ws = (0 until nd).map { d =>
+        val step = classifierSgnDiv(classifierSgnDiv(s"g$d", "n"), lrDen.toString)
+        s"CAST($prev.w$d - $step AS BIGINT) AS w$d"
+      }.mkString(",\n       |    ")
+      Seq(
+        s"""cg$it AS (
+           |  SELECT greatest(count(*), 1) AS n,
+           |    $gs
+           |  FROM feats, $prev)""".stripMargin,
+        s"""cw$it AS (
+           |  SELECT $ws
+           |  FROM cg$it, $prev)""".stripMargin)
+    }
+    (Seq(head, w0) ++ steps).mkString(",\n")
+  }
+
+  /** Final-weights score CTE (`cscored`: y, s) over the trained model. */
+  private lazy val classifierScoredCte: String = {
+    val nd = TextAnalysis.classifierDims
+    val last = s"cw${TextAnalysis.classifierIters}"
+    val pred = classifierSgnDiv(
+      (0 until nd).map(d => s"$last.w$d * f$d").mkString(" + "), "1000000")
+    s"""cscored AS (
+       |  SELECT y, $pred AS s FROM feats, $last)""".stripMargin
+  }
+
+  private lazy val classifierTrainOracle: String = {
+    val nd = TextAnalysis.classifierDims
+    val iters = TextAnalysis.classifierIters
+    val arms = (1 to iters).map { it =>
+      val cases = (0 until nd).map(d => s"WHEN $d THEN w$d").mkString(" ")
+      s"""SELECT $it::BIGINT AS it, u.d::BIGINT AS dim,
+         |    (CASE u.d $cases END)::BIGINT AS w_micro
+         |  FROM cw$it, (SELECT unnest(range(0, $nd)) AS d) u""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH $classifierTrainCtes
+       |SELECT it, dim, w_micro FROM (
+       |  $arms)
+       |ORDER BY it, dim""".stripMargin
+  }
+
+  private lazy val classifierAucOracle: String =
+    s"""WITH $classifierTrainCtes,
+       |$classifierScoredCte,
+       |cgrp AS (
+       |  SELECT s, count(*) AS cnt,
+       |    sum(CASE WHEN y = 1000 THEN 1 ELSE 0 END) AS pos
+       |  FROM cscored GROUP BY s),
+       |ccum AS (
+       |  SELECT s, cnt, pos,
+       |    coalesce(sum(cnt) OVER (ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+       |  FROM cgrp),
+       |cagg AS (
+       |  SELECT sum(cnt) AS n, sum(pos) AS n_pos, sum(cnt - pos) AS n_neg,
+       |    CAST(sum(pos::HUGEINT * (2 * cb + cnt + 1)) AS HUGEINT) AS r2s,
+       |    sum(CASE WHEN s >= 500 THEN pos ELSE 0 END) AS tp,
+       |    sum(CASE WHEN s >= 500 THEN cnt - pos ELSE 0 END) AS fp
+       |  FROM ccum)
+       |SELECT n::BIGINT AS n, n_pos::BIGINT AS n_pos, n_neg::BIGINT AS n_neg,
+       |  tp::BIGINT AS tp, fp::BIGINT AS fp,
+       |  (n_pos - tp)::BIGINT AS fn, (n_neg - fp)::BIGINT AS tn,
+       |  ((1000 * (tp + n_neg - fp)) // n)::BIGINT AS acc_milli,
+       |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+       |    ((1000000::HUGEINT * (r2s - n_pos::HUGEINT * (n_pos + 1))) //
+       |      (2 * n_pos::HUGEINT * n_neg))::BIGINT END AS auc_ppm
+       |FROM cagg""".stripMargin
+
+  private lazy val classifierPrOracle: String =
+    s"""WITH $classifierTrainCtes,
+       |$classifierScoredCte,
+       |cthr AS (SELECT unnest(range(0, 1001, 100)) AS tau),
+       |cbase AS (
+       |  SELECT tau,
+       |    sum(CASE WHEN s >= tau AND y = 1000 THEN 1 ELSE 0 END)::BIGINT AS tp,
+       |    sum(CASE WHEN s >= tau AND y <> 1000 THEN 1 ELSE 0 END)::BIGINT AS fp,
+       |    sum(CASE WHEN s < tau AND y <> 1000 THEN 1 ELSE 0 END)::BIGINT AS tn,
+       |    sum(CASE WHEN y = 1000 THEN 1 ELSE 0 END)::BIGINT AS npos
+       |  FROM cscored, cthr GROUP BY tau),
+       |cpr AS (
+       |  SELECT tau::BIGINT AS tau, tp, fp, (npos - tp)::BIGINT AS fn, tn,
+       |    CASE WHEN tp + fp > 0 THEN ((1000 * tp) // (tp + fp))::BIGINT END AS prec_milli,
+       |    CASE WHEN npos > 0 THEN ((1000 * tp) // npos)::BIGINT END AS rec_milli
+       |  FROM cbase)
+       |SELECT tau, tp, fp, fn, tn, prec_milli, rec_milli,
+       |  CASE WHEN coalesce(prec_milli, 0) + coalesce(rec_milli, 0) > 0 THEN
+       |    ((2 * prec_milli * rec_milli) // (prec_milli + rec_milli))::BIGINT
+       |  END AS f1_milli
+       |FROM cpr ORDER BY tau""".stripMargin
 
   /** SCD2 dimension CTE chain (mirror of Relational.scd2StatusDim),
     * ending in `dim` (custkey, version, status, valid_from, valid_to,
@@ -5792,6 +5963,12 @@ object SparkEntry {
     // stateless streaming twin shares the oracle
     "text_classifier" -> classifierOracle,
     "stream_classifier" -> classifierOracle,
+    // trained classifier: the oracle replays the exact fixed-point LMS
+    // weight trajectory (all-integer, sign-decomposed //), then the
+    // rank-sum AUC and the threshold sweep over the same final weights
+    "text_classifier_train" -> classifierTrainOracle,
+    "text_classifier_auc" -> classifierAucOracle,
+    "text_classifier_pr" -> classifierPrOracle,
     // exact-substring duplication report: 8-token windows hashed to 60
     // bits, window document frequency, per-doc duplicated fraction
     // source-pair containment matrix over distinct 8-token windows;

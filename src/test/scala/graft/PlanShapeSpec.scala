@@ -90,7 +90,10 @@ class PlanShapeSpec extends SparkSpec {
       "mm_media_funnel", "ev_rfm", "ev_conversion_latency",
       "corpus_term_drift", "rel_idle_customers",
       // three 1-row global aggregates cross-joined (the family gate)
-      "dedup_minhash_fast")
+      "dedup_minhash_fast",
+      // trained classifier: every cross join broadcasts a 1-row global
+      // aggregate (the stats row, then each LMS weight row)
+      "text_classifier_train", "text_classifier_auc", "text_classifier_pr")
 
     // Queries whose sanctioned broadcast build is a GROUPED aggregate
     // over corpus input whose group KEY has a bounded VALUE DOMAIN —

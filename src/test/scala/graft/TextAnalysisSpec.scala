@@ -742,4 +742,58 @@ class TextAnalysisSpec extends SparkSpec {
       ("z", "z", 1L, 2L, 2L, 2666666L),
       ("y", "x", 2L, 3L, 3L, 2370370L)))
   }
+
+  test("trained classifier: LMS distillation learns the stopword gate") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = TextAnalysis.classifierTrain(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(rows.size === TextAnalysis.classifierIters * TextAnalysis.classifierDims)
+    // the label IS a threshold on the stopword fraction (dim 0): the
+    // trained weight on that coordinate must come out positive, and the
+    // bias (dim 8) must be positive (the corpus keeps most docs)
+    val last = TextAnalysis.classifierIters.toLong
+    assert(rows((last, 0L)) > 0L, "stopword-signal weight should be positive")
+    assert(rows((last, 8L)) > 0L, "bias should be positive")
+    // squared loss decreases from the first iterate to the last: score
+    // both weight vectors over the same feature frame and compare SSE
+    import org.apache.spark.sql.functions._
+    val feats =
+      TextAnalysis.classifierFeatures(GraftSession.table(spark, dir, "documents"))
+    def sse(it: Long): Double = {
+      val pred = (0 until TextAnalysis.classifierDims)
+        .map(d => lit(rows((it, d.toLong))) * col(s"f$d")).reduce(_ + _) / 1000000.0
+      feats.select(sum(org.apache.spark.sql.functions.pow(pred - col("y"), 2)))
+        .head().getDouble(0)
+    }
+    assert(sse(last) < sse(1L), "training should reduce squared loss")
+  }
+
+  test("classifier auc: trained scorer ranks the rule label far above chance") {
+    val r = TextAnalysis.classifierAuc(spark, "/root/testdata/sf0.001").head()
+    val Seq(n, nPos, nNeg, tp, fp, fn, tn) =
+      (0 to 6).map(i => r.getLong(i))
+    assert(n === nPos + nNeg)
+    assert(tp + fn === nPos)
+    assert(fp + tn === nNeg)
+    assert(nPos > 0 && nNeg > 0, "harness corpus must carry both classes")
+    val auc = r.getLong(8)
+    assert(auc > 800000L && auc <= 1000000L,
+      s"distilled scorer should rank the rule label near-perfectly, got $auc ppm")
+  }
+
+  test("classifier pr sweep: recall falls monotonically with the threshold") {
+    val rows = TextAnalysis.classifierPr(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length === 11)
+    assert(rows.map(_.getLong(0)).toSeq === (0L to 1000L by 100L))
+    val nPos = rows.head.getLong(1) + rows.head.getLong(3) // tp + fn constant
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(3) === nPos)
+      Seq(5, 6).foreach { i =>
+        if (!r.isNullAt(i))
+          assert(r.getLong(i) >= 0L && r.getLong(i) <= 1000L)
+      }
+    }
+    val recalls = rows.map(r => if (r.isNullAt(6)) 0L else r.getLong(6)).toSeq
+    assert(recalls === recalls.sorted.reverse, "recall must not rise with tau")
+  }
 }
