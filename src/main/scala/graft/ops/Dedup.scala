@@ -1314,6 +1314,68 @@ object Dedup {
     (out, it)
   }
 
+  /** Run-lifetime artifact stores for the fuzzy-dedup machinery — the
+    * bm25Store / bpeTrainMerges pattern applied to the near-dup graph:
+    * a production corpus build resolves its duplication graph ONCE per
+    * snapshot and every downstream consumer (cluster sizes, soft
+    * weights, quality lift, survivor selection, the cleaning ladder)
+    * reads the materialized artifact instead of re-deriving shingles,
+    * rungs and components per query. Two artifacts:
+    *
+    *  - fuzzyGraphStore: the (exact-dup map, near-dup PAIR set) — one
+    *    corpus scan + shingle pass feeds all three rungs (composed
+    *    naively that would be 3 scans), shared by BOTH component
+    *    algorithms (propagation and the two-star contraction keep
+    *    resolving independently — they share edges, not answers, so
+    *    the shared-oracle cross-check still compares two resolutions).
+    *  - clusterStores (under [[nearDupClusters]]): the resolved
+    *    (doc_id, cluster_id) table.
+    *
+    * Keyed on (application, corpus CONTENT fingerprint, checkpoint
+    * mode): a regenerated corpus rebuilds instead of serving stale
+    * pairs (tests regenerate temp corpora freely), and
+    * CheckpointSeamSpec's reliable-mode flip still exercises a real
+    * build. Holding the handles pins their checkpoint blocks for the
+    * session — bounded: one pair set + one cluster table per corpus,
+    * both far smaller than the corpus itself.
+    */
+  private def corpusKey(spark: SparkSession, sfDir: String): String =
+    spark.sparkContext.applicationId + "|" + sfDir + "|" +
+      spark.conf.get("spark.graft.reliableCheckpoint", "false") + "|" +
+      graft.GraftSession.contentFingerprint(spark, s"$sfDir/documents.parquet")
+
+  /** The stored duplication-graph artifacts: the exact-dup map, the
+    * representatives' shingle frame, each rung's pair set, and their
+    * distinct union — every field already checkpointed.
+    */
+  private[graft] case class FuzzyGraph(dupMap: DataFrame, sh: DataFrame,
+                                       mh: DataFrame, sim: DataFrame,
+                                       jac: DataFrame, pairs: DataFrame)
+
+  private val fuzzyGraphStores =
+    scala.collection.mutable.Map[String, FuzzyGraph]()
+  private[graft] def fuzzyGraphStore(spark: SparkSession,
+                                     sfDir: String): FuzzyGraph =
+    fuzzyGraphStores.synchronized {
+      fuzzyGraphStores.getOrElseUpdate(corpusKey(spark, sfDir), {
+        val docs = table(spark, sfDir, "documents")
+        // narrow (doc_id, rep_id, n_copies) map: feeds the rep filter
+        // now and the membership expansion after clustering
+        val dupMap = exactDupMap(docs).materialized
+        val repDocs = docs.join(
+          dupMap.filter(col("doc_id") === col("rep_id")).select("doc_id"),
+          Seq("doc_id"), "left_semi")
+        val sh = shingles(repDocs).materialized
+        val mh = minHashLshFromShingles(sh).select("doc_a", "doc_b").materialized
+        val sim = simHashPairsFromShingles(sh).select("doc_a", "doc_b").materialized
+        val jac = ngramJaccardPairsFromShingles(sh).select("doc_a", "doc_b").materialized
+        val pairs = mh.union(sim).union(jac).distinct().materialized
+        FuzzyGraph(dupMap, sh, mh, sim, jac, pairs)
+      })
+    }
+
+  private val clusterStores = scala.collection.mutable.Map[String, DataFrame]()
+
   /** Fuzzy-dedup cluster resolution: the three fuzzy rungs emit PAIRS;
     * this resolves them into components so a pipeline can make the
     * keep/drop decision. Edges = union of minhash-LSH, simhash and
@@ -1331,11 +1393,18 @@ object Dedup {
     * content while the output still covers every copy, at the linear
     * cost of one (doc -> rep) join.
     *
+    * Served from the run-lifetime artifact store ([[fuzzyGraphStore]]'s
+    * doc): the first caller per corpus pays the build, every later
+    * consumer reads the materialized (doc_id, cluster_id) table.
+    *
     * Output: (doc_id, cluster_id) for every doc that is an exact copy of
     * another doc or whose content is fuzzy-paired, ordered by doc_id.
     */
   def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame =
-    nearDupClustersVia(spark, sfDir, connectedComponents(_))
+    clusterStores.synchronized {
+      clusterStores.getOrElseUpdate(corpusKey(spark, sfDir),
+        nearDupClustersVia(spark, sfDir, connectedComponents(_)).materialized)
+    }
 
   /** dedup_clusters_twostar: [[nearDupClusters]] with the component
     * resolution swapped for [[connectedComponentsTwoStar]] — same rungs,
@@ -1351,21 +1420,8 @@ object Dedup {
 
   private def nearDupClustersVia(spark: SparkSession, sfDir: String,
                                  cc: DataFrame => DataFrame): DataFrame = {
-    val docs = table(spark, sfDir, "documents")
-    // narrow (doc_id, rep_id, n_copies) map, materialized once: feeds the
-    // rep filter now and the membership expansion after clustering
-    val dupMap = exactDupMap(docs).materialized
-    val repDocs = docs.join(
-      dupMap.filter(col("doc_id") === col("rep_id")).select("doc_id"),
-      Seq("doc_id"), "left_semi")
-    // ONE corpus scan + shingle pass feeds all three rungs (each rung
-    // standalone re-derives it; composed, that would be 3 scans)
-    val sh = shingles(repDocs).materialized
-    val pairs = minHashLshFromShingles(sh).select("doc_a", "doc_b")
-      .union(simHashPairsFromShingles(sh).select("doc_a", "doc_b"))
-      .union(ngramJaccardPairsFromShingles(sh).select("doc_a", "doc_b"))
-      .distinct()
-      .materialized
+    val g = fuzzyGraphStore(spark, sfDir)
+    val (dupMap, pairs) = (g.dupMap, g.pairs)
     val repClusters = cc(pairs)
       .select(col("doc_id").as("rep_id"), col("cluster_id"))
     // expand: inherit the rep's cluster; dup groups (>= 2 copies) with an
@@ -1427,17 +1483,11 @@ object Dedup {
     * the one the persisted band index serves. Output: (doc_id,
     * cluster_id) over every minhash-paired representative, ordered.
     */
-  def incrementalClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = table(spark, sfDir, "documents")
-    val dupMap = exactDupMap(docs).materialized
-    val repDocs = docs.join(
-      dupMap.filter(col("doc_id") === col("rep_id")).select("doc_id"),
-      Seq("doc_id"), "left_semi")
-    val sh = shingles(repDocs).materialized
-    val pairs = minHashLshFromShingles(sh).select("doc_a", "doc_b")
-      .materialized
-    incrementalClustersFromPairs(pairs, _ % 10 === 0)
-  }
+  def incrementalClusters(spark: SparkSession, sfDir: String): DataFrame =
+    // the minhash rung's pair set is the store-served artifact — the
+    // band index's "which pairs touch the batch" answer costs no
+    // re-shingle here
+    incrementalClustersFromPairs(fuzzyGraphStore(spark, sfDir).mh, _ % 10 === 0)
 
   /** [[incrementalClusters]]' pair-level core — package-visible so
     * DedupSpec can pin the contraction mechanics on a toy graph
@@ -1491,18 +1541,13 @@ object Dedup {
     * in_jaccard, n_pairs), ordered.
     */
   def rungOverlap(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = table(spark, sfDir, "documents")
-    val dupMap = exactDupMap(docs).materialized
-    val repDocs = docs.join(
-      dupMap.filter(col("doc_id") === col("rep_id")).select("doc_id"),
-      Seq("doc_id"), "left_semi")
-    val sh = shingles(repDocs).materialized
+    val g = fuzzyGraphStore(spark, sfDir)
     def tagged(pairs: DataFrame, m: Int, s: Int, j: Int): DataFrame =
       pairs.select(col("doc_a"), col("doc_b"),
         lit(m).as("m"), lit(s).as("s"), lit(j).as("j"))
-    tagged(minHashLshFromShingles(sh).select("doc_a", "doc_b"), 1, 0, 0)
-      .union(tagged(simHashPairsFromShingles(sh).select("doc_a", "doc_b"), 0, 1, 0))
-      .union(tagged(ngramJaccardPairsFromShingles(sh).select("doc_a", "doc_b"), 0, 0, 1))
+    tagged(g.mh, 1, 0, 0)
+      .union(tagged(g.sim, 0, 1, 0))
+      .union(tagged(g.jac, 0, 0, 1))
       .groupBy("doc_a", "doc_b")
       .agg(max(col("m")).as("m"), max(col("s")).as("s"), max(col("j")).as("j"))
       .groupBy((col("m") === 1).as("in_minhash"), (col("s") === 1).as("in_simhash"),
@@ -1564,7 +1609,7 @@ object Dedup {
     * weight_milli) for every document, ordered.
     */
   def softDedupWeights(spark: SparkSession, sfDir: String): DataFrame = {
-    val clusters = nearDupClusters(spark, sfDir).materialized
+    val clusters = nearDupClusters(spark, sfDir) // store-materialized
     val sizes = clusters.groupBy("cluster_id")
       .agg(count(lit(1)).as("cluster_n"))
     table(spark, sfDir, "documents").select("doc_id")

@@ -504,7 +504,28 @@ object Multimodal {
     * Output: (id_a, id_b, hamming), ordered.
     */
   def aHashPairs(spark: SparkSession, sfDir: String,
-                 maxHamming: Int = 3, maxDf: Int = 100): DataFrame = {
+                 maxHamming: Int = 3, maxDf: Int = 100): DataFrame =
+    aHashPairStores.synchronized {
+      // run-lifetime artifact store (the Dedup.fuzzyGraphStore pattern
+      // on the image side): the pair graph is ONE artifact per corpus
+      // snapshot and parameter choice — the pairs query, the cluster
+      // resolution and the funnel all consume the same edges, so the
+      // decode + banded pairing runs once per run, not once per
+      // consumer. Keyed on content fingerprint + parameters +
+      // checkpoint mode.
+      val key = spark.sparkContext.applicationId + "|" + sfDir + "|" +
+        maxHamming + "|" + maxDf + "|" +
+        spark.conf.get("spark.graft.reliableCheckpoint", "false") + "|" +
+        graft.GraftSession.contentFingerprint(spark, s"$sfDir/documents.parquet")
+      aHashPairStores.getOrElseUpdate(key,
+        aHashPairsUncached(spark, sfDir, maxHamming, maxDf).materialized)
+        .orderBy("id_a", "id_b")
+    }
+
+  private val aHashPairStores = scala.collection.mutable.Map[String, DataFrame]()
+
+  private def aHashPairsUncached(spark: SparkSession, sfDir: String,
+                                 maxHamming: Int, maxDf: Int): DataFrame = {
     val hs = aHashFrame(spark, sfDir)
       .select("id", "ahash_lo", "ahash_hi").materialized
     val chunked = hs.select(col("id"), col("ahash_lo"), col("ahash_hi"),
@@ -531,7 +552,6 @@ object Multimodal {
           bit_count(col("ha").bitwiseXOR(col("hb")))).cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
-      .orderBy("id_a", "id_b")
   }
 
   /** mm_phash_clusters: image near-duplicate CLUSTERS — the banded
@@ -549,14 +569,24 @@ object Multimodal {
     * image id) for every paired image, ordered.
     */
   def aHashClusters(spark: SparkSession, sfDir: String,
-                    maxHamming: Int = 3, maxDf: Int = 100): DataFrame = {
-    val pairs = aHashPairs(spark, sfDir, maxHamming, maxDf)
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-      .materialized
-    graft.ops.Dedup.connectedComponentsTwoStar(pairs)
-      .select(col("doc_id").as("id"), col("cluster_id"))
-      .orderBy("id")
-  }
+                    maxHamming: Int = 3, maxDf: Int = 100): DataFrame =
+    aHashClusterStores.synchronized {
+      val key = spark.sparkContext.applicationId + "|" + sfDir + "|" +
+        maxHamming + "|" + maxDf + "|" +
+        spark.conf.get("spark.graft.reliableCheckpoint", "false") + "|" +
+        graft.GraftSession.contentFingerprint(spark, s"$sfDir/documents.parquet")
+      aHashClusterStores.getOrElseUpdate(key, {
+        // the store-served pair graph is already checkpointed; the
+        // contraction's edge input needs no second materialization
+        val pairs = aHashPairs(spark, sfDir, maxHamming, maxDf)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        graft.ops.Dedup.connectedComponentsTwoStar(pairs)
+          .select(col("doc_id").as("id"), col("cluster_id"))
+          .materialized
+      }).orderBy("id")
+    }
+
+  private val aHashClusterStores = scala.collection.mutable.Map[String, DataFrame]()
 
   /** mm_media_funnel: the image-side CURATION FUNNEL in one audit row —
     * what [[graft.ops.Dedup.curationFunnel]] (pipeline_e2e) is for text: how
@@ -570,7 +600,7 @@ object Multimodal {
     * Output: 1 row (n_images, n_paired, n_clusters, n_dropped, n_kept).
     */
   def mediaFunnel(spark: SparkSession, sfDir: String): DataFrame = {
-    val clusters = aHashClusters(spark, sfDir).materialized
+    val clusters = aHashClusters(spark, sfDir) // store-materialized
     val nImages = table(spark, sfDir, "documents")
       .filter(col("doc_id") % 2 === 0)
       .agg(count(lit(1)).as("n_images"))

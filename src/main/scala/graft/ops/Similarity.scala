@@ -839,8 +839,27 @@ object Similarity {
     * nothing driver-side.
     *
     * Output: (di, dj, n_vecs, g) for 0 ≤ di ≤ dj < dim, ordered.
+    *
+    * Served from a run-lifetime artifact store (the bm25Store pattern):
+    * the Gramian is a pure corpus artifact — every linear analysis of
+    * one embedding snapshot (emb_gram, the pcaPower iteration, the
+    * ABTT audit) consumes the SAME dim²/2-row table, so the first
+    * caller per (application, corpus content, checkpoint mode) pays
+    * the corpus pass and later callers read the checkpointed rows.
     */
-  def int8Gram(spark: SparkSession, sfDir: String): DataFrame = {
+  def int8Gram(spark: SparkSession, sfDir: String): DataFrame =
+    gramStore(spark, sfDir).orderBy("di", "dj")
+
+  private val gramStores = scala.collection.mutable.Map[String, DataFrame]()
+  private[graft] def gramStore(spark: SparkSession, sfDir: String): DataFrame =
+    gramStores.synchronized {
+      val key = spark.sparkContext.applicationId + "|" + sfDir + "|" +
+        spark.conf.get("spark.graft.reliableCheckpoint", "false") + "|" +
+        graft.GraftSession.contentFingerprint(spark, s"$sfDir/embeddings.parquet")
+      gramStores.getOrElseUpdate(key, int8GramUncached(spark, sfDir).materialized)
+    }
+
+  private def int8GramUncached(spark: SparkSession, sfDir: String): DataFrame = {
     val vm = transform(col("embedding"),
       x => floor(x.cast("double") * lit(1000000L)).cast("long"))
     val scale = array_max(transform(col("vm"), abs(_)))
@@ -861,7 +880,6 @@ object Similarity {
       .select(explode(tri).as("t"))
       .groupBy(col("t.di").as("di"), col("t.dj").as("dj"))
       .agg(count(lit(1)).as("n_vecs"), sum(col("t.p")).as("g"))
-      .orderBy("di", "dj")
   }
 
   /** emb_pca_power: dominant principal direction of the embedding
@@ -893,7 +911,7 @@ object Similarity {
     * spectral gap is large and the top direction is trustworthy.
     */
   def pcaPower(spark: SparkSession, sfDir: String, iters: Int = 3): DataFrame = {
-    val gU = int8Gram(spark, sfDir)
+    val gU = gramStore(spark, sfDir)
       .withColumn("gm", expr("g div n_vecs"))
     val full = gU.select(col("di").as("i"), col("dj").as("j"), col("gm"))
       .unionAll(gU.filter(col("di") =!= col("dj"))

@@ -1707,6 +1707,24 @@ object TextAnalysis {
     * step (w0..w8 in micro units).
     */
   private[graft] def classifierTrained(spark: SparkSession, sfDir: String)
+      : (DataFrame, Seq[DataFrame]) =
+    classifierStores.synchronized {
+      // train-once-per-run store (the bm25Store / bpeTrainMerges
+      // pattern): the trajectory, the AUC readout and the PR sweep all
+      // evaluate ONE trained model per corpus snapshot — production
+      // trains once and ships the weights to every consumer. Keyed on
+      // the corpus CONTENT fingerprint (regenerated corpus retrains)
+      // and the checkpoint mode (the seam spec exercises real builds).
+      val key = spark.sparkContext.applicationId + "|" + sfDir + "|" +
+        spark.conf.get("spark.graft.reliableCheckpoint", "false") + "|" +
+        graft.GraftSession.contentFingerprint(spark, s"$sfDir/documents.parquet")
+      classifierStores.getOrElseUpdate(key, classifierTrainedUncached(spark, sfDir))
+    }
+
+  private val classifierStores =
+    scala.collection.mutable.Map[String, (DataFrame, Seq[DataFrame])]()
+
+  private def classifierTrainedUncached(spark: SparkSession, sfDir: String)
       : (DataFrame, Seq[DataFrame]) = {
     val feats = classifierFeatures(table(spark, sfDir, "documents")).materialized
     val dims = 0 until classifierDims
