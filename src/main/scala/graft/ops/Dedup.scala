@@ -253,7 +253,7 @@ object Dedup {
                  minEst: Double = 0.5,
                  family: String = "md5"): DataFrame =
     minHashLshFromShingles(
-      shingles(representatives(table(spark, sfDir, "documents")), shingleN),
+      repShingleStore(spark, sfDir, shingleN)._2,
       k, bands, minEst, family)
 
   /** minHashLsh over a PRE-COMPUTED (doc_id, shingle) frame — lets a
@@ -323,8 +323,7 @@ object Dedup {
   def minHashFastGate(spark: SparkSession, sfDir: String,
                       shingleN: Int = 3, k: Int = 16, bands: Int = 4,
                       minEst: Double = 0.5): DataFrame = {
-    val sh = shingles(representatives(table(spark, sfDir, "documents")), shingleN)
-      .materialized
+    val sh = repShingleStore(spark, sfDir, shingleN)._2
     val ref = minHashLshFromShingles(sh, k, bands, minEst, "md5")
       .select("doc_a", "doc_b")
     val fast = minHashLshFromShingles(sh, k, bands, minEst, "xxh64")
@@ -365,8 +364,7 @@ object Dedup {
   def minhashCalibration(spark: SparkSession, sfDir: String,
                          shingleN: Int = 3, k: Int = 16,
                          bands: Int = 4): DataFrame = {
-    val sh = shingles(representatives(table(spark, sfDir, "documents")), shingleN)
-      .materialized
+    val sh = repShingleStore(spark, sfDir, shingleN)._2
     val r = k / bands
     val sig = sh.groupBy("doc_id")
       .agg(graft.functions.MinHashSketch.sketch(col("shingle"), k, "md5").as("sigs"))
@@ -430,7 +428,7 @@ object Dedup {
   def bandingSweep(spark: SparkSession, sfDir: String,
                    shingleN: Int = 3, k: Int = 16,
                    configs: Seq[Int] = Seq(16, 8, 4, 2)): DataFrame = {
-    val sig = shingles(representatives(table(spark, sfDir, "documents")), shingleN)
+    val sig = repShingleStore(spark, sfDir, shingleN)._2
       .groupBy("doc_id")
       .agg(graft.functions.MinHashSketch.sketch(col("shingle"), k, "md5").as("sigs"))
       .materialized // one sketch pass feeds every banding config
@@ -659,8 +657,7 @@ object Dedup {
   def simHashPairs(spark: SparkSession, sfDir: String,
                    shingleN: Int = 3, maxHamming: Int = 3): DataFrame =
     simHashPairsFromShingles(
-      shingles(representatives(table(spark, sfDir, "documents")), shingleN),
-      maxHamming)
+      repShingleStore(spark, sfDir, shingleN)._2, maxHamming)
 
   /** simHashPairs over a pre-computed (doc_id, shingle) frame — shares
     * the corpus scan in composed queries (see minHashLshFromShingles).
@@ -721,8 +718,7 @@ object Dedup {
     // the same quadratic the 10x dup-replica scale bench surfaced for
     // the embedding rung
     ngramJaccardPairsFromShingles(
-      shingles(representatives(table(spark, sfDir, "documents")), shingleN)
-        .materialized,
+      repShingleStore(spark, sfDir, shingleN)._2,
       maxDf, minJaccardMilli)
 
   /** ngramJaccardPairs over a pre-computed, ALREADY-MATERIALIZED
@@ -842,8 +838,7 @@ object Dedup {
                             shingleN: Int = 3, maxDf: Int = 50,
                             minContMilli: Long = 500): DataFrame =
     ngramContainmentFromShingles(
-      shingles(representatives(table(spark, sfDir, "documents")), shingleN)
-        .materialized,
+      repShingleStore(spark, sfDir, shingleN)._2,
       maxDf, minContMilli)
 
   /** Containment over a pre-computed, ALREADY-MATERIALIZED (doc_id,
@@ -1352,20 +1347,38 @@ object Dedup {
                                        mh: DataFrame, sim: DataFrame,
                                        jac: DataFrame, pairs: DataFrame)
 
+  /** The (exact-dup map, representatives' shingle frame) layer below
+    * the pair graph — stored separately so a STANDALONE rung query
+    * (minhash/simhash/jaccard/containment, the calibration and banding
+    * sweeps) reuses the corpus scan + shingle pass without triggering
+    * the other rungs' sketch builds. Keyed additionally on shingle n.
+    */
+  private val repShingleStores =
+    scala.collection.mutable.Map[String, (DataFrame, DataFrame)]()
+  private[graft] def repShingleStore(spark: SparkSession, sfDir: String,
+                                     shingleN: Int = 3): (DataFrame, DataFrame) =
+    repShingleStores.synchronized {
+      repShingleStores.getOrElseUpdate(
+        corpusKey(spark, sfDir) + "|n" + shingleN, {
+          val docs = table(spark, sfDir, "documents")
+          // narrow (doc_id, rep_id, n_copies) map: feeds the rep filter
+          // now and the membership expansion after clustering
+          val dupMap = exactDupMap(docs).materialized
+          val repDocs = docs.join(
+            dupMap.filter(col("doc_id") === col("rep_id")).select("doc_id"),
+            Seq("doc_id"), "left_semi")
+          val sh = shingles(repDocs, shingleN).materialized
+          (dupMap, sh)
+        })
+    }
+
   private val fuzzyGraphStores =
     scala.collection.mutable.Map[String, FuzzyGraph]()
   private[graft] def fuzzyGraphStore(spark: SparkSession,
                                      sfDir: String): FuzzyGraph =
     fuzzyGraphStores.synchronized {
       fuzzyGraphStores.getOrElseUpdate(corpusKey(spark, sfDir), {
-        val docs = table(spark, sfDir, "documents")
-        // narrow (doc_id, rep_id, n_copies) map: feeds the rep filter
-        // now and the membership expansion after clustering
-        val dupMap = exactDupMap(docs).materialized
-        val repDocs = docs.join(
-          dupMap.filter(col("doc_id") === col("rep_id")).select("doc_id"),
-          Seq("doc_id"), "left_semi")
-        val sh = shingles(repDocs).materialized
+        val (dupMap, sh) = repShingleStore(spark, sfDir)
         val mh = minHashLshFromShingles(sh).select("doc_a", "doc_b").materialized
         val sim = simHashPairsFromShingles(sh).select("doc_a", "doc_b").materialized
         val jac = ngramJaccardPairsFromShingles(sh).select("doc_a", "doc_b").materialized
