@@ -55,17 +55,14 @@ object Graph {
     // customer with a supplier (ADVICE r6: sf>=10 custkeys reach 1.5M,
     // and the oracle shares the constant so the hash-compare could not
     // catch it) — guard in-plan so the collision RAISES instead
-    val pairs = table(spark, sfDir, "orders")
-      .join(table(spark, sfDir, "lineitem"),
-        col("o_orderkey") === col("l_orderkey"))
+    val pairs = tradePairs(spark, sfDir)
       .select(
-        when(col("o_custkey") < lit(1000000L), col("o_custkey"))
+        when(col("c") < lit(1000000L), col("c"))
           .otherwise(raise_error(lit(
             "pageRank: o_custkey >= 1,000,000 collides with the supplier " +
               "node-id offset — raise the offset (and its oracle twin)")))
           .as("c"),
-        (col("l_suppkey") + lit(1000000L)).as("s"))
-      .distinct()
+        (col("s") + lit(1000000L)).as("s"))
     pageRankFromPairs(pairs, iters)
       .select(col("node"),
         when(col("node") >= 1000000L, "supplier").otherwise("customer").as("kind"),
@@ -177,7 +174,26 @@ object Graph {
     * reads it multiple times.
     */
   private def coSupplierEdges(spark: SparkSession, sfDir: String,
-                              strengthPpm: Long): DataFrame = {
+                              strengthPpm: Long): DataFrame =
+    coSupplierEdgeStores.synchronized {
+      // run-lifetime edge-artifact store (the Dedup.fuzzyGraphStore
+      // pattern): the co-supplier graph is ONE artifact per corpus
+      // snapshot and strength threshold — triangles, the k-core peel
+      // and the LPA communities all analyze the same edges, so the
+      // fact-table self-join runs once per run, not once per consumer.
+      val key = spark.sparkContext.applicationId + "|" + sfDir + "|" +
+        strengthPpm + "|" +
+        spark.conf.get("spark.graft.reliableCheckpoint", "false") + "|" +
+        graft.GraftSession.contentFingerprint(spark, s"$sfDir/lineitem.parquet")
+      coSupplierEdgeStores.getOrElseUpdate(key,
+        coSupplierEdgesUncached(spark, sfDir, strengthPpm))
+    }
+
+  private val coSupplierEdgeStores =
+    scala.collection.mutable.Map[String, DataFrame]()
+
+  private def coSupplierEdgesUncached(spark: SparkSession, sfDir: String,
+                                      strengthPpm: Long): DataFrame = {
     val so = table(spark, sfDir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_suppkey").as("s"))
       .distinct()
@@ -192,6 +208,28 @@ object Graph {
       .select("u", "v")
       .materialized
   }
+
+  /** The distinct customer->supplier trade pair list (columns c, s) —
+    * the shared raw-edge artifact behind [[pageRank]] and [[hits]]:
+    * one orders⋈lineitem join + distinct per corpus snapshot, stored
+    * for the run (same key discipline as [[coSupplierEdges]]).
+    */
+  private def tradePairs(spark: SparkSession, sfDir: String): DataFrame =
+    tradePairStores.synchronized {
+      val key = spark.sparkContext.applicationId + "|" + sfDir + "|" +
+        spark.conf.get("spark.graft.reliableCheckpoint", "false") + "|" +
+        graft.GraftSession.contentFingerprint(spark, s"$sfDir/lineitem.parquet")
+      tradePairStores.getOrElseUpdate(key,
+        table(spark, sfDir, "orders")
+          .join(table(spark, sfDir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+          .distinct()
+          .materialized)
+    }
+
+  private val tradePairStores =
+    scala.collection.mutable.Map[String, DataFrame]()
 
   def triangleCensus(spark: SparkSession, sfDir: String,
                      strengthPpm: Long = 10000L): DataFrame = {
@@ -293,11 +331,7 @@ object Graph {
     */
   def hits(spark: SparkSession, sfDir: String,
            iters: Int = 3, topK: Int = 10): DataFrame = {
-    val pairs = table(spark, sfDir, "orders")
-      .join(table(spark, sfDir, "lineitem"),
-        col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .distinct()
+    val pairs = tradePairs(spark, sfDir)
     val (hub, auth) = hitsFromPairs(pairs, iters)
     val top = auth.select(lit("authority").as("kind"), col("s").as("node"),
         col("score").as("score_micros"))
