@@ -264,9 +264,12 @@ object Similarity {
   def ivfAnn(spark: SparkSession, sfDir: String,
              centroidMod: Int = 50, nprobe: Int = 2, k: Int = 10): DataFrame = {
     val emb = embeddings(spark, sfDir)
-    val cent = capped(emb.filter(col("vec_id") % centroidMod === 0))
-      .select(col("vec_id").as("c_id"), col("v").as("cv"))
-    ivfTopK(emb, broadcast(cent), col("vec_id") % centroidMod === 0, nprobe, k)
+    val cent = broadcast(centFrame(spark, sfDir, centroidMod))
+    val probes = probeCells(
+      emb.filter(col("vec_id") % centroidMod === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv")),
+      cent, nprobe)
+    probeIndex(probes, assignedStore(spark, sfDir, centroidMod, reps = false), k)
   }
 
   /** IVF top-k for a CALLER-SUPPLIED query-id frame (one `q_id`
@@ -279,12 +282,12 @@ object Similarity {
                  centroidMod: Int = 50, nprobe: Int = 2,
                  k: Int = 10): DataFrame = {
     val emb = embeddings(spark, sfDir)
-    val cent = broadcast(capped(emb.filter(col("vec_id") % centroidMod === 0))
-      .select(col("vec_id").as("c_id"), col("v").as("cv")))
+    val cent = broadcast(centFrame(spark, sfDir, centroidMod))
     val queries = emb.join(queryIds.select(col("q_id")),
         col("vec_id") === col("q_id"))
       .select(col("q_id"), col("v").as("qv"))
-    probeIndex(probeCells(queries, cent, nprobe), assignCells(emb, cent), k)
+    probeIndex(probeCells(queries, cent, nprobe),
+      assignedStore(spark, sfDir, centroidMod, reps = false), k)
   }
 
   /** Shared IVF core: assign each vector to its argmax-cosine cell, probe
@@ -314,7 +317,45 @@ object Similarity {
           (-col("c_id")).as("neg_c"), col("v").as("v")).as("sc"))
       .groupBy("vec_id")
       .agg(max(col("sc")).as("best"))
-      .select(col("vec_id"), (-col("best.neg_c")).as("cell"), col("best.v").as("v"))
+      .select(col("vec_id"), (-col("best.neg_c")).as("cell"),
+        col("best.v").as("v"), col("best.cs").as("cs"))
+
+  /** The default strided-quantizer centroid frame — tiny by the capped
+    * contract, shared by every default-parameter IVF consumer.
+    */
+  private[ops] def centFrame(spark: SparkSession, sfDir: String,
+                             centroidMod: Int): DataFrame =
+    capped(embeddings(spark, sfDir).filter(col("vec_id") % centroidMod === 0))
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+
+  /** Run-lifetime cell-assignment store (the Dedup.fuzzyGraphStore
+    * pattern on the ANN side): the (vec_id, cell, v, cs) assignment of
+    * the corpus — or of its exact-vector representatives — against the
+    * default strided quantizer is ONE artifact per corpus snapshot;
+    * the IVF probe, the balance/purity/OOD audits, the persisted-index
+    * builds, SemDeDup, the kNN graph and the sweeps all consume the
+    * same table, exactly as one deployed index serves many workloads.
+    * Keyed on (application, corpus content fingerprint, centroid
+    * stride, reps-or-full, checkpoint mode). The trained-quantizer
+    * path (ivfKmeans) and the split-based lifecycle ops (ivfGrow, the
+    * recall holdouts) keep their own assignments — different
+    * quantizers or different corpora, not this artifact.
+    */
+  private val assignStores = scala.collection.mutable.Map[String, DataFrame]()
+  private[ops] def assignedStore(spark: SparkSession, sfDir: String,
+                                 centroidMod: Int, reps: Boolean): DataFrame =
+    assignStores.synchronized {
+      val key = spark.sparkContext.applicationId + "|" + sfDir + "|" +
+        centroidMod + "|" + reps + "|" +
+        spark.conf.get("spark.graft.reliableCheckpoint", "false") + "|" +
+        graft.GraftSession.contentFingerprint(spark, s"$sfDir/embeddings.parquet")
+      assignStores.getOrElseUpdate(key, {
+        val emb = embeddings(spark, sfDir)
+        val side = if (reps) vectorRepresentatives(emb) else emb
+        assignCells(side, broadcast(centFrame(spark, sfDir, centroidMod)))
+          .materialized
+      })
+    }
 
   /** Each query's nprobe best cells by centroid cosine; queries are
     * filtered BEFORE the scoring cross join, and the query vector rides
@@ -366,16 +407,16 @@ object Similarity {
   def ivfIndexed(spark: SparkSession, sfDir: String,
                  centroidMod: Int = 50, nprobe: Int = 2, k: Int = 10): DataFrame = {
     val emb = embeddings(spark, sfDir)
-    val cent = capped(emb.filter(col("vec_id") % centroidMod === 0))
-      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val cent = broadcast(centFrame(spark, sfDir, centroidMod))
     val name = graft.sources.Bucketed.scopedName(spark, "graft_ivf_index")
     graft.sources.Bucketed.writeBucketed(spark,
-      assignCells(emb, broadcast(cent)).select("cell", "vec_id", "v"),
+      assignedStore(spark, sfDir, centroidMod, reps = false)
+        .select("cell", "vec_id", "v"),
       name, graft.sources.Bucketed.scopedPath(name), "cell", 8)
     val probes = probeCells(
       emb.filter(col("vec_id") % centroidMod === 0)
         .select(col("vec_id").as("q_id"), col("v").as("qv")),
-      broadcast(cent), nprobe)
+      cent, nprobe)
     probeIndex(probes, spark.table(name), k)
   }
 
@@ -1012,10 +1053,7 @@ object Similarity {
     */
   def semDedup(spark: SparkSession, sfDir: String,
                centroidMod: Int = 50, tauMilli: Long = 400): DataFrame = {
-    val emb = embeddings(spark, sfDir)
-    val cent = capped(emb.filter(col("vec_id") % centroidMod === 0))
-      .select(col("vec_id").as("c_id"), col("v").as("cv"))
-    val assigned = assignCells(vectorRepresentatives(emb), broadcast(cent))
+    val assigned = assignedStore(spark, sfDir, centroidMod, reps = true)
     val a = assigned.select(col("cell"), col("vec_id").as("a_id"), col("v").as("av"))
     val b = assigned.select(col("cell"), col("vec_id").as("b_id"), col("v").as("bv"))
     a.join(b, Seq("cell"))
@@ -1052,9 +1090,8 @@ object Similarity {
   def nprobeSweep(spark: SparkSession, sfDir: String, centroidMod: Int = 50,
                   maxNprobe: Int = 4, k: Int = 10): DataFrame = {
     val emb = embeddings(spark, sfDir)
-    val cent = broadcast(capped(emb.filter(col("vec_id") % centroidMod === 0))
-      .select(col("vec_id").as("c_id"), col("v").as("cv")))
-    val assigned = assignCells(emb, cent)
+    val cent = broadcast(centFrame(spark, sfDir, centroidMod))
+    val assigned = assignedStore(spark, sfDir, centroidMod, reps = false)
     val queries = emb.filter(col("vec_id") % centroidMod === 0)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val wp = Window.partitionBy("q_id").orderBy(col("ccs").desc, col("c_id").asc)
@@ -1110,10 +1147,7 @@ object Similarity {
     */
   def knnGraph(spark: SparkSession, sfDir: String,
                centroidMod: Int = 50, k: Int = 5): DataFrame = {
-    val emb = embeddings(spark, sfDir)
-    val cent = capped(emb.filter(col("vec_id") % centroidMod === 0))
-      .select(col("vec_id").as("c_id"), col("v").as("cv"))
-    val assigned = assignCells(vectorRepresentatives(emb), broadcast(cent))
+    val assigned = assignedStore(spark, sfDir, centroidMod, reps = true)
     val a = assigned.select(col("cell"), col("vec_id").as("src"), col("v").as("sv"))
     val b = assigned.select(col("cell"), col("vec_id").as("n_id"), col("v").as("nv"))
     val scored = a.join(b, Seq("cell"))
@@ -1146,10 +1180,7 @@ object Similarity {
   def cellPurity(spark: SparkSession, sfDir: String,
                  centroidMod: Int = 50): DataFrame = {
     val raw = table(spark, sfDir, "embeddings")
-    val emb = embeddings(spark, sfDir)
-    val cent = capped(emb.filter(col("vec_id") % centroidMod === 0))
-      .select(col("vec_id").as("c_id"), col("v").as("cv"))
-    assignCells(emb, broadcast(cent))
+    assignedStore(spark, sfDir, centroidMod, reps = false)
       .join(raw.select(col("vec_id"), col("label").cast("long").as("label")),
         Seq("vec_id"))
       .groupBy("cell", "label")
@@ -1181,17 +1212,10 @@ object Similarity {
     */
   def oodAudit(spark: SparkSession, sfDir: String,
                centroidMod: Int = 50, tauMilli: Long = 200L): DataFrame = {
-    val emb = embeddings(spark, sfDir)
-    val cent = capped(emb.filter(col("vec_id") % centroidMod === 0))
-      .select(col("vec_id").as("c_id"), col("v").as("cv"))
-    emb.crossJoin(broadcast(cent))
-      .select(col("vec_id"),
-        struct(cosMilli(col("v"), col("cv")).as("cs"),
-          (-col("c_id")).as("neg_c")).as("sc"))
-      .groupBy("vec_id")
-      .agg(max(col("sc")).as("best"))
-      .select(col("vec_id"), (-col("best.neg_c")).as("cell"),
-        col("best.cs").as("cs"))
+    // the stored assignment carries each vector's best-cell cosine, so
+    // the membership audit is a pure rollup over the shared artifact
+    assignedStore(spark, sfDir, centroidMod, reps = false)
+      .select(col("vec_id"), col("cell"), col("cs"))
       .groupBy("cell")
       .agg(count(lit(1)).as("n_vecs"),
         sum(when(col("cs") < tauMilli, 1L).otherwise(0L)).as("n_ood"),
@@ -1219,11 +1243,8 @@ object Similarity {
     */
   def ivfBalance(spark: SparkSession, sfDir: String,
                  centroidMod: Int = 50): DataFrame = {
-    val emb = embeddings(spark, sfDir)
-    val cent = capped(emb.filter(col("vec_id") % centroidMod === 0))
-      .select(col("vec_id").as("c_id"), col("v").as("cv"))
     val w = Window.partitionBy() // |cells| rows post-aggregate
-    assignCells(emb, broadcast(cent))
+    assignedStore(spark, sfDir, centroidMod, reps = false)
       .groupBy("cell").agg(count(lit(1)).as("n_vecs"))
       .withColumn("total", sum(col("n_vecs")).over(w))
       .withColumn("n_cells", count(lit(1)).over(w))
@@ -1258,11 +1279,9 @@ object Similarity {
   def epsilonSweep(spark: SparkSession, sfDir: String,
                    centroidMod: Int = 50, nTaus: Int = 10,
                    stepMilli: Long = 100L): DataFrame = {
-    val emb = embeddings(spark, sfDir)
-    val cent = capped(emb.filter(col("vec_id") % centroidMod === 0))
-      .select(col("vec_id").as("c_id"), col("v").as("cv"))
-    val assigned = assignCells(vectorRepresentatives(emb), broadcast(cent))
-      .materialized // one assignment pass: both pair sides + rep count
+    // store-materialized: one assignment pass serves both pair sides +
+    // the rep count
+    val assigned = assignedStore(spark, sfDir, centroidMod, reps = true)
     val a = assigned.select(col("cell"), col("vec_id").as("a_id"), col("v").as("av"))
     val b = assigned.select(col("cell"), col("vec_id").as("b_id"), col("v").as("bv"))
     val pairs = a.join(b, Seq("cell"))
@@ -1554,14 +1573,15 @@ object Similarity {
                centroidMod: Int = 50, nprobe: Int = 2, k: Int = 10,
                nSub: Int = 8, subDim: Int = 8): DataFrame = {
     val emb = embeddings(spark, sfDir)
-    val cent = capped(emb.filter(col("vec_id") % centroidMod === 0))
-      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val cent = broadcast(centFrame(spark, sfDir, centroidMod))
     val (comps, codebook) = pqCompsAndBook(spark, sfDir, nSub, subDim)
-    // ingest: assign cells, attach each vector's nSub codes, store the
-    // compressed posting lists bucketed on the probe key
+    // ingest: assign cells (the stored artifact), attach each vector's
+    // nSub codes, store the compressed posting lists bucketed on the
+    // probe key
     val name = graft.sources.Bucketed.scopedName(spark, "graft_ivf_pq_index")
     graft.sources.Bucketed.writeBucketed(spark,
-      assignCells(emb, broadcast(cent)).select("cell", "vec_id")
+      assignedStore(spark, sfDir, centroidMod, reps = false)
+        .select("cell", "vec_id")
         .join(comps.select(col("vec_id"), col("sub"), col("code")).distinct(),
           Seq("vec_id"))
         .select("cell", "vec_id", "sub", "code"),
