@@ -514,6 +514,33 @@ object Dedup {
       spark, bandKeys(shingles(representatives(docs), shingleN), k, bands, family),
       name, path, "sig", nBuckets)
 
+  /** Run-lifetime store for the harness splits' band-key frames — the
+    * index lifecycle family (incremental probe, refresh fold-in,
+    * compaction) all sketch the SAME history/new-batch splits, and the
+    * refresh audit's rebuild side is the full-corpus sketch over the
+    * stored rep shingles. One sketch pass per (split, params) per run.
+    * `which` ∈ full | hist | new; hist/new key on `mod` too.
+    */
+  private val bandKeyStores = scala.collection.mutable.Map[String, DataFrame]()
+  private def storedBandKeys(spark: SparkSession, sfDir: String, which: String,
+                             mod: Int, shingleN: Int, k: Int, bands: Int,
+                             family: String = "md5"): DataFrame =
+    bandKeyStores.synchronized {
+      val key = corpusKey(spark, sfDir) +
+        s"|$which|$mod|$shingleN|$k|$bands|$family"
+      bandKeyStores.getOrElseUpdate(key, {
+        val docs = table(spark, sfDir, "documents")
+        val sh = which match {
+          case "full" => repShingleStore(spark, sfDir, shingleN)._2
+          case "hist" =>
+            shingles(representatives(docs.filter(col("doc_id") % mod =!= 0)), shingleN)
+          case "new" =>
+            shingles(representatives(docs.filter(col("doc_id") % mod === 0)), shingleN)
+        }
+        bandKeys(sh, k, bands, family).materialized
+      })
+    }
+
   /** Probe the stored index with a new batch: sketch ONLY the batch,
     * join on the band key (index side exchange-free — bucketed on the
     * key; PersistedIndexSpec pins that), score candidate pairs by
@@ -526,8 +553,17 @@ object Dedup {
   def probeMinHashIndex(index: DataFrame, newDocs: DataFrame,
                         shingleN: Int = 3, k: Int = 16, bands: Int = 4,
                         minEst: Double = 0.5,
-                        family: String = "md5"): DataFrame = {
-    val batch = bandKeys(shingles(representatives(newDocs), shingleN), k, bands, family)
+                        family: String = "md5"): DataFrame =
+    probeMinHashIndexKeys(index,
+      bandKeys(shingles(representatives(newDocs), shingleN), k, bands, family),
+      k, minEst)
+
+  /** [[probeMinHashIndex]] over a PRE-SKETCHED batch band-key frame —
+    * the storedBandKeys path for the lifecycle queries.
+    */
+  private def probeMinHashIndexKeys(index: DataFrame, batchKeys: DataFrame,
+                                    k: Int, minEst: Double): DataFrame = {
+    val batch = batchKeys
       .select(col("doc_id").as("doc_new"), col("sig"), col("sigs").as("sigs_new"))
     val idx = index.select(col("doc_id").as("doc_idx"), col("sig"),
       col("sigs").as("sigs_idx"))
@@ -552,12 +588,12 @@ object Dedup {
   def incrementalMinHash(spark: SparkSession, sfDir: String,
                          mod: Int = 10, shingleN: Int = 3, k: Int = 16,
                          bands: Int = 4, minEst: Double = 0.5): DataFrame = {
-    val docs = table(spark, sfDir, "documents")
     val name = graft.sources.Bucketed.scopedName(spark, "graft_minhash_index")
-    buildMinHashIndex(spark, docs.filter(col("doc_id") % mod =!= 0),
-      name, graft.sources.Bucketed.scopedPath(name), shingleN, k, bands)
-    probeMinHashIndex(spark.table(name),
-      docs.filter(col("doc_id") % mod === 0), shingleN, k, bands, minEst)
+    graft.sources.Bucketed.writeBucketed(spark,
+      storedBandKeys(spark, sfDir, "hist", mod, shingleN, k, bands),
+      name, graft.sources.Bucketed.scopedPath(name), "sig", 8)
+    probeMinHashIndexKeys(spark.table(name),
+      storedBandKeys(spark, sfDir, "new", mod, shingleN, k, bands), k, minEst)
   }
 
   /** dedup_index_refresh: the fold-in half of the daily cycle — after
@@ -576,20 +612,19 @@ object Dedup {
   def indexRefreshAudit(spark: SparkSession, sfDir: String,
                         mod: Int = 10, shingleN: Int = 3, k: Int = 16,
                         bands: Int = 4, nBuckets: Int = 8): DataFrame = {
-    val docs = table(spark, sfDir, "documents")
     val name = graft.sources.Bucketed.scopedName(spark, "graft_minhash_index_refresh")
-    buildMinHashIndex(spark, docs.filter(col("doc_id") % mod =!= 0),
-      name, graft.sources.Bucketed.scopedPath(name), shingleN, k, bands, "md5", nBuckets)
+    graft.sources.Bucketed.writeBucketed(spark,
+      storedBandKeys(spark, sfDir, "hist", mod, shingleN, k, bands),
+      name, graft.sources.Bucketed.scopedPath(name), "sig", nBuckets)
     graft.sources.Bucketed.appendBucketed(spark,
-      bandKeys(shingles(representatives(docs.filter(col("doc_id") % mod === 0)),
-        shingleN), k, bands, "md5"),
+      storedBandKeys(spark, sfDir, "new", mod, shingleN, k, bands),
       name, "sig", nBuckets)
     def perBand(sigs: DataFrame, as: String): DataFrame = sigs
       .select(split(col("sig"), "\\|").getItem(0).cast("long").as("band"))
       .groupBy("band").agg(count(lit(1)).as(as))
     val folded = perBand(spark.table(name), "n_folded")
     val rebuild = perBand(
-      bandKeys(shingles(representatives(docs), shingleN), k, bands, "md5"),
+      storedBandKeys(spark, sfDir, "full", mod, shingleN, k, bands),
       "n_rebuild")
     folded.join(rebuild, Seq("band"))
       .withColumn("n_redundant", col("n_folded") - col("n_rebuild"))
@@ -611,18 +646,18 @@ object Dedup {
   def indexCompactAudit(spark: SparkSession, sfDir: String,
                         mod: Int = 10, shingleN: Int = 3, k: Int = 16,
                         bands: Int = 4, nBuckets: Int = 8): DataFrame = {
-    val docs = table(spark, sfDir, "documents")
     val name = graft.sources.Bucketed.scopedName(spark, "graft_minhash_index_compact")
-    buildMinHashIndex(spark, docs.filter(col("doc_id") % mod =!= 0),
-      name, graft.sources.Bucketed.scopedPath(name), shingleN, k, bands, "md5", nBuckets)
+    graft.sources.Bucketed.writeBucketed(spark,
+      storedBandKeys(spark, sfDir, "hist", mod, shingleN, k, bands),
+      name, graft.sources.Bucketed.scopedPath(name), "sig", nBuckets)
     graft.sources.Bucketed.appendBucketed(spark,
-      bandKeys(shingles(representatives(docs.filter(col("doc_id") % mod === 0)),
-        shingleN), k, bands, "md5"),
+      storedBandKeys(spark, sfDir, "new", mod, shingleN, k, bands),
       name, "sig", nBuckets)
     val folded = spark.table(name)
     // the global rep-id set: |distinct contents| ids — tiny next to the
     // index, and derivable from the exact rung's map without any sketch
-    val globalReps = representatives(docs).select("doc_id")
+    val globalReps = repShingleStore(spark, sfDir, shingleN)._1
+      .filter(col("doc_id") === col("rep_id")).select("doc_id")
     val compacted = folded.join(globalReps, Seq("doc_id"), "left_semi")
     val outName =
       graft.sources.Bucketed.scopedName(spark, "graft_minhash_index_compacted")
