@@ -63,7 +63,11 @@ object Graph {
               "node-id offset — raise the offset (and its oracle twin)")))
           .as("c"),
         (col("s") + lit(1000000L)).as("s"))
-    pageRankFromPairs(pairs, iters)
+    val (edges, deg) = pageRankLayoutStores.synchronized {
+      pageRankLayoutStores.getOrElseUpdate(corpusKey(spark, sfDir),
+        pageRankLayout(pairs))
+    }
+    pageRankFromLayout(edges, deg, iters)
       .select(col("node"),
         when(col("node") >= 1000000L, "supplier").otherwise("customer").as("kind"),
         col("r").as("rank_micros"))
@@ -84,6 +88,17 @@ object Graph {
     * released immediately.
     */
   def pageRankFromPairs(pairs: DataFrame, iters: Int): DataFrame = {
+    val (edges, deg) = pageRankLayout(pairs)
+    pageRankFromLayout(edges, deg, iters)
+  }
+
+  /** Builds the static per-run edge layout: symmetrized edges
+    * repartitioned on the round join key, plus out-degrees — the two
+    * tables every round re-reads. Checkpointed flat so the loop (and
+    * every later consumer, via [[pageRankLayoutStores]]) pays the
+    * producing join/exchange exactly once.
+    */
+  private def pageRankLayout(pairs: DataFrame): (DataFrame, DataFrame) = {
     val sessionParts = pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
     // materialize the pair derivation ONCE: it feeds the edge-count
     // (partition sizing) and BOTH symmetrize branches — without the
@@ -100,9 +115,16 @@ object Graph {
     // join co-partitions to the edge side's width automatically; the
     // rank re-aggregation runs at session width with AQE coalescing.
     val edges = sym.repartition(parts, col("src")).materialized
+    // materialized (not persist+unpersist): the layout outlives the
+    // call when served from the run-lifetime store
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
-      .persist()
+      .materialized
+    (edges, deg)
+  }
+
+  private def pageRankFromLayout(edges: DataFrame, deg: DataFrame,
+                                 iters: Int): DataFrame = {
     var ranks = deg.select(col("node"), lit(1000000L).as("r"))
     var pinned: DataFrame = null
     for (i <- 1 to iters) {
@@ -127,7 +149,6 @@ object Graph {
     }
     val out = ranks.materialized
     if (pinned != null) pinned.unpersist()
-    deg.unpersist(blocking = false)
     out
   }
 
@@ -216,10 +237,7 @@ object Graph {
     */
   private def tradePairs(spark: SparkSession, sfDir: String): DataFrame =
     tradePairStores.synchronized {
-      val key = spark.sparkContext.applicationId + "|" + sfDir + "|" +
-        spark.conf.get("spark.graft.reliableCheckpoint", "false") + "|" +
-        graft.GraftSession.contentFingerprint(spark, s"$sfDir/lineitem.parquet")
-      tradePairStores.getOrElseUpdate(key,
+      tradePairStores.getOrElseUpdate(corpusKey(spark, sfDir),
         table(spark, sfDir, "orders")
           .join(table(spark, sfDir, "lineitem"),
             col("o_orderkey") === col("l_orderkey"))
@@ -228,8 +246,31 @@ object Graph {
           .materialized)
     }
 
+  /** Run-lifetime store key for trade-graph artifacts: application +
+    * corpus path + checkpoint mode + lineitem CONTENT fingerprint (a
+    * regenerated corpus rebuilds; CheckpointSeamSpec's flag flip gets
+    * its own entries). Shared by the pair store and the two iteration
+    * LAYOUT stores below.
+    */
+  private def corpusKey(spark: SparkSession, sfDir: String): String =
+    spark.sparkContext.applicationId + "|" + sfDir + "|" +
+      spark.conf.get("spark.graft.reliableCheckpoint", "false") + "|" +
+      graft.GraftSession.contentFingerprint(spark, s"$sfDir/lineitem.parquet")
+
   private val tradePairStores =
     scala.collection.mutable.Map[String, DataFrame]()
+
+  /** Stored PageRank edge layout (symmetrized repartitioned edges +
+    * out-degrees) and HITS edge layout (the c- and s-partitioned
+    * CSR/CSC copies): pure functions of the pair list, so consumers
+    * serve the paid-once count/exchange/checkpoint instead of
+    * re-deriving it per call — the materialize-once-serve-many
+    * contract of the other r11 artifact stores.
+    */
+  private val pageRankLayoutStores =
+    scala.collection.mutable.Map[String, (DataFrame, DataFrame)]()
+  private val hitsLayoutStores =
+    scala.collection.mutable.Map[String, (DataFrame, DataFrame)]()
 
   def triangleCensus(spark: SparkSession, sfDir: String,
                      strengthPpm: Long = 10000L): DataFrame = {
@@ -332,7 +373,11 @@ object Graph {
   def hits(spark: SparkSession, sfDir: String,
            iters: Int = 3, topK: Int = 10): DataFrame = {
     val pairs = tradePairs(spark, sfDir)
-    val (hub, auth) = hitsFromPairs(pairs, iters)
+    val (edgesByC, edgesByS) = hitsLayoutStores.synchronized {
+      hitsLayoutStores.getOrElseUpdate(corpusKey(spark, sfDir),
+        hitsLayout(pairs))
+    }
+    val (hub, auth) = hitsFromLayout(edgesByC, edgesByS, iters)
     val top = auth.select(lit("authority").as("kind"), col("s").as("node"),
         col("score").as("score_micros"))
       .orderBy(col("score_micros").desc, col("node").asc).limit(topK)
@@ -349,24 +394,42 @@ object Graph {
     */
   private[graft] def hitsFromPairs(pairs: DataFrame,
                                    iters: Int): (DataFrame, DataFrame) = {
+    val (edgesByC, edgesByS) = hitsLayout(pairs)
+    hitsFromLayout(edgesByC, edgesByS, iters)
+  }
+
+  /** Builds the static per-run HITS edge layout. TWO checkpointed edge
+    * copies, one per half-step join key: the auth step joins hubs on c,
+    * the hub step joins auths on s — a single c-partitioned copy would
+    * re-exchange the full edge list on s EVERY round (ADVICE r9);
+    * pre-partitioning each copy once makes every half-step one
+    * co-partitioned join of the bounded score table, paid-for-once edge
+    * layout (2x edge storage, the standard CSR/CSC duplication of every
+    * graph engine) — and via [[hitsLayoutStores]], paid once per RUN,
+    * not per call.
+    */
+  private def hitsLayout(pairs: DataFrame): (DataFrame, DataFrame) = {
     val sessionParts = pairs.sparkSession.conf
       .get("spark.sql.shuffle.partitions")
     val p = pairs.materialized
     val nEdges = p.count()
     val parts = math.max(1L, math.min(sessionParts.toLong,
       (nEdges + 99999L) / 100000L)).toInt
-    // TWO checkpointed edge copies, one per half-step join key: the
-    // auth step joins hubs on c, the hub step joins auths on s — a
-    // single c-partitioned copy would re-exchange the full edge list
-    // on s EVERY round (ADVICE r9); pre-partitioning each copy once
-    // makes every half-step one co-partitioned join of the bounded
-    // score table, paid-for-once edge layout (2x edge storage, the
-    // standard CSR/CSC duplication of every graph engine).
-    val edgesByC = p.repartition(parts, col("c")).materialized
-    val edgesByS = p.repartition(parts, col("s")).materialized
+    (p.repartition(parts, col("c")).materialized,
+      p.repartition(parts, col("s")).materialized)
+  }
+
+  private def hitsFromLayout(edgesByC: DataFrame, edgesByS: DataFrame,
+                             iters: Int): (DataFrame, DataFrame) = {
+    // materialize the PRE-rescale sum (it is referenced twice: the
+    // 1-row max subquery and the main frame — unmaterialized, the
+    // join+aggregate would run twice per half-step); the rescale
+    // output itself is referenced exactly once by the next half-step,
+    // so it rides as a shallow crossJoin over the checkpointed raw
     def rescaled(df: DataFrame, key: String): DataFrame = {
-      val mx = df.agg(max(col("raw")).as("mx"))
-      df.crossJoin(broadcast(mx))
+      val r = df.materialized
+      val mx = r.agg(max(col("raw")).as("mx"))
+      r.crossJoin(broadcast(mx))
         .select(col(key),
           expr("(1000000 * cast(raw as decimal(38,0))) div mx").as("score"))
     }
@@ -378,12 +441,10 @@ object Graph {
         edgesByC.join(hub, Seq("c"))
           .groupBy("s")
           .agg(sum(col("score").cast("decimal(38,0)")).as("raw")), "s")
-        .materialized
       hub = rescaled(
         edgesByS.join(auth, Seq("s"))
           .groupBy("c")
           .agg(sum(col("score").cast("decimal(38,0)")).as("raw")), "c")
-        .materialized
     }
     (hub, auth)
   }
