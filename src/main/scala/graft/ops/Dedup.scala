@@ -751,10 +751,20 @@ object Dedup {
     // composed pipelines already share a rep shingle frame): m copies of
     // a doc would otherwise meet in every rare shingle and pair m^2 —
     // the same quadratic the 10x dup-replica scale bench surfaced for
-    // the embedding rung
-    ngramJaccardPairsFromShingles(
-      repShingleStore(spark, sfDir, shingleN)._2,
-      maxDf, minJaccardMilli)
+    // the embedding rung. The resolved pair frame is a pure function of
+    // (corpus, n, df guard, threshold), so it is stored for the run:
+    // the standalone rung, the fuzzy split audit and the pair graph
+    // share ONE candidate/prune/exact build.
+    jaccardPairStores.synchronized {
+      jaccardPairStores.getOrElseUpdate(
+        corpusKey(spark, sfDir) + s"|$shingleN|$maxDf|$minJaccardMilli",
+        ngramJaccardPairsFromShingles(
+          repShingleStore(spark, sfDir, shingleN)._2,
+          maxDf, minJaccardMilli).materialized)
+    }
+
+  private val jaccardPairStores =
+    scala.collection.mutable.Map[String, DataFrame]()
 
   /** ngramJaccardPairs over a pre-computed, ALREADY-MATERIALIZED
     * (doc_id, shingle) frame (pass a checkpointed frame: it is
@@ -872,9 +882,17 @@ object Dedup {
   def ngramContainmentPairs(spark: SparkSession, sfDir: String,
                             shingleN: Int = 3, maxDf: Int = 50,
                             minContMilli: Long = 500): DataFrame =
-    ngramContainmentFromShingles(
-      repShingleStore(spark, sfDir, shingleN)._2,
-      maxDf, minContMilli)
+    // run-lifetime pair store, the ngramJaccardPairs discipline
+    containmentPairStores.synchronized {
+      containmentPairStores.getOrElseUpdate(
+        corpusKey(spark, sfDir) + s"|$shingleN|$maxDf|$minContMilli",
+        ngramContainmentFromShingles(
+          repShingleStore(spark, sfDir, shingleN)._2,
+          maxDf, minContMilli).materialized)
+    }
+
+  private val containmentPairStores =
+    scala.collection.mutable.Map[String, DataFrame]()
 
   /** Containment over a pre-computed, ALREADY-MATERIALIZED (doc_id,
     * shingle) frame — see [[ngramJaccardPairsFromShingles]] for the
@@ -1416,7 +1434,11 @@ object Dedup {
         val (dupMap, sh) = repShingleStore(spark, sfDir)
         val mh = minHashLshFromShingles(sh).select("doc_a", "doc_b").materialized
         val sim = simHashPairsFromShingles(sh).select("doc_a", "doc_b").materialized
-        val jac = ngramJaccardPairsFromShingles(sh).select("doc_a", "doc_b").materialized
+        // the jaccard rung serves from its own param-keyed store (one
+        // candidate/prune/exact build shared with the standalone rung
+        // and the fuzzy split audit); projecting the checkpointed
+        // frame is free, no second checkpoint needed
+        val jac = ngramJaccardPairs(spark, sfDir).select("doc_a", "doc_b")
         val pairs = mh.union(sim).union(jac).distinct().materialized
         FuzzyGraph(dupMap, sh, mh, sim, jac, pairs)
       })
