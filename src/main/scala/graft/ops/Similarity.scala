@@ -80,7 +80,8 @@ object Similarity {
     * corpus. Query side is tiny -> broadcast; corpus is scanned once.
     */
   def bruteForceTopK(spark: SparkSession, sfDir: String,
-                     k: Int = 10, stride: Int = 50): DataFrame = {
+                     k: Int = 10, stride: Int = 50): DataFrame =
+      annResult(spark, sfDir, s"bf|$k|$stride") {
     val emb = embeddings(spark, sfDir)
     val queries = capped(emb.filter(col("vec_id") % stride === 0))
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
@@ -262,7 +263,8 @@ object Similarity {
     * network twice (vec_id, then cell), both on unique skew-free keys.
     */
   def ivfAnn(spark: SparkSession, sfDir: String,
-             centroidMod: Int = 50, nprobe: Int = 2, k: Int = 10): DataFrame = {
+             centroidMod: Int = 50, nprobe: Int = 2, k: Int = 10): DataFrame =
+      annResult(spark, sfDir, s"ivf|$centroidMod|$nprobe|$k") {
     val emb = embeddings(spark, sfDir)
     val cent = broadcast(centFrame(spark, sfDir, centroidMod))
     val probes = probeCells(
@@ -589,7 +591,8 @@ object Similarity {
     * equal cost to serving any other row — the serve-over-dedup shape.
     */
   def lshAnn(spark: SparkSession, sfDir: String,
-             nBits: Int = 8, nBands: Int = 4, k: Int = 10, dim: Int = 64): DataFrame = {
+             nBits: Int = 8, nBands: Int = 4, k: Int = 10, dim: Int = 64): DataFrame =
+      annResult(spark, sfDir, s"lsh|$nBits|$nBands|$k|$dim") {
     val emb = embeddings(spark, sfDir)
     val reps = vectorRepresentatives(emb)
       .select(col("vec_id").as("rep_id"), col("v")).materialized
@@ -890,6 +893,25 @@ object Similarity {
     */
   def int8Gram(spark: SparkSession, sfDir: String): DataFrame =
     gramStore(spark, sfDir).orderBy("di", "dj")
+
+  /** Run-lifetime ANN RESULT store: each serving rung's top-k frame is
+    * a pure function of (corpus, method parameters), so the standalone
+    * query, the recall gate and the sweeps share ONE build per run —
+    * the materialize-once-serve-many contract of the other r11 artifact
+    * stores. The key carries the method tag with every parameter, the
+    * checkpoint mode, and the corpus CONTENT fingerprint (a regenerated
+    * corpus rebuilds). Caller-supplied-workload variants (`*For`) stay
+    * unstored — their query frame is not keyable.
+    */
+  private val annResultStores = scala.collection.mutable.Map[String, DataFrame]()
+  private def annResult(spark: SparkSession, sfDir: String, tag: String)
+                       (build: => DataFrame): DataFrame =
+    annResultStores.synchronized {
+      val key = spark.sparkContext.applicationId + "|" + sfDir + "|" + tag + "|" +
+        spark.conf.get("spark.graft.reliableCheckpoint", "false") + "|" +
+        graft.GraftSession.contentFingerprint(spark, s"$sfDir/embeddings.parquet")
+      annResultStores.getOrElseUpdate(key, build.materialized)
+    }
 
   private val gramStores = scala.collection.mutable.Map[String, DataFrame]()
   private[graft] def gramStore(spark: SparkSession, sfDir: String): DataFrame =
@@ -1516,7 +1538,8 @@ object Similarity {
     */
   def pqAnn(spark: SparkSession, sfDir: String,
             nSub: Int = 8, subDim: Int = 8,
-            queryMod: Int = 50, k: Int = 10): DataFrame = {
+            queryMod: Int = 50, k: Int = 10): DataFrame =
+      annResult(spark, sfDir, s"pq|$nSub|$subDim|$queryMod|$k") {
     val (comps, codebook) = pqCompsAndBook(spark, sfDir, nSub, subDim)
     val lut = comps.filter(col("vec_id") % queryMod === 0)
       .select(col("vec_id").as("q_id"), col("sub"), col("d"), col("xm").as("qm"))
@@ -1571,7 +1594,8 @@ object Similarity {
     */
   def ivfPqAnn(spark: SparkSession, sfDir: String,
                centroidMod: Int = 50, nprobe: Int = 2, k: Int = 10,
-               nSub: Int = 8, subDim: Int = 8): DataFrame = {
+               nSub: Int = 8, subDim: Int = 8): DataFrame =
+      annResult(spark, sfDir, s"ivfpq|$centroidMod|$nprobe|$k|$nSub|$subDim") {
     val emb = embeddings(spark, sfDir)
     val cent = broadcast(centFrame(spark, sfDir, centroidMod))
     val (comps, codebook) = pqCompsAndBook(spark, sfDir, nSub, subDim)
