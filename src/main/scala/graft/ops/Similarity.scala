@@ -973,7 +973,8 @@ object Similarity {
     * normalized iterates; consecutive near-equal rows mean the
     * spectral gap is large and the top direction is trustworthy.
     */
-  def pcaPower(spark: SparkSession, sfDir: String, iters: Int = 3): DataFrame = {
+  def pcaPower(spark: SparkSession, sfDir: String, iters: Int = 3): DataFrame =
+      annResult(spark, sfDir, s"pca|$iters") {
     val gU = gramStore(spark, sfDir)
       .withColumn("gm", expr("g div n_vecs"))
     val full = gU.select(col("di").as("i"), col("dj").as("j"), col("gm"))
@@ -1012,40 +1013,45 @@ object Similarity {
     * numerator would overflow BIGINT).
     *
     * Scale shape: one corpus pass builds the direction (the Gram +
-    * dim^2 iteration of pcaPower), then ONE more pass projects every
-    * vector — the 64-row direction and its 1-row norm ride along as
-    * broadcasts; the per-vector dot is a posexplode joined to the
-    * broadcast direction with map-side partial aggregation on vec_id.
+    * dim^2 iteration of pcaPower, served from the run-lifetime store),
+    * then ONE more NARROW pass projects every vector: the converged
+    * 64-row direction is collected to the driver (dimension-bounded —
+    * the sanctioned 1-row/seasonal-baseline collect class) and folded
+    * into the plan as an array literal, so dot_u and |q|^2 are native
+    * codegen'd DotProduct folds per row — no posexplode, no join, no
+    * per-vector aggregation. The double fold is EXACT here: every
+    * intermediate (|dot_u| <= 64*127*1000 ~ 8.1e6, qq <= 64*127^2 ~
+    * 1.0e6) is an integer far below 2^53.
     *
     * Output: (vec_id, dot_u, energy_ppm), ordered.
     */
   def abttAudit(spark: SparkSession, sfDir: String, iters: Int = 3): DataFrame = {
-    val u = pcaPower(spark, sfDir, iters)
+    val uRows = pcaPower(spark, sfDir, iters)
       .filter(col("it") === iters.toLong)
       .select(col("dim_idx").as("d"), col("v_milli").as("u"))
-      .materialized
-    val uu = u.agg(sum(col("u") * col("u")).as("uu"))
+      .orderBy("d")
+      .collect() // dim-bounded (64 rows)
+    val uArr = uRows.map(_.getLong(1).toDouble)
+    val uuVal = uRows.map(r => r.getLong(1) * r.getLong(1)).sum
     val vm = transform(col("embedding"),
       x => floor(x.cast("double") * lit(1000000L)).cast("long"))
     val scale = array_max(transform(col("vm"), abs(_)))
     def sgn(c: Column): Column = when(c < 0L, -1L).otherwise(1L)
     val q = transform(col("vm"), v =>
-      when(col("scale") === 0L, lit(0L))
-        .otherwise(sgn(v) * ((abs(v) * 127L) / col("scale")).cast("long")))
+      when(col("scale") === 0L, lit(0.0))
+        .otherwise((sgn(v) * ((abs(v) * 127L) / col("scale")).cast("long"))
+          .cast("double")))
     table(spark, sfDir, "embeddings")
       .select(col("vec_id"), vm.as("vm"))
       .withColumn("scale", scale)
       .select(col("vec_id"), q.as("q"))
-      .withColumn("qq", aggregate(col("q"), lit(0L), (a, x) => a + x * x))
-      .select(col("vec_id"), col("qq"), posexplode(col("q")).as(Seq("pd", "qd")))
-      .join(broadcast(u), col("pd").cast("long") === col("d"))
-      .groupBy("vec_id")
-      .agg(max(col("qq")).as("qq"), sum(col("qd") * col("u")).as("dot_u"))
-      .crossJoin(broadcast(uu))
+      .select(col("vec_id"),
+        dot(col("q"), lit(uArr)).cast("long").as("dot_u"),
+        dot(col("q"), col("q")).cast("long").as("qq"))
       .select(col("vec_id"), col("dot_u"),
-        when(col("qq") > 0L && col("uu") > 0L,
-          expr("CAST((CAST(dot_u AS DECIMAL(38,0)) * dot_u * 1000000) div " +
-            "(qq * uu) AS BIGINT)"))
+        when(col("qq") > 0L && lit(uuVal) > 0L,
+          expr(s"CAST((CAST(dot_u AS DECIMAL(38,0)) * dot_u * 1000000) div " +
+            s"(qq * ${uuVal}L) AS BIGINT)"))
           .otherwise(lit(0L)).as("energy_ppm"))
       .orderBy("vec_id")
   }
