@@ -480,4 +480,21 @@ class SimilaritySpec extends SparkSpec {
       (2L, 1L, 0L, 948L), (2L, 2L, 3L, 316L),
       (3L, 1L, 2L, 316L), (3L, 2L, 0L, 0L)))
   }
+
+  test("ANN result store: distinct parameters never serve each other's frames") {
+    // the run-lifetime result store keys on the FULL parameter tuple; a
+    // key collision would silently serve k=3's cached top-k to a k=2
+    // caller (same corpus, same method) — assert the frames differ and
+    // the repeat call is row-identical to its first build
+    val k3 = Similarity.bruteForceTopK(spark, sfDir, k = 3, stride = 50)
+      .collect().map(_.toSeq).toSeq
+    val k2 = Similarity.bruteForceTopK(spark, sfDir, k = 2, stride = 50)
+      .collect().map(_.toSeq).toSeq
+    assert(k3.size > k2.size, "k=2 must not be served the stored k=3 frame")
+    assert(k2 === k3.filter(r => r(1).asInstanceOf[Long] <= 2L),
+      "k=2 is exactly the k=3 frame cut at rank 2")
+    val k3Again = Similarity.bruteForceTopK(spark, sfDir, k = 3, stride = 50)
+      .collect().map(_.toSeq).toSeq
+    assert(k3Again === k3, "repeat call serves the identical stored frame")
+  }
 }
