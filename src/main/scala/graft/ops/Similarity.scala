@@ -922,28 +922,17 @@ object Similarity {
       gramStores.getOrElseUpdate(key, int8GramUncached(spark, sfDir).materialized)
     }
 
-  private def int8GramUncached(spark: SparkSession, sfDir: String): DataFrame = {
-    val vm = transform(col("embedding"),
-      x => floor(x.cast("double") * lit(1000000L)).cast("long"))
-    val scale = array_max(transform(col("vm"), abs(_)))
-    def sgn(c: Column): Column = when(c < 0L, -1L).otherwise(1L)
-    val q = transform(col("vm"), v =>
-      when(col("scale") === 0L, lit(0L))
-        .otherwise(sgn(v) * ((abs(v) * 127L) / col("scale")).cast("long")))
-    val dim = size(col("q"))
-    // per-row upper triangle: for each i, pair q(i) against q(i..dim-1)
-    val tri = flatten(transform(col("q"), (qi, i) =>
-      transform(slice(col("q"), i + lit(1), dim - i), (qj, jj) =>
-        struct(i.cast("long").as("di"), (i + jj).cast("long").as("dj"),
-          (qi * qj).as("p")))))
+  private def int8GramUncached(spark: SparkSession, sfDir: String): DataFrame =
+    // ONE narrow global aggregate: quantization + the per-row triangle
+    // accumulate run inside the native GramTriangleAgg buffer (exact
+    // oracle arithmetic — see its scaladoc), so a partition ships one
+    // packed long[2081] instead of 2,080 struct rows PER VECTOR into a
+    // hash aggregate (416M exploded rows / 154.6 s at the 100x probe
+    // under the prior HOF + explode formulation)
     table(spark, sfDir, "embeddings")
-      .select(vm.as("vm"))
-      .withColumn("scale", scale)
-      .select(q.as("q"))
-      .select(explode(tri).as("t"))
-      .groupBy(col("t.di").as("di"), col("t.dj").as("dj"))
-      .agg(count(lit(1)).as("n_vecs"), sum(col("t.p")).as("g"))
-  }
+      .agg(graft.functions.GramSketch.triangle(col("embedding")).as("t"))
+      .select(explode(col("t")).as("e"))
+      .select(col("e.di"), col("e.dj"), col("e.n_vecs"), col("e.g"))
 
   /** emb_pca_power: dominant principal direction of the embedding
     * space by POWER ITERATION over the [[int8Gram]] Gramian — the
