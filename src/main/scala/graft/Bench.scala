@@ -36,6 +36,14 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       // keep generated methods JIT-compilable (see GraftSession)
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      // file-open cost modeled at 1 MB (default 4 MB floors the split
+      // size): synthetic text compresses ~10:1, so a CPU-dense scan of
+      // a small compressed file was planned 2 tasks wide regardless of
+      // its row groups — the only above-linear ratios in the 10x probe
+      // traced to exactly this. 1 MB lets a multi-row-group file split
+      // to its group count; single-row-group files (the sf0.1 harness
+      // layout) are unaffected either way.
+      .config("spark.sql.files.openCostInBytes", (1024 * 1024).toString)
       // keep every warmup-compiled generated class resident through the
       // timed region (default cache: 100 entries — the suite evicts it)
       .config("spark.sql.codegen.cache.maxEntries", "1000")

@@ -32,6 +32,14 @@ object GraftSession {
       // non-wholestage path for oversized stages: full bench went
       // 109s -> 38s at sf0.1. (Same value Spark's own docs recommend.)
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      // file-open cost modeled at 1 MB (default 4 MB floors the split
+      // size): synthetic text compresses ~10:1, so a CPU-dense scan of
+      // a small compressed file was planned 2 tasks wide regardless of
+      // its row groups — the only above-linear ratios in the 10x probe
+      // traced to exactly this. 1 MB lets a multi-row-group file split
+      // to its group count; single-row-group files (the sf0.1 harness
+      // layout) are unaffected either way.
+      .config("spark.sql.files.openCostInBytes", (1024 * 1024).toString)
       // default generated-class cache holds 100 entries; a multi-query
       // session churns past that, evicting warm classes so later (or
       // re-run) queries re-Janino-compile and re-JIT them — one source

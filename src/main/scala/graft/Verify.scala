@@ -15,6 +15,14 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       // keep generated methods JIT-compilable (see GraftSession)
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      // file-open cost modeled at 1 MB (default 4 MB floors the split
+      // size): synthetic text compresses ~10:1, so a CPU-dense scan of
+      // a small compressed file was planned 2 tasks wide regardless of
+      // its row groups — the only above-linear ratios in the 10x probe
+      // traced to exactly this. 1 MB lets a multi-row-group file split
+      // to its group count; single-row-group files (the sf0.1 harness
+      // layout) are unaffected either way.
+      .config("spark.sql.files.openCostInBytes", (1024 * 1024).toString)
       .config("spark.sql.codegen.cache.maxEntries", "1000")
       // localCheckpoint blocks are freed by the ContextCleaner only after
       // a JVM GC notices the dropped plan references; with a large heap,

@@ -66,6 +66,14 @@ for t, offsets in FACT_OFFSETS.items():
     base = pq.read_table(f"{SRC}/{t}.parquet")
     parts = [shifted(base, offsets, i, odd_ids=(t == "embeddings")) for i in range(K)]
     out = pa.concat_tables(parts)
-    pq.write_table(out, f"{DST}/{t}.parquet")
+    # realistic row-group layout: pyarrow's default packs ALL rows into
+    # one row group, and a single-row-group file can only ever be
+    # decoded by ONE Spark task no matter how it is byte-split — the
+    # 10x/100x probes then serialize every per-row-heavy pass on one
+    # core and report layout cost as plan cost (measured: the only
+    # above-linear ratios in the 10x suite traced to this). A real
+    # crawl is many files / many row groups; ~8k-row groups give the
+    # probes the same splittable shape.
+    pq.write_table(out, f"{DST}/{t}.parquet", row_group_size=8192)
     print(f"{t}: {base.num_rows} -> {out.num_rows}")
 print("done:", DST)
