@@ -57,6 +57,34 @@ object Materialize {
       out
     }
 
+  /** Proactively free a materialized frame's storage (ArtifactStore
+    * eviction, VERDICT r11 #2). A frame that went through [[apply]] plans
+    * as `LogicalRDD` leaves over the checkpointed RDDs; walking the
+    * analyzed plan finds them whether the stored value is the checkpoint
+    * itself or a projection over one. For each: delete its reliable
+    * checkpoint files (nothing references a superseded snapshot again —
+    * every lookup re-fingerprints) and unpersist its blocks. Without this,
+    * localCheckpoint blocks are freed only when the JVM GCs the plan and
+    * the ContextCleaner notices — never, while a store map pins it.
+    * Unpersisting an already-released RDD is a no-op, so artifacts that
+    * share a checkpoint (a graph store holding another store's frame)
+    * may release it twice safely.
+    */
+  def release(df: DataFrame): Unit = {
+    import org.apache.spark.sql.execution.LogicalRDD
+    df.queryExecution.analyzed.collect { case l: LogicalRDD => l.rdd }
+      .foreach { rdd =>
+        rdd.getCheckpointFile.foreach { f =>
+          try {
+            val p = new org.apache.hadoop.fs.Path(f)
+            p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+              .delete(p, true)
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }
+        rdd.unpersist(blocking = false)
+      }
+  }
+
   /** `df.materialized` — the call-site form every operator uses. */
   implicit class MaterializeOps(private val df: DataFrame) extends AnyVal {
     def materialized: DataFrame = Materialize(df)

@@ -521,24 +521,24 @@ object Dedup {
     * stored rep shingles. One sketch pass per (split, params) per run.
     * `which` ∈ full | hist | new; hist/new key on `mod` too.
     */
-  private val bandKeyStores = scala.collection.mutable.Map[String, DataFrame]()
+  private val bandKeyStores = graft.ArtifactStore.frames("dedup.bandKeys")
   private def storedBandKeys(spark: SparkSession, sfDir: String, which: String,
                              mod: Int, shingleN: Int, k: Int, bands: Int,
                              family: String = "md5"): DataFrame =
-    bandKeyStores.synchronized {
-      val key = corpusKey(spark, sfDir) +
-        s"|$which|$mod|$shingleN|$k|$bands|$family"
-      bandKeyStores.getOrElseUpdate(key, {
-        val docs = table(spark, sfDir, "documents")
-        val sh = which match {
-          case "full" => repShingleStore(spark, sfDir, shingleN)._2
-          case "hist" =>
-            shingles(representatives(docs.filter(col("doc_id") % mod =!= 0)), shingleN)
-          case "new" =>
-            shingles(representatives(docs.filter(col("doc_id") % mod === 0)), shingleN)
-        }
-        bandKeys(sh, k, bands, family).materialized
-      })
+    bandKeyStores.getOrBuild(
+      corpusSlot(spark, sfDir) + s"|$which|$mod|$shingleN|$k|$bands|$family",
+      docsFp(spark, sfDir)) {
+      val docs = table(spark, sfDir, "documents")
+      val sh = which match {
+        case "full" => repShingleStore(spark, sfDir, shingleN)._2
+        case "hist" =>
+          shingles(representatives(docs.filter(col("doc_id") % mod =!= 0)), shingleN)
+        case "new" =>
+          shingles(representatives(docs.filter(col("doc_id") % mod === 0)), shingleN)
+        case other => throw new IllegalArgumentException(
+          s"storedBandKeys split selector must be full|hist|new, got '$other'")
+      }
+      bandKeys(sh, k, bands, family).materialized
     }
 
   /** Probe the stored index with a new batch: sketch ONLY the batch,
@@ -755,16 +755,16 @@ object Dedup {
     // (corpus, n, df guard, threshold), so it is stored for the run:
     // the standalone rung, the fuzzy split audit and the pair graph
     // share ONE candidate/prune/exact build.
-    jaccardPairStores.synchronized {
-      jaccardPairStores.getOrElseUpdate(
-        corpusKey(spark, sfDir) + s"|$shingleN|$maxDf|$minJaccardMilli",
-        ngramJaccardPairsFromShingles(
-          repShingleStore(spark, sfDir, shingleN)._2,
-          maxDf, minJaccardMilli).materialized)
+    jaccardPairStores.getOrBuild(
+      corpusSlot(spark, sfDir) + s"|$shingleN|$maxDf|$minJaccardMilli",
+      docsFp(spark, sfDir)) {
+      ngramJaccardPairsFromShingles(
+        repShingleStore(spark, sfDir, shingleN)._2,
+        maxDf, minJaccardMilli).materialized
     }
 
   private val jaccardPairStores =
-    scala.collection.mutable.Map[String, DataFrame]()
+    graft.ArtifactStore.frames("dedup.jaccardPairs")
 
   /** ngramJaccardPairs over a pre-computed, ALREADY-MATERIALIZED
     * (doc_id, shingle) frame (pass a checkpointed frame: it is
@@ -883,16 +883,16 @@ object Dedup {
                             shingleN: Int = 3, maxDf: Int = 50,
                             minContMilli: Long = 500): DataFrame =
     // run-lifetime pair store, the ngramJaccardPairs discipline
-    containmentPairStores.synchronized {
-      containmentPairStores.getOrElseUpdate(
-        corpusKey(spark, sfDir) + s"|$shingleN|$maxDf|$minContMilli",
-        ngramContainmentFromShingles(
-          repShingleStore(spark, sfDir, shingleN)._2,
-          maxDf, minContMilli).materialized)
+    containmentPairStores.getOrBuild(
+      corpusSlot(spark, sfDir) + s"|$shingleN|$maxDf|$minContMilli",
+      docsFp(spark, sfDir)) {
+      ngramContainmentFromShingles(
+        repShingleStore(spark, sfDir, shingleN)._2,
+        maxDf, minContMilli).materialized
     }
 
   private val containmentPairStores =
-    scala.collection.mutable.Map[String, DataFrame]()
+    graft.ArtifactStore.frames("dedup.containmentPairs")
 
   /** Containment over a pre-computed, ALREADY-MATERIALIZED (doc_id,
     * shingle) frame — see [[ngramJaccardPairsFromShingles]] for the
@@ -1387,10 +1387,15 @@ object Dedup {
     * session — bounded: one pair set + one cluster table per corpus,
     * both far smaller than the corpus itself.
     */
-  private def corpusKey(spark: SparkSession, sfDir: String): String =
+  /** Store SLOT (everything but corpus content) + content fingerprint —
+    * the [[graft.ArtifactStore]] key split that lets a superseded corpus
+    * snapshot's entries be released on regeneration.
+    */
+  private def corpusSlot(spark: SparkSession, sfDir: String): String =
     spark.sparkContext.applicationId + "|" + sfDir + "|" +
-      spark.conf.get("spark.graft.reliableCheckpoint", "false") + "|" +
-      graft.GraftSession.contentFingerprint(spark, s"$sfDir/documents.parquet")
+      spark.conf.get("spark.graft.reliableCheckpoint", "false")
+  private def docsFp(spark: SparkSession, sfDir: String): String =
+    graft.GraftSession.contentFingerprint(spark, s"$sfDir/documents.parquet")
 
   /** The stored duplication-graph artifacts: the exact-dup map, the
     * representatives' shingle frame, each rung's pair set, and their
@@ -1407,44 +1412,43 @@ object Dedup {
     * the other rungs' sketch builds. Keyed additionally on shingle n.
     */
   private val repShingleStores =
-    scala.collection.mutable.Map[String, (DataFrame, DataFrame)]()
+    graft.ArtifactStore.framePairs("dedup.repShingles")
   private[graft] def repShingleStore(spark: SparkSession, sfDir: String,
                                      shingleN: Int = 3): (DataFrame, DataFrame) =
-    repShingleStores.synchronized {
-      repShingleStores.getOrElseUpdate(
-        corpusKey(spark, sfDir) + "|n" + shingleN, {
-          val docs = table(spark, sfDir, "documents")
-          // narrow (doc_id, rep_id, n_copies) map: feeds the rep filter
-          // now and the membership expansion after clustering
-          val dupMap = exactDupMap(docs).materialized
-          val repDocs = docs.join(
-            dupMap.filter(col("doc_id") === col("rep_id")).select("doc_id"),
-            Seq("doc_id"), "left_semi")
-          val sh = shingles(repDocs, shingleN).materialized
-          (dupMap, sh)
-        })
+    repShingleStores.getOrBuild(
+      corpusSlot(spark, sfDir) + "|n" + shingleN, docsFp(spark, sfDir)) {
+      val docs = table(spark, sfDir, "documents")
+      // narrow (doc_id, rep_id, n_copies) map: feeds the rep filter
+      // now and the membership expansion after clustering
+      val dupMap = exactDupMap(docs).materialized
+      val repDocs = docs.join(
+        dupMap.filter(col("doc_id") === col("rep_id")).select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val sh = shingles(repDocs, shingleN).materialized
+      (dupMap, sh)
     }
 
   private val fuzzyGraphStores =
-    scala.collection.mutable.Map[String, FuzzyGraph]()
+    new graft.ArtifactStore[FuzzyGraph]("dedup.fuzzyGraph")(g =>
+      Seq(g.dupMap, g.sh, g.mh, g.sim, g.jac, g.pairs)
+        .foreach(graft.Materialize.release))
   private[graft] def fuzzyGraphStore(spark: SparkSession,
                                      sfDir: String): FuzzyGraph =
-    fuzzyGraphStores.synchronized {
-      fuzzyGraphStores.getOrElseUpdate(corpusKey(spark, sfDir), {
-        val (dupMap, sh) = repShingleStore(spark, sfDir)
-        val mh = minHashLshFromShingles(sh).select("doc_a", "doc_b").materialized
-        val sim = simHashPairsFromShingles(sh).select("doc_a", "doc_b").materialized
-        // the jaccard rung serves from its own param-keyed store (one
-        // candidate/prune/exact build shared with the standalone rung
-        // and the fuzzy split audit); projecting the checkpointed
-        // frame is free, no second checkpoint needed
-        val jac = ngramJaccardPairs(spark, sfDir).select("doc_a", "doc_b")
-        val pairs = mh.union(sim).union(jac).distinct().materialized
-        FuzzyGraph(dupMap, sh, mh, sim, jac, pairs)
-      })
+    fuzzyGraphStores.getOrBuild(
+      corpusSlot(spark, sfDir), docsFp(spark, sfDir)) {
+      val (dupMap, sh) = repShingleStore(spark, sfDir)
+      val mh = minHashLshFromShingles(sh).select("doc_a", "doc_b").materialized
+      val sim = simHashPairsFromShingles(sh).select("doc_a", "doc_b").materialized
+      // the jaccard rung serves from its own param-keyed store (one
+      // candidate/prune/exact build shared with the standalone rung
+      // and the fuzzy split audit); projecting the checkpointed
+      // frame is free, no second checkpoint needed
+      val jac = ngramJaccardPairs(spark, sfDir).select("doc_a", "doc_b")
+      val pairs = mh.union(sim).union(jac).distinct().materialized
+      FuzzyGraph(dupMap, sh, mh, sim, jac, pairs)
     }
 
-  private val clusterStores = scala.collection.mutable.Map[String, DataFrame]()
+  private val clusterStores = graft.ArtifactStore.frames("dedup.clusters")
 
   /** Fuzzy-dedup cluster resolution: the three fuzzy rungs emit PAIRS;
     * this resolves them into components so a pipeline can make the
@@ -1471,9 +1475,8 @@ object Dedup {
     * another doc or whose content is fuzzy-paired, ordered by doc_id.
     */
   def nearDupClusters(spark: SparkSession, sfDir: String): DataFrame =
-    clusterStores.synchronized {
-      clusterStores.getOrElseUpdate(corpusKey(spark, sfDir),
-        nearDupClustersVia(spark, sfDir, connectedComponents(_)).materialized)
+    clusterStores.getOrBuild(corpusSlot(spark, sfDir), docsFp(spark, sfDir)) {
+      nearDupClustersVia(spark, sfDir, connectedComponents(_)).materialized
     }
 
   /** dedup_clusters_twostar: [[nearDupClusters]] with the component

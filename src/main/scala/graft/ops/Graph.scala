@@ -63,9 +63,9 @@ object Graph {
               "node-id offset — raise the offset (and its oracle twin)")))
           .as("c"),
         (col("s") + lit(1000000L)).as("s"))
-    val (edges, deg) = pageRankLayoutStores.synchronized {
-      pageRankLayoutStores.getOrElseUpdate(corpusKey(spark, sfDir),
-        pageRankLayout(pairs))
+    val (edges, deg) = pageRankLayoutStores.getOrBuild(
+      corpusSlot(spark, sfDir), tradeFp(spark, sfDir)) {
+      pageRankLayout(pairs)
     }
     pageRankFromLayout(edges, deg, iters)
       .select(col("node"),
@@ -196,22 +196,19 @@ object Graph {
     */
   private def coSupplierEdges(spark: SparkSession, sfDir: String,
                               strengthPpm: Long): DataFrame =
-    coSupplierEdgeStores.synchronized {
-      // run-lifetime edge-artifact store (the Dedup.fuzzyGraphStore
-      // pattern): the co-supplier graph is ONE artifact per corpus
-      // snapshot and strength threshold — triangles, the k-core peel
-      // and the LPA communities all analyze the same edges, so the
-      // fact-table self-join runs once per run, not once per consumer.
-      val key = spark.sparkContext.applicationId + "|" + sfDir + "|" +
-        strengthPpm + "|" +
-        spark.conf.get("spark.graft.reliableCheckpoint", "false") + "|" +
-        graft.GraftSession.contentFingerprint(spark, s"$sfDir/lineitem.parquet")
-      coSupplierEdgeStores.getOrElseUpdate(key,
-        coSupplierEdgesUncached(spark, sfDir, strengthPpm))
+    // run-lifetime edge-artifact store (the Dedup.fuzzyGraphStore
+    // pattern): the co-supplier graph is ONE artifact per corpus
+    // snapshot and strength threshold — triangles, the k-core peel
+    // and the LPA communities all analyze the same edges, so the
+    // fact-table self-join runs once per run, not once per consumer.
+    coSupplierEdgeStores.getOrBuild(
+      corpusSlot(spark, sfDir) + "|" + strengthPpm,
+      graft.GraftSession.contentFingerprint(spark, s"$sfDir/lineitem.parquet")) {
+      coSupplierEdgesUncached(spark, sfDir, strengthPpm)
     }
 
   private val coSupplierEdgeStores =
-    scala.collection.mutable.Map[String, DataFrame]()
+    graft.ArtifactStore.frames("graph.coSupplierEdges")
 
   private def coSupplierEdgesUncached(spark: SparkSession, sfDir: String,
                                       strengthPpm: Long): DataFrame = {
@@ -236,14 +233,14 @@ object Graph {
     * for the run (same key discipline as [[coSupplierEdges]]).
     */
   private def tradePairs(spark: SparkSession, sfDir: String): DataFrame =
-    tradePairStores.synchronized {
-      tradePairStores.getOrElseUpdate(corpusKey(spark, sfDir),
-        table(spark, sfDir, "orders")
-          .join(table(spark, sfDir, "lineitem"),
-            col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-          .distinct()
-          .materialized)
+    tradePairStores.getOrBuild(
+      corpusSlot(spark, sfDir), tradeFp(spark, sfDir)) {
+      table(spark, sfDir, "orders")
+        .join(table(spark, sfDir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+        .distinct()
+        .materialized
     }
 
   /** Run-lifetime store key for trade-graph artifacts: application +
@@ -252,13 +249,20 @@ object Graph {
     * its own entries). Shared by the pair store and the two iteration
     * LAYOUT stores below.
     */
-  private def corpusKey(spark: SparkSession, sfDir: String): String =
+  private def corpusSlot(spark: SparkSession, sfDir: String): String =
     spark.sparkContext.applicationId + "|" + sfDir + "|" +
-      spark.conf.get("spark.graft.reliableCheckpoint", "false") + "|" +
-      graft.GraftSession.contentFingerprint(spark, s"$sfDir/lineitem.parquet")
+      spark.conf.get("spark.graft.reliableCheckpoint", "false")
+
+  /** Trade-graph content fingerprint: the pair list is an orders⋈lineitem
+    * join, so BOTH tables' content is in the key — regenerating
+    * orders.parquet alone must rebuild the edges too (ADVICE r11).
+    */
+  private def tradeFp(spark: SparkSession, sfDir: String): String =
+    graft.GraftSession.contentFingerprint(spark, s"$sfDir/lineitem.parquet") +
+      graft.GraftSession.contentFingerprint(spark, s"$sfDir/orders.parquet")
 
   private val tradePairStores =
-    scala.collection.mutable.Map[String, DataFrame]()
+    graft.ArtifactStore.frames("graph.tradePairs")
 
   /** Stored PageRank edge layout (symmetrized repartitioned edges +
     * out-degrees) and HITS edge layout (the c- and s-partitioned
@@ -268,9 +272,9 @@ object Graph {
     * contract of the other r11 artifact stores.
     */
   private val pageRankLayoutStores =
-    scala.collection.mutable.Map[String, (DataFrame, DataFrame)]()
+    graft.ArtifactStore.framePairs("graph.pageRankLayout")
   private val hitsLayoutStores =
-    scala.collection.mutable.Map[String, (DataFrame, DataFrame)]()
+    graft.ArtifactStore.framePairs("graph.hitsLayout")
 
   def triangleCensus(spark: SparkSession, sfDir: String,
                      strengthPpm: Long = 10000L): DataFrame = {
@@ -373,9 +377,9 @@ object Graph {
   def hits(spark: SparkSession, sfDir: String,
            iters: Int = 3, topK: Int = 10): DataFrame = {
     val pairs = tradePairs(spark, sfDir)
-    val (edgesByC, edgesByS) = hitsLayoutStores.synchronized {
-      hitsLayoutStores.getOrElseUpdate(corpusKey(spark, sfDir),
-        hitsLayout(pairs))
+    val (edgesByC, edgesByS) = hitsLayoutStores.getOrBuild(
+      corpusSlot(spark, sfDir), tradeFp(spark, sfDir)) {
+      hitsLayout(pairs)
     }
     val (hub, auth) = hitsFromLayout(edgesByC, edgesByS, iters)
     val top = auth.select(lit("authority").as("kind"), col("s").as("node"),

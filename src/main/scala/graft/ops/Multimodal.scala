@@ -505,24 +505,26 @@ object Multimodal {
     */
   def aHashPairs(spark: SparkSession, sfDir: String,
                  maxHamming: Int = 3, maxDf: Int = 100): DataFrame =
-    aHashPairStores.synchronized {
-      // run-lifetime artifact store (the Dedup.fuzzyGraphStore pattern
-      // on the image side): the pair graph is ONE artifact per corpus
-      // snapshot and parameter choice — the pairs query, the cluster
-      // resolution and the funnel all consume the same edges, so the
-      // decode + banded pairing runs once per run, not once per
-      // consumer. Keyed on content fingerprint + parameters +
-      // checkpoint mode.
-      val key = spark.sparkContext.applicationId + "|" + sfDir + "|" +
-        maxHamming + "|" + maxDf + "|" +
-        spark.conf.get("spark.graft.reliableCheckpoint", "false") + "|" +
-        graft.GraftSession.contentFingerprint(spark, s"$sfDir/documents.parquet")
-      aHashPairStores.getOrElseUpdate(key,
-        aHashPairsUncached(spark, sfDir, maxHamming, maxDf).materialized)
-        .orderBy("id_a", "id_b")
-    }
+    // run-lifetime artifact store (the Dedup.fuzzyGraphStore pattern
+    // on the image side): the pair graph is ONE artifact per corpus
+    // snapshot and parameter choice — the pairs query, the cluster
+    // resolution and the funnel all consume the same edges, so the
+    // decode + banded pairing runs once per run, not once per
+    // consumer. Keyed on content fingerprint + parameters +
+    // checkpoint mode.
+    aHashPairStores.getOrBuild(
+      corpusSlot(spark, sfDir) + s"|$maxHamming|$maxDf",
+      docsFp(spark, sfDir)) {
+      aHashPairsUncached(spark, sfDir, maxHamming, maxDf).materialized
+    }.orderBy("id_a", "id_b")
 
-  private val aHashPairStores = scala.collection.mutable.Map[String, DataFrame]()
+  private val aHashPairStores = graft.ArtifactStore.frames("mm.aHashPairs")
+
+  private def corpusSlot(spark: SparkSession, sfDir: String): String =
+    spark.sparkContext.applicationId + "|" + sfDir + "|" +
+      spark.conf.get("spark.graft.reliableCheckpoint", "false")
+  private def docsFp(spark: SparkSession, sfDir: String): String =
+    graft.GraftSession.contentFingerprint(spark, s"$sfDir/documents.parquet")
 
   private def aHashPairsUncached(spark: SparkSession, sfDir: String,
                                  maxHamming: Int, maxDf: Int): DataFrame = {
@@ -570,23 +572,19 @@ object Multimodal {
     */
   def aHashClusters(spark: SparkSession, sfDir: String,
                     maxHamming: Int = 3, maxDf: Int = 100): DataFrame =
-    aHashClusterStores.synchronized {
-      val key = spark.sparkContext.applicationId + "|" + sfDir + "|" +
-        maxHamming + "|" + maxDf + "|" +
-        spark.conf.get("spark.graft.reliableCheckpoint", "false") + "|" +
-        graft.GraftSession.contentFingerprint(spark, s"$sfDir/documents.parquet")
-      aHashClusterStores.getOrElseUpdate(key, {
-        // the store-served pair graph is already checkpointed; the
-        // contraction's edge input needs no second materialization
-        val pairs = aHashPairs(spark, sfDir, maxHamming, maxDf)
-          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
-        graft.ops.Dedup.connectedComponentsTwoStar(pairs)
-          .select(col("doc_id").as("id"), col("cluster_id"))
-          .materialized
-      }).orderBy("id")
-    }
+    aHashClusterStores.getOrBuild(
+      corpusSlot(spark, sfDir) + s"|$maxHamming|$maxDf",
+      docsFp(spark, sfDir)) {
+      // the store-served pair graph is already checkpointed; the
+      // contraction's edge input needs no second materialization
+      val pairs = aHashPairs(spark, sfDir, maxHamming, maxDf)
+        .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+      graft.ops.Dedup.connectedComponentsTwoStar(pairs)
+        .select(col("doc_id").as("id"), col("cluster_id"))
+        .materialized
+    }.orderBy("id")
 
-  private val aHashClusterStores = scala.collection.mutable.Map[String, DataFrame]()
+  private val aHashClusterStores = graft.ArtifactStore.frames("mm.aHashClusters")
 
   /** mm_media_funnel: the image-side CURATION FUNNEL in one audit row —
     * what [[graft.ops.Dedup.curationFunnel]] (pipeline_e2e) is for text: how

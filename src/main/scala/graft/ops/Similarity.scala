@@ -343,20 +343,16 @@ object Similarity {
     * recall holdouts) keep their own assignments — different
     * quantizers or different corpora, not this artifact.
     */
-  private val assignStores = scala.collection.mutable.Map[String, DataFrame]()
+  private val assignStores = graft.ArtifactStore.frames("sim.assignments")
   private[ops] def assignedStore(spark: SparkSession, sfDir: String,
                                  centroidMod: Int, reps: Boolean): DataFrame =
-    assignStores.synchronized {
-      val key = spark.sparkContext.applicationId + "|" + sfDir + "|" +
-        centroidMod + "|" + reps + "|" +
-        spark.conf.get("spark.graft.reliableCheckpoint", "false") + "|" +
-        graft.GraftSession.contentFingerprint(spark, s"$sfDir/embeddings.parquet")
-      assignStores.getOrElseUpdate(key, {
-        val emb = embeddings(spark, sfDir)
-        val side = if (reps) vectorRepresentatives(emb) else emb
-        assignCells(side, broadcast(centFrame(spark, sfDir, centroidMod)))
-          .materialized
-      })
+    assignStores.getOrBuild(
+      corpusSlot(spark, sfDir) + s"|$centroidMod|$reps",
+      embFp(spark, sfDir)) {
+      val emb = embeddings(spark, sfDir)
+      val side = if (reps) vectorRepresentatives(emb) else emb
+      assignCells(side, broadcast(centFrame(spark, sfDir, centroidMod)))
+        .materialized
     }
 
   /** Each query's nprobe best cells by centroid cosine; queries are
@@ -903,24 +899,26 @@ object Similarity {
     * corpus rebuilds). Caller-supplied-workload variants (`*For`) stay
     * unstored — their query frame is not keyable.
     */
-  private val annResultStores = scala.collection.mutable.Map[String, DataFrame]()
+  private val annResultStores = graft.ArtifactStore.frames("sim.annResults")
   private def annResult(spark: SparkSession, sfDir: String, tag: String)
                        (build: => DataFrame): DataFrame =
-    annResultStores.synchronized {
-      val key = spark.sparkContext.applicationId + "|" + sfDir + "|" + tag + "|" +
-        spark.conf.get("spark.graft.reliableCheckpoint", "false") + "|" +
-        graft.GraftSession.contentFingerprint(spark, s"$sfDir/embeddings.parquet")
-      annResultStores.getOrElseUpdate(key, build.materialized)
+    annResultStores.getOrBuild(
+      corpusSlot(spark, sfDir) + "|" + tag, embFp(spark, sfDir)) {
+      build.materialized
     }
 
-  private val gramStores = scala.collection.mutable.Map[String, DataFrame]()
+  private val gramStores = graft.ArtifactStore.frames("sim.gram")
   private[graft] def gramStore(spark: SparkSession, sfDir: String): DataFrame =
-    gramStores.synchronized {
-      val key = spark.sparkContext.applicationId + "|" + sfDir + "|" +
-        spark.conf.get("spark.graft.reliableCheckpoint", "false") + "|" +
-        graft.GraftSession.contentFingerprint(spark, s"$sfDir/embeddings.parquet")
-      gramStores.getOrElseUpdate(key, int8GramUncached(spark, sfDir).materialized)
+    gramStores.getOrBuild(corpusSlot(spark, sfDir), embFp(spark, sfDir)) {
+      int8GramUncached(spark, sfDir).materialized
     }
+
+  /** [[graft.ArtifactStore]] key split for the embedding-side stores. */
+  private def corpusSlot(spark: SparkSession, sfDir: String): String =
+    spark.sparkContext.applicationId + "|" + sfDir + "|" +
+      spark.conf.get("spark.graft.reliableCheckpoint", "false")
+  private def embFp(spark: SparkSession, sfDir: String): String =
+    graft.GraftSession.contentFingerprint(spark, s"$sfDir/embeddings.parquet")
 
   private def int8GramUncached(spark: SparkSession, sfDir: String): DataFrame =
     // ONE narrow global aggregate: quantization + the per-row triangle

@@ -460,15 +460,19 @@ object TextAnalysis {
     * one search deployment serves many query workloads from one
     * index. Returns (postingsTable, statsTable) catalog names.
     */
-  private val bm25Stores = scala.collection.mutable.Map[String, (String, String)]()
+  // release is a NO-OP by design: the table names are deterministic per
+  // sfDir, so a rebuild's DROP TABLE + overwrite already reclaims the old
+  // index files — a release-by-name would drop the NEW build instead.
+  private val bm25Stores =
+    new graft.ArtifactStore[(String, String)]("text.bm25Index")(_ => ())
   private[graft] def bm25Store(spark: SparkSession, sfDir: String): (String, String) =
-    bm25Stores.synchronized {
-      // keyed on the corpus CONTENT fingerprint, not just the path: a
-      // corpus regenerated at the same path within one application is a
-      // cache miss, not a stale serve (ADVICE r10)
-      val key = spark.sparkContext.applicationId + "|" + sfDir + "|" +
-        graft.GraftSession.contentFingerprint(spark, s"$sfDir/documents.parquet")
-      bm25Stores.getOrElseUpdate(key, {
+    // keyed on the corpus CONTENT fingerprint, not just the path: a
+    // corpus regenerated at the same path within one application is a
+    // cache miss, not a stale serve (ADVICE r10)
+    bm25Stores.getOrBuild(
+      spark.sparkContext.applicationId + "|" + sfDir,
+      docsFp(spark, sfDir)) {
+      locally {
         val docs = table(spark, sfDir, "documents")
         val terms = docs.select(col("doc_id"),
           explode(filter(split(lower(col("text")), " "), t => length(t) > 0)).as("term"))
@@ -486,8 +490,15 @@ object TextAnalysis {
           .option("path", graft.sources.Bucketed.scopedPath(statsName))
           .mode("overwrite").saveAsTable(statsName)
         (name, statsName)
-      })
+      }
     }
+
+  /** [[graft.ArtifactStore]] key split for the document-side stores. */
+  private def corpusSlot(spark: SparkSession, sfDir: String): String =
+    spark.sparkContext.applicationId + "|" + sfDir + "|" +
+      spark.conf.get("spark.graft.reliableCheckpoint", "false")
+  private def docsFp(spark: SparkSession, sfDir: String): String =
+    graft.GraftSession.contentFingerprint(spark, s"$sfDir/documents.parquet")
 
   /** text_bm25_indexed: the inverted index OUTLIVES the query — the
     * retrieval analog of `sim_ivf_indexed`'s stored posting lists.
@@ -618,19 +629,15 @@ object TextAnalysis {
     * artifact: stored for the run keyed on corpus + workload params —
     * the exact form builds it, the ANN form serves it.
     */
-  private val hybridLexStores =
-    scala.collection.mutable.Map[String, DataFrame]()
+  private val hybridLexStores = graft.ArtifactStore.frames("text.hybridLex")
   private def hybridLexRanks(spark: SparkSession, sfDir: String,
                              docs: DataFrame, anchorIds: DataFrame,
                              kList: Int, storeTag: String): DataFrame =
-    hybridLexStores.synchronized {
-      val key = spark.sparkContext.applicationId + "|" + sfDir + "|" +
-        storeTag + "|" + kList + "|" +
-        spark.conf.get("spark.graft.reliableCheckpoint", "false") + "|" +
-        graft.GraftSession.contentFingerprint(spark, s"$sfDir/documents.parquet")
-      hybridLexStores.getOrElseUpdate(key,
-        graft.Materialize(
-          hybridLexRanksUncached(spark, sfDir, docs, anchorIds, kList)))
+    hybridLexStores.getOrBuild(
+      corpusSlot(spark, sfDir) + s"|$storeTag|$kList",
+      docsFp(spark, sfDir)) {
+      graft.Materialize(
+        hybridLexRanksUncached(spark, sfDir, docs, anchorIds, kList))
     }
 
   private def hybridLexRanksUncached(spark: SparkSession, sfDir: String,
@@ -837,14 +844,17 @@ object TextAnalysis {
     * fingerprint so a regenerated corpus retrains instead of serving
     * stale merges (ADVICE r10; tests regenerate temp corpora freely).
     */
+  // driver-memory value (a <= m-row merge table, no executor storage):
+  // eviction drops the stale entry itself; nothing else to release
   private val bpeMergeStores =
-    scala.collection.mutable.Map[String, Seq[(Long, String, String, Long)]]()
+    new graft.ArtifactStore[Seq[(Long, String, String, Long)]](
+      "text.bpeMerges")(_ => ())
   private[graft] def bpeTrainMerges(spark: SparkSession, sfDir: String,
                                     m: Int): Seq[(Long, String, String, Long)] =
-    bpeMergeStores.synchronized {
-      val key = spark.sparkContext.applicationId + "|" + sfDir + "|" + m + "|" +
-        graft.GraftSession.contentFingerprint(spark, s"$sfDir/documents.parquet")
-      bpeMergeStores.getOrElseUpdate(key, bpeTrainMergesUncached(spark, sfDir, m))
+    bpeMergeStores.getOrBuild(
+      spark.sparkContext.applicationId + "|" + sfDir + "|" + m,
+      docsFp(spark, sfDir)) {
+      bpeTrainMergesUncached(spark, sfDir, m)
     }
 
   private def bpeTrainMergesUncached(spark: SparkSession, sfDir: String,
@@ -1730,21 +1740,23 @@ object TextAnalysis {
     */
   private[graft] def classifierTrained(spark: SparkSession, sfDir: String)
       : (DataFrame, Seq[DataFrame]) =
-    classifierStores.synchronized {
-      // train-once-per-run store (the bm25Store / bpeTrainMerges
-      // pattern): the trajectory, the AUC readout and the PR sweep all
-      // evaluate ONE trained model per corpus snapshot — production
-      // trains once and ships the weights to every consumer. Keyed on
-      // the corpus CONTENT fingerprint (regenerated corpus retrains)
-      // and the checkpoint mode (the seam spec exercises real builds).
-      val key = spark.sparkContext.applicationId + "|" + sfDir + "|" +
-        spark.conf.get("spark.graft.reliableCheckpoint", "false") + "|" +
-        graft.GraftSession.contentFingerprint(spark, s"$sfDir/documents.parquet")
-      classifierStores.getOrElseUpdate(key, classifierTrainedUncached(spark, sfDir))
+    // train-once-per-run store (the bm25Store / bpeTrainMerges
+    // pattern): the trajectory, the AUC readout and the PR sweep all
+    // evaluate ONE trained model per corpus snapshot — production
+    // trains once and ships the weights to every consumer. Keyed on
+    // the corpus CONTENT fingerprint (regenerated corpus retrains)
+    // and the checkpoint mode (the seam spec exercises real builds).
+    classifierStores.getOrBuild(
+      corpusSlot(spark, sfDir), docsFp(spark, sfDir)) {
+      classifierTrainedUncached(spark, sfDir)
     }
 
   private val classifierStores =
-    scala.collection.mutable.Map[String, (DataFrame, Seq[DataFrame])]()
+    new graft.ArtifactStore[(DataFrame, Seq[DataFrame])]("text.classifier")({
+      case (feats, steps) =>
+        graft.Materialize.release(feats)
+        steps.foreach(graft.Materialize.release)
+    })
 
   private def classifierTrainedUncached(spark: SparkSession, sfDir: String)
       : (DataFrame, Seq[DataFrame]) = {

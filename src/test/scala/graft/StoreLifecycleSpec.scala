@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.DataFrame
+
+import graft.ops.Dedup
+
+/** ArtifactStore lifecycle contract (VERDICT r11 #2 / ADVICE r11): a
+  * regenerated corpus must not strand the superseded snapshot's
+  * checkpoint blocks for the application's lifetime. The store's key is
+  * split (slot, content fingerprint); a build landing under a new
+  * fingerprint for an existing slot releases the stale entries —
+  * unpersists their localCheckpoint blocks and deletes their reliable
+  * checkpoint files — while results stay correct throughout.
+  */
+class StoreLifecycleSpec extends SparkSpec {
+
+  /** The checkpoint RDD ids a stored frame pins in executor storage. */
+  private def planRddIds(df: DataFrame): Seq[Int] =
+    df.queryExecution.analyzed.collect { case l: LogicalRDD => l.rdd.id }
+
+  private def storedIds(): Set[Int] =
+    spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+
+  /** Status-store updates ride listener events; poll briefly. */
+  private def eventually(cond: => Boolean, ms: Long = 15000): Boolean = {
+    val t0 = System.currentTimeMillis()
+    while (!cond && System.currentTimeMillis() - t0 < ms) Thread.sleep(200)
+    cond
+  }
+
+  private def smallDocs(mark: String): DataFrame = {
+    import spark.implicits._
+    // two exact-dup groups + singletons, content varying with `mark` so a
+    // regeneration is a different fingerprint AND different results
+    (1L to 40L).map { i =>
+      val text = if (i % 10 == 0) s"shared $mark page body here"
+        else s"doc $i $mark unique body with words ${i * 7} and ${i * 13}"
+      (i, text)
+    }.toDF("doc_id", "text")
+  }
+
+  test("eviction unit: new fingerprint for a slot releases the stale entry, nothing else") {
+    val released = scala.collection.mutable.ArrayBuffer[String]()
+    val store = new ArtifactStore[String]("test.evictionUnit")(released += _)
+    assert(store.getOrBuild("slotA", "fp1")("a1") === "a1")
+    assert(store.getOrBuild("slotB", "fp1")("b1") === "b1")
+    // same slot+fingerprint: served, not rebuilt, nothing released
+    assert(store.getOrBuild("slotA", "fp1")(fail("must serve cached")) === "a1")
+    assert(released.isEmpty)
+    // new fingerprint for slotA: rebuilds, releases ONLY slotA's old value
+    assert(store.getOrBuild("slotA", "fp2")("a2") === "a2")
+    assert(released.toSeq === Seq("a1"))
+    assert(store.getOrBuild("slotB", "fp1")(fail("must serve cached")) === "b1")
+    assert(store.liveKeys.toSet === Set(("slotA", "fp2"), ("slotB", "fp1")))
+    store.clear()
+    assert(released.toSet === Set("a1", "a2", "b1"))
+  }
+
+  test("regenerating a corpus frees the superseded entry's localCheckpoint blocks") {
+    val dir = tempSfDir()
+    writeTable(dir, "documents", smallDocs("v1"))
+    val (dupMap1, sh1) = Dedup.repShingleStore(spark, dir)
+    val ids1 = (planRddIds(dupMap1) ++ planRddIds(sh1)).toSet
+    assert(ids1.nonEmpty, "stored frames must be checkpoint-backed")
+    assert(eventually(ids1.subsetOf(storedIds())),
+      s"stored frames must hold blocks; ids=$ids1 stored=${storedIds()}")
+    val rows1 = dupMap1.count()
+    assert(rows1 === 40)
+
+    // regenerate the corpus at the SAME path: new content fingerprint
+    writeTable(dir, "documents", smallDocs("v2"))
+    val (dupMap2, _) = Dedup.repShingleStore(spark, dir)
+    assert(dupMap2.count() === 40) // rebuilt against the new snapshot
+    assert(eventually((ids1 intersect storedIds()).isEmpty),
+      s"superseded blocks must be freed; leaked=${ids1 intersect storedIds()}")
+    // and the new entry serves from ITS checkpoint
+    val ids2 = planRddIds(dupMap2).toSet
+    assert((ids2 intersect ids1).isEmpty)
+  }
+
+  test("reliable mode: eviction deletes the superseded checkpoint files") {
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    try {
+      val dir = tempSfDir()
+      writeTable(dir, "documents", smallDocs("r1"))
+      val (dupMap1, sh1) = Dedup.repShingleStore(spark, dir)
+      dupMap1.count()
+      val files1 = (planRddIds(dupMap1) ++ planRddIds(sh1))
+        .flatMap { id => // recover checkpoint paths via the plan's RDDs
+          (dupMap1.queryExecution.analyzed.collect { case l: LogicalRDD => l.rdd } ++
+            sh1.queryExecution.analyzed.collect { case l: LogicalRDD => l.rdd })
+            .filter(_.id == id).flatMap(_.getCheckpointFile)
+        }.distinct
+      assert(files1.nonEmpty, "reliable mode must checkpoint to files")
+      val fs = new org.apache.hadoop.fs.Path(files1.head)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      files1.foreach(f => assert(fs.exists(new org.apache.hadoop.fs.Path(f))))
+
+      writeTable(dir, "documents", smallDocs("r2"))
+      Dedup.repShingleStore(spark, dir)._1.count()
+      files1.foreach(f => assert(!fs.exists(new org.apache.hadoop.fs.Path(f)),
+        s"superseded checkpoint files must be deleted: $f"))
+    } finally spark.conf.set("spark.graft.reliableCheckpoint", "false")
+  }
+}
