@@ -115,6 +115,19 @@ object ArtifactStore {
     */
   val currentConsumer = new InheritableThreadLocal[String]()
 
+  /** The ≥2-consumer contract surface (VERDICT r11 #4): after a sweep
+    * that ran every registered query under [[currentConsumer]], any slot
+    * whose recorded consumer set is a singleton is a single-consumer
+    * cache — a stored result no second query shares, i.e. a benchmark
+    * trick. Returns (store name, slot, consumers) for each violation.
+    */
+  private[graft] def singleConsumerSlots: Seq[(String, String, Set[String])] =
+    all.flatMap { s =>
+      s.consumersBySlot.collect {
+        case (slot, cs) if cs.size == 1 => (s.name, slot, cs)
+      }
+    }
+
   /** A DataFrame-valued store releasing via [[Materialize.release]]. */
   def frames(name: String): ArtifactStore[DataFrame] =
     new ArtifactStore[DataFrame](name)(Materialize.release)

@@ -519,7 +519,8 @@ object Dedup {
     * compaction) all sketch the SAME history/new-batch splits, and the
     * refresh audit's rebuild side is the full-corpus sketch over the
     * stored rep shingles. One sketch pass per (split, params) per run.
-    * `which` ∈ full | hist | new; hist/new key on `mod` too.
+    * `which` ∈ hist | new (the full-corpus variant is single-consumer,
+    * so the refresh audit builds it unstored — ≥2-consumer contract).
     */
   private val bandKeyStores = graft.ArtifactStore.frames("dedup.bandKeys")
   private def storedBandKeys(spark: SparkSession, sfDir: String, which: String,
@@ -530,13 +531,12 @@ object Dedup {
       docsFp(spark, sfDir)) {
       val docs = table(spark, sfDir, "documents")
       val sh = which match {
-        case "full" => repShingleStore(spark, sfDir, shingleN)._2
         case "hist" =>
           shingles(representatives(docs.filter(col("doc_id") % mod =!= 0)), shingleN)
         case "new" =>
           shingles(representatives(docs.filter(col("doc_id") % mod === 0)), shingleN)
         case other => throw new IllegalArgumentException(
-          s"storedBandKeys split selector must be full|hist|new, got '$other'")
+          s"storedBandKeys split selector must be hist|new, got '$other'")
       }
       bandKeys(sh, k, bands, family).materialized
     }
@@ -623,8 +623,11 @@ object Dedup {
       .select(split(col("sig"), "\\|").getItem(0).cast("long").as("band"))
       .groupBy("band").agg(count(lit(1)).as(as))
     val folded = perBand(spark.table(name), "n_folded")
+    // the full-corpus rebuild side is NOT store-served: this audit is its
+    // only consumer (≥2-consumer contract), and it reads the frame once —
+    // it still derives from the shared materialized rep-shingle layer
     val rebuild = perBand(
-      storedBandKeys(spark, sfDir, "full", mod, shingleN, k, bands),
+      bandKeys(repShingleStore(spark, sfDir, shingleN)._2, k, bands, "md5"),
       "n_rebuild")
     folded.join(rebuild, Seq("band"))
       .withColumn("n_redundant", col("n_folded") - col("n_rebuild"))
@@ -882,17 +885,13 @@ object Dedup {
   def ngramContainmentPairs(spark: SparkSession, sfDir: String,
                             shingleN: Int = 3, maxDf: Int = 50,
                             minContMilli: Long = 500): DataFrame =
-    // run-lifetime pair store, the ngramJaccardPairs discipline
-    containmentPairStores.getOrBuild(
-      corpusSlot(spark, sfDir) + s"|$shingleN|$maxDf|$minContMilli",
-      docsFp(spark, sfDir)) {
-      ngramContainmentFromShingles(
-        repShingleStore(spark, sfDir, shingleN)._2,
-        maxDf, minContMilli).materialized
-    }
-
-  private val containmentPairStores =
-    graft.ArtifactStore.frames("dedup.containmentPairs")
+    // NOT run-lifetime-stored: dedup_containment is this frame's only
+    // registered consumer, and the ≥2-consumer contract
+    // (StoreContractSpec) forbids caching single-consumer results — it
+    // still shares the paid-once rep/shingle layer below it
+    ngramContainmentFromShingles(
+      repShingleStore(spark, sfDir, shingleN)._2,
+      maxDf, minContMilli)
 
   /** Containment over a pre-computed, ALREADY-MATERIALIZED (doc_id,
     * shingle) frame — see [[ngramJaccardPairsFromShingles]] for the

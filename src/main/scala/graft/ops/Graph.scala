@@ -63,10 +63,11 @@ object Graph {
               "node-id offset — raise the offset (and its oracle twin)")))
           .as("c"),
         (col("s") + lit(1000000L)).as("s"))
-    val (edges, deg) = pageRankLayoutStores.getOrBuild(
-      corpusSlot(spark, sfDir), tradeFp(spark, sfDir)) {
-      pageRankLayout(pairs)
-    }
+    // layout built per call, NOT store-served: graph_pagerank is its only
+    // registered consumer and the ≥2-consumer contract (StoreContractSpec)
+    // forbids caching single-consumer results; the expensive shared layer
+    // (the orders⋈lineitem pair list) still serves from tradePairs
+    val (edges, deg) = pageRankLayout(pairs)
     pageRankFromLayout(edges, deg, iters)
       .select(col("node"),
         when(col("node") >= 1000000L, "supplier").otherwise("customer").as("kind"),
@@ -94,9 +95,8 @@ object Graph {
 
   /** Builds the static per-run edge layout: symmetrized edges
     * repartitioned on the round join key, plus out-degrees — the two
-    * tables every round re-reads. Checkpointed flat so the loop (and
-    * every later consumer, via [[pageRankLayoutStores]]) pays the
-    * producing join/exchange exactly once.
+    * tables every round re-reads. Checkpointed flat so the loop pays the
+    * producing join/exchange exactly once per call.
     */
   private def pageRankLayout(pairs: DataFrame): (DataFrame, DataFrame) = {
     val sessionParts = pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
@@ -115,8 +115,6 @@ object Graph {
     // join co-partitions to the edge side's width automatically; the
     // rank re-aggregation runs at session width with AQE coalescing.
     val edges = sym.repartition(parts, col("src")).materialized
-    // materialized (not persist+unpersist): the layout outlives the
-    // call when served from the run-lifetime store
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
       .materialized
@@ -264,18 +262,6 @@ object Graph {
   private val tradePairStores =
     graft.ArtifactStore.frames("graph.tradePairs")
 
-  /** Stored PageRank edge layout (symmetrized repartitioned edges +
-    * out-degrees) and HITS edge layout (the c- and s-partitioned
-    * CSR/CSC copies): pure functions of the pair list, so consumers
-    * serve the paid-once count/exchange/checkpoint instead of
-    * re-deriving it per call — the materialize-once-serve-many
-    * contract of the other r11 artifact stores.
-    */
-  private val pageRankLayoutStores =
-    graft.ArtifactStore.framePairs("graph.pageRankLayout")
-  private val hitsLayoutStores =
-    graft.ArtifactStore.framePairs("graph.hitsLayout")
-
   def triangleCensus(spark: SparkSession, sfDir: String,
                      strengthPpm: Long = 10000L): DataFrame = {
     // one pass feeds degrees, orientation and closure
@@ -377,10 +363,8 @@ object Graph {
   def hits(spark: SparkSession, sfDir: String,
            iters: Int = 3, topK: Int = 10): DataFrame = {
     val pairs = tradePairs(spark, sfDir)
-    val (edgesByC, edgesByS) = hitsLayoutStores.getOrBuild(
-      corpusSlot(spark, sfDir), tradeFp(spark, sfDir)) {
-      hitsLayout(pairs)
-    }
+    // per call, not store-served — same ≥2-consumer contract as pageRank
+    val (edgesByC, edgesByS) = hitsLayout(pairs)
     val (hub, auth) = hitsFromLayout(edgesByC, edgesByS, iters)
     val top = auth.select(lit("authority").as("kind"), col("s").as("node"),
         col("score").as("score_micros"))
@@ -409,8 +393,7 @@ object Graph {
     * pre-partitioning each copy once makes every half-step one
     * co-partitioned join of the bounded score table, paid-for-once edge
     * layout (2x edge storage, the standard CSR/CSC duplication of every
-    * graph engine) — and via [[hitsLayoutStores]], paid once per RUN,
-    * not per call.
+    * graph engine), paid once per call.
     */
   private def hitsLayout(pairs: DataFrame): (DataFrame, DataFrame) = {
     val sessionParts = pairs.sparkSession.conf

@@ -439,6 +439,54 @@ class EventWindowsSpec extends SparkSpec {
       ("b", 99L, 20L, 7000000L, true)))
   }
 
+  test("linear attribution: prefix-sum rewrite equals the pairwise form " +
+      "on the harness corpus and under adversarial hot-user density") {
+    import spark.implicits._
+    // the harness corpus: real mixed users, the registered query's input
+    val real = "/root/testdata/sf0.001"
+    val a = EventWindows.linearAttribution(spark, real).collect().toSeq
+    val b = EventWindows.linearAttributionPairwise(spark, real).collect().toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+
+    // adversarial density: ONE user owns every event — 60 purchases x
+    // 240 touches all inside one lookback window (the skew-bench shape
+    // that made the pairwise form quadratic). Boundary cases included:
+    // a touch exactly AT a purchase ts (inclusive end), a touch exactly
+    // lookback before (inclusive start), one just outside, remainders
+    // that split across channels, and a touch-free early purchase.
+    val look = 100L // seconds, small so the window edges are exercised
+    val evs = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, String, Double, String)]()
+    var id = 1L
+    for (i <- 0 until 240) {
+      val t = 200L + i * 3L // touches every 3s from 200s
+      evs += ((id, ns(t), 7L, if (i % 3 == 0) "view" else "click", 1.0, "p"))
+      id += 1
+    }
+    evs += ((id, ns(5L), 7L, "purchase", 9.99, "p")); id += 1 // touch-free
+    for (j <- 0 until 60) {
+      val t = 210L + j * 12L // purchases inside the touch span
+      evs += ((id, ns(t), 7L, "purchase", 0.001 * (j * 37 + 3), "p")); id += 1
+    }
+    // exact-boundary pair: purchase at 1000s, touches at 900s (= start,
+    // included), 899s (excluded), 1000s (= end, included)
+    evs += ((id, ns(899L), 7L, "view", 1.0, "p")); id += 1
+    evs += ((id, ns(900L), 7L, "view", 1.0, "p")); id += 1
+    evs += ((id, ns(1000L), 7L, "click", 1.0, "p")); id += 1
+    evs += ((id, ns(1000L), 7L, "purchase", 0.007, "p")); id += 1
+    val dir = tempSfDir()
+    writeTable(dir, "events",
+      evs.toSeq.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val fa = EventWindows.linearAttribution(spark, dir, look).collect().toSeq
+    val fb = EventWindows.linearAttributionPairwise(spark, dir, look).collect().toSeq
+    assert(fa === fb)
+    // value conservation: channel totals reconstruct total purchase value
+    val total = fa.map(_.getLong(2)).sum
+    val purchases = evs.filter(_._4 == "purchase")
+      .map(e => math.floor(e._5 * 1000d).toLong).sum
+    assert(total === purchases)
+  }
+
   test("conversion latency: nobody converts still yields one NULL-percentile row") {
     import spark.implicits._
     val dir = tempSfDir()
