@@ -30,10 +30,19 @@ object Bench {
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // same topology overrides as Verify: SPARK_GRAFT_MASTER (e.g.
+    // local-cluster[4,8,4096] for multi-process executors),
+    // SPARK_GRAFT_EXECUTOR_CLASSPATH, SPARK_GRAFT_RELIABLE
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+    sys.env.get("SPARK_GRAFT_EXECUTOR_CLASSPATH")
+      .foreach(builder.config("spark.executor.extraClassPath", _))
+    sys.env.get("SPARK_GRAFT_RELIABLE")
+      .foreach(builder.config("spark.graft.reliableCheckpoint", _))
+    val spark = builder
       // keep generated methods JIT-compilable (see GraftSession)
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
       // file-open cost modeled at 1 MB (default 4 MB floors the split
@@ -116,7 +125,21 @@ object Bench {
     // total is REPEATED after the big "queries" map: the driver keeps
     // only the tail of a long line, so trailing placement is what makes
     // the suite total recoverable from BENCH_r{N}.json (VERDICT r8 #4)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"total_sec":$total,"reps":$reps,"warmup":"$warmDir","sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"total_sec":$total,"reps":$reps,"warmup":"$warmDir","sf":"$sfDir"}"""
+    println(line)
+    // ALSO persist the full record in the repo (VERDICT r11 #8): the
+    // driver's BENCH_r{N}.json keeps only the tail of a long line, so
+    // the head of the per-query map is unrecoverable from it — this file
+    // carries every per-query timing for round-over-round diffs.
+    if (only.isEmpty) // a filtered run must not masquerade as the suite
+      try {
+        val out = java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench/last_run.json"))
+        Option(out.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.writeString(out, line + "\n")
+      } catch { case e: Throwable =>
+        System.err.println(s"[graft.Bench] could not persist bench record: ${e.getMessage}")
+      }
     spark.stop()
   }
 }

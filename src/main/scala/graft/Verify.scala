@@ -10,9 +10,22 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides the single-JVM default — e.g.
+    // `local-cluster[4,8,4096]` runs the same gate with four separate
+    // executor PROCESSES (real closure/aggregate-buffer serialization,
+    // broadcast transport, reliable-checkpoint recovery; needs
+    // SPARK_HOME and SPARK_GRAFT_EXECUTOR_CLASSPATH pointing at the
+    // compiled classes). SPARK_GRAFT_RELIABLE=true flips the
+    // Materialize seam to reliable checkpoints for the whole run.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
+    sys.env.get("SPARK_GRAFT_EXECUTOR_CLASSPATH")
+      .foreach(builder.config("spark.executor.extraClassPath", _))
+    sys.env.get("SPARK_GRAFT_RELIABLE")
+      .foreach(builder.config("spark.graft.reliableCheckpoint", _))
+    val spark = builder
       // keep generated methods JIT-compilable (see GraftSession)
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
       // file-open cost modeled at 1 MB (default 4 MB floors the split
