@@ -57,6 +57,36 @@ class StoreLifecycleSpec extends SparkSpec {
     assert(released.toSet === Set("a1", "a2", "b1"))
   }
 
+  test("concurrency unit: same key builds once with sharers awaiting; " +
+      "unrelated keys build in parallel (no global lock)") {
+    val store = new ArtifactStore[String]("test.concurrency")(_ => ())
+    val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val slowStarted = new java.util.concurrent.CountDownLatch(1)
+    val slowRelease = new java.util.concurrent.CountDownLatch(1)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // a deliberately slow build on slotS
+    val fSlow = Future(store.getOrBuild("slotS", "fp") {
+      builds.incrementAndGet(); slowStarted.countDown()
+      assert(slowRelease.await(20, java.util.concurrent.TimeUnit.SECONDS))
+      "slow"
+    })
+    assert(slowStarted.await(20, java.util.concurrent.TimeUnit.SECONDS))
+    // a second caller for the SAME key must await, not rebuild
+    val fDup = Future(store.getOrBuild("slotS", "fp")(fail("must not rebuild")))
+    // an UNRELATED key must complete while the slow build still holds
+    val other = Await.result(
+      Future(store.getOrBuild("slotT", "fp") { builds.incrementAndGet(); "t" }),
+      10.seconds)
+    assert(other === "t")
+    slowRelease.countDown()
+    assert(Await.result(fSlow, 10.seconds) === "slow")
+    assert(Await.result(fDup, 10.seconds) === "slow")
+    assert(builds.get === 2) // one per key, never per caller
+    store.clear()
+  }
+
   test("regenerating a corpus frees the superseded entry's localCheckpoint blocks") {
     val dir = tempSfDir()
     writeTable(dir, "documents", smallDocs("v1"))
