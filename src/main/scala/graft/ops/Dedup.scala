@@ -1202,24 +1202,36 @@ object Dedup {
     // non-cascading and matches by plan, so calling it on a Project OVER
     // the persisted plan would be a no-op and leak one cached label
     // table per round (ADVICE r4).
-    var pinned = labels
+    var pinned: Option[DataFrame] = Some(labels)
     var prevSum = labelSum(labels) // also materializes the persist
     var changed = true
     var it = 0
     while (changed && it < maxIters) {
       // self-loops make the min cover the node's own label, and give
       // every node a matching edge row — no left join needed
-      val upd = edges
+      val raw = edges
         .join(labels.select(col("doc_id").as("dst"), col("label").as("dst_label")),
           Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("dst_label")).as("label"))
-        .persist()
+      // TRUNCATE lineage every 8th round (the pageRank periodic-pin
+      // pattern, but with a checkpoint): even with one label-table
+      // reference per round, each round nests the previous round's
+      // cached plan, and AQE's explain rendering walks BOTH the initial
+      // and final physical plan of every nested adaptive subtree — a
+      // 2^(depth) walk that a high-DIAMETER graph turns into minutes of
+      // driver CPU and then an OOM (measured: chain-12 25.8 s, chain-20
+      // exhausted an 8 GiB driver; found by RandomizedEquivalenceSpec's
+      // mixed random+chain graphs). A localCheckpoint every 8 rounds
+      // caps nesting at 8 (<= 256 bounded renders) while keeping the
+      // cheap persist/unpersist cadence between truncation points.
+      val truncate = (it + 1) % 8 == 0
+      val upd = if (truncate) raw.materialized else raw.persist()
       val newSum = labelSum(upd) // materializes upd
       changed = newSum.compareTo(prevSum) != 0
       prevSum = newSum
-      pinned.unpersist()
-      pinned = upd
+      pinned.foreach(_.unpersist())
+      pinned = if (truncate) None else Some(upd)
       labels = upd
       it += 1
     }
@@ -1233,7 +1245,7 @@ object Dedup {
     // rather than held for the caller's (lazy) lifetime
     val out = labels.select(col("doc_id"), col("label").as("cluster_id"))
       .materialized
-    pinned.unpersist()
+    pinned.foreach(_.unpersist())
     out
   }
 
