@@ -63,6 +63,109 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("winnowing guarantee on random text: two docs sharing a planted " +
+      "substring of length >= k+w-1 always share a fingerprint") {
+    import spark.implicits._
+    val (k, w) = (8, 4)
+    for (seed <- Seq(3, 59, 487)) {
+      val rnd = new Random(seed)
+      def randText(len: Int): String =
+        (1 to len).map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+      // pairs of random docs with a shared substring of EXACTLY k+w-1
+      // chars planted at random offsets — the scheme's minimum guarantee
+      val shared = randText(k + w - 1)
+      val docs = (1L to 10L).map { i =>
+        val pre = randText(rnd.nextInt(30))
+        val post = randText(rnd.nextInt(30))
+        (i, pre + shared + post)
+      } :+ (99L, randText(120)) // and one unrelated doc
+      val fps = docs.toDF("doc_id", "text")
+        .select(col("doc_id"),
+          graft.functions.ShingleColumns
+            .winnowFps(col("text"), k, w).as("fps"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+      for (a <- 1L to 10L; b <- (a + 1) to 10L)
+        assert((fps(a) intersect fps(b)).nonEmpty,
+          s"seed=$seed docs $a,$b share ${k + w - 1} chars but no fingerprint")
+      // density sanity: every doc selects far fewer fps than grams
+      docs.foreach { case (id, t) =>
+        assert(fps(id).size <= t.length - k + 1) }
+    }
+  }
+
+  test("minhash k-minima sketch is duplicate- and order-invariant on " +
+      "random multisets (banding: identical content -> identical bands)") {
+    import spark.implicits._
+    for (seed <- Seq(11, 211)) {
+      val rnd = new Random(seed)
+      val base = (1 to 40).map(_ => "s" + rnd.nextInt(25)).distinct
+      // three presentations of the SAME set: shuffled, duplicated, both
+      val rows =
+        base.map(("a", _)) ++
+          rnd.shuffle(base).map(("b", _)) ++
+          (base ++ base ++ rnd.shuffle(base)).map(("c", _))
+      val sigs = rows.toDF("doc", "shingle")
+        .groupBy("doc")
+        .agg(graft.functions.MinHashSketch.sketch(col("shingle"), 16).as("sig"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      assert(sigs("a") === sigs("b"), s"seed=$seed order variance")
+      assert(sigs("a") === sigs("c"), s"seed=$seed duplicate variance")
+      assert(sigs("a").length === 16)
+    }
+  }
+
+  test("GramTriangleAgg == plain-Scala quantize/accumulate reference on " +
+      "random float embeddings (negatives, zeros, all-zero vectors)") {
+    import spark.implicits._
+    for (seed <- Seq(17, 323)) {
+      val rnd = new Random(seed)
+      val dim = 5
+      val vecs = (1 to 60).map { i =>
+        if (i % 11 == 0) Array.fill(dim)(0.0f) // all-zero: counts, adds 0
+        else Array.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat)
+      }
+      // reference: the documented exact-integer arithmetic, in plain Scala
+      val ref = Array.ofDim[Long](dim, dim)
+      vecs.foreach { v =>
+        val vm = v.map(x => math.floor(x.toDouble * 1000000d).toLong)
+        val scale = vm.map(math.abs).max
+        val q = vm.map(m => if (scale == 0L) 0L
+          else math.signum(m) * ((math.abs(m) * 127L) / scale))
+        for (i <- 0 until dim; j <- i until dim) ref(i)(j) += q(i) * q(j)
+      }
+      val got = vecs.map(v => Tuple1(v)).toDF("embedding")
+        .agg(graft.functions.GramSketch.triangle(col("embedding")).as("t"))
+        .select(explode(col("t")).as("e"))
+        .select(col("e.di"), col("e.dj"), col("e.n_vecs"), col("e.g"))
+        .collect()
+      assert(got.length === dim * (dim + 1) / 2)
+      got.foreach { r =>
+        val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+        assert(r.getLong(2) === vecs.length.toLong, s"seed=$seed n_vecs")
+        assert(r.getLong(3) === ref(i)(j), s"seed=$seed G[$i][$j]")
+      }
+    }
+  }
+
+  test("native graft_dot == higher-order-function fold on random arrays") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val rnd = new Random(29)
+    val rows = (1 to 50).map { _ =>
+      val n = rnd.nextInt(8) + 1
+      (Array.fill(n)(rnd.nextDouble() * 4 - 2), Array.fill(n)(rnd.nextDouble() * 4 - 2))
+    }
+    val df = rows.toDF("a", "b")
+    val both = df.select(
+        expr("graft_dot(a, b)").as("native"),
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, p) -> acc + p)")
+          .as("hof"))
+      .collect()
+    // the native expression documents a SEQUENTIAL left fold — exactly
+    // aggregate()'s order — so equality is EXACT, not approximate
+    both.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+
   test("two-star contraction == min-label propagation on random graphs " +
       "(chains, stars, isolated pairs mixed)") {
     import spark.implicits._
