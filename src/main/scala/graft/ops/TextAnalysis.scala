@@ -886,10 +886,27 @@ object TextAnalysis {
         (acc, x) => when(get(acc, size(acc) - 1) === lit(pl) && x === lit(pr),
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(pl + pr))))
           .otherwise(concat(acc, array(x))))
-      val next = words.select(col("word"), col("freq"), merged.as("syms")).persist()
-      next.count() // materialize before releasing the previous round
-      pinned.unpersist()
-      pinned = next
+      // lineage TRUNCATION every 8th round (the connectedComponents
+      // discipline): each round nests the previous round's cached plan,
+      // and AQE's explain rendering walks both the initial and final
+      // physical plan of every nested adaptive subtree — exponential in
+      // nesting depth. m=3 defaults never notice; a user training a
+      // real vocabulary (m in the hundreds) must not hit a 2^m wall.
+      val truncate = r % 8 == 0
+      val next =
+        if (truncate) {
+          val t = words.select(col("word"), col("freq"), merged.as("syms"))
+            .materialized
+          pinned.unpersist()
+          pinned = t // not persisted: the final unpersist is a no-op
+          t
+        } else {
+          val t = words.select(col("word"), col("freq"), merged.as("syms")).persist()
+          t.count() // materialize before releasing the previous round
+          pinned.unpersist()
+          pinned = t
+          t
+        }
       words = next
       r += 1
     }
