@@ -166,6 +166,74 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     both.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
 
+  test("CMS point estimates on random Zipf streams: never an undercount, " +
+      "and within the declared eps * N overcount bound") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    for (seed <- Seq(23, 173)) {
+      val rnd = new Random(seed)
+      // Zipf-ish stream: token t_k drawn with weight ~ 1/k
+      val vocab = (1 to 30).map(i => s"tok$i")
+      val stream = (1 to 2000).map { _ =>
+        val r = rnd.nextDouble()
+        vocab(math.min(29, (math.exp(r * math.log(30.0)) - 1).toInt))
+      }
+      val exact = stream.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val df = stream.toDF("token")
+      val skRow = graft.Materialize(df.agg(
+        expr("count_min_sketch(token, 0.02d, 0.99d, 42)").as("sk")))
+      val ests = skRow.crossJoin(vocab.toDF("token"))
+        .select(col("token"), expr("graft_cms_estimate(sk, token)").as("est"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bound = math.ceil(0.02 * stream.size).toLong
+      vocab.foreach { t =>
+        val ex = exact.getOrElse(t, 0L)
+        assert(ests(t) >= ex, s"seed=$seed CMS undercounted $t")
+        assert(ests(t) <= ex + bound,
+          s"seed=$seed CMS overcount ${ests(t) - ex} > eps*N=$bound for $t")
+      }
+    }
+  }
+
+  test("simhash is order-invariant on random shingle streams " +
+      "(summation commutes; duplicates legitimately shift it)") {
+    import spark.implicits._
+    for (seed <- Seq(31, 307)) {
+      val rnd = new Random(seed)
+      val base = (1 to 60).map(_ => "sh" + rnd.nextInt(40))
+      val rows = base.map(("a", _)) ++ rnd.shuffle(base).map(("b", _))
+      val sigs = rows.toDF("doc", "shingle")
+        .groupBy("doc")
+        .agg(graft.functions.SimHashSketch.sketch(col("shingle")).as("sig"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(sigs("a") === sigs("b"), s"seed=$seed")
+    }
+  }
+
+  test("pack plan conserves every token on random corpora: chunk sizes sum " +
+      "to corpus tokens, no chunk exceeds the context window") {
+    import spark.implicits._
+    for (seed <- Seq(37, 401)) {
+      val rnd = new Random(seed)
+      val docs = (1L to 120L).map { i =>
+        val words = (1 to (rnd.nextInt(60) + 1)).map(_ => "w" + rnd.nextInt(99))
+        (i, words.mkString(" "))
+      }
+      val dir = tempSfDir()
+      writeTable(dir, "documents", docs.toDF("doc_id", "text"))
+      val ctx = 64L
+      val plan = graft.ops.Corpus.packPlan(spark, dir, contextLen = ctx)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val total = docs.map(_._2.split(" ").count(_.nonEmpty).toLong).sum
+      assert(plan.map(_._2).sum === total, s"seed=$seed token conservation")
+      assert(plan.map(_._1).sum === docs.size.toLong, s"seed=$seed doc conservation")
+      plan.foreach { case (_, toks, nw, pad) =>
+        assert(nw === (toks + ctx - 1) / ctx, s"seed=$seed window count")
+        assert(pad >= 0 && pad < ctx, s"seed=$seed pad bound")
+      }
+    }
+  }
+
   test("two-star contraction == min-label propagation on random graphs " +
       "(chains, stars, isolated pairs mixed)") {
     import spark.implicits._
