@@ -234,6 +234,94 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  private def randomEvents(seed: Int): Seq[(Long, Long, Long, String, Double, String)] = {
+    val rnd = new Random(seed)
+    val types = Seq("view", "click", "purchase")
+    (1L to 300L).map { id =>
+      val t = rnd.nextInt(50) * 450L // 0..22050s on a coarse grid: many ties
+      (id, t * 1000000000L, (rnd.nextInt(5) + 1).toLong,
+        types(rnd.nextInt(3)), rnd.nextInt(500) / 100.0, "p")
+    }
+  }
+
+  test("tumbling windows == plain-Scala bucket/count/sum reference on random events") {
+    import spark.implicits._
+    for (seed <- Seq(43, 509)) {
+      val evs = randomEvents(seed)
+      val dir = tempSfDir()
+      writeTable(dir, "events",
+        evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      // sum_value is decimal-summed then surfaced as double (dsum6)
+      val got = EventWindows.tumbling(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(3))).toMap
+      val ref = evs.groupBy(e => ((e._2 / 1000000000L / 3600L) * 3600L, e._4))
+        .map { case (k, xs) =>
+          k -> (xs.size.toLong,
+            xs.map(e => new java.math.BigDecimal(e._5)
+              .setScale(6, java.math.RoundingMode.HALF_UP))
+              .reduce(_.add(_)).doubleValue)
+        }
+      assert(got.keySet === ref.keySet, s"seed=$seed buckets")
+      ref.foreach { case (k, (n, sm)) =>
+        assert(got(k)._1 === n, s"seed=$seed count at $k")
+        assert(got(k)._2 === sm, s"seed=$seed sum at $k")
+      }
+    }
+  }
+
+  test("sessionize == plain-Scala gap-split reference on random events " +
+      "(equal-timestamp runs, singleton sessions)") {
+    import spark.implicits._
+    for (seed <- Seq(47, 601)) {
+      val evs = randomEvents(seed)
+      val dir = tempSfDir()
+      writeTable(dir, "events",
+        evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      val got = EventWindows.sessionize(spark, dir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val ref = evs.groupBy(_._3).map { case (u, xs) =>
+        val ts = xs.sortBy(e => (e._2, e._1)).map(_._2 / 1000000000L)
+        // split when the gap to the previous event exceeds 1800s
+        var sessions = List.empty[Long]
+        var cur = 0L
+        var prev = Long.MinValue
+        ts.foreach { t =>
+          if (prev == Long.MinValue || t - prev > 1800L) {
+            if (cur > 0) sessions ::= cur
+            cur = 1L
+          } else cur += 1L
+          prev = t
+        }
+        if (cur > 0) sessions ::= cur
+        u -> (sessions.size.toLong, sessions.max)
+      }
+      assert(got === ref, s"seed=$seed")
+    }
+  }
+
+  test("as-of attribution == plain-Scala latest-prior-view reference on " +
+      "random events (equal-ts inclusive, max-id tie)") {
+    import spark.implicits._
+    for (seed <- Seq(53, 701)) {
+      val evs = randomEvents(seed)
+      val dir = tempSfDir()
+      writeTable(dir, "events",
+        evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      val got = EventWindows.asOfAttribution(spark, dir).collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+      val views = evs.filter(_._4 == "view")
+      val ref = evs.filter(_._4 == "purchase").map { p =>
+        val pt = p._2 / 1000L // micros, as the operator computes
+        val elig = views.filter(v => v._3 == p._3 && v._2 / 1000L <= pt)
+        p._1 -> (if (elig.isEmpty) -1L
+          else elig.maxBy(v => (v._2 / 1000L, v._1))._1)
+      }.toMap
+      assert(got === ref, s"seed=$seed")
+    }
+  }
+
   test("two-star contraction == min-label propagation on random graphs " +
       "(chains, stars, isolated pairs mixed)") {
     import spark.implicits._
