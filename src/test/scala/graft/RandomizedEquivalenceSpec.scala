@@ -322,6 +322,29 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("bucketed interval join == naive all-pairs reference on random " +
+      "events (bucket-boundary crossings, inclusive endpoints)") {
+    import spark.implicits._
+    for (seed <- Seq(61, 811)) {
+      val evs = randomEvents(seed)
+      val dir = tempSfDir()
+      writeTable(dir, "events",
+        evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      val got = EventWindows.intervalJoin(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSet
+      val views = evs.filter(_._4 == "view")
+      val ref = (for {
+        p <- evs.filter(_._4 == "purchase")
+        v <- views
+        if v._3 == p._3
+        pt = p._2 / 1000L; vt = v._2 / 1000L
+        if vt >= pt - 3600L * 1000000L && vt <= pt
+      } yield (p._1, v._1)).toSet
+      assert(got === ref, s"seed=$seed")
+      assert(ref.nonEmpty, s"seed=$seed vacuous")
+    }
+  }
+
   test("two-star contraction == min-label propagation on random graphs " +
       "(chains, stars, isolated pairs mixed)") {
     import spark.implicits._
