@@ -666,13 +666,19 @@ object StreamingOps {
     * (ripe, pending). Event times are micros, the watermark is Spark's
     * millisecond clock, so ripeness compares floor(tus/1000) <= wm.
     *
-    * Boundary contract (ADVICE r10): an arrival whose event-time ms
-    * EQUALS the current watermark is kept — Spark's built-in stateful
-    * operators drop only rows strictly older than the watermark, and an
-    * in-contract source may deliver an event late by exactly the delay.
-    * Such a boundary arrival is immediately ripe (the partition below
-    * releases it this batch), so it folds in event-time order with the
-    * rest of the ripe slice instead of being silently discarded.
+    * Boundary contract (ADVICE r10, CORRECTED r12 with measured
+    * evidence — WatermarkBoundarySpec): Spark's flatMapGroupsWithState
+    * late filter drops rows with event time <= the current watermark
+    * BEFORE the state function runs (verified on Spark 4.1: an arrival
+    * at exactly the watermark never reaches the function; one
+    * millisecond past it does). So the effective lateness contract is
+    * STRICT — an event late by exactly the delay is dropped by Spark
+    * itself, and the delivery floor at stream start is event time > 0
+    * (epoch-0 event times are degenerate: they equal the initial
+    * watermark). This function still KEEPS any boundary-equal arrival
+    * it is handed (tus/1000 >= wm, immediately ripe) so the engine
+    * adds no second, stricter gate of its own on whatever Spark
+    * delivers.
     */
   private def splitRipe[E](buf: List[E], arrivals: Iterator[E], wmMs: Long,
                            tusOf: E => Long): (List[E], List[E]) = {

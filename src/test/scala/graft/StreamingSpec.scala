@@ -770,4 +770,87 @@ class StreamingSpec extends SparkSpec {
     val got = spark.read.parquet(out).as[String].collect().sorted.toSeq
     assert(got === Seq("a", "b", "c")) // a,b exactly once; c picked up
   }
+
+  test("RANDOMIZED out-of-order replay: funnel/attribution/transitions match " +
+      "batch under arbitrary arrival order (watermark delay covers the span)") {
+    import scala.jdk.CollectionConverters._
+    import scala.util.Random
+    import spark.implicits._
+    // the stateful twins' 2h watermark delay exceeds this corpus's whole
+    // event-time span, so EVERY arrival order is inside the lateness
+    // contract — the stream must reproduce batch exactly no matter how
+    // the shuffle interleaves users, steps and duplicates across files
+    for (seed <- Seq(67, 907)) {
+      val rnd = new Random(seed)
+      val types = Seq("view", "click", "purchase")
+      // event times start at 300s, never epoch 0: an epoch-0 event time
+      // equals the INITIAL watermark and Spark's own late filter drops it
+      // before any state function runs (WatermarkBoundarySpec pins that)
+      val all = (1L to 120L).map { id =>
+        (id, ts((rnd.nextInt(23) + 1) * 300L), (rnd.nextInt(5) + 1).toLong,
+          types(rnd.nextInt(3)), 1.0)
+      }
+      val order = rnd.shuffle(all)
+      val files = order.grouped(25).toSeq.map(_.map(_._1)) :+ Seq(-1L)
+      val byId = all.map(e => e._1 -> e).toMap
+      val srcDir = Files.createTempDirectory("graft-rnd-ooo-src")
+      files.zipWithIndex.foreach { case (ids, i) =>
+        val rows = ids.map {
+          case -1L => (-1L, new Timestamp(7258118400L * 1000L), -1L, "view", 0.0)
+          case id  => byId(id)
+        }
+        val tmp = Files.createTempDirectory("graft-rnd-ooo-part")
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+        val dest = srcDir.resolve(f"f$i%02d.parquet")
+        Files.copy(part, dest)
+        assert(dest.toFile.setLastModified(1700000000000L + i * 10000L))
+      }
+      def replay(): DataFrame = spark.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType), StructField("ts", TimestampType),
+          StructField("user_id", LongType), StructField("event_type", StringType),
+          StructField("value", DoubleType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+      val sfDir = tempSfDir()
+      writeTable(sfDir, "events",
+        all.toDF("event_id", "ts", "user_id", "event_type", "value"))
+
+      val qf = StreamingOps.runToMemory(
+        StreamingOps.funnelDepths(replay()), s"rnd_ooo_funnel_$seed", OutputMode.Update())
+      try {
+        val depths = spark.table(s"rnd_ooo_funnel_$seed").as[(Long, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+        val got = (1 to 3).map(k => depths.values.count(_ >= k).toLong)
+        val batch = graft.ops.EventWindows.funnel(spark, sfDir).collect()
+          .map(_.getLong(2)).toSeq
+        assert(got === batch, s"seed=$seed funnel")
+      } finally qf.stop()
+
+      val qa = StreamingOps.runToMemory(
+        StreamingOps.attributionRows(replay()), s"rnd_ooo_attr_$seed", OutputMode.Append())
+      try {
+        val got = spark.table(s"rnd_ooo_attr_$seed")
+          .select("purchase_event_id", "user_id", "purchase_tus",
+            "view_event_id", "view_tus", "lag_us")
+          .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+        val batch = graft.ops.EventWindows.asOfAttribution(spark, sfDir)
+          .collect().map(_.toSeq)
+        assert(got.toSeq === batch.toSeq, s"seed=$seed attribution")
+      } finally qa.stop()
+
+      val qt = StreamingOps.runToMemory(
+        StreamingOps.transitionPairs(replay()), s"rnd_ooo_trans_$seed", OutputMode.Update())
+      try {
+        val pairs = spark.table(s"rnd_ooo_trans_$seed").as[(String, String)].collect()
+          .groupBy(identity).view.mapValues(_.length.toLong).toMap
+        val batch = graft.ops.EventWindows.eventTransitions(spark, sfDir)
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        assert(pairs === batch, s"seed=$seed transitions")
+      } finally qt.stop()
+    }
+  }
 }
