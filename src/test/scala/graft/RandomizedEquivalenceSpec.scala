@@ -345,6 +345,68 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("funnel == plain-Scala sequential-reach reference on random events " +
+      "(equal-ts chaining with earlier-steps-first ties)") {
+    import spark.implicits._
+    val steps = Seq("view", "click", "purchase")
+    for (seed <- Seq(71, 997)) {
+      val evs = randomEvents(seed)
+      val dir = tempSfDir()
+      writeTable(dir, "events",
+        evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      val got = EventWindows.funnel(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+      // reference: fold each user's events in (tus, step, event_id) order
+      val ref = Array.fill(steps.length)(0L)
+      evs.groupBy(_._3).foreach { case (_, xs) =>
+        val reach = Array.fill[Option[Long]](steps.length)(None)
+        xs.map(e => (e._2 / 1000L, steps.indexOf(e._4), e._1))
+          .sortBy(identity)
+          .foreach { case (t, si, _) =>
+            if (si == 0 || (si > 0 && reach(si - 1).isDefined))
+              if (reach(si).forall(_ > t)) reach(si) = Some(t)
+          }
+        steps.indices.foreach(i => if (reach(i).isDefined) ref(i) += 1)
+      }
+      steps.indices.foreach(i =>
+        assert(got(i + 1L) === ref(i), s"seed=$seed step ${i + 1}"))
+    }
+  }
+
+  test("decontamination catches every planted leak on random corpora, and " +
+      "the Bloom-prefiltered form returns the identical relation") {
+    import spark.implicits._
+    for (seed <- Seq(73, 1013)) {
+      val rnd = new Random(seed)
+      def words(n: Int): String =
+        (1 to n).map(_ => "w" + rnd.nextInt(400)).mkString(" ")
+      // eval docs are doc_id % 97 == 0; plant a >= 5-word span from an
+      // eval doc into some train docs (>= 3 shared 3-gram shingles)
+      val evalDocs = Seq(97L, 194L).map(id => (id, words(20)))
+      val leakSpans = evalDocs.map { case (_, t) =>
+        t.split(" ").slice(3, 10).mkString(" ") } // 7 words = 5 shared 3-grams
+      val leaked = (1L to 6L).map { i =>
+        (i, words(rnd.nextInt(10) + 3) + " " + leakSpans((i % 2).toInt) +
+          " " + words(rnd.nextInt(10) + 3))
+      }
+      val clean = (20L to 40L).map(i => (i, words(15)))
+      val dir = tempSfDir()
+      writeTable(dir, "documents",
+        (evalDocs ++ leaked ++ clean).toDF("doc_id", "text"))
+      val flagged = Dedup.decontaminate(spark, dir).collect()
+        .map(_.getLong(0)).toSet
+      // every planted leak is caught (random `clean` docs may also share
+      // shingles by chance — overlap >= 3 legitimately flags them too)
+      assert(leaked.map(_._1).toSet.subsetOf(flagged), s"seed=$seed missed a leak")
+      // the Bloom-prefiltered plan returns the IDENTICAL relation
+      val bloom = Dedup.decontaminateBloom(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = Dedup.decontaminate(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(bloom === exact, s"seed=$seed bloom/exact divergence")
+    }
+  }
+
   test("two-star contraction == min-label propagation on random graphs " +
       "(chains, stars, isolated pairs mixed)") {
     import spark.implicits._
