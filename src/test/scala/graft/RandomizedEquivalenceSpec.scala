@@ -407,6 +407,67 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("epoch shuffle is a true permutation on random corpora: every epoch " +
+      "holds every doc exactly once, orders differ across epochs, and the " +
+      "assignment is rerun-deterministic") {
+    import spark.implicits._
+    for (seed <- Seq(79, 1103)) {
+      val rnd = new Random(seed)
+      val docs = (1L to 150L).map(i => (i, s"doc $i " + "w" * (rnd.nextInt(6) + 1)))
+      val dir = tempSfDir()
+      writeTable(dir, "documents", docs.toDF("doc_id", "text"))
+      def run() = graft.ops.Corpus.epochShuffle(spark, dir, epochs = 3).collect()
+        .map(r => (r.getLong(r.fieldIndex("epoch")), r.getLong(r.fieldIndex("doc_id")),
+          r.getLong(r.fieldIndex("shard")), r.getLong(r.fieldIndex("pos"))))
+      val a = run()
+      // every epoch is a permutation of the corpus
+      (0L to 2L).foreach { e =>
+        val ids = a.filter(_._1 == e).map(_._2)
+        assert(ids.sorted.toSeq === docs.map(_._1), s"seed=$seed epoch $e")
+      }
+      // epochs order differently (the entire point of re-shuffling)
+      def order(e: Long) = a.filter(_._1 == e).sortBy(r => (r._3, r._4)).map(_._2).toSeq
+      assert(order(0L) !== order(1L), s"seed=$seed epochs must differ")
+      // deterministic under rerun (reproducible training order)
+      assert(run().sorted.toSeq === a.sorted.toSeq, s"seed=$seed rerun")
+    }
+  }
+
+  test("substring dup report on random corpora with planted duplicated " +
+      "spans == plain-Scala window-frequency reference") {
+    import spark.implicits._
+    for (seed <- Seq(83, 1201)) {
+      val rnd = new Random(seed)
+      def words(k: Int): Seq[String] = (1 to k).map(_ => "t" + rnd.nextInt(300))
+      val span = words(12) // planted 12-word span: 5 duplicated 8-windows
+      val docs = (1L to 30L).map { i =>
+        val body =
+          if (i <= 10) words(rnd.nextInt(8) + 2) ++ span ++ words(rnd.nextInt(8) + 2)
+          else words(rnd.nextInt(20) + 8)
+        (i, body.mkString(" "))
+      }
+      val dir = tempSfDir()
+      writeTable(dir, "documents", docs.toDF("doc_id", "text"))
+      val got = Dedup.substringDupReport(spark, dir).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // reference: distinct 8-word windows per doc; a window duplicated
+      // iff >= 2 docs contain it
+      val win = docs.map { case (id, t) =>
+        id -> t.split(" ").sliding(8).map(_.mkString(" ")).toSet }.toMap
+      val freq = win.values.flatten.groupBy(identity).view.mapValues(_.size).toMap
+      docs.foreach { case (id, t) =>
+        val ws = win(id)
+        if (ws.nonEmpty || got.contains(id)) {
+          assert(got(id)._1 === ws.size.toLong, s"seed=$seed doc $id windows")
+          assert(got(id)._2 === ws.count(w => freq(w) >= 2).toLong,
+            s"seed=$seed doc $id dup windows")
+        }
+      }
+      // every planted doc reports duplicated windows
+      (1L to 10L).foreach(i => assert(got(i)._2 >= 5L, s"seed=$seed planted $i"))
+    }
+  }
+
   test("two-star contraction == min-label propagation on random graphs " +
       "(chains, stars, isolated pairs mixed)") {
     import spark.implicits._
