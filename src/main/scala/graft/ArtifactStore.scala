@@ -50,9 +50,17 @@ import org.apache.spark.sql.DataFrame
 final class ArtifactStore[V](val name: String)(release: V => Unit) {
   ArtifactStore.register(this)
 
-  /** Per-key build cell: `lazy val` gives one build with awaiting sharers. */
+  /** Per-key build cell: `lazy val` gives one build with awaiting sharers.
+    * `built` flips only after the lazy val has initialized, so the evictor
+    * can tell a completed build from an in-flight (or never-forced) one —
+    * releasing by forcing the lazy val would EXECUTE an expensive build
+    * solely to discard it, and could delete checkpoint files out from
+    * under a concurrent getOrBuild about to return the value (ADVICE r12).
+    */
   private final class Cell(build: () => V) {
+    @volatile var built: Boolean = false
     lazy val value: V = build()
+    def force(): V = { val v = value; built = true; v }
   }
 
   private val cells = new ConcurrentHashMap[(String, String), Cell]()
@@ -67,21 +75,26 @@ final class ArtifactStore[V](val name: String)(release: V => Unit) {
         .add(c)
     val cell =
       cells.computeIfAbsent((slot, fingerprint), _ => new Cell(() => build))
-    val v = cell.value // the build itself runs OUTSIDE the map lock
+    val v = cell.force() // the build itself runs OUTSIDE the map lock
     evictStale(slot, keep = fingerprint)
     v
   }
 
-  /** Release every entry of `slot` whose fingerprint is not `keep`. */
+  /** Release every COMPLETED entry of `slot` whose fingerprint is not
+    * `keep`. An entry still building (or registered but never forced) is
+    * DEFERRED, not forced: it stays in the map and the next getOrBuild on
+    * the slot re-sweeps it once its `built` flag has flipped — so the
+    * evictor never executes a build just to discard it, and never deletes
+    * checkpoint files under a value a concurrent caller is about to
+    * return. (Every cell IS forced by its creator immediately after
+    * creation, so a deferred entry is only ever mid-build, not orphaned.)
+    */
   private def evictStale(slot: String, keep: String): Unit =
-    cells.keySet.asScala
-      .filter(k => k._1 == slot && k._2 != keep).toList
-      .foreach { k =>
-        val c = cells.remove(k)
-        if (c != null)
-          try release(c.value)
-          catch { case NonFatal(_) => () } // stale blocks, best-effort
-      }
+    cells.asScala.toList.foreach { case (k, c) =>
+      if (k._1 == slot && k._2 != keep && c.built && cells.remove(k, c))
+        try release(c.value)
+        catch { case NonFatal(_) => () } // stale blocks, best-effort
+    }
 
   private[graft] def liveKeys: Seq[(String, String)] =
     cells.keySet.asScala.toSeq

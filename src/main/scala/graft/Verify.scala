@@ -6,9 +6,13 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
-    // optional third arg: comma-separated query-name filter (local iteration)
+    // optional third arg: comma-separated query-name filter (local
+    // iteration); an optional [bracketed] wrapper is tolerated — a bare
+    // "[a,b]" otherwise silently drops exactly the two edge names
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2)
+        Some(args(2).stripPrefix("[").stripSuffix("]").split(",").toSet)
+      else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // SPARK_GRAFT_MASTER overrides the single-JVM default — e.g.
     // `local-cluster[4,8,4096]` runs the same gate with four separate

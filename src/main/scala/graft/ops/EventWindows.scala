@@ -918,15 +918,23 @@ object EventWindows {
     // view count is cv at touch index ib + (v mod n), minus cv at ib —
     // one equi-join on (user, index), r == 0 rows need no lookup
     val tIdx = st.filter(col("isp") === 0).select(col("u"), col("idx"), col("cv"))
+    // pmod, not %: a negative purchase value (a refund row) would make
+    // the % remainder negative — the r>0 filter then skips the lookup,
+    // r_view coalesces to 0, and the negative remainder folds entirely
+    // into clicks, diverging from the pairwise form (ADVICE r12). With
+    // pmod r is always in [0, n) and base is the matching FLOOR quotient
+    // ((v - pmod) is exactly divisible, so integer div is exact), so
+    // n*base + r == v_milli conserves value for any sign and the two
+    // forms stay identical.
     val withR = perP.filter(col("n") > 0)
-      .withColumn("r", col("v_milli") % col("n"))
+      .withColumn("r", pmod(col("v_milli"), col("n")))
     val cvAtR = withR.filter(col("r") > 0)
       .join(tIdx.select(col("u"), col("idx"), col("cv").as("cv_r")),
         withR("u") === tIdx("u") && col("idx") === col("ib") + col("r"))
       .select(withR("p_id"), col("cv_r"))
     val shares = withR.join(cvAtR, Seq("p_id"), "left")
       .withColumn("r_view", coalesce(col("cv_r"), col("cvb")) - col("cvb"))
-      .withColumn("base", expr("v_milli div n"))
+      .withColumn("base", expr("(v_milli - pmod(v_milli, n)) div n"))
       .select(col("p_id"),
         (col("cva") - col("cvb")).as("n_v"),
         (col("n") - (col("cva") - col("cvb"))).as("n_c"),
@@ -987,8 +995,11 @@ object EventWindows {
       .withColumn("rk", row_number().over(wr))
       .withColumn("n", count(lit(1)).over(Window.partitionBy("p_id")))
       .select(col("channel"),
-        (expr("v_milli div n") +
-          when(col("rk") <= expr("v_milli % n"), 1L).otherwise(0L)).as("share"))
+        // floor-quotient + pmod remainder, matching linearAttribution's
+        // rewrite: for v >= 0 identical to div/%, for refund rows the two
+        // forms stay value-conserving and identical (ADVICE r12)
+        (expr("(v_milli - pmod(v_milli, n)) div n") +
+          when(col("rk") <= expr("pmod(v_milli, n)"), 1L).otherwise(0L)).as("share"))
     val attributed = shares.groupBy("channel")
       .agg(count(lit(1)).as("n_touches"), sum(col("share")).as("attributed_milli"))
     // 'direct' = purchases whose window held no touch: anti join on p_id

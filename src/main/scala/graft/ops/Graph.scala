@@ -67,8 +67,7 @@ object Graph {
     // registered consumer and the ≥2-consumer contract (StoreContractSpec)
     // forbids caching single-consumer results; the expensive shared layer
     // (the orders⋈lineitem pair list) still serves from tradePairs
-    val (edges, deg) = pageRankLayout(pairs)
-    pageRankFromLayout(edges, deg, iters)
+    pageRankFromPairs(pairs, iters)
       .select(col("node"),
         when(col("node") >= 1000000L, "supplier").otherwise("customer").as("kind"),
         col("r").as("rank_micros"))
@@ -90,7 +89,15 @@ object Graph {
     */
   def pageRankFromPairs(pairs: DataFrame, iters: Int): DataFrame = {
     val (edges, deg) = pageRankLayout(pairs)
-    pageRankFromLayout(edges, deg, iters)
+    // the loop's result is materialized flat before return, so the
+    // per-call layout frames release immediately instead of pinning
+    // executor storage until JVM exit (ADVICE r12) — the un-stored
+    // layouts must pay honest per-call cost, not leak it
+    try pageRankFromLayout(edges, deg, iters)
+    finally {
+      graft.Materialize.release(edges)
+      graft.Materialize.release(deg)
+    }
   }
 
   /** Builds the static per-run edge layout: symmetrized edges
@@ -118,6 +125,9 @@ object Graph {
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
       .materialized
+    // edges/deg are checkpointed flat above, so the pair frame's blocks
+    // are no longer reachable — release them now (ADVICE r12)
+    graft.Materialize.release(p)
     (edges, deg)
   }
 
@@ -364,8 +374,7 @@ object Graph {
            iters: Int = 3, topK: Int = 10): DataFrame = {
     val pairs = tradePairs(spark, sfDir)
     // per call, not store-served — same ≥2-consumer contract as pageRank
-    val (edgesByC, edgesByS) = hitsLayout(pairs)
-    val (hub, auth) = hitsFromLayout(edgesByC, edgesByS, iters)
+    val (hub, auth) = hitsFromPairs(pairs, iters)
     val top = auth.select(lit("authority").as("kind"), col("s").as("node"),
         col("score").as("score_micros"))
       .orderBy(col("score_micros").desc, col("node").asc).limit(topK)
@@ -383,7 +392,14 @@ object Graph {
   private[graft] def hitsFromPairs(pairs: DataFrame,
                                    iters: Int): (DataFrame, DataFrame) = {
     val (edgesByC, edgesByS) = hitsLayout(pairs)
-    hitsFromLayout(edgesByC, edgesByS, iters)
+    // hitsFromLayout materializes its outputs flat, so the per-call
+    // CSR/CSC copies release immediately after the rounds instead of
+    // pinning executor storage until JVM exit (ADVICE r12)
+    try hitsFromLayout(edgesByC, edgesByS, iters)
+    finally {
+      graft.Materialize.release(edgesByC)
+      graft.Materialize.release(edgesByS)
+    }
   }
 
   /** Builds the static per-run HITS edge layout. TWO checkpointed edge
@@ -402,8 +418,12 @@ object Graph {
     val nEdges = p.count()
     val parts = math.max(1L, math.min(sessionParts.toLong,
       (nEdges + 99999L) / 100000L)).toInt
-    (p.repartition(parts, col("c")).materialized,
-      p.repartition(parts, col("s")).materialized)
+    val byC = p.repartition(parts, col("c")).materialized
+    val byS = p.repartition(parts, col("s")).materialized
+    // both copies are checkpointed flat, so the pair frame's blocks are
+    // no longer reachable — release them now (ADVICE r12)
+    graft.Materialize.release(p)
+    (byC, byS)
   }
 
   private def hitsFromLayout(edgesByC: DataFrame, edgesByS: DataFrame,
@@ -413,8 +433,10 @@ object Graph {
     // join+aggregate would run twice per half-step); the rescale
     // output itself is referenced exactly once by the next half-step,
     // so it rides as a shallow crossJoin over the checkpointed raw
+    val interm = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def rescaled(df: DataFrame, key: String): DataFrame = {
       val r = df.materialized
+      interm += r
       val mx = r.agg(max(col("raw")).as("mx"))
       r.crossJoin(broadcast(mx))
         .select(col(key),
@@ -433,7 +455,13 @@ object Graph {
           .groupBy("c")
           .agg(sum(col("score").cast("decimal(38,0)")).as("raw")), "c")
     }
-    (hub, auth)
+    // flatten the outputs, then release the 2×iters per-half-step raw
+    // frames — without this each call leaks O(iters · |nodes|) blocks
+    // until JVM exit (ADVICE r12, same class as the layout frames)
+    val hubOut = hub.materialized
+    val authOut = auth.materialized
+    interm.foreach(graft.Materialize.release)
+    (hubOut, authOut)
   }
 
   /** graph_communities: community detection via SYNCHRONOUS label

@@ -16,19 +16,24 @@ import graft.ops.{Dedup, EventWindows}
 class RandomizedEquivalenceSpec extends SparkSpec {
 
   test("linear attribution: prefix-sum == pairwise on random event streams " +
-      "(ties, boundary hits, touch-free users, zero-value purchases)") {
+      "(ties, boundary hits, touch-free users, zero-value and NEGATIVE " +
+      "refund purchases)") {
     import spark.implicits._
     for (seed <- Seq(7, 41, 1003)) {
       val rnd = new Random(seed)
       val look = 50L // seconds — small window so boundaries hit often
       val types = Seq("view", "click", "purchase")
       // coarse timestamp grid => frequent exact ties and exact-boundary
-      // (t == p - look, t == p) pairs; users 1..6 => dense per-user streams
+      // (t == p - look, t == p) pairs; users 1..6 => dense per-user
+      // streams; ~20% NEGATIVE values (refund rows) pin the pmod/floor-div
+      // remainder split the two forms share (ADVICE r12: with %/div the
+      // negative remainder folded into clicks in one form only)
       val evs = (1L to 400L).map { id =>
         val t = rnd.nextInt(40) * 25L // 0..975s on a 25s grid
         (id, t * 1000000000L, (rnd.nextInt(6) + 1).toLong,
           types(rnd.nextInt(3)),
-          if (rnd.nextInt(10) == 0) 0.0 else rnd.nextInt(500) / 100.0, "p")
+          if (rnd.nextInt(10) == 0) 0.0
+          else (rnd.nextInt(500) - 100) / 100.0, "p")
       }
       val dir = tempSfDir()
       writeTable(dir, "events",

@@ -17,6 +17,25 @@ class StoreContractSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
+  /** The contract's violation set, counting ONLY registered-query call
+    * paths (VERDICT r12 #8): a consumer name that is not a
+    * `SparkEntry.queries` key — a spec harness reading the store under
+    * some ad-hoc attribution label — must not legitimize a cache. Two
+    * test-harness reads plus one production read is still a
+    * single-consumer cache; the raw recorded set is intersected with the
+    * registry before the >= 2 check.
+    */
+  private def registeredSingleConsumerSlots: Seq[(String, String, Set[String])] = {
+    val registry = SparkEntry.queries.keySet
+    ArtifactStore.all
+      .filterNot(_.name.startsWith("test."))
+      .flatMap { s =>
+        s.consumersBySlot
+          .map { case (slot, cs) => (s.name, slot, cs intersect registry) }
+          .collect { case (n, slot, rcs) if rcs.size < 2 => (n, slot, rcs) }
+      }
+  }
+
   test("audit helper flags a deliberately-added single-consumer cache") {
     val fake = new ArtifactStore[String]("test.singleConsumer")(_ => ())
     ArtifactStore.currentConsumer.set("lonely_query")
@@ -27,6 +46,26 @@ class StoreContractSpec extends SparkSpec {
     assert(flagged.map(f => (f._2, f._3)) === Seq(("slotX", Set("lonely_query"))))
     fake.clear()
     assert(!ArtifactStore.singleConsumerSlots.exists(_._1 == "test.singleConsumer"))
+  }
+
+  test("a spec-only consumer does not legitimize a cache: one registered " +
+      "query plus two harness reads is still single-consumer (VERDICT r12 #8)") {
+    val fake = new ArtifactStore[String]("prodlike.specOnly")(_ => ())
+    try {
+      val registered = SparkEntry.queries.keys.head
+      for (c <- Seq(registered, "spec_harness_read_1", "spec_harness_read_2")) {
+        ArtifactStore.currentConsumer.set(c)
+        try fake.getOrBuild("slotY", "fp")("value")
+        finally ArtifactStore.currentConsumer.remove()
+      }
+      // the raw recorded set has three names, so the un-filtered audit
+      // would pass it — the registry-intersected contract must still flag
+      assert(!ArtifactStore.singleConsumerSlots.exists(_._1 == fake.name),
+        "precondition: raw audit sees 3 consumers and does not flag")
+      val flagged = registeredSingleConsumerSlots.filter(_._1 == fake.name)
+      assert(flagged.map(f => (f._2, f._3)) === Seq(("slotY", Set(registered))))
+    } finally fake.clear()
+    assert(!registeredSingleConsumerSlots.exists(_._1 == "prodlike.specOnly"))
   }
 
   test("every store slot reached by a registered query has >= 2 query consumers") {
@@ -43,8 +82,10 @@ class StoreContractSpec extends SparkSpec {
       finally ArtifactStore.currentConsumer.remove()
     }
     assert(failures.isEmpty, s"queries failed during the sweep: $failures")
-    val single = ArtifactStore.singleConsumerSlots
-      .filterNot(_._1 == "test.singleConsumer")
+    // registry-intersected (VERDICT r12 #8): only SparkEntry.queries call
+    // paths count toward the >= 2 bar — ad-hoc harness attributions can't
+    // re-legitimize a single-consumer cache
+    val single = registeredSingleConsumerSlots
     assert(single.isEmpty,
       "single-consumer store slots found:\n" +
         single.map { case (st, slot, cs) => s"  $st  $slot  <- $cs" }

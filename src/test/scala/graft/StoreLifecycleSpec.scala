@@ -87,6 +87,46 @@ class StoreLifecycleSpec extends SparkSpec {
     store.clear()
   }
 
+  test("eviction never forces an in-flight build: a stale mid-build cell is " +
+      "deferred (not executed-to-discard, not released under its caller) and " +
+      "released once built (ADVICE r12)") {
+    val released = scala.collection.mutable.ArrayBuffer[String]()
+    val store = new ArtifactStore[String]("test.evictInFlight")(
+      v => released.synchronized { released += v })
+    val slowStarted = new java.util.concurrent.CountDownLatch(1)
+    val slowRelease = new java.util.concurrent.CountDownLatch(1)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    assert(store.getOrBuild("slotA", "fp1")("a1") === "a1")
+    // a slow regeneration build holds the fp2 cell's lazy-val monitor
+    val fSlow = Future(store.getOrBuild("slotA", "fp2") {
+      slowStarted.countDown()
+      assert(slowRelease.await(20, java.util.concurrent.TimeUnit.SECONDS))
+      "a2"
+    })
+    assert(slowStarted.await(20, java.util.concurrent.TimeUnit.SECONDS))
+    // a third fingerprint lands while fp2 is mid-build: its evict sweep
+    // must release the COMPLETED fp1 immediately but DEFER the in-flight
+    // fp2 — forcing it would block this call on the lazy-val monitor
+    // until slowRelease (the 5s Await would time out) and then execute
+    // the build solely to discard it
+    val third = Await.result(
+      Future(store.getOrBuild("slotA", "fp3")("a3")), 5.seconds)
+    assert(third === "a3")
+    assert(released.synchronized(released.toSeq) === Seq("a1"))
+    assert(store.liveKeys.toSet === Set(("slotA", "fp2"), ("slotA", "fp3")))
+    // the slow build completes and returns a USABLE value — it was not
+    // released out from under its caller; its own sweep then retires fp3
+    slowRelease.countDown()
+    assert(Await.result(fSlow, 10.seconds) === "a2")
+    assert(released.synchronized(released.toSeq) === Seq("a1", "a3"))
+    // the deferred-now-built fp2 is released by the next sweep on the slot
+    assert(store.getOrBuild("slotA", "fp4")("a4") === "a4")
+    assert(released.synchronized(released.toSeq) === Seq("a1", "a3", "a2"))
+    store.clear()
+  }
+
   test("regenerating a corpus frees the superseded entry's localCheckpoint blocks") {
     val dir = tempSfDir()
     writeTable(dir, "documents", smallDocs("v1"))
