@@ -23,7 +23,12 @@ import graft.streaming.StreamingOps
   *    partition-order independent);
   *  - hashes are md5-derived on both sides (graft.functions.OracleHash);
   *  - unix seconds are epoch_us(ts) // 1000000 in DuckDB (its epoch()
-  *    returns fractional seconds; Spark unix_timestamp truncates);
+  *    returns fractional seconds). NOTE: DuckDB's integer `//` TRUNCATES
+  *    toward zero like Spark's `div` (measured -7 // 2 = -3) — the plain
+  *    `//` twins agree with the pmod-snapped Spark floorDiv only because
+  *    corpus timestamps are non-negative; for negative operands the twin
+  *    must spell floor explicitly ((x - ((x % d + d) % d)) // d), and
+  *    contract_fuzz_rows pins that form against ±1e18 ns values;
   *  - array dot products are sequential left folds on both sides
   *    (Spark `aggregate`, DuckDB `list_dot_product` — verified identical
   *    on the test corpus).
@@ -934,6 +939,12 @@ object SparkEntry {
           |    + CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '')) AS BIGINT) AS n_subwords
           |FROM graft_documents ORDER BY doc_id""".stripMargin)
     }),
+    // —— determinism-contract fuzz (VERDICT r12 #7): adversarial values
+    // (negative nanos/moneys, near-edge BIGINTs, near-overflow decimals)
+    // generated in-plan identically in both engines; the standing DuckDB
+    // gate hash-compares every contract rule in isolation ——
+    "contract_fuzz_rows" -> ((s, _) => Contract.fuzzRows(s)),
+    "contract_fuzz_sums" -> ((s, _) => Contract.fuzzSums(s)),
     // count-min-sketch heavy hitters from pure SQL: the stock
     // count_min_sketch aggregate probed by the custom graft_cms_estimate
     // expression, gated in-plan exactly like the Column-API twin
@@ -5706,6 +5717,53 @@ object SparkEntry {
     "urlcount_cms" -> cmsOracle,
     // SQL-surface twin of urlcount_cms: same sketch, same gate, same oracle
     "sql_cms" -> cmsOracle,
+    // determinism-contract fuzz (VERDICT r12 #7): both sides derive the
+    // SAME adversarial rows from md5 of 'row:i' — no table input — and
+    // apply each contract rule in isolation. Floor division is spelled
+    // EXPLICITLY in the twin ((x - pmod-twin) // d, exact because the
+    // numerator is snapped): DuckDB's bare `//` TRUNCATES toward zero
+    // like Spark's `div` (measured -7 // 2 = -3), so the corpus oracles'
+    // plain `epoch_us // 1e6` twins only agree because corpus timestamps
+    // are non-negative — on these ±1e18 ns rows the explicit form is load-
+    // bearing, which is exactly what this query exists to pin.
+    "contract_fuzz_rows" ->
+      """WITH r AS (
+        |  SELECT i,
+        |    CAST(('0x' || substr(md5('row:' || i), 1, 15)) AS BIGINT) AS h,
+        |    CAST(('0x' || substr(md5('row:' || i), 1, 8)) AS BIGINT) AS h2
+        |  FROM generate_series(1, 512) t(i)),
+        |v AS (
+        |  SELECT i, h, h2,
+        |    (h % 2000000000000000000) - 1000000000000000000 AS ts_ns,
+        |    (h2 % 97) + 3 AS m,
+        |    ((h % 4000001) - 2000000) / 1000.0 AS money
+        |  FROM r)
+        |SELECT i, h AS h60, h2 AS h32, ts_ns,
+        |  (ts_ns - ((ts_ns % 1000000000 + 1000000000) % 1000000000)) // 1000000000 AS unix_sec,
+        |  (ts_ns - ((ts_ns % 1000000 + 1000000) % 1000000)) // 1000000 AS unix_ms,
+        |  ((ts_ns % m + m) % m) AS r_pmod,
+        |  money,
+        |  CAST(floor(money * 997) AS BIGINT) AS floor_narrow,
+        |  (h - 576460752303423488) * 8 AS big62
+        |FROM v ORDER BY i""".stripMargin,
+    // the accumulation rules over the same derived rows: DECIMAL-routed
+    // mixed-sign money sums as DOUBLE, near-overflow DECIMAL(38,0) sums
+    // as strings (representation must agree, not just value)
+    "contract_fuzz_sums" ->
+      """WITH r AS (
+        |  SELECT i,
+        |    CAST(('0x' || substr(md5('row:' || i), 1, 15)) AS BIGINT) AS h,
+        |    CAST(('0x' || substr(md5('row:' || i), 1, 8)) AS BIGINT) AS h2
+        |  FROM generate_series(1, 512) t(i)),
+        |v AS (
+        |  SELECT (h2 % 10) AS grp,
+        |    (h % 2000000000000000000) - 1000000000000000000 AS ts_ns,
+        |    ((h % 4000001) - 2000000) / 1000.0 AS money
+        |  FROM r)
+        |SELECT grp, count(*)::BIGINT AS n_rows,
+        |  CAST(sum(CAST(money AS DECIMAL(18,6))) AS DOUBLE) AS money_sum,
+        |  CAST(sum(CAST(ts_ns AS DECIMAL(38,0)) * 4000000000) AS VARCHAR) AS big_dec_sum
+        |FROM v GROUP BY grp ORDER BY grp""".stripMargin,
     // two-phase exact distinct: same relation as COUNT(DISTINCT)
     "ev_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users

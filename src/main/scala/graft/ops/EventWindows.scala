@@ -26,11 +26,15 @@ object EventWindows {
   private def dsum6(c: Column): Column =
     sum(c.cast("decimal(18,6)")).cast("double")
 
-  /** Integral FLOOR division (`div` truncates toward zero; the oracle's
-    * `//` floors — they differ on negative pre-1970 timestamps). The
+  /** Integral FLOOR division. `div` truncates toward zero — and so does
+    * DuckDB's integer `//` (measured -7 // 2 = -3; contract_fuzz_rows
+    * pins it), so floor semantics exist on NEITHER side natively: the
     * numerator is first snapped down to a multiple of the divisor with
-    * pmod (always non-negative), so `div` is exact floor division with
-    * no double round-trip (nanos ~1e18 exceed a double's 53-bit mantissa).
+    * pmod (always non-negative), making the truncating division exact
+    * floor division with no double round-trip (nanos ~1e18 exceed a
+    * double's 53-bit mantissa). Corpus timestamps are non-negative, so
+    * the oracles' plain `//` twins agree; a pre-1970 operand needs the
+    * explicit snapped form on the oracle side too.
     */
   private def floorDiv(c: String, d: Long): String =
     s"(($c - pmod($c, ${d}L)) div ${d}L)"

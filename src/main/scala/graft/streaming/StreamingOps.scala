@@ -110,6 +110,35 @@ object StreamingOps {
 
   import org.apache.spark.sql.types._
 
+  /** Footer-schema cache for the events file stream, keyed on the
+    * file's (path, mtime, size) so a regenerated corpus re-reads. The
+    * per-call `spark.read.parquet(...).schema` footer read costs
+    * ~130 ms of driver metadata I/O, and every event-based twin paid it
+    * once or twice PER CALL — ~4-7 s of the stream family's bench total
+    * was footer re-reads of an unchanged file (round-13 profile). Pure
+    * metadata, never results: the cached value is the physical schema
+    * only.
+    */
+  private val eventSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), StructType]()
+
+  private def eventFileSchema(spark: SparkSession, sfDir: String): StructType = {
+    val path = s"$sfDir/events.parquet"
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    // a Spark-written table is a DIRECTORY named events.parquet: key on
+    // the newest data file's mtime + total data bytes so a test-corpus
+    // rewrite (same path, new content) invalidates
+    val key = if (st.isDirectory) {
+      val kids = fs.listStatus(p).filter(s => s.isFile &&
+        !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+      (path, kids.map(_.getModificationTime).foldLeft(0L)(math.max),
+        kids.map(_.getLen).sum)
+    } else (path, st.getModificationTime, st.getLen)
+    eventSchemaCache.computeIfAbsent(key, _ => spark.read.parquet(path).schema)
+  }
+
   /** events.parquet as a file stream. File streams need an explicit
     * schema, taken from a batch footer read of the same file so the
     * stream tracks whichever physical `ts` the harness generated:
@@ -121,7 +150,7 @@ object StreamingOps {
     * job runs.
     */
   def harnessEventStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val fileSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val fileSchema = eventFileSchema(spark, sfDir)
     spark.readStream
       .schema(fileSchema)
       // brace-glob: the file stream source needs a directory-rooted glob
@@ -199,7 +228,7 @@ object StreamingOps {
     * optimizer, and then the watermark would never advance.
     */
   def harnessEventStreamFlushed(spark: SparkSession, sfDir: String): DataFrame = {
-    val fileSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val fileSchema = eventFileSchema(spark, sfDir)
     val ts = eventTsNormalized(fileSchema)
     val hb = spark.readStream.schema(fileSchema)
       .parquet(heartbeatDir(spark, fileSchema))

@@ -48,6 +48,63 @@ class RandomizedEquivalenceSpec extends SparkSpec {
     }
   }
 
+  test("determinism-contract helpers == pure-JVM reference on adversarial " +
+      "random longs (negative nanos, sub-ms residues, near-edge values) — " +
+      "floor division, pmod, md5-derived h60/h32, DECIMAL money sums") {
+    import spark.implicits._
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    for (seed <- Seq(13, 7919)) {
+      val rnd = new Random(seed)
+      // the snapped floor-div (x - pmod(x,d)) needs x >= MinValue + d:
+      // clamp the deep-negative tail so the subtraction cannot wrap
+      def adv(): Long = rnd.nextInt(6) match {
+        case 0 =>
+          val v = rnd.nextLong()
+          if (v < Long.MinValue + 2000000000L) v + 2000000000L else v
+        case 1 => -rnd.nextLong(1000000000000000000L) // pre-1970 nanos
+        case 2 => rnd.nextLong(2000001L) - 1000000L   // small mixed-sign
+        case 3 => Long.MaxValue - rnd.nextInt(1000)   // near the top edge
+        case 4 => Long.MinValue + 2000000000L + rnd.nextInt(1000)
+        case 5 => rnd.nextLong(1000L) - 500L          // sub-ms around zero
+      }
+      val rows = (1 to 300).map(i => (i.toLong, adv()))
+      val df = rows.toDF("i", "x")
+      // the shared floorDiv idiom + pmod vs Math.floorDiv/floorMod
+      val got = df.select(col("i"),
+          expr("(x - pmod(x, 1000000000L)) div 1000000000L").as("fd"),
+          pmod(col("x"), lit(97L)).as("pm"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      rows.foreach { case (i, x) =>
+        assert(got(i) === ((Math.floorDiv(x, 1000000000L), Math.floorMod(x, 97L))),
+          s"seed=$seed x=$x floorDiv/pmod")
+      }
+      // h60/h32 vs a MessageDigest reference of the documented recipe
+      val hs = df.select(col("i"),
+          graft.functions.OracleHash.h60(concat(lit("k:"), col("x"))).as("a"),
+          graft.functions.OracleHash.h32(concat(lit("k:"), col("x"))).as("b"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      rows.foreach { case (i, x) =>
+        val hex = md5hex("k:" + x)
+        assert(hs(i) === ((java.lang.Long.parseLong(hex.take(15), 16),
+          java.lang.Long.parseLong(hex.take(8), 16))), s"seed=$seed x=$x h60/h32")
+      }
+      // DECIMAL(18,6)-routed mixed-sign money sum vs exact BigDecimal
+      // (Spark's double->decimal cast is HALF_UP on the decimal string rep)
+      val moneys = rows.map { case (_, x) =>
+        (Math.floorMod(x, 4000001L) - 2000000L) / 1000.0 }
+      val sparkSum = moneys.toDF("m")
+        .agg(sum(col("m").cast("decimal(18,6)")).cast("double"))
+        .head().getDouble(0)
+      val refSum = moneys
+        .map(m => BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sum.toDouble
+      assert(sparkSum === refSum, s"seed=$seed decimal money sum")
+    }
+  }
+
   test("incremental cluster fold-in == full rebuild on random pair graphs " +
       "with random batch splits") {
     import spark.implicits._
