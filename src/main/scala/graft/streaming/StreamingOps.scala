@@ -261,13 +261,18 @@ object StreamingOps {
     * partition), each committing a snapshot file per micro-batch — at
     * the harness's key cardinality (thousands of keys), 32 partitions
     * are pure per-batch commit overhead: measured 13-18 s for the
-    * interval join at 32 vs ~4-6 s at 4-8, identical results. This is
+    * interval join at 32 vs ~4-6 s at 4-8, identical results; the r13
+    * A/B put 4 another ~10-15% ahead of 8 on the five slowest twins,
+    * still identical results (the full oracle gate re-verifies). This is
     * the knob a production deployment sizes UP with state volume (state
     * must fit per partition, and parallelism caps at this count) — the
     * number is per-workload, NOT per-cluster-core like batch shuffle
-    * partitions.
+    * partitions. Overridable via `spark.graft.streamStatePartitions`
+    * on the calling session (default 8) so a deployment sizes it to its
+    * state volume without recompiling.
     */
-  private val stateShufflePartitions = 8
+  private def stateShufflePartitions(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.streamStatePartitions", "4").toInt
 
   private def runToBatch(spark: SparkSession, build: SparkSession => DataFrame,
                          prefix: String, mode: OutputMode): DataFrame = {
@@ -283,7 +288,8 @@ object StreamingOps {
     // builder-closure shape and the scoped.table read.
     val name = freshName(prefix)
     val scoped = spark.newSession()
-    scoped.conf.set("spark.sql.shuffle.partitions", stateShufflePartitions.toString)
+    scoped.conf.set("spark.sql.shuffle.partitions",
+      stateShufflePartitions(spark).toString)
     val q = runToMemory(build(scoped), name, mode)
     q.stop()
     scoped.table(name)
