@@ -49,6 +49,21 @@ object Multimodal {
   /** The mediaTable projection over ANY documents-shaped frame (static
     * or streaming): (id, modality, payload BINARY).
     */
+
+  /** Output-sort a codec-derived frame WITHOUT re-running the codec.
+    * A global orderBy range-partitions its input, and the range
+    * partitioner's SAMPLING pass executes the child plan once before
+    * the exchange executes it again — for these frames that second
+    * pass is a full decode/encode sweep of the corpus. Measured at the
+    * r13 100x full-suite record: mm_resize (decode + dim arithmetic +
+    * orderBy) ran SLOWER than the strictly-heavier mm_resize_exec
+    * (decode + resample + encode + re-decode, no double-run), 62.0 s
+    * vs 52.0 s. Checkpointing the small feature frame first makes the
+    * sort read materialized rows; every codec runs exactly once.
+    */
+  private def sortedOnce(df: DataFrame, cols: String*): DataFrame =
+    df.materialized.orderBy(cols.map(col): _*)
+
   def mediaFrame(docs: DataFrame): DataFrame =
     docs.select(col("doc_id").as("id"),
       (when(col("doc_id") % 2 === 0, "image").otherwise("video")).as("modality"),
@@ -190,7 +205,7 @@ object Multimodal {
     }.toDF()
       .select(col("id"), col("width").as("out_w"), col("height").as("out_h"),
         col("luma_milli"))
-      .orderBy("id")
+      .transform(sortedOnce(_, "id"))
   }
 
   /** STUB decode for the VIDEO modality — the one modality left with no
@@ -304,8 +319,7 @@ object Multimodal {
     * WAVs, decode them back, emit recovered exact-integer features.
     */
   def decodedAudioFeatures(spark: SparkSession, sfDir: String): DataFrame =
-    decodeAudio(spark, audioTable(spark, sfDir)).toDF()
-      .orderBy("id")
+    sortedOnce(decodeAudio(spark, audioTable(spark, sfDir)).toDF(), "id")
 
   case class AudioFingerprint(id: Long, fp: Long, peak_frame: Long)
 
@@ -359,7 +373,7 @@ object Multimodal {
         AudioFingerprint(r.id, fp, pf.toLong)
       }
     }
-    out.toDF().orderBy("id")
+    sortedOnce(out.toDF(), "id")
   }
 
   /** Metadata pass that never touches a decoder: byte length + content
@@ -378,8 +392,7 @@ object Multimodal {
     * encoded; any codec/pixel math drift hash-mismatches.
     */
   def decodedImageFeatures(spark: SparkSession, sfDir: String): DataFrame =
-    decodeImages(spark, imageTable(spark, sfDir)).toDF()
-      .orderBy("id")
+    sortedOnce(decodeImages(spark, imageTable(spark, sfDir)).toDF(), "id")
 
   /** Patterned sibling of [[imageTable]]: pixel gray
     * (id*31 + x*7 + y*13) % 256 instead of the constant fill — the
@@ -439,7 +452,7 @@ object Multimodal {
     * Output: (id, width, height, ahash_lo, ahash_hi), ordered by id.
     */
   def imageAHash(spark: SparkSession, sfDir: String): DataFrame =
-    aHashFrame(spark, sfDir).orderBy("id")
+    sortedOnce(aHashFrame(spark, sfDir), "id")
 
   /** The aHash relation without the output sort — shared by
     * [[imageAHash]] and the pairing rung (which checkpoints it so the
@@ -622,12 +635,12 @@ object Multimodal {
       .select(lit("video").as("modality"),
         col("width").cast("long").as("width"),
         col("height").cast("long").as("height"))
-    img.unionByName(vid)
-      .groupBy("modality")
-      .agg(count(lit(1)).as("n"),
-        sum(col("width")).as("sum_width"),
-        sum(col("height")).as("sum_height"))
-      .orderBy("modality")
+    sortedOnce(
+      img.unionByName(vid)
+        .groupBy("modality")
+        .agg(count(lit(1)).as("n"),
+          sum(col("width")).as("sum_width"),
+          sum(col("height")).as("sum_height")), "modality")
   }
 
   /** Resize planning: aspect-preserving fit of each decoded image into a
@@ -638,13 +651,14 @@ object Multimodal {
     * (who, from what dims, to what dims) is the Spark-side contract.
     */
   def resizePlan(spark: SparkSession, sfDir: String, target: Int = 224): DataFrame =
-    decodeImages(spark, imageTable(spark, sfDir)).toDF()
-      .select(col("id"), col("width"), col("height"))
-      .withColumn("out_w",
-        expr(s"CASE WHEN width >= height THEN ${target}L ELSE (width * $target) div height END"))
-      .withColumn("out_h",
-        expr(s"CASE WHEN width >= height THEN (height * $target) div width ELSE ${target}L END"))
-      .orderBy("id")
+    sortedOnce(
+      decodeImages(spark, imageTable(spark, sfDir)).toDF()
+        .select(col("id"), col("width"), col("height"))
+        .withColumn("out_w",
+          expr(s"CASE WHEN width >= height THEN ${target}L ELSE (width * $target) div height END"))
+        .withColumn("out_h",
+          expr(s"CASE WHEN width >= height THEN (height * $target) div width ELSE ${target}L END")),
+      "id")
 
   /** Frame-sampling shape for video: explode N evenly-spaced frame
     * indices per media row — the fan-out stage before a per-frame decode.
