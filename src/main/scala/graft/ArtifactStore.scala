@@ -58,11 +58,18 @@ final class ArtifactStore[V](val name: String)(release: V => Unit) {
     * under a concurrent getOrBuild about to return the value (ADVICE r12).
     */
   private final class Cell(build: () => V) {
+    /** Creation order within this store: an eviction sweep keyed to a
+      * cell's generation releases only OLDER cells, so an in-flight build
+      * that completes late can never retire a newer fingerprint whose
+      * caller may still hold the returned value (ADVICE r13).
+      */
+    val gen: Long = genCounter.incrementAndGet()
     @volatile var built: Boolean = false
     lazy val value: V = build()
     def force(): V = { val v = value; built = true; v }
   }
 
+  private val genCounter = new java.util.concurrent.atomic.AtomicLong(0)
   private val cells = new ConcurrentHashMap[(String, String), Cell]()
   private val consumerSets =
     new ConcurrentHashMap[String, java.util.Set[String]]()
@@ -76,22 +83,29 @@ final class ArtifactStore[V](val name: String)(release: V => Unit) {
     val cell =
       cells.computeIfAbsent((slot, fingerprint), _ => new Cell(() => build))
     val v = cell.force() // the build itself runs OUTSIDE the map lock
-    evictStale(slot, keep = fingerprint)
+    evictStale(slot, keep = fingerprint, keepGen = cell.gen)
     v
   }
 
-  /** Release every COMPLETED entry of `slot` whose fingerprint is not
-    * `keep`. An entry still building (or registered but never forced) is
-    * DEFERRED, not forced: it stays in the map and the next getOrBuild on
-    * the slot re-sweeps it once its `built` flag has flipped — so the
-    * evictor never executes a build just to discard it, and never deletes
-    * checkpoint files under a value a concurrent caller is about to
-    * return. (Every cell IS forced by its creator immediately after
-    * creation, so a deferred entry is only ever mid-build, not orphaned.)
+  /** Release every COMPLETED entry of `slot` that is OLDER than the
+    * surviving cell (`gen < keepGen`) and not `keep` itself. Two guards:
+    *  - an entry still building (or registered but never forced) is
+    *    DEFERRED, not forced: it stays in the map and a later getOrBuild
+    *    on the slot re-sweeps it once its `built` flag has flipped — the
+    *    evictor never executes a build just to discard it;
+    *  - the generation bound means a stale mid-build cell that completes
+    *    LATE cannot, via its own sweep, release a newer fingerprint whose
+    *    caller may still be using the returned value (ADVICE r13) — only
+    *    newer sweeps retire older cells, never the reverse. The now-built
+    *    stale cell itself survives as a resident entry until the next
+    *    newer-generation access to the slot retires it.
+    * (Every cell IS forced by its creator immediately after creation, so
+    * a deferred entry is only ever mid-build, not orphaned.)
     */
-  private def evictStale(slot: String, keep: String): Unit =
+  private def evictStale(slot: String, keep: String, keepGen: Long): Unit =
     cells.asScala.toList.foreach { case (k, c) =>
-      if (k._1 == slot && k._2 != keep && c.built && cells.remove(k, c))
+      if (k._1 == slot && k._2 != keep && c.built && c.gen < keepGen &&
+          cells.remove(k, c))
         try release(c.value)
         catch { case NonFatal(_) => () } // stale blocks, best-effort
     }

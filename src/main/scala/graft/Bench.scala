@@ -42,6 +42,22 @@ object Bench {
       .foreach(builder.config("spark.executor.extraClassPath", _))
     sys.env.get("SPARK_GRAFT_RELIABLE")
       .foreach(builder.config("spark.graft.reliableCheckpoint", _))
+    // scale-protocol knob: streaming state-partition count scales with
+    // STATE VOLUME, not cores (see StreamingOps.sizeStatePartitions);
+    // the r13 100x record ran the interval joins 4-wide on 32 cores and
+    // measured a 3.0x throttle (VERDICT r13 #1), so when the env does
+    // not override, Bench derives the count from the corpus events
+    // table itself — a scale run can no longer inherit the 1x floor
+    val statePartitions = sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+      .getOrElse {
+        val evDir = new java.io.File(s"$sfDir/events.parquet")
+        val bytes = Option(evDir.listFiles)
+          .map(_.filter(_.isFile).map(_.length).sum)
+          .getOrElse(if (evDir.isFile) evDir.length else 0L)
+        graft.streaming.StreamingOps
+          .sizeStatePartitions(bytes, cpus.toInt).toString
+      }
+    builder.config("spark.graft.streamStatePartitions", statePartitions)
     val spark = builder
       // keep generated methods JIT-compilable (see GraftSession)
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
@@ -125,7 +141,7 @@ object Bench {
     // total is REPEATED after the big "queries" map: the driver keeps
     // only the tail of a long line, so trailing placement is what makes
     // the suite total recoverable from BENCH_r{N}.json (VERDICT r8 #4)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"total_sec":$total,"reps":$reps,"warmup":"$warmDir","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"total_sec":$total,"reps":$reps,"warmup":"$warmDir","sf":"$sfDir","stream_state_partitions":$statePartitions}"""
     println(line)
     // ALSO persist the full record in the repo (VERDICT r11 #8): the
     // driver's BENCH_r{N}.json keeps only the tail of a long line, so

@@ -29,6 +29,9 @@ object Verify {
       .foreach(builder.config("spark.executor.extraClassPath", _))
     sys.env.get("SPARK_GRAFT_RELIABLE")
       .foreach(builder.config("spark.graft.reliableCheckpoint", _))
+    // scale-protocol knob: streaming state-partition count (see Bench)
+    sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
+      .foreach(builder.config("spark.graft.streamStatePartitions", _))
     val spark = builder
       // keep generated methods JIT-compilable (see GraftSession)
       .config("spark.sql.codegen.hugeMethodLimit", "8000")

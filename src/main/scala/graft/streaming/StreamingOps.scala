@@ -268,11 +268,36 @@ object StreamingOps {
     * must fit per partition, and parallelism caps at this count) — the
     * number is per-workload, NOT per-cluster-core like batch shuffle
     * partitions. Overridable via `spark.graft.streamStatePartitions`
-    * on the calling session (default 8) so a deployment sizes it to its
-    * state volume without recompiling.
+    * on the calling session (default 4) so a deployment sizes it to its
+    * state volume without recompiling; Bench/Verify forward the
+    * `SPARK_GRAFT_STREAM_STATE_PARTITIONS` env var into this conf so the
+    * scale protocol sizes it per run — the r13 100x record ran the
+    * interval joins 4-wide on a 32-core box and charged the 3.0x
+    * throttle to the relation (VERDICT r13 #1); the scale rule is in
+    * BASELINE.md's protocol note.
     */
   private def stateShufflePartitions(spark: SparkSession): Int =
     spark.conf.get("spark.graft.streamStatePartitions", "4").toInt
+
+  /** Scale-protocol sizing rule for `spark.graft.streamStatePartitions`
+    * (VERDICT r13 #1/#8). The count scales with STATE VOLUME, not
+    * cores: per-batch store-commit overhead grows with partition count,
+    * so small state wants few partitions (solo reps-3 A/B at sf0.1: the
+    * 43-twin family runs ~8% faster 4-wide than 8-wide, identical
+    * results), while a scale record must not run throttled — the r13
+    * 100x record ran the interval joins 4-wide on a 32-core box and
+    * measured 3.0x slower than 32-wide on the biggest line item. Rule:
+    * one state partition per 4 MB of stateful-input bytes (the events
+    * table on disk is the proxy — join/window state is a bounded slice
+    * of it), floored at 4, capped at the session's cores. Bench derives
+    * the bytes from the corpus when `SPARK_GRAFT_STREAM_STATE_PARTITIONS`
+    * does not override, so a future scale run cannot silently inherit
+    * the 1x floor; StatePartitionSizingSpec pins the rule's shape.
+    */
+  def sizeStatePartitions(statefulInputBytes: Long, cores: Int): Int = {
+    val volumeBound = (statefulInputBytes / (4L << 20)).toInt
+    math.max(4, math.min(math.max(cores, 4), volumeBound.max(1)))
+  }
 
   private def runToBatch(spark: SparkSession, build: SparkSession => DataFrame,
                          prefix: String, mode: OutputMode): DataFrame = {

@@ -89,7 +89,7 @@ class StoreLifecycleSpec extends SparkSpec {
 
   test("eviction never forces an in-flight build: a stale mid-build cell is " +
       "deferred (not executed-to-discard, not released under its caller) and " +
-      "released once built (ADVICE r12)") {
+      "only a NEWER-generation sweep retires older cells (ADVICE r12, r13)") {
     val released = scala.collection.mutable.ArrayBuffer[String]()
     val store = new ArtifactStore[String]("test.evictInFlight")(
       v => released.synchronized { released += v })
@@ -117,13 +117,17 @@ class StoreLifecycleSpec extends SparkSpec {
     assert(released.synchronized(released.toSeq) === Seq("a1"))
     assert(store.liveKeys.toSet === Set(("slotA", "fp2"), ("slotA", "fp3")))
     // the slow build completes and returns a USABLE value — it was not
-    // released out from under its caller; its own sweep then retires fp3
+    // released out from under its caller; and its own sweep is an OLDER
+    // generation than fp3, so it must NOT retire fp3 either — fp3's
+    // caller may still hold the returned value (ADVICE r13). Both stay
+    // resident until a newer-generation access retires them.
     slowRelease.countDown()
     assert(Await.result(fSlow, 10.seconds) === "a2")
-    assert(released.synchronized(released.toSeq) === Seq("a1", "a3"))
-    // the deferred-now-built fp2 is released by the next sweep on the slot
+    assert(released.synchronized(released.toSeq) === Seq("a1"))
+    assert(store.liveKeys.toSet === Set(("slotA", "fp2"), ("slotA", "fp3")))
+    // the next (newer-generation) sweep on the slot retires both
     assert(store.getOrBuild("slotA", "fp4")("a4") === "a4")
-    assert(released.synchronized(released.toSeq) === Seq("a1", "a3", "a2"))
+    assert(released.synchronized(released.toSet) === Set("a1", "a2", "a3"))
     store.clear()
   }
 
