@@ -11,7 +11,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * The batch/streaming split mirrors production: identical
   * transformations, only the source (`readStream`) and sink
   * (`writeStream` + output mode) differ. Tests drive these with a
-  * file/memory source via `processAllAvailable()`.
+  * file/memory source via `runToMemory` (AvailableNow +
+  * awaitTermination — see its scaladoc for why not
+  * processAllAvailable).
   */
 object StreamingOps {
 
@@ -80,8 +82,21 @@ object StreamingOps {
       }.toDF()
   }
 
-  /** Drive any streaming frame to a memory sink and block until all
-    * available input is processed — the local harness for tests.
+  /** Drive any streaming frame to a memory sink and block until the
+    * AvailableNow run TERMINATES — the local harness for tests.
+    *
+    * awaitTermination, not processAllAvailable: an AvailableNow query
+    * runs trailing NO-DATA batches after the data batches (that final
+    * watermark advance is what flushes timed-out state in every
+    * watermark-evicting twin), and processAllAvailable only promises
+    * the *data* is committed — it can return while a trailing batch is
+    * still appending to the memory sink, so a caller that then reads
+    * the sink races the write (observed at 100x as an intermittent
+    * `unread block data` task failure inside the sink's LocalTableScan
+    * parallelize — the rows list was mutating mid-serialization; the
+    * same race is a silent missing-rows hazard at any scale).
+    * AvailableNow self-terminates exactly when every batch, including
+    * the trailing no-data ones, has committed.
     */
   def runToMemory(df: DataFrame, queryName: String,
                   mode: OutputMode = OutputMode.Complete()): StreamingQuery = {
@@ -91,7 +106,7 @@ object StreamingOps {
       .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.processAllAvailable()
+    q.awaitTermination()
     q
   }
 
@@ -1315,8 +1330,7 @@ object StreamingOps {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    q.processAllAvailable()
-    q.stop()
+    q.awaitTermination() // see runToMemory: trailing-batch-safe drain
     def toks(df: DataFrame): DataFrame =
       df.select(col("source"),
         explode(filter(split(col("text"), " "), t => length(t) > 0)).as("token"))
@@ -1361,8 +1375,7 @@ object StreamingOps {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    q.processAllAvailable()
-    q.stop()
+    q.awaitTermination() // see runToMemory: trailing-batch-safe drain
     val schema = graft.GraftSession.table(spark, sfDir, "documents").schema
     graft.sources.JsonLines.profile(spark.read.schema(schema).json(path))
   }
@@ -1510,8 +1523,7 @@ object StreamingOps {
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    q.processAllAvailable()
-    q.stop()
+    q.awaitTermination() // see runToMemory: trailing-batch-safe drain
   }
 
   /** LEFT OUTER stream-stream interval join — `streamViewPurchaseJoin`
