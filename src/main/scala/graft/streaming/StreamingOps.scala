@@ -326,13 +326,60 @@ object StreamingOps {
     // layout from its DataFrame's own session conf at start, and the
     // memory sink registers in that session's catalog, hence the
     // builder-closure shape and the scoped.table read.
+    //
+    // SINK choice is by output mode, and it is a SCALE decision, not a
+    // convenience: Complete-mode results are aggregate tables (bounded
+    // by key/window cardinality, scale-invariant under data growth), so
+    // the memory sink is safe and cheapest. Append/Update results grow
+    // WITH the data (the interval joins emit millions of pairs at 100x,
+    // transitions one pair per event) — a memory sink funnels all of
+    // that through driver heap and the downstream reduction then
+    // re-serializes it task-by-task out of a ParallelCollectionRDD
+    // (measured at 100x: driver OOM at the default 8g heap, and the
+    // largest single cost in the interval-join timings). Those modes
+    // write a PARQUET sink instead — executors write, executors read
+    // back, the driver never holds a row — which is also the production
+    // shape the class doc promises ("only the sink line changes").
     val name = freshName(prefix)
     val scoped = spark.newSession()
     scoped.conf.set("spark.sql.shuffle.partitions",
       stateShufflePartitions(spark).toString)
-    val q = runToMemory(build(scoped), name, mode)
-    q.stop()
-    scoped.table(name)
+    if (mode == OutputMode.Complete()) {
+      val q = runToMemory(build(scoped), name, mode)
+      q.stop()
+      scoped.table(name)
+    } else {
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-stream-sink/" +
+        s"${spark.sparkContext.applicationId}/$name"
+      val df = build(scoped)
+      val q =
+        if (mode == OutputMode.Append())
+          // the native file sink is Append-only by contract
+          df.writeStream
+            .format("parquet")
+            .option("path", s"$dir/out")
+            .option("checkpointLocation", s"$dir/ckpt")
+            .outputMode(mode)
+            .trigger(Trigger.AvailableNow())
+            .start()
+        else
+          // Update mode: per-batch idempotent-enough append via
+          // foreachBatch (one AvailableNow pass; same row multiset the
+          // memory sink accumulated, without the driver round-trip)
+          df.writeStream
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              batch.write.mode("append").parquet(s"$dir/out"); ()
+            }
+            .option("checkpointLocation", s"$dir/ckpt")
+            .outputMode(mode)
+            .trigger(Trigger.AvailableNow())
+            .start()
+      q.awaitTermination() // see runToMemory: trailing-batch-safe drain
+      // explicit schema: a zero-emission stream leaves no data files,
+      // and the harness still owes the caller a typed empty frame
+      new java.io.File(s"$dir/out").mkdirs()
+      scoped.read.schema(df.schema).parquet(s"$dir/out")
+    }
   }
 
   /** Streaming tumbling-window twin of EventWindows.tumbling, surfaced
