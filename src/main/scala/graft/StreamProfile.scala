@@ -1,0 +1,110 @@
+package graft
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQueryListener
+
+/** Progress collector for StreamProfile. Registered via the
+  * `spark.sql.streaming.streamingQueryListeners` conf rather than
+  * `spark.streams.addListener` because the harness twins start their
+  * queries on CLONED sessions (`runToBatch`'s state-partition scoping),
+  * each with its own StreamingQueryManager — the conf is inherited by
+  * clones, so every manager instantiates one of these and all write to
+  * the shared buffer.
+  */
+class ProfileListener extends StreamingQueryListener {
+  override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+    import scala.jdk.CollectionConverters._
+    val name = Option(e.progress.name).getOrElse(e.progress.id.toString)
+    StreamProfile.record(name,
+      e.progress.durationMs.asScala.map { case (k, v) => (k, v.toLong) }.toMap)
+  }
+}
+
+/** Profiling main for the streaming micro-batch tail (VERDICT r13 #7):
+  * runs selected streaming twins and decomposes each run's wall time into
+  *   - the trigger phases Spark itself reports per micro-batch
+  *     (`progress.durationMs`: addBatch = plan+execute the batch,
+  *     queryPlanning, walCommit/commitOffsets = offset/commit-log fsyncs,
+  *     getBatch/latestOffset; triggerExecution is the per-batch envelope)
+  *   - query START overhead (start() returning to first-batch begin:
+  *     stream-execution thread spin-up, source discovery, initial file
+  *     listing) and STOP/drain — derived as wall minus the triggerExecution
+  *     sum
+  * so the family's floor is attributable: if start/stop and per-batch
+  * fixed costs dominate while addBatch is small, the tail is machinery,
+  * not plan cost, and the lever is batch COUNT, not plan shape.
+  *
+  * Usage: runMain graft.StreamProfile [comma-separated query names]
+  * (defaults to a representative slice). Prints one JSON line per query
+  * plus a phase-total summary. Profiling only — never a bench record.
+  */
+object StreamProfile {
+  private val batches =
+    mutable.Map[String, mutable.Buffer[Map[String, Long]]]()
+  private[graft] def record(name: String, durations: Map[String, Long]): Unit =
+    batches.synchronized {
+      batches.getOrElseUpdate(name, mutable.Buffer.empty) += durations
+    }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.streaming.streamingQueryListeners", "graft.ProfileListener")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
+
+    val defaultSlice = Seq(
+      "stream_join_outer", "stream_join", "stream_substring", "stream_transitions",
+      "stream_hot_users", "stream_sessions_append", "stream_funnel", "stream_dedup",
+      "stream_tumbling", "stream_json_sink", "stream_pii", "stream_bm25")
+    val names = if (args.nonEmpty) args(0).split(",").toSeq else defaultSlice
+    val queries = SparkEntry.queries
+
+    // warmup: JIT the streaming machinery once at tiny scale
+    names.foreach { n =>
+      try queries(n)(spark, sys.env.getOrElse("SPARK_GRAFT_WARMUP_DIR",
+        "/root/testdata/sf0.001")).count()
+      catch { case e: Throwable => System.err.println(s"warmup $n: ${e.getMessage}") }
+    }
+    batches.synchronized(batches.clear())
+
+    val phaseTotals = mutable.Map[String, Double]().withDefaultValue(0.0)
+    var wallTotal = 0.0
+    names.foreach { n =>
+      val before = batches.synchronized(batches.keySet.toSet)
+      val t0 = System.nanoTime()
+      queries(n)(spark, sfDir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      // the twin's internal query is whichever new names appeared
+      val mine = batches.synchronized {
+        (batches.keySet.toSet -- before).toSeq.flatMap(batches(_))
+      }
+      val phases = mine.flatMap(_.toSeq).groupBy(_._1)
+        .map { case (k, vs) => (k, vs.map(_._2).sum / 1e3) }
+      val inTrigger = phases.getOrElse("triggerExecution", 0.0)
+      phases.foreach { case (k, v) => phaseTotals(k) += v }
+      phaseTotals("START_STOP_RESIDUAL") += (wall - inTrigger)
+      wallTotal += wall
+      val ps = phases.toSeq.sortBy(-_._2)
+        .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")
+      println(s"""{"query":"$n","wall_sec":${f"$wall%.3f"},"n_batches":${mine.size},"residual_sec":${f"${wall - inTrigger}%.3f"},$ps}""")
+    }
+    val summary = phaseTotals.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")
+    println(s"""{"summary":true,"n_queries":${names.size},"wall_total_sec":${f"$wallTotal%.3f"},$summary}""")
+    spark.stop()
+  }
+}
