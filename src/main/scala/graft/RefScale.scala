@@ -129,7 +129,14 @@ object RefScale {
     // carries its own exactness check, not just wall times
     val baseCounts = UrlCount.tokenCounts(
       spark.read.text(refFiles: _*).withColumnRenamed("value", "text"), "text")
-    val ampl = mass / 80000L // base corpus token mass, README.md:52
+    // amplification derived from the MEASURED base mass, not the README
+    // constant (ADVICE r14): a non-multiple mass is a corpus-generation
+    // bug and should fail loudly here, not as an opaque merge_ok=false
+    val baseMass = baseCounts.agg(sum(col("cnt"))).collect()(0).getLong(0)
+    require(mass % baseMass == 0,
+      s"token mass $mass is not a multiple of base corpus mass $baseMass — " +
+        "generated corpus is not a whole-number amplification of the base files")
+    val ampl = mass / baseMass
     val (mergeOk, tMerge) = timed {
       val back = spark.read.json(jsonDir)
       val mismatch = back.join(baseCounts.withColumnRenamed("cnt", "base_cnt"), "token")

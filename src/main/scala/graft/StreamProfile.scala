@@ -43,6 +43,11 @@ class ProfileListener extends StreamingQueryListener {
   * plus a phase-total summary. Profiling only — never a bench record.
   */
 object StreamProfile {
+  // JSON must be locale-independent: the f"%.3f" interpolator uses the
+  // JVM default locale, which under a comma-decimal locale emits
+  // unparseable "1,234" (ADVICE r14)
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
   private val batches =
     mutable.Map[String, mutable.Buffer[Map[String, Long]]]()
   private[graft] def record(name: String, durations: Map[String, Long]): Unit =
@@ -99,12 +104,12 @@ object StreamProfile {
       phaseTotals("START_STOP_RESIDUAL") += (wall - inTrigger)
       wallTotal += wall
       val ps = phases.toSeq.sortBy(-_._2)
-        .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")
-      println(s"""{"query":"$n","wall_sec":${f"$wall%.3f"},"n_batches":${mine.size},"residual_sec":${f"${wall - inTrigger}%.3f"},$ps}""")
+        .map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")
+      println(s"""{"query":"$n","wall_sec":${fmt(wall)},"n_batches":${mine.size},"residual_sec":${fmt(wall - inTrigger)},$ps}""")
     }
     val summary = phaseTotals.toSeq.sortBy(-_._2)
-      .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString(",")
-    println(s"""{"summary":true,"n_queries":${names.size},"wall_total_sec":${f"$wallTotal%.3f"},$summary}""")
+      .map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")
+    println(s"""{"summary":true,"n_queries":${names.size},"wall_total_sec":${fmt(wallTotal)},$summary}""")
     spark.stop()
   }
 }

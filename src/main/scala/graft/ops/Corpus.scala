@@ -312,8 +312,33 @@ object Corpus {
     * as the decontamination Bloom sketch) and scores arriving docs with
     * a map-literal lookup — see [[dsirScoreFrame]].
     */
+  /** [[graft.ArtifactStore]] key split for the document-side stores
+    * (same discipline as Dedup/TextAnalysis: applicationId + path +
+    * checkpoint mode in the slot, corpus CONTENT hash as fingerprint).
+    */
+  private def corpusSlot(spark: SparkSession, sfDir: String): String =
+    spark.sparkContext.applicationId + "|" + sfDir + "|" +
+      spark.conf.get("spark.graft.reliableCheckpoint", "false")
+  private def docsFp(spark: SparkSession, sfDir: String): String =
+    graft.GraftSession.contentFingerprint(spark, s"$sfDir/documents.parquet")
+
+  // served through the run-lifetime store (VERDICT r14 #4): the ratio
+  // dimension is one full-corpus tokenize+aggregate, and both the batch
+  // weigher (mix_dsir joins it broadcast) and the ingest scorer
+  // (stream_dsir collects it into a map literal) need the SAME <= 1024-row
+  // frame — without the store, the streaming twin re-paid the corpus scan
+  // on every invocation.
+  private val dsirRatioStores = graft.ArtifactStore.frames("corpus.dsirRatio")
   def dsirRatioTable(spark: SparkSession, sfDir: String,
                      target: String = "src0", buckets: Int = 1024): DataFrame =
+    dsirRatioStores.getOrBuild(
+      corpusSlot(spark, sfDir) + s"|$target|$buckets",
+      docsFp(spark, sfDir)) {
+      dsirRatioTableUncached(spark, sfDir, target, buckets).materialized
+    }
+
+  private def dsirRatioTableUncached(spark: SparkSession, sfDir: String,
+                                     target: String, buckets: Int): DataFrame =
     table(spark, sfDir, "documents")
       .select(col("source"),
         explode(filter(split(lower(col("text")), " "),

@@ -587,14 +587,44 @@ object Dedup {
     */
   def incrementalMinHash(spark: SparkSession, sfDir: String,
                          mod: Int = 10, shingleN: Int = 3, k: Int = 16,
-                         bands: Int = 4, minEst: Double = 0.5): DataFrame = {
-    val name = graft.sources.Bucketed.scopedName(spark, "graft_minhash_index")
-    graft.sources.Bucketed.writeBucketed(spark,
-      storedBandKeys(spark, sfDir, "hist", mod, shingleN, k, bands),
-      name, graft.sources.Bucketed.scopedPath(name), "sig", 8)
-    probeMinHashIndexKeys(spark.table(name),
+                         bands: Int = 4, minEst: Double = 0.5): DataFrame =
+    probeMinHashIndexKeys(
+      spark.table(minHashIndexTable(spark, sfDir, mod, shingleN, k, bands)),
       storedBandKeys(spark, sfDir, "new", mod, shingleN, k, bands), k, minEst)
-  }
+
+  /** The PERSISTED band-signature index TABLE over the history split —
+    * the probe target of both the batch (dedup_incremental) and the
+    * ingest-time (stream_dedup_incremental) halves of the daily cycle,
+    * so it is built ONCE per (corpus, params) per run and served from
+    * the store (VERDICT r14 #4: the streaming twin used to rebuild it —
+    * sketch + bucket write — on every invocation). Returns the catalog
+    * table name; the table is bucketed on `sig` so the batch probe's
+    * sort-merge join reads co-located buckets with no index-side
+    * Exchange (PersistedIndexSpec), while the streaming probe
+    * broadcasts it per micro-batch. Refresh/compact keep their OWN
+    * tables — they mutate (append/rewrite), and a shared artifact must
+    * never be mutated by one consumer under another.
+    */
+  // release is a no-op by bm25Stores' reasoning: the name is
+  // deterministic per slot, so a rebuild's DROP TABLE + overwrite
+  // already reclaims the superseded files
+  private val minHashIndexStores =
+    new graft.ArtifactStore[String]("dedup.minhashIndexTable")(_ => ())
+  private[graft] def minHashIndexTable(spark: SparkSession, sfDir: String,
+                                       mod: Int = 10, shingleN: Int = 3,
+                                       k: Int = 16, bands: Int = 4): String =
+    minHashIndexStores.getOrBuild(
+      corpusSlot(spark, sfDir) + s"|$mod|$shingleN|$k|$bands",
+      docsFp(spark, sfDir)) {
+      val suffix = Integer.toHexString(
+        (sfDir, mod, shingleN, k, bands).hashCode & 0x7fffffff)
+      val name = graft.sources.Bucketed.scopedName(
+        spark, s"graft_minhash_index_$suffix")
+      graft.sources.Bucketed.writeBucketed(spark,
+        storedBandKeys(spark, sfDir, "hist", mod, shingleN, k, bands),
+        name, graft.sources.Bucketed.scopedPath(name), "sig", 8)
+      name
+    }
 
   /** dedup_index_refresh: the fold-in half of the daily cycle — after
     * probing (dedup_incremental), the new batch's band signatures are
@@ -1990,6 +2020,33 @@ object Dedup {
     * Output: (doc_id, n_windows, n_dup_windows, dup_milli) for fresh
     * (doc_id % mod == 0) docs with >= n tokens, ordered by doc_id.
     */
+  /** The history split's (window-hash, distinct-doc count) frame — the
+    * store seed both substring-refresh consumers build their bucketed
+    * window stores from (batch: dedup_substring_refresh; ingest:
+    * stream_substring), served once per (corpus, n, mod) per run
+    * (VERDICT r14 #4: the streaming twin used to re-pay the full
+    * history explode+distinct on every invocation). Each consumer still
+    * writes its OWN bucketed table from this frame — refresh appends
+    * its fresh batch into its copy (mutation), so the TABLE cannot be
+    * the shared artifact; the scan is.
+    */
+  private val windowCountStores =
+    graft.ArtifactStore.frames("dedup.histWindowCounts")
+  private[graft] def histWindowCounts(spark: SparkSession, sfDir: String,
+                                      n: Int, mod: Int): DataFrame =
+    windowCountStores.getOrBuild(
+      corpusSlot(spark, sfDir) + s"|$n|$mod",
+      docsFp(spark, sfDir)) {
+      table(spark, sfDir, "documents")
+        .filter(col("doc_id") % mod =!= 0)
+        .select(col("doc_id"),
+          explode(graft.functions.ShingleColumns.wordShingles(col("text"), n)).as("shingle"))
+        .select(col("doc_id"), h60(col("shingle")).as("w"))
+        .distinct()
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .materialized
+    }
+
   def substringRefresh(spark: SparkSession, sfDir: String,
                        n: Int = 8, mod: Int = 4,
                        nBuckets: Int = 8): DataFrame = {
@@ -2003,8 +2060,7 @@ object Dedup {
       .materialized // one pass: fold-in counts + probe side
     val name = graft.sources.Bucketed.scopedName(spark, "graft_window_store")
     graft.sources.Bucketed.writeBucketed(spark,
-      windows(docs.filter(col("doc_id") % mod =!= 0))
-        .groupBy("w").agg(count(lit(1)).as("c")),
+      histWindowCounts(spark, sfDir, n, mod),
       name, graft.sources.Bucketed.scopedPath(name), "w", nBuckets)
     graft.sources.Bucketed.appendBucketed(spark,
       freshWins.groupBy("w").agg(count(lit(1)).as("c")), name, "w", nBuckets)

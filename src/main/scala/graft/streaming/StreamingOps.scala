@@ -349,12 +349,12 @@ object StreamingOps {
       q.stop()
       scoped.table(name)
     } else {
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-stream-sink/" +
-        s"${spark.sparkContext.applicationId}/$name"
+      val dir = s"${scratchRoot(spark)}/$name"
       val df = build(scoped)
       val q =
         if (mode == OutputMode.Append())
-          // the native file sink is Append-only by contract
+          // the native file sink is Append-only by contract; its
+          // metadata log makes it exactly-once under batch replay
           df.writeStream
             .format("parquet")
             .option("path", s"$dir/out")
@@ -363,23 +363,59 @@ object StreamingOps {
             .trigger(Trigger.AvailableNow())
             .start()
         else
-          // Update mode: per-batch idempotent-enough append via
-          // foreachBatch (one AvailableNow pass; same row multiset the
-          // memory sink accumulated, without the driver round-trip)
-          df.writeStream
-            .foreachBatch { (batch: DataFrame, _: Long) =>
-              batch.write.mode("append").parquet(s"$dir/out"); ()
-            }
-            .option("checkpointLocation", s"$dir/ckpt")
-            .outputMode(mode)
-            .trigger(Trigger.AvailableNow())
-            .start()
+          updateSinkWriter(df, dir).start()
       q.awaitTermination() // see runToMemory: trailing-batch-safe drain
       // explicit schema: a zero-emission stream leaves no data files,
-      // and the harness still owes the caller a typed empty frame
+      // and the harness still owes the caller a typed empty frame.
+      // recursiveFileLookup: Update-mode rows live in per-batch subdirs
       new java.io.File(s"$dir/out").mkdirs()
-      scoped.read.schema(df.schema).parquet(s"$dir/out")
+      scoped.read.schema(df.schema)
+        .option("recursiveFileLookup", "true").parquet(s"$dir/out")
     }
+  }
+
+  /** Update-mode sink: IDEMPOTENT per-batch parquet via foreachBatch.
+    * `foreachBatch` is at-least-once — a failure between the parquet
+    * commit and the offset-log commit re-runs the micro-batch on
+    * restart — so each batch OVERWRITES its own batch-stamped directory
+    * (`out/batch-<id>`): a replayed batch replaces itself instead of
+    * double-appending, which makes the sink exactly-once for any
+    * downstream reader of `out/` regardless of retries or checkpoint
+    * reuse. UpdateSinkReplaySpec drops the last commit-log entry,
+    * restarts the query, and proves the read-back row set unchanged.
+    * (The memory sink stays Complete-only: Append/Update results grow
+    * with the data and must never funnel through driver heap.)
+    */
+  private[graft] def updateSinkWriter(df: DataFrame, dir: String) =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$dir/out/batch-$id"); ()
+      }
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+
+  /** Per-application scratch root for the file-sink twins, deleted by a
+    * JVM shutdown hook — without it, every run/JVM leaks its sink +
+    * checkpoint directories under java.io.tmpdir (millions of pair rows
+    * per run at 100x), eventually exhausting /tmp on a long-lived bench
+    * machine (ADVICE r14). Registered once per JVM: the harness runs one
+    * SparkContext per process, and the hook deletes only this
+    * application's directory, never a concurrent run's.
+    */
+  private val scratchHookArmed =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+  private def scratchRoot(spark: SparkSession): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-stream-sink/" +
+      spark.sparkContext.applicationId
+    if (scratchHookArmed.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        deleteRecursively(new java.io.File(root))))
+    root
+  }
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
   }
 
   /** Streaming tumbling-window twin of EventWindows.tumbling, surfaced
@@ -651,16 +687,13 @@ object StreamingOps {
     val sk = graft.functions.ShingleColumns.minhashArray(col("shingles"), k)
     runToBatch(spark,
         s => {
-          // the harness builds the "yesterday" index in-query so the run
-          // is self-contained (on the scoped session — the temp view is
-          // session-local); production reads the table the batch job owns
+          // the "yesterday" index is the SAME persisted table the batch
+          // probe (dedup_incremental) reads — served once per run from
+          // the store (VERDICT r14 #4; the external catalog is shared
+          // state, so the scoped session sees the table): production
+          // reads the table the batch job owns, and so does this twin
           val idxName =
-            graft.sources.Bucketed.scopedName(s, "graft_minhash_index_stream")
-          graft.ops.Dedup.buildMinHashIndex(s,
-            graft.GraftSession.table(s, sfDir, "documents")
-              .filter(col("doc_id") % mod =!= 0),
-            idxName, graft.sources.Bucketed.scopedPath(idxName),
-            3, k, bands)
+            graft.ops.Dedup.minHashIndexTable(s, sfDir, mod, 3, k, bands)
           val idx = s.table(idxName)
             .select(col("doc_id").as("doc_idx"), col("sig"), col("sigs").as("sigs_idx"))
           harnessDocStream(s, sfDir)
@@ -1315,14 +1348,10 @@ object StreamingOps {
         s => {
           val name =
             graft.sources.Bucketed.scopedName(s, "graft_window_store_stream")
-          val hist = graft.GraftSession.table(s, sfDir, "documents")
-            .filter(col("doc_id") % mod =!= 0)
-            .select(col("doc_id"), explode(
-              graft.functions.ShingleColumns.wordShingles(col("text"), n)).as("shingle"))
-            .select(col("doc_id"),
-              graft.functions.OracleHash.h60(col("shingle")).as("w"))
-            .distinct()
-            .groupBy("w").agg(count(lit(1)).as("c"))
+          // the history window-count frame is the store-served artifact
+          // shared with dedup_substring_refresh (VERDICT r14 #4); only
+          // the cheap bucket write below is per-invocation
+          val hist = graft.ops.Dedup.histWindowCounts(s, sfDir, n, mod)
           graft.sources.Bucketed.writeBucketed(s, hist, name,
             graft.sources.Bucketed.scopedPath(name), "w", nBuckets)
           val idx = s.table(name).select(col("w"), lit(1L).as("hit"))
