@@ -42,6 +42,18 @@ object Bench {
       .foreach(builder.config("spark.executor.extraClassPath", _))
     sys.env.get("SPARK_GRAFT_RELIABLE")
       .foreach(builder.config("spark.graft.reliableCheckpoint", _))
+    // state-store provider A/B (VERDICT r14 #5): the default provider
+    // holds each state partition's store ON-HEAP, so at real state
+    // volume the partition-sizing rule is silently also a heap rule;
+    // SPARK_GRAFT_STATESTORE=rocksdb switches the whole run to the
+    // disk-backed RocksDB provider in stock Spark for the scale A/B
+    sys.env.get("SPARK_GRAFT_STATESTORE").foreach {
+      case "rocksdb" => builder.config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case other => builder.config(
+        "spark.sql.streaming.stateStore.providerClass", other)
+    }
     // scale-protocol knob: streaming state-partition count scales with
     // STATE VOLUME, not cores (see StreamingOps.sizeStatePartitions);
     // the r13 100x record ran the interval joins 4-wide on 32 cores and
@@ -116,12 +128,23 @@ object Bench {
     if (warmupFailures > 0)
       System.err.println(s"[graft.Bench] WARNING: $warmupFailures/${selected.size} warmup " +
         "runs failed — timings below may include JIT/codegen warmup (cold)")
+    // known-bimodal queries get a third rep (VERDICT r14 #3): at one HEAD
+    // the in-suite best-of-2 spread vs the solo canonical reached 7.5x
+    // (mm_resize 4.90 vs 0.65 s) — JDK codec work is allocation-heavy, so
+    // a GC pause or compile stall can eat BOTH reps; one extra rep bounds
+    // a single stall's leverage on the recorded best. The set is the
+    // measured outlier list (codec family + the two trigger-timing
+    // stragglers), not a blanket raise — suite cost stays ~seconds.
+    val bimodal = Set("mm_resize", "mm_resize_exec", "mm_decode",
+      "mm_audio_decode", "mm_audio_fingerprint", "mm_features",
+      "dedup_minhash_calibration", "stream_hot_users")
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { case (name, fn) =>
       var best = Double.MaxValue
       var rep = 0
-      while (rep < reps && !errors.contains(name)) {
+      val nReps = if (bimodal(name)) reps.max(3) else reps
+      while (rep < nReps && !errors.contains(name)) {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()

@@ -308,6 +308,17 @@ object StreamingOps {
     * the bytes from the corpus when `SPARK_GRAFT_STREAM_STATE_PARTITIONS`
     * does not override, so a future scale run cannot silently inherit
     * the 1x floor; StatePartitionSizingSpec pins the rule's shape.
+    *
+    * Scope (VERDICT r14 #5): this is a PARALLELISM rule — it sizes how
+    * wide state work spreads and what the per-batch store-commit
+    * overhead is. It is NOT the memory-fit rule: the default
+    * HDFS-backed provider keeps each partition's state on executor
+    * HEAP, so once per-partition state (stateful volume / cores, after
+    * the cap binds) approaches executor heap, the lever is the
+    * disk-backed RocksDB state-store provider
+    * (`SPARK_GRAFT_STATESTORE=rocksdb` in Bench/Verify; stock Spark),
+    * not more partitions. The 100x A/B of both providers is recorded in
+    * BASELINE.md.
     */
   def sizeStatePartitions(statefulInputBytes: Long, cores: Int): Int = {
     val volumeBound = (statefulInputBytes / (4L << 20)).toInt
