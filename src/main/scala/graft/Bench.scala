@@ -38,6 +38,11 @@ object Bench {
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+    // make local-cluster[n,c,mem] mean what it says: mem is only worker
+    // CAPACITY; the executor -Xmx needs spark.executor.memory (see
+    // GraftSession.executorMemoryFor)
+    GraftSession.executorMemoryFor(master)
+      .foreach(builder.config("spark.executor.memory", _))
     sys.env.get("SPARK_GRAFT_EXECUTOR_CLASSPATH")
       .foreach(builder.config("spark.executor.extraClassPath", _))
     sys.env.get("SPARK_GRAFT_RELIABLE")

@@ -11,6 +11,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object GraftSession {
 
+  /** The executor heap a `local-cluster[n,cores,mem]` master string
+    * PROMISES. Spark registers `mem` only as the standalone worker's
+    * CAPACITY — the executor JVM's -Xmx still comes from
+    * `spark.executor.memory` (default 1g), so without this every
+    * local-cluster run silently launches 1 GiB executors no matter what
+    * the master string says. Found when the round-15 100x combined run
+    * OOM'd executors requested at "8 GiB" whose real -Xmx was 1024M
+    * (worker launch command in /opt/spark/work). Every graft main that
+    * honors SPARK_GRAFT_MASTER passes the parsed value through to
+    * `spark.executor.memory`, making the topology argument mean what it
+    * says.
+    */
+  def executorMemoryFor(master: String): Option[String] =
+    """^local-cluster\[\s*\d+\s*,\s*\d+\s*,\s*(\d+)\s*\]$""".r
+      .findFirstMatchIn(master).map(_.group(1) + "m")
+
   def build(appName: String = "graft",
             master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
             shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt): SparkSession = {

@@ -96,6 +96,11 @@ object RefScale {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+    // the record's heap cap must be explicit, not the 1g default the
+    // local-cluster mem arg happens to coincide with (see
+    // GraftSession.executorMemoryFor)
+    graft.GraftSession.executorMemoryFor(master)
+      .foreach(builder.config("spark.executor.memory", _))
     sys.env.get("SPARK_GRAFT_EXECUTOR_CLASSPATH")
       .foreach(builder.config("spark.executor.extraClassPath", _))
     val spark = builder.getOrCreate()

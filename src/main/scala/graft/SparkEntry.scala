@@ -1099,11 +1099,17 @@ object SparkEntry {
        |anchors AS (
        |  SELECT doc_id FROM documents WHERE doc_id % 50 = 0
        |  ORDER BY doc_id LIMIT 100),
-       |q AS (
+       |q0 AS (
        |  SELECT d.doc_id::BIGINT AS query_id,
        |    unnest(list_distinct(list_filter(string_split(lower(d.text), ' '),
        |      t -> length(t) > 0))) AS term
        |  FROM documents d JOIN anchors a ON d.doc_id = a.doc_id),
+       |q AS (
+       |  SELECT query_id, term FROM (
+       |    SELECT q0.query_id, q0.term,
+       |      row_number() OVER (PARTITION BY q0.query_id
+       |                         ORDER BY df.df ASC, q0.term ASC) AS trk
+       |    FROM q0 JOIN df USING (term)) WHERE trk <= 32),
        |sc AS (
        |  SELECT q.query_id, tf.doc_id,
        |    sum((((2*n_docs - 2*df + 1) * 1000) // (2*df + 1))

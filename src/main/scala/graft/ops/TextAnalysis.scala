@@ -426,7 +426,17 @@ object TextAnalysis {
   private def bm25Serve(postings: DataFrame, qdim: DataFrame,
                         stats: DataFrame, k: Int,
                         excludeSelf: Boolean = false): DataFrame = {
-    val joined = postings.join(qdim, "term")
+    // WIDTH, not pruning: a bucketed file scan is one task per FILE —
+    // never split by size — so at volume the candidate join + scoring
+    // aggregate ran only file-count wide off the stored postings table
+    // (measured at 100x, round 15: the hybrid lexical half 211 s
+    // narrow vs ~15 s at full width). One narrow-row rebalance of the
+    // (already scan-pruned) posting rows restores the session's full
+    // parallelism; the pushed IN/bucket pruning happens at the scan,
+    // before this exchange, unchanged (TextAnalysisSpec pins it).
+    val widened = postings.repartition(
+      postings.sparkSession.sessionState.conf.numShufflePartitions)
+    val joined = widened.join(qdim, "term")
     // query-by-document workloads rank the anchor's own document first
     // by construction; drop it BEFORE scoring so the top-k buffer never
     // carries the degenerate self-match
@@ -630,11 +640,30 @@ object TextAnalysis {
     * the exact form builds it, the ANN form serves it.
     */
   private val hybridLexStores = graft.ArtifactStore.frames("text.hybridLex")
+
+  /** Per-anchor query-term budget: each anchor's `hybridMaxQueryTerms`
+    * MOST SELECTIVE terms (lowest df, ties by term) form its query —
+    * the champion-list / WAND-style workload bound every production
+    * retriever applies to query-by-document. Without it the candidate
+    * relation is anchors x (df mass of their full vocabulary): on a
+    * shared-vocabulary corpus every anchor matches nearly every
+    * document through its common terms, so candidates grow with
+    * workload x CORPUS — measured at 100x as 241 s single-JVM (~350x
+    * the 1x cost) and an executor OOM under local-cluster (the partial
+    * aggregate's spill-merge allocates a reader per spill file; round-15
+    * combined-axes run). Common terms carry near-uniform score mass to
+    * every candidate — selective terms are what rank — so the bound is
+    * the standard trade; the oracle applies the identical pruning
+    * (same df ordering, same tie-break), keeping the gate exact.
+    */
+  private val hybridMaxQueryTerms = 32
+
   private def hybridLexRanks(spark: SparkSession, sfDir: String,
                              docs: DataFrame, anchorIds: DataFrame,
                              kList: Int, storeTag: String): DataFrame =
     hybridLexStores.getOrBuild(
-      corpusSlot(spark, sfDir) + s"|$storeTag|$kList",
+      corpusSlot(spark, sfDir) +
+        s"|$storeTag|$kList|t$hybridMaxQueryTerms",
       docsFp(spark, sfDir)) {
       graft.Materialize(
         hybridLexRanksUncached(spark, sfDir, docs, anchorIds, kList))
@@ -654,7 +683,15 @@ object TextAnalysis {
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(filter(split(lower(col("text")), " "),
           t => length(t) > 0))).as("term"))
-    val qdim = broadcast(anchors.join(dft, "term"))
+    // champion-list bound (see hybridMaxQueryTerms): the window runs
+    // over <= nAnchors x distinct-terms-per-doc rows — workload-sized,
+    // never corpus-sized
+    val wSel = Window.partitionBy("query_id")
+      .orderBy(col("df").asc, col("term").asc)
+    val qdim = broadcast(anchors.join(dft, "term")
+      .withColumn("trk", row_number().over(wSel))
+      .filter(col("trk") <= hybridMaxQueryTerms)
+      .drop("trk"))
     bm25Serve(postings, qdim, spark.table(statsName).limit(1), kList,
         excludeSelf = true)
       .select(col("query_id"), col("doc_id"), col("rk").as("rk_lex"))
