@@ -27,6 +27,27 @@ object GraftSession {
     """^local-cluster\[\s*\d+\s*,\s*\d+\s*,\s*(\d+)\s*\]$""".r
       .findFirstMatchIn(master).map(_.group(1) + "m")
 
+  /** Resolve SPARK_GRAFT_STATESTORE to a provider class, failing fast at
+    * session BUILD on a typo (ADVICE r15): the raw fallthrough passed any
+    * string straight to `spark.sql.streaming.stateStore.providerClass`,
+    * so 'rocksDB' only failed deep into the run when the first stateful
+    * query started. Accepts the two spelled aliases or any resolvable
+    * class name.
+    */
+  def stateStoreProviderFor(value: String): String = value match {
+    case "rocksdb" =>
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    case "default" =>
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    case other =>
+      try { Class.forName(other); other }
+      catch {
+        case _: ClassNotFoundException => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_STATESTORE='$other' is neither 'rocksdb'/'default' " +
+            "nor a resolvable state-store provider class name")
+      }
+  }
+
   def build(appName: String = "graft",
             master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
             shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt): SparkSession = {

@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.storage.StorageLevel
 
 /** The ONE materialization seam for iterative/self-join intermediates
   * (shingle frames, minhash signatures, per-round label/rank tables).
@@ -19,20 +18,29 @@ import org.apache.spark.storage.StorageLevel
   *    ContextCleaner when the plan is garbage-collected. Right for
   *    single-JVM local mode and for clusters where executor loss may
   *    simply rerun the query.
-  *  - RELIABLE (`spark.graft.reliableCheckpoint=true`): persist to
-  *    MEMORY_AND_DISK, then a RELIABLE checkpoint to
-  *    `spark.graft.checkpointDir` (default: a per-application directory
-  *    under java.io.tmpdir locally; point it at durable shared storage
-  *    on a cluster). Executor loss mid-iteration then recovers from the
-  *    checkpoint files instead of restarting a multi-hour dedup run —
-  *    the mode a 100 TB multi-executor job runs in. The persist-first
-  *    recipe matters: a bare checkpoint runs a SECOND job over the full
-  *    lineage for the checkpoint write; persisting makes that write
-  *    read the cached blocks instead.
+  *  - RELIABLE (`spark.graft.reliableCheckpoint=true`): write the frame
+  *    as PARQUET under `spark.graft.checkpointDir` (default: a
+  *    per-application directory under java.io.tmpdir locally; point it
+  *    at durable shared storage on a cluster) and read it back.
+  *    Executor loss mid-iteration then recovers from the materialized
+  *    files instead of restarting a multi-hour dedup run — the mode a
+  *    100 TB multi-executor job runs in.
   *
-  * Checkpoint files are cleaned when the application exits only if
-  * `spark.cleaner.referenceTracking.cleanCheckpoints=true`; long-lived
-  * cluster sessions should set that, or sweep the checkpoint dir.
+  *    Parquet, NOT `RDD.checkpoint` (VERDICT r15 #3): checkpoint files
+  *    are java-serialized rows written one file per partition at the
+  *    frame's full width, and every consumer re-reads ALL of them
+  *    task-per-partition across process boundaries — the combined-axes
+  *    record priced first-consumer artifact builds at 50-250x their
+  *    single-JVM cost (corpus_ngram_novelty 81.4 s vs 1.7). A parquet
+  *    read-back plans by SIZE (a small frame re-reads as one task, a
+  *    big one splits at maxPartitionBytes), the files are columnar-
+  *    compressed, and the write is a single job over the lineage (the
+  *    checkpoint recipe needed persist + a second checkpoint job).
+  *
+  * Materialized files are swept by ArtifactStore eviction ([[release]])
+  * and otherwise live until the checkpoint dir is cleaned; long-lived
+  * cluster sessions should sweep it (locally the per-application
+  * default under java.io.tmpdir is bounded by the run).
   *
   * CheckpointSeamSpec flips the flag and proves the iterative families
   * (near-dup clustering, PageRank) produce identical results either way.
@@ -42,19 +50,22 @@ object Materialize {
   def reliable(df: DataFrame): Boolean =
     df.sparkSession.conf.get("spark.graft.reliableCheckpoint", "false") == "true"
 
+  private val matId = new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def checkpointDir(df: DataFrame): String = {
+    val sc = df.sparkSession.sparkContext
+    df.sparkSession.conf.get("spark.graft.checkpointDir",
+      s"${System.getProperty("java.io.tmpdir")}/graft-checkpoints-${sc.applicationId}")
+  }
+
   def apply(df: DataFrame): DataFrame =
     if (!reliable(df)) df.localCheckpoint()
     else {
-      val sc = df.sparkSession.sparkContext
-      if (sc.getCheckpointDir.isEmpty) {
-        val dir = df.sparkSession.conf.get("spark.graft.checkpointDir",
-          s"${System.getProperty("java.io.tmpdir")}/graft-checkpoints-${sc.applicationId}")
-        sc.setCheckpointDir(dir)
-      }
-      val cached = df.persist(StorageLevel.MEMORY_AND_DISK)
-      val out = cached.checkpoint()
-      cached.unpersist()
-      out
+      val path = s"${checkpointDir(df)}/mat-${matId.incrementAndGet()}"
+      df.write.mode("overwrite").parquet(path)
+      // explicit schema: an empty frame writes no part files, and the
+      // read-back must not depend on inference finding one
+      df.sparkSession.read.schema(df.schema).parquet(path)
     }
 
   /** Proactively free a materialized frame's storage (ArtifactStore
@@ -83,6 +94,28 @@ object Materialize {
         }
         rdd.unpersist(blocking = false)
       }
+    // the reliable (parquet) form plans as a file relation rooted under
+    // the graft checkpoint dir's mat-* — delete exactly those roots
+    // (never a caller's own parquet inputs)
+    materializedRoots(df).foreach { p =>
+      try p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        .delete(p, true)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  /** The mat-* parquet roots a reliable-materialized frame serves from
+    * (eviction target set; also the lifecycle specs' introspection hook).
+    */
+  private[graft] def materializedRoots(df: DataFrame): Seq[org.apache.hadoop.fs.Path] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val matPrefix = checkpointDir(df) + "/mat-"
+    df.queryExecution.analyzed.collect {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths
+        case _ => Seq.empty[org.apache.hadoop.fs.Path]
+      }
+    }.flatten.filter(_.toString.contains(matPrefix))
   }
 
   /** `df.materialized` — the call-site form every operator uses. */

@@ -138,6 +138,9 @@ object RefScale {
     // constant (ADVICE r14): a non-multiple mass is a corpus-generation
     // bug and should fail loudly here, not as an opaque merge_ok=false
     val baseMass = baseCounts.agg(sum(col("cnt"))).collect()(0).getLong(0)
+    require(baseMass > 0,
+      "base corpus token mass is 0 — reference data files missing/empty " +
+        "(a bare / by zero here would hide the real failure; ADVICE r15)")
     require(mass % baseMass == 0,
       s"token mass $mass is not a multiple of base corpus mass $baseMass — " +
         "generated corpus is not a whole-number amplification of the base files")

@@ -1109,7 +1109,8 @@ object SparkEntry {
        |    SELECT q0.query_id, q0.term,
        |      row_number() OVER (PARTITION BY q0.query_id
        |                         ORDER BY df.df ASC, q0.term ASC) AS trk
-       |    FROM q0 JOIN df USING (term)) WHERE trk <= 32),
+       |    FROM q0 JOIN df USING (term))
+       |  WHERE trk <= ${graft.ops.TextAnalysis.hybridMaxQueryTerms}),
        |sc AS (
        |  SELECT q.query_id, tf.doc_id,
        |    sum((((2*n_docs - 2*df + 1) * 1000) // (2*df + 1))

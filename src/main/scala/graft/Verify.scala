@@ -34,13 +34,11 @@ object Verify {
       .foreach(builder.config("spark.executor.extraClassPath", _))
     sys.env.get("SPARK_GRAFT_RELIABLE")
       .foreach(builder.config("spark.graft.reliableCheckpoint", _))
-    // state-store provider override (see Bench: SPARK_GRAFT_STATESTORE)
-    sys.env.get("SPARK_GRAFT_STATESTORE").foreach {
-      case "rocksdb" => builder.config(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      case other => builder.config(
-        "spark.sql.streaming.stateStore.providerClass", other)
+    // state-store provider override (see Bench: SPARK_GRAFT_STATESTORE);
+    // validated at session build (GraftSession.stateStoreProviderFor)
+    sys.env.get("SPARK_GRAFT_STATESTORE").foreach { v =>
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        GraftSession.stateStoreProviderFor(v))
     }
     // scale-protocol knob: streaming state-partition count (see Bench)
     sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")

@@ -425,7 +425,8 @@ object TextAnalysis {
     */
   private def bm25Serve(postings: DataFrame, qdim: DataFrame,
                         stats: DataFrame, k: Int,
-                        excludeSelf: Boolean = false): DataFrame = {
+                        excludeSelf: Boolean = false,
+                        rebalance: Boolean = false): DataFrame = {
     // WIDTH, not pruning: a bucketed file scan is one task per FILE —
     // never split by size — so at volume the candidate join + scoring
     // aggregate ran only file-count wide off the stored postings table
@@ -434,8 +435,16 @@ object TextAnalysis {
     // (already scan-pruned) posting rows restores the session's full
     // parallelism; the pushed IN/bucket pruning happens at the scan,
     // before this exchange, unchanged (TextAnalysisSpec pins it).
-    val widened = postings.repartition(
-      postings.sparkSession.sessionState.conf.numShufflePartitions)
+    // CONDITIONAL (VERDICT r15 #2): the exchange is pure overhead when
+    // the postings are already session-wide — always true for the
+    // inline form (aggregate output = shuffle width; the r15
+    // unconditional exchange cost text_bm25 0.71 -> 1.30 s at 1x) and
+    // for small stored tables — so only the store-served callers opt
+    // in, via serveRebalance's size/width gate.
+    val widened =
+      if (rebalance) postings.repartition(
+        postings.sparkSession.sessionState.conf.numShufflePartitions)
+      else postings
     val joined = widened.join(qdim, "term")
     // query-by-document workloads rank the anchor's own document first
     // by construction; drop it BEFORE scoring so the top-k buffer never
@@ -458,6 +467,25 @@ object TextAnalysis {
       .select(col("query_id"), col("t.tag").cast("long").as("doc_id"),
         col("t.n").as("score_micro"), (col("i") + 1).cast("long").as("rk"))
       .orderBy("query_id", "rk")
+  }
+
+  /** Whether a store-served postings scan needs the [[bm25Serve]] width
+    * rebalance: only when the stored table is big enough that file-count
+    * width is the bottleneck (a bucketed scan is one task per FILE) AND
+    * the scan would actually run narrower than the session. The stored
+    * relation's stats are exact file mass (checked FIRST — the partition
+    * probe plans the scan, so the cheap gate short-circuits it at 1x);
+    * threshold overridable via spark.graft.serveRebalanceMinBytes. At
+    * sf0.1 the postings table is ~1 MB -> skip (reclaims the r15 1x
+    * regression); at 100x it is hundreds of MB -> rebalance (keeps the
+    * 211 -> 149 s win).
+    */
+  private[graft] def serveRebalance(spark: SparkSession, name: String): Boolean = {
+    val rel = spark.table(name)
+    val minBytes = spark.conf.get("spark.graft.serveRebalanceMinBytes",
+      (64L * 1024 * 1024).toString).toLong
+    rel.queryExecution.optimizedPlan.stats.sizeInBytes >= minBytes &&
+      rel.rdd.getNumPartitions < spark.sessionState.conf.numShufflePartitions
   }
 
   /** Build-once-per-run BM25 index store (VERDICT r9 #6): the bucketed
@@ -541,7 +569,8 @@ object TextAnalysis {
     // .limit(1) re-bounds the stored 1-row stats table in-plan: read
     // back from parquet it is a bare scan, and the broadcast side of
     // the scoring cross join must stay provably bounded to the sweep
-    bm25Serve(pruned, qdim, spark.table(statsName).limit(1), k)
+    bm25Serve(pruned, qdim, spark.table(statsName).limit(1), k,
+      rebalance = serveRebalance(spark, name))
   }
 
   /** text_hybrid_rrf: hybrid retrieval — lexical BM25 and semantic
@@ -656,7 +685,10 @@ object TextAnalysis {
     * the standard trade; the oracle applies the identical pruning
     * (same df ordering, same tie-break), keeping the gate exact.
     */
-  private val hybridMaxQueryTerms = 32
+  // private[graft]: the oracle SQL (SparkEntry.hybridLexCtes) interpolates
+  // this same constant — one definition for both sides of the gate, so a
+  // retune can never surface as an opaque oracle-hash mismatch (ADVICE r15)
+  private[graft] val hybridMaxQueryTerms = 32
 
   private def hybridLexRanks(spark: SparkSession, sfDir: String,
                              docs: DataFrame, anchorIds: DataFrame,
@@ -693,7 +725,7 @@ object TextAnalysis {
       .filter(col("trk") <= hybridMaxQueryTerms)
       .drop("trk"))
     bm25Serve(postings, qdim, spark.table(statsName).limit(1), kList,
-        excludeSelf = true)
+        excludeSelf = true, rebalance = serveRebalance(spark, name))
       .select(col("query_id"), col("doc_id"), col("rk").as("rk_lex"))
   }
 

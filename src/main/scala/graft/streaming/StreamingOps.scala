@@ -410,16 +410,19 @@ object StreamingOps {
     * JVM shutdown hook — without it, every run/JVM leaks its sink +
     * checkpoint directories under java.io.tmpdir (millions of pair rows
     * per run at 100x), eventually exhausting /tmp on a long-lived bench
-    * machine (ADVICE r14). Registered once per JVM: the harness runs one
-    * SparkContext per process, and the hook deletes only this
-    * application's directory, never a concurrent run's.
+    * machine (ADVICE r14). Registered once per ROOT, not once per JVM
+    * (ADVICE r15): a JVM that runs several SparkContexts in sequence
+    * (sbt test JVMs, back-to-back harness runs) gets one hook per
+    * application root, so every application's scratch is reclaimed —
+    * each hook deletes only its own application's directory, never a
+    * concurrent run's.
     */
-  private val scratchHookArmed =
-    new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val scratchHookRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def scratchRoot(spark: SparkSession): String = {
     val root = s"${System.getProperty("java.io.tmpdir")}/graft-stream-sink/" +
       spark.sparkContext.applicationId
-    if (scratchHookArmed.compareAndSet(false, true))
+    if (scratchHookRoots.add(root))
       Runtime.getRuntime.addShutdownHook(new Thread(() =>
         deleteRecursively(new java.io.File(root))))
     root

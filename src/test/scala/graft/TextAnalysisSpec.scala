@@ -197,6 +197,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Seq((0L, 1L, 2491000L, 1L), (0L, 2L, 694200L, 2L)))
   }
 
+  test("bm25 serve width rebalance is conditional (VERDICT r15 #2)") {
+    import spark.implicits._
+    val dir = tempSfDir()
+    writeTable(dir, "documents", Seq(
+      (1L, "cat cat dog", "en", "s", 11L),
+      (2L, "cat fish", "en", "s", 8L),
+      (3L, "bird bird bird bird", "en", "s", 19L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // off leg — the 1x reclaim: a small stored index must serve WITHOUT
+    // the width exchange (r15's unconditional repartition cost text_bm25
+    // 0.71 -> 1.30 s at sf0.1)
+    val served = TextAnalysis.bm25Indexed(spark, dir, queries = Seq(0L -> "cat dog"))
+    assert(!served.queryExecution.executedPlan.toString
+      .contains("RoundRobinPartitioning"),
+      "small store must not pay the serve-width exchange")
+    // gate unit, both directions, on a controlled 1-file table (scan
+    // width 1 < session width 4, so the size threshold decides)
+    val name = "graft_test_rebalance_gate"
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    (1 to 100).toDF("n").coalesce(1).write.saveAsTable(name)
+    try {
+      assert(!TextAnalysis.serveRebalance(spark, name),
+        "a table below the default 64 MB threshold must not rebalance")
+      spark.conf.set("spark.graft.serveRebalanceMinBytes", "1")
+      assert(TextAnalysis.serveRebalance(spark, name),
+        "a narrow scan past the size gate must rebalance to session width")
+    } finally {
+      spark.conf.unset("spark.graft.serveRebalanceMinBytes")
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+    }
+  }
+
   test("hybrid rrf: lexical and semantic ranks fuse by exact integer reciprocal") {
     import spark.implicits._
     val dir = tempSfDir()
