@@ -1409,7 +1409,7 @@ object SparkEntry {
     */
   /** The corpus half of the BM25 oracle — inverted-index statistics
     * shared by every BM25 replay regardless of where its query workload
-    * comes from (fixed VALUES for text_bm25/stream_bm25; the anchor
+    * comes from (corpus-derived workload for text_bm25/stream_bm25; the anchor
     * documents' own terms for text_hybrid_rrf).
     */
   private lazy val bm25CorpusCtes: String =
@@ -1423,14 +1423,21 @@ object SparkEntry {
       |st AS (SELECT (SELECT count(*) FROM toks)::BIGINT AS tot,
       |              (SELECT count(*) FROM documents)::BIGINT AS n_docs)""".stripMargin
 
+  // the workload mirrors TextAnalysis.defaultBm25Workload: corpus-derived
+  // (round 16) — the 3 lexicographically largest distinct tokens of each
+  // of the 5 smallest doc_id % 100 == 0 docs; binary string sort and the
+  // same slice on both sides keep the gate exact on ANY corpus
   private lazy val bm25ScoreCtes: String =
     s"""$bm25CorpusCtes,
-      |q(query_id, term) AS (VALUES
-      |  (0, 'spark'), (0, 'table'), (0, 'join'),
-      |  (1, 'fast'), (1, 'scan'), (1, 'filter'),
-      |  (2, 'window'), (2, 'agg'), (2, 'group'),
-      |  (3, 'customer'), (3, 'query'), (3, 'value'),
-      |  (4, 'hash'), (4, 'merge'), (4, 'batch')),
+      |qdocs AS (
+      |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS query_id
+      |  FROM (SELECT doc_id FROM documents WHERE doc_id % 100 = 0
+      |        ORDER BY doc_id LIMIT 5)),
+      |q AS (
+      |  SELECT qd.query_id::BIGINT AS query_id,
+      |    unnest(list_reverse_sort(list_distinct(list_filter(
+      |      string_split(lower(d.text), ' '), t -> length(t) > 0)))[1:3]) AS term
+      |  FROM documents d JOIN qdocs qd USING (doc_id)),
       |sc AS (
       |  SELECT q.query_id::BIGINT AS query_id, tf.doc_id,
       |    sum((((2*n_docs - 2*df + 1) * 1000) // (2*df + 1))

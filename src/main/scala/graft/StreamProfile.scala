@@ -41,6 +41,15 @@ class ProfileListener extends StreamingQueryListener {
   * Usage: runMain graft.StreamProfile [comma-separated query names]
   * (defaults to a representative slice). Prints one JSON line per query
   * plus a phase-total summary. Profiling only — never a bench record.
+  *
+  * Bimodality mode (VERDICT r15 #3): SPARK_GRAFT_PROFILE_REPS=N runs
+  * each query N times and emits one line PER REP with the per-batch
+  * phase breakdown — the committed variance band showed same-HEAD
+  * spreads up to 4.2x on four stream twins, discrete rather than
+  * Gaussian, so the diagnostic is a batch-by-batch diff of a fast rep
+  * against a slow one: an extra micro-batch names the trigger/source
+  * race, a fat addBatch in batch 0 names listing/plan warmup, a fat
+  * walCommit names commit-log fsync jitter.
   */
 object StreamProfile {
   // JSON must be locale-independent: the f"%.3f" interpolator uses the
@@ -86,26 +95,36 @@ object StreamProfile {
     }
     batches.synchronized(batches.clear())
 
+    val reps = sys.env.getOrElse("SPARK_GRAFT_PROFILE_REPS", "1").toInt.max(1)
     val phaseTotals = mutable.Map[String, Double]().withDefaultValue(0.0)
     var wallTotal = 0.0
     names.foreach { n =>
-      val before = batches.synchronized(batches.keySet.toSet)
-      val t0 = System.nanoTime()
-      queries(n)(spark, sfDir).count()
-      val wall = (System.nanoTime() - t0) / 1e9
-      // the twin's internal query is whichever new names appeared
-      val mine = batches.synchronized {
-        (batches.keySet.toSet -- before).toSeq.flatMap(batches(_))
+      (1 to reps).foreach { rep =>
+        // a rep owns everything recorded during it (the twin may run
+        // several internal queries; clear-then-collect is exact)
+        batches.synchronized(batches.clear())
+        val t0 = System.nanoTime()
+        queries(n)(spark, sfDir).count()
+        val wall = (System.nanoTime() - t0) / 1e9
+        val mine = batches.synchronized(batches.values.flatten.toSeq)
+        val phases = mine.flatMap(_.toSeq).groupBy(_._1)
+          .map { case (k, vs) => (k, vs.map(_._2).sum / 1e3) }
+        val inTrigger = phases.getOrElse("triggerExecution", 0.0)
+        phases.foreach { case (k, v) => phaseTotals(k) += v }
+        phaseTotals("START_STOP_RESIDUAL") += (wall - inTrigger)
+        wallTotal += wall
+        val ps = phases.toSeq.sortBy(-_._2)
+          .map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")
+        val perBatch = if (reps <= 1) "" else {
+          val bs = mine.map { m =>
+            m.toSeq.sortBy(-_._2).take(5)
+              .map { case (k, v) => s""""$k":${fmt(v / 1e3)}""" }
+              .mkString("{", ",", "}")
+          }.mkString("[", ",", "]")
+          s""","batches":$bs"""
+        }
+        println(s"""{"query":"$n","rep":$rep,"wall_sec":${fmt(wall)},"n_batches":${mine.size},"residual_sec":${fmt(wall - inTrigger)},$ps$perBatch}""")
       }
-      val phases = mine.flatMap(_.toSeq).groupBy(_._1)
-        .map { case (k, vs) => (k, vs.map(_._2).sum / 1e3) }
-      val inTrigger = phases.getOrElse("triggerExecution", 0.0)
-      phases.foreach { case (k, v) => phaseTotals(k) += v }
-      phaseTotals("START_STOP_RESIDUAL") += (wall - inTrigger)
-      wallTotal += wall
-      val ps = phases.toSeq.sortBy(-_._2)
-        .map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")
-      println(s"""{"query":"$n","wall_sec":${fmt(wall)},"n_batches":${mine.size},"residual_sec":${fmt(wall - inTrigger)},$ps}""")
     }
     val summary = phaseTotals.toSeq.sortBy(-_._2)
       .map { case (k, v) => s""""$k":${fmt(v)}""" }.mkString(",")

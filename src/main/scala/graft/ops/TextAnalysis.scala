@@ -336,17 +336,30 @@ object TextAnalysis {
   }
 
   /** The default retrieval workload for `bm25TopK` / `streamBm25`:
-    * five multi-term queries over the corpus vocabulary. A production
-    * run passes its own (query_id, text) workload; the scoring plan is
+    * five 3-term queries DERIVED from the corpus itself — query i's
+    * terms are the 3 lexicographically largest distinct tokens of the
+    * i-th smallest doc with doc_id % 100 == 0. Derived, not hardcoded
+    * (round 16): a fixed term list is vacuously 0-row on any corpus
+    * with a different vocabulary (the Zipf retrieval corpus made the
+    * old "spark table join" workload score nothing), while this rule
+    * is deterministic on every corpus, stays FIXED as replication
+    * grows the corpus (the 5 source docs are the smallest ids), and
+    * the oracle mirrors it exactly (same sort, same slice — binary
+    * string order both sides). A production run passes its own
+    * (query_id, text) workload; the scoring plan is
     * workload-size-independent as long as the term dimension stays
     * broadcastable (thousands of stored queries are still KBs).
     */
-  val defaultBm25Queries: Seq[(Long, String)] = Seq(
-    0L -> "spark table join",
-    1L -> "fast scan filter",
-    2L -> "window agg group",
-    3L -> "customer query value",
-    4L -> "hash merge batch")
+  def defaultBm25Workload(spark: SparkSession,
+                          sfDir: String): Seq[(Long, String)] =
+    table(spark, sfDir, "documents")
+      .filter(col("doc_id") % 100 === 0)
+      .orderBy("doc_id").limit(5)
+      .select(concat_ws(" ", slice(reverse(array_sort(array_distinct(
+        filter(split(lower(col("text")), " "), t => length(t) > 0)))),
+        1, 3)).as("qtext"))
+      .collect().toSeq.zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getString(0)) }
 
   /** text_bm25: BM25 top-k retrieval over an inverted index — the
     * ranked-search primitive an LLM-data pipeline uses for
@@ -389,8 +402,9 @@ object TextAnalysis {
     * Output: (query_id, doc_id, score_micro, rk), rk = 1..k, ordered.
     */
   def bm25TopK(spark: SparkSession, sfDir: String,
-               queries: Seq[(Long, String)] = defaultBm25Queries,
+               queries: Seq[(Long, String)] = Nil,
                k: Int = 5): DataFrame = {
+    val qs = if (queries.nonEmpty) queries else defaultBm25Workload(spark, sfDir)
     val docs = table(spark, sfDir, "documents")
     val terms = docs.select(col("doc_id"),
       explode(filter(split(lower(col("text")), " "), t => length(t) > 0)).as("term"))
@@ -402,7 +416,7 @@ object TextAnalysis {
     val stats = terms.agg(count(lit(1)).as("tot"))
       .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
     val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val qdim = broadcast(bm25QueryTerms(spark, queries).join(dft, "term"))
+    val qdim = broadcast(bm25QueryTerms(spark, qs).join(dft, "term"))
     bm25Serve(postings, qdim, stats, k)
   }
 
@@ -556,12 +570,13 @@ object TextAnalysis {
     * so the inline form's oracle replays this one.
     */
   def bm25Indexed(spark: SparkSession, sfDir: String,
-                  queries: Seq[(Long, String)] = defaultBm25Queries,
+                  queries: Seq[(Long, String)] = Nil,
                   k: Int = 5): DataFrame = {
+    val qs = if (queries.nonEmpty) queries else defaultBm25Workload(spark, sfDir)
     val (name, statsName) = bm25Store(spark, sfDir)
     // —— serving: stored postings + stored metadata only ——
-    val qterms = bm25QueryTerms(spark, queries)
-    val workloadTerms = queries.flatMap(_._2.toLowerCase.split(" "))
+    val qterms = bm25QueryTerms(spark, qs)
+    val workloadTerms = qs.flatMap(_._2.toLowerCase.split(" "))
       .filter(_.nonEmpty).distinct
     val pruned = spark.table(name).filter(col("term").isin(workloadTerms: _*))
     val dft = pruned.groupBy("term").agg(count(lit(1)).as("df"))
@@ -794,6 +809,13 @@ object TextAnalysis {
     */
   private[graft] def bm25PercolateFrame(docs: DataFrame,
       qdim: Seq[(Long, String, Long)], tot: Long, nDocs: Long): DataFrame = {
+    // a workload with zero corpus-matching terms percolates nothing —
+    // return the empty relation rather than unrolling an empty struct
+    // array (explode of a zero-field array types as VOID and fails
+    // analysis; surfaced by a vocabulary-disjoint corpus, round 16)
+    if (qdim.isEmpty)
+      return docs.select(col("doc_id"), lit(0L).as("query_id"),
+        lit(0L).as("score_micro")).filter(lit(false))
     val workloadTerms = qdim.map(_._2).distinct
     val tfCol = (t: String) => s"tf_${workloadTerms.indexOf(t)}"
     val toks = filter(split(lower(col("text")), " "), t => length(t) > 0)

@@ -1331,7 +1331,7 @@ object StreamingOps {
     */
   def streamBm25(spark: SparkSession, sfDir: String): DataFrame = {
     val (qdim, tot, nDocs) = graft.ops.TextAnalysis.bm25Artifacts(
-      spark, sfDir, graft.ops.TextAnalysis.defaultBm25Queries)
+      spark, sfDir, graft.ops.TextAnalysis.defaultBm25Workload(spark, sfDir))
     runToBatch(spark,
         s => graft.ops.TextAnalysis.bm25PercolateFrame(
           harnessDocStream(s, sfDir), qdim, tot, nDocs),

@@ -607,9 +607,11 @@ class StreamingSpec extends SparkSpec {
   test("bm25 percolation twin equals the batch scorer's match relation") {
     import spark.implicits._
     val sfDir = tempSfDir()
+    // ids 100/200 land on the corpus-derived workload rule (smallest
+    // doc_id % 100 == 0 docs); doc 3 shares no vocabulary with them
     writeTable(sfDir, "documents", Seq(
-      (1L, "spark table join table", "en", "s", 22L),
-      (2L, "fast scan scan filter table", "en", "s", 27L),
+      (100L, "spark table join table", "en", "s", 22L),
+      (200L, "fast scan scan filter table", "en", "s", 27L),
       (3L, "plain words only", "en", "s", 16L))
       .toDF("doc_id", "text", "lang", "source", "n_chars"))
     val s = StreamingOps.streamBm25(spark, sfDir).collect()
@@ -618,7 +620,7 @@ class StreamingSpec extends SparkSpec {
     val b = graft.ops.TextAnalysis.bm25TopK(spark, sfDir).collect()
       .map(r => (r.getLong(1), r.getLong(0), r.getLong(2))).toSet
     assert(s === b)
-    assert(s.nonEmpty && s.map(_._1).contains(1L))
+    assert(s.nonEmpty && s.map(_._1).contains(100L))
     // doc 3 matches no stored query: percolator must not emit it
     assert(!s.map(_._1).contains(3L))
   }
