@@ -43,3 +43,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // safepoint polls for up to 2s, serializing GC across all 32 workers.
   "-XX:LoopStripMiningIter=100",
 )
+// ad-hoc JVM flags for the forked mains (GC logging, collector probes)
+// without editing the build: SPARK_GRAFT_JVM_EXTRA="-Xlog:gc*:..." sbt ...
+javaOptions ++= sys.env.get("SPARK_GRAFT_JVM_EXTRA")
+  .toSeq.flatMap(_.trim.split("\\s+").toSeq).filter(_.nonEmpty)

@@ -153,6 +153,7 @@ object Bench {
       var rep = 0
       val nReps = if (bimodal(name)) repsBimodal else reps
       while (rep < nReps && !errors.contains(name)) {
+        val up0 = java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
@@ -161,6 +162,15 @@ object Bench {
           case e: Throwable =>
             errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(200)
         }
+        // per-rep trace with JVM-uptime window bounds, for correlating a
+        // rep's wall time against an -Xlog:gc log's uptime stamps
+        // (the r15 variance band's stream outliers; VERDICT r15 #3)
+        if (sys.env.contains("SPARK_GRAFT_BENCH_TRACE"))
+          System.err.println(String.format(java.util.Locale.ROOT,
+            "[graft.Bench.trace] %s rep=%d %.3fs up=[%.1f,%.1f]", name,
+            Integer.valueOf(rep), Double.box((System.nanoTime() - t0) / 1e9),
+            Double.box(up0 / 1e3), Double.box(
+              java.lang.management.ManagementFactory.getRuntimeMXBean.getUptime / 1e3)))
         rep += 1
       }
       if (!errors.contains(name)) timings(name) = best

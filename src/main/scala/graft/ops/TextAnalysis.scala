@@ -350,16 +350,24 @@ object TextAnalysis {
     * workload-size-independent as long as the term dimension stays
     * broadcastable (thousands of stored queries are still KBs).
     */
+  // memoized per (application, corpus content): the workload is run
+  // metadata — a stored-queries table in production — and re-deriving
+  // it per call re-scans documents (measured ~0.3 s/call at sf0.1)
+  private val workloadCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, String)]]()
   def defaultBm25Workload(spark: SparkSession,
                           sfDir: String): Seq[(Long, String)] =
-    table(spark, sfDir, "documents")
-      .filter(col("doc_id") % 100 === 0)
-      .orderBy("doc_id").limit(5)
-      .select(concat_ws(" ", slice(reverse(array_sort(array_distinct(
-        filter(split(lower(col("text")), " "), t => length(t) > 0)))),
-        1, 3)).as("qtext"))
-      .collect().toSeq.zipWithIndex
-      .map { case (r, i) => (i.toLong, r.getString(0)) }
+    workloadCache.computeIfAbsent(
+      spark.sparkContext.applicationId + "|" + sfDir + "|" +
+        docsFp(spark, sfDir),
+      _ => table(spark, sfDir, "documents")
+        .filter(col("doc_id") % 100 === 0)
+        .orderBy("doc_id").limit(5)
+        .select(concat_ws(" ", slice(reverse(array_sort(array_distinct(
+          filter(split(lower(col("text")), " "), t => length(t) > 0)))),
+          1, 3)).as("qtext"))
+        .collect().toSeq.zipWithIndex
+        .map { case (r, i) => (i.toLong, r.getString(0)) })
 
   /** text_bm25: BM25 top-k retrieval over an inverted index — the
     * ranked-search primitive an LLM-data pipeline uses for
