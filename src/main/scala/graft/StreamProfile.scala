@@ -21,6 +21,15 @@ class ProfileListener extends StreamingQueryListener {
     val name = Option(e.progress.name).getOrElse(e.progress.id.toString)
     StreamProfile.record(name,
       e.progress.durationMs.asScala.map { case (k, v) => (k, v.toLong) }.toMap)
+    // state-store footprint per batch (sums the batch's state operators):
+    // memoryUsedBytes is the provider's loaded-store estimate, the number
+    // that decides the on-heap vs RocksDB provider choice (BASELINE flip
+    // rule) — recorded here so the crossover experiment can size executor
+    // heap against MEASURED state instead of an input-bytes proxy
+    val ops = e.progress.stateOperators
+    if (ops.nonEmpty)
+      StreamProfile.recordState(name,
+        ops.map(_.memoryUsedBytes).sum, ops.map(_.numRowsTotal).sum)
   }
 }
 
@@ -63,6 +72,14 @@ object StreamProfile {
     batches.synchronized {
       batches.getOrElseUpdate(name, mutable.Buffer.empty) += durations
     }
+  // per-batch (state memoryUsedBytes, numRowsTotal), same lifecycle as
+  // `batches` (cleared per rep, read under the same lock)
+  private val stateStats =
+    mutable.Map[String, mutable.Buffer[(Long, Long)]]()
+  private[graft] def recordState(name: String, memBytes: Long, rows: Long): Unit =
+    batches.synchronized {
+      stateStats.getOrElseUpdate(name, mutable.Buffer.empty) += ((memBytes, rows))
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -102,11 +119,16 @@ object StreamProfile {
       (1 to reps).foreach { rep =>
         // a rep owns everything recorded during it (the twin may run
         // several internal queries; clear-then-collect is exact)
-        batches.synchronized(batches.clear())
+        batches.synchronized { batches.clear(); stateStats.clear() }
         val t0 = System.nanoTime()
         queries(n)(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9
         val mine = batches.synchronized(batches.values.flatten.toSeq)
+        val (stateMemMax, stateRowsMax) = batches.synchronized {
+          val all = stateStats.values.flatten
+          if (all.isEmpty) (0L, 0L)
+          else (all.map(_._1).max, all.map(_._2).max)
+        }
         val phases = mine.flatMap(_.toSeq).groupBy(_._1)
           .map { case (k, vs) => (k, vs.map(_._2).sum / 1e3) }
         val inTrigger = phases.getOrElse("triggerExecution", 0.0)
@@ -123,7 +145,7 @@ object StreamProfile {
           }.mkString("[", ",", "]")
           s""","batches":$bs"""
         }
-        println(s"""{"query":"$n","rep":$rep,"wall_sec":${fmt(wall)},"n_batches":${mine.size},"residual_sec":${fmt(wall - inTrigger)},$ps$perBatch}""")
+        println(s"""{"query":"$n","rep":$rep,"wall_sec":${fmt(wall)},"n_batches":${mine.size},"state_mem_max_bytes":$stateMemMax,"state_rows_max":$stateRowsMax,"residual_sec":${fmt(wall - inTrigger)},$ps$perBatch}""")
       }
     }
     val summary = phaseTotals.toSeq.sortBy(-_._2)
