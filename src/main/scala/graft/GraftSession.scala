@@ -48,6 +48,30 @@ object GraftSession {
       }
   }
 
+  /** Register a JVM shutdown hook that recursively deletes `root` —
+    * once per distinct root, so a JVM running several SparkContexts in
+    * sequence (sbt test JVMs, back-to-back harness runs) reclaims every
+    * application's scratch (ADVICE r15 pattern, hoisted from
+    * StreamingOps so the reliable-checkpoint default dir shares it: 19
+    * dead-application `graft-checkpoints-*` dirs / 6.5 GB were found
+    * leaked under /tmp in one bench day). Returns whether the root was
+    * newly registered. Only defaults whose recovery value ends with the
+    * application belong here — never a user-configured path.
+    */
+  private val cleanupRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  def cleanupAtShutdown(root: String): Boolean = {
+    val added = cleanupRoots.add(root)
+    if (added)
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        deleteRecursively(new java.io.File(root))))
+    added
+  }
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
+  }
+
   def build(appName: String = "graft",
             master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
             shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt): SparkSession = {

@@ -37,10 +37,12 @@ import org.apache.spark.sql.DataFrame
   *    compressed, and the write is a single job over the lineage (the
   *    checkpoint recipe needed persist + a second checkpoint job).
   *
-  * Materialized files are swept by ArtifactStore eviction ([[release]])
-  * and otherwise live until the checkpoint dir is cleaned; long-lived
-  * cluster sessions should sweep it (locally the per-application
-  * default under java.io.tmpdir is bounded by the run).
+  * Materialized files are swept by ArtifactStore eviction ([[release]]);
+  * the per-application default dir under java.io.tmpdir is additionally
+  * deleted by a JVM shutdown hook (GraftSession.cleanupAtShutdown —
+  * without it every harness run leaked its mat-* parquet under /tmp). A
+  * user-configured `spark.graft.checkpointDir` is never auto-deleted;
+  * long-lived cluster sessions should sweep it themselves.
   *
   * CheckpointSeamSpec flips the flag and proves the iterative families
   * (near-dup clustering, PageRank) produce identical results either way.
@@ -53,9 +55,18 @@ object Materialize {
   private val matId = new java.util.concurrent.atomic.AtomicLong(0)
 
   private def checkpointDir(df: DataFrame): String = {
-    val sc = df.sparkSession.sparkContext
-    df.sparkSession.conf.get("spark.graft.checkpointDir",
-      s"${System.getProperty("java.io.tmpdir")}/graft-checkpoints-${sc.applicationId}")
+    val configured = df.sparkSession.conf.get("spark.graft.checkpointDir", "")
+    if (configured.nonEmpty) configured
+    else {
+      val sc = df.sparkSession.sparkContext
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-checkpoints-${sc.applicationId}"
+      // the tmpdir default is per-application scratch whose recovery
+      // value ends with the application — reclaim it at JVM exit. A
+      // user-pointed spark.graft.checkpointDir (durable shared storage
+      // on a cluster) is never auto-deleted.
+      GraftSession.cleanupAtShutdown(dir)
+      dir
+    }
   }
 
   def apply(df: DataFrame): DataFrame =

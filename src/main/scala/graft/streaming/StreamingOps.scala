@@ -415,21 +415,15 @@ object StreamingOps {
     * (sbt test JVMs, back-to-back harness runs) gets one hook per
     * application root, so every application's scratch is reclaimed —
     * each hook deletes only its own application's directory, never a
-    * concurrent run's.
+    * concurrent run's. The mechanism lives in
+    * GraftSession.cleanupAtShutdown, shared with the Materialize seam's
+    * default checkpoint dir.
     */
-  private val scratchHookRoots =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def scratchRoot(spark: SparkSession): String = {
     val root = s"${System.getProperty("java.io.tmpdir")}/graft-stream-sink/" +
       spark.sparkContext.applicationId
-    if (scratchHookRoots.add(root))
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        deleteRecursively(new java.io.File(root))))
+    graft.GraftSession.cleanupAtShutdown(root)
     root
-  }
-  private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles).foreach(_.foreach(deleteRecursively))
-    f.delete(); ()
   }
 
   /** Streaming tumbling-window twin of EventWindows.tumbling, surfaced

@@ -175,4 +175,53 @@ class StoreLifecycleSpec extends SparkSpec {
         s"superseded materialized parquet must be deleted: $f"))
     } finally spark.conf.set("spark.graft.reliableCheckpoint", "false")
   }
+
+  test("shutdown cleanup registers once per root and the sweep deletes a tree") {
+    // one hook per distinct root (a JVM running several applications in
+    // sequence reclaims each one's scratch); re-registration is a no-op
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-cleanup-spec").toString
+    assert(GraftSession.cleanupAtShutdown(root),
+      "first registration must install a hook")
+    assert(!GraftSession.cleanupAtShutdown(root),
+      "re-registering the same root must be a no-op")
+    assert(GraftSession.cleanupAtShutdown(root + "-other"),
+      "a different root must get its own hook")
+    // the sweep the hook runs: recursive, handles nesting
+    val nested = new java.io.File(s"$root/a/b")
+    nested.mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$root/a/b/f.txt"), "x")
+    GraftSession.deleteRecursively(new java.io.File(root))
+    assert(!new java.io.File(root).exists, "sweep must delete the whole tree")
+
+    // the reliable-checkpoint DEFAULT dir self-registers; a user-pointed
+    // spark.graft.checkpointDir must NOT (never auto-delete durable
+    // storage a deployment owns)
+    import spark.implicits._
+    spark.conf.set("spark.graft.reliableCheckpoint", "true")
+    try {
+      val userDir = java.nio.file.Files
+        .createTempDirectory("graft-user-ckpt").toString
+      spark.conf.set("spark.graft.checkpointDir", userDir)
+      Materialize(Seq(1, 2, 3).toDF("v")).count()
+      // cleanupAtShutdown returning true = the dir was NOT registered by
+      // Materialize (the call itself then registers this test temp dir,
+      // which only schedules the spec's own scratch for JVM-exit sweep)
+      assert(GraftSession.cleanupAtShutdown(userDir),
+        "a user-configured checkpoint dir must never be auto-registered")
+      // default path: unset the conf, materialize, and the tmpdir
+      // default for this application must now be hook-registered
+      spark.conf.unset("spark.graft.checkpointDir")
+      Materialize(Seq(4, 5).toDF("v")).count()
+      val dflt = s"${System.getProperty("java.io.tmpdir")}/graft-checkpoints-" +
+        spark.sparkContext.applicationId
+      assert(!GraftSession.cleanupAtShutdown(dflt),
+        "the default checkpoint dir must already be registered for cleanup")
+      GraftSession.deleteRecursively(new java.io.File(userDir))
+    } finally {
+      spark.conf.set("spark.graft.reliableCheckpoint", "false")
+      spark.conf.unset("spark.graft.checkpointDir")
+    }
+  }
 }
