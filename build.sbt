@@ -45,5 +45,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 )
 // ad-hoc JVM flags for the forked mains (GC logging, collector probes)
 // without editing the build: SPARK_GRAFT_JVM_EXTRA="-Xlog:gc*:..." sbt ...
+// LIMITATION (ADVICE r16): the value splits on whitespace, so a single
+// flag whose value CONTAINS a space (quoted -Xlog file paths etc.) breaks
+// into bogus flags — use space-free values (every GC/JIT probe so far is)
 javaOptions ++= sys.env.get("SPARK_GRAFT_JVM_EXTRA")
   .toSeq.flatMap(_.trim.split("\\s+").toSeq).filter(_.nonEmpty)

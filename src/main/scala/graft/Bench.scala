@@ -47,16 +47,28 @@ object Bench {
       .foreach(builder.config("spark.executor.extraClassPath", _))
     sys.env.get("SPARK_GRAFT_RELIABLE")
       .foreach(builder.config("spark.graft.reliableCheckpoint", _))
-    // state-store provider A/B (VERDICT r14 #5): the default provider
-    // holds each state partition's store ON-HEAP, so at real state
-    // volume the partition-sizing rule is silently also a heap rule;
-    // SPARK_GRAFT_STATESTORE=rocksdb switches the whole run to the
-    // disk-backed RocksDB provider in stock Spark for the scale A/B.
-    // Validation is at session build (GraftSession.stateStoreProviderFor)
-    sys.env.get("SPARK_GRAFT_STATESTORE").foreach { v =>
-      builder.config("spark.sql.streaming.stateStore.providerClass",
-        GraftSession.stateStoreProviderFor(v))
+    // stateful-volume proxy shared by the two scale-protocol knobs
+    // below: the events table's bytes on disk
+    val eventsBytes = {
+      val evDir = new java.io.File(s"$sfDir/events.parquet")
+      Option(evDir.listFiles)
+        .map(_.filter(_.isFile).map(_.length).sum)
+        .getOrElse(if (evDir.isFile) evDir.length else 0L)
     }
+    // state-store provider: SPARK_GRAFT_STATESTORE overrides (A/B legs,
+    // VERDICT r14 #5); otherwise the measured crossover rule picks it —
+    // RocksDB iff forecast per-executor state exceeds half the executor
+    // heap (GraftSession.autoStateStoreProvider, VERDICT r16 #2 /
+    // bench/statestore_crossover_r16.json), so a small-heap scale
+    // topology no longer needs a hand-set env var to avoid the on-heap
+    // OOM cascade
+    val stateStoreProvider = sys.env.get("SPARK_GRAFT_STATESTORE")
+      .map(GraftSession.stateStoreProviderFor)
+      .getOrElse(GraftSession.autoStateStoreProvider(eventsBytes,
+        GraftSession.executorHeapBytesFor(master),
+        GraftSession.numExecutorsFor(master)))
+    builder.config("spark.sql.streaming.stateStore.providerClass",
+      stateStoreProvider)
     // scale-protocol knob: streaming state-partition count scales with
     // STATE VOLUME, not cores (see StreamingOps.sizeStatePartitions);
     // the r13 100x record ran the interval joins 4-wide on 32 cores and
@@ -64,14 +76,8 @@ object Bench {
     // not override, Bench derives the count from the corpus events
     // table itself — a scale run can no longer inherit the 1x floor
     val statePartitions = sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
-      .getOrElse {
-        val evDir = new java.io.File(s"$sfDir/events.parquet")
-        val bytes = Option(evDir.listFiles)
-          .map(_.filter(_.isFile).map(_.length).sum)
-          .getOrElse(if (evDir.isFile) evDir.length else 0L)
-        graft.streaming.StreamingOps
-          .sizeStatePartitions(bytes, cpus.toInt).toString
-      }
+      .getOrElse(graft.streaming.StreamingOps
+        .sizeStatePartitions(eventsBytes, cpus.toInt).toString)
     builder.config("spark.graft.streamStatePartitions", statePartitions)
     val spark = builder
       // keep generated methods JIT-compilable (see GraftSession)
@@ -188,7 +194,7 @@ object Bench {
     // ran best-of-3 on these eight)
     val bimodalJson = bimodal.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"total_sec":$total,"reps":$reps,"reps_bimodal":$repsBimodal,"bimodal":$bimodalJson,"warmup":"$warmDir","sf":"$sfDir","stream_state_partitions":$statePartitions}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"n_ok":${timings.size},"n_err":${errors.size},"total_sec":$total,"reps":$reps,"reps_bimodal":$repsBimodal,"bimodal":$bimodalJson,"warmup":"$warmDir","sf":"$sfDir","stream_state_partitions":$statePartitions,"state_store_provider":"${stateStoreProvider.split('.').last}"}"""
     println(line)
     // ALSO persist the full record in the repo (VERDICT r11 #8): the
     // driver's BENCH_r{N}.json keeps only the tail of a long line, so

@@ -35,18 +35,86 @@ object GraftSession {
     * class name.
     */
   def stateStoreProviderFor(value: String): String = value match {
-    case "rocksdb" =>
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-    case "default" =>
-      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+    case "rocksdb" => rocksDbProvider
+    case "default" => onHeapProvider
     case other =>
-      try { Class.forName(other); other }
+      // fail fast only on what is certainly a typo (no package separator
+      // — 'rocksDB', 'ROCKSDB'); a dotted FQCN that does not resolve on
+      // the DRIVER may still be legitimate, shipped executor-side via
+      // SPARK_GRAFT_EXECUTOR_CLASSPATH, so it passes through with a
+      // warning instead of failing a deployable config (ADVICE r16).
+      // Class.forName with initialize=false: validation must not run a
+      // provider's static initializers at session build.
+      if (!other.contains(".")) throw new IllegalArgumentException(
+        s"SPARK_GRAFT_STATESTORE='$other' is neither 'rocksdb'/'default' " +
+          "nor a state-store provider class name")
+      try Class.forName(other, false, Thread.currentThread.getContextClassLoader)
       catch {
-        case _: ClassNotFoundException => throw new IllegalArgumentException(
-          s"SPARK_GRAFT_STATESTORE='$other' is neither 'rocksdb'/'default' " +
-            "nor a resolvable state-store provider class name")
+        case _: ClassNotFoundException => System.err.println(
+          s"warning: state-store provider '$other' is not on the driver " +
+            "classpath; proceeding (it may be executor-only via " +
+            "SPARK_GRAFT_EXECUTOR_CLASSPATH) — a typo fails at first " +
+            "stateful query start instead of here")
       }
+      other
   }
+
+  val onHeapProvider =
+    "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+  val rocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Measured streaming-state bytes per stateful-input byte (VERDICT r16
+    * crossover, bench/statestore_crossover_r16.json): the heaviest
+    * stateful twins (the 100x interval joins) held 901.6 MB of loaded
+    * store (`stateOperators.memoryUsedBytes`) against a 216 MB events
+    * table on disk — ~4.2x, because parquet is compressed and the join
+    * keeps BOTH sides' rows in the interval window. Deliberately the
+    * worst case in the suite: forecasting every stateful query at the
+    * join's ratio only ever flips to RocksDB early, never OOMs late.
+    */
+  val stateBytesPerStatefulInputByte: Double = 4.2
+
+  /** Auto provider choice encoding the measured crossover
+    * (bench/statestore_crossover_r16.json; VERDICT r16 #2): the default
+    * HDFSBackedStateStoreProvider keeps each partition's loaded store
+    * ON-HEAP and retains ~2 versions during maintenance — measured flat
+    * down to ~2.4x heap:state headroom (1024m leg = the 2048m time) and
+    * an executor OOM-cascade DNF at ~1.2x (512m leg). RocksDB keeps
+    * state in native memory + local disk: heap-INSENSITIVE (689/707 s
+    * across a 2x heap change) but ~2.8x slower when heap is ample. So:
+    * RocksDB iff forecast per-executor state exceeds HALF the executor
+    * heap, else on-heap. Replayed on the measured topology (216 MB
+    * events, 2 executors): 512m -> RocksDB (completes, 707 s, where
+    * on-heap cannot run), 1024m/2048m -> on-heap (245 s, 2.8x faster
+    * than RocksDB there) — the rule picks the fastest COMPLETING
+    * provider at every measured point. StateStoreAutoProviderSpec pins
+    * it; SPARK_GRAFT_STATESTORE overrides it.
+    */
+  def autoStateStoreProvider(statefulInputBytes: Long,
+                             executorHeapBytes: Long,
+                             numExecutors: Int): String = {
+    val perExecutorState =
+      statefulInputBytes * stateBytesPerStatefulInputByte /
+        math.max(1, numExecutors)
+    if (perExecutorState > executorHeapBytes / 2.0) rocksDbProvider
+    else onHeapProvider
+  }
+
+  /** The executor heap (bytes) a master string implies: parsed from
+    * `local-cluster[n,c,mem]` (what [[executorMemoryFor]] forwards to
+    * spark.executor.memory), else — local[*] masters, where state lives
+    * in this one JVM — the running JVM's own -Xmx.
+    */
+  def executorHeapBytesFor(master: String): Long =
+    executorMemoryFor(master)
+      .map(m => m.stripSuffix("m").toLong << 20)
+      .getOrElse(Runtime.getRuntime.maxMemory)
+
+  /** Executor count a master string implies (1 for local[*]). */
+  def numExecutorsFor(master: String): Int =
+    """^local-cluster\[\s*(\d+)\s*,""".r
+      .findFirstMatchIn(master).map(_.group(1).toInt).getOrElse(1)
 
   /** Register a JVM shutdown hook that recursively deletes `root` —
     * once per distinct root, so a JVM running several SparkContexts in

@@ -120,13 +120,24 @@ object Materialize {
     */
   private[graft] def materializedRoots(df: DataFrame): Seq[org.apache.hadoop.fs.Path] = {
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-    val matPrefix = checkpointDir(df) + "/mat-"
+    // rootPaths come out of the FileIndex scheme-qualified and
+    // normalized; qualify the configured dir the same way before
+    // comparing (ADVICE r16: a raw-substring match against an
+    // unnormalized spark.graft.checkpointDir — trailing slash, relative
+    // form — never matched, silently disabling release() for
+    // user-configured dirs and accumulating superseded mat-* parquet
+    // forever on long-lived reliable-mode sessions)
+    val dir = new org.apache.hadoop.fs.Path(checkpointDir(df))
+    val qualifiedDir = dir
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      .makeQualified(dir)
     df.queryExecution.analyzed.collect {
       case l: LogicalRelation => l.relation match {
         case fs: HadoopFsRelation => fs.location.rootPaths
         case _ => Seq.empty[org.apache.hadoop.fs.Path]
       }
-    }.flatten.filter(_.toString.contains(matPrefix))
+    }.flatten.filter(p =>
+      p.getName.startsWith("mat-") && p.getParent == qualifiedDir)
   }
 
   /** `df.materialized` — the call-site form every operator uses. */

@@ -1425,8 +1425,14 @@ object SparkEntry {
 
   // the workload mirrors TextAnalysis.defaultBm25Workload: corpus-derived
   // (round 16) — the 3 lexicographically largest distinct tokens of each
-  // of the 5 smallest doc_id % 100 == 0 docs; binary string sort and the
-  // same slice on both sides keep the gate exact on ANY corpus
+  // of the 5 smallest doc_id % 100 == 0 docs. ASCII-vocabulary assumption
+  // (ADVICE r16): "same string order both sides" holds because Spark
+  // sorts by UTF-16 code units while DuckDB's list_reverse_sort compares
+  // UTF-8 bytes — identical ONLY for ASCII tokens (code points above
+  // U+007F, e.g. U+E000-U+FFFF vs supplementary planes, order
+  // differently). Both harness corpora (synthetic + Zipf) are ASCII; a
+  // non-ASCII corpus needs a collation-stable normalization (e.g. sort
+  // by unicode code point on both sides) at BOTH definition sites.
   private lazy val bm25ScoreCtes: String =
     s"""$bm25CorpusCtes,
       |qdocs AS (

@@ -34,12 +34,21 @@ object Verify {
       .foreach(builder.config("spark.executor.extraClassPath", _))
     sys.env.get("SPARK_GRAFT_RELIABLE")
       .foreach(builder.config("spark.graft.reliableCheckpoint", _))
-    // state-store provider override (see Bench: SPARK_GRAFT_STATESTORE);
-    // validated at session build (GraftSession.stateStoreProviderFor)
-    sys.env.get("SPARK_GRAFT_STATESTORE").foreach { v =>
-      builder.config("spark.sql.streaming.stateStore.providerClass",
-        GraftSession.stateStoreProviderFor(v))
-    }
+    // state-store provider: env override, else the measured crossover
+    // rule (see Bench / GraftSession.autoStateStoreProvider) — RocksDB
+    // iff forecast per-executor state exceeds half the executor heap
+    builder.config("spark.sql.streaming.stateStore.providerClass",
+      sys.env.get("SPARK_GRAFT_STATESTORE")
+        .map(GraftSession.stateStoreProviderFor)
+        .getOrElse {
+          val evDir = new java.io.File(s"$sfDir/events.parquet")
+          val eventsBytes = Option(evDir.listFiles)
+            .map(_.filter(_.isFile).map(_.length).sum)
+            .getOrElse(if (evDir.isFile) evDir.length else 0L)
+          GraftSession.autoStateStoreProvider(eventsBytes,
+            GraftSession.executorHeapBytesFor(master),
+            GraftSession.numExecutorsFor(master))
+        })
     // scale-protocol knob: streaming state-partition count (see Bench)
     sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
       .foreach(builder.config("spark.graft.streamStatePartitions", _))

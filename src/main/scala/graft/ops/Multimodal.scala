@@ -390,9 +390,32 @@ object Multimodal {
     * them with javax.imageio, emit the recovered (width, height,
     * luma_milli) per image. The oracle recomputes what the generator
     * encoded; any codec/pixel math drift hash-mismatches.
+    *
+    * Deliberately BUILD-INCLUSIVE (never store-served): this query and
+    * [[resizeExec]] exist to MEASURE the codec chain itself — serving
+    * them from [[imageFeatureFrame]] would time the cache, not the
+    * decode (VERDICT r16 #3's honesty split).
     */
   def decodedImageFeatures(spark: SparkSession, sfDir: String): DataFrame =
     sortedOnce(decodeImages(spark, imageTable(spark, sfDir)).toDF(), "id")
+
+  /** Decode-once-serve-many (VERDICT r16 #3): the decoded fixed-width
+    * image feature frame (id, width, height, luma_milli) — a few
+    * integers per image, regardless of payload size — materialized ONCE
+    * per corpus snapshot and shared by every query that CONSUMES decoded
+    * features rather than measuring the decode ([[resizePlan]]'s dim
+    * arithmetic, [[featureSummary]]'s per-modality rollup). This is what
+    * an ingest pipeline persists at 100 TB: payloads decode once at
+    * ingest, every downstream curation pass reads the feature columns.
+    * Keyed on corpus content fingerprint (the aHash-store discipline);
+    * the ≥2-consumer StoreContractSpec rule covers it.
+    */
+  private val imageFeatureStores = graft.ArtifactStore.frames("mm.imageFeatures")
+  private def imageFeatureFrame(spark: SparkSession, sfDir: String): DataFrame =
+    imageFeatureStores.getOrBuild(
+      corpusSlot(spark, sfDir), docsFp(spark, sfDir)) {
+      decodeImages(spark, imageTable(spark, sfDir)).toDF().materialized
+    }
 
   /** Patterned sibling of [[imageTable]]: pixel gray
     * (id*31 + x*7 + y*13) % 256 instead of the constant fill — the
@@ -452,7 +475,24 @@ object Multimodal {
     * Output: (id, width, height, ahash_lo, ahash_hi), ordered by id.
     */
   def imageAHash(spark: SparkSession, sfDir: String): DataFrame =
-    sortedOnce(aHashFrame(spark, sfDir), "id")
+    // store-served (decode-once): the output sort reads materialized
+    // hash rows — the codec chain runs once per corpus snapshot, shared
+    // with the pairing rung's build
+    aHashStored(spark, sfDir).orderBy("id")
+
+  /** The aHash frame as a stored artifact (VERDICT r16 #3): one decode +
+    * hash pass per corpus snapshot, serving both the hash query itself
+    * ([[imageAHash]]) and the banded pairing rung's build
+    * ([[aHashPairsUncached]] — itself stored, consumed by pairs/
+    * clusters/funnel). Same slot/fingerprint discipline as the pair
+    * stores.
+    */
+  private val aHashFeatureStores = graft.ArtifactStore.frames("mm.aHashFeatures")
+  private def aHashStored(spark: SparkSession, sfDir: String): DataFrame =
+    aHashFeatureStores.getOrBuild(
+      corpusSlot(spark, sfDir), docsFp(spark, sfDir)) {
+      aHashFrame(spark, sfDir).materialized
+    }
 
   /** The aHash relation without the output sort — shared by
     * [[imageAHash]] and the pairing rung (which checkpoints it so the
@@ -541,8 +581,10 @@ object Multimodal {
 
   private def aHashPairsUncached(spark: SparkSession, sfDir: String,
                                  maxHamming: Int, maxDf: Int): DataFrame = {
-    val hs = aHashFrame(spark, sfDir)
-      .select("id", "ahash_lo", "ahash_hi").materialized
+    // store-served hashes: already materialized, so the two join sides
+    // and the df pass all read the same checkpointed rows (no re-decode,
+    // no second materialize)
+    val hs = aHashStored(spark, sfDir).select("id", "ahash_lo", "ahash_hi")
     val chunked = hs.select(col("id"), col("ahash_lo"), col("ahash_hi"),
       posexplode(array(
         col("ahash_lo").bitwiseAND(lit(0xFFFFL)),
@@ -628,7 +670,9 @@ object Multimodal {
     * the labeled stub (the one codec-less modality).
     */
   def featureSummary(spark: SparkSession, sfDir: String): DataFrame = {
-    val img = decodeImages(spark, imageTable(spark, sfDir)).toDF()
+    // decode-CONSUMING (not decode-measuring): reads the stored feature
+    // frame — the codec ran once per corpus snapshot, at ingest
+    val img = imageFeatureFrame(spark, sfDir)
       .select(lit("image").as("modality"), col("width"), col("height"))
     val vid = decodeFeatures(spark,
         mediaTable(spark, sfDir).filter(col("modality") === "video")).toDF()
@@ -652,7 +696,8 @@ object Multimodal {
     */
   def resizePlan(spark: SparkSession, sfDir: String, target: Int = 224): DataFrame =
     sortedOnce(
-      decodeImages(spark, imageTable(spark, sfDir)).toDF()
+      // decode-CONSUMING: dim arithmetic over the stored feature frame
+      imageFeatureFrame(spark, sfDir)
         .select(col("id"), col("width"), col("height"))
         .withColumn("out_w",
           expr(s"CASE WHEN width >= height THEN ${target}L ELSE (width * $target) div height END"))

@@ -344,8 +344,15 @@ object TextAnalysis {
     * old "spark table join" workload score nothing), while this rule
     * is deterministic on every corpus, stays FIXED as replication
     * grows the corpus (the 5 source docs are the smallest ids), and
-    * the oracle mirrors it exactly (same sort, same slice — binary
-    * string order both sides). A production run passes its own
+    * the oracle mirrors it exactly (same sort, same slice). ASCII
+    * assumption (ADVICE r16): the "same string order both sides"
+    * invariant holds because Spark sorts by UTF-16 code units and
+    * DuckDB by UTF-8 bytes — identical orders ONLY over ASCII; a
+    * non-ASCII vocabulary can rank U+E000..U+FFFF vs supplementary-
+    * plane tokens differently and the gate would hash-mismatch. Both
+    * harness corpora are ASCII; the mirror site
+    * (SparkEntry.bm25ScoreCtes) documents the same constraint.
+    * A production run passes its own
     * (query_id, text) workload; the scoring plan is
     * workload-size-independent as long as the term dimension stays
     * broadcastable (thousands of stored queries are still KBs).

@@ -55,4 +55,30 @@ class CheckpointSeamSpec extends SparkSpec {
           s"got ${mat.rdd.getNumPartitions} partitions")
     }
   }
+
+  test("release() finds mat-* roots under a NON-NORMALIZED configured " +
+      "checkpointDir — trailing slash must not disable eviction (ADVICE r16)") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-seam-slash").toString
+    // the raw-substring comparison this pins against: configured dir
+    // with a trailing slash vs the FileIndex's scheme-qualified,
+    // normalized rootPaths ("file:/...") — contains() never matched,
+    // so superseded parquet accumulated forever in durable storage
+    spark.conf.set("spark.graft.checkpointDir", base + "/")
+    try withReliable {
+      val mat = Materialize((1 to 100).toDF("n"))
+      val roots = Materialize.materializedRoots(mat)
+      assert(roots.nonEmpty,
+        "materializedRoots must match through qualification, not raw strings")
+      val fs = roots.head.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      roots.foreach(p => assert(fs.exists(p)))
+      Materialize.release(mat)
+      roots.foreach(p =>
+        assert(!fs.exists(p), s"release() left superseded parquet at $p"))
+    } finally {
+      spark.conf.unset("spark.graft.checkpointDir")
+      GraftSession.deleteRecursively(new java.io.File(base))
+    }
+  }
 }
