@@ -35,6 +35,14 @@ import graft.streaming.StreamingOps
   */
 object SparkEntry {
 
+  /** Rows per LSH band in every minhash oracle (k=16 over the family
+    * banding default) — interpolated from the SAME constant the
+    * implementation uses (graft.ops.Dedup.defaultLshBands, re-defaulted
+    * b=4 -> b=8 in round 17 on the planted-dup Zipf evidence) so the
+    * two sides cannot drift.
+    */
+  private val lshR: Int = 16 / graft.ops.Dedup.defaultLshBands
+
   /** Flagship query — the reference's one canonical pipeline
     * (tokenize -> count -> top-100, /root/reference/src/main/main.sh:3)
     * over the sf0.001 documents table. Driver smoke-checks rows>0.
@@ -1259,8 +1267,8 @@ object SparkEntry {
        |  GROUP BY doc_id, i),
        |band_$sfx AS (
        |  SELECT doc_id,
-       |    (i // 4)::VARCHAR || '|' || string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
-       |  FROM sig_$sfx GROUP BY doc_id, (i // 4))""".stripMargin
+       |    (i // $lshR)::VARCHAR || '|' || string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
+       |  FROM sig_$sfx GROUP BY doc_id, (i // $lshR))""".stripMargin
   }
 
   /** IVF probe replay (mirror of Similarity.ivfAnn AND ivfIndexed —
@@ -2164,8 +2172,8 @@ object SparkEntry {
        |  FROM sh, UNNEST(range(0, 16)) AS u(i)
        |  GROUP BY doc_id, i),
        |mh_band AS (
-       |  SELECT doc_id, (i // 4) AS band, string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
-       |  FROM mh_sig GROUP BY doc_id, (i // 4)),
+       |  SELECT doc_id, (i // $lshR) AS band, string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
+       |  FROM mh_sig GROUP BY doc_id, (i // $lshR)),
        |mh_cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM mh_band a JOIN mh_band b
@@ -4024,8 +4032,8 @@ object SparkEntry {
          |  FROM sh, UNNEST(range(0, 16)) AS u(i)
          |  GROUP BY doc_id, i),
          |band AS (
-         |  SELECT doc_id, (i // 4) AS band, string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
-         |  FROM sig GROUP BY doc_id, (i // 4)),
+         |  SELECT doc_id, (i // $lshR) AS band, string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
+         |  FROM sig GROUP BY doc_id, (i // $lshR)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM band a JOIN band b
@@ -4052,8 +4060,8 @@ object SparkEntry {
          |  FROM sh, UNNEST(range(0, 16)) AS u(i)
          |  GROUP BY doc_id, i),
          |band AS (
-         |  SELECT doc_id, (i // 4) AS band, string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
-         |  FROM sig GROUP BY doc_id, (i // 4)),
+         |  SELECT doc_id, (i // $lshR) AS band, string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
+         |  FROM sig GROUP BY doc_id, (i // $lshR)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM band a JOIN band b
@@ -4117,8 +4125,8 @@ object SparkEntry {
          |  FROM sh, UNNEST(range(0, 16)) AS u(i)
          |  GROUP BY doc_id, i),
          |band AS (
-         |  SELECT doc_id, (i // 4) AS band, string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
-         |  FROM sig GROUP BY doc_id, (i // 4)),
+         |  SELECT doc_id, (i // $lshR) AS band, string_agg(mh::VARCHAR, ',' ORDER BY i) AS sig
+         |  FROM sig GROUP BY doc_id, (i // $lshR)),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM band a JOIN band b

@@ -34,24 +34,31 @@ object Verify {
       .foreach(builder.config("spark.executor.extraClassPath", _))
     sys.env.get("SPARK_GRAFT_RELIABLE")
       .foreach(builder.config("spark.graft.reliableCheckpoint", _))
+    // stateful-volume proxy (events bytes on disk) for the two
+    // scale-protocol knobs below — same derivations as Bench, so the
+    // correctness gate runs the same topology rules the bench records
+    val eventsBytes = {
+      val evDir = new java.io.File(s"$sfDir/events.parquet")
+      Option(evDir.listFiles)
+        .map(_.filter(_.isFile).map(_.length).sum)
+        .getOrElse(if (evDir.isFile) evDir.length else 0L)
+    }
     // state-store provider: env override, else the measured crossover
     // rule (see Bench / GraftSession.autoStateStoreProvider) — RocksDB
     // iff forecast per-executor state exceeds half the executor heap
     builder.config("spark.sql.streaming.stateStore.providerClass",
       sys.env.get("SPARK_GRAFT_STATESTORE")
         .map(GraftSession.stateStoreProviderFor)
-        .getOrElse {
-          val evDir = new java.io.File(s"$sfDir/events.parquet")
-          val eventsBytes = Option(evDir.listFiles)
-            .map(_.filter(_.isFile).map(_.length).sum)
-            .getOrElse(if (evDir.isFile) evDir.length else 0L)
-          GraftSession.autoStateStoreProvider(eventsBytes,
-            GraftSession.executorHeapBytesFor(master),
-            GraftSession.numExecutorsFor(master))
-        })
-    // scale-protocol knob: streaming state-partition count (see Bench)
-    sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS")
-      .foreach(builder.config("spark.graft.streamStatePartitions", _))
+        .getOrElse(GraftSession.autoStateStoreProvider(eventsBytes,
+          GraftSession.executorHeapBytesFor(master),
+          GraftSession.numExecutorsFor(master))))
+    // scale-protocol knob: streaming state-partition count scales with
+    // state volume (see Bench / StreamingOps.sizeStatePartitions); a
+    // scale-corpus Verify run must not inherit the 1x floor either
+    builder.config("spark.graft.streamStatePartitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS",
+        graft.streaming.StreamingOps
+          .sizeStatePartitions(eventsBytes, cpus.toInt).toString))
     val spark = builder
       // keep generated methods JIT-compilable (see GraftSession)
       .config("spark.sql.codegen.hugeMethodLimit", "8000")

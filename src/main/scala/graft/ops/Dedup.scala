@@ -225,6 +225,26 @@ object Dedup {
       .groupBy("doc_id", "i")
       .agg(min(hasher(col("i"), col("shingle"))).as("mh"))
 
+  /** Family-default LSH banding split for the k=16 sketch: b=8 bands of
+    * r=2 rows (round 17, re-defaulted from b=4/r=4 on the Zipf-corpus
+    * evidence). The banding threshold is ~(1/b)^(1/r) — the similarity
+    * where a pair's candidate probability crosses ~1-1/e. The family's
+    * working verification threshold is est >= 0.5, and b=4/r=4 puts the
+    * S-curve midpoint at ~0.71: pairs in the 0.5-0.7 band are mostly
+    * MISSED before verification ever sees them. Measured on the planted-
+    * dup Zipfian corpus (tools/make_zipf_docs.py D>0; mutation rates
+    * 0-20% => sims ~1.0 down to ~0.55): b=8 caught 147 est>=0.5 pairs at
+    * 812 permille precision vs b=4's 111 at 982 — a 24% recall loss the
+    * 31-word harness corpus had masked (there, every true pair sits at
+    * sim ~0.9+ where both splits catch everything, while b=8's candidate
+    * volume looks junk-flooded only because random 31-word docs ALREADY
+    * share ~0.3-0.5 Jaccard). b=8/r=2 midpoint ~0.35 matches the 0.5
+    * threshold with margin; candidate volume stays banded and
+    * representative-bounded on both corpora (dedup_banding_sweep prices
+    * all four splits every run; both corpora cited in BASELINE.md r17).
+    */
+  val defaultLshBands: Int = 8
+
   /** 2. MinHash + LSH banding: k signatures in b bands of r rows
     * (k = b*r). Docs sharing a full band signature become candidates;
     * candidates are scored by signature agreement (the unbiased Jaccard
@@ -249,7 +269,7 @@ object Dedup {
     * are the exact rung's product, not a quadratic bucket here.
     */
   def minHashLsh(spark: SparkSession, sfDir: String,
-                 shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                 shingleN: Int = 3, k: Int = 16, bands: Int = defaultLshBands,
                  minEst: Double = 0.5,
                  family: String = "md5"): DataFrame =
     minHashLshFromShingles(
@@ -261,7 +281,7 @@ object Dedup {
     * scan + shingle pass across all three fuzzy rungs instead of
     * re-deriving it per rung.
     */
-  def minHashLshFromShingles(sh: DataFrame, k: Int = 16, bands: Int = 4,
+  def minHashLshFromShingles(sh: DataFrame, k: Int = 16, bands: Int = defaultLshBands,
                              minEst: Double = 0.5,
                              family: String = "md5"): DataFrame = {
     val r = k / bands
@@ -321,7 +341,7 @@ object Dedup {
     * then three 1-row aggregates cross-join (1-row broadcasts).
     */
   def minHashFastGate(spark: SparkSession, sfDir: String,
-                      shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                      shingleN: Int = 3, k: Int = 16, bands: Int = defaultLshBands,
                       minEst: Double = 0.5): DataFrame = {
     val sh = repShingleStore(spark, sfDir, shingleN)._2
     val ref = minHashLshFromShingles(sh, k, bands, minEst, "md5")
@@ -363,7 +383,7 @@ object Dedup {
     */
   def minhashCalibration(spark: SparkSession, sfDir: String,
                          shingleN: Int = 3, k: Int = 16,
-                         bands: Int = 4): DataFrame = {
+                         bands: Int = defaultLshBands): DataFrame = {
     val sh = repShingleStore(spark, sfDir, shingleN)._2
     val r = k / bands
     val sig = sh.groupBy("doc_id")
@@ -508,7 +528,7 @@ object Dedup {
     */
   def buildMinHashIndex(spark: SparkSession, docs: DataFrame,
                         name: String, path: String,
-                        shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                        shingleN: Int = 3, k: Int = 16, bands: Int = defaultLshBands,
                         family: String = "md5", nBuckets: Int = 8): Unit =
     graft.sources.Bucketed.writeBucketed(
       spark, bandKeys(shingles(representatives(docs), shingleN), k, bands, family),
@@ -551,7 +571,7 @@ object Dedup {
     * fold the batch into the index afterwards).
     */
   def probeMinHashIndex(index: DataFrame, newDocs: DataFrame,
-                        shingleN: Int = 3, k: Int = 16, bands: Int = 4,
+                        shingleN: Int = 3, k: Int = 16, bands: Int = defaultLshBands,
                         minEst: Double = 0.5,
                         family: String = "md5"): DataFrame =
     probeMinHashIndexKeys(index,
@@ -587,7 +607,7 @@ object Dedup {
     */
   def incrementalMinHash(spark: SparkSession, sfDir: String,
                          mod: Int = 10, shingleN: Int = 3, k: Int = 16,
-                         bands: Int = 4, minEst: Double = 0.5): DataFrame =
+                         bands: Int = defaultLshBands, minEst: Double = 0.5): DataFrame =
     probeMinHashIndexKeys(
       spark.table(minHashIndexTable(spark, sfDir, mod, shingleN, k, bands)),
       storedBandKeys(spark, sfDir, "new", mod, shingleN, k, bands), k, minEst)
@@ -612,7 +632,7 @@ object Dedup {
     new graft.ArtifactStore[String]("dedup.minhashIndexTable")(_ => ())
   private[graft] def minHashIndexTable(spark: SparkSession, sfDir: String,
                                        mod: Int = 10, shingleN: Int = 3,
-                                       k: Int = 16, bands: Int = 4): String =
+                                       k: Int = 16, bands: Int = defaultLshBands): String =
     minHashIndexStores.getOrBuild(
       corpusSlot(spark, sfDir) + s"|$mod|$shingleN|$k|$bands",
       docsFp(spark, sfDir)) {
@@ -641,7 +661,7 @@ object Dedup {
     */
   def indexRefreshAudit(spark: SparkSession, sfDir: String,
                         mod: Int = 10, shingleN: Int = 3, k: Int = 16,
-                        bands: Int = 4, nBuckets: Int = 8): DataFrame = {
+                        bands: Int = defaultLshBands, nBuckets: Int = 8): DataFrame = {
     val name = graft.sources.Bucketed.scopedName(spark, "graft_minhash_index_refresh")
     graft.sources.Bucketed.writeBucketed(spark,
       storedBandKeys(spark, sfDir, "hist", mod, shingleN, k, bands),
@@ -678,7 +698,7 @@ object Dedup {
     */
   def indexCompactAudit(spark: SparkSession, sfDir: String,
                         mod: Int = 10, shingleN: Int = 3, k: Int = 16,
-                        bands: Int = 4, nBuckets: Int = 8): DataFrame = {
+                        bands: Int = defaultLshBands, nBuckets: Int = 8): DataFrame = {
     val name = graft.sources.Bucketed.scopedName(spark, "graft_minhash_index_compact")
     graft.sources.Bucketed.writeBucketed(spark,
       storedBandKeys(spark, sfDir, "hist", mod, shingleN, k, bands),

@@ -689,7 +689,8 @@ object StreamingOps {
     * construction; the oracle states exactly that asymmetry.
     */
   def streamIncrementalDedup(spark: SparkSession, sfDir: String,
-                             mod: Int = 10, k: Int = 16, bands: Int = 4,
+                             mod: Int = 10, k: Int = 16,
+                             bands: Int = graft.ops.Dedup.defaultLshBands,
                              minEst: Double = 0.5): DataFrame = {
     val r = k / bands
     val sk = graft.functions.ShingleColumns.minhashArray(col("shingles"), k)

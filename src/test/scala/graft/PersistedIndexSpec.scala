@@ -98,9 +98,11 @@ class PersistedIndexSpec extends SparkSpec {
     ).toDF("doc_id", "text"))
     val audit = Dedup.indexRefreshAudit(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
-    // per band: folded = reps {1,2} + {10,30} = 4 rows; rebuild = global
-    // reps {1,2,30} = 3; redundant = the one cross-split dup (X)
-    assert(audit === (0L until 4L).map(b => (b, 4L, 3L, 1L)))
+    // per band (defaultLshBands of them): folded = reps {1,2} + {10,30}
+    // = 4 rows; rebuild = global reps {1,2,30} = 3; redundant = the one
+    // cross-split dup (X)
+    assert(audit === (0L until Dedup.defaultLshBands.toLong)
+      .map(b => (b, 4L, 3L, 1L)))
     // the folded index is still a bucketed table: probe join plans with
     // only the probe-side exchange even over the appended files
     withSmjPinned {
@@ -127,7 +129,8 @@ class PersistedIndexSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     // folded keeps both reps of X (1 and 10); compaction keeps only the
     // global rep (1): 4 -> 3 rows per band
-    assert(audit === (0L until 4L).map(b => (b, 4L, 3L)))
+    assert(audit === (0L until Dedup.defaultLshBands.toLong)
+      .map(b => (b, 4L, 3L)))
     // the compacted table answers probes identically to a fresh build:
     // probe content X and find rep 1, not the reclaimed copy 10
     val probe = Dedup.probeMinHashIndex(

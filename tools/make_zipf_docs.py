@@ -29,9 +29,22 @@ keeps everything else harness-identical:
   - all other sf0.1 tables are copied 1x so the dir is a complete
     harness sfDir (compare.py views, Bench state sizing).
 
-Usage: make_zipf_docs.py DST [K] [V] [S] [M]
+Usage: make_zipf_docs.py DST [K] [V] [S] [M] [D]
   K replication factor (default 1), V vocabulary size (default 100000),
-  S Zipf exponent (default 1.05), M doc-length multiplier (default 8).
+  S Zipf exponent (default 1.05), M doc-length multiplier (default 8),
+  D planted near-dup fraction (default 0 = none, the r16 corpora).
+
+D > 0 (round 17): the fresh-draw corpus has NO true near-dups, so the
+dedup audits measure pure collision behavior (precision is degenerate
+0/0 above the collision floor and the recall half of the LSH S-curve
+is unmeasurable on it). With D, every floor(1/D)-th doc of a replica
+is re-issued as a MUTATED copy of the previous doc: token positions
+are re-drawn from the vocabulary at a per-pair mutation rate cycling
+through {0%, 2%, 5%, 10%, 20%} — planting known-similarity pairs
+across the whole S-curve so banding recall/precision and minhash
+calibration error are measurable on a realistic vocabulary. Planting
+happens before doc_id assignment, so pairs are (doc_id-1, doc_id)
+neighbors; the oracle replays identically (it sees only the text).
 """
 import os
 import shutil
@@ -47,6 +60,7 @@ K = int(sys.argv[2]) if len(sys.argv) > 2 else 1
 V = int(sys.argv[3]) if len(sys.argv) > 3 else 100000
 S = float(sys.argv[4]) if len(sys.argv) > 4 else 1.05
 M = int(sys.argv[5]) if len(sys.argv) > 5 else 8
+D = float(sys.argv[6]) if len(sys.argv) > 6 else 0.0
 
 os.makedirs(DST, exist_ok=True)
 
@@ -72,6 +86,26 @@ for i in range(K):
     for n in tok_counts:
         texts.append(" ".join(draw[pos:pos + n]))
         pos += n
+    if D > 0:
+        # plant near-dups: every stride-th doc becomes a mutated copy of
+        # its predecessor, mutation rate cycling across the S-curve
+        stride = max(2, int(round(1.0 / D)))
+        rates = [0.0, 0.02, 0.05, 0.10, 0.20]
+        planted = 0
+        for j in range(stride, len(texts), stride):
+            toks = texts[j - 1].split(" ")
+            rate = rates[planted % len(rates)]
+            if rate > 0:
+                flip = rng.random(len(toks)) < rate
+                repl = vocab[rng.choice(V, size=int(flip.sum()), p=probs)]
+                toks = np.array(toks, dtype=object)
+                toks[flip] = repl
+                toks = toks.tolist()
+            texts[j] = " ".join(toks)
+            planted += 1
+        if i == 0:
+            print(f"planted {planted} near-dup pairs per replica "
+                  f"(stride {stride}, rates {rates})")
     t = pa.table({
         "doc_id": pa.array(doc_ids + 1_000_000 * i, type=pa.int64()),
         "text": pa.array(texts, type=pa.string()),
