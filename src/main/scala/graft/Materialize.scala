@@ -140,6 +140,28 @@ object Materialize {
       p.getName.startsWith("mat-") && p.getParent == qualifiedDir)
   }
 
+  /** Whether `df` is ALREADY a flat materialized relation — a bare
+    * (possibly projected/aliased) LogicalRDD or file-relation leaf with
+    * no joins/aggregates/generators above it — so a caller wanting flat
+    * lineage can skip a redundant re-checkpoint (round 17: the graph
+    * layouts re-checkpointed the store-served trade-pair frame on every
+    * call, one full extra pass per query). Conservative: anything but
+    * trivial wrappers over a leaf returns false.
+    */
+  def isFlat(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, SubqueryAlias}
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    @scala.annotation.tailrec
+    def walk(p: LogicalPlan): Boolean = p match {
+      case _: LogicalRDD | _: LogicalRelation => true
+      case a: SubqueryAlias => walk(a.child)
+      case pr: Project if pr.projectList.forall(_.deterministic) => walk(pr.child)
+      case _ => false
+    }
+    walk(df.queryExecution.analyzed)
+  }
+
   /** `df.materialized` — the call-site form every operator uses. */
   implicit class MaterializeOps(private val df: DataFrame) extends AnyVal {
     def materialized: DataFrame = Materialize(df)

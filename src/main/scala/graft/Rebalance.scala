@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Width control for CPU-DENSE per-row stages (round 17, guide §2.5).
+  *
+  * AQE's partition coalescing is a BYTE cost model: post-shuffle reads
+  * are packed toward `minPartitionSize` (1 MB), which is right when a
+  * task's cost is proportional to its bytes. The md5-family sketch /
+  * winnow / codec stages invert that premise — a shingle costs ~16 md5
+  * digests (~2.8 us) against ~40 shuffled bytes — so coalescing a
+  * keyed repartition that exists precisely to SPREAD that work undoes
+  * it: measured at sf0.1, `repartition(col("doc_id"))` upstream of the
+  * minhash sketch aggregate coalesced to ONE partition (849 KB < 1 MB)
+  * and the whole dedup family's hash work ran single-task on a 32-core
+  * box (~0.9-1.2 s serial stages in the round-17 job census).
+  *
+  * [[cpuSpread]] pins the intended width explicitly: a user-specified
+  * partition count is exempt from AQE coalescing, and the width is the
+  * session's `spark.sql.shuffle.partitions` — the same scale-adaptive
+  * knob every other exchange uses (cores locally, sized per job on a
+  * cluster), never a constant.
+  *
+  * [[cpuSpreadIfNarrow]] is the gated form for stages that carry NO
+  * exchange today (a heavy expression fused into the scan stage): it
+  * inserts the spread exchange only when the source actually PLANS
+  * narrower than the session width — true for a small or few-split
+  * input, never true for a corpus whose scan already fills the
+  * cluster, so at 100 TB the gate is off and no new corpus-byte
+  * exchange appears (the TextAnalysis.serveRebalance discipline).
+  */
+object Rebalance {
+
+  private def sessionWidth(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
+  /** Keyed repartition to the session's shuffle width, EXPLICIT so AQE
+    * cannot coalesce it below the CPU parallelism it exists to provide.
+    * Use where the plan already pays this exchange (it replaces a
+    * `repartition(keys…)` call, adding nothing at any scale).
+    */
+  def cpuSpread(df: DataFrame, keys: Column*): DataFrame =
+    df.repartition(sessionWidth(df), keys: _*)
+
+  /** Insert a spread exchange BEFORE a CPU-dense per-row stage, but
+    * only when the stage would otherwise run narrower than the session
+    * width (few-split scan, AQE-coalesced upstream aggregate). The
+    * gate is STATS-ONLY — estimated input bytes vs the mass a
+    * session-wide scan would cover (width x maxPartitionBytes) — so it
+    * never plans or runs a probe job (an `.rdd` width probe costs a
+    * full query plan per call, measured ~0.1-0.3 s of driver time at
+    * 1x). A large input gates off: no new corpus-byte exchange at
+    * scale. Keys make the exchange deterministic-by-hash; callers pass
+    * the row identity column.
+    *
+    * Reserve this for stages whose SERIAL cost is substantial (~0.5 s+
+    * of per-row CPU at the small scale): the exchange plus the extra
+    * task waves cost ~0.2-0.4 s, so spreading a cheap stage is a net
+    * loss (measured on sql_minhash/ngram_sweep in the round-17 A/B).
+    */
+  def cpuSpreadIfNarrow(df: DataFrame, keys: Column*): DataFrame =
+    spreadIfProbeNarrow(df, df, keys: _*)
+
+  /** [[cpuSpreadIfNarrow]] with the bytes gate read from a SEPARATE
+    * frame's stats — for spreading an aggregate/join output whose own
+    * stats are estimate-garbage, using the source corpus scan as the
+    * scale proxy: a corpus whose scan fills the session leaves the
+    * frame untouched.
+    */
+  def spreadIfProbeNarrow(df: DataFrame, probe: DataFrame,
+                          keys: Column*): DataFrame = {
+    val w = sessionWidth(df)
+    val conf = df.sparkSession.sessionState.conf
+    val bytes = probe.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (bytes >= BigInt(w) * conf.filesMaxPartitionBytes) df
+    else df.repartition(w, keys: _*)
+  }
+}

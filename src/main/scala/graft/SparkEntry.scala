@@ -912,7 +912,13 @@ object SparkEntry {
     //    Column-API twins' oracles) ——
     "sql_winnow" -> ((s, dir) => {
       GraftExtensions.register(s)
-      table(s, dir, "documents").createOrReplaceTempView("graft_documents")
+      // widen the view's base when the scan plans narrow (round 17):
+      // the per-gram md5 fuses into the scan stage; the SQL text —
+      // the surface under test — is unchanged, as are the results
+      // (DISTINCT + total ORDER BY)
+      graft.Rebalance.cpuSpreadIfNarrow(table(s, dir, "documents"),
+        org.apache.spark.sql.functions.col("doc_id"))
+        .createOrReplaceTempView("graft_documents")
       s.sql(
         """SELECT DISTINCT doc_id, fp FROM (
           |  SELECT doc_id,

@@ -293,7 +293,10 @@ object Corpus {
     */
   def dsirWeights(spark: SparkSession, sfDir: String,
                   target: String = "src0", buckets: Int = 1024): DataFrame = {
-    val tok = table(spark, sfDir, "documents")
+    // per-token h60 (md5) fuses into the scan stage — spread it to the
+    // session width when the scan plans narrow (round 17)
+    val tok = graft.Rebalance.cpuSpreadIfNarrow(
+        table(spark, sfDir, "documents"), col("doc_id"))
       .select(col("doc_id"), col("source"),
         explode(filter(split(lower(col("text")), " "),
           t => length(t) > 0)).as("word"))

@@ -67,7 +67,12 @@ object Dedup {
     * aggregate's own shuffle.
     */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.repartition(col("doc_id"))
+    // EXPLICIT width (round 17): the keyed form `repartition(col)` is
+    // AQE-coalescible, and at harness scale the coalescer packed this
+    // exchange back to ONE partition (compact doc rows ~850 KB < the
+    // 1 MB minPartitionSize), serializing the downstream md5 sketch
+    // hashing this spread exists for — see graft.Rebalance.
+    graft.Rebalance.cpuSpread(docs, col("doc_id"))
       .select(col("doc_id"),
         explode(graft.functions.ShingleColumns.wordShinglesDistinct(col("text"), n))
           .as("shingle"))
@@ -286,33 +291,32 @@ object Dedup {
                              family: String = "md5"): DataFrame = {
     val r = k / bands
     // materialized once: referenced by both sides of the band self-join
-    // and both sides of the scoring join
     val sig = sh.groupBy("doc_id")
       .agg(graft.functions.MinHashSketch.sketch(col("shingle"), k, family).as("sigs"))
       .materialized
-    // band key: the r consecutive minhashes of the band, joined exact
+    // band key: the r consecutive minhashes of the band, joined exact.
+    // The full k-slot sketch RIDES THROUGH the band join (round 17):
+    // scoring then reads the two carried arrays directly, replacing the
+    // two doc-keyed scoring re-joins (2 exchanges of the candidate set)
+    // the old plan paid; the est filter runs BEFORE the pair distinct,
+    // so the distinct exchange carries only surviving pairs. Same pair
+    // set, same estimates — per-pair est is a pure function of the two
+    // sketches, so filter/distinct commute (oracle re-verifies).
     val bandSig = sig
       .withColumn("band", explode(array((0 until bands).map(lit(_)): _*)))
       .withColumn("sig", array_join(
         transform(slice(col("sigs"), col("band") * r + 1, lit(r)), _.cast("string")), ","))
-      .select("doc_id", "band", "sig")
+      .select("doc_id", "band", "sig", "sigs")
     val a = bandSig.as("a")
     val b = bandSig.as("b")
-    val cand = a.join(b,
+    a.join(b,
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    // score candidates: fraction of the k sketch slots that agree,
-    // computed directly on the two arrays — no (doc, i) re-join
-    val sa = sig.select(col("doc_id").as("doc_a"), col("sigs").as("sigs_a"))
-    val sb = sig.select(col("doc_id").as("doc_b"), col("sigs").as("sigs_b"))
-    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
-      .withColumn("est_jaccard",
-        size(filter(zip_with(col("sigs_a"), col("sigs_b"), (x, y) => x === y),
-          agree => agree)) / lit(k))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (size(filter(zip_with(col("a.sigs"), col("b.sigs"), (x, y) => x === y),
+          agree => agree)) / lit(k)).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEst)
-      .select("doc_a", "doc_b", "est_jaccard")
+      .distinct() // a pair matching in >1 band collapses to one row
       .orderBy("doc_a", "doc_b")
   }
 
@@ -389,23 +393,25 @@ object Dedup {
     val sig = sh.groupBy("doc_id")
       .agg(graft.functions.MinHashSketch.sketch(col("shingle"), k, "md5").as("sigs"))
       .materialized
+    // sketch arrays ride through the band join and est is computed
+    // BEFORE the pair distinct (the minHashLsh round-17 carry-through:
+    // same pairs, same estimates, two scoring re-joins removed); the
+    // materialized candidate frame carries est so the exact-jaccard
+    // side below still joins on bare pairs
     val bandSig = sig
       .withColumn("band", explode(array((0 until bands).map(lit(_)): _*)))
       .withColumn("sig", array_join(
         transform(slice(col("sigs"), col("band") * r + 1, lit(r)), _.cast("string")), ","))
-      .select("doc_id", "band", "sig")
+      .select("doc_id", "band", "sig", "sigs")
     val cand = bandSig.as("a").join(bandSig.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
           col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr(s"(1000 * size(filter(zip_with(a.sigs, b.sigs, (x, y) -> x = y), " +
+          s"a -> a))) div $k").as("est_milli"))
       .distinct()
       .materialized
     val est = cand
-      .join(sig.select(col("doc_id").as("doc_a"), col("sigs").as("sigs_a")), Seq("doc_a"))
-      .join(sig.select(col("doc_id").as("doc_b"), col("sigs").as("sigs_b")), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        expr(s"(1000 * size(filter(zip_with(sigs_a, sigs_b, (x, y) -> x = y), " +
-          s"a -> a))) div $k").as("est_milli"))
     val inter = cand
       .join(sh.as("a"), col("doc_a") === col("a.doc_id"))
       .join(sh.as("b"),
@@ -454,21 +460,24 @@ object Dedup {
       .materialized // one sketch pass feeds every banding config
     val perCfg = configs.map { bands =>
       val r = k / bands
+      // sketch arrays ride through the band join (the minHashLsh round-17
+      // carry-through): est scores on the carried arrays, the distinct
+      // collapses (pair, est) — no scoring re-joins. Same candidate set
+      // and estimates; the distinct must stay BEFORE the rollup because
+      // the sweep counts candidates, not (pair, band) matches.
       val bandSig = sig
         .withColumn("band", explode(array((0 until bands).map(lit(_)): _*)))
         .withColumn("bsig", array_join(
           transform(slice(col("sigs"), col("band") * r + 1, lit(r)), _.cast("string")), ","))
-        .select("doc_id", "band", "bsig")
+        .select("doc_id", "band", "bsig", "sigs")
       bandSig.as("a").join(bandSig.as("b"),
           col("a.band") === col("b.band") && col("a.bsig") === col("b.bsig") &&
             col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-        .join(sig.select(col("doc_id").as("doc_a"), col("sigs").as("sigs_a")), Seq("doc_a"))
-        .join(sig.select(col("doc_id").as("doc_b"), col("sigs").as("sigs_b")), Seq("doc_b"))
-        .select(lit(bands.toLong).as("bands"),
-          expr(s"(1000 * size(filter(zip_with(sigs_a, sigs_b, (x, y) -> x = y), " +
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          expr(s"(1000 * size(filter(zip_with(a.sigs, b.sigs, (x, y) -> x = y), " +
             s"a -> a))) div $k").as("est_milli"))
+        .distinct()
+        .select(lit(bands.toLong).as("bands"), col("est_milli"))
     }
     val counts = perCfg.reduce(_.unionAll(_))
       .groupBy("bands")
@@ -1007,8 +1016,11 @@ object Dedup {
     // gram hashing + window minima in one native expression
     // (WinnowFpsExpr): h60 per k-code-point gram, min per w-window —
     // the HOF formulation it replaces paid substr+md5-hex+conv
-    // interpretation per gram
-    table(spark, sfDir, "documents")
+    // interpretation per gram. The gram hashing is an md5 per k-gram:
+    // spread it to session width when the scan plans narrower (round
+    // 17 — the fused scan stage ran ~0.9 s single-task at sf0.1)
+    graft.Rebalance.cpuSpreadIfNarrow(
+        table(spark, sfDir, "documents"), col("doc_id"))
       .select(col("doc_id"),
         explode(graft.functions.ShingleColumns.winnowFps(norm, k, w)).as("fp"))
       .distinct()
@@ -1077,7 +1089,14 @@ object Dedup {
                   k: Int = 8, w: Int = 4, minShared: Long = 8,
                   maxDf: Int = 50): DataFrame = {
     val norm = lower(regexp_replace(trim(col("text")), "\\s+", " "))
-    val fps = representatives(table(spark, sfDir, "documents"))
+    // representatives' aggregate output AQE-coalesces to one tiny read
+    // at harness scale, which would serialize the per-gram md5 hashing
+    // below — spread it back to session width first (round 17; gated
+    // on the corpus SCAN width, so a corpus that already fills the
+    // session adds no exchange)
+    val docs = table(spark, sfDir, "documents")
+    val fps = graft.Rebalance.spreadIfProbeNarrow(
+        representatives(docs), docs, col("doc_id"))
       .select(col("doc_id"),
         explode(graft.functions.ShingleColumns.winnowFps(norm, k, w)).as("fp"))
       .distinct()
@@ -2002,7 +2021,8 @@ object Dedup {
     // rows with no corpus-wide dedup shuffle before it; materialized
     // once because BOTH the count side and the probe side consume it
     // (the dedup shuffle whose exchange AQE used to reuse is gone)
-    val sh = table(spark, sfDir, "documents")
+    val sh = graft.Rebalance.cpuSpreadIfNarrow( // md5/window in-scan (round 17)
+        table(spark, sfDir, "documents"), col("doc_id"))
       .select(col("doc_id"),
         explode(array_distinct(transform(
           graft.functions.ShingleColumns.wordShingles(col("text"), n),
@@ -2057,7 +2077,8 @@ object Dedup {
     windowCountStores.getOrBuild(
       corpusSlot(spark, sfDir) + s"|$n|$mod",
       docsFp(spark, sfDir)) {
-      table(spark, sfDir, "documents")
+      graft.Rebalance.cpuSpreadIfNarrow( // md5/window in-scan (round 17)
+          table(spark, sfDir, "documents"), col("doc_id"))
         .filter(col("doc_id") % mod =!= 0)
         .select(col("doc_id"),
           explode(graft.functions.ShingleColumns.wordShingles(col("text"), n)).as("shingle"))
@@ -2070,7 +2091,8 @@ object Dedup {
   def substringRefresh(spark: SparkSession, sfDir: String,
                        n: Int = 8, mod: Int = 4,
                        nBuckets: Int = 8): DataFrame = {
-    val docs = table(spark, sfDir, "documents")
+    val docs = graft.Rebalance.cpuSpreadIfNarrow( // md5/window in-scan (round 17)
+      table(spark, sfDir, "documents"), col("doc_id"))
     def windows(d: DataFrame): DataFrame = d
       .select(col("doc_id"),
         explode(graft.functions.ShingleColumns.wordShingles(col("text"), n)).as("shingle"))
@@ -2140,7 +2162,8 @@ object Dedup {
     */
   def substringDupRewrite(spark: SparkSession, sfDir: String,
                           n: Int = 8): DataFrame = {
-    val docs = table(spark, sfDir, "documents")
+    val docs = graft.Rebalance.cpuSpreadIfNarrow( // md5/window in-scan (round 17)
+      table(spark, sfDir, "documents"), col("doc_id"))
     val toks = filter(split(col("text"), " "), t => length(t) > 0)
     val base = docs.select(col("doc_id"), toks.as("toks"))
       .withColumn("n_toks", size(col("toks")).cast("long"))

@@ -109,8 +109,13 @@ object Graph {
     val sessionParts = pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
     // materialize the pair derivation ONCE: it feeds the edge-count
     // (partition sizing) and BOTH symmetrize branches — without the
-    // checkpoint the producing join would run three times
-    val p = pairs.materialized
+    // checkpoint the producing join would run three times. A frame
+    // that is already flat (the store-served tradePairs) is used as is
+    // (round 17: the unconditional re-checkpoint paid one full extra
+    // pass per call) — and only an OWNED copy is released below, never
+    // the store's own blocks.
+    val owned = !graft.Materialize.isFlat(pairs)
+    val p = if (owned) pairs.materialized else pairs
     val sym = p.select(col("c").as("src"), col("s").as("dst"))
       .unionByName(p.select(col("s").as("src"), col("c").as("dst")))
     val nEdges = p.count() * 2
@@ -125,9 +130,10 @@ object Graph {
     val deg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("outdeg"))
       .materialized
-    // edges/deg are checkpointed flat above, so the pair frame's blocks
-    // are no longer reachable — release them now (ADVICE r12)
-    graft.Materialize.release(p)
+    // edges/deg are checkpointed flat above, so an OWNED pair copy's
+    // blocks are no longer reachable — release it now (ADVICE r12); a
+    // store-served frame stays, its store owns the lifecycle
+    if (owned) graft.Materialize.release(p)
     (edges, deg)
   }
 
@@ -414,15 +420,18 @@ object Graph {
   private def hitsLayout(pairs: DataFrame): (DataFrame, DataFrame) = {
     val sessionParts = pairs.sparkSession.conf
       .get("spark.sql.shuffle.partitions")
-    val p = pairs.materialized
+    // already-flat input (the store-served tradePairs) is used as is —
+    // see pageRankLayout (round 17)
+    val owned = !graft.Materialize.isFlat(pairs)
+    val p = if (owned) pairs.materialized else pairs
     val nEdges = p.count()
     val parts = math.max(1L, math.min(sessionParts.toLong,
       (nEdges + 99999L) / 100000L)).toInt
     val byC = p.repartition(parts, col("c")).materialized
     val byS = p.repartition(parts, col("s")).materialized
-    // both copies are checkpointed flat, so the pair frame's blocks are
-    // no longer reachable — release them now (ADVICE r12)
-    graft.Materialize.release(p)
+    // both copies are checkpointed flat, so an OWNED pair copy's blocks
+    // are no longer reachable — release it now (ADVICE r12)
+    if (owned) graft.Materialize.release(p)
     (byC, byS)
   }
 

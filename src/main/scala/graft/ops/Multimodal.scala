@@ -31,6 +31,16 @@ import graft.Materialize.MaterializeOps
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache: every encode/decode
+  // creates (and deletes) a temp file under java.io.tmpdir. For the
+  // small in-memory payloads this module round-trips, that file churn
+  // dominates the codec itself — measured 175 ms vs 66 ms for 500 PNG
+  // round-trips single-threaded (round 17), and it contends across
+  // tasks at width. Memory-cached streams change no bytes, only cost.
+  // Object-init runs once per JVM, on both driver and executors (the
+  // codec closures reference this object).
+  javax.imageio.ImageIO.setUseCache(false)
+
   case class MediaRow(id: Long, modality: String, payload: Array[Byte])
   case class MediaFeatures(id: Long, modality: String, byte_len: Long,
                            width: Int, height: Int, mean_luma: Double)

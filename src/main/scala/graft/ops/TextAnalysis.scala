@@ -1687,7 +1687,11 @@ object TextAnalysis {
       lit(a).as("rule_a"), lit(b).as("rule_b"),
       col(s"${k}11").as("n11"), col(s"${k}10").as("n10"), col(s"${k}01").as("n01"),
       (n - col(s"${k}11") - col(s"${k}10") - col(s"${k}01")).as("n00"))
-    table(spark, sfDir, "documents")
+    // the classifier fold is an md5 per token OCCURRENCE fused into the
+    // scan stage — spread when the scan plans narrow (round 17; the
+    // fused stage ran ~1.2 s single-task at sf0.1)
+    graft.Rebalance.cpuSpreadIfNarrow(
+        table(spark, sfDir, "documents"), col("doc_id"))
       .select(
         when(gKeep, 1L).otherwise(0L).as("g"),
         when(cscore >= 0L, 1L).otherwise(0L).as("c"),
