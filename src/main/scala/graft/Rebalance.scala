@@ -69,10 +69,27 @@ object Rebalance {
     */
   def spreadIfProbeNarrow(df: DataFrame, probe: DataFrame,
                           keys: Column*): DataFrame = {
-    val w = sessionWidth(df)
-    val conf = df.sparkSession.sessionState.conf
-    val bytes = probe.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (bytes >= BigInt(w) * conf.filesMaxPartitionBytes) df
-    else df.repartition(w, keys: _*)
+    if (!probeNarrow(df, probe)) df
+    else df.repartition(sessionWidth(df), keys: _*)
   }
+
+  private def probeNarrow(df: DataFrame, probe: DataFrame): Boolean = {
+    val conf = df.sparkSession.sessionState.conf
+    probe.queryExecution.optimizedPlan.stats.sizeInBytes <
+      BigInt(sessionWidth(df)) * conf.filesMaxPartitionBytes
+  }
+
+  /** The WRITE-side inverse of the spread: a bucketed/partitioned sink
+    * writing from a session-wide tiny frame fans out to
+    * partitions x buckets small files (round 17: the LSH index
+    * lifecycle audits went 8 -> 256 files per write once the sketch
+    * stage ran wide, costing ~2 s each in file churn at 1x). When the
+    * source-corpus probe says harness scale, collapse to one input
+    * partition before the write — reading a materialized tiny frame in
+    * one task is cheap, and the write emits one file per bucket again.
+    * At scale the gate is off and the write keeps its parallelism (file
+    * sizing is then the bucket count's job, guide §6).
+    */
+  def writeCompactIfNarrow(df: DataFrame, probe: DataFrame): DataFrame =
+    if (probeNarrow(df, probe)) df.coalesce(1) else df
 }

@@ -650,7 +650,12 @@ object Dedup {
       val name = graft.sources.Bucketed.scopedName(
         spark, s"graft_minhash_index_$suffix")
       graft.sources.Bucketed.writeBucketed(spark,
-        storedBandKeys(spark, sfDir, "hist", mod, shingleN, k, bands),
+        // compact the session-wide band-key frame before the bucketed
+        // write at harness scale (round 17: partitions x buckets file
+        // fan-out — see Rebalance.writeCompactIfNarrow)
+        graft.Rebalance.writeCompactIfNarrow(
+          storedBandKeys(spark, sfDir, "hist", mod, shingleN, k, bands),
+          table(spark, sfDir, "documents")),
         name, graft.sources.Bucketed.scopedPath(name), "sig", 8)
       name
     }
@@ -672,11 +677,18 @@ object Dedup {
                         mod: Int = 10, shingleN: Int = 3, k: Int = 16,
                         bands: Int = defaultLshBands, nBuckets: Int = 8): DataFrame = {
     val name = graft.sources.Bucketed.scopedName(spark, "graft_minhash_index_refresh")
+    // write-side compaction at harness scale (round 17): the band-key
+    // frames are session-wide after the sketch spread, and a bucketed
+    // write fans out partitions x buckets files — see
+    // Rebalance.writeCompactIfNarrow
+    val docsProbe = table(spark, sfDir, "documents")
     graft.sources.Bucketed.writeBucketed(spark,
-      storedBandKeys(spark, sfDir, "hist", mod, shingleN, k, bands),
+      graft.Rebalance.writeCompactIfNarrow(
+        storedBandKeys(spark, sfDir, "hist", mod, shingleN, k, bands), docsProbe),
       name, graft.sources.Bucketed.scopedPath(name), "sig", nBuckets)
     graft.sources.Bucketed.appendBucketed(spark,
-      storedBandKeys(spark, sfDir, "new", mod, shingleN, k, bands),
+      graft.Rebalance.writeCompactIfNarrow(
+        storedBandKeys(spark, sfDir, "new", mod, shingleN, k, bands), docsProbe),
       name, "sig", nBuckets)
     def perBand(sigs: DataFrame, as: String): DataFrame = sigs
       .select(split(col("sig"), "\\|").getItem(0).cast("long").as("band"))
@@ -709,11 +721,15 @@ object Dedup {
                         mod: Int = 10, shingleN: Int = 3, k: Int = 16,
                         bands: Int = defaultLshBands, nBuckets: Int = 8): DataFrame = {
     val name = graft.sources.Bucketed.scopedName(spark, "graft_minhash_index_compact")
+    // write-side compaction at harness scale — see indexRefreshAudit
+    val docsProbe = table(spark, sfDir, "documents")
     graft.sources.Bucketed.writeBucketed(spark,
-      storedBandKeys(spark, sfDir, "hist", mod, shingleN, k, bands),
+      graft.Rebalance.writeCompactIfNarrow(
+        storedBandKeys(spark, sfDir, "hist", mod, shingleN, k, bands), docsProbe),
       name, graft.sources.Bucketed.scopedPath(name), "sig", nBuckets)
     graft.sources.Bucketed.appendBucketed(spark,
-      storedBandKeys(spark, sfDir, "new", mod, shingleN, k, bands),
+      graft.Rebalance.writeCompactIfNarrow(
+        storedBandKeys(spark, sfDir, "new", mod, shingleN, k, bands), docsProbe),
       name, "sig", nBuckets)
     val folded = spark.table(name)
     // the global rep-id set: |distinct contents| ids — tiny next to the
@@ -723,7 +739,8 @@ object Dedup {
     val compacted = folded.join(globalReps, Seq("doc_id"), "left_semi")
     val outName =
       graft.sources.Bucketed.scopedName(spark, "graft_minhash_index_compacted")
-    graft.sources.Bucketed.writeBucketed(spark, compacted,
+    graft.sources.Bucketed.writeBucketed(spark,
+      graft.Rebalance.writeCompactIfNarrow(compacted, docsProbe),
       outName, graft.sources.Bucketed.scopedPath(outName), "sig", nBuckets)
     def perBand(sigs: DataFrame, as: String): DataFrame = sigs
       .select(split(col("sig"), "\\|").getItem(0).cast("long").as("band"))
