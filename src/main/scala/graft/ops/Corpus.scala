@@ -644,16 +644,25 @@ object Corpus {
     */
   private[graft] def distillParts(spark: SparkSession,
                                   sfDir: String): (DataFrame, DataFrame) = {
-    val feats = distillFeatureFrame(table(spark, sfDir, "documents"))
-    val lm = TextAnalysis.lmScore(spark, sfDir).select("doc_id", "lm_milli")
-    // materialized ONCE (the ccnetBuckets discipline): the teacher
-    // subtree (bigram explode + two corpus joins) feeds the train-split
-    // sums AND the residual pass — production materializes the per-doc
-    // teacher table as its own artifact anyway
-    val j = feats.join(lm, Seq("doc_id"))
-      .withColumn("split",
-        when(col("doc_id") % 5 < 4, lit("train")).otherwise(lit("holdout")))
-      .materialized
+    // the per-doc teacher table is served from the run-lifetime store
+    // (round 17; the dsirRatioTable discipline — VERDICT r14 #4 class):
+    // BOTH the batch fit (mix_distill) and the ingest scorer's
+    // coefficient pull (stream_distill) need the SAME frame, and
+    // without the store each invocation re-paid the teacher's bigram
+    // joins (the expensive thing the distillation exists to avoid).
+    // The coefficient row is one cheap aggregate over the stored frame.
+    val j = distillTeacherStores.getOrBuild(
+      corpusSlot(spark, sfDir), docsFp(spark, sfDir)) {
+      val feats = distillFeatureFrame(table(spark, sfDir, "documents"))
+      val lm = TextAnalysis.lmScore(spark, sfDir).select("doc_id", "lm_milli")
+      // materialized ONCE (the ccnetBuckets discipline): the teacher
+      // subtree (bigram explode + two corpus joins) feeds the
+      // train-split sums AND the residual pass
+      feats.join(lm, Seq("doc_id"))
+        .withColumn("split",
+          when(col("doc_id") % 5 < 4, lit("train")).otherwise(lit("holdout")))
+        .materialized
+    }
     val dec = "decimal(38,0)"
     val s = j.filter(col("split") === "train").agg(
       count(lit(1)).cast(dec).as("n"),
@@ -676,6 +685,9 @@ object Corpus {
         .as("b2n"))
     (j, c)
   }
+
+  private val distillTeacherStores =
+    graft.ArtifactStore.frames("corpus.distillTeacher")
 
   /** mix_distill: distill the corpus-LM fluency teacher
     * ([[TextAnalysis.lmScore]], the expensive bigram-join signal) into

@@ -1260,15 +1260,27 @@ object EventWindows {
       case _ => hour(col("ts")).cast("long")
     }
 
-  private[graft] def seasonalBaseline(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = table(spark, sfDir, "events")
-    ev.filter(col("event_id") % 10 =!= 0)
-      .select(col("event_type"), hourOfDay(ev).as("hod"),
-        floor(col("value") * 1000d).cast("long").as("v_milli"))
-      .groupBy("event_type", "hod")
-      .agg(count(lit(1)).as("n_train"),
-        expr("sum(v_milli) div count(1)").as("baseline_milli"))
-  }
+  // served from the run-lifetime store (round 17; the dsirRatioTable
+  // discipline): the bounded baseline is one full events pass and BOTH
+  // the batch audit (ev_seasonal) and the ingest scorer's driver pull
+  // (stream_seasonal) need the SAME <= |types| x 24-row frame — without
+  // the store each invocation re-paid the train-split aggregation.
+  private val seasonalBaselineStores =
+    graft.ArtifactStore.frames("ev.seasonalBaseline")
+  private[graft] def seasonalBaseline(spark: SparkSession, sfDir: String): DataFrame =
+    seasonalBaselineStores.getOrBuild(
+      spark.sparkContext.applicationId + "|" + sfDir + "|" +
+        spark.conf.get("spark.graft.reliableCheckpoint", "false"),
+      graft.GraftSession.contentFingerprint(spark, s"$sfDir/events.parquet")) {
+      val ev = table(spark, sfDir, "events")
+      ev.filter(col("event_id") % 10 =!= 0)
+        .select(col("event_type"), hourOfDay(ev).as("hod"),
+          floor(col("value") * 1000d).cast("long").as("v_milli"))
+        .groupBy("event_type", "hod")
+        .agg(count(lit(1)).as("n_train"),
+          expr("sum(v_milli) div count(1)").as("baseline_milli"))
+        .materialized
+    }
 
   /** Score frame shared by the batch audit and the streaming twin:
     * held-out (%10==0) events joined to the broadcast baseline on
@@ -1305,7 +1317,7 @@ object EventWindows {
     * ordered; eval counts 0 where the eval split never hit the bucket.
     */
   def seasonalAudit(spark: SparkSession, sfDir: String): DataFrame = {
-    val base = seasonalBaseline(spark, sfDir).materialized
+    val base = seasonalBaseline(spark, sfDir) // store-served, already flat
     val rollup = seasonalScoreFrame(table(spark, sfDir, "events"), base)
       .groupBy("event_type", "hod")
       .agg(count(lit(1)).as("n_eval"),

@@ -441,7 +441,13 @@ object Graph {
     // 1-row max subquery and the main frame — unmaterialized, the
     // join+aggregate would run twice per half-step); the rescale
     // output itself is referenced exactly once by the next half-step,
-    // so it rides as a shallow crossJoin over the checkpointed raw
+    // so it rides as a shallow crossJoin over the checkpointed raw.
+    // Round 17 note: a LAZY persist was tried here instead of the eager
+    // localCheckpoint (to save one scheduled job per half-step) and
+    // measured 2.3x WORSE (3.2 -> 7.3 s) — with nothing forcing the
+    // cache, the nested adaptive broadcast subtrees re-execute uncached
+    // prefixes before each level's cache fills; the eager checkpoint is
+    // load-bearing, not overhead.
     val interm = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def rescaled(df: DataFrame, key: String): DataFrame = {
       val r = df.materialized
