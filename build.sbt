@@ -26,6 +26,15 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Heap default MEASURED, not assumed (round 17): 8g looks GC-bound on
+  // short hash/codec subsets (a 24g A/B ran those -11%), but over the
+  // FULL 280-query session a 24g heap is 20% SLOWER end to end
+  // (166 vs 136-146 s) — with a large heap the collector lets garbage
+  // and dropped localCheckpoint blocks pile up across queries, and the
+  // eventual pauses land mid-micro-batch (stream_join 1.9 -> 6.4 s,
+  // corpus scalars +0.8 s each). The small heap keeps collections short
+  // and frequent, which is what a many-short-queries session wants.
+  // Override per deployment via SPARK_DRIVER_MEM.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // Spark codegen churns through many generated classes per query; the
   // default 240m code cache can fill over a 30-query session and degrade

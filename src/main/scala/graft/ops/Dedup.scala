@@ -1118,10 +1118,18 @@ object Dedup {
         explode(graft.functions.ShingleColumns.winnowFps(norm, k, w)).as("fp"))
       .distinct()
       .materialized // both self-join sides + the df guard
-    val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+    // ONE explicit fp-keyed exchange feeds the df guard, the semi-join
+    // and the pair self-join co-partitioned (round 17): each used to
+    // plan its own exchange, and AQE coalesced the pair join — the
+    // suite's heaviest winnow stage — down to ~6 read partitions (2.3
+    // CPU-s squeezed through 6 tasks). The checkpoint below this
+    // preserves outputPartitioning (the CC-loop pattern), so the
+    // downstream agg/join stages plan exchange-free at pinned width.
+    val fpsW = graft.Rebalance.cpuSpread(fps, col("fp"))
+    val rare = fpsW.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select("fp")
-    val pruned = fps.join(rare, Seq("fp"), "left_semi")
+    val pruned = fpsW.join(rare, Seq("fp"), "left_semi")
     pruned.as("a")
       .join(pruned.as("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
