@@ -116,6 +116,41 @@ object GraftSession {
     """^local-cluster\[\s*(\d+)\s*,""".r
       .findFirstMatchIn(master).map(_.group(1).toInt).getOrElse(1)
 
+  /** Base directory for EPHEMERAL per-application scratch (streaming
+    * checkpoints and sink read-back dirs of the AvailableNow harness
+    * twins, the heartbeat side source). These artifacts live exactly as
+    * long as the application — every root registers a shutdown-hook
+    * delete — so durability buys nothing, while their I/O profile is
+    * many tiny files with create/rename/fsync metadata ops per
+    * micro-batch (offset WAL, commit log, state-store deltas, file-sink
+    * metadata). Measured on this host: ~5.5 ms/fsync on the ext4 /tmp
+    * vs ~0.01 ms on the RAM-backed /dev/shm — across 43 streaming twins
+    * x 2-3 micro-batches x 5-20 metadata commits each, the disk-backed
+    * default was a material slice of the per-query machinery floor
+    * (round 18, guide §6). So the default prefers the node's RAM-backed
+    * scratch when present.
+    *
+    * Deployment contract: `spark.graft.scratchDir` (or
+    * SPARK_GRAFT_SCRATCH_DIR) overrides — a production streaming job
+    * whose checkpoints must survive the process (or a multi-node
+    * cluster, where /dev/shm is node-local) points this at durable
+    * shared storage, exactly like spark.local.dir for shuffle. The
+    * run-lifetime BUCKETED stores (index/profile tables) do NOT live
+    * here — their write path is the operator under test and stays on
+    * the regular filesystem.
+    */
+  def scratchBase(spark: SparkSession): String = {
+    val conf = spark.conf.get("spark.graft.scratchDir", "")
+    if (conf.nonEmpty) conf
+    else sys.env.getOrElse("SPARK_GRAFT_SCRATCH_DIR", defaultScratchBase)
+  }
+
+  private[graft] lazy val defaultScratchBase: String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite) shm.getAbsolutePath
+    else System.getProperty("java.io.tmpdir")
+  }
+
   /** Register a JVM shutdown hook that recursively deletes `root` —
     * once per distinct root, so a JVM running several SparkContexts in
     * sequence (sbt test JVMs, back-to-back harness runs) reclaims every

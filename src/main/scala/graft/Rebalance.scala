@@ -34,13 +34,66 @@ object Rebalance {
   private def sessionWidth(df: DataFrame): Int =
     df.sparkSession.sessionState.conf.numShufflePartitions
 
-  /** Keyed repartition to the session's shuffle width, EXPLICIT so AQE
-    * cannot coalesce it below the CPU parallelism it exists to provide.
-    * Use where the plan already pays this exchange (it replaces a
-    * `repartition(keys…)` call, adding nothing at any scale).
+  /** Mass targets per spread task (round 18, VERDICT r17 #2). Round 17
+    * pinned every spread to the FULL session width, and the driver's
+    * 8-vs-32-core scaling block showed the overshoot: on tiny inputs
+    * the substring/winnow queries ran 2-4x FASTER 8-wide than 32-wide
+    * (dedup_substring_rewrite ratio 0.22) — 32 task-waves of
+    * scheduling/exchange overhead exceed the parallelism gain. The
+    * width is now proportional to the probe's input mass, capped at
+    * the session width: `min(sessionWidth, ceil(bytes / target))`; at
+    * scale the byte mass saturates the cap immediately, so cluster
+    * behavior is unchanged.
+    *
+    * The target is PER SITE CLASS because the optimum tracks the
+    * stage's CPU density per input byte (measured A/B at sf0.1 on 32
+    * cores, /tmp legs recorded in OPTIMIZATION_r18.md):
+    *  - hashDense (~an md5 digest per handful of input bytes: the k=16
+    *    minhash sketch ladder, DSIR token hashing): 16 KB/task — the
+    *    session width until inputs shrink to a few hundred KB; the
+    *    64 KB form cost dedup_clusters_incremental +41%.
+    *  - windowDense (per-byte scans with cheaper per-unit work: winnow
+    *    gram minima, n-token window folds): 64 KB/task — the full-width
+    *    form cost dedup_winnow_pairs +53% and dedup_substring +49% in
+    *    overhead at harness mass.
+    * `spark.graft.spreadTargetBytes` overrides BOTH per deployment.
+    */
+  val hashDenseTargetBytes: Long = 16L << 10
+  val windowDenseTargetBytes: Long = 64L << 10
+
+  private def spreadWidth(df: DataFrame, probe: DataFrame,
+                          siteTarget: Long): Int = {
+    val spark = df.sparkSession
+    val target = BigInt(spark.conf
+      .get("spark.graft.spreadTargetBytes", siteTarget.toString)
+      .toLong.max(1L))
+    val bytes = probe.queryExecution.optimizedPlan.stats.sizeInBytes
+    val w = sessionWidth(df)
+    // absent/garbage stats (Catalyst's defaultSizeInBytes sentinel for
+    // un-analyzed RDD leaves) must not collapse the spread: keep the
+    // session width rather than trust a fictitious mass
+    if (bytes <= 0 || bytes >= BigInt(Long.MaxValue) / 2) w
+    else ((bytes + target - 1) / target).min(BigInt(w)).max(BigInt(1)).toInt
+  }
+
+  /** Keyed repartition to the mass-proportional width (capped at the
+    * session's shuffle width), EXPLICIT so AQE cannot coalesce it below
+    * the CPU parallelism it exists to provide. Use where the plan
+    * already pays this exchange (it replaces a `repartition(keys…)`
+    * call, adding nothing at any scale). The width derives from the
+    * frame's own stats; when those are estimate-garbage (a materialized
+    * RDD leaf), pass the source scan as `probe` via the overload.
+    * `target` is the site's CPU-density class (see the targets above).
     */
   def cpuSpread(df: DataFrame, keys: Column*): DataFrame =
-    df.repartition(sessionWidth(df), keys: _*)
+    cpuSpread(df, df, hashDenseTargetBytes, keys: _*)
+
+  /** [[cpuSpread]] with the mass read from a separate probe frame and
+    * an explicit per-site task target.
+    */
+  def cpuSpread(df: DataFrame, probe: DataFrame, target: Long,
+                keys: Column*): DataFrame =
+    df.repartition(spreadWidth(df, probe, target), keys: _*)
 
   /** Insert a spread exchange BEFORE a CPU-dense per-row stage, but
     * only when the stage would otherwise run narrower than the session
@@ -61,6 +114,11 @@ object Rebalance {
   def cpuSpreadIfNarrow(df: DataFrame, keys: Column*): DataFrame =
     spreadIfProbeNarrow(df, df, keys: _*)
 
+  /** [[cpuSpreadIfNarrow]] with an explicit per-site density target. */
+  def cpuSpreadIfNarrow(df: DataFrame, target: Long,
+                        keys: Column*): DataFrame =
+    spreadIfProbeNarrow(df, df, target, keys: _*)
+
   /** [[cpuSpreadIfNarrow]] with the bytes gate read from a SEPARATE
     * frame's stats — for spreading an aggregate/join output whose own
     * stats are estimate-garbage, using the source corpus scan as the
@@ -68,9 +126,13 @@ object Rebalance {
     * frame untouched.
     */
   def spreadIfProbeNarrow(df: DataFrame, probe: DataFrame,
+                          keys: Column*): DataFrame =
+    spreadIfProbeNarrow(df, probe, windowDenseTargetBytes, keys: _*)
+
+  def spreadIfProbeNarrow(df: DataFrame, probe: DataFrame, target: Long,
                           keys: Column*): DataFrame = {
     if (!probeNarrow(df, probe)) df
-    else df.repartition(sessionWidth(df), keys: _*)
+    else df.repartition(spreadWidth(df, probe, target), keys: _*)
   }
 
   private def probeNarrow(df: DataFrame, probe: DataFrame): Boolean = {

@@ -917,6 +917,7 @@ object SparkEntry {
       // the surface under test — is unchanged, as are the results
       // (DISTINCT + total ORDER BY)
       graft.Rebalance.cpuSpreadIfNarrow(table(s, dir, "documents"),
+        graft.Rebalance.hashDenseTargetBytes, // md5/gram: the dense class
         org.apache.spark.sql.functions.col("doc_id"))
         .createOrReplaceTempView("graft_documents")
       s.sql(

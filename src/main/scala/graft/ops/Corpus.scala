@@ -293,10 +293,13 @@ object Corpus {
     */
   def dsirWeights(spark: SparkSession, sfDir: String,
                   target: String = "src0", buckets: Int = 1024): DataFrame = {
-    // per-token h60 (md5) fuses into the scan stage — spread it to the
-    // session width when the scan plans narrow (round 17)
+    // per-token h60 (md5) fuses into the scan stage — spread it when
+    // the scan plans narrow (round 17). hashDense target (round 18):
+    // an md5 per token is the dense class; the 64 KB/task A/B leg
+    // cost mix_dsir +26%
     val tok = graft.Rebalance.cpuSpreadIfNarrow(
-        table(spark, sfDir, "documents"), col("doc_id"))
+        table(spark, sfDir, "documents"),
+        graft.Rebalance.hashDenseTargetBytes, col("doc_id"))
       .select(col("doc_id"), col("source"),
         explode(filter(split(lower(col("text")), " "),
           t => length(t) > 0)).as("word"))

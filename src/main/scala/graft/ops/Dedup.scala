@@ -1125,7 +1125,12 @@ object Dedup {
     // CPU-s squeezed through 6 tasks). The checkpoint below this
     // preserves outputPartitioning (the CC-loop pattern), so the
     // downstream agg/join stages plan exchange-free at pinned width.
-    val fpsW = graft.Rebalance.cpuSpread(fps, col("fp"))
+    // probe = the corpus scan: fps is checkpointed, so its own stats
+    // are the RDD-leaf sentinel, not a mass (round 18 mass-width form;
+    // windowDense — the pair join is a per-byte fold, measured −35%
+    // at the narrower width)
+    val fpsW = graft.Rebalance.cpuSpread(fps, docs,
+      graft.Rebalance.windowDenseTargetBytes, col("fp"))
     val rare = fpsW.groupBy("fp").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .select("fp")

@@ -186,11 +186,19 @@ object Similarity {
       vectorRepresentatives(embeddings(spark, sfDir)), nBits, nBands, dim)
     val a = bucketed.select(col("band"), col("sig"), col("vec_id").as("vec_a"), col("v").as("va"))
     val b = bucketed.select(col("band"), col("sig"), col("vec_id").as("vec_b"), col("v").as("vb"))
+    // score + threshold BEFORE the pair dedup (round 18, guide §2.3):
+    // cos_milli is a pure function of the pair's two vectors, so the
+    // filter commutes with the distinct — and computing it inside the
+    // band join means the dedup exchange ships (vec_a, vec_b, cos)
+    // instead of carrying BOTH 64-double vectors per candidate row
+    // (~1 KB/row) through the shuffle just to score after. A pair
+    // matching in m bands re-scores m times (m <= nBands, dot product
+    // over 64 floats) — per-task CPU traded for shuffle bytes, the
+    // §2.3 direction at any scale.
     a.join(b, Seq("band", "sig")).filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"), col("va"), col("vb"))
-      .dropDuplicates("vec_a", "vec_b") // multi-band collisions pair once
       .select(col("vec_a"), col("vec_b"), cosMilli(col("va"), col("vb")).as("cos_milli"))
       .filter(col("cos_milli") >= minCosMilli)
+      .dropDuplicates("vec_a", "vec_b") // multi-band collisions pair once
       .orderBy("vec_a", "vec_b")
   }
 

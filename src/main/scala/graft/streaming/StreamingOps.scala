@@ -103,6 +103,14 @@ object StreamingOps {
     val q = df.writeStream
       .format("memory")
       .queryName(queryName)
+      // explicit scratch checkpoint (round 18): Spark's implicit temp
+      // checkpoint lands under java.io.tmpdir and is recursively deleted
+      // during query termination — both on the slow disk-backed path.
+      // A fresh dir per CALL (never per name: reusing a checkpoint would
+      // resume offsets and yield an empty sink) under the application
+      // scratch root, reclaimed by the shutdown hook instead of inline.
+      .option("checkpointLocation",
+        s"${scratchRoot(df.sparkSession)}/${freshName(s"ckpt_$queryName")}")
       .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
@@ -199,8 +207,10 @@ object StreamingOps {
     // a cwd-relative path: a run launched from another working directory
     // — or one whose default FS is distributed — must still create and
     // read the side source at the same resolved location (ADVICE r10)
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-streaming-heartbeat/" +
-      s"${spark.sparkContext.applicationId}/" +
+    // under the streaming scratch root (round 18): the heartbeat is
+    // re-listed and re-read by every flushed twin's side source, and the
+    // application's shutdown hook reclaims the whole root
+    val dir = s"${scratchRoot(spark)}/heartbeat/" +
       java.lang.Integer.toHexString(fileSchema.json.hashCode)
     heartbeatWritten.synchronized {
       if (!heartbeatWritten.contains(dir)) {
@@ -470,7 +480,13 @@ object StreamingOps {
     * default checkpoint dir.
     */
   private def scratchRoot(spark: SparkSession): String = {
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft-stream-sink/" +
+    // rooted at GraftSession.scratchBase (round 18): RAM-backed scratch
+    // when the node has one — the checkpoint/sink metadata commits
+    // (offset WAL, commit log, state deltas, sink logs) are the
+    // dominant fixed cost of a short AvailableNow query on a disk-backed
+    // tmpdir, and these dirs are deleted at JVM exit by construction.
+    // Production overrides via spark.graft.scratchDir (see scratchBase).
+    val root = s"${graft.GraftSession.scratchBase(spark)}/graft-stream-sink/" +
       spark.sparkContext.applicationId
     graft.GraftSession.cleanupAtShutdown(root)
     root
@@ -816,12 +832,22 @@ object StreamingOps {
     * definition. Returns (purchases, views).
     */
   private def joinSides(s: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
-    val views = harnessEventStream(s, sfDir)
+    // ONE file-stream source referenced by both sides (round 18): the
+    // previous two-call form registered two independent
+    // FileStreamSources for the same file — two offset-log entries, two
+    // per-trigger directory listings and two parquet scans per
+    // micro-batch, all pure machinery. Deriving both branches from one
+    // source makes the join a SELF-join over a single source (each
+    // branch keeps its own filter, projection and watermark column);
+    // rows and join semantics are identical, the source lifecycle is
+    // paid once. Same rows => same oracle relation.
+    val events = harnessEventStream(s, sfDir)
+    val views = events
       .filter(col("event_type") === "view")
       .select(col("event_id").as("view_event_id"), col("user_id").as("v_user"),
         col("ts").as("v_ts"))
       .withWatermark("v_ts", "2 hours")
-    val purchases = harnessEventStream(s, sfDir)
+    val purchases = events
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_event_id"), col("user_id"),
         col("ts").as("p_ts"))
@@ -1463,6 +1489,8 @@ object StreamingOps {
           graft.sources.Bucketed.appendBucketed(spark, sk, name, "source", nBuckets)
         ()
       }
+      .option("checkpointLocation", // scratch ckpt, see runToMemory (r18)
+        s"${scratchRoot(spark)}/${freshName("ckpt_profile_fold")}")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination() // see runToMemory: trailing-batch-safe drain
@@ -1508,6 +1536,8 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("append").json(path); ()
       }
+      .option("checkpointLocation", // scratch ckpt, see runToMemory (r18)
+        s"${scratchRoot(spark)}/${freshName("ckpt_json_sink")}")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination() // see runToMemory: trailing-batch-safe drain
@@ -1656,6 +1686,8 @@ object StreamingOps {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("append").partitionBy("shard_id").parquet(outDir)
       }
+      .option("checkpointLocation", // scratch ckpt, see runToMemory (r18)
+        s"${scratchRoot(spark)}/${freshName("ckpt_hash_shards")}")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination() // see runToMemory: trailing-batch-safe drain

@@ -19,19 +19,42 @@ class RebalanceSpec extends AnyFunSuite {
 
   private lazy val spark = GraftSession.build("rebalance-spec", "local[4]", 8)
 
-  test("cpuSpread pins the session width where the implicit keyed form is AQE-coalesced") {
+  test("cpuSpread pins an explicit width where the implicit keyed form is AQE-coalesced") {
     import spark.implicits._
     val df = (1L to 1000L).toDF("doc_id")
     val implicitParts =
       df.repartition(col("doc_id")).localCheckpoint().rdd.getNumPartitions
-    val explicitParts =
+    // force the mass rule to its cap so the AQE-exemption property is
+    // tested at the session width (a tiny in-memory frame would
+    // otherwise legitimately spread narrow under the round-18 rule)
+    spark.conf.set("spark.graft.spreadTargetBytes", "1")
+    try {
+      val explicitParts =
+        Rebalance.cpuSpread(df, col("doc_id")).localCheckpoint().rdd.getNumPartitions
+      assert(explicitParts ==
+        spark.sessionState.conf.numShufflePartitions,
+        s"explicit width must be exempt from AQE coalescing (got $explicitParts)")
+      assert(implicitParts < explicitParts,
+        "precondition lost: the implicit keyed repartition is no longer " +
+          "coalesced at tiny mass — the seam may be unnecessary now")
+    } finally spark.conf.unset("spark.graft.spreadTargetBytes")
+  }
+
+  test("spread width is mass-proportional: tiny mass spreads narrow, big mass caps at session width") {
+    import spark.implicits._
+    val df = (1L to 1000L).toDF("doc_id")
+    // ~8 KB of longs against the 64 KB/task default: width must be
+    // capped well below the session's 8, but never zero
+    val narrow =
       Rebalance.cpuSpread(df, col("doc_id")).localCheckpoint().rdd.getNumPartitions
-    assert(explicitParts ==
-      spark.sessionState.conf.numShufflePartitions,
-      s"explicit width must be exempt from AQE coalescing (got $explicitParts)")
-    assert(implicitParts < explicitParts,
-      "precondition lost: the implicit keyed repartition is no longer " +
-        "coalesced at tiny mass — the seam may be unnecessary now")
+    assert(narrow >= 1 && narrow < spark.sessionState.conf.numShufflePartitions,
+      s"a KB-scale frame must not spread to the full session width (got $narrow)")
+    // a probe whose stats exceed width x target saturates the cap
+    spark.conf.set("spark.graft.spreadTargetBytes", "1")
+    try assert(
+      Rebalance.cpuSpread(df, col("doc_id")).localCheckpoint().rdd.getNumPartitions ==
+        spark.sessionState.conf.numShufflePartitions)
+    finally spark.conf.unset("spark.graft.spreadTargetBytes")
   }
 
   test("cpuSpreadIfNarrow widens a tiny scan and gates off when stats cover the width") {
@@ -42,8 +65,14 @@ class RebalanceSpec extends AnyFunSuite {
     val widened = Rebalance.cpuSpreadIfNarrow(scan, col("doc_id"))
     assert(widened.queryExecution.analyzed ne scan.queryExecution.analyzed,
       "a KB-scale scan must be widened")
-    assert(widened.localCheckpoint().rdd.getNumPartitions ==
+    // width is mass-proportional since round 18: pinned (AQE-exempt)
+    // but bounded by bytes/target, so a KB-scale scan stays narrow;
+    // a floor-level target saturates the session-width cap
+    spark.conf.set("spark.graft.spreadTargetBytes", "1")
+    try assert(Rebalance.cpuSpreadIfNarrow(scan, col("doc_id"))
+      .localCheckpoint().rdd.getNumPartitions ==
       spark.sessionState.conf.numShufflePartitions)
+    finally spark.conf.unset("spark.graft.spreadTargetBytes")
     // same scan under a floor-level split size: stats now cover the
     // session width, so the gate must add nothing
     val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
