@@ -236,12 +236,31 @@ object Similarity {
                                   nBits: Int, nBands: Int, dim: Int): DataFrame = {
     val sigCols = (0 until nBands).map { band =>
       val bits = (0 until nBits).map { bit =>
-        val plane = array((0 until dim).map(d => lit(planeComponent(band, bit, d))): _*)
+        // ONE ArrayType literal per plane (round 18): the element-wise
+        // array(lit, lit, …) form put nBands x nBits x dim = 2048
+        // Literal nodes in the plan, and analysis/optimization of that
+        // tree was a per-call driver cost on every lshBuckets consumer;
+        // a typedLit collapses each plane to a single literal (same
+        // doubles, same dot, same signatures)
+        val plane = typedLit((0 until dim).map(d => planeComponent(band, bit, d)))
         when(dot(plane, col("v")) > 0, 1L << bit).otherwise(0L)
       }
       bits.reduce(_ + _).as(s"sig_$band")
     }
-    emb.select(col("vec_id") +: col("v") +: sigCols: _*)
+    // spread BEFORE the sig compute + checkpoint (round 18): the
+    // embeddings scan plans 1 split at harness mass, so the bucket
+    // frame checkpointed 1-wide — and every consumer's join MAP stage
+    // (the probe fanout carrying the query vector, the band-join
+    // exchange writes) then ran single-task on that one partition
+    // (census: a 1.34 s 1-task stage under sim_lsh_multiprobe, a
+    // 0.30 s 1-task 24 MB exchange write under dedup_embedding).
+    // Mass-proportional width (windowDense — vector serialization is
+    // per-byte work), gated off for a corpus whose scan already fills
+    // the session. Round 17 rejected a FULL-width version of this
+    // spread (+0.1-0.6 s) — the mass rule is what makes it pay.
+    graft.Rebalance.spreadIfProbeNarrow(emb, emb,
+        graft.Rebalance.windowDenseTargetBytes, col("vec_id"))
+      .select(col("vec_id") +: col("v") +: sigCols: _*)
       .select(col("vec_id"), col("v"),
         explode(array((0 until nBands).map(b =>
           struct(lit(b).as("band"), col(s"sig_$b").as("sig"))): _*)).as("bk"))
