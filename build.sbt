@@ -51,6 +51,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (md5, regex) at the default 1000-iteration strip length held off
   // safepoint polls for up to 2s, serializing GC across all 32 workers.
   "-XX:LoopStripMiningIter=100",
+  // The ContextCleaner's periodic System.gc() (the 30s interval above in
+  // GraftSession/Bench) defaults to a STOP-THE-WORLD Full GC whose cost
+  // GROWS over a session — the round-18 baseline leg measured 17 Full
+  // GCs of 137->322ms landing wherever the suite happened to be, the
+  // amplification mechanism behind the round-17 driver record's 4-8x
+  // end-of-suite tail drift. This flag turns explicit collections into
+  // CONCURRENT G1 cycles: same block-cleanup cadence, no growing pauses
+  // (A/B full suite: 0 Full GCs, max pause 55ms vs 322ms, total pause
+  // 18.1 -> 10.1s, suite 133.6 -> 130.3s).
+  "-XX:+ExplicitGCInvokesConcurrent",
 )
 // ad-hoc JVM flags for the forked mains (GC logging, collector probes)
 // without editing the build: SPARK_GRAFT_JVM_EXTRA="-Xlog:gc*:..." sbt ...

@@ -364,13 +364,19 @@ class DedupSpec extends SparkSpec {
       "spark.sql.adaptive.advisoryPartitionSizeInBytes",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
       "spark.sql.adaptive.coalescePartitions.enabled",
-      "spark.sql.adaptive.forceOptimizeSkewedJoin").map(k => k -> conf.getOption(k))
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      // force the shingle spread to full width: AQE's skew split
+      // subdivides a reduce partition by MAP ranges, so a test corpus
+      // tiny enough for the round-18 mass rule to plan ONE map task
+      // could never split — production mass saturates the width cap
+      "spark.graft.spreadTargetBytes").map(k => k -> conf.getOption(k))
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // SMJ, not broadcast
     conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "128b")
     conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "128b")
     conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
     conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    conf.set("spark.graft.spreadTargetBytes", "1")
     try {
       val base = (1 to 40).map(i => s"t$i").mkString(" ")
       val docs = (0 until 120).map(i => (i.toLong, s"$base uniq$i"))
